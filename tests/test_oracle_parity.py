@@ -1,0 +1,44 @@
+"""The core gate: every declared query must match its DuckDB oracle.
+
+Runs at sf0.001 for speed in the default suite; the driver runs sf0.01 —
+``pytest -m sf001 tests/test_oracle_parity.py`` (slow marker) covers that too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.parity import compare, duckdb_con
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity_sf0001(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        assert df.count() >= 0  # rows-only check, mirroring the driver
+        return
+    con = duckdb_con(sf_dir)
+    res = compare(df, con, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity_sf001(spark, sf_correct, name):
+    df = QUERIES[name](spark, sf_correct)
+    if name not in ORACLES:
+        assert df.count() >= 0
+        return
+    con = duckdb_con(sf_correct)
+    res = compare(df, con, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
