@@ -1,4 +1,302 @@
-"""Placeholder — filled in during round 1."""
+"""Tier C EXT — deduplication operators (SURVEY.md §2.C E1/E2).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Four dedup families over ``documents``:
+
+- **Exact** (E1): group-by on normalized text, deterministic representative
+  (min doc_id) — one shuffle on the hash of the dedup key.
+- **N-gram Jaccard** (E2): 3-token shingles → exploded shingle join →
+  pairwise Jaccard. Exhaustive variant is the *oracle-checked* truth; at
+  100 TB you never run it raw — you run MinHash-LSH first and verify only
+  candidates (exactly what ``minhash_lsh_pairs`` does).
+- **MinHash + LSH** (E2): 64 seeded murmur3 min-hashes per doc → 32 bands
+  of 2 → band-bucket self-join → exact-Jaccard verification of candidates.
+  Shuffle profile at scale: signatures (1 shuffle on doc), bucket join
+  (1 shuffle on band-hash — skew-safe because bucket sizes are bounded by
+  band width), verify (1 shuffle on pair). No driver-side state.
+- **SimHash** (E2): sign-aggregated bit fingerprint over shingle hashes,
+  Hamming-band candidate search (pigeonhole: 4 bands of 8 bits → finds all
+  pairs within Hamming distance 6 when at least one band matches exactly).
+
+The LSH candidate set is probabilistic (seeded, deterministic per run), so
+``e11``/``e13`` are rows-only checks for the driver; the exhaustive ``e12``
+carries the DuckDB oracle and pytest asserts LSH-candidates ⊇ true pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.loaders import load_table
+
+N_HASHES = 64
+N_BANDS = 32  # 2 rows per band: aggressive recall, verification prunes FPs
+JACCARD_THRESHOLD = 0.3
+SHINGLE_N = 3
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band → catches Hamming distance <= 6
+HAMMING_THRESHOLD = 6
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """E1: keep the deterministic representative (min order_col) per key
+    group. groupBy+min over the key — a single shuffle; survives any scale
+    (no window over the whole table needed for the keep-first semantic)."""
+    rep = df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
+    return df.join(rep, keys + [order_col], "left_semi")
+
+
+def shingle_array(text_col: str = "text", n: int = SHINGLE_N) -> F.Column:
+    """Distinct n-token shingles as an array column — pure Catalyst
+    (split/sequence/slice/array_join), no UDF."""
+    # guard short texts: sequence(0, negative) would generate a DESCENDING
+    # sequence in Spark, not an empty one
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' ')) "
+            f"ELSE array() END"
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded pairs, distinct."""
+    return docs.select(
+        "doc_id", F.explode(shingle_array()).alias("shingle")
+    ).distinct()
+
+
+def shingle_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exhaustive pairwise shingle-set Jaccard via shingle equi-join.
+    Counts are exact longs; the final division is one double op, so results
+    hash-match any engine."""
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: seeded murmur3 (F.hash(shingle, seed)) min
+    per seed, as n_hashes columns h0..h{n-1}."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, bucket)."""
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Full E2 pipeline: LSH candidates → exact-Jaccard verification."""
+    sig = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sig)
+    exact = shingle_jaccard_pairs(docs, threshold)
+    return cands.join(exact, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign-sum each bit of the shingle murmur3 hashes."""
+    sh = doc_shingles(docs).withColumn("h", F.hash("shingle"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*bit_aggs)
+    fp = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ],
+    )
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
+    """Hamming-band candidate search over SimHash fingerprints."""
+    fps = simhash(docs)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(shiftright(simhash, {b * band_width}) & {(1 << band_width) - 1})"
+                ).alias("bucket"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a query: per-language doc vs distinct-normalized-text counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(normalize_text()).alias("n_unique"),
+        )
+        .orderBy("lang")
+    )
+
+
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exhaustive n-gram Jaccard near-dup pairs (the oracle-checked truth)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash-LSH near-dup pairs (probabilistic candidates, exact verify).
+    Rows-only driver check; pytest asserts parity with the exhaustive truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash near-dup candidates (rows-only driver check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QUERIES = {
+    "e10_exact_dedup_stats": exact_dedup_stats,
+    "e11_minhash_lsh_pairs": minhash_lsh_query,
+    "e12_ngram_jaccard_pairs": ngram_jaccard_query,
+    "e13_simhash_pairs": simhash_query,
+}
+
+ORACLES = {
+    "e10_exact_dedup_stats": r"""
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS n_unique
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "e12_ngram_jaccard_pairs": f"""
+        WITH w AS (SELECT doc_id,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+               FROM w a
+               JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               CAST(n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+}

@@ -1,4 +1,255 @@
-"""Placeholder — filled in during round 1."""
+"""Tier C EXT — similarity search over embeddings (SURVEY.md §2.C E3).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Three paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+- ``brute_force_topk`` — the production fast path: broadcast the query set,
+  dot products via ``F.zip_with``/``F.aggregate`` (JVM fold, no Python), one
+  window for top-k. At 100 TB: queries broadcast, candidates scan
+  partition-parallel, the only shuffle is the final per-query top-k (k rows
+  per partition per query via partial TakeOrdered semantics).
+- ``exact_topk`` (query ``e20``) — the oracle-checked variant: dot products
+  as exact DECIMAL sums over posexploded (pos, value) pairs, so Spark and
+  DuckDB agree bit-for-bit and the top-k ranking is deterministic across
+  engines. Slower (explodes 64× rows) — exists to *prove* the fast path.
+- ``ivf_topk`` (query ``e21``) — the ANN scale path: deterministic centroid
+  subset (vec_id % stride == 0), assign every vector to its nearest
+  centroid (broadcast centroids), probe only the query's cluster. Recall
+  measured against brute force in pytest.
+
+pytest asserts fast-path vs exact-path agreement (same neighbor sets,
+|cosine delta| < 1e-9), so the driver's oracle on e20 transitively covers
+the fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.loaders import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+IVF_CENTROID_STRIDE = 50  # 500 vecs @sf0.01 → 10 centroids
+
+# products of unit-ish floats: scale 15 keeps the decimal sum exact in both
+# engines while fitting comfortably in DECIMAL(30,15)
+_DOT_DEC = "decimal(30,15)"
+
+
+def _dot_fast(a: F.Column, b: F.Column) -> F.Column:
+    """JVM-side double dot product: zip_with multiply + aggregate fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_fast(a: F.Column) -> F.Column:
+    return F.sqrt(_dot_fast(a, a))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Fast path: broadcast queries × scan candidates, cosine via fold."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    cosine = _dot_fast(F.col("q_emb"), F.col("c_emb")) / (
+        _norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def _elems(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, v double) exploded embedding elements."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+
+def _sumsq(elems: DataFrame) -> DataFrame:
+    """Exact decimal sum of squares per vector (for deterministic norms)."""
+    return elems.groupBy("vec_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast(_DOT_DEC)).alias("sumsq")
+    )
+
+
+def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 oracle path: decimal-exact dot products → bit-identical cosines.
+
+    cosine = double(dot) / (sqrt(double(sumsq_q)) * sqrt(double(sumsq_c)))
+    — every double op appears in the same order in the DuckDB oracle, so
+    ranking ties break identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = _elems(emb)
+    sumsq = _sumsq(elems)
+    qe = elems.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
+    )
+    ce = elems.select(F.col("vec_id").alias("c_id"), "pos", F.col("v").alias("cv"))
+    dots = (
+        ce.join(F.broadcast(qe), "pos")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum((F.col("qv") * F.col("cv")).cast(_DOT_DEC)).alias("dot"))
+    )
+    sq_q = sumsq.select(F.col("vec_id").alias("q_id"), F.col("sumsq").alias("sq_q"))
+    sq_c = sumsq.select(F.col("vec_id").alias("c_id"), F.col("sumsq").alias("sq_c"))
+    # round to 9 dp: the decimal->double cast can differ by 1 ulp between
+    # engines (correct rounding vs int128/10^scale double division); ranking
+    # runs on the ROUNDED value so top-k membership is engine-identical
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("sq_q").cast("double")) * F.sqrt(F.col("sq_c").cast("double"))),
+        9,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        dots.join(F.broadcast(sq_q), "q_id")
+        .join(F.broadcast(sq_c), "c_id")
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def fast_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 fast path as a named query (rows-only driver check; pytest pins it
+    to the oracle-checked exact path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries).orderBy("q_id", "rank")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 ANN path: IVF with deterministic centroids; probe 1 cluster.
+
+    At 100 TB the candidate table is hash-partitioned by cluster_id (one
+    shuffle at index-build time); each query probes its nprobe nearest
+    clusters — a partition-pruned scan instead of a full sweep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        F.col("vec_id") % IVF_CENTROID_STRIDE == 0
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    # assign: nearest centroid per vector (broadcast centroids)
+    sim = _dot_fast(F.col("embedding"), F.col("cent_emb")) / (
+        _norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(centroids))
+        .withColumn("cent_sim", sim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "label", F.col("cent_id").alias("cluster"))
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("cluster").alias("c_cluster"),
+    )
+    cosine = _dot_fast(F.col("q_emb"), F.col("c_emb")) / (
+        _norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cands.join(
+            F.broadcast(queries),
+            (F.col("q_cluster") == F.col("c_cluster"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm statistics per label — exact decimal sum-of-squares, one sqrt."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = _elems(emb)
+    sumsq = _sumsq(elems)
+    norms = emb.select("vec_id", "label").join(sumsq, "vec_id").select(
+        "label", F.round(F.sqrt(F.col("sumsq").cast("double")), 9).alias("norm")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "e20_cosine_topk_exact": exact_topk,
+    "e21_cosine_topk_fast": fast_topk_query,
+    "e22_ann_ivf_topk": ivf_topk,
+    "e23_embedding_norms": embedding_norms,
+}
+
+_ELEMS_SQL = """
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+"""
+
+ORACLES = {
+    "e20_cosine_topk_exact": f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        sumsq AS (SELECT vec_id,
+                         SUM(CAST(v * v AS DECIMAL(30,15))) AS sumsq
+                  FROM elems GROUP BY vec_id),
+        dots AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                        SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS dot
+                 FROM elems q JOIN elems c
+                   ON q.pos = c.pos AND q.vec_id < {N_QUERIES}
+                  AND q.vec_id <> c.vec_id
+                 GROUP BY 1, 2),
+        cos AS (SELECT q_id, c_id,
+                       round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(sq.sumsq AS DOUBLE))
+                          * sqrt(CAST(sc.sumsq AS DOUBLE))), 9) AS cosine
+                FROM dots
+                JOIN sumsq sq ON dots.q_id = sq.vec_id
+                JOIN sumsq sc ON dots.c_id = sc.vec_id),
+        ranked AS (SELECT q_id, c_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id ASC) AS rank
+                   FROM cos)
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    "e23_embedding_norms": f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        sumsq AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(30,15))) AS sumsq
+                  FROM elems GROUP BY vec_id),
+        norms AS (SELECT e.label, round(sqrt(CAST(s.sumsq AS DOUBLE)), 9) AS norm
+                  FROM embeddings e JOIN sumsq s ON e.vec_id = s.vec_id)
+        SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
+        FROM norms GROUP BY label ORDER BY label
+    """,
+}

@@ -1,4 +1,185 @@
-"""Placeholder — filled in during round 1."""
+"""Tier C EXT — text analysis for LLM-data pipelines (SURVEY.md §2.C E4).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Language-ID (stopword-marker heuristic), quality/statistics scoring, BPE-ish
+regex token counting, and document fingerprinting (md5 + rolling hash) over
+the ``documents`` fixture. All expressions are JVM-side Catalyst built-ins —
+no Python UDFs — so they whole-stage-codegen and scale linearly with
+partitions: at 100 TB this is a single narrow scan per query, no shuffle
+except the final small aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.loaders import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# language → marker stopwords, tie-broken in this order (deterministic CASE)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "que", "y"),
+    "fr": ("le", "les", "des", "et"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+ROLLING_MOD = 1_000_000_007
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quality scoring: char/token/unique-token counts + stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_txt"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+            n_stop.cast("long").alias("n_stop"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 language-ID: n-gram/stopword-marker heuristic scored per language,
+    argmax with a fixed tie-break order, reported as a confusion matrix
+    against the fixture's ``lang`` label."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs
+    for lang, markers in LANG_MARKERS.items():
+        marker_list = ", ".join(f"'{m}'" for m in markers)
+        scored = scored.withColumn(
+            f"s_{lang}",
+            F.expr(f"size(filter(split(text, ' '), t -> t IN ({marker_list})))"),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # first max wins — fixed tie-break order
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token counting: whitespace tokens plus a BPE-ish regex pre-tokenizer
+    (letter runs / digit runs / single symbols), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens()).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).cast("long")
+    return (
+        docs.select("source", ws.alias("n_ws"), bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("sum_ws_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+        )
+        .withColumn(
+            "avg_bpe_tokens",
+            F.col("sum_bpe_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 document fingerprinting: md5 content hash + a rolling polynomial
+    hash over token codes (``h = (h*31 + code) mod p`` — order-sensitive, so
+    permuted texts fingerprint differently, unlike a bag-of-words hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rolling = F.expr(
+        "aggregate(transform(split(text, ' '), t -> cast(ascii(t) * 1000 + length(t) as bigint)), "
+        f"0L, (a, x) -> (a * 31 + x) % {ROLLING_MOD})"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("md5_fp"),
+            rolling.alias("rolling_fp"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+QUERIES = {
+    "e40_text_stats": text_stats,
+    "e41_langid_confusion": langid_confusion,
+    "e42_token_count_bpe": token_count_bpe,
+    "e43_fingerprints": fingerprints,
+}
+
+
+def _sql_langid_pred() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH scored AS (SELECT lang, {score_cols} FROM documents),
+        withbest AS (SELECT *, {best} AS best FROM scored)
+        SELECT lang,
+               CASE WHEN best = 0 THEN 'und' {whens} END AS pred_lang,
+               COUNT(*) AS n
+        FROM withbest GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """
+
+
+ORACLES = {
+    "e40_text_stats": f"""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_txt,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS n_stop,
+               CAST(len(list_filter(string_split(text, ' '),
+                               t -> t IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "e41_langid_confusion": _sql_langid_pred(),
+    "e42_token_count_bpe": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
+               SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS sum_bpe_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_bpe_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "e43_fingerprints": f"""
+        SELECT doc_id,
+               md5(text) AS md5_fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> CAST(ascii(t) * 1000 + length(t) AS BIGINT))),
+                   (a, x) -> (a * 31 + x) % {ROLLING_MOD}) AS rolling_fp
+        FROM documents ORDER BY doc_id LIMIT 200
+    """,
+}

@@ -1,0 +1,70 @@
+"""Streaming re-expression of the batch event-window operators (E6 stretch,
+SURVEY.md §2.B "Streaming").
+
+``readStream`` over a parquet landing directory → watermarked tumbling-window
+aggregation → sink. The batch query ``e50_tumbling_hourly`` and this
+streaming query compute the same logical result; streaming executes it
+incrementally with state eviction at the watermark.
+
+At scale: the landing dir becomes a Kafka/queue source; the window state
+lives in the state store keyed by (window, event_type) — bounded by
+watermark horizon × key cardinality, independent of total stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.schemas import EVENTS
+
+
+def hourly_counts_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling 1-hour counts per event type with late-data bound.
+
+    The fixture's ns-grain ``ts`` arrives as long (nanosAsLong) — converted
+    to a real timestamp before watermarking, mirroring the batch loaders.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded streaming query to completion against a memory sink
+    (test/dev harness; production uses a real sink + trigger)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+__all__ = ["hourly_counts_stream", "run_to_completion", "EVENTS"]
