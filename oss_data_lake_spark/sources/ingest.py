@@ -1,0 +1,100 @@
+"""Partitioned-Parquet ingestion job — the PySpark re-expression of the
+reference's Airflow DAG ``fetch_and_write`` (reference
+dags/yfinance_to_minio.py:23-93).
+
+Reference behavior → Spark mapping (SURVEY.md §2.A A3-A8, A24, A25):
+
+- lowercase/rename columns (ref :46-49,:55-57)  → ``toDF``/``withColumnRenamed``
+- strict casts: UTC ts, double OHLC, nullable long volume (ref :66-71)
+  → ``cast`` under UTC session tz, millisecond truncation to honor the
+  reference's ``TIMESTAMP(3)`` DDL (reference RUNBOOK.md:90)
+- ``ingest_date`` + ``date`` partition key derivation (ref :73-74)
+  → ``current_date()`` (overridable for determinism) + ``date_format(ts)``
+- one parquet file per ``date=`` partition dir, partition column dropped
+  from file payload (ref :85-91) → ``repartition("date")`` +
+  ``partitionBy("date")`` (Spark drops the partition column natively;
+  repartition guarantees one file per partition — the reference's layout,
+  and the small-file-avoidance the reference lacks, SURVEY.md §4)
+- metrics ``{rows_written, partitions}`` (ref :93) → returned dict
+- empty-input guard (ref :86-87, dags/yfinance_to_minio_v1.py:31-32)
+  → short-circuit, no write
+
+At 100 TB: ``repartition("date")`` becomes ``repartition(n, "date", salt)``
+if single days exceed executor memory; the write path is otherwise
+shuffle-once and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FACT_COLUMNS = ("ticker", "ts", "open", "high", "low", "close", "volume", "ingest_date")
+
+
+def normalize_ohlcv(df: DataFrame, ingest_date: str | None = None) -> DataFrame:
+    """A3-A5: normalize names, strict-cast types, derive ingest/partition cols."""
+    df = df.toDF(*[c.lower() for c in df.columns])
+    if "date" in df.columns and "ts" not in df.columns:
+        df = df.withColumnRenamed("date", "ts")
+    ingest = (
+        F.lit(ingest_date).cast("date") if ingest_date else F.current_date()
+    )
+    return df.select(
+        F.col("ticker").cast("string").alias("ticker"),
+        # millisecond truncation: the reference declares TIMESTAMP(3)
+        F.timestamp_millis(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+        ).alias("ts"),
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        F.col("volume").cast("long").alias("volume"),
+        ingest.alias("ingest_date"),
+    )
+
+
+def ingest(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_path: str,
+    ingest_date: str | None = None,
+    mode: str = "append",
+) -> dict[str, int]:
+    """The full A1→A8 pipeline: normalize → derive partition key → guarded
+    partitioned write. Returns the reference's XCom metrics dict."""
+    tidy = normalize_ohlcv(source_df, ingest_date=ingest_date)
+    tidy = tidy.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+
+    rows, parts = _metrics(tidy)
+    if rows == 0:  # A25: empty-input guard — write nothing
+        return {"rows_written": 0, "partitions": 0}
+
+    (
+        tidy.repartition("date")
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(out_path)
+    )
+    return {"rows_written": rows, "partitions": parts}
+
+
+def read_curated(spark: SparkSession, path: str) -> DataFrame:
+    """A9: read the curated zone back — partition discovery recovers ``date``
+    as a column from the dir names (subsumes the reference's glob+concat,
+    reference notebooks/test_airflow_yfinance.ipynb:58,79-83); raises if the
+    path matches nothing (ref :81-82)."""
+    df = spark.read.parquet(path)
+    if not df.columns:
+        raise FileNotFoundError(f"no parquet data under {path}")
+    return df
+
+
+def _metrics(tidy: DataFrame) -> tuple[int, int]:
+    """A24: rows + distinct partition count in one aggregation pass."""
+    row = tidy.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("date").alias("parts"),
+    ).collect()[0]
+    return int(row["rows"]), int(row["parts"])

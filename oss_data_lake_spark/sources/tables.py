@@ -1,0 +1,128 @@
+"""Managed-table layer — the session-catalog re-expression of the
+reference's Iceberg/Lakekeeper warehouse (SURVEY.md §2.A A19-A23).
+
+Reference surface → ours:
+
+- Lakekeeper warehouse = bucket + key prefix (reference
+  create-yfinance-warehouse.json:2-8) → a warehouse directory + database
+  (``CREATE DATABASE ... LOCATION``).
+- ``CREATE SCHEMA IF NOT EXISTS iceberg.yfinance`` (reference RUNBOOK.md:87)
+  → ``CREATE DATABASE IF NOT EXISTS yfinance`` (catalog prefix modulo —
+  SURVEY.md §3.3 requires doc SQL to run with only that rewrite).
+- Iceberg hidden ``day(ts)`` partitioning (reference RUNBOOK.md:90) →
+  materialized ``date`` partition column, exactly how the reference DAG
+  itself materializes it for the curated zone (reference
+  dags/yfinance_to_minio.py:74). Deviation documented: the partition column
+  is visible; ``fact_price_v`` view exposes the logical schema without it.
+- notebook's chunked INSERT VALUES with manual escaping (reference
+  notebooks/test_airflow_yfinance.ipynb:216-247) → a single
+  ``INSERT INTO ... SELECT`` / ``DataFrameWriterV2.append`` — no chunking,
+  no literal building (SURVEY.md §2.A A21).
+- ``SHOW SCHEMAS`` / ``SHOW TABLES`` (reference RUNBOOK.md:156-157) →
+  identical statements on the session catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FACT_PRICE_DDL = """
+    CREATE TABLE IF NOT EXISTS {db}.fact_price (
+        ticker STRING,
+        ts TIMESTAMP,
+        open DOUBLE,
+        high DOUBLE,
+        low DOUBLE,
+        close DOUBLE,
+        volume BIGINT,
+        ingest_date DATE,
+        date STRING
+    ) USING parquet
+    PARTITIONED BY (date)
+"""
+
+
+class Warehouse:
+    """A named schema (database) of managed partitioned-Parquet tables."""
+
+    def __init__(self, spark: SparkSession, db: str, location: str | None = None):
+        self.spark = spark
+        self.db = db
+        loc = f" LOCATION '{location}/{db}.db'" if location else ""
+        # A19 — reference RUNBOOK.md:87 (catalog prefix modulo)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+
+    def create_fact_price(self) -> None:
+        """A20 — reference RUNBOOK.md:90 DDL, day-transform partitioning
+        materialized as the ``date`` column."""
+        self.spark.sql(FACT_PRICE_DDL.format(db=self.db))
+        # logical view without the physical partition column (hidden-
+        # partitioning parity, SURVEY.md §7 risk register)
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {self.db}.fact_price_v AS "
+            f"SELECT ticker, ts, open, high, low, close, volume, ingest_date "
+            f"FROM {self.db}.fact_price"
+        )
+
+    def insert_prices(self, tidy: DataFrame) -> None:
+        """A21: set-based insert (replaces the notebook's 400-row chunked
+        INSERT VALUES string building)."""
+        (
+            tidy.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+            .select(
+                "ticker", "ts", "open", "high", "low", "close", "volume",
+                "ingest_date", "date",
+            )
+            .repartition("date")
+            .write.insertInto(f"{self.db}.fact_price", overwrite=False)
+        )
+
+    def insert_row_sql(self, iso_ts: str, ticker: str, close: float) -> None:
+        """A21+A22: single-row SQL insert with an ISO-8601 timestamp literal
+        (reference notebooks/test_airflow_yfinance.ipynb:235
+        ``from_iso8601_timestamp`` → ``to_timestamp``)."""
+        self.spark.sql(
+            f"INSERT INTO {self.db}.fact_price "
+            f"SELECT '{ticker}', to_timestamp('{iso_ts}'), NULL, NULL, NULL, "
+            f"{close}, NULL, current_date(), "
+            f"date_format(to_timestamp('{iso_ts}'), 'yyyy-MM-dd')"
+        )
+
+    def show_schemas(self) -> list[str]:
+        """A23 — reference RUNBOOK.md:156."""
+        return [r[0] for r in self.spark.sql("SHOW DATABASES").collect()]
+
+    def show_tables(self) -> list[str]:
+        """A23 — reference RUNBOOK.md:93,157."""
+        return [
+            r["tableName"]
+            for r in self.spark.sql(f"SHOW TABLES IN {self.db}").collect()
+        ]
+
+    def count_star(self) -> int:
+        """A14 — reference RUNBOOK.md:105 smoke probe."""
+        return self.spark.sql(
+            f"SELECT COUNT(*) FROM {self.db}.fact_price"
+        ).collect()[0][0]
+
+    def avg_close_by_ticker(self) -> DataFrame:
+        """A12 — the notebook's SQL side of the dual-engine compare
+        (reference notebooks/test_airflow_yfinance.ipynb:332-336),
+        verbatim modulo catalog prefix."""
+        return self.spark.sql(
+            f"SELECT ticker, AVG(close) AS avg_close "
+            f"FROM {self.db}.fact_price GROUP BY ticker ORDER BY ticker"
+        )
+
+    def daily_avg_limit(self, limit: int = 20) -> DataFrame:
+        """A13 — the BI dashboard query (reference RUNBOOK.md:128-132),
+        verbatim modulo catalog prefix."""
+        return self.spark.sql(
+            f"SELECT ticker, DATE(ts) AS d, AVG(close) AS avg_close "
+            f"FROM {self.db}.fact_price GROUP BY ticker, DATE(ts) "
+            f"ORDER BY ticker, d LIMIT {limit}"
+        )
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")

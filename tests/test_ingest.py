@@ -1,0 +1,139 @@
+"""Ingestion pipeline golden checks (FIXTURES.md §2): layout, payload,
+metrics, guards, and the reference's own differential test."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.ingest import ingest, normalize_ohlcv, read_curated
+from oss_data_lake_spark.sources.ohlcv import generate_ohlcv, melt_wide, to_wide
+
+
+def test_generator_deterministic(spark):
+    a = generate_ohlcv(spark, seed=7).orderBy("ticker", "ts").collect()
+    b = generate_ohlcv(spark, seed=7).orderBy("ticker", "ts").collect()
+    assert a == b
+    c = generate_ohlcv(spark, seed=8).orderBy("ticker", "ts").collect()
+    assert a != c
+
+
+def test_generator_shape_and_invariants(spark):
+    df = generate_ohlcv(spark)
+    rows = df.collect()
+    assert len(rows) == 4 * 30  # 4 tickers × 30 business days
+    ok = df.filter(
+        F.col("close").isNotNull()
+        & ((F.col("high") < F.greatest("open", "close"))
+           | (F.col("low") > F.least("open", "close")))
+    ).count()
+    assert ok == 0  # high/low envelope holds
+    assert df.filter(F.col("close").isNull()).count() > 0  # planted nulls (A6/A7)
+
+
+def test_melt_roundtrip(spark):
+    """A2: wide→long unpivot inverts the pivot."""
+    tidy = generate_ohlcv(spark).select("ticker", "ts", "close")
+    wide = to_wide(tidy)
+    long = melt_wide(wide)
+    got = {
+        (r.ticker, r.ts): r.close for r in long.filter(F.col("close").isNotNull()).collect()
+    }
+    want = {
+        (r.ticker, r.ts): r.close for r in tidy.filter(F.col("close").isNotNull()).collect()
+    }
+    assert got == want
+
+
+def test_ingest_layout_payload_metrics(spark, tmp_path):
+    out = str(tmp_path / "curated_price")
+    src = generate_ohlcv(spark)
+    metrics = ingest(spark, src, out, ingest_date="2025-07-01")
+
+    # A24: metrics match reality
+    assert metrics["rows_written"] == 120
+    assert metrics["partitions"] == 30
+
+    # A8: hive-style layout, exactly one file per partition
+    part_dirs = sorted(glob.glob(os.path.join(out, "date=*")))
+    assert len(part_dirs) == 30
+    for d in part_dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, f"small-file blowup in {d}"
+
+    # A8: partition column dropped from file payload
+    one_file = glob.glob(os.path.join(part_dirs[0], "*.parquet"))[0]
+    payload_cols = spark.read.parquet(one_file).columns
+    assert "date" not in payload_cols
+    assert "ticker" in payload_cols and "ts" in payload_cols
+
+    # A9: read-back with partition discovery recovers `date`
+    back = read_curated(spark, out)
+    assert back.count() == metrics["rows_written"]
+    assert "date" in back.columns
+
+    # partition pruning is effective on the partition key
+    pruned = back.filter(F.col("date") == "2025-06-03")
+    assert pruned.count() == 4
+
+
+def test_ingest_empty_guard(spark, tmp_path):
+    """A25: empty input writes nothing and reports zeros."""
+    out = str(tmp_path / "empty_out")
+    empty = generate_ohlcv(spark).filter(F.lit(False))
+    metrics = ingest(spark, empty, out)
+    assert metrics == {"rows_written": 0, "partitions": 0}
+    assert not os.path.exists(out)
+
+
+def test_ingest_append_mode(spark, tmp_path):
+    """Second run appends new partitions without clobbering (A8 append)."""
+    out = str(tmp_path / "curated_price")
+    ingest(spark, generate_ohlcv(spark, start_date="2025-06-02", n_days=5), out,
+           ingest_date="2025-07-01")
+    ingest(spark, generate_ohlcv(spark, start_date="2025-06-09", n_days=5), out,
+           ingest_date="2025-07-02")
+    back = read_curated(spark, out)
+    assert back.count() == 4 * 5 * 2
+    assert back.select("date").distinct().count() == 10
+
+
+def test_differential_avg_close(spark, tmp_path):
+    """The reference's own correctness check (notebook cell 6): AVG(close)
+    BY ticker computed via the DataFrame API and via SQL must agree."""
+    out = str(tmp_path / "curated_price")
+    ingest(spark, generate_ohlcv(spark), out, ingest_date="2025-07-01")
+    back = read_curated(spark, out)
+
+    df_means = {
+        r.ticker: r.avg_close
+        for r in back.na.drop(subset=["close"])
+        .groupBy("ticker")
+        .agg(F.avg("close").alias("avg_close"))
+        .collect()
+    }
+    back.createOrReplaceTempView("fact_price_tmp")
+    sql_means = {
+        r.ticker: r.avg_close
+        for r in spark.sql(
+            "SELECT ticker, AVG(close) AS avg_close FROM fact_price_tmp "
+            "GROUP BY ticker ORDER BY ticker"
+        ).collect()
+    }
+    assert df_means.keys() == sql_means.keys()
+    for t in df_means:
+        assert abs(df_means[t] - sql_means[t]) < 1e-9
+
+
+def test_normalize_casts(spark):
+    """A5/A6: strict casts with ms truncation; string volume coerces."""
+    raw = spark.createDataFrame(
+        [("AAPL", "2025-06-02 10:11:12.345678", "1.5", "2.5", "0.5", "2.0", "123")],
+        "TICKER string, ts string, Open string, High string, Low string, Close string, Volume string",
+    )
+    out = normalize_ohlcv(raw, ingest_date="2025-07-01").collect()[0]
+    assert out.ts.microsecond == 345000  # ms truncation (TIMESTAMP(3))
+    assert out.open == 1.5 and out.volume == 123
+    assert str(out.ingest_date) == "2025-07-01"

@@ -1,0 +1,71 @@
+"""Table-layer checks: the reference's DDL/DML/introspection surface
+(A19-A23) against the session catalog, including its doc SQL statements
+run verbatim (modulo catalog prefix — SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.ingest import normalize_ohlcv
+from oss_data_lake_spark.sources.ohlcv import generate_ohlcv
+from oss_data_lake_spark.sources.tables import Warehouse
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    wh = Warehouse(spark, "yfinance_test", location=str(tmp_path))
+    yield wh
+    wh.drop()
+
+
+def test_schema_and_table_lifecycle(warehouse):
+    warehouse.create_fact_price()
+    assert "yfinance_test" in warehouse.show_schemas()  # A19/A23
+    assert "fact_price" in warehouse.show_tables()  # A20/A23
+    assert warehouse.count_star() == 0  # A14 smoke on empty table
+
+
+def test_insert_and_query(spark, warehouse):
+    warehouse.create_fact_price()
+    tidy = normalize_ohlcv(generate_ohlcv(spark), ingest_date="2025-07-01")
+    warehouse.insert_prices(tidy)  # A21
+    assert warehouse.count_star() == 120
+
+    # A12 — notebook SQL verbatim
+    means = warehouse.avg_close_by_ticker().collect()
+    assert [r.ticker for r in means] == ["AAPL", "AMZN", "GOOGL", "MSFT"]
+    assert all(r.avg_close is not None for r in means)
+
+    # A13 — RUNBOOK dashboard SQL verbatim
+    daily = warehouse.daily_avg_limit(20).collect()
+    assert len(daily) == 20
+    assert daily[0].ticker == "AAPL"
+
+    # partition pruning on the materialized day transform
+    pruned = spark.sql(
+        "SELECT COUNT(*) AS n FROM yfinance_test.fact_price WHERE date = '2025-06-03'"
+    ).collect()[0].n
+    assert pruned == 4
+
+
+def test_sql_insert_iso_timestamp(spark, warehouse):
+    """A21/A22: SQL INSERT with ISO-8601 literal (from_iso8601_timestamp →
+    to_timestamp)."""
+    warehouse.create_fact_price()
+    warehouse.insert_row_sql("2025-01-02T00:00:00", "TEST", 123.45)
+    row = spark.sql(
+        "SELECT ticker, ts, close, date FROM yfinance_test.fact_price"
+    ).collect()[0]
+    assert row.ticker == "TEST" and row.close == 123.45
+    assert str(row.ts) == "2025-01-02 00:00:00"
+    assert row.date == "2025-01-02"
+
+
+def test_hidden_partition_view(spark, warehouse):
+    """The fact_price_v view hides the materialized partition column —
+    Iceberg hidden-partitioning parity (SURVEY.md §4)."""
+    warehouse.create_fact_price()
+    cols = spark.table("yfinance_test.fact_price_v").columns
+    assert "date" not in cols
+    assert cols == ["ticker", "ts", "open", "high", "low", "close", "volume", "ingest_date"]
