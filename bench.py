@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization via the noop sink (no driver
+collect cost, no result truncation — measures the whole plan)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oss_data_lake_spark.operators import all_queries  # noqa: E402
+from oss_data_lake_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative headline set: scan-agg, star joins, windows, top-k, dedup
+# (exact + LSH + exhaustive), similarity (exact + fast), as-of, tumbling.
+HEADLINE = [
+    "a13_flagship_daily_avg",
+    "b01_tpch_q1_pricing_summary",
+    "b02_topk_revenue_orders",
+    "b03_star_join_revenue_by_nation",
+    "b06_window_ma7_daily_value",
+    "b08_topk_orders_per_customer",
+    "b21_having_big_orders",
+    "e11_minhash_lsh_pairs",
+    "e12_ngram_jaccard_pairs",
+    "e20_cosine_topk_exact",
+    "e21_cosine_topk_fast",
+    "e30_asof_error_before_purchase",
+    "e50_tumbling_hourly",
+    "e51_session_stats",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    queries["a14_count_star"](spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -158,12 +158,34 @@ def lsh_candidate_pairs(
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Full E2 pipeline: LSH candidates → exact-Jaccard verification."""
+    """Full E2 pipeline: LSH candidates → exact-Jaccard verification computed
+    for the CANDIDATE PAIRS ONLY — never the full cross product. This is the
+    whole point of LSH at 100 TB: the expensive exact measure runs on
+    O(candidates), not O(n²)."""
+    sh = doc_shingles(docs)
     sig = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sig)
-    exact = shingle_jaccard_pairs(docs, threshold)
-    return cands.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

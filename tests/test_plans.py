@@ -1,0 +1,77 @@
+"""Plan-shape pins for headline queries: the 100-TB properties (pushdown,
+pruning, broadcast, TakeOrdered) must survive refactors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.operators.relational import (
+    star_join_revenue_by_nation,
+    topk_revenue_orders,
+    tpch_q1_pricing_summary,
+)
+from oss_data_lake_spark.operators.tier_a import sort_limit_topn
+from oss_data_lake_spark.plans.audit import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    scan_read_schema,
+)
+from oss_data_lake_spark.sources.loaders import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    assert has_pushed_filters(df), explain_str(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = tpch_q1_pricing_summary(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    # 7 needed columns, not all 11 (l_orderkey/partkey/suppkey/linenumber out)
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = star_join_revenue_by_nation(spark, sf_dir)
+    txt = explain_str(df)
+    assert txt.count("BroadcastHashJoin") >= 4, txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = topk_revenue_orders(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)  # date + segment filters reach the scans
+
+
+def test_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = sort_limit_topn(spark, sf_dir)
+    assert has_take_ordered(df), explain_str(df)
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    """Scan → partial agg → exchange → final agg: exactly one shuffle."""
+    from oss_data_lake_spark.operators.tier_a import flagship_daily_avg
+
+    df = flagship_daily_avg(spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_dir):
+    """Hot-path relational queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    for fn in (tpch_q1_pricing_summary, star_join_revenue_by_nation):
+        txt = explain_str(fn(spark, sf_dir))
+        assert "EvalPython" not in txt, txt
