@@ -1,0 +1,74 @@
+"""The engine facade — the single entry point a reference user switches to.
+
+Maps the reference's three query lifecycles (SURVEY.md §3) onto one object:
+
+- §3.1 ingestion (Airflow DAG → Trino)     → ``Engine.ingest_ohlcv``
+- §3.2 programmatic SQL (SQLAlchemy→Trino) → ``Engine.sql`` (Spark SQL text,
+  same statements modulo catalog prefix)
+- §3.3 BI SQL (Metabase JDBC→Trino)        → same ``sql`` surface; EXPLAIN
+  transparency via ``Engine.explain`` (Trino's EXPLAIN analogue)
+
+plus the fixture/table plumbing the driver and tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oss_data_lake_spark.plans.audit import explain_str
+from oss_data_lake_spark.session import get_spark
+from oss_data_lake_spark.sources.loaders import register_views
+from oss_data_lake_spark.sources.tables import Warehouse
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        warehouse_dir: str | None = None,
+    ):
+        self.spark = spark or get_spark(warehouse_dir=warehouse_dir)
+        self._warehouse_dir = warehouse_dir
+
+    # -- §3.2 / §3.3: the SQL surface ------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)
+
+    def explain(self, text_or_df: str | DataFrame, mode: str = "formatted") -> str:
+        df = self.sql(text_or_df) if isinstance(text_or_df, str) else text_or_df
+        return explain_str(df, mode)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- catalog ----------------------------------------------------------
+    def warehouse(self, db: str) -> Warehouse:
+        return Warehouse(self.spark, db, location=self._warehouse_dir)
+
+    def register_fixtures(self, sf_dir: str) -> dict[str, DataFrame]:
+        return register_views(self.spark, sf_dir)
+
+    # -- scans / sinks ----------------------------------------------------
+    def read(self, path: str, format: str = "parquet", **options) -> DataFrame:
+        return self.spark.read.format(format).options(**options).load(path)
+
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        format: str = "parquet",
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        writer = df.write.format(format).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+    # -- §3.1: ingestion --------------------------------------------------
+    def ingest_ohlcv(
+        self, source_df: DataFrame, out_path: str, ingest_date: str | None = None
+    ) -> dict[str, int]:
+        from oss_data_lake_spark.sources.ingest import ingest
+
+        return ingest(self.spark, source_df, out_path, ingest_date=ingest_date)

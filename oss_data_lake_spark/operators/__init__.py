@@ -38,10 +38,21 @@ def _modules():
         dedup,
         multimodal,
         relational,
+        relational_more,
         similarity,
         text,
         tier_a,
         windows,
     )
 
-    return [tier_a, relational, windows, dedup, similarity, text, asof, multimodal]
+    return [
+        tier_a,
+        relational,
+        relational_more,
+        windows,
+        dedup,
+        similarity,
+        text,
+        asof,
+        multimodal,
+    ]

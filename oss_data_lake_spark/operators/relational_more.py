@@ -1,0 +1,261 @@
+"""Tier B (continued) — deeper TPC-H query shapes and function families:
+correlated-aggregate subqueries, outer-join distributions, exact
+percentiles, ordered array aggregation, date-interval arithmetic
+(SURVEY.md §2.B — all capability the reference exposes through Trino 467).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from oss_data_lake_spark.sources.loaders import load_table
+
+
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with date-interval arithmetic — orders having
+    at least one lineitem shipped >60 days after the order date, counted
+    per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — how many
+    customers placed 0, 1, 2, ... non-urgent orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average — revenue from
+    lineitems below half their part's average quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Trino offers approx+exact percentile; Spark's
+    ``percentile`` is exact with linear interpolation, DuckDB's
+    ``quantile_cont`` matches)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def nations_per_region_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect_list + sort_array → deterministic
+    CSV string; DuckDB string_agg ORDER BY)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def revenue_per_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier revenue + rank/dense_rank over the whole
+    frame (single-partition window — fine for a supplier-cardinality frame;
+    at 100 TB this would be a two-phase top-k instead)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(revenue, "total_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
+    return (
+        per_supp.withColumn("revenue_rank", F.rank().over(w))
+        .withColumn("revenue_dense_rank", F.dense_rank().over(w))
+        .select("s_suppkey", "s_name", "total_revenue", "revenue_rank",
+                "revenue_dense_rank")
+        .orderBy("revenue_rank", "s_suppkey")
+    )
+
+
+def math_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar-function family: sqrt/log/exp/pow/floor/ceil/sign/mod —
+    rounded to 9 dp (libm implementations may differ in the last ulp)."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    return (
+        part.select(
+            "p_partkey",
+            F.round(F.sqrt(p), 9).alias("sqrt_price"),
+            F.round(F.log(p), 9).alias("ln_price"),
+            F.round(F.log10(p), 9).alias("log10_price"),
+            F.round(F.pow(p, F.lit(0.3)), 9).alias("pow_price"),
+            F.floor(p).cast("long").alias("floor_price"),
+            F.ceil(p).cast("long").alias("ceil_price"),
+            (F.col("p_size") % 7).alias("size_mod7"),
+            F.signum(p - 1000.0).alias("sign_vs_1000"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "b22_late_shipment_orders": late_shipment_orders,
+    "b23_returned_revenue_by_customer": returned_revenue_by_customer,
+    "b24_customer_order_distribution": customer_order_distribution,
+    "b25_small_quantity_revenue": small_quantity_revenue,
+    "b26_acctbal_percentiles": acctbal_percentiles,
+    "b27_nations_per_region_list": nations_per_region_list,
+    "b28_revenue_per_supplier_rank": revenue_per_supplier_rank,
+    "b29_math_funcs_coverage": math_funcs_coverage,
+}
+
+ORACLES = {
+    "b22_late_shipment_orders": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "b23_returned_revenue_by_customer": f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "b24_customer_order_distribution": """
+        SELECT c_count, COUNT(*) AS n_customers FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) GROUP BY c_count ORDER BY n_customers DESC, c_count DESC
+    """,
+    "b25_small_quantity_revenue": f"""
+        WITH pa AS (
+            SELECT l_partkey AS pk, {sql_davg("l_quantity")} AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS total_price
+        FROM lineitem JOIN pa ON l_partkey = pk
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "b26_acctbal_percentiles": """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+               round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "b27_nations_per_region_list": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "b28_revenue_per_supplier_rank": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue,
+               RANK() OVER (ORDER BY total_revenue DESC, s_suppkey ASC)
+                   AS revenue_rank,
+               DENSE_RANK() OVER (ORDER BY total_revenue DESC, s_suppkey ASC)
+                   AS revenue_dense_rank
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY revenue_rank, s_suppkey
+    """,
+    "b29_math_funcs_coverage": """
+        SELECT p_partkey,
+               round(sqrt(p_retailprice), 9) AS sqrt_price,
+               round(ln(p_retailprice), 9) AS ln_price,
+               round(log10(p_retailprice), 9) AS log10_price,
+               round(pow(p_retailprice, 0.3), 9) AS pow_price,
+               CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+               CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+               p_size % 7 AS size_mod7,
+               sign(p_retailprice - 1000.0) AS sign_vs_1000
+        FROM part ORDER BY p_partkey LIMIT 100
+    """,
+}

@@ -140,6 +140,17 @@ def test_multimodal_strict_decoder_raises(spark, sf_dir):
         decode_media(media, decoder="strict").collect()
 
 
+def test_ivf_recall_floor(spark, sf_dir):
+    """Multi-probe IVF must beat a recall floor vs brute force (synthetic
+    near-random vectors cluster poorly — 50% at nprobe=3 is the honest bar;
+    real embedding manifolds do far better)."""
+    from oss_data_lake_spark.operators.similarity import ivf_topk
+
+    bf = {(r.q_id, r.c_id) for r in exact_topk(spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.c_id) for r in ivf_topk(spark, sf_dir, nprobe=3).collect()}
+    assert len(ivf & bf) / len(bf) >= 0.5
+
+
 def test_brute_force_topk_excludes_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
