@@ -124,5 +124,24 @@ class Warehouse:
             f"ORDER BY ticker, d LIMIT {limit}"
         )
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 8,
+        sort_col: str | None = None,
+    ) -> None:
+        """Bucketed managed table: joins/aggregations on ``bucket_col``
+        between tables with matching bucket counts need NO shuffle — the
+        co-location strategy for repeated fact-fact joins at 100 TB
+        (SURVEY.md §2.B; the Iceberg analogue is a bucket partition
+        transform). Verified shuffle-free in tests/test_tables.py."""
+        writer = df.write.bucketBy(n_buckets, bucket_col)
+        writer = writer.sortBy(sort_col if sort_col else bucket_col)
+        writer.mode("overwrite").format("parquet").saveAsTable(
+            f"{self.db}.{table}"
+        )
+
     def drop(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")

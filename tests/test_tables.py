@@ -62,6 +62,24 @@ def test_sql_insert_iso_timestamp(spark, warehouse):
     assert row.date == "2025-01-02"
 
 
+def test_bucketed_join_is_shuffle_free(spark, warehouse, sf_dir):
+    """Tables bucketed on the join key with equal bucket counts must join
+    with zero shuffle exchanges (the 100 TB co-location strategy)."""
+    from oss_data_lake_spark.plans.audit import count_exchanges
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    warehouse.write_bucketed(orders, "orders_b", "o_custkey", 8)
+    warehouse.write_bucketed(cust, "customer_b", "c_custkey", 8)
+
+    ob = spark.table("yfinance_test.orders_b")
+    cb = spark.table("yfinance_test.customer_b")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    assert count_exchanges(joined) == 0, joined._jdf.queryExecution().toString()
+    assert joined.count() == orders.count()  # every order has a customer
+
+
 def test_hidden_partition_view(spark, warehouse):
     """The fact_price_v view hides the materialized partition column —
     Iceberg hidden-partitioning parity (SURVEY.md §4)."""
