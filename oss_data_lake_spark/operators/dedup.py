@@ -71,10 +71,19 @@ def shingle_array(text_col: str = "text", n: int = SHINGLE_N) -> F.Column:
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs, distinct."""
-    return docs.select(
-        "doc_id", F.explode(shingle_array()).alias("shingle")
-    ).distinct()
+    """(doc_id, shingle) exploded pairs, distinct. Tokens are projected once
+    before shingling — inlining ``split`` into the shingle expression would
+    evaluate it three times per row (size/sequence/slice each re-split)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    shingles = F.expr(
+        f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
+        f"transform(sequence(0, size(toks) - {SHINGLE_N}),"
+        f" i -> array_join(slice(toks, i + 1, {SHINGLE_N}), ' ')) "
+        f"ELSE array() END"
+    )
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
 
 
 def shingle_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
@@ -111,15 +120,40 @@ def shingle_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: seeded murmur3 (F.hash(shingle, seed)) min
-    per seed, as n_hashes columns h0..h{n-1}."""
-    sh = doc_shingles(docs)
-    aggs = [
-        F.min(F.hash(F.col("shingle"), F.lit(s))).alias(f"h{s}")
-        for s in range(n_hashes)
+# universal-hash permutation family over the 31-bit Mersenne prime: one
+# string hash per shingle, then n cheap integer (a*h+b) mod p permutations —
+# far cheaper than re-hashing the string per seed. p < 2^31 keeps a*h+b under
+# 2^62, inside signed-64 range (no silent wraparound).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)  # fixed seed: signatures stable across runs
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, sh: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc MinHash signature as n_hashes columns h0..h{n-1}: xxhash64 the
+    shingle once, permute with (a_i*h + b_i) mod p, take per-permutation
+    mins. Pass ``sh`` to reuse already-computed (doc_id, shingle) pairs."""
+    sh = doc_shingles(docs) if sh is None else sh
+    base = sh.withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

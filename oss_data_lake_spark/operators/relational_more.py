@@ -147,6 +147,28 @@ def revenue_per_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_suppliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-safe global top-k: aggregate → orderBy+limit (planned as
+    TakeOrderedAndProject: per-partition heaps + driver merge of k rows) →
+    rank the k survivors. Contrast with ``b28``'s full-frame rank window,
+    which funnels every group through one partition. Plan pinned in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(revenue, "total_revenue"))
+        .orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+    return top.withColumn("revenue_rank", F.row_number().over(w)).select(
+        "l_suppkey", "total_revenue", "revenue_rank"
+    )
+
+
 def math_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar-function family: sqrt/log/exp/pow/floor/ceil/sign/mod —
     rounded to 9 dp (libm implementations may differ in the last ulp)."""
@@ -178,6 +200,7 @@ QUERIES = {
     "b27_nations_per_region_list": nations_per_region_list,
     "b28_revenue_per_supplier_rank": revenue_per_supplier_rank,
     "b29_math_funcs_coverage": math_funcs_coverage,
+    "b30_top_suppliers_scalable": top_suppliers_scalable,
 }
 
 ORACLES = {
@@ -245,6 +268,18 @@ ORACLES = {
                    AS revenue_dense_rank
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         ORDER BY revenue_rank, s_suppkey
+    """,
+    "b30_top_suppliers_scalable": f"""
+        WITH top AS (
+            SELECT l_suppkey,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY total_revenue DESC, l_suppkey ASC LIMIT 10
+        )
+        SELECT l_suppkey, total_revenue,
+               ROW_NUMBER() OVER (ORDER BY total_revenue DESC, l_suppkey ASC)
+                   AS revenue_rank
+        FROM top
     """,
     "b29_math_funcs_coverage": """
         SELECT p_partkey,

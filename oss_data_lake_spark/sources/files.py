@@ -52,6 +52,11 @@ def compact_partitions(
     """
     before = _count_data_files(path)
     df = spark.read.parquet(path)
+    if partition_col not in df.columns:
+        raise ValueError(
+            f"{path} is not partitioned by '{partition_col}' "
+            f"(columns: {df.columns}); compaction needs a partitioned dataset"
+        )
     rows = df.count()
     tmp = path.rstrip("/") + "__compacting"
     # repartition on the partition column: each partition value lands wholly

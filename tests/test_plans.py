@@ -69,6 +69,23 @@ def test_flagship_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1, explain_str(df)
 
 
+def test_scalable_global_topk_uses_take_ordered(spark, sf_dir):
+    """b30 must plan the global top-k as TakeOrderedAndProject, not a
+    cluster-wide sort."""
+    from oss_data_lake_spark.operators.relational_more import (
+        top_suppliers_scalable,
+    )
+
+    df = top_suppliers_scalable(spark, sf_dir)
+    assert has_take_ordered(df), explain_str(df)
+
+
+def test_connectors_fallback(spark):
+    from oss_data_lake_spark.sources.connectors import preferred_table_format
+
+    assert preferred_table_format(spark) == "parquet"  # none bundled in v1
+
+
 def test_no_python_udf_in_relational_plans(spark, sf_dir):
     """Hot-path relational queries must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes)."""
