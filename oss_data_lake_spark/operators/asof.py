@@ -70,6 +70,53 @@ def asof_join(
     )
 
 
+def asof_join_pandas(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """The applyInPandas formulation of the as-of join: co-group probe and
+    build per key, run ``pd.merge_asof`` inside each group (Arrow batches).
+
+    Exists as the idiomatic escape hatch when the window formulation can't
+    express the semantics (e.g. tolerance windows, nearest-instead-of-prior);
+    for the plain backward as-of, :func:`asof_join` (pure JVM) is the fast
+    path — pytest pins both to the same result. Same shuffle profile: one
+    exchange on the key."""
+    out_field = build.schema[value_col].dataType.simpleString()
+    probe_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in probe.schema.fields
+    )
+    schema = f"{probe_schema}, {out_col} {out_field}"
+    p_cols = list(probe.columns)
+
+    def merge(left, right):  # nested: pickled by value for workers
+        import pandas as pd
+        left = left.sort_values([time_col, "event_id"] if "event_id" in left else time_col)
+        right = right.sort_values([time_col, "event_id"] if "event_id" in right else time_col)
+        if right.empty:
+            out = left[p_cols].copy()
+            out[out_col] = None
+            return out
+        merged = pd.merge_asof(
+            left[p_cols],
+            right[[time_col, value_col]].rename(columns={value_col: out_col}),
+            on=time_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged
+
+    return (
+        probe.groupBy(key)
+        .cogroup(build.groupBy(key))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
 def asof_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 query: each purchase event annotated with the same user's most
     recent prior-or-simultaneous error value."""

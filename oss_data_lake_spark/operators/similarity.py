@@ -215,11 +215,29 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column: element access,
+    size, slices — values copied, never recomputed, so they hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.element_at("embedding", 1).cast("double")).alias("min_first"),
+            F.max(F.element_at("embedding", 64).cast("double")).alias("max_last"),
+            F.min(F.size("embedding")).cast("long").alias("min_dim"),
+            F.max(F.size(F.slice("embedding", 1, 8))).cast("long").alias("slice_dim"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "e20_cosine_topk_exact": exact_topk,
     "e21_cosine_topk_fast": fast_topk_query,
     "e22_ann_ivf_topk": ivf_topk,
     "e23_embedding_norms": embedding_norms,
+    "e24_array_funcs_coverage": array_funcs_coverage,
 }
 
 _ELEMS_SQL = """
@@ -253,6 +271,14 @@ ORACLES = {
                    FROM cos)
         SELECT q_id, c_id, cosine, rank FROM ranked
         WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    "e24_array_funcs_coverage": """
+        SELECT label, COUNT(*) AS n,
+               MIN(CAST(embedding[1] AS DOUBLE)) AS min_first,
+               MAX(CAST(embedding[64] AS DOUBLE)) AS max_last,
+               MIN(len(embedding)) AS min_dim,
+               MAX(len(embedding[1:8])) AS slice_dim
+        FROM embeddings GROUP BY label ORDER BY label
     """,
     "e23_embedding_norms": f"""
         WITH elems AS ({_ELEMS_SQL}),

@@ -101,6 +101,28 @@ def test_asof_join_matches_naive(spark, sf_dir):
         assert got[p.event_id] == want, f"event {p.event_id}"
 
 
+def test_asof_pandas_matches_window(spark, sf_dir):
+    """applyInPandas (merge_asof) as-of twin == JVM window formulation."""
+    from oss_data_lake_spark.operators.asof import asof_join_pandas
+
+    events = load_table(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    build = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    window_res = {
+        r.event_id: r.asof_value
+        for r in asof_join(probe, build, "user_id", "ts", "value").collect()
+    }
+    pandas_res = {
+        r.event_id: r.asof_value
+        for r in asof_join_pandas(probe, build, "user_id", "ts", "value").collect()
+    }
+    assert window_res == pandas_res
+
+
 def test_sessionize_counts(spark):
     rows = [
         # user 1: two sessions (gap 2h between event 2 and 3)
