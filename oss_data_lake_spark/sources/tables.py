@@ -124,6 +124,38 @@ class Warehouse:
             f"ORDER BY ticker, d LIMIT {limit}"
         )
 
+    def create_table_as(self, table: str, select_sql: str) -> None:
+        """CTAS (Tier-B DDL: Trino supports CREATE TABLE AS — the standard
+        derived-table workflow for BI users, reference RUNBOOK.md:120-123)."""
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.db}.{table} USING parquet AS {select_sql}"
+        )
+
+    def insert_overwrite_partitions(self, tidy: DataFrame) -> None:
+        """INSERT OVERWRITE with dynamic partition resolution: replaces ONLY
+        the date partitions present in the input (re-ingest semantics —
+        Iceberg's dynamic overwrite, the reference's re-run-the-DAG story
+        without its duplicate files)."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            tidy.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+            .select(
+                "ticker", "ts", "open", "high", "low", "close", "volume",
+                "ingest_date", "date",
+            )
+            .repartition("date")
+            .write.insertInto(f"{self.db}.fact_price", overwrite=True)
+        )
+
+    def show_partitions(self, table: str = "fact_price") -> list[str]:
+        """A23+: partition introspection (SHOW PARTITIONS — the session-
+        catalog analogue of Iceberg's partitions metadata table)."""
+        return [
+            r[0] for r in self.spark.sql(
+                f"SHOW PARTITIONS {self.db}.{table}"
+            ).collect()
+        ]
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -86,6 +86,27 @@ def test_connectors_fallback(spark):
     assert preferred_table_format(spark) == "parquet"  # none bundled in v1
 
 
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must be a one-shuffle pipeline (union + keyed window),
+    never a range-join candidate blowup."""
+    from oss_data_lake_spark.operators.asof import asof_error_before_purchase
+
+    df = asof_error_before_purchase(spark, sf_dir)
+    # one exchange for the window key; the final orderBy is TakeOrdered-free
+    # (global sort) but bounded output — allow <= 2
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_similarity_fast_path_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k must broadcast the query side — the candidate scan
+    must never shuffle on the pair key."""
+    from oss_data_lake_spark.operators.similarity import fast_topk_query
+
+    txt = explain_str(fast_topk_query(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+
+
 def test_no_python_udf_in_relational_plans(spark, sf_dir):
     """Hot-path relational queries must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes)."""

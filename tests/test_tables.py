@@ -62,6 +62,45 @@ def test_sql_insert_iso_timestamp(spark, warehouse):
     assert row.date == "2025-01-02"
 
 
+def test_ctas_and_partition_introspection(spark, warehouse):
+    warehouse.create_fact_price()
+    tidy = normalize_ohlcv(generate_ohlcv(spark, n_days=5), ingest_date="2025-07-01")
+    warehouse.insert_prices(tidy)
+
+    parts = warehouse.show_partitions()
+    assert len(parts) == 5 and all(p.startswith("date=") for p in parts)
+
+    warehouse.create_table_as(
+        "ticker_means",
+        "SELECT ticker, AVG(close) AS avg_close FROM "
+        "yfinance_test.fact_price GROUP BY ticker",
+    )
+    assert "ticker_means" in warehouse.show_tables()
+    assert spark.table("yfinance_test.ticker_means").count() == 4
+
+
+def test_insert_overwrite_dynamic_partitions(spark, warehouse):
+    """Re-ingesting a subset of days must replace only those partitions."""
+    warehouse.create_fact_price()
+    full = normalize_ohlcv(generate_ohlcv(spark, n_days=5), ingest_date="2025-07-01")
+    warehouse.insert_prices(full)
+    assert warehouse.count_star() == 20
+
+    # overwrite just the first 2 days with doubled close values
+    from pyspark.sql import functions as F
+
+    first_days = full.filter(F.to_date("ts") <= "2025-06-03").withColumn(
+        "close", F.col("close") * 2
+    )
+    warehouse.insert_overwrite_partitions(first_days)
+    assert warehouse.count_star() == 20  # replaced, not appended
+    doubled = spark.sql(
+        "SELECT COUNT(*) AS n FROM yfinance_test.fact_price "
+        "WHERE date <= '2025-06-03'"
+    ).collect()[0].n
+    assert doubled == 8
+
+
 def test_bucketed_join_is_shuffle_free(spark, warehouse, sf_dir):
     """Tables bucketed on the join key with equal bucket counts must join
     with zero shuffle exchanges (the 100 TB co-location strategy)."""
