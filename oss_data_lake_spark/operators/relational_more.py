@@ -191,7 +191,40 @@ def math_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via integer bucketing (floor division — exact in both
+    engines), the standard OLAP distribution probe."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+        .orderBy("bucket")
+    )
+
+
+_CORRELATED_SCALAR_SQL = """
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+               AS n_customers,
+           (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)
+               AS n_suppliers
+    FROM nation
+    ORDER BY n_name
+"""
+
+
+def correlated_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — Catalyst rewrites
+    them to left outer aggregates; same SQL text runs on both engines."""
+    for t in ("nation", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORRELATED_SCALAR_SQL)
+
+
 QUERIES = {
+    "b31_value_histogram": value_histogram,
+    "b32_correlated_scalar_subqueries": correlated_scalar_subqueries,
     "b22_late_shipment_orders": late_shipment_orders,
     "b23_returned_revenue_by_customer": returned_revenue_by_customer,
     "b24_customer_order_distribution": customer_order_distribution,
@@ -204,6 +237,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "b31_value_histogram": f"""
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               COUNT(*) AS n, {sql_davg("value")} AS avg_value
+        FROM events GROUP BY 1 ORDER BY bucket
+    """,
+    "b32_correlated_scalar_subqueries": _CORRELATED_SCALAR_SQL,
     "b22_late_shipment_orders": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders
