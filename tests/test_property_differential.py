@@ -1,0 +1,88 @@
+"""Property-based differential testing: random filter/aggregate queries must
+agree between Spark and DuckDB — generalizing the fixed oracle pack to a
+query space (the reference's dual-engine idea taken to its logical end).
+
+Deliberately small example counts: each example runs two engines; the point
+is breadth of predicate shapes, not volume.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oss_data_lake_spark.sources.loaders import load_table
+
+SF = "/root/testdata/sf0.001"
+
+COLS_NUM = ["o_totalprice", "o_custkey", "o_orderkey"]
+COLS_STR = ["o_orderstatus", "o_orderpriority"]
+STR_VALS = ["P", "O", "F", "1-URGENT", "5-LOW"]
+
+
+@st.composite
+def predicates(draw) -> str:
+    """A random SQL predicate over orders, valid in both dialects."""
+
+    def leaf() -> str:
+        if draw(st.booleans()):
+            col = draw(st.sampled_from(COLS_NUM))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+            val = draw(st.integers(min_value=0, max_value=400000))
+            return f"{col} {op} {val}"
+        col = draw(st.sampled_from(COLS_STR))
+        val = draw(st.sampled_from(STR_VALS))
+        neg = "NOT " if draw(st.booleans()) else ""
+        return f"{neg}{col} = '{val}'"
+
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [leaf() for _ in range(n)]
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(parts)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return spark, con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates())
+def test_random_filter_counts_agree(engines, pred):
+    spark, con = engines
+    sql = f"SELECT COUNT(*) AS n FROM orders WHERE {pred}"
+    assert spark.sql(sql).collect()[0].n == con.execute(sql).fetchone()[0], pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates(), key=st.sampled_from(COLS_STR))
+def test_random_grouped_decimal_sums_agree(engines, pred, key):
+    spark, con = engines
+    sql = (
+        f"SELECT {key} AS k, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS s "
+        f"FROM orders WHERE {pred} GROUP BY {key}"
+    )
+    s_rows = {(r.k): (r.n, r.s) for r in spark.sql(sql).collect()}
+    d_rows = {
+        r[0]: (r[1], float(r[2]) if isinstance(r[2], Decimal) else r[2])
+        for r in con.execute(sql).fetchall()
+    }
+    assert s_rows == d_rows, pred
