@@ -222,7 +222,59 @@ def correlated_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORRELATED_SCALAR_SQL)
 
 
+def multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicates counted),
+    the variant plain INTERSECT/EXCEPT (b12) can't express."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p_side = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    o_side = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    inter = p_side.intersectAll(o_side).withColumn("tag", F.lit("intersect_all"))
+    exc = p_side.exceptAll(o_side).withColumn("tag", F.lit("except_all"))
+    return (
+        inter.unionByName(exc)
+        .groupBy("tag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tag", "l_suppkey")
+    )
+
+
+def epoch_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/timestamp conversion family at microsecond grain (exact integer
+    copies — no float time arithmetic)."""
+    events = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros("ts")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.min(micros).alias("min_us"),
+            F.max(micros).alias("max_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("min_day", F.to_date(F.timestamp_micros("min_us")))
+        .orderBy("event_type")
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family: nullif/coalesce, COUNT(*) vs COUNT(col),
+    null-safe grouping of derived nulls."""
+    orders = load_table(spark, sf_dir, "orders")
+    masked = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(
+            masked.alias("status_np"),
+            F.coalesce(masked, F.lit("(pending)")).alias("status_filled"),
+        )
+        .groupBy("status_np", "status_filled")
+        .agg(F.count(F.lit(1)).alias("n_star"), F.count("status_np").alias("n_col"))
+        .orderBy(F.col("status_np").asc_nulls_first())
+    )
+
+
 QUERIES = {
+    "b33_multiset_setops": multiset_setops,
+    "b34_epoch_conversions": epoch_conversions,
+    "b35_null_semantics": null_semantics,
     "b31_value_histogram": value_histogram,
     "b32_correlated_scalar_subqueries": correlated_scalar_subqueries,
     "b22_late_shipment_orders": late_shipment_orders,
@@ -237,6 +289,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "b33_multiset_setops": """
+        SELECT tag, l_suppkey, COUNT(*) AS n FROM (
+            SELECT 'intersect_all' AS tag, l_suppkey FROM (
+                SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+                INTERSECT ALL
+                SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+            UNION ALL
+            SELECT 'except_all' AS tag, l_suppkey FROM (
+                SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+                EXCEPT ALL
+                SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+        ) GROUP BY tag, l_suppkey ORDER BY tag, l_suppkey
+    """,
+    "b34_epoch_conversions": """
+        SELECT event_type,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us,
+               COUNT(*) AS n,
+               CAST(make_timestamp(MIN(epoch_us(CAST(ts AS TIMESTAMP)))) AS DATE)
+                   AS min_day
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "b35_null_semantics": """
+        SELECT NULLIF(o_orderstatus, 'P') AS status_np,
+               COALESCE(NULLIF(o_orderstatus, 'P'), '(pending)') AS status_filled,
+               COUNT(*) AS n_star,
+               COUNT(NULLIF(o_orderstatus, 'P')) AS n_col
+        FROM orders
+        GROUP BY 1, 2 ORDER BY status_np ASC NULLS FIRST
+    """,
     "b31_value_histogram": f"""
         SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
                COUNT(*) AS n, {sql_davg("value")} AS avg_value

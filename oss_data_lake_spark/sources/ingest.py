@@ -85,10 +85,8 @@ def read_curated(spark: SparkSession, path: str) -> DataFrame:
     as a column from the dir names (subsumes the reference's glob+concat,
     reference notebooks/test_airflow_yfinance.ipynb:58,79-83); raises if the
     path matches nothing (ref :81-82)."""
-    df = spark.read.parquet(path)
-    if not df.columns:
-        raise FileNotFoundError(f"no parquet data under {path}")
-    return df
+    # Spark itself raises PATH_NOT_FOUND for a missing path (A25 guard)
+    return spark.read.parquet(path)
 
 
 def _metrics(tidy: DataFrame) -> tuple[int, int]:

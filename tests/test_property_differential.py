@@ -47,11 +47,13 @@ def predicates(draw) -> str:
 
 @pytest.fixture(scope="module")
 def engines(spark):
-    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
+    for t in ("orders", "customer"):
+        load_table(spark, SF, t).createOrReplaceTempView(t)
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
-    )
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
     return spark, con
 
 
@@ -65,6 +67,26 @@ def test_random_filter_counts_agree(engines, pred):
     spark, con = engines
     sql = f"SELECT COUNT(*) AS n FROM orders WHERE {pred}"
     assert spark.sql(sql).collect()[0].n == con.execute(sql).fetchone()[0], pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    seg=st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+)
+def test_random_join_counts_agree(engines, pred, how, seg):
+    spark, con = engines
+    sql = (
+        f"SELECT COUNT(*) AS n FROM customer {how} orders "
+        f"ON c_custkey = o_custkey AND ({pred}) "
+        f"WHERE c_mktsegment = '{seg}'"
+    )
+    assert spark.sql(sql).collect()[0].n == con.execute(sql).fetchone()[0], sql
 
 
 @settings(
