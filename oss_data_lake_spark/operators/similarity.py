@@ -215,6 +215,49 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COSINE_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_COSINE_THRESHOLD
+) -> DataFrame:
+    """E2/E3 embedding-cosine near-dup: all vector pairs with cosine ≥
+    threshold. Norms are precomputed per side (one fold per vector) so each
+    pair costs a single dot-product fold.
+
+    This full O(n²) sweep is the *oracle semantics*; at 100 TB the same
+    verify step runs behind an ANN prefilter (IVF cluster co-membership or
+    hyperplane-LSH buckets — only viable for high thresholds; at τ≈0.4 the
+    hyperplane collision probability is too low for banding, so the honest
+    scale path is IVF-bucketed blocking). The cosine is rounded to 9 dp in
+    both engines and the threshold applies to the ROUNDED value, making the
+    selected pair set engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", _norm_fast(F.col("embedding")).alias("norm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cosine = F.round(
+        _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def array_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function family over the embedding column: element access,
     size, slices — values copied, never recomputed, so they hash-match."""
@@ -238,6 +281,7 @@ QUERIES = {
     "e22_ann_ivf_topk": ivf_topk,
     "e23_embedding_norms": embedding_norms,
     "e24_array_funcs_coverage": array_funcs_coverage,
+    "e25_embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
 _ELEMS_SQL = """
@@ -271,6 +315,24 @@ ORACLES = {
                    FROM cos)
         SELECT q_id, c_id, cosine, rank FROM ranked
         WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    # mirrors the Spark expression shape exactly: dot / (norm_a * norm_b),
+    # linear left-to-right double accumulation on both sides, round 9 dp,
+    # threshold on the rounded value
+    "e25_embedding_neardup_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 9)
+                   AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 9)
+              >= {NEARDUP_COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
     """,
     "e24_array_funcs_coverage": """
         SELECT label, COUNT(*) AS n,
