@@ -37,6 +37,7 @@ def _modules():
         asof,
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational_more,
         similarity,
@@ -55,4 +56,5 @@ def _modules():
         text,
         asof,
         multimodal,
+        pipeline,
     ]

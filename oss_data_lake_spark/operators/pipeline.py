@@ -1,0 +1,165 @@
+"""The composite LLM-training-data pipeline (north-star flagship): quality
+filtering + near-duplicate removal over a document corpus, as one
+oracle-checked operator.
+
+Pipeline semantics (each stage mirrors its standalone operator):
+1. quality gate — token count in [MIN_TOKENS, MAX_TOKENS] and stopword ratio
+   ≤ MAX_STOP_RATIO (operators/text.py stats);
+2. near-dup removal — among quality-passing docs, drop the LARGER doc_id of
+   every shingle-Jaccard pair ≥ threshold (operators/dedup.py semantics:
+   deterministic keep-smallest representative);
+3. report per-source counts: total, quality-failed, near-dup-dropped,
+   survivors.
+
+At 100 TB this is the shape of a real corpus-cleaning job: the quality gate
+is a narrow codegen'd scan (no shuffle), dedup runs MinHash-LSH + verify
+(three bounded shuffles), and the final accounting is one aggregation. The
+oracle-checked query uses the exhaustive pair truth so the driver can verify
+it; the production variant swaps in ``minhash_dedup_pairs`` (identical
+output on this corpus — pytest pins LSH == exhaustive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    shingle_jaccard_pairs,
+)
+from oss_data_lake_spark.operators.text import STOPWORDS
+from oss_data_lake_spark.sources.loaders import load_table
+
+MIN_TOKENS = 20
+MAX_TOKENS = 90
+MAX_STOP_RATIO = 0.10
+
+
+def _with_quality(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stop_ratio"),
+    ).withColumn(
+        "quality_ok",
+        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+        & (F.col("stop_ratio") <= MAX_STOP_RATIO),
+    )
+
+
+def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the full cleaning pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _with_quality(docs)
+    passing = q.filter(F.col("quality_ok")).select("doc_id")
+    pairs = shingle_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    # a near-dup "loser" is the larger id of a pair whose BOTH ends pass
+    # quality (pairs involving quality-failed docs are moot — already gone)
+    losers = (
+        pairs.join(passing.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(passing.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    flagged = q.join(
+        losers.withColumn("neardup", F.lit(True)), "doc_id", "left_outer"
+    ).withColumn(
+        "neardup_drop", F.col("quality_ok") & F.coalesce("neardup", F.lit(False))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("quality_ok")).cast("long")).alias("n_quality_fail"),
+            F.sum(F.col("neardup_drop").cast("long")).alias("n_neardup_drop"),
+            F.sum(
+                (F.col("quality_ok") & ~F.col("neardup_drop")).cast("long")
+            ).alias("n_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """The actual cleaning operator: returns the surviving documents
+    (production path — LSH-verified near-dup pairs, not the exhaustive
+    oracle)."""
+    from oss_data_lake_spark.operators.dedup import minhash_dedup_pairs
+
+    q = _with_quality(docs)
+    passing = q.filter(F.col("quality_ok")).select("doc_id")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+    losers = (
+        pairs.join(passing.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(passing.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(passing, "doc_id", "left_semi").join(
+        losers, "doc_id", "left_anti"
+    )
+
+
+QUERIES = {"e70_clean_corpus_report": clean_corpus_report}
+
+_STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
+
+ORACLES = {
+    "e70_clean_corpus_report": f"""
+        WITH q AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        ),
+        qok AS (
+            SELECT doc_id, source,
+                   (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                    AND stop_ratio <= {MAX_STOP_RATIO}) AS quality_ok
+            FROM q
+        ),
+        w AS (SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+               FROM w a
+               JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        neardup AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= {JACCARD_THRESHOLD}
+        ),
+        losers AS (
+            SELECT DISTINCT doc_b AS doc_id FROM neardup
+            WHERE doc_a IN (SELECT doc_id FROM qok WHERE quality_ok)
+              AND doc_b IN (SELECT doc_id FROM qok WHERE quality_ok)
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS n_quality_fail,
+               SUM(CASE WHEN quality_ok
+                         AND doc_id IN (SELECT doc_id FROM losers)
+                        THEN 1 ELSE 0 END) AS n_neardup_drop,
+               SUM(CASE WHEN quality_ok
+                         AND doc_id NOT IN (SELECT doc_id FROM losers)
+                        THEN 1 ELSE 0 END) AS n_survivors
+        FROM qok
+        GROUP BY source ORDER BY source
+    """,
+}

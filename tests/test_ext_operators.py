@@ -173,6 +173,24 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(ivf & bf) / len(bf) >= 0.5
 
 
+def test_clean_corpus_operator_consistent_with_report(spark, sf_dir):
+    """The production cleaning operator (LSH path) must keep exactly the
+    survivors the oracle-checked report counts."""
+    from oss_data_lake_spark.operators.pipeline import (
+        clean_corpus,
+        clean_corpus_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = clean_corpus(docs)
+    want = sum(
+        r.n_survivors for r in clean_corpus_report(spark, sf_dir).collect()
+    )
+    assert survivors.count() == want
+    # survivors still carry full document schema
+    assert set(docs.columns) <= set(survivors.columns)
+
+
 def test_brute_force_topk_excludes_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
