@@ -175,5 +175,29 @@ class Warehouse:
             f"{self.db}.{table}"
         )
 
+    def analyze(self, table: str = "fact_price", columns: list[str] | None = None) -> None:
+        """ANALYZE TABLE — feeds row-count/size (and per-column NDV/min/max)
+        statistics to Catalyst's CBO, the role Trino's connector stats play
+        in the reference stack."""
+        self.spark.sql(
+            f"ANALYZE TABLE {self.db}.{table} COMPUTE STATISTICS"
+        )
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {self.db}.{table} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(columns)}"
+            )
+
+    def table_stats(self, table: str = "fact_price") -> dict[str, str]:
+        """Catalog statistics as a dict (DESCRIBE EXTENDED 'Statistics' row)."""
+        rows = self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {self.db}.{table}"
+        ).collect()
+        return {
+            r.col_name: r.data_type
+            for r in rows
+            if r.col_name in ("Statistics", "Location", "Provider")
+        }
+
     def drop(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")

@@ -119,6 +119,17 @@ def test_bucketed_join_is_shuffle_free(spark, warehouse, sf_dir):
     assert joined.count() == orders.count()  # every order has a customer
 
 
+def test_analyze_statistics(spark, warehouse):
+    """ANALYZE feeds the CBO; stats must show up in the catalog."""
+    warehouse.create_fact_price()
+    tidy = normalize_ohlcv(generate_ohlcv(spark, n_days=5), ingest_date="2025-07-01")
+    warehouse.insert_prices(tidy)
+    warehouse.analyze(columns=["ticker", "close"])
+    stats = warehouse.table_stats()
+    assert "Statistics" in stats and "rows" in stats["Statistics"]
+    assert "20 rows" in stats["Statistics"]
+
+
 def test_hidden_partition_view(spark, warehouse):
     """The fact_price_v view hides the materialized partition column —
     Iceberg hidden-partitioning parity (SURVEY.md §4)."""
