@@ -15,6 +15,21 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def test_no_raw_timestamp_outputs(spark, sf_dir):
+    """Oracle-compat guard: queries must not return TimestampType columns —
+    the fixtures' ns-grain timestamps hash differently across engines
+    (Spark truncates to µs, DuckDB keeps TIMESTAMP_NS). Return dates,
+    epoch integers, or formatted strings instead."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                offenders.append((name, f.name))
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
