@@ -169,6 +169,34 @@ def top_suppliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window family: ntile / percent_rank / cume_dist
+    / first_value / last_value, fully deterministic via custkey tiebreak.
+    percent_rank and cume_dist are exact rank fractions (single double
+    division) so they hash-match across engines."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("c_custkey").over(wf).alias("richest_custkey"),
+            F.last("c_custkey").over(wf).alias("poorest_custkey"),
+        )
+        .filter(F.col("c_custkey") < 200)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
 def math_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar-function family: sqrt/log/exp/pow/floor/ceil/sign/mod —
     rounded to 9 dp (libm implementations may differ in the last ulp)."""
@@ -286,6 +314,7 @@ QUERIES = {
     "b28_revenue_per_supplier_rank": revenue_per_supplier_rank,
     "b29_math_funcs_coverage": math_funcs_coverage,
     "b30_top_suppliers_scalable": top_suppliers_scalable,
+    "b36_window_rank_family": window_rank_family,
 }
 
 ORACLES = {
@@ -389,6 +418,22 @@ ORACLES = {
                    AS revenue_dense_rank
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         ORDER BY revenue_rank, s_suppkey
+    """,
+    "b36_window_rank_family": """
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(c_custkey) OVER wf AS richest_custkey,
+               LAST_VALUE(c_custkey) OVER wf AS poorest_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC),
+               wf AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY c_custkey < 200
+        ORDER BY c_mktsegment, c_custkey
     """,
     "b30_top_suppliers_scalable": f"""
         WITH top AS (
