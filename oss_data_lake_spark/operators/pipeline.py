@@ -105,11 +105,100 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"e70_clean_corpus_report": clean_corpus_report}
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: split each document into fixed-size token
+    windows with overlap (the context-window packing step of an LLM data
+    pipeline). Pure Catalyst — sequence/transform/slice over the token
+    array, exploded to one row per chunk; md5 fingerprints each chunk for
+    downstream chunk-level dedup. Narrow op: no shuffle at all until the
+    final ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((size(toks) - {CHUNK_TOKENS}) "
+        f"/ {CHUNK_STRIDE}) as int), 0)), "
+        f"i -> array_join(slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}), ' '))"
+    )
+    return (
+        toks.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SAMPLE_MOD = 100
+SAMPLE_KEEP = 20  # keep doc_id % 100 < 20 → deterministic 20% sample
+
+
+def stratified_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data mixing): keep a fixed keyed
+    slice per source (id-modulo — reproducible across runs and engines,
+    unlike rand()-based sampling). Reports per-source kept/total."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (F.col("doc_id") % SAMPLE_MOD) < SAMPLE_KEEP
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.col("n_sampled").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "e70_clean_corpus_report": clean_corpus_report,
+    "e71_chunk_documents": chunk_documents,
+    "e72_stratified_sample_report": stratified_sample_report,
+}
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
 
 ORACLES = {
+    "e71_chunk_documents": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+                     greatest(CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                                   AS INT), 0) AS maxi
+              FROM t),
+        c AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, maxi)) AS chunk_id
+              FROM n),
+        x AS (SELECT doc_id, chunk_id,
+                     array_to_string(
+                         toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                              chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                         ' ') AS chunk_text
+              FROM c)
+        SELECT doc_id, chunk_id,
+               len(string_split(chunk_text, ' ')) AS chunk_tokens,
+               md5(chunk_text) AS chunk_md5
+        FROM x ORDER BY doc_id, chunk_id
+    """,
+    "e72_stratified_sample_report": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+                        THEN 1 ELSE 0 END) AS n_sampled,
+               CAST(SUM(CASE WHEN doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS sample_rate
+        FROM documents GROUP BY source ORDER BY source
+    """,
     "e70_clean_corpus_report": f"""
         WITH q AS (
             SELECT doc_id, source,
