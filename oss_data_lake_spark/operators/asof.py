@@ -41,12 +41,14 @@ def asof_join(
     p = probe.withColumn("__is_probe", F.lit(1)).withColumn(
         "__bval", F.lit(None).cast(build.schema[value_col].dataType)
     )
-    b = build.select(
-        key,
-        time_col,
-        F.col(value_col).alias("__bval"),
-        F.lit(0).alias("__is_probe"),
-    )
+    # keep the build side's own event_id (when both sides have one) so the
+    # tie-break below orders equal-ts BUILD rows deterministically — selecting
+    # only (key, ts, value) would null it out and break the contract
+    b_cols = [key, time_col, F.col(value_col).alias("__bval"),
+              F.lit(0).alias("__is_probe")]
+    if "event_id" in build.columns and "event_id" in probe.columns:
+        b_cols.append(F.col("event_id"))
+    b = build.select(*b_cols)
     # align schemas: probe cols not in build become nulls on build rows
     for c in probe.columns:
         if c not in b.columns:

@@ -38,7 +38,11 @@ JACCARD_THRESHOLD = 0.3
 SHINGLE_N = 3
 
 SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8 bits per band → catches Hamming distance <= 6
+# Pigeonhole guarantee: catching Hamming distance d needs d+1 bands (one
+# band must be untouched). 4 bands of 8 bits GUARANTEE recall only for
+# d <= 3; pairs at d in [4, HAMMING_THRESHOLD] are found probabilistically
+# (whenever their differing bits cluster outside one band).
+SIMHASH_BANDS = 4
 HAMMING_THRESHOLD = 6
 
 
@@ -48,23 +52,31 @@ def normalize_text(col: str = "text") -> F.Column:
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """E1: keep the deterministic representative (min order_col) per key
-    group. groupBy+min over the key — a single shuffle; survives any scale
-    (no window over the whole table needed for the keep-first semantic)."""
-    rep = df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
-    return df.join(rep, keys + [order_col], "left_semi")
+    """E1: keep exactly ONE deterministic representative per key group —
+    min order_col, remaining ties broken by the other columns (a semi-join
+    on min(order_col) alone would keep every row tied at the minimum).
+    One shuffle on the keys; rows within a key partition sort locally."""
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(order_col, *others)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
-def shingle_array(text_col: str = "text", n: int = SHINGLE_N) -> F.Column:
-    """Distinct n-token shingles as an array column — pure Catalyst
-    (split/sequence/slice/array_join), no UDF."""
-    # guard short texts: sequence(0, negative) would generate a DESCENDING
-    # sequence in Spark, not an empty one
+def shingle_array(tokens_col: str, n: int = SHINGLE_N) -> F.Column:
+    """Distinct n-token shingles from a token-ARRAY column — pure Catalyst
+    (sequence/slice/array_join), no UDF. Takes pre-split tokens so callers
+    don't re-evaluate ``split`` per subexpression. Guards short texts:
+    sequence(0, negative) would generate a DESCENDING sequence in Spark."""
     return F.array_distinct(
         F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
-            f" i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' ')) "
+            f"CASE WHEN size({tokens_col}) >= {n} THEN "
+            f"transform(sequence(0, size({tokens_col}) - {n}),"
+            f" i -> array_join(slice({tokens_col}, i + 1, {n}), ' ')) "
             f"ELSE array() END"
         )
     )
@@ -75,14 +87,8 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     before shingling — inlining ``split`` into the shingle expression would
     evaluate it three times per row (size/sequence/slice each re-split)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    shingles = F.expr(
-        f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
-        f"transform(sequence(0, size(toks) - {SHINGLE_N}),"
-        f" i -> array_join(slice(toks, i + 1, {SHINGLE_N}), ' ')) "
-        f"ELSE array() END"
-    )
     return toks.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "doc_id", F.explode(shingle_array("toks")).alias("shingle")
     )
 
 

@@ -11,7 +11,7 @@ Three paths over ``embeddings(vec_id, embedding array<float>, label)``:
   as exact DECIMAL sums over posexploded (pos, value) pairs, so Spark and
   DuckDB agree bit-for-bit and the top-k ranking is deterministic across
   engines. Slower (explodes 64× rows) — exists to *prove* the fast path.
-- ``ivf_topk`` (query ``e21``) — the ANN scale path: deterministic centroid
+- ``ivf_topk`` (query ``e22``) — the ANN scale path: deterministic centroid
   subset (vec_id % stride == 0), assign every vector to its nearest
   centroid (broadcast centroids), probe only the query's cluster. Recall
   measured against brute force in pytest.

@@ -45,8 +45,17 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the plan (Exchange nodes, minus broadcast exchanges).
-    Uses 'simple' mode: formatted mode splits the node name and its
-    partitioning arguments across sections."""
+    """Shuffle count in the plan: every Exchange that is not a broadcast —
+    hash, range, SinglePartition (global windows/sorts!) and RoundRobin all
+    count, so a refactor that funnels data through one partition can't slip
+    past the plan pins. Uses 'simple' mode: formatted mode splits the node
+    name and its partitioning arguments across sections."""
     txt = explain_str(df, "simple")
-    return len(re.findall(r"\bExchange (?:hash|range)partitioning", txt))
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition|roundrobin)",
+            txt,
+            flags=re.IGNORECASE,
+        )
+    )

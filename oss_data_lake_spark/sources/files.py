@@ -50,6 +50,17 @@ def compact_partitions(
 
     Returns {files_before, files_after, rows}.
     """
+    backup = path.rstrip("/") + "__pre_compact"
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            # previous run crashed between the two renames: the data lives
+            # only in the backup — restore it before doing anything else
+            os.rename(backup, path)
+        else:
+            raise RuntimeError(
+                f"stale compaction backup at {backup}; a previous run may "
+                f"have crashed — inspect and remove it before compacting"
+            )
     before = _count_data_files(path)
     df = spark.read.parquet(path)
     if partition_col not in df.columns:
@@ -72,7 +83,10 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    backup = path.rstrip("/") + "__pre_compact"
+    # two renames are not atomic together: a crash in between leaves the
+    # data in `backup` only — the recovery branch above restores it on the
+    # next invocation. (At lake scale this whole swap is a single atomic
+    # manifest pointer flip instead.)
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)

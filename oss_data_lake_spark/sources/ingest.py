@@ -42,9 +42,15 @@ def normalize_ohlcv(df: DataFrame, ingest_date: str | None = None) -> DataFrame:
     )
     return df.select(
         F.col("ticker").cast("string").alias("ticker"),
-        # millisecond truncation: the reference declares TIMESTAMP(3)
-        F.timestamp_millis(
-            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+        # millisecond truncation: the reference declares TIMESTAMP(3).
+        # Integer floor-division (subtract the nonnegative pmod remainder):
+        # float division would ROUND pre-1970 timestamps and lose precision
+        # past double's 2^53 exact-integer range.
+        F.timestamp_micros(
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) "
+                "- pmod(unix_micros(cast(ts as timestamp)), 1000))"
+            )
         ).alias("ts"),
         F.col("open").cast("double").alias("open"),
         F.col("high").cast("double").alias("high"),

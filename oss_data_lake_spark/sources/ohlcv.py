@@ -23,8 +23,10 @@ DEFAULT_LOOKBACK_DAYS = 30  # reference dags/yfinance_to_minio.py:18
 
 
 def _u(seed_cols: list[F.Column], lo: float, hi: float) -> F.Column:
-    """Deterministic uniform(lo, hi) from a murmur3 hash of the seed cols."""
-    h = F.abs(F.hash(*seed_cols)) % 1_000_000
+    """Deterministic uniform(lo, hi) from a murmur3 hash of the seed cols.
+    pmod, not abs: abs(Integer.MIN_VALUE) overflows negative in non-ANSI
+    mode and would break the OHLC envelope invariants."""
+    h = F.pmod(F.hash(*seed_cols), F.lit(1_000_000))
     return F.lit(lo) + (h / F.lit(1_000_000.0)) * F.lit(hi - lo)
 
 
@@ -59,9 +61,9 @@ def generate_ohlcv(
     open_ = close_raw - step  # yesterday's close = today's open
     high = F.greatest(open_, close_raw) + spread
     low = F.least(open_, close_raw) - spread
-    vol = (F.abs(F.hash("ticker", "day", s, F.lit(3))) % 1_000_000) + 10_000
+    vol = F.pmod(F.hash("ticker", "day", s, F.lit(3)), F.lit(1_000_000)) + 10_000
 
-    null_marker = F.abs(F.hash("ticker", "day", s, F.lit(4))) % null_every
+    null_marker = F.pmod(F.hash("ticker", "day", s, F.lit(4)), F.lit(null_every))
     return grid.select(
         "ticker",
         F.to_timestamp("day").alias("ts"),

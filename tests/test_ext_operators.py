@@ -71,6 +71,17 @@ def test_exact_dedup_keeps_min_representative(spark):
     assert [(r.id, r.t) for r in out] == [(1, "x"), (3, "y"), (5, "z")]
 
 
+def test_exact_dedup_single_rep_on_order_ties(spark):
+    """Rows tied at the minimum order value must still yield exactly one
+    representative per key (chosen deterministically by the other columns)."""
+    df = spark.createDataFrame(
+        [(1, "x", "b"), (1, "x", "a"), (1, "x", "a"), (2, "y", "c")],
+        "id long, t string, payload string",
+    )
+    out = exact_dedup(df, ["t"], "id").orderBy("t").collect()
+    assert [(r.id, r.t, r.payload) for r in out] == [(1, "x", "a"), (2, "y", "c")]
+
+
 def test_simhash_deterministic_and_self_similar(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
