@@ -131,7 +131,7 @@ ORACLES = {
     "e60_binary_metadata_stats": """
         SELECT 'text/plain' AS media_type,
                COUNT(*) AS n_docs,
-               SUM(octet_length(encode(text))) AS sum_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY 1 ORDER BY media_type

@@ -192,8 +192,8 @@ ORACLES = {
     """,
     "e72_stratified_sample_report": f"""
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
-                        THEN 1 ELSE 0 END) AS n_sampled,
+               CAST(SUM(CASE WHEN doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                CAST(SUM(CASE WHEN doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
                              THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS sample_rate
@@ -241,13 +241,13 @@ ORACLES = {
         )
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS n_quality_fail,
-               SUM(CASE WHEN quality_ok
+               CAST(SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+               CAST(SUM(CASE WHEN quality_ok
                          AND doc_id IN (SELECT doc_id FROM losers)
-                        THEN 1 ELSE 0 END) AS n_neardup_drop,
-               SUM(CASE WHEN quality_ok
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_drop,
+               CAST(SUM(CASE WHEN quality_ok
                          AND doc_id NOT IN (SELECT doc_id FROM losers)
-                        THEN 1 ELSE 0 END) AS n_survivors
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
         FROM qok
         GROUP BY source ORDER BY source
     """,

@@ -500,8 +500,8 @@ ORACLES = {
             FROM events
         )
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_up,
-               SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_down
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
         FROM deltas GROUP BY user_id ORDER BY user_id
     """,
     "b08_topk_orders_per_customer": """

@@ -166,8 +166,8 @@ ORACLES = {
     "e41_langid_confusion": _sql_langid_pred(),
     "e42_token_count_bpe": f"""
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
-               SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS sum_bpe_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) AS sum_bpe_tokens,
                CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS avg_bpe_tokens
         FROM documents GROUP BY source ORDER BY source

@@ -181,7 +181,7 @@ ORACLES = {
         SELECT event_type,
                COUNT(*) AS n_events,
                COUNT(k) AS n_k,
-               SUM(k) AS sum_k
+               CAST(SUM(k) AS BIGINT) AS sum_k
         FROM (SELECT event_type,
                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
@@ -218,10 +218,10 @@ ORACLES = {
     """,
     "a22_iso_roundtrip": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CASE WHEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+               CAST(SUM(CASE WHEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
                                       '%Y-%m-%dT%H:%M:%S')
                         = CAST(date_trunc('second', ts) AS TIMESTAMP)
-                        THEN 1 ELSE 0 END) AS n_roundtrip
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -107,7 +107,7 @@ ORACLES = {
         per_session AS (
             SELECT user_id, session_id, COUNT(*) AS n_events
             FROM sessions GROUP BY 1, 2)
-        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
                {sql_davg("n_events")} AS avg_session_events
         FROM per_session GROUP BY user_id ORDER BY user_id
     """,
