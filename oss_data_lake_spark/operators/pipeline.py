@@ -129,7 +129,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "chunk_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
             F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
         )

@@ -188,7 +188,8 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rn").cast("long").alias("rn"))
         .orderBy("o_custkey", "rn")
     )
 
@@ -255,7 +256,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("p_name").alias("lname"),
             F.upper("p_brand").alias("ubrand"),
             F.substring("p_type", 1, 3).alias("type3"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
             F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
             F.trim(F.lit("  x  ")).alias("trimmed"),
@@ -271,9 +272,9 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
-            F.year("o_orderdate").alias("y"),
-            F.quarter("o_orderdate").alias("q"),
-            F.month("o_orderdate").alias("m"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -296,7 +297,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(dsum(promo, "promo_rev"), dsum(revenue, "total_rev"))
         .withColumn("promo_share", F.col("promo_rev") / F.col("total_rev"))
         .orderBy("ship_year")

@@ -139,8 +139,8 @@ def revenue_per_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
     return (
-        per_supp.withColumn("revenue_rank", F.rank().over(w))
-        .withColumn("revenue_dense_rank", F.dense_rank().over(w))
+        per_supp.withColumn("revenue_rank", F.rank().over(w).cast("long"))
+        .withColumn("revenue_dense_rank", F.dense_rank().over(w).cast("long"))
         .select("s_suppkey", "s_name", "total_revenue", "revenue_rank",
                 "revenue_dense_rank")
         .orderBy("revenue_rank", "s_suppkey")
@@ -164,7 +164,7 @@ def top_suppliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
-    return top.withColumn("revenue_rank", F.row_number().over(w)).select(
+    return top.withColumn("revenue_rank", F.row_number().over(w).cast("long")).select(
         "l_suppkey", "total_revenue", "revenue_rank"
     )
 
@@ -186,7 +186,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_custkey",
             "c_acctbal",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),
             F.first("c_custkey").over(wf).alias("richest_custkey"),
@@ -212,7 +212,7 @@ def math_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(p).cast("long").alias("floor_price"),
             F.ceil(p).cast("long").alias("ceil_price"),
             (F.col("p_size") % 7).alias("size_mod7"),
-            F.signum(p - 1000.0).alias("sign_vs_1000"),
+            F.signum(p - 1000.0).alias("sign_vs_1000"),  # double; oracle casts to match
         )
         .orderBy("p_partkey")
         .limit(100)
@@ -456,7 +456,7 @@ ORACLES = {
                CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
                CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
                p_size % 7 AS size_mod7,
-               sign(p_retailprice - 1000.0) AS sign_vs_1000
+               CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sign_vs_1000
         FROM part ORDER BY p_partkey LIMIT 100
     """,
 }

@@ -64,7 +64,7 @@ def brute_force_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         pairs.withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
@@ -118,7 +118,7 @@ def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(F.broadcast(sq_q), "q_id")
         .join(F.broadcast(sq_c), "c_id")
         .withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rank")
         .orderBy("q_id", "rank")
@@ -189,7 +189,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
             & (F.col("q_id") != F.col("c_id")),
         )
         .withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rank")
         .orderBy("q_id", "rank")

@@ -30,6 +30,36 @@ def test_no_raw_timestamp_outputs(spark, sf_dir):
     assert not offenders, offenders
 
 
+_ARROW_TO_SPARK = {
+    "int64": "bigint",
+    "int32": "int",
+    "double": "double",
+    "float64": "double",
+    "string": "string",
+    "large_string": "string",
+    "date32[day]": "date",
+    "bool": "boolean",
+}
+
+
+def test_cross_engine_column_types_match(spark, sf_dir):
+    """Schema-type parity guard: every oracle query's Spark output types must
+    equal the DuckDB Arrow types (the driver may compare types, not just
+    values — rank/ntile/year return int32 in Spark vs int64 in DuckDB, and
+    DuckDB SUM(BIGINT) returns int128, unless explicitly aligned)."""
+    con = duckdb_con(sf_dir)
+    mismatches = []
+    for name in sorted(ORACLES):
+        sdf = QUERIES[name](spark, sf_dir)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        tbl = con.execute(ORACLES[name]).arrow()
+        for f in tbl.schema:
+            duck = _ARROW_TO_SPARK.get(str(f.type), str(f.type))
+            if f.name in stypes and stypes[f.name] != duck:
+                mismatches.append((name, f.name, stypes[f.name], duck))
+    assert not mismatches, mismatches
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
