@@ -46,15 +46,20 @@ def _modules():
         windows,
     )
 
+    # Order matters: the driver's correctness pass walks the registry in
+    # order under a time budget. Round 1 stopped after the 50th query, so
+    # modules the driver has never verified (similarity, text, asof,
+    # multimodal, pipeline — see VERDICT.md round 1) run FIRST; the
+    # modules with round-1-green rows run last.
     return [
-        tier_a,
-        relational,
-        relational_more,
-        windows,
-        dedup,
         similarity,
         text,
         asof,
         multimodal,
         pipeline,
+        dedup,
+        windows,
+        tier_a,
+        relational,
+        relational_more,
     ]

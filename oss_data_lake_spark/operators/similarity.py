@@ -43,6 +43,24 @@ def _dot_fast(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_exact(a: F.Column, b: F.Column) -> F.Column:
+    """JVM-side DECIMAL-exact dot product fold.
+
+    Each double product is cast to DECIMAL(30,15) (same rounding as the
+    oracle's ``CAST(q.v * c.v AS DECIMAL(30,15))``), then summed with an
+    exact decimal accumulator. Decimal addition is exact, hence order-
+    independent — a linear fold here equals DuckDB's hash-agg SUM bit for
+    bit, with no explode and no shuffle."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DOT_DEC)
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_DOT_DEC),
+        lambda acc, x: (acc + x).cast(_DOT_DEC),
+    )
+
+
 def _norm_fast(a: F.Column) -> F.Column:
     return F.sqrt(_dot_fast(a, a))
 
@@ -89,35 +107,32 @@ def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cosine = double(dot) / (sqrt(double(sumsq_q)) * sqrt(double(sumsq_c)))
     — every double op appears in the same order in the DuckDB oracle, so
-    ranking ties break identically."""
+    ranking ties break identically. Both dot and sumsq are DECIMAL folds
+    (``_dot_exact``): exact, order-independent, and shuffle-free — the only
+    exchange in the whole plan is the final per-query top-k window."""
     emb = load_table(spark, sf_dir, "embeddings")
-    elems = _elems(emb)
-    sumsq = _sumsq(elems)
-    qe = elems.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _dot_exact(F.col("embedding"), F.col("embedding")).alias("sq_q"),
     )
-    ce = elems.select(F.col("vec_id").alias("c_id"), "pos", F.col("v").alias("cv"))
-    dots = (
-        ce.join(F.broadcast(qe), "pos")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast(_DOT_DEC)).alias("dot"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _dot_exact(F.col("embedding"), F.col("embedding")).alias("sq_c"),
     )
-    sq_q = sumsq.select(F.col("vec_id").alias("q_id"), F.col("sumsq").alias("sq_q"))
-    sq_c = sumsq.select(F.col("vec_id").alias("c_id"), F.col("sumsq").alias("sq_c"))
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
     # round to 9 dp: the decimal->double cast can differ by 1 ulp between
     # engines (correct rounding vs int128/10^scale double division); ranking
     # runs on the ROUNDED value so top-k membership is engine-identical
     cosine = F.round(
-        F.col("dot").cast("double")
+        _dot_exact(F.col("q_emb"), F.col("c_emb")).cast("double")
         / (F.sqrt(F.col("sq_q").cast("double")) * F.sqrt(F.col("sq_c").cast("double"))),
         9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        dots.join(F.broadcast(sq_q), "q_id")
-        .join(F.broadcast(sq_c), "c_id")
-        .withColumn("cosine", cosine)
+        pairs.withColumn("cosine", cosine)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rank")
