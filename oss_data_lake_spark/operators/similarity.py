@@ -8,9 +8,10 @@ Three paths over ``embeddings(vec_id, embedding array<float>, label)``:
   partition-parallel, the only shuffle is the final per-query top-k (k rows
   per partition per query via partial TakeOrdered semantics).
 - ``exact_topk`` (query ``e20``) — the oracle-checked variant: dot products
-  as exact DECIMAL sums over posexploded (pos, value) pairs, so Spark and
+  and squared norms via ``_dot_exact``, a shuffle-free ``zip_with`` +
+  ``aggregate`` DECIMAL fold (exact, order-independent), so Spark and
   DuckDB agree bit-for-bit and the top-k ranking is deterministic across
-  engines. Slower (explodes 64× rows) — exists to *prove* the fast path.
+  engines. The only exchange in the plan is the final per-query top-k.
 - ``ivf_topk`` (query ``e22``) — the ANN scale path: deterministic centroid
   subset (vec_id % stride == 0), assign every vector to its nearest
   centroid (broadcast centroids), probe only the query's cluster. Recall
@@ -164,24 +165,37 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
     centroids = emb.filter(
         F.col("vec_id") % IVF_CENTROID_STRIDE == 0
     ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
-    # assign: nearest centroid per vector (broadcast centroids)
+    # assign: nearest centroid per vector (broadcast centroids). max_by over
+    # (sim, -cent_id) picks the highest-similarity centroid with lowest-id
+    # tiebreak in ONE partial-aggregated pass — no per-vector window, no
+    # row_number exchange over the n×centroids candidate set (the window
+    # formulation shuffled that whole set at 100 TB).
     sim = _dot_fast(F.col("embedding"), F.col("cent_emb")) / (
         _norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))
     )
+    scored = emb.join(F.broadcast(centroids)).withColumn("cent_sim", sim)
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nid")),
+            ).alias("cluster"),
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+        )
+        .select("vec_id", "embedding", "label", "cluster")
+    )
+    # probe list: each query's nprobe nearest clusters. The window here runs
+    # only over the bounded query subset (N_QUERIES × centroids rows), not
+    # the full corpus — scale-safe.
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cent_sim"), F.asc("cent_id")
     )
-    ranked = (
-        emb.join(F.broadcast(centroids))
-        .withColumn("cent_sim", sim)
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", "label", F.col("cent_id").alias("cluster")
-    )
-    # probe list: each query's nprobe nearest clusters
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),

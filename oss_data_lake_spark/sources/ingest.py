@@ -70,20 +70,32 @@ def ingest(
 ) -> dict[str, int]:
     """The full A1→A8 pipeline: normalize → derive partition key → guarded
     partitioned write. Returns the reference's XCom metrics dict."""
+    from pyspark.sql import Observation
+
     tidy = normalize_ohlcv(source_df, ingest_date=ingest_date)
     tidy = tidy.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
 
-    rows, parts = _metrics(tidy)
-    if rows == 0:  # A25: empty-input guard — write nothing
+    if tidy.isEmpty():  # A25: empty-input guard — write nothing (limit-1 probe)
         return {"rows_written": 0, "partitions": 0}
 
+    # A24: metrics ride the WRITE job via observe() — no second full scan of
+    # the source (the old _metrics() aggregation pass re-read everything; at
+    # 100 TB that doubled ingest I/O). countDistinct is not allowed in
+    # CollectMetrics, so distinct partitions come from collect_set size.
+    obs = Observation("ingest_metrics")
     (
-        tidy.repartition("date")
+        tidy.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.size(F.array_distinct(F.collect_list("date"))).alias("parts"),
+        )
+        .repartition("date")
         .write.mode(mode)
         .partitionBy("date")
         .parquet(out_path)
     )
-    return {"rows_written": rows, "partitions": parts}
+    got = obs.get
+    return {"rows_written": int(got["rows"]), "partitions": int(got["parts"])}
 
 
 def read_curated(spark: SparkSession, path: str) -> DataFrame:
@@ -93,12 +105,3 @@ def read_curated(spark: SparkSession, path: str) -> DataFrame:
     path matches nothing (ref :81-82)."""
     # Spark itself raises PATH_NOT_FOUND for a missing path (A25 guard)
     return spark.read.parquet(path)
-
-
-def _metrics(tidy: DataFrame) -> tuple[int, int]:
-    """A24: rows + distinct partition count in one aggregation pass."""
-    row = tidy.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.countDistinct("date").alias("parts"),
-    ).collect()[0]
-    return int(row["rows"]), int(row["parts"])

@@ -53,8 +53,18 @@ def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:
     """Returns {ok, row_count_ok, schema_ok, values_ok, detail}."""
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    return compare_rows(
+        list(spark_df.columns), [tuple(r) for r in spark_df.collect()], con, sql
+    )
+
+
+def compare_rows(
+    s_cols: list[str],
+    s_rows: list[tuple],
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+) -> dict[str, Any]:
+    """compare() for an already-collected Spark result (no re-execution)."""
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()

@@ -137,3 +137,27 @@ def test_normalize_casts(spark):
     assert out.ts.microsecond == 345000  # ms truncation (TIMESTAMP(3))
     assert out.open == 1.5 and out.volume == 123
     assert str(out.ingest_date) == "2025-07-01"
+
+
+def test_ingest_single_scan(spark, tmp_path):
+    """A24 at scale: metrics must ride the write job via observe(), not a
+    separate full aggregation pass. Measured for real: the source is an RDD
+    whose rows bump an accumulator on every materialization, so the total
+    count reveals how many times ingest scanned the input. One full scan
+    (write+observe) plus the limit-1 empty-guard probe stays well under 2×
+    the row count; the old metrics pre-pass made it ≥ 2×."""
+    rows = generate_ohlcv(spark).collect()
+    n = len(rows)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(r):
+        acc.add(1)
+        return r
+
+    src = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4).map(bump),
+        generate_ohlcv(spark).schema,
+    )
+    metrics = ingest(spark, src, str(tmp_path / "curated"), ingest_date="2024-06-01")
+    assert metrics["rows_written"] == n and metrics["partitions"] > 0
+    assert acc.value < 2 * n, f"source scanned {acc.value / n:.1f}x ({acc.value}/{n})"
