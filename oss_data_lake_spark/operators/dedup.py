@@ -17,9 +17,13 @@ Four dedup families over ``documents``:
   Hamming-band candidate search (pigeonhole: 4 bands of 8 bits → finds all
   pairs within Hamming distance 6 when at least one band matches exactly).
 
-The LSH candidate set is probabilistic (seeded, deterministic per run), so
-``e11``/``e13`` are rows-only checks for the driver; the exhaustive ``e12``
-carries the DuckDB oracle and pytest asserts LSH-candidates ⊇ true pairs.
+Oracle status: ``e11`` verifies candidates with exact Jaccard, so its OUTPUT
+equals the exhaustive truth whenever LSH recall is 100% — which is a
+deterministic property of (fixed seed, fixed data), holds on every fixture
+(pytest pins candidates ⊇ true pairs), and lets e11 carry the same DuckDB
+oracle as ``e12`` (jaccard-only projection). ``e13`` (SimHash) genuinely
+misses a small tail of true pairs at Hamming band granularity (1-2 pairs on
+the fixtures), so it stays a rows-only driver check by design.
 """
 
 from __future__ import annotations
@@ -331,13 +335,7 @@ QUERIES = {
     "e13_simhash_pairs": simhash_query,
 }
 
-ORACLES = {
-    "e10_exact_dedup_stats": r"""
-        SELECT lang, COUNT(*) AS n_docs,
-               COUNT(DISTINCT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS n_unique
-        FROM documents GROUP BY lang ORDER BY lang
-    """,
-    "e12_ngram_jaccard_pairs": f"""
+_JACCARD_PAIRS_SQL = f"""
         WITH w AS (SELECT doc_id,
                           generate_subscripts(string_split(text, ' '), 1) AS pos,
                           unnest(string_split(text, ' ')) AS w
@@ -359,6 +357,23 @@ ORACLES = {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLES = {
+    # valid because e11 exact-verifies candidates and LSH recall is 100% on
+    # the fixed (seed, data) pair — see module docstring; pytest pins the
+    # candidates ⊇ truth containment that makes this hold.
+    "e11_minhash_lsh_pairs": f"""
+        SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_PAIRS_SQL})
+        ORDER BY doc_a, doc_b
+    """,
+    "e10_exact_dedup_stats": r"""
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS n_unique
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "e12_ngram_jaccard_pairs": f"""
+        {_JACCARD_PAIRS_SQL}
         ORDER BY doc_a, doc_b
     """,
 }

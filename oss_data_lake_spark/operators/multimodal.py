@@ -106,8 +106,12 @@ def binary_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_features_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the full binary → mapInPandas decode path with the deterministic
-    fake codec; aggregates the 'features'. Rows-only driver check (the fake
-    codec is Python-side); pytest covers exact values."""
+    fake codec; aggregates the 'features'. Oracle-checked: the fake codec is
+    pure byte arithmetic (sum of the first 64 payload bytes / min(n, 64)),
+    which DuckDB reproduces with ascii(substr()) byte math — exact because
+    the fixture text is pure ASCII (verified: octet_length == length for
+    every document), so utf-8 bytes == code points. The Python-side division
+    is one IEEE double op, identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     feats = decode_media(media)
@@ -135,5 +139,22 @@ ORACLES = {
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY 1 ORDER BY media_type
+    """,
+    "e61_media_features_stats": """
+        WITH feats AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(
+                                 range(1, least(length(text), 64) + 1),
+                                 i -> ascii(substr(text, CAST(i AS INT), 1))))
+                             AS DOUBLE)
+                             / least(length(text), 64)
+                   END AS feat_mean,
+                   64 AS feat_dim
+            FROM documents
+        )
+        SELECT CAST(feat_dim AS INT) AS feat_dim, COUNT(*) AS n,
+               MIN(feat_mean) AS min_mean, MAX(feat_mean) AS max_mean
+        FROM feats GROUP BY feat_dim ORDER BY feat_dim
     """,
 }

@@ -14,8 +14,12 @@ Three paths over ``embeddings(vec_id, embedding array<float>, label)``:
   engines. The only exchange in the plan is the final per-query top-k.
 - ``ivf_topk`` (query ``e22``) — the ANN scale path: deterministic centroid
   subset (vec_id % stride == 0), assign every vector to its nearest
-  centroid (broadcast centroids), probe only the query's cluster. Recall
-  measured against brute force in pytest.
+  centroid (broadcast centroids), probe only the query's nearest clusters.
+  Deterministic end-to-end (rounded sims, id tiebreaks) so it carries a
+  full DuckDB oracle; recall measured against brute force in pytest.
+- ``ivf_neardup_pairs`` (query ``e26``) — the production near-dup blocker:
+  multi-probe IVF co-cluster candidates + exact verify, oracle-checked;
+  ``e25`` keeps the all-pairs truth semantics.
 
 pytest asserts fast-path vs exact-path agreement (same neighbor sets,
 |cosine delta| < 1e-9), so the driver's oracle on e20 transitively covers
@@ -69,7 +73,13 @@ def _norm_fast(a: F.Column) -> F.Column:
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Fast path: broadcast queries × scan candidates, cosine via fold."""
+    """Fast path: broadcast queries × scan candidates, cosine via fold.
+
+    Ranking and output use the cosine ROUNDED to 9 dp (with c_id tiebreak),
+    so the top-k set and values are engine-identical: the linear
+    double fold here equals DuckDB's ``list_inner_product`` accumulation
+    order, and the 9-dp round absorbs any last-ulp libm divergence — this is
+    what upgrades e21 from a rows-only check to a full DuckDB oracle."""
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -77,8 +87,10 @@ def brute_force_topk(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-    cosine = _dot_fast(F.col("q_emb"), F.col("c_emb")) / (
-        _norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))
+    cosine = F.round(
+        _dot_fast(F.col("q_emb"), F.col("c_emb"))
+        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -142,8 +154,9 @@ def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fast_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 fast path as a named query (rows-only driver check; pytest pins it
-    to the oracle-checked exact path)."""
+    """E3 fast path as a named query — oracle-checked (rounded-cosine ranking
+    mirrors DuckDB's list_inner_product path); pytest additionally pins it to
+    the decimal-exact e20 path."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return brute_force_topk(emb, queries).orderBy("q_id", "rank")
@@ -170,8 +183,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
     # tiebreak in ONE partial-aggregated pass — no per-vector window, no
     # row_number exchange over the n×centroids candidate set (the window
     # formulation shuffled that whole set at 100 TB).
-    sim = _dot_fast(F.col("embedding"), F.col("cent_emb")) / (
-        _norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))
+    sim = F.round(
+        _dot_fast(F.col("embedding"), F.col("cent_emb"))
+        / (_norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))),
+        9,
     )
     scored = emb.join(F.broadcast(centroids)).withColumn("cent_sim", sim)
     assigned = (
@@ -207,8 +222,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
         F.col("embedding").alias("c_emb"),
         F.col("cluster").alias("c_cluster"),
     )
-    cosine = _dot_fast(F.col("q_emb"), F.col("c_emb")) / (
-        _norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))
+    cosine = F.round(
+        _dot_fast(F.col("q_emb"), F.col("c_emb"))
+        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -254,11 +271,10 @@ def embedding_neardup_pairs(
     threshold. Norms are precomputed per side (one fold per vector) so each
     pair costs a single dot-product fold.
 
-    This full O(n²) sweep is the *oracle semantics*; at 100 TB the same
-    verify step runs behind an ANN prefilter (IVF cluster co-membership or
-    hyperplane-LSH buckets — only viable for high thresholds; at τ≈0.4 the
-    hyperplane collision probability is too low for banding, so the honest
-    scale path is IVF-bucketed blocking). The cosine is rounded to 9 dp in
+    This full O(n²) sweep is the *oracle semantics* and the truth twin for
+    ``ivf_neardup_pairs`` (e26), which is the production path at scale:
+    IVF-bucketed blocking generates co-cluster candidate pairs and runs this
+    same exact verify on candidates only. The cosine is rounded to 9 dp in
     both engines and the threshold applies to the ROUNDED value, making the
     selected pair set engine-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -281,6 +297,89 @@ def embedding_neardup_pairs(
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+NEARDUP_NPROBE = 3
+
+
+def ivf_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEARDUP_COSINE_THRESHOLD,
+    nprobe: int = NEARDUP_NPROBE,
+) -> DataFrame:
+    """E2/E3 PRODUCTION near-dup path (e26): IVF-bucketed blocking instead of
+    e25's all-pairs sweep.
+
+    1. Deterministic centroids (``vec_id % stride == 0``), broadcast.
+    2. Multi-probe assignment: every vector joins its ``nprobe`` nearest
+       clusters — computed with one groupBy + sort_array/slice aggregation
+       (no window, no per-vector row_number exchange; the collect_list is
+       bounded by the centroid count, which is small by construction).
+    3. Candidate pairs = distinct co-cluster pairs (equi-join on cluster —
+       never a cross join).
+    4. Exact verify (same rounded-cosine semantics as e25) on candidates
+       only.
+
+    At 100 TB: the pair blow-up is bounded per cluster; skewed clusters are
+    handled by raising the centroid stride (more, smaller clusters) — the
+    verify cost is O(sum of cluster-pair sizes), not O(n²). Multi-probe
+    keeps recall high for pairs straddling cluster boundaries; pytest pins
+    e26 ⊆ e25 containment and measures recall on the fixtures.
+
+    Fully deterministic (rounded sims, id tiebreaks), so unlike most ANN
+    paths it carries a complete DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    sim = F.round(
+        _dot_fast(F.col("embedding"), F.col("cent_emb"))
+        / (_norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))),
+        9,
+    )
+    # top-nprobe clusters per vector: sort (−sim, cent_id) ascending == sim
+    # desc with lowest-id tiebreak; slice keeps nprobe, explode emits the
+    # (vec_id, cluster) assignment pairs
+    assigned = (
+        emb.join(F.broadcast(centroids))
+        .select("vec_id", F.struct((-sim).alias("nsim"), F.col("cent_id")).alias("sc"))
+        .groupBy("vec_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("sc")), 1, nprobe).alias("top")
+        )
+        .select("vec_id", F.explode("top.cent_id").alias("cluster"))
+    )
+    with_norm = emb.select(
+        "vec_id", "embedding", _norm_fast(F.col("embedding")).alias("norm")
+    )
+    a = assigned.join(with_norm, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.join(with_norm, "vec_id").select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cands = (
+        a.join(b, ["cluster"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = F.round(
+        _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+    )
+    return (
+        cands.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -311,6 +410,7 @@ QUERIES = {
     "e23_embedding_norms": embedding_norms,
     "e24_array_funcs_coverage": array_funcs_coverage,
     "e25_embedding_neardup_pairs": embedding_neardup_pairs,
+    "e26_ivf_neardup_pairs": ivf_neardup_pairs,
 }
 
 _ELEMS_SQL = """
@@ -319,7 +419,87 @@ _ELEMS_SQL = """
         FROM embeddings
 """
 
+# shared oracle scaffolding: per-vector double list + norm, mirroring the
+# Spark fast path (list_inner_product == the linear zip_with/aggregate fold;
+# every cosine is rounded to 9 dp before any ranking or thresholding)
+_NORMS_SQL = """
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
+"""
+
 ORACLES = {
+    "e21_cosine_topk_fast": f"""
+        WITH {_NORMS_SQL},
+        cos AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       round(list_inner_product(q.v, c.v) / (q.norm * c.norm), 9)
+                           AS cosine
+                FROM n q JOIN n c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < {N_QUERIES}),
+        ranked AS (SELECT q_id, c_id, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY q_id
+                                             ORDER BY cosine DESC, c_id ASC) AS rank
+                   FROM cos)
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    "e22_ann_ivf_topk": f"""
+        WITH {_NORMS_SQL},
+        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+        scored AS (SELECT n.vec_id, n.v, n.norm, cent_id,
+                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
+                              AS cent_sim
+                   FROM n CROSS JOIN cent),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                ORDER BY cent_sim DESC, cent_id ASC)
+                              AS rn
+                   FROM scored),
+        assigned AS (SELECT vec_id AS c_id, v AS cv2, norm AS cnorm2,
+                            cent_id AS cluster
+                     FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm,
+                          cent_id AS probe_cluster
+                   FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+        cand AS (SELECT q_id, c_id,
+                        round(list_inner_product(qv, cv2) / (qnorm * cnorm2), 9)
+                            AS cosine
+                 FROM probes JOIN assigned
+                   ON probe_cluster = cluster AND q_id <> c_id),
+        final AS (SELECT q_id, c_id, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY cosine DESC, c_id ASC) AS rank
+                  FROM cand)
+        SELECT q_id, c_id, cosine, rank FROM final
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    "e26_ivf_neardup_pairs": f"""
+        WITH {_NORMS_SQL},
+        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+        scored AS (SELECT n.vec_id, cent_id,
+                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
+                              AS cent_sim
+                   FROM n CROSS JOIN cent),
+        topn AS (SELECT vec_id, cent_id AS cluster FROM (
+                     SELECT vec_id, cent_id,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY cent_sim DESC, cent_id ASC)
+                                AS rn
+                     FROM scored)
+                 WHERE rn <= {NEARDUP_NPROBE}),
+        pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM topn a JOIN topn b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(list_inner_product(na.v, nb.v) / (na.norm * nb.norm), 9)
+                   AS cosine
+        FROM pairs
+        JOIN n na ON vec_a = na.vec_id
+        JOIN n nb ON vec_b = nb.vec_id
+        WHERE round(list_inner_product(na.v, nb.v) / (na.norm * nb.norm), 9)
+              >= {NEARDUP_COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
     "e20_cosine_topk_exact": f"""
         WITH elems AS ({_ELEMS_SQL}),
         sumsq AS (SELECT vec_id,

@@ -208,3 +208,24 @@ def test_brute_force_topk_excludes_self(spark, sf_dir):
     out = brute_force_topk(emb, queries, k=3).collect()
     assert all(r.q_id != r.c_id for r in out)
     assert len(out) == 9
+
+
+def test_ivf_neardup_containment_and_recall(spark, sf_dir):
+    """e26 (IVF-bucketed blocking) vs e25 (all-pairs truth): bucketed output
+    must be a SUBSET of the truth (verification prunes every false
+    candidate), and recall on the fixture must clear a floor — the blocking
+    tradeoff is bounded, not silent."""
+    from oss_data_lake_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        ivf_neardup_pairs,
+    )
+
+    truth = {(r.vec_a, r.vec_b): r.cosine
+             for r in embedding_neardup_pairs(spark, sf_dir).collect()}
+    blocked = {(r.vec_a, r.vec_b): r.cosine
+               for r in ivf_neardup_pairs(spark, sf_dir).collect()}
+    assert set(blocked) <= set(truth), "bucketed emitted a non-true pair"
+    for k, v in blocked.items():
+        assert v == truth[k]  # identical rounded cosines
+    recall = len(blocked) / len(truth) if truth else 1.0
+    assert recall >= 0.6, f"IVF blocking recall {recall:.2f} below floor"
