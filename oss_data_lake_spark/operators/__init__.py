@@ -43,6 +43,7 @@ def _modules():
         similarity,
         text,
         tier_a,
+        upsert,
         windows,
     )
 
@@ -58,6 +59,7 @@ def _modules():
         multimodal,
         pipeline,
         dedup,
+        upsert,
         windows,
         tier_a,
         relational,

@@ -1,0 +1,108 @@
+"""Keyed upsert / MERGE INTO semantics (SURVEY.md §2 "What's missing" #2 —
+the reference's Trino-over-Iceberg supports ``MERGE INTO``; reference
+RUNBOOK.md re-ingest story).
+
+Spark's parquet session catalog has no native MERGE (that needs the
+Delta/Iceberg connector — ``sources/connectors.py`` upgrades when a jar is
+present), so the operator is the canonical set-based rewrite:
+
+    merged = source ∪ (target ⟕anti source on keys)
+
+i.e. WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *.
+One shuffle on the merge keys (the anti join); at 100 TB the write path
+restricts the rewrite to TOUCHED PARTITIONS ONLY via dynamic partition
+overwrite (``sources.tables.Warehouse.merge_into`` does exactly that), so
+merge cost scales with the updated slice, not the table.
+
+The driver query ``m01`` runs the full merge against the orders fixture
+with a deterministic update+insert source and aggregates the merged result;
+the DuckDB oracle states the same MERGE semantics in ANSI SQL. pytest
+additionally pins idempotence (merging the same source twice is a no-op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from oss_data_lake_spark.sources.loaders import load_table
+
+UPDATE_MOD = 7  # orders with key % 7 == 0 get a 10% price bump + status 'U'
+INSERT_MOD = 97  # orders with key % 97 == 0 spawn a new row at key + offset
+INSERT_OFFSET = 10_000_000
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics on DataFrames: source rows win on key match, target
+    rows survive otherwise. Requires identical schemas (checked)."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge schema mismatch: target={target.columns} source={source.columns}"
+        )
+    survivors = target.join(source.select(*keys), keys, "left_anti")
+    return source.unionByName(survivors)
+
+
+def _merge_source(orders3: DataFrame) -> DataFrame:
+    """Deterministic update+insert source for m01 (pure arithmetic — no
+    randomness, reproducible in the oracle)."""
+    updates = orders3.filter(F.col("o_orderkey") % UPDATE_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserts = orders3.filter(F.col("o_orderkey") % INSERT_MOD == 0).select(
+        (F.col("o_orderkey") + INSERT_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    return updates.unionByName(inserts)
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m01: full MERGE (update + insert) into orders, then per-status
+    accounting of the merged result."""
+    orders3 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = merge_upsert(orders3, _merge_source(orders3), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "m01_merge_upsert_orders": merge_upsert_orders,
+}
+
+_SRC_SQL = f"""
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % {UPDATE_MOD} = 0
+        UNION ALL
+        SELECT o_orderkey + {INSERT_OFFSET}, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+"""
+
+ORACLES = {
+    "m01_merge_upsert_orders": f"""
+        WITH src AS ({_SRC_SQL}),
+        merged AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price,
+               {sql_davg("o_totalprice")} AS avg_price
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+}

@@ -147,6 +147,37 @@ class Warehouse:
             .write.insertInto(f"{self.db}.fact_price", overwrite=True)
         )
 
+    def merge_into(self, tidy: DataFrame, keys: list[str] = ("ticker", "ts")) -> None:
+        """MERGE INTO fact_price: source rows update matches / insert new,
+        rewriting ONLY the date partitions the source touches (Iceberg's
+        MERGE + dynamic overwrite story — reference Trino supports MERGE
+        over Iceberg; our parquet catalog reproduces it set-based).
+
+        Scale shape: one shuffle to anti-join the touched slice on the merge
+        keys, one dynamic-partition overwrite of the touched dates. Cost
+        scales with the updated slice, never the full table. Idempotent:
+        re-merging the same source is a no-op (pytest-pinned)."""
+        from oss_data_lake_spark.operators.upsert import merge_upsert
+
+        cols = [
+            "ticker", "ts", "open", "high", "low", "close", "volume",
+            "ingest_date", "date",
+        ]
+        src = tidy.withColumn("date", F.date_format("ts", "yyyy-MM-dd")).select(*cols)
+        touched = [r[0] for r in src.select("date").distinct().collect()]
+        if not touched:
+            return
+        target_slice = (
+            self.spark.table(f"{self.db}.fact_price")
+            .filter(F.col("date").isin(touched))
+            .select(*cols)
+        )
+        merged = merge_upsert(target_slice, src, list(keys))
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.repartition("date").write.insertInto(
+            f"{self.db}.fact_price", overwrite=True
+        )
+
     def show_partitions(self, table: str = "fact_price") -> list[str]:
         """A23+: partition introspection (SHOW PARTITIONS — the session-
         catalog analogue of Iceberg's partitions metadata table)."""

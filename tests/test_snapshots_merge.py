@@ -1,0 +1,130 @@
+"""Snapshot layer (time travel / rollback / crash safety) and MERGE upsert
+(correctness, idempotence, partition-scoped rewrite)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.operators.upsert import merge_upsert
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_snapshot_write_overwrite_timetravel_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.commit(_df(spark, [(3, "c")]))  # overwrite
+    v3 = t.commit(_df(spark, [(4, "d")]), mode="append")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert t.current_version() == 3
+
+    # time travel: every historical snapshot still readable, undisturbed
+    assert sorted(r.k for r in t.read(1).collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(2).collect()) == [3]
+    assert sorted(r.k for r in t.read(3).collect()) == [3, 4]
+    assert sorted(r.k for r in t.read().collect()) == [3, 4]
+
+    # rollback creates a NEW snapshot with the old file set
+    v4 = t.rollback(1)
+    assert v4 == 4 and t.current_version() == 4
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # history preserved — nothing was deleted
+    assert sorted(r.k for r in t.read(3).collect()) == [3, 4]
+    assert [m["version"] for m in t.versions()] == [1, 2, 3, 4]
+
+
+def test_snapshot_crash_leftover_invisible_and_vacuumed(spark, tmp_path):
+    """A data dir without a manifest (crash between write and publish) is
+    invisible to readers and reclaimed by vacuum."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [(1, "a")]))
+    orphan = tmp_path / "tbl" / "data" / "c99-deadbeef"
+    _df(spark, [(9, "x")]).write.parquet(str(orphan))
+    assert sorted(r.k for r in t.read().collect()) == [1]  # orphan invisible
+    removed = t.vacuum()
+    assert removed == ["data/c99-deadbeef"]
+    assert not os.path.exists(orphan)
+    assert sorted(r.k for r in t.read().collect()) == [1]  # still intact
+
+
+def test_snapshot_read_missing_version_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError):
+        t.read()
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    target = _df(spark, [(1, "old1"), (2, "old2"), (3, "old3")])
+    source = _df(spark, [(2, "new2"), (9, "new9")])
+    merged = merge_upsert(target, source, ["k"])
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: "old1", 2: "new2", 3: "old3", 9: "new9"}
+    # idempotence: merging the same source again changes nothing
+    again = merge_upsert(merged, source, ["k"])
+    assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    target = _df(spark, [(1, "a")])
+    bad = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        merge_upsert(target, bad, ["k"])
+
+
+def test_warehouse_merge_into_partition_scoped(spark, tmp_path):
+    """MERGE INTO fact_price updates matches, inserts new rows, and leaves
+    untouched date partitions byte-identical (partition-scoped rewrite)."""
+    from oss_data_lake_spark.sources.ingest import normalize_ohlcv
+    from oss_data_lake_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, "mergedb", location=str(tmp_path / "wh"))
+    try:
+        wh.create_fact_price()
+        base = spark.createDataFrame(
+            [
+                ("AAPL", "2024-06-03 00:00:00", 10.0, 11.0, 9.0, 10.5, 100),
+                ("AAPL", "2024-06-04 00:00:00", 11.0, 12.0, 10.0, 11.5, 110),
+                ("MSFT", "2024-06-03 00:00:00", 20.0, 21.0, 19.0, 20.5, 200),
+            ],
+            "ticker string, ts string, open double, high double, low double,"
+            " close double, volume long",
+        )
+        wh.insert_prices(normalize_ohlcv(base, ingest_date="2024-06-05"))
+
+        # source: update AAPL@06-03, insert GOOGL@06-03 — only date=2024-06-03
+        src = spark.createDataFrame(
+            [
+                ("AAPL", "2024-06-03 00:00:00", 10.0, 11.0, 9.0, 99.9, 100),
+                ("GOOGL", "2024-06-03 00:00:00", 30.0, 31.0, 29.0, 30.5, 300),
+            ],
+            "ticker string, ts string, open double, high double, low double,"
+            " close double, volume long",
+        )
+        wh.merge_into(normalize_ohlcv(src, ingest_date="2024-06-06"))
+
+        rows = {
+            (r.ticker, str(r.ts)): r.close
+            for r in spark.table("mergedb.fact_price").collect()
+        }
+        assert rows[("AAPL", "2024-06-03 00:00:00")] == 99.9  # updated
+        assert rows[("GOOGL", "2024-06-03 00:00:00")] == 30.5  # inserted
+        assert rows[("AAPL", "2024-06-04 00:00:00")] == 11.5  # untouched part
+        assert rows[("MSFT", "2024-06-03 00:00:00")] == 20.5  # co-partition survivor
+        assert len(rows) == 4
+
+        # idempotence: same merge again → identical table
+        wh.merge_into(normalize_ohlcv(src, ingest_date="2024-06-06"))
+        rows2 = {
+            (r.ticker, str(r.ts)): r.close
+            for r in spark.table("mergedb.fact_price").collect()
+        }
+        assert rows2 == rows
+    finally:
+        wh.drop()
