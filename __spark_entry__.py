@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oss_data_lake_spark.operators import all_oracles, all_queries
+from oss_data_lake_spark.operators import driver_oracles, driver_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -33,10 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """The driver registry (≤ 50 entries — the driver verifies only the
+    first 50): every SURVEY.md §2 operator is covered either by its own
+    entry or through a composite query whose long-format projection carries
+    each member's values (operators/composite.py). The full fine-grained
+    per-operator registry lives in ``all_queries()`` and stays verified by
+    the pytest oracle-parity suite."""
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query; omitted keys → rows-only check."""
-    return all_oracles()
+    return driver_oracles()

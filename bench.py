@@ -22,6 +22,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative headline set: scan-agg, star joins, windows, top-k, dedup
 # (exact + LSH + exhaustive), similarity (exact + fast), as-of, tumbling.
+# Round 3 adds: e25 vs e26 (all-pairs near-dup vs the IVF-bucketed
+# production path — the bucketed plan must win and scale), m01 (MERGE).
 HEADLINE = [
     "a13_flagship_daily_avg",
     "b01_tpch_q1_pricing_summary",
@@ -34,9 +36,12 @@ HEADLINE = [
     "e12_ngram_jaccard_pairs",
     "e20_cosine_topk_exact",
     "e21_cosine_topk_fast",
+    "e25_embedding_neardup_pairs",
+    "e26_ivf_neardup_pairs",
     "e30_asof_error_before_purchase",
     "e50_tumbling_hourly",
     "e51_session_stats",
+    "m01_merge_upsert_orders",
 ]
 
 

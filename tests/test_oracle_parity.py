@@ -1,5 +1,10 @@
 """The core gate: every declared query must match its DuckDB oracle.
 
+Covers the UNION of both registries: every fine-grained per-operator query
+(``all_queries`` — including the members folded into driver composites) AND
+the ≤50-entry driver registry (``__spark_entry__.queries()`` — composites
+included), so consolidation never weakens per-operator verification.
+
 Runs at sf0.001 for speed in the default suite; the driver runs sf0.01 —
 ``pytest -m sf001 tests/test_oracle_parity.py`` (slow marker) covers that too.
 """
@@ -9,10 +14,11 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from oss_data_lake_spark.operators import all_oracles, all_queries
 from tests.parity import compare, duckdb_con
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+QUERIES = {**all_queries(), **entrymod.queries()}
+ORACLES = {**all_oracles(), **entrymod.oracle_sql()}
 
 
 def test_no_raw_timestamp_outputs(spark, sf_dir):
