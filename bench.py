@@ -22,8 +22,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative headline set: scan-agg, star joins, windows, top-k, dedup
 # (exact + LSH + exhaustive), similarity (exact + fast), as-of, tumbling.
-# Round 3 adds: e25 vs e26 (all-pairs near-dup vs the IVF-bucketed
-# production path — the bucketed plan must win and scale), m01 (MERGE).
+# Round 3 adds: e26 (IVF-bucketed near-dup — the production path; its
+# all-pairs truth twin e25 takes 56.7 s at sf0.1 vs e26's ~7 s, an 8×
+# gap that grows quadratically — measured once in BASELINE.md, not
+# re-benched every round) and m01 (MERGE upsert).
 HEADLINE = [
     "a13_flagship_daily_avg",
     "b01_tpch_q1_pricing_summary",
@@ -36,7 +38,6 @@ HEADLINE = [
     "e12_ngram_jaccard_pairs",
     "e20_cosine_topk_exact",
     "e21_cosine_topk_fast",
-    "e25_embedding_neardup_pairs",
     "e26_ivf_neardup_pairs",
     "e30_asof_error_before_purchase",
     "e50_tumbling_hourly",

@@ -354,32 +354,38 @@ def ivf_neardup_pairs(
         )
         .select("vec_id", F.explode("top.cent_id").alias("cluster"))
     )
+    # candidate IDs first: only narrow (vec_a, vec_b) int pairs ride the
+    # cluster join and dedup shuffles; the 64-float embeddings join in ONLY
+    # for the verify step afterwards — at scale the pair explosion must
+    # never carry array payloads
+    a = assigned.select("cluster", F.col("vec_id").alias("vec_a"))
+    b = assigned.select("cluster", F.col("vec_id").alias("vec_b"))
+    cand_ids = (
+        a.join(b, ["cluster"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     with_norm = emb.select(
         "vec_id", "embedding", _norm_fast(F.col("embedding")).alias("norm")
     )
-    a = assigned.join(with_norm, "vec_id").select(
-        F.col("cluster"),
+    na = with_norm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
     )
-    b = assigned.join(with_norm, "vec_id").select(
-        F.col("cluster"),
+    nb = with_norm.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
-    )
-    cands = (
-        a.join(b, ["cluster"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
     cosine = F.round(
         _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
     )
     return (
-        cands.withColumn("cosine", cosine)
+        cand_ids.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -1,0 +1,53 @@
+"""Object-store (s3a) path: config plumbing always tested; the end-to-end
+ingest smoke runs only when an S3/MinIO endpoint is provided via env
+(SPARK_GRAFT_S3_ENDPOINT / _KEY / _SECRET / _BUCKET) AND the s3a connector
+jars are on the classpath — mirrors reference dags/yfinance_to_minio.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from oss_data_lake_spark.sources.objectstore import configure_s3a, s3a_available
+
+
+def test_configure_s3a_sets_hadoop_conf(spark):
+    configure_s3a(spark, "http://localhost:9000", "ak", "sk")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+    assert conf.get("fs.s3a.committer.name") == "magic"
+
+
+def test_s3a_probe_is_safe(spark):
+    # must never raise, whatever the classpath
+    assert s3a_available(spark) in (True, False)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_S3_ENDPOINT"),
+    reason="no S3/MinIO endpoint configured (SPARK_GRAFT_S3_ENDPOINT unset)",
+)
+def test_ingest_to_s3a_roundtrip(spark):
+    """Same ingest job, s3a:// URI — the reference's MinIO write path."""
+    from oss_data_lake_spark.sources.ingest import ingest, read_curated
+    from oss_data_lake_spark.sources.ohlcv import generate_ohlcv
+
+    if not s3a_available(spark):
+        pytest.skip("s3a connector jars not on classpath")
+    configure_s3a(
+        spark,
+        os.environ["SPARK_GRAFT_S3_ENDPOINT"],
+        os.environ.get("SPARK_GRAFT_S3_KEY", "minioadmin"),
+        os.environ.get("SPARK_GRAFT_S3_SECRET", "minioadmin"),
+    )
+    bucket = os.environ.get("SPARK_GRAFT_S3_BUCKET", "warehouse")
+    out = f"s3a://{bucket}/smoke/curated_prices"
+    metrics = ingest(
+        spark, generate_ohlcv(spark), out, ingest_date="2024-06-01",
+        mode="overwrite",
+    )
+    assert metrics["rows_written"] > 0
+    back = read_curated(spark, out)
+    assert back.count() == metrics["rows_written"]
