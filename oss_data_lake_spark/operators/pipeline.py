@@ -161,15 +161,70 @@ def stratified_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e73: chunk-level exact dedup accounting — after chunking (e71), how
+    much of the corpus is duplicated at chunk granularity (the unit that
+    actually enters training). Per source: chunks, distinct chunk
+    fingerprints, and the duplicate ratio. At 100 TB this is one narrow
+    scan + one aggregation on (source, md5) — the md5 shuffle key is
+    uniformly distributed, so no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((size(toks) - {CHUNK_TOKENS}) "
+        f"/ {CHUNK_STRIDE}) as int), 0)), "
+        f"i -> array_join(slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}), ' '))"
+    )
+    per_chunk = toks.select(
+        "source", F.explode(chunks).alias("chunk_text")
+    ).select("source", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"))
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_chunks") - F.col("n_distinct")).cast("double")
+            / F.col("n_chunks").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
     "e72_stratified_sample_report": stratified_sample_report,
+    "e73_chunk_dedup_stats": chunk_dedup_stats,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
 
 ORACLES = {
+    "e73_chunk_dedup_stats": f"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, source, toks,
+                     greatest(CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                                   AS INT), 0) AS maxi
+              FROM t),
+        c AS (SELECT doc_id, source, toks,
+                     unnest(generate_series(0, maxi)) AS chunk_id
+              FROM n),
+        x AS (SELECT source,
+                     md5(array_to_string(
+                         toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                              chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                         ' ')) AS chunk_md5
+              FROM c)
+        SELECT source, COUNT(*) AS n_chunks,
+               COUNT(DISTINCT chunk_md5) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT chunk_md5) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        FROM x GROUP BY source ORDER BY source
+    """,
     "e71_chunk_documents": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         n AS (SELECT doc_id, toks,

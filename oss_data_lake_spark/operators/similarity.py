@@ -392,6 +392,80 @@ def ivf_neardup_pairs(
     )
 
 
+# measured on the sf0.01 fixture (near-random embeddings — the hard case
+# for sign-bit selectivity): H=26 → recall 0.66 @ 9% survivors, H=28 →
+# 0.84 @ 19%, H=30 → 0.98 @ 36%. 28 balances pruning (5×) against recall;
+# real embedding corpora with tighter neighbor structure prune far harder.
+HAMMING_PREFILTER = 28
+
+
+def _pack_bits(emb_col: str, start: int) -> F.Column:
+    """Pack 32 sign bits (dims start..start+31, 1-based) into a long —
+    the binary-quantization step every large vector store uses (1 bit/dim,
+    64× smaller than float32; Hamming distance via two XOR+popcounts)."""
+    return F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"CASE WHEN element_at({emb_col}, i + {start}) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+
+
+def binary_quantized_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    max_hamming: int = HAMMING_PREFILTER,
+) -> DataFrame:
+    """e27: sign-bit quantization → Hamming prefilter → exact cosine rerank.
+
+    The candidate sweep compares 128-bit signatures (two longs, XOR +
+    popcount — whole-stage-codegen'd integer ops, no array access), and
+    only pairs within ``max_hamming`` pay for the exact 64-float cosine
+    fold. At 100 TB the signature table is 64× smaller than the embedding
+    table, scans at memory bandwidth, and the float fetch is a semi-join
+    against the small surviving candidate set. Fully deterministic
+    (integer Hamming prefilter, 9-dp-rounded rerank, id tiebreaks) — full
+    DuckDB oracle; recall vs the unquantized e21 is pytest-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _pack_bits("embedding", 1).alias("lo"),
+        _pack_bits("embedding", 33).alias("hi"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("lo").alias("clo"),
+        F.col("hi").alias("chi"),
+    )
+    hamming = F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo"))) + F.bit_count(
+        F.col("qhi").bitwiseXOR(F.col("chi"))
+    )
+    cosine = F.round(
+        _dot_fast(F.col("q_emb"), F.col("c_emb"))
+        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        9,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "hamming", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def array_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function family over the embedding column: element access,
     size, slices — values copied, never recomputed, so they hash-match."""
@@ -417,6 +491,7 @@ QUERIES = {
     "e24_array_funcs_coverage": array_funcs_coverage,
     "e25_embedding_neardup_pairs": embedding_neardup_pairs,
     "e26_ivf_neardup_pairs": ivf_neardup_pairs,
+    "e27_binary_quantized_topk": binary_quantized_topk,
 }
 
 _ELEMS_SQL = """
@@ -434,6 +509,30 @@ _NORMS_SQL = """
 """
 
 ORACLES = {
+    "e27_binary_quantized_topk": f"""
+        WITH {_NORMS_SQL},
+        sig AS (SELECT vec_id, v, norm,
+                       list_sum(list_transform(range(0, 32), i ->
+                           CASE WHEN v[CAST(i AS INT) + 1] > 0
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS lo,
+                       list_sum(list_transform(range(0, 32), i ->
+                           CASE WHEN v[CAST(i AS INT) + 33] > 0
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS hi
+                FROM n),
+        pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                         bit_count(xor(q.lo, c.lo))
+                           + bit_count(xor(q.hi, c.hi)) AS hamming,
+                         round(list_inner_product(q.v, c.v)
+                               / (q.norm * c.norm), 9) AS cosine
+                  FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < {N_QUERIES}),
+        kept AS (SELECT q_id, c_id, CAST(hamming AS BIGINT) AS hamming, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cosine DESC, c_id ASC) AS rank
+                 FROM pairs WHERE hamming <= {HAMMING_PREFILTER})
+        SELECT q_id, c_id, hamming, cosine, rank FROM kept
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
     "e21_cosine_topk_fast": f"""
         WITH {_NORMS_SQL},
         cos AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,

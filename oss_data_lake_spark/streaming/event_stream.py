@@ -68,3 +68,31 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
 
 
 __all__ = ["hourly_counts_stream", "run_to_completion", "EVENTS"]
+
+
+def dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the ingestion-time dedup stage of a streaming LLM-data pipeline
+    (at-least-once sources redeliver; this makes the landed stream
+    effectively exactly-once per key).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and
+    EVICTS it once the watermark passes — bounded state, unlike plain
+    ``dropDuplicates`` on a stream, whose key state grows forever. At
+    100 TB/day the state store holds only horizon × arrival-rate keys,
+    sharded by key hash across executors."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -229,3 +229,27 @@ def test_ivf_neardup_containment_and_recall(spark, sf_dir):
         assert v == truth[k]  # identical rounded cosines
     recall = len(blocked) / len(truth) if truth else 1.0
     assert recall >= 0.6, f"IVF blocking recall {recall:.2f} below floor"
+
+
+def test_binary_quantized_topk_recall(spark, sf_dir):
+    """e27 (sign-bit quantization + Hamming prefilter + exact rerank) must
+    keep most of the unquantized top-k at the default threshold, and every
+    returned cosine must equal the unquantized value (rerank is exact)."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.operators.similarity import (
+        N_QUERIES,
+        binary_quantized_topk,
+        brute_force_topk,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {(r.q_id, r.c_id): r.cosine
+          for r in brute_force_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES)).collect()}
+    bq = {(r.q_id, r.c_id): r.cosine
+          for r in binary_quantized_topk(spark, sf_dir).collect()}
+    hits = set(bq) & set(bf)
+    assert len(hits) / len(bf) >= 0.6, f"recall {len(hits)/len(bf):.2f}"
+    for k in hits:
+        assert bq[k] == bf[k]  # exact rerank: identical rounded cosines

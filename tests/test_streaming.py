@@ -81,3 +81,33 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in tumbling_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: redelivered (duplicated) events collapse to
+    one row per event_id, matching batch dropDuplicates on the same input."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.streaming.event_stream import dedup_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(200)
+    # simulate at-least-once redelivery: every event lands twice
+    src.write.mode("append").parquet(str(landing))
+    src.write.mode("append").parquet(str(landing))
+
+    out = dedup_stream(spark, str(landing))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == src.select("event_id").distinct().count()
