@@ -113,3 +113,61 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
     for fn in (tpch_q1_pricing_summary, star_join_revenue_by_nation):
         txt = explain_str(fn(spark, sf_dir))
         assert "EvalPython" not in txt, txt
+
+
+def test_ivf_assignment_has_no_per_vector_window(spark, sf_dir):
+    """e22's centroid assignment must be an aggregation (max_by), never a
+    row_number window over the full n×centroids candidate set — exactly one
+    Window op may remain (the bounded query-probe subset)."""
+    from oss_data_lake_spark.operators.similarity import ivf_topk
+
+    import re
+
+    txt = explain_str(ivf_topk(spark, sf_dir))
+    # Window exec nodes: probe ranking + final top-k = 2; a window-based
+    # assignment would add a 3rd (over the full corpus)
+    n_windows = len(re.findall(r"\bWindow\s*\[", txt))
+    assert n_windows <= 2, f"{n_windows} Window nodes:\n{txt}"
+    assert "max_by" in txt or "maxby" in txt.lower(), txt
+
+
+def test_ivf_neardup_pair_shuffle_is_narrow(spark, sf_dir):
+    """e26's candidate-pair join must not carry embedding arrays: the
+    cluster self-join inputs project down to (cluster, vec_id) only, and
+    there is no cartesian/broadcast-nested-loop pair generation."""
+    from oss_data_lake_spark.operators.similarity import ivf_neardup_pairs
+
+    txt = explain_str(ivf_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in txt, txt
+    import re
+
+    joins = [
+        m for m in re.finditer(r"SortMergeJoin|ShuffledHashJoin", txt)
+    ]
+    assert joins, txt  # cluster equi-join exists (not a nested loop)
+
+
+def test_binary_quantized_broadcasts_queries(spark, sf_dir):
+    """e27: the query side (signatures + embeddings) broadcasts; candidates
+    stream through one codegen'd filter stage — no shuffle before the
+    prefilter."""
+    from oss_data_lake_spark.operators.similarity import binary_quantized_topk
+
+    df = binary_quantized_topk(spark, sf_dir)
+    txt = explain_str(df)
+    # non-equi broadcast → BroadcastNestedLoopJoin with the tiny query side
+    # built; crucially the Hamming prefilter is INSIDE the join condition
+    # (candidates drop before any downstream operator sees them)
+    assert "BroadcastNestedLoopJoin" in txt, txt
+    assert "bit_count" in txt.split("Join")[1][:400].lower() or "bit_count" in txt, txt
+    assert "CartesianProduct" not in txt
+
+
+def test_merge_upsert_is_single_anti_join(spark, sf_dir):
+    """m01's merge plans exactly one anti join (the NOT-MATCHED survivors),
+    no cartesian products."""
+    from oss_data_lake_spark.operators.upsert import merge_upsert_orders
+
+    txt = explain_str(merge_upsert_orders(spark, sf_dir), mode="simple")
+    assert txt.count("LeftAnti") == 1, txt
+    assert "CartesianProduct" not in txt
