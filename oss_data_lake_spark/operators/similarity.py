@@ -175,9 +175,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
     partitioned by cluster at index-build time, so a probe is a partition-
     pruned scan, not a full sweep."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(
+    # norms once per vector / per centroid BEFORE the n×centroids join —
+    # inside the join expression they would be re-folded per PAIR; the
+    # Project sits below the join, so CollapseProject cannot inline it
+    # back into the pair stream
+    vec = emb.select(
+        "vec_id", "embedding", "label", _norm_fast(F.col("embedding")).alias("vnorm")
+    )
+    centroids = vec.filter(
         F.col("vec_id") % IVF_CENTROID_STRIDE == 0
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("vnorm").alias("cnorm"),
+    )
     # assign: nearest centroid per vector (broadcast centroids). max_by over
     # (sim, -cent_id) picks the highest-similarity centroid with lowest-id
     # tiebreak in ONE partial-aggregated pass — no per-vector window, no
@@ -185,10 +196,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
     # formulation shuffled that whole set at 100 TB).
     sim = F.round(
         _dot_fast(F.col("embedding"), F.col("cent_emb"))
-        / (_norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))),
+        / (F.col("vnorm") * F.col("cnorm")),
         9,
     )
-    scored = emb.join(F.broadcast(centroids)).withColumn("cent_sim", sim)
+    scored = vec.join(F.broadcast(centroids)).withColumn("cent_sim", sim)
     assigned = (
         scored.groupBy("vec_id")
         .agg(
@@ -197,9 +208,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
                 F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nid")),
             ).alias("cluster"),
             F.first("embedding").alias("embedding"),
-            F.first("label").alias("label"),
+            F.first("vnorm").alias("vnorm"),
         )
-        .select("vec_id", "embedding", "label", "cluster")
+        .select("vec_id", "embedding", "vnorm", "cluster")
     )
     # probe list: each query's nprobe nearest clusters. The window here runs
     # only over the bounded query subset (N_QUERIES × centroids rows), not
@@ -214,17 +225,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
             F.col("cent_id").alias("probe_cluster"),
         )
     )
     cands = assigned.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("vnorm").alias("c_norm"),
         F.col("cluster").alias("c_cluster"),
     )
     cosine = F.round(
         _dot_fast(F.col("q_emb"), F.col("c_emb"))
-        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        / (F.col("q_norm") * F.col("c_norm")),
         9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -315,81 +328,114 @@ def ivf_neardup_pairs(
     """E2/E3 PRODUCTION near-dup path (e26): IVF-bucketed blocking instead of
     e25's all-pairs sweep.
 
-    1. Deterministic centroids (``vec_id % stride == 0``), broadcast.
-    2. Multi-probe assignment: every vector joins its ``nprobe`` nearest
-       clusters — computed with one groupBy + sort_array/slice aggregation
-       (no window, no per-vector row_number exchange; the collect_list is
-       bounded by the centroid count, which is small by construction).
-    3. Candidate pairs = distinct co-cluster pairs (equi-join on cluster —
-       never a cross join).
-    4. Exact verify (same rounded-cosine semantics as e25) on candidates
-       only.
+    1. IVF model build: deterministic centroids (``vec_id % stride == 0``)
+       collected to the driver — bounded by construction (n/stride rows,
+       like a fitted KMeans model; 2^16 centroids × 64 dims ≈ 16 MB).
+    2. Multi-probe assignment via ``mapInPandas``: one Arrow batch ×
+       centroid-matrix BLAS matmul per partition — no n×centroids row
+       explosion ever materializes in the plan.
+    3. Blocked verify via ``applyInPandas`` per cluster: each block is a
+       (members × dim) matrix; one ``E @ E.T`` matmul yields every
+       pairwise cosine, upper-triangle pairs above threshold are emitted.
+    4. ``distinct()`` collapses multi-probe duplicates (same pair, same
+       rounded cosine, from ≥2 shared clusters).
 
-    At 100 TB: the pair blow-up is bounded per cluster; skewed clusters are
-    handled by raising the centroid stride (more, smaller clusters) — the
-    verify cost is O(sum of cluster-pair sizes), not O(n²). Multi-probe
-    keeps recall high for pairs straddling cluster boundaries; pytest pins
-    e26 ⊆ e25 containment and measures recall on the fixtures.
+    The earlier all-Catalyst formulation spent ~10 s at sf0.1 inside
+    interpreted per-element lambda folds (zip_with/aggregate evaluates
+    ~500 ns/element; 27 M elements in verify alone). The Arrow/BLAS path
+    computes the identical rounded values ~5× faster and is the shape
+    you'd run at 100 TB: the only shuffle is the group-by-cluster exchange
+    (nprobe× the corpus, embeddings included — the unavoidable blocking
+    shuffle), per-block memory is cluster_size × dim × 8 B and bounded by
+    the stride contract, and skewed clusters are handled by raising the
+    stride. Verify cost is O(sum of cluster-block matmuls), not O(n²).
 
-    Fully deterministic (rounded sims, id tiebreaks), so unlike most ANN
-    paths it carries a complete DuckDB oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    Deterministic end-to-end (rounded sims, stable argsort with
+    centroid-id tiebreaks), so unlike most ANN paths it carries a complete
+    DuckDB oracle; pytest additionally pins e26 ⊆ e25 containment and
+    measures recall against the all-pairs truth."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # IVF model build (driver-side, bounded — NOT a data collect)
+    cent_rows = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .orderBy("vec_id")
+        .collect()
     )
-    sim = F.round(
-        _dot_fast(F.col("embedding"), F.col("cent_emb"))
-        / (_norm_fast(F.col("embedding")) * _norm_fast(F.col("cent_emb"))),
-        9,
+    cent_ids = [int(r["vec_id"]) for r in cent_rows]
+    cent_mat = [list(r["embedding"]) for r in cent_rows]
+    n_probe = int(nprobe)
+    thr = float(threshold)
+
+    # closures are defined nested so they pickle BY VALUE — the driver's
+    # session imports this module from a foreign cwd and module-level
+    # functions would not resolve on executors
+    def assign_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_mat, dtype=np.float64)
+        cids = np.asarray(cent_ids, dtype=np.int64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            vnorm = np.sqrt((E * E).sum(axis=1))
+            sims = np.round((E @ C.T) / np.outer(vnorm, cnorm), 9)
+            # top-nprobe by (sim desc, cent_id asc): cids is ascending, so a
+            # stable argsort on -sim breaks ties toward the lower cent_id —
+            # same ordering as the sort_array(struct(-sim, cent_id)) fold
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            reps = idx.shape[1]
+            row_rep = np.repeat(np.arange(len(pdf)), reps)
+            yield pd.DataFrame(
+                {
+                    "cluster": cids[idx].ravel(),
+                    "vec_id": pdf["vec_id"].to_numpy()[row_rep],
+                    "embedding": pdf["embedding"].iloc[row_rep].to_numpy(),
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign_blocks, schema="cluster long, vec_id long, embedding array<float>"
     )
-    # top-nprobe clusters per vector: sort (−sim, cent_id) ascending == sim
-    # desc with lowest-id tiebreak; slice keeps nprobe, explode emits the
-    # (vec_id, cluster) assignment pairs
-    assigned = (
-        emb.join(F.broadcast(centroids))
-        .select("vec_id", F.struct((-sim).alias("nsim"), F.col("cent_id")).alias("sc"))
-        .groupBy("vec_id")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("sc")), 1, nprobe).alias("top")
+
+    def verify_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-        .select("vec_id", F.explode("top.cent_id").alias("cluster"))
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        E = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        norms = np.sqrt((E * E).sum(axis=1))
+        sims = np.round((E @ E.T) / np.outer(norms, norms), 9)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= thr
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        verify_block, schema="vec_a long, vec_b long, cosine double"
     )
-    # candidate IDs first: only narrow (vec_a, vec_b) int pairs ride the
-    # cluster join and dedup shuffles; the 64-float embeddings join in ONLY
-    # for the verify step afterwards — at scale the pair explosion must
-    # never carry array payloads
-    a = assigned.select("cluster", F.col("vec_id").alias("vec_a"))
-    b = assigned.select("cluster", F.col("vec_id").alias("vec_b"))
-    cand_ids = (
-        a.join(b, ["cluster"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    with_norm = emb.select(
-        "vec_id", "embedding", _norm_fast(F.col("embedding")).alias("norm")
-    )
-    na = with_norm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
-    )
-    nb = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
-    )
-    cosine = F.round(
-        _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
-    )
-    return (
-        cand_ids.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
-    )
+    return pairs.distinct().orderBy("vec_a", "vec_b")
 
 
 # measured on the sf0.01 fixture (near-random embeddings — the hard case

@@ -131,20 +131,21 @@ def test_ivf_assignment_has_no_per_vector_window(spark, sf_dir):
     assert "max_by" in txt or "maxby" in txt.lower(), txt
 
 
-def test_ivf_neardup_pair_shuffle_is_narrow(spark, sf_dir):
-    """e26's candidate-pair join must not carry embedding arrays: the
-    cluster self-join inputs project down to (cluster, vec_id) only, and
-    there is no cartesian/broadcast-nested-loop pair generation."""
+def test_ivf_neardup_is_blocked_not_joined(spark, sf_dir):
+    """e26's plan is the IVF-blocked shape: Arrow-batched assignment
+    (MapInPandas), ONE group-by-cluster exchange into the blocked verify
+    (FlatMapGroupsInPandas), and no pair join of any kind — the n×centroids
+    row explosion and the candidate-pair join must never materialize."""
     from oss_data_lake_spark.operators.similarity import ivf_neardup_pairs
 
     txt = explain_str(ivf_neardup_pairs(spark, sf_dir))
-    assert "CartesianProduct" not in txt, txt
-    import re
-
-    joins = [
-        m for m in re.finditer(r"SortMergeJoin|ShuffledHashJoin", txt)
-    ]
-    assert joins, txt  # cluster equi-join exists (not a nested loop)
+    assert "MapInPandas" in txt, txt
+    assert "FlatMapGroupsInPandas" in txt, txt
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert bad not in txt, (bad, txt)
+    # the only wide exchanges: cluster blocking + final distinct/sort
+    assert txt.count("Exchange hashpartitioning") <= 2, txt
 
 
 def test_binary_quantized_broadcasts_queries(spark, sf_dir):
