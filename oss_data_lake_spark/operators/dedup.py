@@ -86,13 +86,30 @@ def shingle_array(tokens_col: str, n: int = SHINGLE_N) -> F.Column:
     )
 
 
-def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs, distinct. Tokens are projected once
-    before shingling — inlining ``split`` into the shingle expression would
-    evaluate it three times per row (size/sequence/slice each re-split)."""
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shset) — ONE array row per document, CACHED.
+
+    The dedup pipelines reference the shingle table many times (signatures,
+    sizes, both verify sides; e11/e12/e13/e70 each rebuild the identical
+    subtree), and Spark's CacheManager substitutes cached data by *plan
+    equality*, so one ``cache()`` here collapses every such reference —
+    within one query and across queries in a session — to a single
+    materialization. Caching at the ARRAY level matters: encoding n_docs
+    array rows is ~50× cheaper than encoding the exploded (doc_id, shingle)
+    pairs, and explode-from-cache is a narrow, cheap Generate. This is the
+    local-mode analog of the 100-TB pattern: materialize the shingle index
+    once per corpus snapshot, query it many times. Default storage is
+    MEMORY_AND_DISK, so an oversized corpus spills instead of failing;
+    eviction just falls back to recompute."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    return toks.select(
-        "doc_id", F.explode(shingle_array("toks")).alias("shingle")
+    return toks.select("doc_id", shingle_array("toks").alias("shset")).cache()
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded pairs, distinct-per-doc (shingle_array
+    dedups within each document)."""
+    return doc_shingle_sets(docs).select(
+        "doc_id", F.explode("shset").alias("shingle")
     )
 
 
@@ -147,14 +164,16 @@ def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    docs: DataFrame, n_hashes: int = N_HASHES, sh: DataFrame | None = None
-) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature as n_hashes columns h0..h{n-1}: xxhash64 the
     shingle once, permute with (a_i*h + b_i) mod p, take per-permutation
-    mins. Pass ``sh`` to reuse already-computed (doc_id, shingle) pairs."""
-    sh = doc_shingles(docs) if sh is None else sh
-    base = sh.withColumn(
+    mins. Reads the exploded view of the cached shingle-set table, so the
+    expensive split/shingle pass is shared with the verify step and the
+    other dedup queries. (An Arrow/numpy segment-min variant was measured
+    SLOWER here: the corpus arrives in O(1) input partitions locally, so
+    one Python worker serializes the whole hash table while the JVM agg
+    parallelizes over shuffle partitions and keeps codegen.)"""
+    base = doc_shingles(docs).withColumn(
         "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     )
     aggs = [
@@ -205,28 +224,25 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Full E2 pipeline: LSH candidates → exact-Jaccard verification computed
     for the CANDIDATE PAIRS ONLY — never the full cross product. This is the
     whole point of LSH at 100 TB: the expensive exact measure runs on
-    O(candidates), not O(n²)."""
-    sh = doc_shingles(docs)
-    sig = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sig)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    O(candidates), not O(n²).
+
+    Verification attaches each side's cached shingle ARRAY and intersects
+    in-row (``array_intersect`` over per-doc distinct sets == the exploded
+    equi-join count, without re-exploding the corpus or a per-pair
+    shuffle). Candidate pairs stay narrow (two ids) until this last step."""
+    shs = doc_shingle_sets(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            / (F.size("sa") + F.size("sb") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
