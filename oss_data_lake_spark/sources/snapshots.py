@@ -19,6 +19,15 @@ Design (scaled-down Iceberg):
   dir is unreferenced garbage, reclaimed by ``vacuum``).
 - ``rollback(v)`` never deletes: it creates a NEW snapshot whose file list
   equals the old one — exactly Iceberg's ``rollback_to_snapshot``.
+- **Schema evolution**: every manifest records the table schema AS OF that
+  snapshot. Appends may add columns or widen types (int→long,
+  float→double, int/long→double — Iceberg's safe promotions); reads at a
+  version project every data file onto *that version's* schema, so files
+  written before a column existed yield NULL for it, files written with
+  narrower types are upcast, and time-travel reads reproduce the old
+  schema exactly (a column added later is invisible at the old version).
+  Incompatible appends (type narrowing, column type change) are rejected
+  at commit time. Overwrite commits may reshape the schema freely.
 
 At 100 TB: manifests store directory-level (not file-level) entries and the
 data volume per commit is written partition-parallel by Spark; the manifest
@@ -35,6 +44,27 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Iceberg's safe type promotions (spec §Schemas: int→long, float→double,
+# decimal precision widening — we support the primitive pair plus the
+# int-family→double convenience Spark casts losslessly for int/long)
+_WIDENINGS: set[tuple[str, str]] = {
+    ("integer", "long"),
+    ("float", "double"),
+    ("integer", "double"),
+    ("long", "double"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+}
+
+
+def _compatible(old: T.DataType, new: T.DataType) -> bool:
+    return old == new or (old.typeName(), new.typeName()) in _WIDENINGS
 
 
 class SnapshotTable:
@@ -57,6 +87,8 @@ class SnapshotTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
         parent = self.current_version()
+        if mode == "append" and parent:
+            self._check_evolution(self.schema(parent), df.schema)
         version = (parent or 0) + 1
         data_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.path, data_dir))
@@ -69,10 +101,32 @@ class SnapshotTable:
             "parent": parent,
             "mode": mode,
             "data_dirs": dirs,
+            # the table schema AS OF this snapshot: appends adopt the new
+            # (possibly evolved) write schema — older files are projected
+            # onto it at read time
+            "schema": df.schema.jsonValue(),
             "committed_at_ms": int(time.time() * 1000),
         }
         self._publish(version, manifest)
         return version
+
+    def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
+        """Append-mode schema contract: existing columns keep (or widen)
+        their types; columns may be added; dropping a column in an append
+        is rejected (drop = overwrite's job — an append must not make
+        parent data unreachable through the current schema)."""
+        new_fields = {f.name: f for f in new.fields}
+        for f in old.fields:
+            nf = new_fields.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"append drops column '{f.name}'; use mode='overwrite'"
+                )
+            if not _compatible(f.dataType, nf.dataType):
+                raise ValueError(
+                    f"append changes '{f.name}' {f.dataType.simpleString()}"
+                    f" -> {nf.dataType.simpleString()} (not a safe widening)"
+                )
 
     def rollback(self, version: int) -> int:
         """New snapshot exposing exactly the file set of ``version``."""
@@ -84,6 +138,8 @@ class SnapshotTable:
             "parent": cur,
             "mode": f"rollback_to_{version}",
             "data_dirs": old["data_dirs"],
+            # rollback restores the rolled-to snapshot's schema too
+            "schema": old.get("schema"),
             "committed_at_ms": int(time.time() * 1000),
         }
         self._publish(new_version, manifest)
@@ -92,14 +148,48 @@ class SnapshotTable:
     # ------------------------------------------------------------- reads
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Read the table at ``version`` (default: current snapshot)."""
+        """Read the table at ``version`` (default: current snapshot),
+        projected onto that version's schema: files from commits before a
+        column existed yield NULL for it, narrower-typed files are upcast,
+        and columns unknown to the snapshot's schema are invisible."""
         v = version if version is not None else self.current_version()
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
         dirs = [
             os.path.join(self.path, d) for d in self._manifest(v)["data_dirs"]
         ]
-        return self.spark.read.parquet(*dirs)
+        target = self.schema(v)
+        if target is None:  # pre-evolution manifest
+            return self.spark.read.parquet(*dirs)
+        # per-dir projection + union: each child stays an independent pruned
+        # scan (filters and column pruning push through Union), so the plan
+        # at scale is the same parallel multi-dir scan with a cast on top
+        parts = [
+            self._align(self.spark.read.parquet(d), target) for d in dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        """The table schema as of ``version`` (None for legacy manifests)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        s = self._manifest(v).get("schema")
+        return T.StructType.fromJson(s) if s else None
+
+    @staticmethod
+    def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+        cols = []
+        present = set(df.columns)
+        for f in target.fields:
+            if f.name in present:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def current_version(self) -> int | None:
         try:

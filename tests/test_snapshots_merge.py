@@ -128,3 +128,52 @@ def test_warehouse_merge_into_partition_scoped(spark, tmp_path):
         assert rows2 == rows
     finally:
         wh.drop()
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style add-column: appended files carry the new column; files
+    from before it existed read as NULL; time travel reproduces the old
+    schema (the later column is invisible at the old version)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    wide = _df(spark, [(3, "c")]).withColumn("score", F.lit(0.5))
+    t.commit(wide, mode="append")
+
+    cur = t.read()
+    assert cur.columns == ["k", "v", "score"]
+    rows = {r.k: r.score for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+    # time travel: v1's schema has no 'score'
+    assert t.read(1).columns == ["k", "v"]
+    assert [f.name for f in t.schema(2).fields] == ["k", "v", "score"]
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ints = spark.createDataFrame([(1, 10)], "k long, n int")
+    t.commit(ints)
+    longs = spark.createDataFrame([(2, 5_000_000_000)], "k long, n long")
+    t.commit(longs, mode="append")
+
+    cur = t.read()
+    assert dict(cur.dtypes)["n"] == "bigint"  # old int32 files upcast
+    assert sorted(r.n for r in cur.collect()) == [10, 5_000_000_000]
+    # time travel keeps the narrow type
+    assert dict(t.read(1).dtypes)["n"] == "int"
+
+
+def test_schema_evolution_rejects_narrowing_and_drop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 5_000_000_000)], "k long, n long"))
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t.commit(
+            spark.createDataFrame([(2, 1)], "k long, n int"), mode="append"
+        )
+    with pytest.raises(ValueError, match="drops column"):
+        t.commit(spark.createDataFrame([(2,)], "k long"), mode="append")
+    # overwrite may reshape freely, and rollback restores the old schema
+    t.commit(spark.createDataFrame([(9, "x")], "k long, label string"))
+    assert t.read().columns == ["k", "label"]
+    t.rollback(1)
+    assert [f.name for f in t.schema().fields] == ["k", "n"]
+    assert sorted(r.k for r in t.read().collect()) == [1]
