@@ -126,6 +126,107 @@ def media_features_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, media binary, width int, height int, orig_bytes long"
+)
+FRAME_SCHEMA = "doc_id long, frame_index int, byte_offset long, frame binary"
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    media_col: str = "media",
+    resizer: Callable[[bytes, int, int], bytes] | str | None = None,
+) -> DataFrame:
+    """Binary→binary transform plumbing (image resize at scale).
+
+    Real resizing needs an image codec (not in this container):
+    ``resizer="strict"`` raises at the marked integration point; the
+    default fake deterministically resamples the payload to exactly
+    width*height bytes (nearest-neighbor over byte positions — the same
+    index arithmetic a real nearest-neighbor resize performs per pixel
+    row). The plumbing under test is what matters at 100 TB: binary in /
+    binary out through Arrow batches, output size bounded by (width,
+    height) not by input size, payload column pruned everywhere upstream
+    of the mapInPandas stage."""
+    if resizer == "strict":
+        def _strict(_: bytes, __: int, ___: int) -> bytes:
+            raise NotImplementedError(
+                "real image resizing requires a codec library not present "
+                "in this environment; inject a resizer callable"
+            )
+        fn: Callable[[bytes, int, int], bytes] = _strict
+    else:
+        def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+            n = len(payload)
+            if n == 0:
+                return b"\x00" * (w * h)
+            return bytes(payload[(i * n) // (w * h)] for i in range(w * h))
+
+        fn = resizer or _fake_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[media_col].map(bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": payloads.map(lambda b: fn(b, width, height)),
+                    "width": width,
+                    "height": height,
+                    "orig_bytes": payloads.map(len),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    max_frames: int = 16,
+    media_col: str = "media",
+) -> DataFrame:
+    """Frame sampling plumbing (video → sampled frames, one row per frame).
+
+    Treats the payload as a sequence of fixed-size frames and emits every
+    ``stride``-th one (up to ``max_frames``) — the 1→N batch shape a real
+    video sampler produces. At 100 TB the explosion factor is bounded by
+    max_frames, each output row carries only its frame's bytes (never the
+    whole video), and the stage parallelizes per input partition with no
+    shuffle. A real demuxer slots in by replacing the byte-slicing loop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[media_col]):
+                payload = bytes(payload)
+                n_frames = max(len(payload) // frame_bytes, 0)
+                for k, fi in enumerate(range(0, n_frames, stride)):
+                    if k >= max_frames:
+                        break
+                    off = fi * frame_bytes
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(off)
+                    frames.append(payload[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 QUERIES = {
     "e60_binary_metadata_stats": binary_metadata_stats,
     "e61_media_features_stats": media_features_stats,
