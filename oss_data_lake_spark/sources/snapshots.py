@@ -207,7 +207,55 @@ class SnapshotTable:
                     out.append(json.load(f))
         return sorted(out, key=lambda m: m["version"])
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental scan: rows ADDED after ``from_version`` up to
+        ``to_version`` (default current) — Iceberg's incremental-append
+        scan, the primitive an incremental training pipeline consumes
+        ("process only the documents ingested since my last run").
+
+        Valid across append/rollback-of-append chains only: an overwrite
+        between the two versions rewrites history, so there is no
+        well-defined delta — we raise rather than silently replay the
+        whole table."""
+        to_v = to_version if to_version is not None else self.current_version()
+        if to_v is None or from_version > to_v:
+            raise ValueError(f"bad version range: {from_version}..{to_v}")
+        base = set(self._manifest(from_version)["data_dirs"])
+        head = self._manifest(to_v)
+        if not base <= set(head["data_dirs"]):
+            raise ValueError(
+                f"snapshot {to_v} is not an append descendant of "
+                f"{from_version} (an overwrite intervened); read the full "
+                f"snapshot instead"
+            )
+        new_dirs = [d for d in head["data_dirs"] if d not in base]
+        target = self.schema(to_v)
+        if not new_dirs:
+            if target is None:
+                raise ValueError("no changes and no schema to shape an empty result")
+            return self.spark.createDataFrame([], target)
+        parts = [
+            self._align(self.spark.read.parquet(os.path.join(self.path, d)), target)
+            if target is not None
+            else self.spark.read.parquet(os.path.join(self.path, d))
+            for d in new_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ----------------------------------------------------------- cleanup
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the CURRENT snapshot's (possibly many small) data dirs
+        into one coalesced dir as a NEW snapshot — Iceberg's
+        ``rewrite_data_files``. History is untouched (old snapshots still
+        reference the old dirs); pair with ``vacuum`` after expiring them.
+        At scale ``target_partitions`` sizes output files; the rewrite is
+        one partition-parallel pass with no shuffle (coalesce)."""
+        cur = self.read()
+        return self.commit(cur.coalesce(target_partitions), mode="overwrite")
 
     def vacuum(self) -> list[str]:
         """Delete data directories unreachable from ANY snapshot (crash

@@ -14,13 +14,8 @@ shards by key across executors; no unbounded growth (timestamps, not rows).
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
-
-if TYPE_CHECKING:
-    pass
 
 SESSION_GAP_SECONDS = 1800
 

@@ -177,3 +177,38 @@ def test_schema_evolution_rejects_narrowing_and_drop(spark, tmp_path):
     t.rollback(1)
     assert [f.name for f in t.schema().fields] == ["k", "n"]
     assert sorted(r.k for r in t.read().collect()) == [1]
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """Iceberg-style incremental scan: only rows appended since a version."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = t.commit(_df(spark, [(1, "a")]))
+    v2 = t.commit(_df(spark, [(2, "b")]), mode="append")
+    v3 = t.commit(_df(spark, [(3, "c"), (4, "d")]), mode="append")
+
+    assert sorted(r.k for r in t.read_changes(v1).collect()) == [2, 3, 4]
+    assert sorted(r.k for r in t.read_changes(v2, v3).collect()) == [3, 4]
+    assert t.read_changes(v3).count() == 0  # empty delta, schema preserved
+    assert t.read_changes(v3).columns == ["k", "v"]
+
+    # an overwrite breaks the append lineage -> explicit error, not replay
+    t.commit(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="append descendant"):
+        t.read_changes(v1)
+
+
+def test_compact_rewrites_current_snapshot_only(spark, tmp_path):
+    import glob
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = t.commit(_df(spark, [(1, "a")]).repartition(4))
+    t.commit(_df(spark, [(2, "b")]).repartition(4), mode="append")
+    vc = t.compact()
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # compacted snapshot is one dir with one data file
+    m = t.versions()[-1]
+    assert m["version"] == vc and len(m["data_dirs"]) == 1
+    files = glob.glob(str(tmp_path / "tbl" / m["data_dirs"][0] / "*.parquet"))
+    assert len(files) == 1
+    # history intact: pre-compaction snapshots unchanged
+    assert sorted(r.k for r in t.read(v1).collect()) == [1]
