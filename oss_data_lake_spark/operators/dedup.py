@@ -185,10 +185,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Band the signature, hash each band, self-join on (band, bucket)."""
+    """(doc_id, band, bucket) — the persistable LSH index rows for a
+    signature table. An incremental pipeline stores these and joins NEW
+    docs' bands against the stored index instead of re-signing the corpus
+    (`operators/incremental.py`)."""
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -201,9 +204,16 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, bucket)."""
+    banded = band_table(sig, n_hashes, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
