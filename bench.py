@@ -22,10 +22,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative headline set: scan-agg, star joins, windows, top-k, dedup
 # (exact + LSH + exhaustive), similarity (exact + fast), as-of, tumbling.
-# Round 3 adds: e26 (IVF-bucketed near-dup — the production path; its
-# all-pairs truth twin e25 takes 56.7 s at sf0.1 vs e26's ~7 s, an 8×
+# Round 3 adds: e26 (IVF near-dup, BLAS-blocked — the production path; its
+# all-pairs truth twin e25 takes 56.7 s at sf0.1 vs e26's ~2.8 s, a 20×
 # gap that grows quadratically — measured once in BASELINE.md, not
-# re-benched every round) and m01 (MERGE upsert).
+# re-benched every round), e22 (IVF top-k), e27 (binary-quantized top-k),
+# and m01 (MERGE upsert).
 HEADLINE = [
     "a13_flagship_daily_avg",
     "b01_tpch_q1_pricing_summary",
@@ -38,7 +39,9 @@ HEADLINE = [
     "e12_ngram_jaccard_pairs",
     "e20_cosine_topk_exact",
     "e21_cosine_topk_fast",
+    "e22_ann_ivf_topk",
     "e26_ivf_neardup_pairs",
+    "e27_binary_quantized_topk",
     "e30_asof_error_before_purchase",
     "e50_tumbling_hourly",
     "e51_session_stats",

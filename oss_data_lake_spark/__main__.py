@@ -9,6 +9,7 @@ collapsed into subcommands over one engine:
     compact PATH                       # merge small files per partition
     query NAME --sf-dir DIR            # run a named inventory query
     list                               # list the query inventory
+    serve [--port P]                   # JDBC endpoint (Metabase/beeline)
 """
 
 from __future__ import annotations
@@ -40,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("-n", type=int, default=20, help="rows to show")
 
     sub.add_parser("list", help="list the query inventory")
+
+    p_srv = sub.add_parser(
+        "serve", help="publish the lake over JDBC (HiveServer2 protocol)"
+    )
+    p_srv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_srv.add_argument("--port", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -76,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         queries[args.name](eng.spark, args.sf_dir).show(args.n, truncate=False)
+    elif args.cmd == "serve":
+        from oss_data_lake_spark import serving
+
+        handle = serving.serve(eng.spark, args.sf_dir, port=args.port)
+        print(f"JDBC endpoint ready: {handle.jdbc_url}")
+        print("tables published under global_temp.*  (Ctrl-C to stop)")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(60)
+        except KeyboardInterrupt:
+            handle.stop()
     return 0
 
 
