@@ -257,6 +257,25 @@ class SnapshotTable:
         cur = self.read()
         return self.commit(cur.coalesce(target_partitions), mode="overwrite")
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg's ``expire_snapshots``: drop manifests older than the
+        newest ``keep_last`` versions, then vacuum newly-unreferenced data
+        dirs. The CURRENT pointer is never expired; returns the expired
+        version numbers. Time travel to expired versions stops working —
+        that is the point (bounded metadata + reclaimable storage)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = [m["version"] for m in self.versions()]
+        cur = self.current_version()
+        keep = set(versions[-keep_last:])
+        if cur is not None:
+            keep.add(cur)
+        expired = [v for v in versions if v not in keep]
+        for v in expired:
+            os.remove(os.path.join(self._meta, f"v{v}.json"))
+        self.vacuum()
+        return expired
+
     def vacuum(self) -> list[str]:
         """Delete data directories unreachable from ANY snapshot (crash
         leftovers). Never touches referenced files."""

@@ -102,3 +102,45 @@ def test_band_index_matches_fresh_computation(spark, tmp_path):
         for r in band_table(minhash_signatures(c.read())).collect()
     }
     assert stored == fresh
+
+
+def test_streaming_corpus_builder_end_to_end(spark, tmp_path):
+    """Landing files -> streaming micro-batches -> deduplicated corpus
+    snapshots; a second drain with the same checkpoint ingests nothing
+    (exactly-once composition), and a REPLAYED batch (fresh checkpoint over
+    the same landing data) lands entirely as cross-dups — idempotent."""
+    from oss_data_lake_spark.streaming.corpus_stream import start_corpus_stream
+
+    landing = str(tmp_path / "landing")
+    corpus_path = str(tmp_path / "corpus")
+
+    _docs(spark, [(1, _text(1), "web"), (2, _text(2), "web")]).write.parquet(
+        landing + "/batch0"
+    )
+    _docs(spark, [(3, _text(1), "crawl"), (4, _text(4), "crawl")]).write.parquet(
+        landing + "/batch1"
+    )
+
+    q = start_corpus_stream(
+        spark, landing + "/*", corpus_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    c = IncrementalCorpus(spark, corpus_path)
+    survivors = {r.doc_id for r in c.read().collect()}
+    # doc 3 duplicates doc 1's text -> exactly one of them survives
+    assert survivors in ({1, 2, 4}, {2, 3, 4})
+    v_after = c.docs.current_version()
+
+    # same checkpoint: nothing re-delivered, corpus untouched
+    q2 = start_corpus_stream(
+        spark, landing + "/*", corpus_path, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert c.docs.current_version() == v_after
+
+    # fresh checkpoint = full replay: every doc is a cross-dup, no growth
+    q3 = start_corpus_stream(
+        spark, landing + "/*", corpus_path, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination(120)
+    assert {r.doc_id for r in c.read().collect()} == survivors

@@ -108,3 +108,53 @@ def test_random_grouped_decimal_sums_agree(engines, pred, key):
         for r in con.execute(sql).fetchall()
     }
     assert s_rows == d_rows, pred
+
+
+# ---------------------------------------------------------------------------
+# Snapshot layer state machine: random commit/append/rollback sequences must
+# leave every historical version readable and equal to a pure-Python model.
+# ---------------------------------------------------------------------------
+
+_snapshot_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_snapshot_ops)
+def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    path = tmp_path_factory.mktemp("snap")
+    t = SnapshotTable(spark, str(path))
+    model: dict[int, list[int]] = {}  # version -> multiset of k values
+
+    for op, arg in ops:
+        if op == "rollback":
+            if not model:
+                continue
+            versions = sorted(model)
+            target = versions[arg % len(versions)]
+            v = t.rollback(target)
+            model[v] = list(model[target])
+        else:
+            rows = arg
+            df = spark.createDataFrame([(k,) for k in rows], "k long")
+            v = t.commit(df, mode=op)
+            prev = model.get(v - 1, [])
+            model[v] = (prev + rows) if (op == "append" and prev) else list(rows)
+
+    assert t.current_version() == max(model)
+    for v, expected in model.items():
+        got = sorted(r.k for r in t.read(v).collect())
+        assert got == sorted(expected), (v, got, expected)

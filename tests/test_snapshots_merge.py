@@ -212,3 +212,24 @@ def test_compact_rewrites_current_snapshot_only(spark, tmp_path):
     assert len(files) == 1
     # history intact: pre-compaction snapshots unchanged
     assert sorted(r.k for r in t.read(v1).collect()) == [1]
+
+
+def test_expire_snapshots_prunes_history_and_storage(spark, tmp_path):
+    import glob
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.commit(_df(spark, [(2, "b")]))  # overwrite: v1's dir now only in v1
+    t.commit(_df(spark, [(3, "c")]), mode="append")
+
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [1]
+    assert [m["version"] for m in t.versions()] == [2, 3]
+    # v1's data dir is gone from disk; current read unaffected
+    assert len(glob.glob(str(tmp_path / "tbl" / "data" / "c1-*"))) == 0
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        t.read(1)
+    # current version always survives even with keep_last=1
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
