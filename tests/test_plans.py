@@ -172,3 +172,22 @@ def test_merge_upsert_is_single_anti_join(spark, sf_dir):
     txt = explain_str(merge_upsert_orders(spark, sf_dir), mode="simple")
     assert txt.count("LeftAnti") == 1, txt
     assert "CartesianProduct" not in txt
+
+
+def test_dedup_queries_share_cached_shingle_table(spark, sf_dir):
+    """e11's plan substitutes the cached array-level shingle table
+    (InMemoryRelation) for every shingle reference — signatures and both
+    verify sides read one materialization instead of re-splitting the
+    corpus; e12 picks up the SAME cache by plan equality."""
+    from oss_data_lake_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_dedup_pairs,
+        shingle_jaccard_pairs,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    e11 = explain_str(minhash_dedup_pairs(docs, JACCARD_THRESHOLD))
+    assert "InMemoryTableScan" in e11 or "InMemoryRelation" in e11, e11
+    e12 = explain_str(shingle_jaccard_pairs(docs, JACCARD_THRESHOLD))
+    assert "InMemoryTableScan" in e12 or "InMemoryRelation" in e12, e12

@@ -154,6 +154,9 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
             prev = model.get(v - 1, [])
             model[v] = (prev + rows) if (op == "append" and prev) else list(rows)
 
+    if not model:  # sequence was all no-op rollbacks on an empty table
+        assert t.current_version() is None
+        return
     assert t.current_version() == max(model)
     for v, expected in model.items():
         got = sorted(r.k for r in t.read(v).collect())
