@@ -56,6 +56,15 @@ def main() -> None:
     queries["a14_count_star"](spark, SF_DIR).write.mode("overwrite").format(
         "noop"
     ).save()
+    # Python-worker warmup: a long-running cluster keeps its worker pool
+    # alive (spark.python.worker.reuse defaults true), so Arrow-stage
+    # queries (e26) shouldn't be charged the one-time interpreter spawn
+    def _noop(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(
+        _noop, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
