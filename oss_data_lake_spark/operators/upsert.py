@@ -44,6 +44,73 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     return source.unionByName(survivors)
 
 
+def merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    when_not_matched: str | None = "insert",
+) -> DataFrame:
+    """Full MERGE clause semantics, set-based (Trino/Iceberg ``MERGE INTO``
+    over the reference's warehouse — WHEN MATCHED [AND cond] THEN
+    UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT):
+
+    - ``when_matched``: ``"update"`` (source row replaces target),
+      ``"delete"`` (matched target row removed), or None (matched target
+      rows untouched).
+    - ``matched_condition``: SQL predicate over the SOURCE row gating the
+      matched clause; matched rows whose source fails it keep the TARGET
+      version (standard fall-through when there is no second clause).
+    - ``when_not_matched``: ``"insert"`` or None.
+
+    Every piece is a keys-equi join (semi/anti) — co-partitioned single
+    shuffle each, no windows, no cartesian; at 100 TB wrap the result in
+    ``Warehouse.merge_into``-style dynamic partition overwrite so only
+    touched partitions rewrite."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"unsupported when_matched: {when_matched}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"unsupported when_not_matched: {when_not_matched}")
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge schema mismatch: target={target.columns} source={source.columns}"
+        )
+    tgt_keys = target.select(*keys)
+    src_matched = source.join(tgt_keys, keys, "left_semi")
+    if matched_condition is not None:
+        cond = F.expr(matched_condition)
+        # SQL ternary logic: the clause fires only when cond IS TRUE; FALSE
+        # and NULL both fall through to keeping the target row
+        src_hit = src_matched.filter(cond)
+        miss_keys = src_matched.filter(
+            ~F.coalesce(cond, F.lit(False))
+        ).select(*keys)
+    else:
+        src_hit = src_matched
+        miss_keys = src_matched.limit(0).select(*keys)
+
+    pieces: list[DataFrame] = []
+    # target rows with no source match always survive
+    pieces.append(target.join(source.select(*keys), keys, "left_anti"))
+    # matched rows whose clause condition failed keep the target version
+    pieces.append(target.join(miss_keys, keys, "left_semi"))
+    if when_matched == "update":
+        pieces.append(src_hit)
+    elif when_matched is None:
+        pieces.append(
+            target.join(src_hit.select(*keys), keys, "left_semi")
+        )
+    # "delete": matched+condition rows contribute nothing
+    if when_not_matched == "insert":
+        pieces.append(source.join(tgt_keys, keys, "left_anti"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _merge_source(orders3: DataFrame) -> DataFrame:
     """Deterministic update+insert source for m01 (pure arithmetic — no
     randomness, reproducible in the oracle)."""

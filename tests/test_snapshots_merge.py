@@ -233,3 +233,63 @@ def test_expire_snapshots_prunes_history_and_storage(spark, tmp_path):
     # current version always survives even with keep_last=1
     t.expire_snapshots(keep_last=1)
     assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, flag int")
+
+
+def test_merge_clause_matrix(spark):
+    """Full MERGE clauses: conditional update, delete, insert-only,
+    matched-no-op — against a fixed target/source pair."""
+    from oss_data_lake_spark.operators.upsert import merge
+
+    target = _kv(spark, [(1, "t1", 0), (2, "t2", 0), (3, "t3", 0)])
+    source = _kv(spark, [(2, "s2", 1), (3, "s3", 0), (4, "s4", 1)])
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    # WHEN MATCHED THEN UPDATE / NOT MATCHED INSERT (classic upsert)
+    assert rows(merge(target, source, ["k"])) == [
+        (1, "t1"), (2, "s2"), (3, "s3"), (4, "s4")
+    ]
+    # WHEN MATCHED AND flag=1 THEN UPDATE: k=3 fails the condition -> target kept
+    assert rows(
+        merge(target, source, ["k"], matched_condition="flag = 1")
+    ) == [(1, "t1"), (2, "s2"), (3, "t3"), (4, "s4")]
+    # WHEN MATCHED AND flag=1 THEN DELETE, no insert
+    assert rows(
+        merge(
+            target, source, ["k"],
+            when_matched="delete", matched_condition="flag = 1",
+            when_not_matched=None,
+        )
+    ) == [(1, "t1"), (3, "t3")]
+    # insert-only merge: matched targets untouched
+    assert rows(
+        merge(target, source, ["k"], when_matched=None)
+    ) == [(1, "t1"), (2, "t2"), (3, "t3"), (4, "s4")]
+
+
+def test_merge_delete_idempotent(spark):
+    from oss_data_lake_spark.operators.upsert import merge
+
+    target = _kv(spark, [(1, "t1", 0), (2, "t2", 0)])
+    source = _kv(spark, [(2, "s2", 1)])
+    once = merge(target, source, ["k"], when_matched="delete",
+                 when_not_matched=None)
+    twice = merge(once, source, ["k"], when_matched="delete",
+                  when_not_matched=None)
+    assert sorted(r.k for r in twice.collect()) == [1]
+
+
+def test_merge_null_condition_falls_through_to_target(spark):
+    from oss_data_lake_spark.operators.upsert import merge
+
+    target = spark.createDataFrame([(1, "t1", 0)], "k long, v string, flag int")
+    source = spark.createDataFrame(
+        [(1, "s1", None)], "k long, v string, flag int"
+    )
+    out = merge(target, source, ["k"], matched_condition="flag = 1")
+    assert [(r.k, r.v) for r in out.collect()] == [(1, "t1")]
