@@ -28,6 +28,15 @@ Design (scaled-down Iceberg):
   schema exactly (a column added later is invisible at the old version).
   Incompatible appends (type narrowing, column type change) are rejected
   at commit time. Overwrite commits may reshape the schema freely.
+- **Partition spec evolution** (Iceberg spec §Partition Evolution): each
+  commit may declare its own ``partition_by`` layout; the spec applies to
+  THAT commit's data directory only. Old data keeps its old layout — no
+  rewrite — and a snapshot can mix directories with different specs
+  because each directory is an independent Hive-partition-discovered scan
+  whose columns are projected onto the snapshot schema. Filters on a
+  partition column prune directories in the sub-scans that are
+  partitioned by it and fall back to row-level filtering in the rest —
+  exactly Iceberg's split-planning behavior across spec changes.
 
 At 100 TB: manifests store directory-level (not file-level) entries and the
 data volume per commit is written partition-parallel by Spark; the manifest
@@ -78,29 +87,59 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ commits
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
         mode='overwrite' → snapshot sees only this commit's files;
         mode='append'    → snapshot sees parent's files + this commit's.
+
+        ``partition_by`` sets THIS commit's physical layout (Hive-style
+        dirs). The spec may differ from earlier commits' — partition spec
+        evolution: new data adopts the new layout, old directories are
+        left untouched and keep pruning under their own spec.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
+        for c in partition_by or []:
+            if c not in df.columns:
+                raise ValueError(f"partition column '{c}' not in dataframe")
         parent = self.current_version()
         if mode == "append" and parent:
             self._check_evolution(self.schema(parent), df.schema)
         version = (parent or 0) + 1
         data_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("errorifexists").parquet(os.path.join(self.path, data_dir))
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, data_dir))
 
         dirs = [data_dir]
+        specs = {data_dir: list(partition_by or [])}
+        dir_schemas = {data_dir: df.schema.jsonValue()}
         if mode == "append" and parent:
-            dirs = self._manifest(parent)["data_dirs"] + dirs
+            pm = self._manifest(parent)
+            dirs = pm["data_dirs"] + dirs
+            specs = {**pm.get("partition_specs", {}), **specs}
+            dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
         manifest = {
             "version": version,
             "parent": parent,
             "mode": mode,
             "data_dirs": dirs,
+            # per-directory partition spec (spec evolution: dirs written
+            # under older specs keep them; absent key = unpartitioned)
+            "partition_specs": specs,
+            # per-directory WRITE schema: reads pass it to the reader so
+            # partition-column values round-trip by declared type (no
+            # directory-name type inference — '01' stays '01') and data
+            # columns read under their exact written types before the
+            # snapshot-schema projection upcasts them
+            "dir_schemas": dir_schemas,
             # the table schema AS OF this snapshot: appends adopt the new
             # (possibly evolved) write schema — older files are projected
             # onto it at read time
@@ -138,6 +177,8 @@ class SnapshotTable:
             "parent": cur,
             "mode": f"rollback_to_{version}",
             "data_dirs": old["data_dirs"],
+            "partition_specs": old.get("partition_specs", {}),
+            "dir_schemas": old.get("dir_schemas", {}),
             # rollback restores the rolled-to snapshot's schema too
             "schema": old.get("schema"),
             "committed_at_ms": int(time.time() * 1000),
@@ -155,22 +196,39 @@ class SnapshotTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
-        dirs = [
-            os.path.join(self.path, d) for d in self._manifest(v)["data_dirs"]
-        ]
+        manifest = self._manifest(v)
         target = self.schema(v)
         if target is None:  # pre-evolution manifest
-            return self.spark.read.parquet(*dirs)
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
+            )
         # per-dir projection + union: each child stays an independent pruned
-        # scan (filters and column pruning push through Union), so the plan
-        # at scale is the same parallel multi-dir scan with a cast on top
+        # scan (filters and column pruning push through Union, partition
+        # filters prune each dir under ITS OWN spec), so the plan at scale
+        # is the same parallel multi-dir scan with a cast on top
         parts = [
-            self._align(self.spark.read.parquet(d), target) for d in dirs
+            self._align(self._read_dir(manifest, d), target)
+            for d in manifest["data_dirs"]
         ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_dir(self, manifest: dict, rel_dir: str) -> DataFrame:
+        """Scan one data directory under its exact WRITE schema when the
+        manifest recorded it: data columns load as written (the snapshot
+        projection upcasts afterwards) and Hive partition values parse
+        under their declared type instead of directory-name inference —
+        a string key '01' stays '01', never int 1."""
+        path = os.path.join(self.path, rel_dir)
+        schema_json = manifest.get("dir_schemas", {}).get(rel_dir)
+        if schema_json is None:  # legacy dir: inference, as before
+            return self.spark.read.parquet(path)
+        return (
+            self.spark.read.schema(T.StructType.fromJson(schema_json))
+            .parquet(path)
+        )
 
     def schema(self, version: int | None = None) -> T.StructType | None:
         """The table schema as of ``version`` (None for legacy manifests)."""
@@ -235,7 +293,7 @@ class SnapshotTable:
                 raise ValueError("no changes and no schema to shape an empty result")
             return self.spark.createDataFrame([], target)
         parts = [
-            self._align(self.spark.read.parquet(os.path.join(self.path, d)), target)
+            self._align(self._read_dir(head, d), target)
             if target is not None
             else self.spark.read.parquet(os.path.join(self.path, d))
             for d in new_dirs
@@ -247,15 +305,25 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- cleanup
 
-    def compact(self, target_partitions: int = 1) -> int:
+    def compact(
+        self,
+        target_partitions: int = 1,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the CURRENT snapshot's (possibly many small) data dirs
         into one coalesced dir as a NEW snapshot — Iceberg's
         ``rewrite_data_files``. History is untouched (old snapshots still
         reference the old dirs); pair with ``vacuum`` after expiring them.
         At scale ``target_partitions`` sizes output files; the rewrite is
-        one partition-parallel pass with no shuffle (coalesce)."""
+        one partition-parallel pass with no shuffle (coalesce).
+        ``partition_by`` lets compaction normalize a table whose dirs mix
+        evolved specs onto the latest spec in one pass."""
         cur = self.read()
-        return self.commit(cur.coalesce(target_partitions), mode="overwrite")
+        return self.commit(
+            cur.coalesce(target_partitions),
+            mode="overwrite",
+            partition_by=partition_by,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Iceberg's ``expire_snapshots``: drop manifests older than the

@@ -293,3 +293,62 @@ def test_merge_null_condition_falls_through_to_target(spark):
     )
     out = merge(target, source, ["k"], matched_condition="flag = 1")
     assert [(r.k, r.v) for r in out.collect()] == [(1, "t1")]
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: each commit carries its own
+    layout; old dirs keep the old spec, reads mix both, partition-column
+    values round-trip exactly (leading zeros survive — no dir-name type
+    inference), and time travel reproduces the pre-evolution layout."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df1 = spark.createDataFrame(
+        [("01", 1, "a"), ("02", 2, "b")], "bucket string, k int, v string"
+    )
+    v1 = t.commit(df1, partition_by=["bucket"])
+    # evolve the spec: later append partitions by a different column
+    df2 = spark.createDataFrame(
+        [("03", 3, "c"), ("03", 4, "d")], "bucket string, k int, v string"
+    )
+    v2 = t.commit(df2, mode="append", partition_by=["v"])
+    # physical layout: v1's dir has bucket=..., v2's has v=...
+    m = t.versions()[-1]
+    d1, d2 = m["data_dirs"]
+    assert m["partition_specs"] == {d1: ["bucket"], d2: ["v"]}
+    assert any(
+        p.startswith("bucket=") for p in os.listdir(tmp_path / "tbl" / d1)
+    )
+    assert any(p.startswith("v=") for p in os.listdir(tmp_path / "tbl" / d2))
+
+    # values (incl. string partition keys with leading zeros) round-trip
+    got = {(r.bucket, r.k, r.v) for r in t.read().collect()}
+    assert got == {("01", 1, "a"), ("02", 2, "b"), ("03", 3, "c"), ("03", 4, "d")}
+    assert t.read().schema == df1.schema  # column order/types preserved
+    # time travel sees only the old-spec data
+    assert {r.bucket for r in t.read(v1).collect()} == {"01", "02"}
+    # incremental scan across the spec change yields only the new dir
+    assert {r.k for r in t.read_changes(v1, v2).collect()} == {3, 4}
+
+
+def test_partition_evolution_pruning_and_rollback(spark, tmp_path):
+    """A filter on a partition column prunes the dir partitioned by it
+    (PartitionFilters in its sub-scan) while still row-filtering the
+    other-spec dir; rollback restores the old spec metadata."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    rows = [(f"b{i % 3}", i, f"x{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "bucket string, k int, v string")
+    v1 = t.commit(df, partition_by=["bucket"])
+    t.commit(df, mode="append")  # unpartitioned append (spec change)
+
+    got = t.read().filter(F.col("bucket") == "b1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert got.count() == 20  # 10 from each dir
+
+    v3 = t.rollback(v1)
+    m = t.versions()[-1]
+    assert v3 == 3
+    assert list(m["partition_specs"].values()) == [["bucket"]]
+    assert t.read().count() == 30
+
+    with pytest.raises(ValueError):
+        t.commit(df.drop("bucket"), partition_by=["bucket"])
