@@ -43,6 +43,7 @@ HEADLINE = [
     "e26_ivf_neardup_pairs",
     "e27_binary_quantized_topk",
     "e30_asof_error_before_purchase",
+    "e44_gopher_quality",
     "e50_tumbling_hourly",
     "e51_session_stats",
     "m01_merge_upsert_orders",

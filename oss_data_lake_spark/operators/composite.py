@@ -219,6 +219,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("b05", "b05_anti_join_small_spenders",
              {"k1": ("c_custkey"), "k2": ("c_mktsegment")},
              {"k1": "c_custkey", "k2": "c_mktsegment"}),
+            ("b22", "b22_late_shipment_orders",
+             {"k1": ("o_orderpriority"), "v1": ("n_orders")},
+             {"k1": "o_orderpriority", "v1": "n_orders"}),
         ],
         "b43_subquery_families": [
             ("b16", "b16_above_avg_orders",
@@ -229,6 +232,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": ("n_name"), "v1": ("n_customers"),
               "v2": ("n_suppliers")},
              {"k1": "n_name", "v1": "n_customers", "v2": "n_suppliers"}),
+            ("b25", "b25_small_quantity_revenue",
+             {"v1": ("n_items"), "v2": ("total_price")},
+             {"v1": "n_items", "v2": "total_price"}),
         ],
         "b44_topk_patterns": [
             ("b02", "b02_topk_revenue_orders",

@@ -193,16 +193,118 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrub patterns (ASCII-conservative; identical leftmost-first match
+# semantics in Java regex and RE2, so Spark and DuckDB redact identically)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e74: PII redaction — scrub emails/phone numbers to placeholder tokens
+    and account for what was removed, per source.
+
+    The fixture corpus contains no PII, so the query first seeds
+    deterministic synthetic PII (an email on ``doc_id % 7 == 0``, a phone
+    on ``doc_id % 7 == 3``) and then runs the production scrub path:
+    ``regexp_replace`` chains, all JVM-side. At 100 TB the scrub is a
+    narrow codegen'd scan (regex per row, no shuffle); the accounting is
+    one small per-source aggregation. In production the seeding stage is
+    dropped and the scrub applies directly to the raw corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    n_em = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_ph = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    return (
+        seeded.select(
+            "source",
+            n_em.alias("n_em"),
+            n_ph.alias("n_ph"),
+            (F.length("text") - F.length(redacted)).cast("long").alias("len_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_em").cast("long")).alias("n_emails"),
+            F.sum(F.col("n_ph").cast("long")).alias("n_phones"),
+            F.sum(
+                ((F.col("n_em") == 0) & (F.col("n_ph") == 0)).cast("long")
+            ).alias("n_clean_docs"),
+            F.sum("len_delta").alias("sum_len_delta"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
     "e72_stratified_sample_report": stratified_sample_report,
     "e73_chunk_dedup_stats": chunk_dedup_stats,
+    "e74_pii_redaction": pii_redaction_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
 
 ORACLES = {
+    "e74_pii_redaction": f"""
+        WITH seeded AS (
+          SELECT source,
+                 CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                      WHEN doc_id % 7 = 3
+                        THEN text || ' call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             || ' today'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        red AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_em,
+                 len(regexp_extract_all(text, '{PHONE_RE}')) AS n_ph,
+                 length(text)
+                   - length(regexp_replace(regexp_replace(text, '{EMAIL_RE}',
+                                                          '<EMAIL>', 'g'),
+                                           '{PHONE_RE}', '<PHONE>', 'g'))
+                   AS len_delta
+          FROM seeded
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_em) AS BIGINT) AS n_emails,
+               CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+               CAST(SUM(CASE WHEN n_em = 0 AND n_ph = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean_docs,
+               CAST(SUM(len_delta) AS BIGINT) AS sum_len_delta
+        FROM red GROUP BY source ORDER BY source
+    """,
     "e73_chunk_dedup_stats": f"""
         WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
                    FROM documents),

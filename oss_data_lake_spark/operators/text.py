@@ -13,9 +13,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oss_data_lake_spark.functions.deterministic import davg, sql_davg
 from oss_data_lake_spark.sources.loaders import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to")
+
+# Gopher-style quality-rule thresholds (Rae et al. 2021 §A1.1 "quality
+# filtering", adapted to the fixture's 10-99-token documents: the paper's
+# 50..100k word bounds use the corpus scale, the ratio rules carry over)
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 90
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.1  # '#' or '...' per word
+MIN_ALPHA_RATIO = 0.8  # words containing at least one alphabetic char
+MIN_DISTINCT_STOPWORDS = 2
+MAX_TOP_UNIGRAM_RATIO = 0.15  # most frequent word's share of all tokens
+MAX_DUP_LINE_RATIO = 0.3  # repetition: duplicate-line fraction
 
 # language → marker stopwords, tie-broken in this order (deterministic CASE)
 LANG_MARKERS = {
@@ -124,11 +138,98 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 Gopher-style quality rules (Rae et al. 2021) + repetition signals,
+    aggregated per source: word-count bounds, mean word length, symbol
+    ratio, alphabetic-word ratio, stopword presence, top-unigram share
+    (repetition), duplicate-line fraction (repetition).
+
+    Every rule is a JVM-side Catalyst higher-order-function expression over
+    one narrow scan of ``documents`` — no Python, no shuffle before the
+    final per-source aggregation. The top-unigram share is computed
+    in-row (``transform`` over distinct tokens × ``filter`` count), which
+    is O(tokens × distinct) per document — bounded by document length, so
+    at 100 TB it stays an embarrassingly parallel scan instead of an
+    explode + per-doc-word shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    scored = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.expr("aggregate(split(text, ' '), 0L, (a, t) -> a + length(t))").cast(
+                "double"
+            )
+            / n
+        ).alias("mean_wl"),
+        (F.expr(r"regexp_count(text, '#|\\.\\.\\.')").cast("double") / n).alias(
+            "sym_ratio"
+        ),
+        (
+            F.expr("size(filter(split(text, ' '), t -> t rlike '[a-zA-Z]'))").cast(
+                "double"
+            )
+            / n
+        ).alias("alpha_ratio"),
+        F.expr(
+            "size(array_intersect(array_distinct(split(text, ' ')), "
+            f"array({', '.join(repr(s) for s in STOPWORDS)})))"
+        ).alias("n_stop_distinct"),
+        (
+            F.expr(
+                "array_max(transform(array_distinct(split(text, ' ')), "
+                "d -> size(filter(split(text, ' '), t -> t = d))))"
+            ).cast("double")
+            / n
+        ).alias("top_uni_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.split(F.col("text"), "\n"))).cast("double")
+            / F.size(F.split(F.col("text"), "\n")).cast("double")
+        ).alias("dup_line_ratio"),
+    )
+    fails = {
+        "n_fail_wordcount": ~F.col("n_tokens").between(
+            GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS
+        ),
+        "n_fail_meanlen": ~F.col("mean_wl").between(
+            MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN
+        ),
+        "n_fail_symbols": F.col("sym_ratio") > MAX_SYMBOL_RATIO,
+        "n_fail_alpha": F.col("alpha_ratio") < MIN_ALPHA_RATIO,
+        "n_fail_stopwords": F.col("n_stop_distinct") < MIN_DISTINCT_STOPWORDS,
+        "n_fail_topuni": F.col("top_uni_ratio") > MAX_TOP_UNIGRAM_RATIO,
+        "n_fail_duplines": F.col("dup_line_ratio") > MAX_DUP_LINE_RATIO,
+    }
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(cond.cast("long")).alias(name)
+            for name, cond in fails.items()
+        ],
+        F.sum(
+            (~reduce_or(list(fails.values()))).cast("long")
+        ).alias("n_pass"),
+        davg("mean_wl", "avg_mean_word_len"),
+        davg("top_uni_ratio", "avg_top_unigram_ratio"),
+    ]
+    return scored.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def reduce_or(conds: list[F.Column]) -> F.Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 QUERIES = {
     "e40_text_stats": text_stats,
     "e41_langid_confusion": langid_confusion,
     "e42_token_count_bpe": token_count_bpe,
     "e43_fingerprints": fingerprints,
+    "e44_gopher_quality": gopher_quality_report,
 }
 
 
@@ -181,5 +282,47 @@ ORACLES = {
                                       t -> CAST(ascii(t) * 1000 + length(t) AS BIGINT))),
                    (a, x) -> (a * 31 + x) % {ROLLING_MOD}) AS rolling_fp
         FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "e44_gopher_quality": f"""
+        WITH scored AS (
+          SELECT source,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wl,
+                 CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sym_ratio,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_ratio,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    [{", ".join(repr(s) for s in STOPWORDS)}])) AS n_stop_distinct,
+                 CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                        x -> len(list_filter(string_split(text, ' '), t -> t = x)))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS top_uni_ratio,
+                 CAST(1 AS DOUBLE)
+                   - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                     / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_ratio
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+               CAST(SUM(CASE WHEN NOT (mean_wl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+               CAST(SUM(CASE WHEN sym_ratio > {MAX_SYMBOL_RATIO} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbols,
+               CAST(SUM(CASE WHEN alpha_ratio < {MIN_ALPHA_RATIO} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+               CAST(SUM(CASE WHEN n_stop_distinct < {MIN_DISTINCT_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+               CAST(SUM(CASE WHEN top_uni_ratio > {MAX_TOP_UNIGRAM_RATIO} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_topuni,
+               CAST(SUM(CASE WHEN dup_line_ratio > {MAX_DUP_LINE_RATIO} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_duplines,
+               CAST(SUM(CASE WHEN (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+                             AND (mean_wl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+                             AND sym_ratio <= {MAX_SYMBOL_RATIO}
+                             AND alpha_ratio >= {MIN_ALPHA_RATIO}
+                             AND n_stop_distinct >= {MIN_DISTINCT_STOPWORDS}
+                             AND top_uni_ratio <= {MAX_TOP_UNIGRAM_RATIO}
+                             AND dup_line_ratio <= {MAX_DUP_LINE_RATIO}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               {sql_davg("mean_wl")} AS avg_mean_word_len,
+               {sql_davg("top_uni_ratio")} AS avg_top_unigram_ratio
+        FROM scored GROUP BY source ORDER BY source
     """,
 }

@@ -253,3 +253,83 @@ def test_binary_quantized_topk_recall(spark, sf_dir):
     assert len(hits) / len(bf) >= 0.6, f"recall {len(hits)/len(bf):.2f}"
     for k in hits:
         assert bq[k] == bf[k]  # exact rerank: identical rounded cosines
+
+
+def test_gopher_quality_rules_consistent(spark, sf_dir):
+    """e44: per-source failure counts are internally consistent (pass +
+    at-least-one-fail == docs) and each rule matches a hand check on a
+    crafted corpus with known violations."""
+    from oss_data_lake_spark.operators.text import gopher_quality_report
+
+    rep = gopher_quality_report(spark, sf_dir).collect()
+    assert rep, "empty report"
+    for r in rep:
+        for c in ("n_fail_wordcount", "n_fail_meanlen", "n_fail_symbols",
+                  "n_fail_alpha", "n_fail_stopwords", "n_fail_topuni",
+                  "n_fail_duplines"):
+            assert 0 <= r[c] <= r.n_docs
+        assert 0 <= r.n_pass <= r.n_docs
+        # a doc passing all rules is not counted in any failure bucket
+        assert r.n_pass + max(r.n_fail_wordcount, r.n_fail_meanlen,
+                              r.n_fail_symbols, r.n_fail_alpha,
+                              r.n_fail_stopwords, r.n_fail_topuni,
+                              r.n_fail_duplines) <= r.n_docs
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark, tmp_path):
+    """Each Gopher rule trips on a document built to violate it and only
+    it (word-count and stopword side effects controlled)."""
+    import os
+
+    from oss_data_lake_spark.operators.text import gopher_quality_report
+
+    # passes everything: in-bounds length, diverse vocab, stopwords present
+    base = "the a and of to " + " ".join(f"word{i}" for i in range(20))
+    docs = [
+        (0, "ok", base),
+        (1, "short", "the a of"),                          # wordcount
+        (2, "symbols", "the a and of to " + "# " * 24),    # symbol ratio (+meanlen)
+        (3, "repeat", "the a and of to " + "spam " * 40),  # top-unigram
+        (4, "nostop", ("xx " * 30).strip()),               # stopwords
+        (5, "duplines", "the a and of to x\n" + "same line\n" * 20 + "y"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, s, t, "en", len(t)) for i, s, t in docs],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r.source: r for r in gopher_quality_report(spark, sf).collect()}
+    assert rows["ok"].n_pass == 1
+    assert rows["short"].n_fail_wordcount == 1
+    assert rows["symbols"].n_fail_symbols == 1
+    assert rows["repeat"].n_fail_topuni == 1
+    assert rows["nostop"].n_fail_stopwords == 1
+    assert rows["duplines"].n_fail_duplines == 1
+
+
+def test_pii_redaction_scrubs_exactly(spark):
+    """The e74 scrub chain removes every seeded email/phone and nothing
+    else — checked on literal strings, not just counts."""
+    from oss_data_lake_spark.operators.pipeline import EMAIL_RE, PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.b+c%d@sub.example.org thanks",
+             "mail me at <EMAIL> thanks"),
+            ("two: x@y.io and z9@q-r.co end", "two: <EMAIL> and <EMAIL> end"),
+            ("call 555-0199 or 800-1234 now", "call <PHONE> or <PHONE> now"),
+            ("no pii here 12-34 a@b", "no pii here 12-34 a@b"),
+        ],
+        "text string, expected string",
+    )
+    got = df.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("got"),
+        "expected",
+    ).collect()
+    for r in got:
+        assert r.got == r.expected, (r.got, r.expected)
