@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from oss_data_lake_spark.operators import relational as rel
 from oss_data_lake_spark.operators import relational_more as rel2
+from oss_data_lake_spark.operators import similarity as sim
 from oss_data_lake_spark.operators import tier_a
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -121,10 +122,30 @@ def _composite(
 
 
 def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
-    fine_q: dict[str, QueryFn] = {**tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES}
-    fine_o: dict[str, str] = {**tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES}
+    fine_q: dict[str, QueryFn] = {
+        **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
+    }
+    fine_o: dict[str, str] = {
+        **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
+    }
 
     defs: dict[str, list[Arm]] = {
+        # ---- EXT coverage composite ---------------------------------
+        # e23/e24 are function-coverage queries, not showcase operators;
+        # folding them frees standalone slots for new showcase queries
+        # (the showcase EXT surface — e1x/e2x dedup+similarity, e3x-e7x —
+        # stays fine-grained in the driver registry).
+        "e90_embedding_coverage": [
+            ("e23", "e23_embedding_norms",
+             {"k1": ("label"), "v1": ("n"), "v2": ("min_norm"),
+              "v3": ("max_norm")},
+             {"k1": "label", "v1": "n", "v2": "min_norm", "v3": "max_norm"}),
+            ("e24", "e24_array_funcs_coverage",
+             {"k1": ("label"), "v1": ("n"), "v2": ("min_first"),
+              "v3": ("max_last"), "s1": _cw("min_dim", "slice_dim")},
+             {"k1": "label", "v1": "n", "v2": "min_first",
+              "v3": "max_last", "s1": _cw_sql("min_dim", "slice_dim")}),
+        ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [
             ("a12", "a12_avg_by_type",
@@ -306,6 +327,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v1": ("o_totalprice"), "v2": ("sum_qty")},
              {"k1": "o_orderkey", "k2": "o_custkey", "v1": "o_totalprice",
               "v2": "sum_qty"}),
+            ("b37", "b37_most_frequent_parts",
+             {"k1": ("l_partkey"), "v1": ("cnt"), "v2": ("hh_rank")},
+             {"k1": "l_partkey", "v1": "cnt", "v2": "hh_rank"}),
         ],
     }
 

@@ -299,10 +299,34 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def most_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino ``approx_most_frequent`` surface, exact formulation: top-10
+    heavy-hitter part keys by lineitem count, partkey tiebreak. The plan is
+    partial+final hash agg then TakeOrdered (k rows per partition — no
+    global sort, no single-partition window), so it holds at any part-key
+    cardinality; the approximate path (``DataFrame.stat.freqItems``,
+    Karp-Papadimitriou-Shenker one-pass heavy hitters) is pytest-pinned to
+    contain the exact set on skewed data."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    return top.withColumn(
+        "hh_rank", F.row_number().over(w).cast("long")
+    ).orderBy("hh_rank")
+
+
 QUERIES = {
     "b33_multiset_setops": multiset_setops,
     "b34_epoch_conversions": epoch_conversions,
     "b35_null_semantics": null_semantics,
+    "b37_most_frequent_parts": most_frequent_parts,
     "b31_value_histogram": value_histogram,
     "b32_correlated_scalar_subqueries": correlated_scalar_subqueries,
     "b22_late_shipment_orders": late_shipment_orders,
@@ -318,6 +342,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "b37_most_frequent_parts": """
+        WITH c AS (SELECT l_partkey, COUNT(*) AS cnt
+                   FROM lineitem GROUP BY l_partkey),
+        top AS (SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt
+                FROM c ORDER BY cnt DESC, l_partkey LIMIT 10)
+        SELECT l_partkey, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT)
+                 AS hh_rank
+        FROM top ORDER BY hh_rank
+    """,
     "b33_multiset_setops": """
         SELECT tag, l_suppkey, COUNT(*) AS n FROM (
             SELECT 'intersect_all' AS tag, l_suppkey FROM (

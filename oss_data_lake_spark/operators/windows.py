@@ -78,12 +78,109 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6 time-series resample + gap-fill (the classic finance shape the
+    reference's OHLCV model implies: a trading series with holes, carried
+    forward). Per user: collapse purchase events to one value per day
+    (latest wins, event_id tiebreak), expand each user's [first, last] day
+    range into a dense daily calendar (``sequence`` + ``explode``), forward-
+    fill missing days with ``last(value, ignorenulls)``, and report
+    per-user coverage + the decimal-exact sum of the filled series.
+
+    At 100 TB: two key-partitioned shuffles (per-day collapse, per-user
+    fill window) — the calendar explode multiplies rows only by the date
+    span, stays distributed, and never touches the driver. A hot user is
+    AQE-skew-splittable because the fill window needs only per-user
+    ordering."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day_w = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        events.select(
+            "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+        )
+        .withColumn("rn", F.row_number().over(day_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", "value")
+        .alias("daily")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+        .alias("cal")
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = cal.join(
+        daily,
+        (F.col("cal.user_id") == F.col("daily.user_id"))
+        & (F.col("cal.day") == F.col("daily.d")),
+        "left",
+    ).select(
+        F.col("cal.user_id").alias("user_id"),
+        "day",
+        "value",
+    ).withColumn("filled_value", F.last("value", ignorenulls=True).over(fill_w))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("value").isNotNull().cast("long")).alias("n_event_days"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_gap_days"),
+            dsum("filled_value", "sum_filled"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "e50_tumbling_hourly": tumbling_hourly,
     "e51_session_stats": session_stats,
+    "e31_gapfill_daily": gapfill_daily,
 }
 
 ORACLES = {
+    "e31_gapfill_daily": f"""
+        WITH src AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts,
+                   CAST(ts AS DATE) AS d, value
+            FROM events WHERE event_type = 'purchase'),
+        ranked AS (
+            SELECT user_id, d, value,
+                   row_number() OVER (PARTITION BY user_id, d
+                                      ORDER BY tts DESC, event_id DESC) AS rn
+            FROM src),
+        daily AS (SELECT user_id, d, value FROM ranked WHERE rn = 1),
+        bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+                   FROM daily GROUP BY user_id),
+        cal AS (SELECT user_id,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                   CAST(d1 AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds),
+        filled AS (
+            SELECT c.user_id, c.day, d.value,
+                   last_value(d.value IGNORE NULLS)
+                     OVER (PARTITION BY c.user_id ORDER BY c.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_value
+            FROM cal c LEFT JOIN daily d
+              ON c.user_id = d.user_id AND c.day = d.d)
+        SELECT user_id, COUNT(*) AS n_days,
+               CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_event_days,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gap_days,
+               {sql_dsum("filled_value")} AS sum_filled
+        FROM filled GROUP BY user_id ORDER BY user_id
+    """,
     "e50_tumbling_hourly": f"""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type, COUNT(*) AS n, {sql_dsum("value")} AS sum_value

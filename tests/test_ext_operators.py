@@ -333,3 +333,41 @@ def test_pii_redaction_scrubs_exactly(spark):
     ).collect()
     for r in got:
         assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_gapfill_daily_forward_fills_holes(spark, tmp_path):
+    """e31 on a crafted series: day-level collapse takes the latest event
+    (event_id tiebreak), holes carry the previous value forward, and the
+    filled sum reflects the carried values."""
+    import os
+
+    from oss_data_lake_spark.operators.windows import gapfill_daily
+
+    rows = [
+        # user 1: events on Jan 1 (two — later ts wins) and Jan 4 → 4 days,
+        # Jan 2+3 filled with 20.0; sum = 20+20+20+5
+        (1, 1, "2024-01-01 09:00:00", "purchase", 10.0),
+        (2, 1, "2024-01-01 18:00:00", "purchase", 20.0),
+        (3, 1, "2024-01-04 12:00:00", "purchase", 5.0),
+        # user 2: single day
+        (4, 2, "2024-01-02 00:00:00", "purchase", 7.0),
+        # non-purchase noise must be ignored
+        (5, 1, "2024-01-02 10:00:00", "click", 99.0),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r.user_id: r for r in gapfill_daily(spark, sf).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1.n_days, u1.n_event_days, u1.n_gap_days) == (4, 2, 2)
+    assert u1.sum_filled == 20.0 + 20.0 + 20.0 + 5.0
+    assert (u2.n_days, u2.n_event_days, u2.n_gap_days) == (1, 1, 0)
+    assert u2.sum_filled == 7.0
