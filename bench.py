@@ -4,12 +4,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced to full materialization via the noop sink (no driver
-collect cost, no result truncation — measures the whole plan)."""
+collect cost, no result truncation — measures the whole plan).
+
+Timing is MEDIAN-OF-3 per query (round-3 verdict: single-shot samples on a
+machine with ±15% variance made an apparent +41% regression unjudgeable —
+no commit had touched the code path). The three runs of one query are
+consecutive, so the median also absorbs cache-warm ordering effects from
+queries added to or removed from the headline set between rounds."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,12 +73,16 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         _noop, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        samples = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

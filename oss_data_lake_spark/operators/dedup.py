@@ -8,6 +8,14 @@ Four dedup families over ``documents``:
   pairwise Jaccard. Exhaustive variant is the *oracle-checked* truth; at
   100 TB you never run it raw — you run MinHash-LSH first and verify only
   candidates (exactly what ``minhash_lsh_pairs`` does).
+  Both e11 and e12 apply a **document-frequency cap** (``DF_CAP_FRAC``):
+  shingles present in >1% of documents are dropped before any join or
+  signature, mirrored in the DuckDB oracles. Recall contract: Jaccard is
+  then similarity over CONTENT shingles — pairs agreeing only on
+  boilerplate score 0 by design; pairs near-identical in content are
+  unaffected. The quadratic equi-join cost of a hot boilerplate shingle
+  (df²/2 joined rows) disappears; the uncapped form remains available via
+  ``df_cap_frac=None`` and is pytest-pinned against the capped form.
 - **MinHash + LSH** (E2): 64 seeded murmur3 min-hashes per doc → 32 bands
   of 2 → band-bucket self-join → exact-Jaccard verification of candidates.
   Shuffle profile at scale: signatures (1 shuffle on doc), bucket join
@@ -21,9 +29,11 @@ Oracle status: ``e11`` verifies candidates with exact Jaccard, so its OUTPUT
 equals the exhaustive truth whenever LSH recall is 100% — which is a
 deterministic property of (fixed seed, fixed data), holds on every fixture
 (pytest pins candidates ⊇ true pairs), and lets e11 carry the same DuckDB
-oracle as ``e12`` (jaccard-only projection). ``e13`` (SimHash) genuinely
-misses a small tail of true pairs at Hamming band granularity (1-2 pairs on
-the fixtures), so it stays a rows-only driver check by design.
+oracle as ``e12`` (jaccard-only projection). ``e13`` (SimHash) derives its
+bits from ``md5(shingle)`` — portable to DuckDB — so the banded pair set is
+fully oracle-checked too; the banding's recall tail (pairs whose differing
+bits straddle every band) is a property of the ALGORITHM mirrored by both
+engines, not an oracle gap.
 """
 
 from __future__ import annotations
@@ -40,6 +50,19 @@ N_HASHES = 64
 N_BANDS = 32  # 2 rows per band: aggressive recall, verification prunes FPs
 JACCARD_THRESHOLD = 0.3
 SHINGLE_N = 3
+
+# Shingle document-frequency cap (e11/e12): shingles present in more than
+# DF_CAP_FRAC of all documents are dropped BEFORE any join or signature.
+# On web corpora these are boilerplate (headers, nav, license blurbs) and
+# carry the bulk of the equi-join's quadratic cost while carrying no
+# near-dup signal — capping them is standard practice in web-scale dedup.
+# RECALL CONTRACT: Jaccard is computed over the CAPPED shingle sets, i.e.
+# similarity-over-content-shingles. Two documents that agree ONLY on
+# boilerplate score 0 (by design); documents near-identical in content are
+# unaffected because a >1%-df shingle contributes equally to both sides of
+# the uncapped ratio. The uncapped form stays available (df_cap_frac=None)
+# and is pytest-pinned against the capped form on the fixtures.
+DF_CAP_FRAC = 0.01
 
 SIMHASH_BITS = 32
 # Pigeonhole guarantee: catching Hamming distance d needs d+1 bands (one
@@ -105,19 +128,62 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", shingle_array("toks").alias("shset")).cache()
 
 
-def doc_shingles(docs: DataFrame) -> DataFrame:
+def doc_shingle_sets_capped(
+    docs: DataFrame, frac: float = DF_CAP_FRAC
+) -> DataFrame:
+    """(doc_id, shset) with >frac-document-frequency shingles removed.
+
+    Derives from the CACHED uncapped table: one explode computes per-shingle
+    df, the hot set is aggregated into a single bounded array row (at most
+    1/frac × n_hot distinct strings — boilerplate vocabularies are small),
+    broadcast, and removed per-doc with ``array_except``. No extra corpus
+    scan, no shuffle of the documents themselves. Cached for the same
+    plan-equality sharing as the uncapped table (signatures + both verify
+    sides read one materialization)."""
+    shs = doc_shingle_sets(docs)
+    sh = shs.select(F.explode("shset").alias("shingle"))
+    n_docs = shs.select(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.ceil(F.lit(frac) * F.col("n_docs")))
+        .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
+    )
+    return (
+        shs.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("shset", "hot").alias("shset"))
+        .cache()
+    )
+
+
+def _shingle_sets(docs: DataFrame, df_cap_frac: float | None) -> DataFrame:
+    return (
+        doc_shingle_sets(docs)
+        if df_cap_frac is None
+        else doc_shingle_sets_capped(docs, df_cap_frac)
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, df_cap_frac: float | None = None
+) -> DataFrame:
     """(doc_id, shingle) exploded pairs, distinct-per-doc (shingle_array
-    dedups within each document)."""
-    return doc_shingle_sets(docs).select(
+    dedups within each document). ``df_cap_frac`` switches to the
+    document-frequency-capped shingle sets."""
+    return _shingle_sets(docs, df_cap_frac).select(
         "doc_id", F.explode("shset").alias("shingle")
     )
 
 
-def shingle_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def shingle_jaccard_pairs(
+    docs: DataFrame, threshold: float, df_cap_frac: float | None = None
+) -> DataFrame:
     """Exhaustive pairwise shingle-set Jaccard via shingle equi-join.
     Counts are exact longs; the final division is one double op, so results
-    hash-match any engine."""
-    sh = doc_shingles(docs)
+    hash-match any engine. ``df_cap_frac`` applies the document-frequency
+    cap (sizes AND intersections both computed over capped sets)."""
+    sh = doc_shingles(docs, df_cap_frac)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -164,7 +230,11 @@ def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    df_cap_frac: float | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature as n_hashes columns h0..h{n-1}: xxhash64 the
     shingle once, permute with (a_i*h + b_i) mod p, take per-permutation
     mins. Reads the exploded view of the cached shingle-set table, so the
@@ -173,7 +243,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     SLOWER here: the corpus arrives in O(1) input partitions locally, so
     one Python worker serializes the whole hash table while the JVM agg
     parallelizes over shuffle partitions and keeps codegen.)"""
-    base = doc_shingles(docs).withColumn(
+    base = doc_shingles(docs, df_cap_frac).withColumn(
         "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     )
     aggs = [
@@ -230,7 +300,9 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float, df_cap_frac: float | None = None
+) -> DataFrame:
     """Full E2 pipeline: LSH candidates → exact-Jaccard verification computed
     for the CANDIDATE PAIRS ONLY — never the full cross product. This is the
     whole point of LSH at 100 TB: the expensive exact measure runs on
@@ -240,8 +312,8 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     in-row (``array_intersect`` over per-doc distinct sets == the exploded
     equi-join count, without re-exploding the corpus or a per-pair
     shuffle). Candidate pairs stay narrow (two ids) until this last step."""
-    shs = doc_shingle_sets(docs)
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    shs = _shingle_sets(docs, df_cap_frac)
+    cands = lsh_candidate_pairs(minhash_signatures(docs, df_cap_frac=df_cap_frac))
     a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -260,8 +332,20 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash: sign-sum each bit of the shingle murmur3 hashes."""
-    sh = doc_shingles(docs).withColumn("h", F.hash("shingle"))
+    """Per-doc SimHash: sign-sum each bit of the shingle hashes.
+
+    The shingle hash is the first 32 bits of ``md5(shingle)`` (hex → int via
+    ``conv``), NOT murmur3 (``F.hash``): md5 exists in every engine, so the
+    fingerprints — and therefore the banded pair set — carry a full DuckDB
+    oracle. Same engine-portable-hash pattern as ``e43_fingerprints``
+    (``text.py``). md5 is cryptographic overkill for sketching, but the cost
+    is one hash per (doc, shingle) on an already-exploded stream and it buys
+    cross-engine verifiability."""
+    sh = doc_shingles(docs).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+    )
     bit_aggs = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
@@ -312,7 +396,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> Data
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -336,20 +420,26 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 exhaustive n-gram Jaccard near-dup pairs (the oracle-checked truth)."""
+    """E2 exhaustive n-gram Jaccard near-dup pairs (the oracle-checked truth),
+    with the production document-frequency cap applied (see DF_CAP_FRAC)."""
     docs = load_table(spark, sf_dir, "documents")
-    return shingle_jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+    return shingle_jaccard_pairs(
+        docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+    ).orderBy("doc_a", "doc_b")
 
 
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 MinHash-LSH near-dup pairs (probabilistic candidates, exact verify).
-    Rows-only driver check; pytest asserts parity with the exhaustive truth."""
+    """E2 MinHash-LSH near-dup pairs (probabilistic candidates, exact verify),
+    document-frequency-capped like e12; pytest asserts parity with the
+    exhaustive truth under the same cap AND with the uncapped twin."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+    return minhash_dedup_pairs(
+        docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+    ).orderBy("doc_a", "doc_b")
 
 
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 SimHash near-dup candidates (rows-only driver check)."""
+    """E2 SimHash near-dup candidates (full DuckDB oracle: md5-derived bits)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
@@ -361,15 +451,30 @@ QUERIES = {
     "e13_simhash_pairs": simhash_query,
 }
 
-_JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql(df_cap_frac: float | None) -> str:
+    """Shared e11/e12 oracle SQL; with a cap, shingles whose document
+    frequency exceeds ceil(frac × n_docs) are removed before sizes and
+    intersections — the exact mirror of ``doc_shingle_sets_capped``."""
+    if df_cap_frac is None:
+        shingles = "sh AS (SELECT * FROM sh0)"
+    else:
+        shingles = f"""sh AS (
+               SELECT s.doc_id, s.shingle
+               FROM sh0 s
+               JOIN (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) st
+                 ON s.shingle = st.shingle
+               CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) tot
+               WHERE st.df <= CAST(ceil({df_cap_frac} * tot.n_docs) AS BIGINT))"""
+    return f"""
         WITH w AS (SELECT doc_id,
                           generate_subscripts(string_split(text, ' '), 1) AS pos,
                           unnest(string_split(text, ' ')) AS w
                    FROM documents),
-        sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
                FROM w a
                JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
                JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        {shingles},
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
                   FROM sh a JOIN sh b
@@ -385,12 +490,61 @@ _JACCARD_PAIRS_SQL = f"""
                  / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
+
+# uncapped form kept for pytest truth-twin comparisons
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql(None)
+_JACCARD_PAIRS_CAPPED_SQL = _jaccard_pairs_sql(DF_CAP_FRAC)
+
+# e13 oracle scaffolding: the 32 per-bit sign sums and the fingerprint
+# reconstruction, generated once (mirrors simhash()'s aggregate exactly)
+_SIMHASH_BITSUMS = ",\n                 ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = "\n                 + ".join(
+    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BAND_VALUES = ", ".join(f"({b})" for b in range(SIMHASH_BANDS))
+_SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+
+_SIMHASH_PAIRS_SQL = f"""
+        WITH w AS (SELECT doc_id,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+               FROM w a
+               JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        hs AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+               FROM sh),
+        bitsums AS (SELECT doc_id,
+                 {_SIMHASH_BITSUMS}
+                    FROM hs GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                 {_SIMHASH_FP}
+                   AS simhash
+               FROM bitsums),
+        banded AS (SELECT doc_id, simhash, t.band,
+                          (simhash >> (t.band * {_SIMHASH_BAND_WIDTH}))
+                            & {(1 << _SIMHASH_BAND_WIDTH) - 1} AS bucket
+                   FROM fp CROSS JOIN (VALUES {_SIMHASH_BAND_VALUES}) AS t(band))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM banded a
+        JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
 ORACLES = {
     # valid because e11 exact-verifies candidates and LSH recall is 100% on
     # the fixed (seed, data) pair — see module docstring; pytest pins the
     # candidates ⊇ truth containment that makes this hold.
     "e11_minhash_lsh_pairs": f"""
-        SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_PAIRS_SQL})
+        SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_PAIRS_CAPPED_SQL})
         ORDER BY doc_a, doc_b
     """,
     "e10_exact_dedup_stats": r"""
@@ -399,7 +553,11 @@ ORACLES = {
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "e12_ngram_jaccard_pairs": f"""
-        {_JACCARD_PAIRS_SQL}
+        {_JACCARD_PAIRS_CAPPED_SQL}
+        ORDER BY doc_a, doc_b
+    """,
+    "e13_simhash_pairs": f"""
+        {_SIMHASH_PAIRS_SQL}
         ORDER BY doc_a, doc_b
     """,
 }

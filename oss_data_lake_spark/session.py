@@ -46,9 +46,12 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Parquet INT64 TIMESTAMP(NANOS) (events.ts fixture) is otherwise an
-        # illegal type for Spark's reader; read as long, loaders convert.
+        # Parquet INT64 TIMESTAMP(NANOS) (events.ts fixture): older readers
+        # need nanosAsLong (arrives long, loaders convert); newer readers
+        # ignore it and would infer TIMESTAMP_NTZ — disable NTZ inference so
+        # ts is LTZ micros under the UTC session on both generations.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -30,6 +30,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Set here (runtime-settable), not only in session.py: the driver calls
     # queries() with ITS OWN SparkSession, which lacks our session defaults.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Two parquet-reader generations for TIMESTAMP(NANOS) (events.ts):
+    # older readers honor nanosAsLong (ts arrives long, converted below);
+    # newer readers ignore it and infer TIMESTAMP_NTZ unless NTZ inference
+    # is off. Disabling inference yields TimestampType (session-tz = UTC,
+    # set below) on both, keeping ts LTZ — required by unix_micros() and
+    # identical in wall-clock value to the NTZ reading under UTC.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # UTC is an engine semantic, not a host preference: the reference coerces
     # every timestamp with utc=True (reference dags/yfinance_to_minio.py:66);
     # a non-UTC session would silently shift day-grain aggregations.

@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 from oss_data_lake_spark.schemas import EVENTS
 
+# Explicit stream schema (file streams require one): ``ts timestamp`` makes
+# the reader truncate the fixture's TIMESTAMP(NANOS) to microsecond LTZ —
+# same values the batch loaders produce under a UTC session. (An explicit
+# ``ts long`` is reader-generation-dependent: older readers surface raw
+# nanos, newer ones micros — never declare it.)
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
 
 def hourly_counts_stream(
     spark: SparkSession,
@@ -26,17 +36,13 @@ def hourly_counts_stream(
 ) -> DataFrame:
     """Streaming tumbling 1-hour counts per event type with late-data bound.
 
-    The fixture's ns-grain ``ts`` arrives as long (nanosAsLong) — converted
-    to a real timestamp before watermarking, mirroring the batch loaders.
+    The fixture's ns-grain ``ts`` is declared ``timestamp`` in the stream
+    schema: the parquet reader truncates TIMESTAMP(NANOS) to microseconds
+    and, with the session pinned to UTC, yields the same wall-clock values
+    as the batch loaders — no post-read conversion column.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    raw = spark.readStream.schema(schema).parquet(landing_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(landing_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -85,14 +91,8 @@ def dedup_stream(
     ``dropDuplicates`` on a stream, whose key state grows forever. At
     100 TB/day the state store holds only horizon × arrival-rate keys,
     sharded by key hash across executors."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    raw = spark.readStream.schema(schema).parquet(landing_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(landing_dir)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

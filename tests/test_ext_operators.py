@@ -63,6 +63,42 @@ def test_lsh_candidates_cover_true_pairs(spark, sf_dir):
     assert not missed, f"LSH missed true pairs: {missed}"
 
 
+def test_df_cap_fires_and_capped_lsh_equals_capped_truth(spark, sf_correct):
+    """The document-frequency cap (e11/e12 production semantics) must
+    actually remove shingles on the sf0.01 fixture, and the capped LSH
+    output must equal the capped exhaustive truth (recall contract)."""
+    from oss_data_lake_spark.operators.dedup import (
+        DF_CAP_FRAC,
+        doc_shingle_sets,
+        doc_shingle_sets_capped,
+        minhash_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    n_uncapped = doc_shingle_sets(docs).select(
+        F.sum(F.size("shset"))
+    ).first()[0]
+    n_capped = doc_shingle_sets_capped(docs).select(
+        F.sum(F.size("shset"))
+    ).first()[0]
+    assert n_capped < n_uncapped, "cap removed nothing at sf0.01"
+
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(
+            docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+        ).collect()
+    }
+    assert truth, "capped fixture should still contain near-dup pairs"
+    assert lsh == truth
+
+
 def test_exact_dedup_keeps_min_representative(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z")], "id long, t string"
