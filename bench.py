@@ -54,6 +54,11 @@ HEADLINE = [
     "e50_tumbling_hourly",
     "e51_session_stats",
     "m01_merge_upsert_orders",
+    # round 4: the partition-pruned lake read path (the 100×-critical scan
+    # behavior — only the queried date dirs are opened). The partitioned
+    # copy is materialized once during warmup; the timed path is the read.
+    "p01_pruned_daily_events",
+    "p02_pruned_month_lineitem",
 ]
 
 
@@ -73,6 +78,13 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         _noop, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+    # Lake warmup: materialize the partitioned fixture copies (build-once,
+    # cached across bench runs) so p0x timings measure the PRUNED READ, not
+    # the one-time partitioned write.
+    from oss_data_lake_spark.sources.lake import events_by_date, lineitem_by_month
+
+    events_by_date(spark, SF_DIR)
+    lineitem_by_month(spark, SF_DIR)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:

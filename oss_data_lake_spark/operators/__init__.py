@@ -76,6 +76,7 @@ def _modules():
     from oss_data_lake_spark.operators import (
         asof,
         dedup,
+        lake,
         multimodal,
         pipeline,
         relational,
@@ -93,6 +94,7 @@ def _modules():
     # multimodal, pipeline — see VERDICT.md round 1) run FIRST; the
     # modules with round-1-green rows run last.
     return [
+        lake,
         similarity,
         text,
         asof,

@@ -322,8 +322,28 @@ def most_frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hh_rank")
 
 
+def salted_hot_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b38: skew-safe per-user aggregate via explicit two-phase salting
+    (``functions/skew.py``): partial agg on (user_id, salt) spreads any hot
+    user over 16 reducers, final agg on user_id combines partials. The
+    events fixture's user_id distribution is skewed, making this the
+    registry query that exercises the salted path end-to-end; results are
+    provably identical to the direct aggregation (the oracle IS the direct
+    form), and the plan pin (tests/test_plans.py) asserts the salt stage
+    is really there. At 100 TB this is the aggregation-skew answer for the
+    cases AQE's skew handling doesn't cover (AQE splits skewed JOIN
+    partitions, not skewed aggregation keys)."""
+    from oss_data_lake_spark.functions.skew import salted_agg_count_sum
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg_count_sum(
+        events.select("user_id", "value"), "user_id", "value"
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "b33_multiset_setops": multiset_setops,
+    "b38_salted_hot_user_agg": salted_hot_user_agg,
     "b34_epoch_conversions": epoch_conversions,
     "b35_null_semantics": null_semantics,
     "b37_most_frequent_parts": most_frequent_parts,
@@ -342,6 +362,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the direct (unsalted) aggregation — value-identity of the salted
+    # two-phase plan vs the plain form IS the correctness claim
+    "b38_salted_hot_user_agg": f"""
+        SELECT user_id, COUNT(*) AS n,
+               {sql_dsum("value")} AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "b37_most_frequent_parts": """
         WITH c AS (SELECT l_partkey, COUNT(*) AS cnt
                    FROM lineitem GROUP BY l_partkey),

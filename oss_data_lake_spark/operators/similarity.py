@@ -165,7 +165,152 @@ def fast_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 3
 
 
+def _ivf_model(emb: DataFrame) -> tuple[list[int], list[list[float]]]:
+    """Driver-side IVF centroid model: deterministic subset
+    (``vec_id % stride == 0``), id-ordered. A bounded FITTED-MODEL collect
+    (n/stride rows — 2^16 centroids × 64 dims ≈ 16 MB at 100 TB), not a
+    data collect."""
+    rows = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return (
+        [int(r["vec_id"]) for r in rows],
+        [list(r["embedding"]) for r in rows],
+    )
+
+
+def _ivf_assign(
+    df: DataFrame,
+    cent_ids: list[int],
+    cent_mat: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Multi-probe IVF assignment via ``mapInPandas``: one Arrow-batch ×
+    centroid-matrix BLAS matmul per partition — no n×centroids row
+    explosion ever materializes in the plan. Emits each input row once per
+    probed cluster: (cluster, vec_id, embedding).
+
+    Probe order is (sim desc, cent_id asc): ``cent_ids`` is ascending, so a
+    STABLE argsort on -sim breaks ties toward the lower centroid id — the
+    same ordering as the Catalyst ``max_by(struct(sim, -cent_id))`` /
+    row_number formulation, keeping BLAS and Catalyst paths (and the DuckDB
+    oracles) assignment-identical."""
+    ids = list(cent_ids)
+    mat = [list(v) for v in cent_mat]
+    reps = int(n_probe)
+
+    # nested so it pickles BY VALUE (driver sessions import this module
+    # from a foreign cwd; module-level refs would not resolve on executors)
+    def assign_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(mat, dtype=np.float64)
+        cids = np.asarray(ids, dtype=np.int64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            vnorm = np.sqrt((E * E).sum(axis=1))
+            sims = np.round((E @ C.T) / np.outer(vnorm, cnorm), 9)
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :reps]
+            row_rep = np.repeat(np.arange(len(pdf)), idx.shape[1])
+            yield pd.DataFrame(
+                {
+                    "cluster": cids[idx].ravel(),
+                    "vec_id": pdf["vec_id"].to_numpy()[row_rep],
+                    "embedding": pdf["embedding"].iloc[row_rep].to_numpy(),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign_blocks, schema="cluster long, vec_id long, embedding array<float>"
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """E3 ANN top-k, production form (query ``e22``): IVF with the same
+    Arrow/BLAS building blocks as e26.
+
+    1. Centroid model driver-side (``_ivf_model`` — bounded).
+    2. Corpus assignment (nprobe=1) and query probe lists (nprobe=3) via
+       ``_ivf_assign`` — BLAS matmuls, no n×centroids row explosion.
+    3. Per-cluster scoring via COGROUPED ``applyInPandas``: the cluster's
+       candidate block (members × dim) against its probing queries
+       (probes × dim) — one Q @ E.T matmul per cluster yields every
+       (query, candidate) cosine; rounded to 9 dp like every similarity
+       path, so the ranking is engine-deterministic.
+    4. Global per-query top-k over the probed candidates only (window over
+       queries × probed-candidates — bounded, never the corpus).
+
+    Shuffle profile: the two group-by-cluster exchanges (candidates,
+    probes) plus the final bounded top-k — same shape as e26, replacing
+    the interpreted Catalyst lambda folds that made the previous
+    formulation 2.1 s at sf0.1 (VERDICT r3 "What's wrong" #4). The
+    Catalyst form survives as ``ivf_topk_catalyst`` — the oracle-shape
+    reference, pytest-pinned equal to this path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_ids, cent_mat = _ivf_model(emb)
+    cands = _ivf_assign(emb, cent_ids, cent_mat, 1)
+    probes = _ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cent_ids, cent_mat, nprobe
+    )
+
+    def score_block(cdf, qdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series(dtype="int64"),
+                "c_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(cdf) == 0 or len(qdf) == 0:
+            return empty
+        E = np.asarray([np.asarray(e, dtype=np.float64) for e in cdf["embedding"]])
+        Q = np.asarray([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+        en = np.sqrt((E * E).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        sims = np.round((Q @ E.T) / np.outer(qn, en), 9)
+        qi, ci = np.indices(sims.shape)
+        q_ids = qdf["vec_id"].to_numpy()[qi.ravel()]
+        c_ids = cdf["vec_id"].to_numpy()[ci.ravel()]
+        keep = q_ids != c_ids
+        return pd.DataFrame(
+            {
+                "q_id": q_ids[keep],
+                "c_id": c_ids[keep],
+                "cosine": sims.ravel()[keep],
+            }
+        )
+
+    pairs = (
+        cands.groupBy("cluster")
+        .cogroup(probes.groupBy("cluster"))
+        .applyInPandas(
+            score_block, schema="q_id long, c_id long, cosine double"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def ivf_topk_catalyst(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """E3 ANN path: IVF with deterministic centroids, multi-probe search.
 
     Each vector is assigned to its nearest centroid; each query probes its
@@ -355,52 +500,9 @@ def ivf_neardup_pairs(
     DuckDB oracle; pytest additionally pins e26 ⊆ e25 containment and
     measures recall against the all-pairs truth."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # IVF model build (driver-side, bounded — NOT a data collect)
-    cent_rows = (
-        emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
-        .orderBy("vec_id")
-        .collect()
-    )
-    cent_ids = [int(r["vec_id"]) for r in cent_rows]
-    cent_mat = [list(r["embedding"]) for r in cent_rows]
-    n_probe = int(nprobe)
+    cent_ids, cent_mat = _ivf_model(emb)
     thr = float(threshold)
-
-    # closures are defined nested so they pickle BY VALUE — the driver's
-    # session imports this module from a foreign cwd and module-level
-    # functions would not resolve on executors
-    def assign_blocks(batches):
-        import numpy as np
-        import pandas as pd
-
-        C = np.asarray(cent_mat, dtype=np.float64)
-        cids = np.asarray(cent_ids, dtype=np.int64)
-        cnorm = np.sqrt((C * C).sum(axis=1))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            E = np.asarray(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
-            vnorm = np.sqrt((E * E).sum(axis=1))
-            sims = np.round((E @ C.T) / np.outer(vnorm, cnorm), 9)
-            # top-nprobe by (sim desc, cent_id asc): cids is ascending, so a
-            # stable argsort on -sim breaks ties toward the lower cent_id —
-            # same ordering as the sort_array(struct(-sim, cent_id)) fold
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            reps = idx.shape[1]
-            row_rep = np.repeat(np.arange(len(pdf)), reps)
-            yield pd.DataFrame(
-                {
-                    "cluster": cids[idx].ravel(),
-                    "vec_id": pdf["vec_id"].to_numpy()[row_rep],
-                    "embedding": pdf["embedding"].iloc[row_rep].to_numpy(),
-                }
-            )
-
-    assigned = emb.mapInPandas(
-        assign_blocks, schema="cluster long, vec_id long, embedding array<float>"
-    )
+    assigned = _ivf_assign(emb, cent_ids, cent_mat, nprobe)
 
     def verify_block(pdf):
         import numpy as np

@@ -32,6 +32,16 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^>]*>)", explain_str(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Non-empty PartitionFilters entries from every scan in the plan —
+    the file-index-level pruning evidence (directories never opened)."""
+    return [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", explain_str(df))
+        if m.strip()
+    ]
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 

@@ -220,6 +220,20 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(ivf & bf) / len(bf) >= 0.5
 
 
+def test_ivf_blas_equals_catalyst_form(spark, sf_dir):
+    """The BLAS production path (e22) and the Catalyst oracle-shape twin
+    must produce IDENTICAL rows — same assignment, same probes, same
+    rounded cosines, same tiebreaks."""
+    from oss_data_lake_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_catalyst,
+    )
+
+    blas = {tuple(r) for r in ivf_topk(spark, sf_dir).collect()}
+    cat = {tuple(r) for r in ivf_topk_catalyst(spark, sf_dir).collect()}
+    assert blas == cat
+
+
 def test_clean_corpus_operator_consistent_with_report(spark, sf_dir):
     """The production cleaning operator (LSH path) must keep exactly the
     survivors the oracle-checked report counts."""

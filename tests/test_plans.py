@@ -115,17 +115,34 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         assert "EvalPython" not in txt, txt
 
 
-def test_ivf_assignment_has_no_per_vector_window(spark, sf_dir):
-    """e22's centroid assignment must be an aggregation (max_by), never a
-    row_number window over the full n×centroids candidate set — exactly one
-    Window op may remain (the bounded query-probe subset)."""
+def test_ivf_topk_is_blas_blocked(spark, sf_dir):
+    """e22's production plan is the Arrow/BLAS shape: two MapInPandas
+    assignments (corpus nprobe=1, queries nprobe=3), cogrouped per-cluster
+    scoring (FlatMapCoGroupsInPandas), exactly ONE Window (the bounded
+    final top-k) and no join — the n×centroids row explosion and per-pair
+    Catalyst lambda folds must never materialize."""
     from oss_data_lake_spark.operators.similarity import ivf_topk
 
     import re
 
     txt = explain_str(ivf_topk(spark, sf_dir))
-    # Window exec nodes: probe ranking + final top-k = 2; a window-based
-    # assignment would add a 3rd (over the full corpus)
+    assert txt.count("MapInPandas") >= 2, txt
+    assert "FlatMapCoGroupsInPandas" in txt, txt
+    n_windows = len(re.findall(r"\bWindow\s*\[", txt))
+    assert n_windows <= 1, f"{n_windows} Window nodes:\n{txt}"
+    assert "Join" not in txt, txt
+
+
+def test_ivf_catalyst_assignment_has_no_per_vector_window(spark, sf_dir):
+    """The Catalyst oracle-shape twin's centroid assignment must be an
+    aggregation (max_by), never a row_number window over the full
+    n×centroids candidate set — at most two Window ops (bounded query-probe
+    ranking + final top-k)."""
+    from oss_data_lake_spark.operators.similarity import ivf_topk_catalyst
+
+    import re
+
+    txt = explain_str(ivf_topk_catalyst(spark, sf_dir))
     n_windows = len(re.findall(r"\bWindow\s*\[", txt))
     assert n_windows <= 2, f"{n_windows} Window nodes:\n{txt}"
     assert "max_by" in txt or "maxby" in txt.lower(), txt
@@ -191,3 +208,46 @@ def test_dedup_queries_share_cached_shingle_table(spark, sf_dir):
     assert "InMemoryTableScan" in e11 or "InMemoryRelation" in e11, e11
     e12 = explain_str(shingle_jaccard_pairs(docs, JACCARD_THRESHOLD))
     assert "InMemoryTableScan" in e12 or "InMemoryRelation" in e12, e12
+
+
+def test_partition_pruning_events(spark, sf_dir):
+    """p01's week filter must reach the FILE INDEX as a PartitionFilter
+    (directories outside the range never opened — the behavior the
+    reference's day(ts) layout exists for), with column pruning intact
+    inside the touched partitions."""
+    from oss_data_lake_spark.operators.lake import pruned_daily_events
+    from oss_data_lake_spark.plans.audit import partition_filters
+
+    df = pruned_daily_events(spark, sf_dir)
+    pf = partition_filters(df)
+    assert pf and any("2024-01-08" in f and "2024-01-14" in f for f in pf), (
+        pf or explain_str(df)
+    )
+    schemas = scan_read_schema(df)
+    assert schemas and all("props" not in s for s in schemas), schemas
+
+
+def test_partition_pruning_lineitem(spark, sf_dir):
+    """p02's ship-month range is a partition filter on the monthly lake."""
+    from oss_data_lake_spark.operators.lake import pruned_month_lineitem
+    from oss_data_lake_spark.plans.audit import partition_filters
+
+    df = pruned_month_lineitem(spark, sf_dir)
+    pf = partition_filters(df)
+    assert pf and any("1995-03" in f and "1995-06" in f for f in pf), (
+        pf or explain_str(df)
+    )
+
+
+def test_salted_agg_has_salt_stage(spark, sf_dir):
+    """b38's plan must really aggregate on (user_id, __salt) first — two
+    exchange stages (partial-on-salted-key, final-on-key) instead of the
+    direct form's one."""
+    from oss_data_lake_spark.operators.relational_more import (
+        salted_hot_user_agg,
+    )
+
+    df = salted_hot_user_agg(spark, sf_dir)
+    txt = explain_str(df)
+    assert "__salt" in txt, txt
+    assert count_exchanges(df) >= 2, explain_str(df, "simple")
