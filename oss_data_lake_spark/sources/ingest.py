@@ -26,20 +26,29 @@ shuffle-once and embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FACT_COLUMNS = ("ticker", "ts", "open", "high", "low", "close", "volume", "ingest_date")
 
 
-def normalize_ohlcv(df: DataFrame, ingest_date: str | None = None) -> DataFrame:
-    """A3-A5: normalize names, strict-cast types, derive ingest/partition cols."""
+def normalize_ohlcv(
+    df: DataFrame, ingest_date: "str | Column | None" = None
+) -> DataFrame:
+    """A3-A5: normalize names, strict-cast types, derive ingest/partition cols.
+
+    ``ingest_date`` may be a literal string (deterministic batch runs), a
+    Column (e.g. the ``ingest_date`` discovered from a legacy v1 layout's
+    partition dirs — ``sources/legacy_v1.py``), or None (current_date)."""
     df = df.toDF(*[c.lower() for c in df.columns])
     if "date" in df.columns and "ts" not in df.columns:
         df = df.withColumnRenamed("date", "ts")
-    ingest = (
-        F.lit(ingest_date).cast("date") if ingest_date else F.current_date()
-    )
+    if isinstance(ingest_date, Column):
+        ingest = ingest_date.cast("date")
+    elif ingest_date:
+        ingest = F.lit(ingest_date).cast("date")
+    else:
+        ingest = F.current_date()
     return df.select(
         F.col("ticker").cast("string").alias("ticker"),
         # millisecond truncation: the reference declares TIMESTAMP(3).

@@ -43,15 +43,56 @@ FACT_PRICE_DDL = """
 """
 
 
+# Nested-namespace encoding: the reference's Lakekeeper catalog allows
+# multipart namespaces (reference etc/catalog/iceberg.properties:18,
+# ``iceberg.rest-catalog.nested-namespace-enabled=true`` — e.g.
+# ``finance.yahoo``). Spark's session catalog is single-level, so dotted
+# namespaces are encoded into one database name with a reserved separator;
+# every Warehouse method speaks the DOTTED name, the catalog sees the
+# encoded one. (The Iceberg REST spec does the same flattening over the
+# wire with a unit-separator byte.)
+NS_SEP = "__"
+
+
+def encode_namespace(name: str) -> str:
+    parts = name.split(".")
+    for p in parts:
+        if not p or NS_SEP in p:
+            raise ValueError(f"invalid namespace part {p!r} in {name!r}")
+    return NS_SEP.join(parts)
+
+
+def decode_namespace(db: str) -> str:
+    return db.replace(NS_SEP, ".")
+
+
+def list_namespaces(spark: SparkSession, parent: str | None = None) -> list[str]:
+    """All catalog namespaces in dotted form; with ``parent``, only the
+    namespaces nested (directly or transitively) under it — the
+    ``SHOW SCHEMAS IN parent`` surface of a nested catalog."""
+    names = [
+        decode_namespace(r[0])
+        for r in spark.sql("SHOW DATABASES").collect()
+    ]
+    if parent is None:
+        return sorted(names)
+    prefix = parent + "."
+    return sorted(n for n in names if n.startswith(prefix))
+
+
 class Warehouse:
-    """A named schema (database) of managed partitioned-Parquet tables."""
+    """A named schema (database) of managed partitioned-Parquet tables.
+
+    ``db`` may be a nested dotted namespace (``finance.yahoo``) — encoded
+    into the flat session catalog via :func:`encode_namespace`."""
 
     def __init__(self, spark: SparkSession, db: str, location: str | None = None):
         self.spark = spark
-        self.db = db
-        loc = f" LOCATION '{location}/{db}.db'" if location else ""
+        self.namespace = db
+        self.db = encode_namespace(db)
+        loc = f" LOCATION '{location}/{self.db}.db'" if location else ""
         # A19 — reference RUNBOOK.md:87 (catalog prefix modulo)
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.db}{loc}")
 
     def create_fact_price(self) -> None:
         """A20 — reference RUNBOOK.md:90 DDL, day-transform partitioning
@@ -90,8 +131,11 @@ class Warehouse:
         )
 
     def show_schemas(self) -> list[str]:
-        """A23 — reference RUNBOOK.md:156."""
-        return [r[0] for r in self.spark.sql("SHOW DATABASES").collect()]
+        """A23 — reference RUNBOOK.md:156. Dotted (decoded) names."""
+        return [
+            decode_namespace(r[0])
+            for r in self.spark.sql("SHOW DATABASES").collect()
+        ]
 
     def show_tables(self) -> list[str]:
         """A23 — reference RUNBOOK.md:93,157."""

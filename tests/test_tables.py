@@ -137,3 +137,34 @@ def test_hidden_partition_view(spark, warehouse):
     cols = spark.table("yfinance_test.fact_price_v").columns
     assert "date" not in cols
     assert cols == ["ticker", "ts", "open", "high", "low", "close", "volume", "ingest_date"]
+
+
+def test_nested_namespace_warehouse(spark, tmp_path):
+    """Lakekeeper-style nested namespaces (reference
+    etc/catalog/iceberg.properties:18 nested-namespace-enabled): a dotted
+    namespace round-trips through the flat session catalog — DDL, insert,
+    query, and namespace listing all speak the dotted name."""
+    from oss_data_lake_spark.sources.tables import (
+        encode_namespace,
+        list_namespaces,
+    )
+
+    assert encode_namespace("finance.yahoo.daily") == "finance__yahoo__daily"
+    with pytest.raises(ValueError):
+        encode_namespace("bad__part.x")
+
+    wh = Warehouse(spark, "finance_t.yahoo", location=str(tmp_path))
+    try:
+        wh.create_fact_price()
+        tidy = normalize_ohlcv(
+            generate_ohlcv(spark, ("AAPL",), n_days=3),
+            ingest_date="2025-06-13",
+        )
+        wh.insert_prices(tidy)
+        assert wh.count_star() == 3
+        # dotted name visible in schema listing and under its parent
+        assert "finance_t.yahoo" in wh.show_schemas()
+        assert list_namespaces(spark, "finance_t") == ["finance_t.yahoo"]
+        assert "fact_price" in wh.show_tables()
+    finally:
+        wh.drop()
