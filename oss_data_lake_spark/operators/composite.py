@@ -299,6 +299,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": ("l_suppkey"), "v1": ("total_revenue"),
               "v2": ("revenue_rank")},
              {"k1": "l_suppkey", "v1": "total_revenue", "v2": "revenue_rank"}),
+            ("b23", "b23_returned_revenue_by_customer",
+             {"k1": ("c_custkey"), "k2": _cw("c_name", "n_name"),
+              "v1": ("revenue")},
+             {"k1": "c_custkey", "k2": _cw_sql("c_name", "n_name"),
+              "v1": "revenue"}),
         ],
         "b45_series_windows": [
             ("b06", "b06_window_ma7_daily_value",
@@ -349,6 +354,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("b38", "b38_salted_hot_user_agg",
              {"k1": ("user_id"), "v1": ("n"), "v2": ("sum_value")},
              {"k1": "user_id", "v1": "n", "v2": "sum_value"}),
+            # b26 has 5 numeric outputs — two arms, like b29a/b29b
+            ("b26a", "b26_acctbal_percentiles",
+             {"k1": ("c_mktsegment"), "v1": ("n"), "v2": ("median_bal"),
+              "v3": ("p90_bal")},
+             {"k1": "c_mktsegment", "v1": "n", "v2": "median_bal",
+              "v3": "p90_bal"}),
+            ("b26b", "b26_acctbal_percentiles",
+             {"k1": ("c_mktsegment"), "v1": ("min_bal"),
+              "v2": ("max_bal")},
+             {"k1": "c_mktsegment", "v1": "min_bal", "v2": "max_bal"}),
         ],
         "b49_agg_predicates": [
             ("b18", "b18_distinct_customers_per_status",

@@ -444,11 +444,83 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components over undirected (doc_a, doc_b) edges by
+    min-label propagation: every vertex starts labeled with itself; each
+    round every vertex takes the min of its own and its neighbors' labels;
+    converged when no label changes. Returns (doc_id, cluster_id =
+    component-min vertex id) for every vertex appearing in an edge.
+
+    Scale shape: each round is one join (edges ⋈ labels, shuffle on vertex)
+    + one min-aggregate; rounds needed = component DIAMETER, and near-dup
+    components are shallow (a hub doc links its variants — diameter 2-4),
+    not path graphs. ``localCheckpoint`` truncates lineage each round so
+    the plan doesn't grow with iterations — the standard Spark iterative
+    pattern (at cluster scale, checkpoint to the lake instead; for
+    adversarially deep graphs, switch to the large-star/small-star
+    alternation which converges in O(log n) rounds). Convergence is a
+    driver-side count per round: bounded scalar reads, like any iterative
+    fixpoint on Spark."""
+    sym = edges.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("n"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("v").distinct().withColumn("lbl", F.col("v"))
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("v", "n"), "n")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("new_lbl"),
+                F.col("lbl"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = updated.select("v", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e14: SEMANTIC-DEDUP clusters — connected components over the
+    verified near-dup pairs (e11's LSH output, df-capped), one row per
+    clustered document with its cluster id and cluster size. This is the
+    step a training-data pipeline runs between near-dup detection and
+    survivor selection: group ALL transitively-linked variants so exactly
+    one representative per cluster survives (the representative being
+    min doc_id == the cluster_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(F.broadcast(sizes), "cluster_id")
+        .select("cluster_id", "doc_id", "n_members")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 QUERIES = {
     "e10_exact_dedup_stats": exact_dedup_stats,
     "e11_minhash_lsh_pairs": minhash_lsh_query,
     "e12_ngram_jaccard_pairs": ngram_jaccard_query,
     "e13_simhash_pairs": simhash_query,
+    "e14_neardup_clusters": neardup_clusters_query,
 }
 
 def _jaccard_pairs_sql(df_cap_frac: float | None) -> str:
@@ -559,5 +631,28 @@ ORACLES = {
     "e13_simhash_pairs": f"""
         {_SIMHASH_PAIRS_SQL}
         ORDER BY doc_a, doc_b
+    """,
+    # connected components via recursive reachability: from each vertex,
+    # walk the (symmetrized) near-dup edges to closure; the component id is
+    # the min reachable vertex — exactly the fixpoint min-label propagation
+    # computes. UNION (not UNION ALL) dedups rows, so the recursion
+    # terminates on cyclic graphs.
+    "e14_neardup_clusters": f"""
+        WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_CAPPED_SQL})),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM pairs),
+        r(src, dst) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+        ),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                 FROM r GROUP BY src),
+        sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+                  FROM comp GROUP BY cluster_id)
+        SELECT c.cluster_id, c.doc_id, s.n_members
+        FROM comp c JOIN sizes s USING (cluster_id)
+        ORDER BY c.cluster_id, c.doc_id
     """,
 }

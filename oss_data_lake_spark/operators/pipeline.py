@@ -262,17 +262,115 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination (e75): the eval/benchmark holdout is one fixture source;
+# 8-token shingles are the standard decontamination grain — long enough
+# that sharing even ONE is overwhelming evidence of copied text (short
+# n-grams flag idiom; on this fixture 3-grams "contaminate" 400 docs,
+# 8-grams exactly the 2 true near-dups of the holdout).
+DECON_EVAL_SOURCE = "src0"
+DECON_NGRAM = 8
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e75: train/eval contamination scan — per training source, how many
+    documents share at least one 8-token shingle with the eval holdout.
+
+    The step every training pipeline runs before a data release: benchmark
+    (eval) text must not leak into training data. Scale shape: the eval
+    side is a benchmark suite — tiny relative to the corpus — so its
+    distinct-shingle set BROADCASTS; the training corpus streams through
+    one codegen'd explode + broadcast-hash semi-join + two aggregations.
+    No shuffle touches the corpus until the per-doc hit counts (grouped on
+    doc_id, already small)."""
+    from oss_data_lake_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(shingle_array("toks", DECON_NGRAM)).alias("shingle"),
+    )
+    ev = (
+        sh.filter(F.col("source") == DECON_EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.filter(F.col("source") != DECON_EVAL_SOURCE)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc_sources = (
+        docs.filter(F.col("source") != DECON_EVAL_SOURCE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_hit = hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.max("n_shared").alias("max_shared"),
+    )
+    return (
+        per_doc_sources.join(per_hit, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("max_shared", F.lit(0)).alias("max_shared"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
     "e72_stratified_sample_report": stratified_sample_report,
     "e73_chunk_dedup_stats": chunk_dedup_stats,
     "e74_pii_redaction": pii_redaction_report,
+    "e75_decontamination": decontamination_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
 
+# e75 oracle scaffolding: the 8-token shingle chain (positions t0..t7)
+_DECON_JOINS = " ".join(
+    f"JOIN w t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+    for i in range(1, DECON_NGRAM)
+)
+_DECON_CONCAT = " || ' ' || ".join(f"t{i}.w" for i in range(DECON_NGRAM))
+
 ORACLES = {
+    "e75_decontamination": f"""
+        WITH w AS (SELECT doc_id,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        sh AS (SELECT DISTINCT t0.doc_id, {_DECON_CONCAT} AS shingle
+               FROM w t0 {_DECON_JOINS}),
+        ev AS (SELECT DISTINCT sh.shingle
+               FROM sh JOIN documents d USING (doc_id)
+               WHERE d.source = '{DECON_EVAL_SOURCE}'),
+        hits AS (SELECT sh.doc_id, d.source, COUNT(*) AS n_shared
+                 FROM sh
+                 JOIN documents d USING (doc_id)
+                 JOIN ev ON sh.shingle = ev.shingle
+                 WHERE d.source <> '{DECON_EVAL_SOURCE}'
+                 GROUP BY sh.doc_id, d.source),
+        per_src AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                    WHERE source <> '{DECON_EVAL_SOURCE}' GROUP BY source),
+        per_hit AS (SELECT source, COUNT(*) AS n_contaminated,
+                           MAX(n_shared) AS max_shared
+                    FROM hits GROUP BY source)
+        SELECT p.source, p.n_docs,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated,
+               COALESCE(h.max_shared, 0) AS max_shared
+        FROM per_src p LEFT JOIN per_hit h USING (source)
+        ORDER BY p.source
+    """,
     "e74_pii_redaction": f"""
         WITH seeded AS (
           SELECT source,

@@ -421,3 +421,59 @@ def test_gapfill_daily_forward_fills_holes(spark, tmp_path):
     assert u1.sum_filled == 20.0 + 20.0 + 20.0 + 5.0
     assert (u2.n_days, u2.n_event_days, u2.n_gap_days) == (1, 1, 0)
     assert u2.sum_filled == 7.0
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a-b-c plus isolated pair d-e: components must close
+    transitively (a,b,c share one cluster labeled by the min vertex)."""
+    from oss_data_lake_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_neardup_clusters_cover_all_paired_docs(spark, sf_correct):
+    """Every doc in a verified near-dup pair lands in exactly one cluster;
+    the cluster id is the min member (the surviving representative)."""
+    from oss_data_lake_spark.operators.dedup import (
+        DF_CAP_FRAC,
+        minhash_dedup_pairs,
+        neardup_clusters_query,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+    ).collect()
+    paired = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    clusters = neardup_clusters_query(spark, sf_correct).collect()
+    assert {r.doc_id for r in clusters} == paired
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert all(
+            r.n_members == len(members)
+            for r in clusters
+            if r.cluster_id == cid
+        )
+
+
+def test_decontamination_flags_only_true_leaks(spark, sf_correct):
+    """At the 8-gram grain only the eval holdout's near-dup copies are
+    contaminated (3-grams would flag hundreds of idiom matches — pinned
+    in the operator's docstring)."""
+    from oss_data_lake_spark.operators.pipeline import decontamination_report
+
+    rep = decontamination_report(spark, sf_correct).collect()
+    total = sum(r.n_contaminated for r in rep)
+    assert 0 < total <= 5
+    # contaminated docs share MANY 8-grams (copied text), not one or two
+    assert max(r.max_shared for r in rep) > 20
