@@ -59,6 +59,12 @@ HEADLINE = [
     # copy is materialized once during warmup; the timed path is the read.
     "p01_pruned_daily_events",
     "p02_pruned_month_lineitem",
+    # round 4: semantic-dedup clustering (iterative connected components
+    # over the LSH near-dup pairs) and train/eval decontamination
+    # (broadcast 8-gram overlap scan) — the two pipeline stages between
+    # near-dup detection and a data release.
+    "e14_neardup_clusters",
+    "e75_decontamination",
 ]
 
 
