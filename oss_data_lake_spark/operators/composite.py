@@ -381,6 +381,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("b37", "b37_most_frequent_parts",
              {"k1": ("l_partkey"), "v1": ("cnt"), "v2": ("hh_rank")},
              {"k1": "l_partkey", "v1": "cnt", "v2": "hh_rank"}),
+            ("b15", "b15_promo_revenue_share",
+             {"k1": ("ship_year"), "v1": ("promo_rev"),
+              "v2": ("total_rev"), "v3": ("promo_share")},
+             {"k1": "ship_year", "v1": "promo_rev", "v2": "total_rev",
+              "v3": "promo_share"}),
         ],
     }
 

@@ -224,12 +224,69 @@ def reduce_or(conds: list[F.Column]) -> F.Column:
     return out
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e45: per-source keyword extraction by TF-IDF — the standard corpus
+    characterization step in a training-data pipeline (what distinguishes
+    each source's vocabulary from the corpus at large).
+
+    score(source, term) = tf × idf with
+      tf  = occurrences of term in the source (raw count),
+      idf = ln(n_docs / df), df = corpus-wide document frequency.
+    Stopwords are excluded (they'd dominate tf while idf→0 keeps them
+    nonzero on any finite corpus). Top-K terms per source by
+    (score desc, term asc) — fully deterministic.
+
+    Scale shape: one explode of the corpus feeding TWO aggregations that
+    both partition by term (df) / (source, term) (tf) — the term shuffle is
+    the only wide exchange; df joins tf by term (broadcast: the distinct
+    vocabulary of a tokenized corpus is millions of rows — small next to
+    postings — and at the extreme end a shuffle join on term is the same
+    exchange already paid). The per-source top-K window runs over
+    sources × vocabulary, not postings. The ln() is one double op on
+    exact long counts, so both engines compute the identical score."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar (fixture row count)
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens()).alias("term")
+    ).filter(~F.col("term").isin(*STOPWORDS) & (F.col("term") != ""))
+    df_tbl = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf_tbl = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf_tbl.join(F.broadcast(df_tbl), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            9,
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("source", "rnk", "term", "tf", "df", "score")
+        .orderBy("source", "rnk")
+    )
+
+
 QUERIES = {
     "e40_text_stats": text_stats,
     "e41_langid_confusion": langid_confusion,
     "e42_token_count_bpe": token_count_bpe,
     "e43_fingerprints": fingerprints,
     "e44_gopher_quality": gopher_quality_report,
+    "e45_tfidf_top_terms": tfidf_top_terms,
 }
 
 
@@ -251,7 +308,36 @@ def _sql_langid_pred() -> str:
     """
 
 
+_TFIDF_STOPLIST = ", ".join(repr(s) for s in STOPWORDS)
+
 ORACLES = {
+    "e45_tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, source, t AS term
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t NOT IN ({_TFIDF_STOPLIST}) AND t <> ''),
+        ndocs AS (SELECT COUNT(*) AS n FROM documents),
+        dftbl AS (SELECT term, COUNT(*) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM tok)
+                  GROUP BY term),
+        tftbl AS (SELECT source, term, COUNT(*) AS tf
+                  FROM tok GROUP BY source, term),
+        scored AS (SELECT s.source, s.term, s.tf, d.df,
+                          ROUND(CAST(s.tf AS DOUBLE)
+                                * ln(CAST((SELECT n FROM ndocs) AS DOUBLE)
+                                     / CAST(d.df AS DOUBLE)), 9) AS score
+                   FROM tftbl s JOIN dftbl d USING (term)),
+        ranked AS (SELECT *,
+                          CAST(row_number() OVER (
+                              PARTITION BY source
+                              ORDER BY score DESC, term) AS BIGINT) AS rnk
+                   FROM scored)
+        SELECT source, rnk, term, tf, df, score
+        FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+        ORDER BY source, rnk
+    """,
     "e40_text_stats": f"""
         SELECT doc_id,
                LENGTH(text) AS n_chars_txt,
