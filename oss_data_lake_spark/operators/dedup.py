@@ -471,6 +471,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     )
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("v").distinct().withColumn("lbl", F.col("v"))
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "n"), "n")
@@ -491,6 +492,16 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         labels = updated.select("v", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels are WRONG labels (a component split in two) —
+        # fail loudly rather than emit them. A component needs more rounds
+        # than its eccentricity from the min vertex; hitting this means an
+        # adversarially deep chain — raise the cap or switch to the
+        # large-star/small-star alternation (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

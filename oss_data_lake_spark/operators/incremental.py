@@ -24,6 +24,14 @@ real 100-TB document pipeline runs on every arrival batch:
 The reference's ingestion loop (reference dags/yfinance_to_minio.py:99 —
 manually triggered batch appends into Iceberg) is the single-table version
 of this; the band index is what makes the dedup step incremental.
+
+Deliberately UNCAPPED shingles (unlike e11/e12's document-frequency cap):
+a df cap over an incrementally-growing corpus needs a hot-shingle
+vocabulary FROZEN per index snapshot (per-batch df statistics drift, and
+signatures already committed to the index can't be re-signed under a new
+cap without invalidating it). Batch-vs-index signature consistency is the
+invariant the tests pin; a snapshot-versioned cap vocabulary is the
+documented extension point.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oss_data_lake_spark.operators.dedup import (
+    DF_CAP_FRAC,
     JACCARD_THRESHOLD,
     shingle_jaccard_pairs,
 )
@@ -53,11 +54,16 @@ def _with_quality(docs: DataFrame) -> DataFrame:
 
 
 def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source accounting of the full cleaning pipeline."""
+    """Per-source accounting of the full cleaning pipeline. Near-dup pairs
+    use the PRODUCTION semantics — document-frequency-capped shingles,
+    same as e11/e12 — so the report and the cleaning operator agree on
+    which pairs exist (the oracle mirrors the cap)."""
     docs = load_table(spark, sf_dir, "documents")
     q = _with_quality(docs)
     passing = q.filter(F.col("quality_ok")).select("doc_id")
-    pairs = shingle_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    pairs = shingle_jaccard_pairs(
+        docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+    )
     # a near-dup "loser" is the larger id of a pair whose BOTH ends pass
     # quality (pairs involving quality-failed docs are moot — already gone)
     losers = (
@@ -93,7 +99,7 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
 
     q = _with_quality(docs)
     passing = q.filter(F.col("quality_ok")).select("doc_id")
-    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC)
     losers = (
         pairs.join(passing.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(passing.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
@@ -473,10 +479,16 @@ ORACLES = {
                      generate_subscripts(string_split(text, ' '), 1) AS pos,
                      unnest(string_split(text, ' ')) AS w
               FROM documents),
-        sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
                FROM w a
                JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
                JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        sh AS (SELECT s.doc_id, s.shingle
+               FROM sh0 s
+               JOIN (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) st
+                 ON s.shingle = st.shingle
+               CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) tot
+               WHERE st.df <= CAST(ceil({DF_CAP_FRAC} * tot.n_docs) AS BIGINT)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni

@@ -250,7 +250,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # bounded scalar (fixture row count)
+    # corpus size as a lazy 1-row broadcast (not an eager .count(): that
+    # would launch a full scan job at DataFrame-CONSTRUCTION time — paid
+    # even by explain-only callers like the plan tests/capture script)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = docs.select(
         "doc_id", "source", F.explode(_tokens()).alias("term")
     ).filter(~F.col("term").isin(*STOPWORDS) & (F.col("term") != ""))
@@ -263,13 +266,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_tbl = tok.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    scored = tf_tbl.join(F.broadcast(df_tbl), "term").withColumn(
-        "score",
-        F.round(
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-            9,
-        ),
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                9,
+            ),
+        )
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
     return (

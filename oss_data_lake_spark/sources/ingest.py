@@ -74,7 +74,7 @@ def ingest(
     spark: SparkSession,
     source_df: DataFrame,
     out_path: str,
-    ingest_date: str | None = None,
+    ingest_date: "str | Column | None" = None,
     mode: str = "append",
 ) -> dict[str, int]:
     """The full A1→A8 pipeline: normalize → derive partition key → guarded

@@ -46,16 +46,35 @@ def lake_root() -> str:
     )
 
 
-def _built(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _source_stamp(src_file: str) -> str:
+    st = os.stat(src_file)
+    return f"{st.st_size}:{int(st.st_mtime)}"
 
 
-def _build_once(df_fn, path: str, partition_col: str) -> str:
+def _built(path: str, stamp: str) -> bool:
+    """Complete build AND not stale: the stamp file is written AFTER the
+    Spark write finishes and BEFORE the atomic rename, so its presence is
+    the completeness witness (deliberately not `_SUCCESS`: a session left
+    in dynamic partition-overwrite mode suppresses that marker). Its
+    content records the source fixture's (size, mtime), so a regenerated
+    fixture invalidates the cached copy instead of silently serving last
+    generation's data."""
+    marker = os.path.join(path, "_SOURCE_STAMP")
+    try:
+        with open(marker) as fh:
+            return fh.read().strip() == stamp
+    except OSError:
+        return False
+
+
+def _build_once(df_fn, path: str, partition_col: str, src_file: str) -> str:
     """Materialize ``df_fn()`` partitioned by ``partition_col`` at ``path``
-    unless a complete build is already there. One file per partition at
-    fixture scale (``repartition(partition_col)``); at 100 TB the same call
-    becomes ``repartition(n, col)`` sized to executor memory."""
-    if _built(path):
+    unless a complete, non-stale build is already there. One file per
+    partition at fixture scale (``repartition(partition_col)``); at 100 TB
+    the same call becomes ``repartition(n, col)`` sized to executor
+    memory."""
+    stamp = _source_stamp(src_file)
+    if _built(path, stamp):
         return path
     tmp = path + ".inprogress"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -66,6 +85,8 @@ def _build_once(df_fn, path: str, partition_col: str) -> str:
         .partitionBy(partition_col)
         .parquet(tmp)
     )
+    with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
+        fh.write(stamp)
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
     return path
@@ -82,7 +103,7 @@ def events_by_date(spark: SparkSession, sf_dir: str) -> str:
             "date", F.date_format("ts", "yyyy-MM-dd")
         )
 
-    return _build_once(df, path, "date")
+    return _build_once(df, path, "date", os.path.join(sf_dir, "events.parquet"))
 
 
 def lineitem_by_month(spark: SparkSession, sf_dir: str) -> str:
@@ -96,13 +117,28 @@ def lineitem_by_month(spark: SparkSession, sf_dir: str) -> str:
             "ship_month", F.date_format("l_shipdate", "yyyy-MM")
         )
 
-    return _build_once(df, path, "ship_month")
+    return _build_once(
+        df, path, "ship_month", os.path.join(sf_dir, "lineitem.parquet")
+    )
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Partition-discovering read. Partition values stay STRINGS (no type
     inference): the pruning comparison is then a plain string equality /
     range over directory names — engine-portable and immune to date-type
-    inference differences between reader generations."""
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    return spark.read.parquet(path)
+    inference differences between reader generations.
+
+    The inference conf is restored after the read (partition schema is
+    fixed at DataFrame creation): leaving it off would silently change the
+    discovered-column types of every LATER partition read in the shared
+    session — order-dependent schemas."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -88,14 +88,23 @@ def read_v1(spark: SparkSession, root: str) -> DataFrame:
     through as the ingest column. Downstream operators cannot tell which
     generation a row came from. A predicate on ``ingest_date`` prunes at
     the file index — the incremental-migration path."""
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
     # same reader posture as sources/loaders.py (runtime-settable for
     # foreign driver sessions): timestamps land as LTZ micros under UTC
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(os.path.join(root, V1_PREFIX))
+    # partition inference off ONLY for this read (restored after — the
+    # partition schema is fixed at DataFrame creation; leaving it off
+    # would change later partition-discovering reads in the session)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        raw = spark.read.parquet(os.path.join(root, V1_PREFIX))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return normalize_ohlcv(raw, ingest_date=F.col("ingest_date"))
 
 
@@ -121,11 +130,42 @@ def migrate_v1_to_curated(
 ) -> dict[str, int]:
     """Drain v1 into the v2 curated layout: read → (optional incremental
     ``ingest_date`` range, partition-pruned) → latest-per-key overlap
-    resolution → guarded partitioned write (``ingest.ingest``). Returns the
-    write metrics dict ({rows_written, partitions})."""
+    resolution → partition-scoped merge into the curated zone. Returns the
+    write metrics dict ({rows_written, partitions}).
+
+    Two provenance/safety rules:
+    - The DISCOVERED v1 ingest_date travels through the migration (the
+      newest generation's per key) — re-running the migration on another
+      day produces byte-identical output, and audits see when rows really
+      landed, not when they were migrated.
+    - Incremental waves MERGE: with Spark's default static overwrite, a
+      second wave's ``mode=overwrite`` would wipe the first wave from
+      ``out_path``; and because v1 generations overlap in (ticker, ts),
+      even dynamic partition overwrite would drop wave-1-only rows from
+      shared date partitions. So rows already in the curated zone are
+      unioned in and the latest ingest per (ticker, ts) wins across BOTH
+      waves before a dynamic-partition overwrite of the touched dates."""
     v1 = read_v1(spark, v1_root)
     if ingest_dates is not None:
         lo, hi = ingest_dates
         v1 = v1.filter(F.col("ingest_date").between(lo, hi))
-    resolved = latest_per_key(v1).drop("ingest_date")
-    return ingest(spark, resolved, out_path, mode="overwrite")
+    resolved = latest_per_key(v1)
+    if os.path.exists(out_path):
+        existing = spark.read.parquet(out_path).drop("date")
+        resolved = latest_per_key(resolved.unionByName(existing))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        return ingest(
+            spark,
+            resolved,
+            out_path,
+            ingest_date=F.col("ingest_date"),
+            mode="overwrite",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -57,7 +57,11 @@ NS_SEP = "__"
 def encode_namespace(name: str) -> str:
     parts = name.split(".")
     for p in parts:
-        if not p or NS_SEP in p:
+        # leading/trailing underscores are rejected along with embedded
+        # separators: otherwise 'a_.b' and 'a._b' would both encode to
+        # 'a___b' (silent cross-namespace collision) and decode could not
+        # round-trip
+        if not p or NS_SEP in p or p.startswith("_") or p.endswith("_"):
             raise ValueError(f"invalid namespace part {p!r} in {name!r}")
     return NS_SEP.join(parts)
 

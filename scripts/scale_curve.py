@@ -9,6 +9,13 @@ quadratically — this script measures the production paths only.
 Replicas are PERTURBED so the workload's structure stays constant:
 - documents: every token gets a replica suffix (disjoint shingle spaces →
   no cross-replica near-dup pairs; pair count grows exactly linearly).
+  Caveat on e11's df cap: the >1% threshold scales with corpus size while
+  each shingle's df stays fixed under disjoint replication, so a shingle
+  capped at k=1 would be uncapped at k>=2 — a semantics shift, not pure
+  scaling. Immaterial HERE because the synthetic corpus's max shingle df
+  is 0.5% of docs (the cap never fires at any k — see BASELINE.md), but a
+  corpus with real boilerplate would need the cap frozen at the k=1
+  threshold for a clean curve.
 - embeddings: each replica rotates the vector by k positions (norms
   preserved, directions decorrelated → no cross-replica near-dups).
 - events: user_id shifted per replica (session structure per user

@@ -16,7 +16,7 @@ from oss_data_lake_spark.sources.lake import (
 def test_lake_builds_once_and_prunes(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", str(tmp_path / "lake"))
     path = events_by_date(spark, sf_dir)
-    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_SOURCE_STAMP"))
     date_dirs = [d for d in os.listdir(path) if d.startswith("date=")]
     assert len(date_dirs) == 30  # one dir per fixture day
     # one file per partition (repartition-by-key before partitionBy)
@@ -26,10 +26,10 @@ def test_lake_builds_once_and_prunes(spark, sf_dir, tmp_path, monkeypatch):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
-    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(path, "_SOURCE_STAMP"))
     # second call must be a no-op (build-once)
     assert events_by_date(spark, sf_dir) == path
-    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+    assert os.path.getmtime(os.path.join(path, "_SOURCE_STAMP")) == mtime
     # round-trip row count and partition-column recovery
     ev = read_lake(spark, path)
     assert "date" in ev.columns

@@ -101,3 +101,32 @@ def test_incremental_migration_prunes_ingest_dirs(spark, tmp_path):
     )
     assert partition_filters(v1), "ingest_date range must be a PartitionFilter"
     assert v1.count() == 10 * len(TICKERS)
+
+
+def test_incremental_migration_merges_waves(spark, tmp_path):
+    """Two migration waves (one ingest generation each) must MERGE: the
+    second wave may not wipe the first (static overwrite would), and on
+    overlapping (ticker, ts) keys the newer generation wins. The migrated
+    rows carry the DISCOVERED v1 ingest_date, not the migration day."""
+    root = _fixture(spark, tmp_path)
+    out = str(tmp_path / "curated_inc")
+
+    migrate_v1_to_curated(spark, root, out, ingest_dates=("2025-06-13", "2025-06-13"))
+    wave1 = read_curated(spark, out).collect()
+    assert {str(r.ingest_date) for r in wave1} == {"2025-06-13"}
+
+    migrate_v1_to_curated(spark, root, out, ingest_dates=("2025-06-20", "2025-06-20"))
+    merged = read_curated(spark, out)
+    full = latest_per_key(read_v1(spark, root))
+    assert merged.count() == full.count()
+    # wave-1-only days survive; overlap days carry wave-2 provenance
+    by_ingest = {
+        str(r.ingest_date): r.n
+        for r in merged.groupBy("ingest_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_ingest) == {"2025-06-13", "2025-06-20"}
+    want = {
+        str(r.ingest_date): r.n
+        for r in full.groupBy("ingest_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_ingest == want

@@ -152,6 +152,13 @@ def test_nested_namespace_warehouse(spark, tmp_path):
     assert encode_namespace("finance.yahoo.daily") == "finance__yahoo__daily"
     with pytest.raises(ValueError):
         encode_namespace("bad__part.x")
+    # 'a_.b' and 'a._b' would both encode to 'a___b' — boundary-adjacent
+    # underscores are rejected to keep the encoding collision-free
+    with pytest.raises(ValueError):
+        encode_namespace("a_.b")
+    with pytest.raises(ValueError):
+        encode_namespace("a._b")
+    assert encode_namespace("a_b.c") == "a_b__c"  # interior '_' is fine
 
     wh = Warehouse(spark, "finance_t.yahoo", location=str(tmp_path))
     try:
