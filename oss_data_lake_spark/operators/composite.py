@@ -270,6 +270,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("b04", "b04_semi_join_big_spenders",
              {"k1": ("c_mktsegment"), "v1": ("n_customers")},
              {"k1": "c_mktsegment", "v1": "n_customers"}),
+            ("b17", "b17_theta_join_nation_pairs",
+             {"k1": ("regionkey"), "k2": ("nation_a"), "s1": ("nation_b")},
+             {"k1": "regionkey", "k2": "nation_a", "s1": "nation_b"}),
             ("b05", "b05_anti_join_small_spenders",
              {"k1": ("c_custkey"), "k2": ("c_mktsegment")},
              {"k1": "c_custkey", "k2": "c_mktsegment"}),

@@ -145,8 +145,69 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m02: TIME TRAVEL, driver-value-verified — commit the orders fixture
+    into a snapshot table in two generations (v0 = open orders only, v1
+    appends the finished ones), then read BOTH versions back and return
+    per-(version, status) accounting.
+
+    This upgrades the snapshot layer from pytest-only to oracle-checked:
+    matching the oracle (which recomputes each version's membership from
+    the raw fixture) proves the manifest machinery — version isolation,
+    append visibility, as-of reads — end to end. The snapshot table is
+    materialized once per scale factor into the lake cache dir, stamped
+    against the source fixture like ``sources/lake.py`` builds."""
+    import os
+    import shutil
+
+    from oss_data_lake_spark.sources.lake import (
+        _built,
+        _source_stamp,
+        lake_root,
+    )
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(lake_root(), sf, "m02_snapshots")
+    src = os.path.join(sf_dir, "orders.parquet")
+    stamp = _source_stamp(src)
+    orders3 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not _built(path, stamp):
+        shutil.rmtree(path, ignore_errors=True)
+        t = SnapshotTable(spark, path)
+        t.commit(orders3.filter(F.col("o_orderstatus") == "O"))
+        t.commit(
+            orders3.filter(F.col("o_orderstatus") == "F"), mode="append"
+        )
+        with open(os.path.join(path, "_SOURCE_STAMP"), "w") as fh:
+            fh.write(stamp)
+    t = SnapshotTable(spark, path)
+
+    def per_version(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice", "sum_price"),
+            )
+            .withColumn("version", F.lit(v).cast("long"))
+        )
+
+    # snapshot versions are 1-based: v1 = first commit, v2 = the append
+    return (
+        per_version(1)
+        .unionByName(per_version(2))
+        .select("version", "o_orderstatus", "n", "sum_price")
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
+    "m02_snapshot_time_travel": snapshot_time_travel_query,
 }
 
 _SRC_SQL = f"""
@@ -159,6 +220,20 @@ _SRC_SQL = f"""
 """
 
 ORACLES = {
+    # re-derives each snapshot version's membership from the raw fixture:
+    # v1 = the first commit's filter, v2 = v1's files + the appended commit
+    "m02_snapshot_time_travel": f"""
+        SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+               COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders WHERE o_orderstatus = 'O'
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), o_orderstatus,
+               COUNT(*), {sql_dsum("o_totalprice")}
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY o_orderstatus
+        ORDER BY version, o_orderstatus
+    """,
     "m01_merge_upsert_orders": f"""
         WITH src AS ({_SRC_SQL}),
         merged AS (
