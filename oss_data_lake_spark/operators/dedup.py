@@ -444,26 +444,157 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-CC_MAX_ITERS = 20
+CC_MAX_ITERS = 25
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every vertex u connects each STRICTLY
+    LARGER neighbor v to m = min(Γ(u) ∪ {u}). One symmetrize-union, one
+    min-aggregate on vertex, one join — all shuffles keyed on vertex id.
+    Output edges satisfy src > dst (m ≤ u < v), so no self-loops."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    # no distinct here: duplicates don't disturb small-star's min-aggs and
+    # its trailing distinct removes them — saves one shuffle per round
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("mn"), F.col("src")).alias("dst"),
+        )
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: input edges point large→small (the large-star
+    output invariant); every vertex u re-wires ITS SMALLER neighborhood
+    into a star around m = min of that neighborhood — edge (v, m) for each
+    neighbor v ≠ m, plus (u, m). One min-aggregate + one join, keyed on
+    vertex id. Output keeps src > dst."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+    moved = (
+        e.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    rooted = mins.select("src", F.col("mn").alias("dst"))
+    return moved.unionByName(rooted).distinct()
+
+
+def connected_components_with_rounds(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """Connected components over undirected (doc_a, doc_b) edges by
+    LARGE-STAR / SMALL-STAR alternation (Kiveris et al., SoCC'14 — the
+    MapReduce-native CC algorithm). Returns ``(labels, rounds)`` where
+    labels is (doc_id, cluster_id = component-min vertex id) for every
+    vertex appearing in an edge.
+
+    Why this over min-label propagation (the round-1..4 engine): label
+    propagation needs rounds = component DIAMETER — an adversarially deep
+    chain (a path graph) costs O(n) full job barriers. The star alternation
+    contracts paths geometrically: O(log n) rounds on path graphs
+    (pytest-pinned on a 64-vertex path), each round two vertex-keyed
+    shuffle stages. At fixpoint the edge set is a star forest, every
+    non-min vertex pointing directly at its component's minimum — which is
+    exactly the (doc_id, cluster_id) output, no label join needed.
+
+    Convergence detection is STRUCTURAL and exact, one bounded driver
+    scalar per round: the alternation's fixpoints are precisely the star
+    forests under the src>dst invariant — every ``src`` unique (one
+    parent) and no vertex both ``src`` and ``dst`` (no chains) — which one
+    vertex-keyed aggregate over the checkpointed edge set tests directly.
+    Unlike compare-to-previous-round, this detects convergence in the SAME
+    round the star forest forms (no confirm round). ``localCheckpoint``
+    truncates lineage each round (at cluster scale, checkpoint to the lake
+    instead). NOTE: construction is EAGER — building this DataFrame runs
+    the full iterative computation (bounded by O(log n) rounds), so
+    explain-only tooling (scripts/capture_plans.py, plan tests) must not
+    instantiate e14; they deliberately don't."""
+    e0 = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every vertex seen in any edge gets a label, incl. self-loop-only ones
+    verts = (
+        e0.select(F.col("src").alias("doc_id"))
+        .unionByName(e0.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+
+    def is_star_forest(d: DataFrame) -> bool:
+        """Fixpoint test: under src>dst, the alternation is stationary iff
+        every src has exactly one parent edge and no vertex is both a src
+        and a dst (proof sketch in module history: such a graph is a
+        forest of stars each rooted at its own minimum, and both star
+        operations map it to itself; any violation makes small-star or
+        large-star emit a different edge). One aggregate keyed on vertex;
+        ``limit(1)`` short-circuits on the first violation."""
+        bad = (
+            d.select(F.col("src").alias("x"), F.lit(1).alias("is_src"))
+            .unionByName(
+                d.select(F.col("dst").alias("x"), F.lit(0).alias("is_src"))
+            )
+            .groupBy("x")
+            .agg(
+                F.sum("is_src").alias("n_src"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .filter(
+                (F.col("n_src") > 1)
+                | ((F.col("n_src") > 0) & (F.col("n") > F.col("n_src")))
+            )
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    converged, rounds = is_star_forest(e), 0
+    while not converged and rounds < max_iters:
+        rounds += 1
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        converged = is_star_forest(e)
+    if not converged:
+        # An unconverged edge set is not yet a star forest — emitting it
+        # would split components. The cap exists as a runaway guard only:
+        # O(log n) convergence means 25 rounds covers any graph this side
+        # of 2^25 vertices of pure path.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # fixpoint = star forest rooted at each component's min: edges ARE the
+    # non-root labels; roots (and self-loop-only vertices) label themselves
+    star = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    labels = verts.join(star, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return labels, rounds
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
-    """Connected components over undirected (doc_a, doc_b) edges by
-    min-label propagation: every vertex starts labeled with itself; each
-    round every vertex takes the min of its own and its neighbors' labels;
-    converged when no label changes. Returns (doc_id, cluster_id =
-    component-min vertex id) for every vertex appearing in an edge.
+    """See ``connected_components_with_rounds`` (the round count is only
+    interesting to the convergence tests)."""
+    labels, _ = connected_components_with_rounds(edges, max_iters)
+    return labels
 
-    Scale shape: each round is one join (edges ⋈ labels, shuffle on vertex)
-    + one min-aggregate; rounds needed = component DIAMETER, and near-dup
-    components are shallow (a hub doc links its variants — diameter 2-4),
-    not path graphs. ``localCheckpoint`` truncates lineage each round so
-    the plan doesn't grow with iterations — the standard Spark iterative
-    pattern (at cluster scale, checkpoint to the lake instead; for
-    adversarially deep graphs, switch to the large-star/small-star
-    alternation which converges in O(log n) rounds). Convergence is a
-    driver-side count per round: bounded scalar reads, like any iterative
-    fixpoint on Spark."""
+
+def _connected_components_minlabel(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation CC — the rounds-1..4 engine, kept as a
+    pytest cross-check twin for the star-alternation engine (identical
+    labels on every input; rounds = component diameter, so NOT the
+    production path — a deep chain costs O(n) barriers here vs O(log n)
+    above)."""
     sym = edges.select(
         F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
     ).unionByName(
@@ -493,13 +624,8 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         if changed == 0:
             break
     if changed != 0:
-        # Unconverged labels are WRONG labels (a component split in two) —
-        # fail loudly rather than emit them. A component needs more rounds
-        # than its eccentricity from the min vertex; hitting this means an
-        # adversarially deep chain — raise the cap or switch to the
-        # large-star/small-star alternation (O(log n) rounds).
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
+            f"min-label CC did not converge in {max_iters} rounds "
             f"({changed} labels still changing)"
         )
     return labels.select(
@@ -514,7 +640,13 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     step a training-data pipeline runs between near-dup detection and
     survivor selection: group ALL transitively-linked variants so exactly
     one representative per cluster survives (the representative being
-    min doc_id == the cluster_id)."""
+    min doc_id == the cluster_id).
+
+    EAGER: constructing this DataFrame runs the whole iterative
+    star-alternation (O(log n) bounded rounds of Spark jobs) — it cannot
+    be a lazy plan because each round's edge set gates the next. Keep e14
+    out of explain-only tooling (capture_plans.py and the plan-pin tests
+    deliberately exclude it)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC)
     comp = connected_components(pairs.select("doc_a", "doc_b"))

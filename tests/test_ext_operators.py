@@ -438,6 +438,73 @@ def test_connected_components_transitive_closure(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """Adversarial DEEP component: a 64-vertex path 0-1-2-...-63. Min-label
+    propagation needs diameter (63) rounds — it would blow the 25-round
+    cap. The large-star/small-star engine must converge in O(log n)
+    rounds (pinned: ≤ 2·log2(64) + 2 = 14) and still label the whole path
+    as ONE cluster rooted at vertex 0."""
+    from oss_data_lake_spark.operators.dedup import (
+        connected_components_with_rounds,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components_with_rounds(edges)
+    assert rounds <= 14, f"path graph took {rounds} rounds (want O(log n))"
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
+def _union_find_clusters(edge_list):
+    """Driver-side union-find truth for CC tests."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every vertex → its component's min vertex
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Star-alternation vs a driver-side union-find truth AND the retired
+    min-label engine, on a seeded random graph with mixed shapes (chains,
+    triangles, stars, isolated pairs, self-loops)."""
+    import random
+
+    from oss_data_lake_spark.operators.dedup import (
+        _connected_components_minlabel,
+        connected_components,
+    )
+
+    rng = random.Random(1234)
+    edge_list = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ] + [(500, 500), (601, 602)]  # self-loop + far island
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    truth = _union_find_clusters(edge_list)
+    star = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert star == truth
+    minlabel = {
+        r.doc_id: r.cluster_id
+        for r in _connected_components_minlabel(edges).collect()
+    }
+    assert minlabel == truth
+
+
 def test_neardup_clusters_cover_all_paired_docs(spark, sf_correct):
     """Every doc in a verified near-dup pair lands in exactly one cluster;
     the cluster id is the min member (the surviving representative)."""
