@@ -43,7 +43,10 @@ HEADLINE = [
     "b08_topk_orders_per_customer",
     "b21_having_big_orders",
     "e11_minhash_lsh_pairs",
-    "e12_ngram_jaccard_pairs",
+    # e12 (exhaustive n-gram Jaccard) left the headline in round 5: it is
+    # the weak-by-design TRUTH TWIN of e11, not a production path — truth
+    # twins live in pytest + the e91 composite (VERDICT r4 "What's wrong"
+    # #3). Cross-round totals compare SHARED-query sums (BASELINE.md).
     "e20_cosine_topk_exact",
     "e21_cosine_topk_fast",
     "e22_ann_ivf_topk",
