@@ -29,10 +29,41 @@ class Engine:
     ):
         self.spark = spark or get_spark(warehouse_dir=warehouse_dir)
         self._warehouse_dir = warehouse_dir
+        self._snapshot_tables: dict = {}
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
+        """Spark SQL text, plus the Trino/Iceberg time-travel clauses
+        (``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF 'ts'``) over any
+        snapshot tables registered via ``register_snapshot_table``."""
+        if self._snapshot_tables:
+            from oss_data_lake_spark.sources.snapshots import (
+                sql_with_time_travel,
+            )
+
+            return sql_with_time_travel(self.spark, text, self._snapshot_tables)
         return self.spark.sql(text)
+
+    def register_snapshot_table(self, name: str, path: str):
+        """Expose the SnapshotTable at ``path`` to ``sql`` under ``name``
+        (plain references read the current snapshot; AS-OF clauses time
+        travel). Returns the table handle."""
+        from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(self.spark, path)
+        self._snapshot_tables[name] = t
+        return t
+
+    def snapshot_view(
+        self, view_name: str, table_name: str, version: int | None = None
+    ) -> str:
+        """Named-view time travel for JDBC/BI clients (serving.py shares
+        this session): pin ``view_name`` to ``table_name`` at ``version``."""
+        from oss_data_lake_spark.sources.snapshots import snapshot_view
+
+        return snapshot_view(
+            self.spark, view_name, self._snapshot_tables[table_name], version
+        )
 
     def explain(self, text_or_df: str | DataFrame, mode: str = "formatted") -> str:
         df = self.sql(text_or_df) if isinstance(text_or_df, str) else text_or_df

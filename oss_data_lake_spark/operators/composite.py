@@ -6,8 +6,10 @@ rows, cut precisely at registry position 50, under two completely different
 orderings with completely different per-query costs (a full fine-grained
 pass takes well under a minute at sf0.01 — far under any plausible time
 budget). It is a COUNT cap, so no amount of per-query speedup fits the
-fine-grained registry (77 queries as of round 4); the driver registry
-itself must stay ≤ 50 entries.
+fine-grained registry (``len(all_queries())`` — deliberately not restated
+here after two rounds of the number going stale; the 50-entry driver cap
+is asserted at runtime in ``operators.driver_queries``); the driver
+registry itself must stay ≤ 50 entries.
 
 The consolidation keeps every fine-grained query and oracle in its module
 (pytest's oracle-parity suite still verifies ALL of them individually, and
@@ -213,7 +215,18 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "o_orderkey", "k2": "o_custkey", "v1": "o_totalprice"}),
         ],
         # ---- tier B composites --------------------------------------
+        # round 5: b19 (pivot) and b27 (ordered array agg) — both grouped
+        # aggregation shapes — fold in here, freeing driver-registry slots
+        # for the m03 SQL-text time-travel query under the 50-row cap.
         "b40_grouping_families": [
+            ("b19", "b19_pivot_event_values",
+             {"k1": ("user_id"), "v1": ("click"), "v2": ("purchase"),
+              "v3": ("view")},
+             {"k1": "user_id", "v1": "click", "v2": "purchase",
+              "v3": '"view"'}),
+            ("b27", "b27_nations_per_region_list",
+             {"k1": ("r_name"), "v1": ("n_nations"), "s1": ("nations")},
+             {"k1": "r_name", "v1": "n_nations", "s1": "nations"}),
             ("b09", "b09_rollup_lineitem_status",
              {"k1": ("l_returnflag"), "k2": ("l_linestatus"),
               "v1": ("sum_qty"), "v2": ("n")},

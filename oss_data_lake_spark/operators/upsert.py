@@ -145,18 +145,17 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def snapshot_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m02: TIME TRAVEL, driver-value-verified — commit the orders fixture
-    into a snapshot table in two generations (v0 = open orders only, v1
-    appends the finished ones), then read BOTH versions back and return
-    per-(version, status) accounting.
-
-    This upgrades the snapshot layer from pytest-only to oracle-checked:
-    matching the oracle (which recomputes each version's membership from
-    the raw fixture) proves the manifest machinery — version isolation,
-    append visibility, as-of reads — end to end. The snapshot table is
-    materialized once per scale factor into the lake cache dir, stamped
-    against the source fixture like ``sources/lake.py`` builds."""
+def _m02_snapshot_table(spark: SparkSession, sf_dir: str):
+    """Build-once (per scale factor, stamped against the source fixture)
+    two-generation snapshot table over orders: v1 = open orders only,
+    v2 appends the finished ones. Shared by m02 (API time travel) and m03
+    (SQL-text time travel). Built into a sibling ``.inprogress`` dir and
+    atomically renamed into place (the ``sources/lake.py`` protocol) so a
+    concurrent bench/test process sharing the lake dir can never read a
+    half-built table; NOTE rmtree+rename atomicity is LOCAL-FILESYSTEM
+    only — at 100 TB on an object store, publish via the snapshot layer's
+    own manifest pointer (it is already atomic per commit) instead of
+    directory swaps."""
     import os
     import shutil
 
@@ -171,19 +170,35 @@ def snapshot_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(lake_root(), sf, "m02_snapshots")
     src = os.path.join(sf_dir, "orders.parquet")
     stamp = _source_stamp(src)
-    orders3 = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
     if not _built(path, stamp):
-        shutil.rmtree(path, ignore_errors=True)
-        t = SnapshotTable(spark, path)
+        orders3 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tmp = path + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t = SnapshotTable(spark, tmp)
         t.commit(orders3.filter(F.col("o_orderstatus") == "O"))
         t.commit(
             orders3.filter(F.col("o_orderstatus") == "F"), mode="append"
         )
-        with open(os.path.join(path, "_SOURCE_STAMP"), "w") as fh:
+        with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
             fh.write(stamp)
-    t = SnapshotTable(spark, path)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+    return SnapshotTable(spark, path)
+
+
+def snapshot_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m02: TIME TRAVEL, driver-value-verified — commit the orders fixture
+    into a snapshot table in two generations (v1 = open orders only, v2
+    appends the finished ones), then read BOTH versions back and return
+    per-(version, status) accounting.
+
+    This upgrades the snapshot layer from pytest-only to oracle-checked:
+    matching the oracle (which recomputes each version's membership from
+    the raw fixture) proves the manifest machinery — version isolation,
+    append visibility, as-of reads — end to end."""
+    t = _m02_snapshot_table(spark, sf_dir)
 
     def per_version(v: int) -> DataFrame:
         return (
@@ -205,9 +220,46 @@ def snapshot_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_sql_time_travel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m03: SQL-TEXT time travel — the Trino/Iceberg clause surface the
+    reference's engine exposes (``FOR VERSION AS OF`` / ``FOR TIMESTAMP
+    AS OF``, Trino 467 per reference docker-compose.yaml:153 over Iceberg,
+    etc/catalog/iceberg.properties:14-20), served by
+    ``sources.snapshots.sql_with_time_travel`` over the same
+    two-generation snapshot table m02 builds. One statement reads v1 by
+    VERSION NUMBER and v2 by COMMIT TIMESTAMP (resolved against the
+    manifest log), so both clause forms and the timestamp→version
+    resolution are value-verified against an oracle that re-derives each
+    version's membership from the raw fixture."""
+    import datetime
+
+    from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+    t = _m02_snapshot_table(spark, sf_dir)
+    # any instant in [v2 commit, now) resolves to v2; +500 ms clears the
+    # millisecond-rounding edge of the literal round-trip
+    v2_ms = t._manifest(2)["committed_at_ms"] + 500
+    v2_ts = datetime.datetime.fromtimestamp(
+        v2_ms / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    text = f"""
+        SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+               COUNT(DISTINCT o_orderstatus) AS n_status,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM m02_orders FOR VERSION AS OF 1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), COUNT(*), COUNT(DISTINCT o_orderstatus),
+               {sql_dsum("o_totalprice")}
+        FROM m02_orders FOR TIMESTAMP AS OF '{v2_ts}'
+        ORDER BY version
+    """
+    return sql_with_time_travel(spark, text, {"m02_orders": t})
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
+    "m03_sql_time_travel": snapshot_sql_time_travel_query,
 }
 
 _SRC_SQL = f"""
@@ -220,6 +272,20 @@ _SRC_SQL = f"""
 """
 
 ORACLES = {
+    # m03: same membership re-derivation as m02, shaped to the SQL-text
+    # query (one row per version; n_status checks DISTINCT through the
+    # time-travel view)
+    "m03_sql_time_travel": f"""
+        SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+               COUNT(DISTINCT o_orderstatus) AS n_status,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), COUNT(*), COUNT(DISTINCT o_orderstatus),
+               {sql_dsum("o_totalprice")}
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        ORDER BY version
+    """,
     # re-derives each snapshot version's membership from the raw fixture:
     # v1 = the first commit's filter, v2 = v1's files + the appended commit
     "m02_snapshot_time_travel": f"""

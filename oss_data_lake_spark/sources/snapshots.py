@@ -47,8 +47,10 @@ parquet reader over the manifest's directories.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
 import time
 import uuid
 
@@ -249,6 +251,22 @@ class SnapshotTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """The snapshot visible at epoch-millis ``ts_ms``: the LARGEST
+        version committed at or before it (Iceberg's
+        ``FOR TIMESTAMP AS OF`` resolution). Raises if the timestamp
+        precedes the first commit."""
+        cands = [
+            m["version"]
+            for m in self.versions()
+            if m["committed_at_ms"] <= ts_ms
+        ]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at or before {ts_ms} ms in {self.path}"
+            )
+        return max(cands)
+
     def current_version(self) -> int | None:
         try:
             with open(os.path.join(self._meta, "CURRENT")) as f:
@@ -380,3 +398,92 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, cpath)
+
+
+# --------------------------------------------------------- SQL time travel
+#
+# The Trino/Iceberg SQL-text surface for time travel (the reference engine's
+# ``SELECT ... FROM t FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF ts``,
+# Trino 467 per reference docker-compose.yaml:153 over the Iceberg REST
+# catalog, etc/catalog/iceberg.properties:14-20). Spark's parser has no such
+# clause for the session parquet catalog, so ``sql_with_time_travel``
+# resolves each clause AGAINST THE MANIFESTS before parsing: every
+# ``<table> FOR ... AS OF ...`` occurrence is replaced by a temp view over
+# ``SnapshotTable.read(version=...)`` and the rewritten text runs through
+# the normal Spark SQL path. BI/JDBC clients that cannot preprocess text
+# get the same capability as named views via ``snapshot_view``.
+
+_TT_VERSION_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
+_TT_TS_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+"
+    r"(?:TIMESTAMP\s+)?'([^']+)'",
+    re.IGNORECASE,
+)
+
+
+def _parse_ts_ms(literal: str) -> int:
+    """ISO-8601 timestamp literal → epoch millis. Naive literals are UTC
+    (the engine's session timezone — see session.py); explicit offsets are
+    honored."""
+    dt = datetime.datetime.fromisoformat(literal)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def snapshot_view(
+    spark: SparkSession,
+    view_name: str,
+    table: "SnapshotTable",
+    version: int | None = None,
+) -> str:
+    """Register ``table`` at ``version`` (default: current) as a temp view
+    — the time-travel surface for JDBC/BI clients sharing the session
+    (serving.py): ``CREATE VIEW``-equivalent without SQL-text rewriting."""
+    table.read(version=version).createOrReplaceTempView(view_name)
+    return view_name
+
+
+def sql_with_time_travel(
+    spark: SparkSession, text: str, tables: dict[str, "SnapshotTable"]
+) -> DataFrame:
+    """Run SQL text supporting ``<table> FOR VERSION AS OF n`` and
+    ``<table> FOR TIMESTAMP AS OF '<iso>'`` over registered
+    ``SnapshotTable``s. Unknown table names in a time-travel clause raise
+    (a silent pass-through would hand Spark's parser a syntax error far
+    from the real cause). Plain references to registered names resolve to
+    the CURRENT snapshot via temp views, so one statement can mix
+    versioned and head reads."""
+
+    def _view(name: str, version: int) -> str:
+        t = tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"time-travel clause references unregistered snapshot "
+                f"table '{name}' (registered: {sorted(tables)})"
+            )
+        view = f"__tt_{name.replace('.', '_')}_v{version}"
+        t.read(version=version).createOrReplaceTempView(view)
+        return view
+
+    def sub_version(m: "re.Match[str]") -> str:
+        return _view(m.group(1), int(m.group(2)))
+
+    def sub_ts(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        t = tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"time-travel clause references unregistered snapshot "
+                f"table '{name}' (registered: {sorted(tables)})"
+            )
+        return _view(name, t.version_as_of(_parse_ts_ms(m.group(2))))
+
+    rewritten = _TT_TS_RE.sub(sub_ts, _TT_VERSION_RE.sub(sub_version, text))
+    # plain (non-AS-OF) references to registered tables read the head
+    for name, t in tables.items():
+        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+            snapshot_view(spark, name, t)
+    return spark.sql(rewritten)

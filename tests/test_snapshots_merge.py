@@ -352,3 +352,75 @@ def test_partition_evolution_pruning_and_rollback(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.commit(df.drop("bucket"), partition_by=["bucket"])
+
+
+def test_sql_time_travel_clauses(spark, tmp_path):
+    """SQL-text time travel (Trino/Iceberg clause surface): VERSION AS OF,
+    TIMESTAMP AS OF (resolved against the manifest log), plain reference =
+    head, mixed in one statement; unknown table names raise."""
+    import pytest as _pytest
+
+    from oss_data_lake_spark.sources.snapshots import (
+        snapshot_view,
+        sql_with_time_travel,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tt"))
+    t.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.commit(spark.createDataFrame([(2, "b")], "k int, v string"), mode="append")
+
+    got = sql_with_time_travel(
+        spark, "SELECT k FROM tt FOR VERSION AS OF 1", {"tt": t}
+    ).collect()
+    assert [r.k for r in got] == [1]
+
+    # timestamp at/after v2's commit resolves to v2; mixed with a plain
+    # (head) reference in the same statement
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(
+        (t._manifest(2)["committed_at_ms"] + 500) / 1000,
+        tz=datetime.timezone.utc,
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    got = sql_with_time_travel(
+        spark,
+        f"""SELECT (SELECT COUNT(*) FROM tt FOR TIMESTAMP AS OF '{ts}') AS n2,
+                   (SELECT COUNT(*) FROM tt) AS nh""",
+        {"tt": t},
+    ).collect()[0]
+    assert (got.n2, got.nh) == (2, 2)
+
+    # a timestamp before the first commit raises (version_as_of)
+    with _pytest.raises(ValueError, match="no snapshot"):
+        sql_with_time_travel(
+            spark,
+            "SELECT * FROM tt FOR TIMESTAMP AS OF '1999-01-01 00:00:00'",
+            {"tt": t},
+        )
+    # unknown table in an AS-OF clause raises with the registry listed
+    with _pytest.raises(ValueError, match="unregistered"):
+        sql_with_time_travel(
+            spark, "SELECT * FROM nope FOR VERSION AS OF 1", {"tt": t}
+        )
+
+    # named-view surface for JDBC/BI clients: pin a view to v1
+    snapshot_view(spark, "tt_v1", t, version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM tt_v1").collect()[0].n == 1
+
+
+def test_engine_sql_time_travel_roundtrip(spark, tmp_path):
+    """Engine facade: register_snapshot_table + sql with AS-OF clauses +
+    snapshot_view, the path a reference BI user would take."""
+    from oss_data_lake_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = eng.register_snapshot_table("sales", str(tmp_path / "sales"))
+    t.commit(spark.createDataFrame([(10.0,)], "amt double"))
+    t.commit(spark.createDataFrame([(32.0,)], "amt double"), mode="append")
+    got = eng.sql(
+        """SELECT (SELECT SUM(amt) FROM sales FOR VERSION AS OF 1) AS s1,
+                  (SELECT SUM(amt) FROM sales) AS sh"""
+    ).collect()[0]
+    assert (got.s1, got.sh) == (10.0, 42.0)
+    eng.snapshot_view("sales_v1", "sales", version=1)
+    assert spark.sql("SELECT SUM(amt) AS s FROM sales_v1").collect()[0].s == 10.0
