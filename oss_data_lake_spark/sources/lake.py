@@ -18,13 +18,30 @@ per (scale factor, table), in a cache directory outside the repo:
   would mean 2 499 tiny partitions at fixture scale — partition grain must
   track data volume per key, the classic small-files tradeoff)
 
-Build-once protocol: the writer job writes to a temp dir then atomically
-renames it into place, so a half-written lake is never observed (Spark's
-``_SUCCESS`` marker additionally guards the content). Reads go through
-``spark.read.parquet`` on the directory root; Hive-style partition
-discovery recovers the partition column, and a filter on it becomes a
-``PartitionFilters`` entry in the scan — pinned by ``tests/test_plans.py``
-and exercised by the ``p0x`` registry queries (``operators/lake.py``).
+Build-once protocol, by filesystem:
+
+- **Local paths** (the test/bench default): the writer job writes to a
+  sibling temp dir then atomically renames it into place, so a
+  half-built lake is never observed. The rmtree+rename swap is atomic on
+  a LOCAL filesystem ONLY — object stores have no atomic directory
+  rename (S3 "rename" is copy+delete).
+- **Object-store URIs** (``lake_root()`` = ``s3a://...``): no directory
+  swap — the build writes DIRECTLY to the final prefix through the
+  existing s3a/magic-committer configuration (``sources/objectstore.py``:
+  commit via multipart-upload completion, never rename), and the
+  ``_SOURCE_STAMP`` marker is written LAST through the Hadoop FileSystem
+  API, so ``_built`` reports complete only after the data commit.
+  Concurrent readers during a REbuild may observe the cache mid-publish
+  (acceptable for a cache of driver-fixture derivations — it is
+  re-derivable and rebuilt only when the source fixture changes; for
+  tables with durability semantics use ``sources/snapshots.py``, whose
+  manifest-pointer publish is atomic on any store).
+
+Reads go through ``spark.read.parquet`` on the directory root; Hive-style
+partition discovery recovers the partition column, and a filter on it
+becomes a ``PartitionFilters`` entry in the scan — pinned by
+``tests/test_plans.py`` and exercised by the ``p0x`` registry queries
+(``operators/lake.py``).
 """
 
 from __future__ import annotations
@@ -51,15 +68,42 @@ def _source_stamp(src_file: str) -> str:
     return f"{st.st_size}:{int(st.st_mtime)}"
 
 
-def _built(path: str, stamp: str) -> bool:
+def _is_remote(path: str) -> bool:
+    """Object-store / non-local-FS URI? (``file:`` and bare paths are
+    local; anything else — s3a://, hdfs://, ... — routes through the
+    Hadoop FileSystem branch: no directory-rename publish.)"""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme not in ("", "file")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm  # type: ignore[union-attr]
+    return jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI(path),
+        spark.sparkContext._jsc.hadoopConfiguration(),  # type: ignore[union-attr]
+    )
+
+
+def _built(path: str, stamp: str, spark: SparkSession | None = None) -> bool:
     """Complete build AND not stale: the stamp file is written AFTER the
-    Spark write finishes and BEFORE the atomic rename, so its presence is
-    the completeness witness (deliberately not `_SUCCESS`: a session left
-    in dynamic partition-overwrite mode suppresses that marker). Its
-    content records the source fixture's (size, mtime), so a regenerated
-    fixture invalidates the cached copy instead of silently serving last
-    generation's data."""
+    Spark write finishes (and, locally, BEFORE the atomic rename), so its
+    presence is the completeness witness (deliberately not `_SUCCESS`: a
+    session left in dynamic partition-overwrite mode suppresses that
+    marker). Its content records the source fixture's (size, mtime), so a
+    regenerated fixture invalidates the cached copy instead of silently
+    serving last generation's data."""
     marker = os.path.join(path, "_SOURCE_STAMP")
+    if _is_remote(path):
+        assert spark is not None, "remote stamp check needs the session"
+        try:
+            fs = _hadoop_fs(spark, path)
+            p = spark._jvm.org.apache.hadoop.fs.Path(marker)  # type: ignore[union-attr]
+            if not fs.exists(p):
+                return False
+            rows = spark.read.text(marker).collect()
+            return "\n".join(r[0] for r in rows).strip() == stamp
+        except Exception:
+            return False
     try:
         with open(marker) as fh:
             return fh.read().strip() == stamp
@@ -67,14 +111,45 @@ def _built(path: str, stamp: str) -> bool:
         return False
 
 
-def _build_once(df_fn, path: str, partition_col: str, src_file: str) -> str:
+def _write_remote_marker(spark: SparkSession, marker: str, stamp: str) -> None:
+    fs = _hadoop_fs(spark, marker)
+    p = spark._jvm.org.apache.hadoop.fs.Path(marker)  # type: ignore[union-attr]
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(stamp.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _build_once(
+    df_fn,
+    path: str,
+    partition_col: str,
+    src_file: str,
+    spark: SparkSession | None = None,
+) -> str:
     """Materialize ``df_fn()`` partitioned by ``partition_col`` at ``path``
     unless a complete, non-stale build is already there. One file per
     partition at fixture scale (``repartition(partition_col)``); at 100 TB
     the same call becomes ``repartition(n, col)`` sized to executor
-    memory."""
+    memory. Publish protocol per filesystem — see the module docstring:
+    local = temp dir + atomic rename; object store = direct write under
+    the magic committer, stamp marker last."""
     stamp = _source_stamp(src_file)
-    if _built(path, stamp):
+    if _built(path, stamp, spark):
+        return path
+    if _is_remote(path):
+        assert spark is not None, "remote build needs the session"
+        (
+            df_fn()
+            .repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        _write_remote_marker(
+            spark, os.path.join(path, "_SOURCE_STAMP"), stamp
+        )
         return path
     tmp = path + ".inprogress"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -103,7 +178,9 @@ def events_by_date(spark: SparkSession, sf_dir: str) -> str:
             "date", F.date_format("ts", "yyyy-MM-dd")
         )
 
-    return _build_once(df, path, "date", os.path.join(sf_dir, "events.parquet"))
+    return _build_once(
+        df, path, "date", os.path.join(sf_dir, "events.parquet"), spark
+    )
 
 
 def lineitem_by_month(spark: SparkSession, sf_dir: str) -> str:
@@ -118,7 +195,7 @@ def lineitem_by_month(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _build_once(
-        df, path, "ship_month", os.path.join(sf_dir, "lineitem.parquet")
+        df, path, "ship_month", os.path.join(sf_dir, "lineitem.parquet"), spark
     )
 
 

@@ -133,18 +133,27 @@ def migrate_v1_to_curated(
     resolution → partition-scoped merge into the curated zone. Returns the
     write metrics dict ({rows_written, partitions}).
 
-    Two provenance/safety rules:
+    Three provenance/safety rules:
     - The DISCOVERED v1 ingest_date travels through the migration (the
       newest generation's per key) — re-running the migration on another
       day produces byte-identical output, and audits see when rows really
       landed, not when they were migrated.
-    - Incremental waves MERGE: with Spark's default static overwrite, a
-      second wave's ``mode=overwrite`` would wipe the first wave from
-      ``out_path``; and because v1 generations overlap in (ticker, ts),
-      even dynamic partition overwrite would drop wave-1-only rows from
-      shared date partitions. So rows already in the curated zone are
-      unioned in and the latest ingest per (ticker, ts) wins across BOTH
-      waves before a dynamic-partition overwrite of the touched dates."""
+    - Incremental waves MERGE: because v1 generations overlap in
+      (ticker, ts), a later wave must not drop wave-1-only rows — rows
+      already in the curated zone are unioned in and the latest ingest
+      per (ticker, ts) wins across BOTH waves.
+    - The merged result is STAGED into a sibling ``.migrating`` dir and
+      swapped in with one ``os.rename`` (the ``sources/lake.py``
+      ``_build_once`` protocol). The write job therefore never deletes
+      the files it is reading (no read-overwrite-same-path window: a
+      crash or task retry mid-write leaves the live curated zone
+      untouched, and a crash between the rmtree and the rename leaves
+      the complete staged copy on disk — and the v1 source, which the
+      migration never deletes, regenerates everything on re-run).
+      LOCAL-FILESYSTEM atomicity only: on an object store, publish via a
+      manifest pointer (``sources/snapshots.py``) instead of dir renames."""
+    import shutil
+
     v1 = read_v1(spark, v1_root)
     if ingest_dates is not None:
         lo, hi = ingest_dates
@@ -153,19 +162,15 @@ def migrate_v1_to_curated(
     if os.path.exists(out_path):
         existing = spark.read.parquet(out_path).drop("date")
         resolved = latest_per_key(resolved.unionByName(existing))
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        return ingest(
-            spark,
-            resolved,
-            out_path,
-            ingest_date=F.col("ingest_date"),
-            mode="overwrite",
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    staging = out_path.rstrip("/") + ".migrating"
+    shutil.rmtree(staging, ignore_errors=True)
+    metrics = ingest(
+        spark,
+        resolved,
+        staging,
+        ingest_date=F.col("ingest_date"),
+        mode="overwrite",
+    )
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(staging, out_path)
+    return metrics

@@ -38,7 +38,7 @@ FACT_PRICE_DDL = """
         volume BIGINT,
         ingest_date DATE,
         date STRING
-    ) USING parquet
+    ) USING {fmt}
     PARTITIONED BY (date)
 """
 
@@ -67,7 +67,19 @@ def encode_namespace(name: str) -> str:
 
 
 def decode_namespace(db: str) -> str:
-    return db.replace(NS_SEP, ".")
+    """Inverse of :func:`encode_namespace`, ROUND-TRIP GUARDED: a flat
+    name is reported as a dotted nested namespace only when decoding then
+    re-encoding reproduces it exactly. A database created outside
+    Warehouse whose name merely contains ``__`` (e.g. ``a___b`` or
+    ``foo__``) fails the round-trip and is returned verbatim instead of
+    being conflated with a distinct nested identifier."""
+    dotted = db.replace(NS_SEP, ".")
+    try:
+        if encode_namespace(dotted) == db:
+            return dotted
+    except ValueError:
+        pass
+    return db
 
 
 def list_namespaces(spark: SparkSession, parent: str | None = None) -> list[str]:
@@ -90,10 +102,29 @@ class Warehouse:
     ``db`` may be a nested dotted namespace (``finance.yahoo``) — encoded
     into the flat session catalog via :func:`encode_namespace`."""
 
-    def __init__(self, spark: SparkSession, db: str, location: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        db: str,
+        location: str | None = None,
+        table_format: str = "parquet",
+    ):
+        """``table_format``: ``'parquet'`` (the always-available native
+        path every suite runs against), an explicit connector name
+        (``'delta'`` / ``'iceberg'``), or ``'auto'`` — the upgrade hook:
+        resolve via :func:`connectors.preferred_table_format` to the best
+        format whose jar is on the classpath (falls back to parquet, so
+        'auto' is safe jarless — pytest-pinned)."""
         self.spark = spark
         self.namespace = db
         self.db = encode_namespace(db)
+        if table_format == "auto":
+            from oss_data_lake_spark.sources.connectors import (
+                preferred_table_format,
+            )
+
+            table_format = preferred_table_format(spark)
+        self.table_format = table_format
         loc = f" LOCATION '{location}/{self.db}.db'" if location else ""
         # A19 — reference RUNBOOK.md:87 (catalog prefix modulo)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.db}{loc}")
@@ -101,7 +132,9 @@ class Warehouse:
     def create_fact_price(self) -> None:
         """A20 — reference RUNBOOK.md:90 DDL, day-transform partitioning
         materialized as the ``date`` column."""
-        self.spark.sql(FACT_PRICE_DDL.format(db=self.db))
+        self.spark.sql(
+            FACT_PRICE_DDL.format(db=self.db, fmt=self.table_format)
+        )
         # logical view without the physical partition column (hidden-
         # partitioning parity, SURVEY.md §7 risk register)
         self.spark.sql(
@@ -277,6 +310,23 @@ class Warehouse:
             for r in rows
             if r.col_name in ("Statistics", "Location", "Provider")
         }
+
+    def read_table_at_version(
+        self, table: str = "fact_price", version: int = 0
+    ) -> DataFrame:
+        """Connector-native SQL time travel (``VERSION AS OF`` over a
+        Delta/Iceberg managed table — Spark parses the clause natively for
+        v2 connector tables). On the parquet native path, time travel is
+        served by ``sources/snapshots.py`` (manifest log + the m03 SQL
+        rewriter) instead — this method raises to route callers there."""
+        if self.table_format == "parquet":
+            raise ValueError(
+                "the parquet catalog has no table versions; use "
+                "sources.snapshots.SnapshotTable / sql_with_time_travel"
+            )
+        return self.spark.sql(
+            f"SELECT * FROM {self.db}.{table} VERSION AS OF {version}"
+        )
 
     def drop(self) -> None:
         self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")

@@ -51,3 +51,44 @@ def test_ingest_to_s3a_roundtrip(spark):
     assert metrics["rows_written"] > 0
     back = read_curated(spark, out)
     assert back.count() == metrics["rows_written"]
+
+
+def test_lake_remote_routing_classifier():
+    """URI classes: bare/file = local (atomic-rename branch), any other
+    scheme = remote (direct write + marker-last branch)."""
+    from oss_data_lake_spark.sources.lake import _is_remote
+
+    assert not _is_remote("/tmp/lake")
+    assert not _is_remote("file:///tmp/lake")
+    assert _is_remote("s3a://bucket/lake")
+    assert _is_remote("hdfs://nn/lake")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_S3_ENDPOINT"),
+    reason="no S3/MinIO endpoint configured (SPARK_GRAFT_S3_ENDPOINT unset)",
+)
+def test_lake_build_once_on_s3a(spark, monkeypatch):
+    """Lake cache build on an object store: routes through the direct-write
+    + stamp-marker-last branch (no directory rename), round-trips the
+    partitioned read, and the second call is a cache hit."""
+    from oss_data_lake_spark.sources import lake as lake_mod
+
+    if not s3a_available(spark):
+        pytest.skip("s3a connector jars not on classpath")
+    configure_s3a(
+        spark,
+        os.environ["SPARK_GRAFT_S3_ENDPOINT"],
+        os.environ.get("SPARK_GRAFT_S3_KEY", "minioadmin"),
+        os.environ.get("SPARK_GRAFT_S3_SECRET", "minioadmin"),
+    )
+    bucket = os.environ.get("SPARK_GRAFT_S3_BUCKET", "warehouse")
+    monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", f"s3a://{bucket}/lake_cache")
+    sf_dir = "/root/testdata/sf0.001"
+    path = lake_mod.events_by_date(spark, sf_dir)
+    assert path.startswith("s3a://")
+    back = lake_mod.read_lake(spark, path)
+    assert back.count() > 0
+    assert "date" in back.columns
+    # second call: stamp matches -> no rebuild (returns immediately)
+    assert lake_mod.events_by_date(spark, sf_dir) == path
