@@ -1,0 +1,245 @@
+"""File-level data skipping — Iceberg-manifest-style min/max pruning.
+
+The reference's table format is Iceberg (reference
+etc/catalog/iceberg.properties:14-20): its scan planning reads per-file
+column bounds from manifest files and PRUNES DATA FILES whose [min, max]
+range cannot satisfy the query predicate — before any data byte is read.
+This is the second of Iceberg's two pruning levers (the first, hidden
+partition pruning, is covered by ``sources/lake.py`` + the p01/p02
+queries); at 100 TB it is what makes a selective scan over a NON-partition
+column cheap: a date-clustered fact table answers a one-month query by
+opening ~1/84th of its files, partition layout notwithstanding.
+
+This module adds that lever to ``SnapshotTable`` without the Iceberg jar:
+
+- **Stats collection is footer-only and distributed.** Parquet writers
+  already persist row-group min/max/null-count statistics in the file
+  footer; ``collect_file_stats`` ships the commit's file list to executors
+  (``parallelize`` + ``mapPartitions``) where pyarrow reads ONLY the
+  footers and folds row-group stats into per-file bounds. No data pages
+  are read — the same O(metadata) cost as Iceberg's write-side stats, paid
+  once per commit. The per-file result rows (#files × #stat-columns) are
+  the only thing collected to the driver, and they go straight into the
+  snapshot manifest next to the file list — the manifest IS our Iceberg
+  manifest.
+- **Bounds, not values.** Parquet string stats may be truncated by the
+  writer; the format guarantees truncated min stays ≤ the true min and
+  truncated max is padded ABOVE the true max, so [min, max] is always a
+  superset interval. Pruning with a superset interval is sound; it can
+  only under-skip, never wrong-skip. Files with no usable stats are always
+  read.
+- **Pruning is advisory; filters are still applied.** ``read_between``
+  prunes the file list, then applies the exact predicate to the surviving
+  rows — correctness never depends on the stats being right, only
+  efficiency does. (Pinned by tests/test_skipping.py: pruned result ==
+  unpruned result, files_read strictly < files_total.)
+- **Clustered writes make stats effective.** Random row placement gives
+  every file the full value range (nothing skips). ``commit_clustered``
+  range-partitions + sorts on the cluster column before committing —
+  Iceberg's sort-order metadata — so each file covers a narrow slice.
+  One shuffle at write time buys every future range scan its file-level
+  pruning; this is the 1-D form of the z-order tradeoff.
+
+Scope: range/equality predicates over numeric, string, date and timestamp
+columns. Partition columns are served by partition pruning (they are not
+in footers); file skipping is for the columns the partition layout does
+NOT cover — the two levers compose per directory.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import SparkSession
+
+# ------------------------------------------------------------ encoding
+#
+# Stats and query bounds are normalized into one of two comparable kinds:
+#   "num" — python int/float (compared numerically; ints stay ints so
+#            int64 bounds beyond 2^53 don't lose precision)
+#   "str" — strings; date/timestamp values are rendered to fixed-width
+#            ISO forms ("YYYY-MM-DD" / "YYYY-MM-DD HH:MM:SS.ffffff" UTC)
+#            so lexicographic order == temporal order.
+# A value that fits neither kind yields no stats → the file is never
+# skipped on that column.
+
+
+def _enc(v: Any) -> tuple[str, Any] | None:
+    """Normalize a stat/bound value to (kind, comparable) or None."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None  # parquet bool stats are useless for range pruning
+    if isinstance(v, (int, float)):
+        return ("num", v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("str", v.isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, datetime.date):
+        return ("str", v.isoformat())
+    if isinstance(v, bytes):
+        try:
+            return ("str", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return ("str", v)
+    try:  # decimal.Decimal and friends
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return ("num", float(v))
+    except ImportError:  # pragma: no cover
+        pass
+    return None
+
+
+def encode_bound(v: Any) -> tuple[str, Any] | None:
+    """Public bound encoder: accepts python numbers, strings, date,
+    datetime, or ISO date/timestamp strings. ISO strings that parse as
+    timestamps are normalized to the stats' fixed-width form so
+    '1994-01-01' compares correctly against '1994-03-07 00:00:00.000000'."""
+    if isinstance(v, str):
+        try:
+            return _enc(datetime.datetime.fromisoformat(v))
+        except ValueError:
+            return _enc(v)
+    return _enc(v)
+
+
+# ----------------------------------------------------- stats collection
+
+
+def _iter_parquet_files(root: str) -> Iterator[str]:
+    for dirpath, _dirs, files in os.walk(root):
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith("_"):
+                yield os.path.join(dirpath, name)
+
+
+def _footer_stats_partition(
+    items: Iterable[tuple[str, str]], columns: list[str]
+) -> Iterator[tuple[str, str, Any, Any, int, int]]:
+    """Executor-side: read parquet FOOTERS only, fold row-group stats to
+    per-file (rel_file, col, min, max, null_count, rows). Values are
+    pre-encoded to their comparable form (kind folded in at the driver)."""
+    import pyarrow.parquet as pq
+
+    for abs_path, rel_path in items:
+        md = pq.ParquetFile(abs_path).metadata
+        rows = md.num_rows
+        agg: dict[str, dict[str, Any]] = {
+            c: {"min": None, "max": None, "nulls": 0, "known": True}
+            for c in columns
+        }
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            seen = set()
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                if name not in agg:
+                    continue
+                seen.add(name)
+                a = agg[name]
+                st = col.statistics
+                if st is None:
+                    a["known"] = False
+                    continue
+                if st.null_count is not None:
+                    a["nulls"] += st.null_count
+                else:
+                    a["known"] = False
+                if st.has_min_max:
+                    lo, hi = _enc(st.min), _enc(st.max)
+                    if lo is None or hi is None:
+                        a["known"] = False
+                        continue
+                    if a["min"] is None or lo[1] < a["min"][1]:
+                        a["min"] = lo
+                    if a["max"] is None or hi[1] > a["max"][1]:
+                        a["max"] = hi
+                elif st.null_count != rg.num_rows:
+                    # non-null values exist but no bounds for them
+                    a["known"] = False
+            for name in columns:
+                if name not in seen:
+                    # column absent from this row group (e.g. a partition
+                    # column, or pre-evolution file): no stats claim
+                    agg[name]["known"] = False
+        for c, a in agg.items():
+            if not a["known"]:
+                continue
+            yield (
+                rel_path,
+                c,
+                list(a["min"]) if a["min"] else None,
+                list(a["max"]) if a["max"] else None,
+                a["nulls"],
+                rows,
+            )
+
+
+def collect_file_stats(
+    spark: SparkSession, dir_path: str, columns: list[str]
+) -> dict[str, dict[str, dict[str, Any]]]:
+    """Per-file column bounds for every parquet file under ``dir_path``:
+    ``{rel_file: {col: {"min": [kind, v]|None, "max": ..., "nulls": n,
+    "rows": n}}}`` — JSON-ready for the snapshot manifest. Footer reads
+    are distributed over executors; only the tiny stats rows come back."""
+    files = [
+        (p, os.path.relpath(p, dir_path))
+        for p in _iter_parquet_files(dir_path)
+    ]
+    if not files:
+        return {}
+    sc = spark.sparkContext
+    n_slices = min(len(files), max(sc.defaultParallelism, 1))
+    rows = sc.parallelize(files, n_slices).mapPartitions(
+        lambda it: _footer_stats_partition(it, columns)
+    ).collect()
+    out: dict[str, dict[str, dict[str, Any]]] = {}
+    for rel, col, mn, mx, nulls, nrows in rows:
+        out.setdefault(rel, {})[col] = {
+            "min": mn,
+            "max": mx,
+            "nulls": nulls,
+            "rows": nrows,
+        }
+    return out
+
+
+# -------------------------------------------------------------- pruning
+
+
+def file_may_match(
+    entry: dict[str, Any] | None,
+    lo: tuple[str, Any] | None,
+    hi: tuple[str, Any] | None,
+) -> bool:
+    """Can any row of the file satisfy ``col BETWEEN lo AND hi``?
+    (Range predicates are null-rejecting, so an all-null file never
+    matches.) Missing/foreign-kind stats → must read."""
+    if entry is None:
+        return True
+    if entry["rows"] > 0 and entry["nulls"] >= entry["rows"]:
+        return False  # all null
+    mn, mx = entry.get("min"), entry.get("max")
+    if mn is None or mx is None:
+        return True
+    if lo is not None:
+        if lo[0] != mx[0]:
+            # kind mismatch: the bound isn't comparable to the stored
+            # stats — read the file rather than guess
+            return True
+        if mx[1] < lo[1]:
+            return False
+    if hi is not None:
+        if hi[0] != mn[0]:
+            return True
+        if mn[1] > hi[1]:
+            return False
+    return True

@@ -94,6 +94,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        stats_for: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -104,6 +105,14 @@ class SnapshotTable:
         dirs). The spec may differ from earlier commits' — partition spec
         evolution: new data adopts the new layout, old directories are
         left untouched and keep pruning under their own spec.
+
+        ``stats_for`` names columns whose per-FILE min/max/null-count
+        bounds are harvested from the freshly written parquet FOOTERS
+        (distributed, metadata-only — ``sources/skipping.py``) and stored
+        in the manifest, enabling Iceberg-style file skipping via
+        ``read_between``. Stats cover THIS commit's files; appended-to
+        parents keep whatever stats their own commits recorded (a dir
+        without stats is simply never skipped).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
@@ -123,11 +132,19 @@ class SnapshotTable:
         dirs = [data_dir]
         specs = {data_dir: list(partition_by or [])}
         dir_schemas = {data_dir: df.schema.jsonValue()}
+        file_stats: dict[str, dict] = {}
+        if stats_for:
+            from oss_data_lake_spark.sources.skipping import collect_file_stats
+
+            file_stats[data_dir] = collect_file_stats(
+                self.spark, os.path.join(self.path, data_dir), stats_for
+            )
         if mode == "append" and parent:
             pm = self._manifest(parent)
             dirs = pm["data_dirs"] + dirs
             specs = {**pm.get("partition_specs", {}), **specs}
             dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
+            file_stats = {**pm.get("file_stats", {}), **file_stats}
         manifest = {
             "version": version,
             "parent": parent,
@@ -146,10 +163,35 @@ class SnapshotTable:
             # (possibly evolved) write schema — older files are projected
             # onto it at read time
             "schema": df.schema.jsonValue(),
+            # per-dir per-file column bounds (Iceberg manifest stats) —
+            # absent key = no stats = never skipped
+            "file_stats": file_stats,
             "committed_at_ms": int(time.time() * 1000),
         }
         self._publish(version, manifest)
         return version
+
+    def commit_clustered(
+        self,
+        df: DataFrame,
+        cluster_by: str,
+        n_files: int,
+        mode: str = "overwrite",
+        stats_for: list[str] | None = None,
+    ) -> int:
+        """Commit with a CLUSTERED layout: range-partition + sort on
+        ``cluster_by`` so each of the ``n_files`` output files covers a
+        narrow, near-disjoint slice of the column — Iceberg's sort-order
+        metadata, the precondition for effective file skipping (random
+        placement gives every file the full range; nothing ever skips).
+        One shuffle at write time buys every future ``read_between`` its
+        file-level pruning. Stats default to the cluster column."""
+        clustered = df.repartitionByRange(
+            n_files, F.col(cluster_by)
+        ).sortWithinPartitions(cluster_by)
+        return self.commit(
+            clustered, mode=mode, stats_for=stats_for or [cluster_by]
+        )
 
     def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
         """Append-mode schema contract: existing columns keep (or widen)
@@ -181,6 +223,7 @@ class SnapshotTable:
             "data_dirs": old["data_dirs"],
             "partition_specs": old.get("partition_specs", {}),
             "dir_schemas": old.get("dir_schemas", {}),
+            "file_stats": old.get("file_stats", {}),
             # rollback restores the rolled-to snapshot's schema too
             "schema": old.get("schema"),
             "committed_at_ms": int(time.time() * 1000),
@@ -217,14 +260,114 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
-    def _read_dir(self, manifest: dict, rel_dir: str) -> DataFrame:
+    def plan_range_scan(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> tuple[dict[str, list[str] | None], int, int]:
+        """File-skipping scan plan for ``column BETWEEN lower AND upper``:
+        returns ``(selection, files_selected, files_skipped)`` where
+        ``selection[rel_dir]`` is the rel-file list to read, or ``None``
+        meaning "whole directory" (no stats recorded — never skipped).
+        Skips only files whose manifest bounds PROVE no row can match;
+        soundness lives in ``skipping.file_may_match``."""
+        from oss_data_lake_spark.sources import skipping
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        manifest = self._manifest(v)
+        lo = skipping.encode_bound(lower) if lower is not None else None
+        hi = skipping.encode_bound(upper) if upper is not None else None
+        selection: dict[str, list[str] | None] = {}
+        n_sel = n_skip = 0
+        for d in manifest["data_dirs"]:
+            stats = manifest.get("file_stats", {}).get(d)
+            if not stats:
+                selection[d] = None
+                continue
+            keep = [
+                f
+                for f, cols in sorted(stats.items())
+                if skipping.file_may_match(cols.get(column), lo, hi)
+            ]
+            selection[d] = keep
+            n_sel += len(keep)
+            n_skip += len(stats) - len(keep)
+        return selection, n_sel, n_skip
+
+    def read_between(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read rows with ``column BETWEEN lower AND upper`` (inclusive;
+        one-sided if a bound is None), opening ONLY files whose
+        manifest-recorded bounds can contain matches. The exact predicate
+        is still applied to the surviving rows, so results never depend on
+        stats quality — only scan cost does. Directories without stats are
+        read whole (and still benefit from partition pruning / row-group
+        pushdown inside the scan)."""
+        v = version if version is not None else self.current_version()
+        selection, _n_sel, _n_skip = self.plan_range_scan(
+            column, lower, upper, version=v
+        )
+        manifest = self._manifest(v)
+        target = self.schema(v)
+        parts: list[DataFrame] = []
+        for d in manifest["data_dirs"]:
+            sel = selection[d]
+            if sel is None:
+                part = self._read_dir(manifest, d)
+            elif sel:
+                part = self._read_dir(manifest, d, files=sel)
+            else:
+                continue  # every file in the dir pruned
+            parts.append(self._align(part, target) if target else part)
+        if not parts:
+            if target is None:
+                raise ValueError(
+                    "fully pruned scan on a pre-schema manifest: no schema "
+                    "to shape the empty result"
+                )
+            out = self.spark.createDataFrame([], target)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        pred = None
+        if lower is not None:
+            pred = F.col(column) >= F.lit(lower)
+        if upper is not None:
+            up = F.col(column) <= F.lit(upper)
+            pred = up if pred is None else (pred & up)
+        return out.filter(pred) if pred is not None else out
+
+    def _read_dir(
+        self, manifest: dict, rel_dir: str, files: list[str] | None = None
+    ) -> DataFrame:
         """Scan one data directory under its exact WRITE schema when the
         manifest recorded it: data columns load as written (the snapshot
         projection upcasts afterwards) and Hive partition values parse
         under their declared type instead of directory-name inference —
-        a string key '01' stays '01', never int 1."""
+        a string key '01' stays '01', never int 1.
+
+        ``files`` restricts the scan to a rel-file subset (the
+        file-skipping path); ``basePath`` keeps Hive partition-column
+        recovery working when individual files inside ``key=value``
+        subdirectories are listed explicitly."""
         path = os.path.join(self.path, rel_dir)
         schema_json = manifest.get("dir_schemas", {}).get(rel_dir)
+        if files is not None:
+            targets = [os.path.join(path, f) for f in files]
+            reader = self.spark.read.option("basePath", path)
+            if schema_json is not None:
+                reader = reader.schema(T.StructType.fromJson(schema_json))
+            return reader.parquet(*targets)
         if schema_json is None:  # legacy dir: inference, as before
             return self.spark.read.parquet(path)
         return (

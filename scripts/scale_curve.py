@@ -46,11 +46,21 @@ from oss_data_lake_spark.sources.loaders import load_table  # noqa: E402
 BASE_SF = "/root/testdata/sf0.1"
 OUT_ROOT = "/tmp/spark_graft_scale"
 KS = tuple(int(a) for a in sys.argv[1:]) or (1, 2, 4)
+# Optionally restrict to a comma-separated subset (re-measuring only newly
+# added operators without re-running the full historical curve).
+ONLY = tuple(
+    q for q in os.environ.get("SCALE_QUERIES", "").split(",") if q
+)
 MEASURED = (
     "e11_minhash_lsh_pairs",
     "e26_ivf_neardup_pairs",
     "e51_session_stats",
     "e40_text_stats",
+    # round-5 additions (VERDICT r4 ask #4): the iterative clustering job —
+    # whose per-round fixed overhead dominates at 1x, so the 16x point tells
+    # us whether rounds or data dominate — and broadcast decontamination.
+    "e14_neardup_clusters",
+    "e75_decontamination",
 )
 
 
@@ -130,7 +140,7 @@ def main() -> None:
         sf_dir = build_scaled(spark, k)
         spark.catalog.clearCache()
         timings = {}
-        for name in MEASURED:
+        for name in ONLY or MEASURED:
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
