@@ -62,6 +62,10 @@ HEADLINE = [
     # copy is materialized once during warmup; the timed path is the read.
     "p01_pruned_daily_events",
     "p02_pruned_month_lineitem",
+    # round 5: the file-skipping scan (Iceberg manifest-stats pruning over
+    # the date-CLUSTERED orders snapshot table) — the second pruning lever,
+    # for range predicates on columns the partition layout doesn't cover.
+    "p03_fileskip_orders_year",
     # round 4: semantic-dedup clustering (iterative connected components
     # over the LSH near-dup pairs) and train/eval decontamination
     # (broadcast 8-gram overlap scan) — the two pipeline stages between
@@ -90,10 +94,12 @@ def main() -> None:
     # Lake warmup: materialize the partitioned fixture copies (build-once,
     # cached across bench runs) so p0x timings measure the PRUNED READ, not
     # the one-time partitioned write.
+    from oss_data_lake_spark.operators.lake import orders_clustered
     from oss_data_lake_spark.sources.lake import events_by_date, lineitem_by_month
 
     events_by_date(spark, SF_DIR)
     lineitem_by_month(spark, SF_DIR)
+    orders_clustered(spark, SF_DIR)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -22,15 +22,21 @@ warmup phase; build-once protocol in ``sources/lake.py``).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oss_data_lake_spark.functions.deterministic import dsum, sql_dsum
 from oss_data_lake_spark.sources.lake import (
     events_by_date,
+    lake_root,
     lineitem_by_month,
     read_lake,
 )
+from oss_data_lake_spark.sources.loaders import load_table
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
 
 # One calendar week of the 30-day events fixture (~23% of partitions) and a
 # 4-month slice of lineitem's ~83 ship months (~5%): both prune hard while
@@ -73,9 +79,74 @@ def pruned_month_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One calendar year of the orders fixture's ~6.5-year span (1995-01 ..
+# 2001-08): with the table clustered into 24 date-ranged files, ~1/6 of
+# files survive the manifest bounds check.
+ORDERS_DATE_LO, ORDERS_DATE_HI = "1997-01-01", "1997-12-31"
+ORDERS_N_FILES = 24
+
+
+def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Build-once: ``orders`` as a snapshot table committed CLUSTERED by
+    ``o_orderdate`` (range-partition + sort into ORDERS_N_FILES files)
+    with per-file min/max manifest stats — the Iceberg sort-order +
+    manifest-stats layout (``sources/skipping.py``). Cached per scale
+    factor next to the p01/p02 lakes; the ``_SOURCE_STAMP`` protocol
+    matches ``sources/lake.py`` (local cache dir; the snapshot commit
+    itself publishes atomically via the manifest pointer)."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(lake_root(), sf, "orders_clustered")
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = os.path.join(path, "_SOURCE_STAMP")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return SnapshotTable(spark, path)
+    except OSError:
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    table = SnapshotTable(spark, path)
+    table.commit_clustered(
+        load_table(spark, sf_dir, "orders"),
+        cluster_by="o_orderdate",
+        n_files=ORDERS_N_FILES,
+        stats_for=["o_orderdate", "o_totalprice"],
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return table
+
+
+def skipping_orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p03: monthly order counts/revenue for ONE YEAR, read through the
+    file-skipping scan (``SnapshotTable.read_between``): the manifest's
+    per-file ``o_orderdate`` bounds eliminate ~6/7 of the clustered files
+    before any data byte is read — Iceberg's manifest-stats pruning, the
+    lever that serves range queries on columns the partition layout does
+    NOT cover. The exact predicate is still applied to surviving rows, so
+    the oracle (raw fixture, same filter) verifies the whole
+    cluster→commit→stats→prune→read round-trip; the file-count evidence
+    is pinned by tests/test_skipping.py."""
+    table = orders_clustered(spark, sf_dir)
+    df = table.read_between("o_orderdate", ORDERS_DATE_LO, ORDERS_DATE_HI)
+    return (
+        df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
 QUERIES = {
     "p01_pruned_daily_events": pruned_daily_events,
     "p02_pruned_month_lineitem": pruned_month_lineitem,
+    "p03_fileskip_orders_year": skipping_orders_year,
 }
 
 ORACLES = {
@@ -101,5 +172,18 @@ ORACLES = {
         WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '{SHIP_MONTH_LO}' AND '{SHIP_MONTH_HI}'
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    # raw fixture + identical filter: matching values prove the clustered
+    # commit + manifest-stats prune + file-subset read lost/duplicated
+    # nothing (the prune itself can only affect which files are OPENED)
+    "p03_fileskip_orders_year": f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '{ORDERS_DATE_LO} 00:00:00'
+                              AND TIMESTAMP '{ORDERS_DATE_HI} 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

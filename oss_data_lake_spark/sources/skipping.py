@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import Any, Iterable, Iterator
+from typing import Any, Iterator
 
 from pyspark.sql import SparkSession
 
@@ -66,35 +66,41 @@ from pyspark.sql import SparkSession
 # skipped on that column.
 
 
-def _enc(v: Any) -> tuple[str, Any] | None:
-    """Normalize a stat/bound value to (kind, comparable) or None."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return None  # parquet bool stats are useless for range pruning
-    if isinstance(v, (int, float)):
-        return ("num", v)
-    if isinstance(v, datetime.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return ("str", v.isoformat(sep=" ", timespec="microseconds"))
-    if isinstance(v, datetime.date):
-        return ("str", v.isoformat())
-    if isinstance(v, bytes):
-        try:
-            return ("str", v.decode("utf-8"))
-        except UnicodeDecodeError:
-            return None
-    if isinstance(v, str):
-        return ("str", v)
-    try:  # decimal.Decimal and friends
-        import decimal
+def _make_enc():
+    """Build the value encoder as a NESTED function: executors receive it
+    pickled BY VALUE inside the mapPartitions closure (the engine package
+    is importable only on the driver — the external driver's session has
+    no PYTHONPATH for it, so any by-reference pickle of a module-level
+    function would fail to unpickle on the workers)."""
+    import datetime as _dt
+    import decimal as _decimal
 
-        if isinstance(v, decimal.Decimal):
+    def enc(v):
+        if v is None or isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return ("num", v)
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ("str", v.isoformat(sep=" ", timespec="microseconds"))
+        if isinstance(v, _dt.date):
+            return ("str", v.isoformat())
+        if isinstance(v, bytes):
+            try:
+                return ("str", v.decode("utf-8"))
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str):
+            return ("str", v)
+        if isinstance(v, _decimal.Decimal):
             return ("num", float(v))
-    except ImportError:  # pragma: no cover
-        pass
-    return None
+        return None
+
+    return enc
+
+
+_enc = _make_enc()
 
 
 def encode_bound(v: Any) -> tuple[str, Any] | None:
@@ -120,67 +126,73 @@ def _iter_parquet_files(root: str) -> Iterator[str]:
                 yield os.path.join(dirpath, name)
 
 
-def _footer_stats_partition(
-    items: Iterable[tuple[str, str]], columns: list[str]
-) -> Iterator[tuple[str, str, Any, Any, int, int]]:
-    """Executor-side: read parquet FOOTERS only, fold row-group stats to
-    per-file (rel_file, col, min, max, null_count, rows). Values are
-    pre-encoded to their comparable form (kind folded in at the driver)."""
-    import pyarrow.parquet as pq
+def _make_footer_reader(columns: list[str]):
+    """Executor-side footer reader, built as a nested closure so it is
+    pickled BY VALUE (see ``_make_enc``): reads parquet FOOTERS only and
+    folds row-group stats to per-file
+    (rel_file, col, min, max, null_count, rows)."""
+    enc = _make_enc()
+    cols = list(columns)
 
-    for abs_path, rel_path in items:
-        md = pq.ParquetFile(abs_path).metadata
-        rows = md.num_rows
-        agg: dict[str, dict[str, Any]] = {
-            c: {"min": None, "max": None, "nulls": 0, "known": True}
-            for c in columns
-        }
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            seen = set()
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                name = col.path_in_schema
-                if name not in agg:
-                    continue
-                seen.add(name)
-                a = agg[name]
-                st = col.statistics
-                if st is None:
-                    a["known"] = False
-                    continue
-                if st.null_count is not None:
-                    a["nulls"] += st.null_count
-                else:
-                    a["known"] = False
-                if st.has_min_max:
-                    lo, hi = _enc(st.min), _enc(st.max)
-                    if lo is None or hi is None:
+    def read_footers(items):
+        import pyarrow.parquet as pq
+
+        for abs_path, rel_path in items:
+            md = pq.ParquetFile(abs_path).metadata
+            rows = md.num_rows
+            agg = {
+                c: {"min": None, "max": None, "nulls": 0, "known": True}
+                for c in cols
+            }
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                seen = set()
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if name not in agg:
+                        continue
+                    seen.add(name)
+                    a = agg[name]
+                    st = col.statistics
+                    if st is None:
                         a["known"] = False
                         continue
-                    if a["min"] is None or lo[1] < a["min"][1]:
-                        a["min"] = lo
-                    if a["max"] is None or hi[1] > a["max"][1]:
-                        a["max"] = hi
-                elif st.null_count != rg.num_rows:
-                    # non-null values exist but no bounds for them
-                    a["known"] = False
-            for name in columns:
-                if name not in seen:
-                    # column absent from this row group (e.g. a partition
-                    # column, or pre-evolution file): no stats claim
-                    agg[name]["known"] = False
-        for c, a in agg.items():
-            if not a["known"]:
-                continue
-            yield (
-                rel_path,
-                c,
-                list(a["min"]) if a["min"] else None,
-                list(a["max"]) if a["max"] else None,
-                a["nulls"],
-                rows,
-            )
+                    if st.null_count is not None:
+                        a["nulls"] += st.null_count
+                    else:
+                        a["known"] = False
+                    if st.has_min_max:
+                        lo, hi = enc(st.min), enc(st.max)
+                        if lo is None or hi is None:
+                            a["known"] = False
+                            continue
+                        if a["min"] is None or lo[1] < a["min"][1]:
+                            a["min"] = lo
+                        if a["max"] is None or hi[1] > a["max"][1]:
+                            a["max"] = hi
+                    elif st.null_count != rg.num_rows:
+                        # non-null values exist but no bounds for them
+                        a["known"] = False
+                for name in cols:
+                    if name not in seen:
+                        # column absent from this row group (e.g. a
+                        # partition column, or pre-evolution file): no
+                        # stats claim
+                        agg[name]["known"] = False
+            for c, a in agg.items():
+                if not a["known"]:
+                    continue
+                yield (
+                    rel_path,
+                    c,
+                    list(a["min"]) if a["min"] else None,
+                    list(a["max"]) if a["max"] else None,
+                    a["nulls"],
+                    rows,
+                )
+
+    return read_footers
 
 
 def collect_file_stats(
@@ -198,9 +210,11 @@ def collect_file_stats(
         return {}
     sc = spark.sparkContext
     n_slices = min(len(files), max(sc.defaultParallelism, 1))
-    rows = sc.parallelize(files, n_slices).mapPartitions(
-        lambda it: _footer_stats_partition(it, columns)
-    ).collect()
+    rows = (
+        sc.parallelize(files, n_slices)
+        .mapPartitions(_make_footer_reader(columns))
+        .collect()
+    )
     out: dict[str, dict[str, dict[str, Any]]] = {}
     for rel, col, mn, mx, nulls, nrows in rows:
         out.setdefault(rel, {})[col] = {

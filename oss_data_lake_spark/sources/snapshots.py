@@ -127,7 +127,20 @@ class SnapshotTable:
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(self.path, data_dir))
+        # Spark's default INT96 timestamp encoding is deprecated and
+        # carries NO column statistics; Iceberg mandates int64 micros,
+        # which do — required for timestamp file skipping. Set transiently
+        # so a shared (driver-owned) session keeps its own setting.
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(ts_key, None)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(os.path.join(self.path, data_dir))
+        finally:
+            if prev_ts is None:
+                self.spark.conf.unset(ts_key)
+            else:
+                self.spark.conf.set(ts_key, prev_ts)
 
         dirs = [data_dir]
         specs = {data_dir: list(partition_by or [])}
@@ -285,7 +298,9 @@ class SnapshotTable:
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
             stats = manifest.get("file_stats", {}).get(d)
-            if not stats:
+            if not stats or (lo is None and hi is None):
+                # no stats, or an unbounded scan (no predicate to prune
+                # with — the all-null skip rule must not fire): whole dir
                 selection[d] = None
                 continue
             keep = [

@@ -1,0 +1,199 @@
+"""File-level data skipping (sources/skipping.py + SnapshotTable stats).
+
+Pins the three properties the feature exists for:
+1. SOUNDNESS — pruned reads return exactly the unpruned result (stats can
+   only change which files are opened, never the answer);
+2. EFFECTIVENESS — on a clustered table a selective range scan provably
+   skips most files (the 100-TB lever, asserted as file counts);
+3. SAFETY DEFAULTS — no stats / foreign kinds / all-null files degrade to
+   "read the file" (or provably-never-matches for all-null), never to a
+   wrong skip.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.loaders import load_table
+from oss_data_lake_spark.sources.skipping import (
+    encode_bound,
+    file_may_match,
+)
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def _collected(df, *sort_cols):
+    return [tuple(r) for r in df.orderBy(*sort_cols).collect()]
+
+
+# ----------------------------------------------------------- unit: matcher
+
+
+def test_bound_encoding_normalizes_dates_and_timestamps():
+    assert encode_bound(3) == ("num", 3)
+    assert encode_bound("abc") == ("str", "abc")
+    # ISO date string and datetime land in one comparable space
+    d = encode_bound("1994-01-01")
+    t = encode_bound(datetime.datetime(1994, 3, 7, 12, 30))
+    assert d[0] == t[0] == "str"
+    assert d[1] < t[1]
+    # tz-aware normalizes to UTC
+    aware = encode_bound(
+        datetime.datetime(
+            1994, 1, 1, 1, 0, tzinfo=datetime.timezone(datetime.timedelta(hours=2))
+        )
+    )
+    assert aware[1] == "1993-12-31 23:00:00.000000"
+
+
+def test_file_may_match_rules():
+    entry = {"min": ["num", 10], "max": ["num", 20], "nulls": 0, "rows": 5}
+    assert file_may_match(entry, ("num", 15), None)
+    assert not file_may_match(entry, ("num", 21), None)
+    assert not file_may_match(entry, None, ("num", 9))
+    assert file_may_match(entry, ("num", 20), ("num", 20))
+    # missing stats → read
+    assert file_may_match(None, ("num", 100), ("num", 200))
+    # all-null file never satisfies a range predicate
+    allnull = {"min": None, "max": None, "nulls": 5, "rows": 5}
+    assert not file_may_match(allnull, ("num", 0), None)
+    # kind mismatch → read (never guess across types)
+    assert file_may_match(entry, ("str", "x"), None)
+
+
+# ------------------------------------------------- integration: snapshots
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def test_clustered_commit_prunes_and_matches_unpruned(spark, tmp_path, sf_dir):
+    t = SnapshotTable(spark, str(tmp_path / "orders"))
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit_clustered(
+        orders, cluster_by="o_orderdate", n_files=8,
+        stats_for=["o_orderdate", "o_totalprice"],
+    )
+    sel, n_sel, n_skip = t.plan_range_scan(
+        "o_orderdate", "1997-01-01", "1997-12-31"
+    )
+    assert n_sel + n_skip == 8
+    assert n_skip > 0, "clustered one-year scan must skip files"
+    pruned = t.read_between("o_orderdate", "1997-01-01", "1997-12-31")
+    full = t.read().filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    assert _collected(pruned, "o_orderkey") == _collected(full, "o_orderkey")
+    assert pruned.count() > 0
+
+
+def test_numeric_stats_prune(spark, tbl):
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(100)]
+    )
+    tbl.commit_clustered(df, cluster_by="k", n_files=5, stats_for=["k", "v"])
+    _sel, n_sel, n_skip = tbl.plan_range_scan("k", 0, 19)
+    assert n_sel == 1 and n_skip == 4
+    got = _collected(tbl.read_between("k", 0, 19), "k")
+    assert [r[0] for r in got] == list(range(20))
+    # one-sided bounds
+    hi_only = tbl.read_between("k", None, 9)
+    assert hi_only.count() == 10
+    lo_only = tbl.read_between("k", 90, None)
+    assert lo_only.count() == 10
+
+
+def test_string_stats_prune(spark, tbl):
+    df = spark.createDataFrame(
+        [Row(s=f"key_{i:03d}", v=i) for i in range(60)]
+    )
+    tbl.commit_clustered(df, cluster_by="s", n_files=3, stats_for=["s"])
+    _sel, n_sel, n_skip = tbl.plan_range_scan("s", "key_000", "key_019")
+    assert n_skip >= 1
+    assert tbl.read_between("s", "key_000", "key_019").count() == 20
+
+
+def test_unstatted_commit_reads_everything(spark, tbl):
+    df = spark.createDataFrame([Row(k=i) for i in range(10)])
+    tbl.commit(df)  # no stats_for
+    sel, n_sel, n_skip = tbl.plan_range_scan("k", 3, 5)
+    assert n_skip == 0 and list(sel.values()) == [None]
+    assert tbl.read_between("k", 3, 5).count() == 3
+
+
+def test_allnull_file_skipped_nulls_elsewhere_kept(spark, tbl):
+    some = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None)], "k int, v int"
+    )
+    none = spark.createDataFrame(
+        [Row(k=3, v=None), Row(k=4, v=None)], "k int, v int"
+    )
+    tbl.commit(some.coalesce(1), stats_for=["v"])
+    tbl.commit(none.coalesce(1), mode="append", stats_for=["v"])
+    _sel, n_sel, n_skip = tbl.plan_range_scan("v", 0, 100)
+    assert n_skip == 1, "the all-null file is provably predicate-free"
+    got = _collected(tbl.read_between("v", 0, 100), "k")
+    assert got == [(1, 10)]
+
+
+def test_skipping_composes_with_schema_evolution(spark, tbl):
+    v1 = spark.createDataFrame([Row(k=i) for i in range(10)])
+    v2 = spark.createDataFrame(
+        [Row(k=i, extra=f"x{i}") for i in range(10, 20)]
+    )
+    tbl.commit_clustered(v1, cluster_by="k", n_files=2, stats_for=["k"])
+    tbl.commit_clustered(
+        v2, cluster_by="k", n_files=2, mode="append", stats_for=["k"]
+    )
+    _sel, n_sel, n_skip = tbl.plan_range_scan("k", 15, 19)
+    assert n_sel == 1 and n_skip == 3
+    rows = _collected(tbl.read_between("k", 5, 16), "k")
+    # pre-evolution files project NULL for the added column
+    assert [r[0] for r in rows] == list(range(5, 17))
+    assert rows[0][1] is None and rows[-1][1] == "x16"
+
+
+def test_skipping_composes_with_hive_partitions(spark, tbl):
+    df = spark.createDataFrame(
+        [Row(part="a" if i < 50 else "b", k=i) for i in range(100)]
+    )
+    tbl.commit(df.repartition(2, "k"), partition_by=["part"], stats_for=["k"])
+    sel, n_sel, n_skip = tbl.plan_range_scan("k", 0, 4)
+    assert n_sel + n_skip >= 2
+    got = tbl.read_between("k", 0, 4)
+    # partition column recovered through basePath on the file-subset read
+    assert set(got.columns) == {"part", "k"}
+    assert got.count() == 5
+    assert {r["part"] for r in got.collect()} == {"a"}
+
+
+def test_fully_pruned_scan_is_empty_with_schema(spark, tbl):
+    df = spark.createDataFrame([Row(k=i) for i in range(10)])
+    tbl.commit_clustered(df, cluster_by="k", n_files=2, stats_for=["k"])
+    out = tbl.read_between("k", 1000, 2000)
+    assert out.count() == 0
+    assert out.columns == ["k"]
+
+
+def test_time_travel_keeps_old_stats(spark, tbl):
+    v1_df = spark.createDataFrame([Row(k=i) for i in range(10)])
+    v1 = tbl.commit_clustered(v1_df, cluster_by="k", n_files=2, stats_for=["k"])
+    tbl.commit(
+        spark.createDataFrame([Row(k=i) for i in range(100, 110)]),
+        mode="overwrite",
+        stats_for=["k"],
+    )
+    assert tbl.read_between("k", 0, 4).count() == 0  # head: overwritten
+    old = tbl.read_between("k", 0, 4, version=v1)
+    assert old.count() == 5
+    # rollback carries the stats forward
+    tbl.rollback(v1)
+    _sel, n_sel, n_skip = tbl.plan_range_scan("k", 0, 4)
+    assert n_skip == 1
