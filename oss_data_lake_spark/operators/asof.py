@@ -138,7 +138,112 @@ def asof_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-QUERIES = {"e30_asof_error_before_purchase": asof_error_before_purchase}
+def interval_open_count(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "open_cnt",
+) -> DataFrame:
+    """Interval-containment count by SWEEP: for each point row, how many
+    intervals ``[start_col, end_col]`` (day grain, inclusive) contain it —
+    WITHOUT materializing point×interval pairs.
+
+    The naive formulation is a range join (``p BETWEEN start AND end``),
+    which Spark plans as BroadcastNestedLoopJoin and which materializes
+    every containment pair — with dense intervals (every day here has
+    thousands of open shipments) that's O(points × avg_open) rows of pure
+    intermediate state, a scale-killer. The sweep rewrite is the classic
+    event-time decomposition: +1 at each interval start, −1 the day after
+    each end, daily net, one cumulative sum → a per-day "open intervals"
+    table; each point then needs ONE broadcast-join lookup.
+
+    Costs at 100 TB: two linear projections + one groupBy("day") shuffle
+    (output ≤ #calendar-days rows); the cumulative window is ordered over
+    the CALENDAR (bounded — ~3.6k rows per decade, single-partition by
+    construction and by bound, not by data size); the final join
+    broadcasts that tiny table to the points. Points outside the interval
+    span get 0."""
+    starts = intervals.select(
+        F.to_date(start_col).alias("d"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(
+        F.date_add(F.to_date(end_col), 1).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        starts.unionByName(ends).groupBy("d").agg(F.sum("delta").alias("net"))
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        spine.join(daily, "d", "left")
+        .na.fill(0, ["net"])
+        .withColumn(out_col, F.sum("net").over(cum_w))
+        .select("d", out_col)
+    )
+    pts = points.withColumn("__pd", F.to_date(point_col))
+    return (
+        pts.join(
+            F.broadcast(cum.withColumnRenamed("d", "__pd")), "__pd", "left"
+        )
+        .na.fill(0, [out_col])
+        .drop("__pd")
+    )
+
+
+def interval_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e32: monthly statistics of "shipments in transit on the order date"
+    — each order counted against the lineitem transit intervals that
+    contain its o_orderdate, via the sweep (no pair materialization: at
+    sf0.1 the naive range join would build ~10⁹ containment pairs; the
+    sweep's biggest intermediate is one row per calendar day).
+
+    The fixture lineitem has no receipt date, so the transit window is
+    derived deterministically: ``[l_shipdate, l_shipdate +
+    (floor(l_quantity) % 30 + 1) days]`` — FLOOR before the int cast on
+    both sides because Spark truncates double→int while DuckDB rounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    transit = lineitem.select(
+        F.to_date("l_shipdate").alias("start_d"),
+        F.expr(
+            "date_add(to_date(l_shipdate), "
+            "CAST(floor(l_quantity) AS INT) % 30 + 1)"
+        ).alias("end_d"),
+    )
+    with_open = interval_open_count(
+        orders.select("o_orderdate"),
+        transit,
+        point_col="o_orderdate",
+        start_col="start_d",
+        end_col="end_d",
+        out_col="open_cnt",
+    )
+    return (
+        with_open.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum("open_cnt").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_open_intervals"),
+            F.max("open_cnt").cast("long").alias("max_open_intervals"),
+        )
+        .orderBy("order_month")
+    )
+
+
+QUERIES = {
+    "e30_asof_error_before_purchase": asof_error_before_purchase,
+    "e32_interval_open_orders": interval_open_orders,
+}
 
 # Oracle: deterministic correlated subquery (ORDER BY ts DESC, event_id DESC
 # LIMIT 1) — avoids DuckDB ASOF JOIN's unspecified tie behavior and matches
@@ -156,5 +261,44 @@ ORACLES = {
         FROM events p
         WHERE p.event_type = 'purchase'
         ORDER BY p.event_id
+    """,
+    # the oracle mirrors the SWEEP (deltas → calendar spine → cumulative →
+    # point lookup) rather than the naive range join, so the two engines
+    # compute identical integer open-counts by construction; avg is one
+    # exact integer sum + one double division on each side
+    "e32_interval_open_orders": """
+        WITH deltas AS (
+            SELECT CAST(l_shipdate AS DATE) AS d, 1 AS delta FROM lineitem
+            UNION ALL
+            SELECT CAST(l_shipdate AS DATE)
+                     + (CAST(FLOOR(l_quantity) AS INT) % 30 + 1) + 1 AS d,
+                   -1 AS delta
+            FROM lineitem
+        ),
+        daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d),
+        spine AS (
+            SELECT UNNEST(generate_series(
+                (SELECT MIN(d) FROM daily),
+                (SELECT MAX(d) FROM daily),
+                INTERVAL 1 DAY))::DATE AS d
+        ),
+        cum AS (
+            SELECT s.d,
+                   CAST(SUM(COALESCE(dl.net, 0))
+                        OVER (ORDER BY s.d) AS BIGINT) AS open_cnt
+            FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+        ),
+        pts AS (
+            SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        )
+        SELECT strftime(p.d, '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(COALESCE(c.open_cnt, 0)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_open_intervals,
+               CAST(MAX(COALESCE(c.open_cnt, 0)) AS BIGINT)
+                   AS max_open_intervals
+        FROM pts p LEFT JOIN cum c ON p.d = c.d
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

@@ -38,6 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oss_data_lake_spark.operators import asof
 from oss_data_lake_spark.operators import dedup
 from oss_data_lake_spark.operators import lake
 from oss_data_lake_spark.operators import relational as rel
@@ -129,11 +130,11 @@ def _composite(
 def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
     fine_q: dict[str, QueryFn] = {
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
-        **dedup.QUERIES, **lake.QUERIES,
+        **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
-        **dedup.ORACLES, **lake.ORACLES,
+        **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -180,6 +181,15 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("max_last"), "s1": _cw("min_dim", "slice_dim")},
              {"k1": "label", "v1": "n", "v2": "min_first",
               "v3": "max_last", "s1": _cw_sql("min_dim", "slice_dim")}),
+            # e32 rides here (the 50-row cap is full of standalone
+            # showcase slots): the interval-containment SWEEP's monthly
+            # open-count stats, value-verified per month through the
+            # composite's long-format hash
+            ("e32", "e32_interval_open_orders",
+             {"k1": ("order_month"), "v1": ("n_orders"),
+              "v2": ("avg_open_intervals"), "v3": ("max_open_intervals")},
+             {"k1": "order_month", "v1": "n_orders",
+              "v2": "avg_open_intervals", "v3": "max_open_intervals"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -544,3 +544,45 @@ def test_decontamination_flags_only_true_leaks(spark, sf_correct):
     assert 0 < total <= 5
     # contaminated docs share MANY 8-grams (copied text), not one or two
     assert max(r.max_shared for r in rep) > 20
+
+
+def test_interval_sweep_matches_naive_range_join(spark):
+    """The e32 sweep (delta decomposition + cumulative calendar) must agree
+    with the naive range join it replaces — crafted case covering nested,
+    disjoint, single-day, and point-outside-span shapes."""
+    import datetime as dt
+
+    from oss_data_lake_spark.operators.asof import interval_open_count
+
+    D = dt.date
+    intervals = spark.createDataFrame(
+        [
+            (D(2024, 1, 1), D(2024, 1, 10)),   # long
+            (D(2024, 1, 3), D(2024, 1, 5)),    # nested
+            (D(2024, 1, 5), D(2024, 1, 5)),    # single day
+            (D(2024, 2, 1), D(2024, 2, 2)),    # disjoint later
+        ],
+        "start_d date, end_d date",
+    )
+    points = spark.createDataFrame(
+        [(D(2024, 1, 1),), (D(2024, 1, 4),), (D(2024, 1, 5),),
+         (D(2024, 1, 11),), (D(2024, 2, 2),), (D(2023, 12, 1),),
+         (D(2024, 3, 1),)],
+        "p date",
+    )
+    swept = {
+        (r["p"], r["open_cnt"])
+        for r in interval_open_count(
+            points, intervals, "p", "start_d", "end_d"
+        ).collect()
+    }
+    naive_rows = points.join(
+        intervals,
+        (F.col("p") >= F.col("start_d")) & (F.col("p") <= F.col("end_d")),
+        "left",
+    ).groupBy("p").agg(
+        F.count("start_d").cast("long").alias("open_cnt")
+    ).collect()
+    naive = {(r["p"], r["open_cnt"]) for r in naive_rows}
+    assert swept == naive
+    assert (D(2024, 1, 4), 2) in swept and (D(2023, 12, 1), 0) in swept
