@@ -226,6 +226,71 @@ def collect_file_stats(
     return out
 
 
+# ------------------------------------------------------------- z-order
+#
+# Multi-dimensional clustering: bucketize each column by its own
+# (approximate) quantiles, then bit-interleave the bucket ids into one
+# z-value. Sorting files by z-value gives every file a bounded slice of
+# EVERY participating column, so footer min/max stats prune range queries
+# on any of them — the Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+# multi-column tradeoff: each extra dimension dilutes per-dimension
+# selectivity (d dims → file spans ~(1/n_files)^(1/d) of each), which is
+# exactly the documented behavior, not a defect.
+
+
+def zvalue_column(df, cols: list[str], bits: int = 8):
+    """A Column computing the z-order (Morton) value of ``cols``.
+
+    Per column: approximate quantile boundaries (distributed GK sketch,
+    2^bits-1 scalars to the driver — O(metadata), any input size) define
+    2^bits QUANTILE buckets, so skewed distributions cluster as well as
+    uniform ones (equi-width width_bucket would collapse under skew).
+    Bucket id = #boundaries ≤ value (a size(filter(array,...)) over a
+    ≤255-element literal array — whole-stage-codegen'd, no UDF). NULLs
+    land in bucket 0. Bits then interleave round-robin across columns,
+    most-significant first. Numeric and timestamp columns only (timestamps
+    bucketize as epoch seconds)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in 1..16")
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use clustering)")
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    buckets = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        vcol = F.col(c)
+        num = df.select(
+            vcol.cast("double").alias("__v")
+            if dt not in ("timestamp", "timestamp_ntz", "date")
+            else vcol.cast("timestamp").cast("double").alias("__v")
+        )
+        bnds = sorted(set(num.approxQuantile("__v", probs, 0.01)))
+        v = (
+            vcol.cast("double")
+            if dt not in ("timestamp", "timestamp_ntz", "date")
+            else vcol.cast("timestamp").cast("double")
+        )
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+
+        def bucket(arr_c, v_c):
+            # nested factory, NOT a default-arg lambda: pyspark binds every
+            # lambda parameter (defaults included) as a lambda variable,
+            # which would silently turn the captured column into x
+            return F.size(F.filter(arr_c, lambda x: x <= v_c)).cast("long")
+
+        buckets.append(bucket(arr, v))
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        for b in buckets:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(b, i).bitwiseAND(F.lit(1))
+            )
+    return z
+
+
 # -------------------------------------------------------------- pruning
 
 

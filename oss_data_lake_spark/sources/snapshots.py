@@ -206,6 +206,37 @@ class SnapshotTable:
             clustered, mode=mode, stats_for=stats_for or [cluster_by]
         )
 
+    def commit_zordered(
+        self,
+        df: DataFrame,
+        zorder_by: list[str],
+        n_files: int,
+        mode: str = "overwrite",
+        stats_for: list[str] | None = None,
+        bits: int = 8,
+    ) -> int:
+        """Commit with a Z-ORDERED layout (Delta's ``OPTIMIZE ZORDER BY``,
+        Iceberg's multi-column sort order): quantile-bucketize each
+        ``zorder_by`` column, bit-interleave the bucket ids, range-
+        partition + sort on the interleaved value — every file then covers
+        a bounded slice of EVERY listed column, so ``read_between`` prunes
+        on any of them. The tradeoff vs ``commit_clustered``: with d
+        dimensions each file spans ~(1/n_files)^(1/d) of each column's
+        range instead of 1/n_files of one column's. Stats default to the
+        z-order columns."""
+        from oss_data_lake_spark.sources.skipping import zvalue_column
+
+        z = zvalue_column(df, zorder_by, bits=bits)
+        ordered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return self.commit(
+            ordered, mode=mode, stats_for=stats_for or list(zorder_by)
+        )
+
     def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
         """Append-mode schema contract: existing columns keep (or widen)
         their types; columns may be added; dropping a column in an append

@@ -197,3 +197,77 @@ def test_time_travel_keeps_old_stats(spark, tbl):
     tbl.rollback(v1)
     _sel, n_sel, n_skip = tbl.plan_range_scan("k", 0, 4)
     assert n_skip == 1
+
+
+# ------------------------------------------------------------- z-order
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """A z-ordered commit must make file skipping effective on EVERY
+    z-order column — the property 1-D clustering cannot provide."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.uniform(0, 1000), rnd.uniform(0, 1000)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    zt = SnapshotTable(spark, str(tmp_path / "z"))
+    zt.commit_zordered(df, zorder_by=["x", "y"], n_files=16, bits=6)
+    _s, x_sel, x_skip = zt.plan_range_scan("x", 100.0, 160.0)
+    _s, y_sel, y_skip = zt.plan_range_scan("y", 100.0, 160.0)
+    assert x_sel + x_skip == 16 and y_sel + y_skip == 16
+    assert x_skip >= 8, f"z-order should skip most files on x (got {x_skip})"
+    assert y_skip >= 8, f"z-order should skip most files on y (got {y_skip})"
+
+    # 1-D clustering on x alone: great on x, useless on y
+    ct = SnapshotTable(spark, str(tmp_path / "c"))
+    ct.commit_clustered(df, cluster_by="x", n_files=16, stats_for=["x", "y"])
+    _s, _n, cx_skip = ct.plan_range_scan("x", 100.0, 160.0)
+    _s, _n, cy_skip = ct.plan_range_scan("y", 100.0, 160.0)
+    assert cx_skip >= x_skip, "1-D clustering is the x-only optimum"
+    assert cy_skip == 0, "1-D clustering cannot skip on the other column"
+
+    # soundness on the z-ordered table, both dimensions
+    for col in ("x", "y"):
+        pruned = zt.read_between(col, 100.0, 160.0)
+        full = zt.read().filter(
+            (F.col(col) >= 100.0) & (F.col(col) <= 160.0)
+        )
+        assert pruned.count() == full.count()
+        # row-level equality (a double SUM would drift with partition
+        # summation order — the exact rows are the real soundness claim)
+        assert _collected(pruned, "x", "y") == _collected(full, "x", "y")
+
+
+def test_zorder_skewed_distribution_still_clusters(spark, tmp_path):
+    """Quantile bucketing keeps z-order effective under heavy skew (an
+    equi-width scheme would put ~all rows in one bucket)."""
+    import random
+
+    rnd = random.Random(11)
+    # x ~ exp-ish skew: 99% in [0, 10), 1% out to 1e6
+    rows = [
+        (
+            rnd.uniform(0, 10) if rnd.random() < 0.99 else rnd.uniform(10, 1e6),
+            rnd.uniform(0, 100),
+        )
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    t = SnapshotTable(spark, str(tmp_path / "zs"))
+    t.commit_zordered(df, zorder_by=["x", "y"], n_files=16, bits=6)
+    _s, _n, skip_dense = t.plan_range_scan("x", 2.0, 3.0)
+    assert skip_dense >= 8, (
+        f"quantile buckets must resolve the dense region (skipped "
+        f"{skip_dense}/16)"
+    )
+
+
+def test_zvalue_rejects_bad_args(spark):
+    from oss_data_lake_spark.sources.skipping import zvalue_column
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError):
+        zvalue_column(df, ["a"], bits=6)
+    with pytest.raises(ValueError):
+        zvalue_column(df, ["a", "b"], bits=0)
