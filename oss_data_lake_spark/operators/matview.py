@@ -1,0 +1,172 @@
+"""Incrementally-maintained aggregate tables (materialized views).
+
+The lakehouse pattern the reference stack implies but never wires up: its
+BI layer (Metabase dashboards re-issuing the daily-average SQL,
+reference RUNBOOK.md:128-132) recomputes aggregates from the fact table on
+every view. At 100 TB that's a full scan per dashboard refresh; the
+standard fix is a materialized aggregate maintained INCREMENTALLY — each
+refresh consumes only the rows appended since the last one (Iceberg's
+incremental append scan, here ``SnapshotTable.read_changes``) and folds
+them into the stored per-group state.
+
+Design:
+
+- **Decomposable measures only** (count / sum — the algebraic aggregates
+  whose partials merge associatively). ``avg`` is derived at read time as
+  exact-sum / count, never stored — storing it would make merges lossy.
+  Doubles fold through the engine-wide DECIMAL path
+  (``functions/deterministic``) so a value reached by N incremental
+  refreshes is BIT-IDENTICAL to the full recompute, regardless of how the
+  appends were batched (pinned by tests/test_matview.py).
+- **The MV is itself a SnapshotTable**: every refresh is an atomic
+  versioned commit, so dashboards never see a half-refreshed aggregate,
+  and the MV's own history is time-travelable. The refresh watermark
+  (which source version the state covers) is stored IN the MV manifest's
+  own metadata file, published with the same write-temp + atomic-replace
+  protocol.
+- **Refresh cost**: one partial aggregate over the DELTA (map-side
+  combined, shuffled on the group keys) + one full-outer merge against
+  the current state. State size = #groups — for day×key rollups that is
+  thousands of rows regardless of fact size, so the merge-and-rewrite is
+  O(groups), not O(fact).
+- **Rewritten history** (an overwrite/rollback on the source between
+  refreshes): ``read_changes`` refuses to produce a delta, and the MV
+  falls back to a FULL recompute — loud in the returned refresh info,
+  silent in semantics (the result is the same correct aggregate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.functions.deterministic import dsum
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+class IncrementalAggregate:
+    """A count/sum aggregate over a ``SnapshotTable``, refreshed
+    incrementally.
+
+    ``measures`` maps output-column name → source column to SUM (doubles
+    routed through the exact decimal fold). A ``<name>_avg`` for any
+    measure is available from :meth:`read` via ``with_avg``.
+    """
+
+    _STATE = "_MV_STATE.json"
+
+    def __init__(
+        self,
+        source: SnapshotTable,
+        mv_path: str,
+        group_by: list[str],
+        measures: dict[str, str],
+    ):
+        if not group_by:
+            raise ValueError("group_by must name at least one column")
+        self.source = source
+        self.mv = SnapshotTable(source.spark, mv_path)
+        self.group_by = list(group_by)
+        self.measures = dict(measures)
+
+    # ------------------------------------------------------------ state
+
+    def _state_path(self) -> str:
+        return os.path.join(self.mv.path, self._STATE)
+
+    def last_source_version(self) -> int | None:
+        try:
+            with open(self._state_path()) as fh:
+                return json.load(fh)["source_version"]
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _write_state(self, source_version: int) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"source_version": source_version}, fh)
+        os.replace(tmp, self._state_path())
+
+    # ---------------------------------------------------------- refresh
+
+    def _partial(self, rows: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for out, col in self.measures.items():
+            aggs.append(dsum(col, out))
+        return rows.groupBy(*self.group_by).agg(*aggs)
+
+    def refresh(self) -> dict:
+        """Fold source changes since the last refresh into the MV; returns
+        ``{"mode": "noop"|"incremental"|"full", "source_version": v}``."""
+        head = self.source.current_version()
+        if head is None:
+            raise ValueError(f"source has no snapshots: {self.source.path}")
+        last = self.last_source_version()
+        if last == head:
+            return {"mode": "noop", "source_version": head}
+
+        mode = "full"
+        if last is not None:
+            try:
+                delta = self.source.read_changes(last, head)
+                mode = "incremental"
+            except ValueError:
+                # rewritten history (overwrite/rollback intervened):
+                # incremental delta undefined — rebuild from scratch
+                delta = None
+        if mode == "incremental":
+            merged = self._merge(self.mv.read(), self._partial(delta))
+        else:
+            merged = self._partial(self.source.read(version=head))
+        self.mv.commit(merged, mode="overwrite")
+        self._write_state(head)
+        return {"mode": mode, "source_version": head}
+
+    def _merge(self, cur: DataFrame, fresh: DataFrame) -> DataFrame:
+        """Associative partial-state merge: counts add; decimal-exact sums
+        add in DOUBLE only after both sides were exact-decimal folds of
+        disjoint row sets — one addition per refresh, identical to the
+        order the full recompute's decimal fold would produce... except it
+        is not: repeated double additions could drift across MANY
+        refreshes, so sums re-fold through decimal here too."""
+        val_cols = ["n_rows", *self.measures.keys()]
+        a = cur.select(
+            *self.group_by, *[F.col(c).alias(f"__a_{c}") for c in val_cols]
+        )
+        b = fresh.select(
+            *self.group_by, *[F.col(c).alias(f"__b_{c}") for c in val_cols]
+        )
+        dec = "decimal(25,6)"
+        out_cols = [
+            (
+                F.coalesce("__a_n_rows", F.lit(0))
+                + F.coalesce("__b_n_rows", F.lit(0))
+            ).alias("n_rows")
+        ]
+        for m in self.measures:
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"__a_{m}").cast(dec), F.lit(0).cast(dec))
+                    + F.coalesce(F.col(f"__b_{m}").cast(dec), F.lit(0).cast(dec))
+                )
+                .cast("double")
+                .alias(m)
+            )
+        return a.join(b, self.group_by, "full_outer").select(
+            *self.group_by, *out_cols
+        )
+
+    # ------------------------------------------------------------- read
+
+    def read(self, with_avg: bool = False, version: int | None = None) -> DataFrame:
+        df = self.mv.read(version=version)
+        if with_avg:
+            for m in self.measures:
+                df = df.withColumn(
+                    f"{m}_avg",
+                    F.col(m) / F.col("n_rows").cast("double"),
+                )
+        return df

@@ -1,0 +1,107 @@
+"""Incremental materialized-view maintenance (operators/matview.py).
+
+The invariant under test: after ANY sequence of source commits and
+refreshes, the MV equals the full recompute over the source head —
+bit-identical doubles included (both paths fold through the exact decimal
+sum), with incremental refreshes consuming only the delta.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.functions.deterministic import dsum
+from oss_data_lake_spark.operators.matview import IncrementalAggregate
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(lo: int, hi: int):
+    return [
+        Row(k=f"g{i % 3}", day=f"2024-01-{(i % 5) + 1:02d}", v=i * 0.1)
+        for i in range(lo, hi)
+    ]
+
+
+def _full(source: SnapshotTable):
+    return (
+        source.read()
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("v", "sum_v"))
+    )
+
+
+def _sorted(df):
+    return [tuple(r) for r in df.orderBy("k", "day").collect()]
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "fact"))
+    t.commit(spark.createDataFrame(_rows(0, 200)))
+    return t
+
+
+def _mv(source, tmp_path):
+    return IncrementalAggregate(
+        source,
+        str(tmp_path / "mv"),
+        group_by=["k", "day"],
+        measures={"sum_v": "v"},
+    )
+
+
+def test_incremental_refreshes_match_full_recompute(spark, tmp_path, source):
+    mv = _mv(source, tmp_path)
+    assert mv.refresh()["mode"] == "full"  # first build
+    assert _sorted(mv.read()) == _sorted(_full(source))
+
+    for wave in [(200, 350), (350, 351), (351, 600)]:
+        source.commit(spark.createDataFrame(_rows(*wave)), mode="append")
+        info = mv.refresh()
+        assert info["mode"] == "incremental"
+        assert _sorted(mv.read()) == _sorted(_full(source)), (
+            f"MV diverged from full recompute after wave {wave}"
+        )
+
+
+def test_noop_refresh_creates_no_new_mv_version(spark, tmp_path, source):
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    v = mv.mv.current_version()
+    assert mv.refresh()["mode"] == "noop"
+    assert mv.mv.current_version() == v
+
+
+def test_source_overwrite_falls_back_to_full_rebuild(spark, tmp_path, source):
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    source.commit(spark.createDataFrame(_rows(0, 50)), mode="overwrite")
+    info = mv.refresh()
+    assert info["mode"] == "full"
+    assert _sorted(mv.read()) == _sorted(_full(source))
+
+
+def test_new_groups_appear_and_avg_derives(spark, tmp_path, source):
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    source.commit(
+        spark.createDataFrame([Row(k="g9", day="2024-02-01", v=4.0)]),
+        mode="append",
+    )
+    mv.refresh()
+    got = {(r["k"], r["day"]): r for r in mv.read(with_avg=True).collect()}
+    assert got[("g9", "2024-02-01")]["n_rows"] == 1
+    assert got[("g9", "2024-02-01")]["sum_v_avg"] == 4.0
+
+
+def test_mv_is_versioned_and_time_travelable(spark, tmp_path, source):
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    before = _sorted(mv.read())
+    v1 = mv.mv.current_version()
+    source.commit(spark.createDataFrame(_rows(200, 300)), mode="append")
+    mv.refresh()
+    assert _sorted(mv.read()) != before
+    assert _sorted(mv.read(version=v1)) == before
