@@ -116,6 +116,55 @@ def encode_bound(v: Any) -> tuple[str, Any] | None:
     return _enc(v)
 
 
+# --------------------------------------------------------------- blooms
+#
+# Min/max bounds only help columns the file layout CLUSTERS; a point
+# lookup on an unclustered high-cardinality column (doc_id, user_id, order
+# key) finds every file's [min, max] straddling the probe. Iceberg/Parquet
+# solve this with per-file bloom filters; we store a small bloom per
+# (file, column) in the snapshot manifest. False positives cost one extra
+# file read; false negatives are impossible IF probe and build hash the
+# same canonical encoding — numbers canonicalize through float (so int 5
+# and double 5.0 collide deliberately), everything else through the
+# min/max encoder's string form.
+
+BLOOM_M = 8192  # bits (1 KiB per file-column)
+BLOOM_K = 4
+
+
+def _bloom_canon(kind: str, v: Any) -> str:
+    if kind == "num":
+        return repr(float(v))
+    return str(v)
+
+
+def _bloom_positions(canon: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    import hashlib
+
+    digest = hashlib.md5(canon.encode("utf-8")).digest()
+    for i in range(k):
+        chunk = digest[i * 4 : i * 4 + 4]
+        yield int.from_bytes(chunk, "big") % m
+
+
+def bloom_may_contain(entry: dict[str, Any] | None, value: Any) -> bool:
+    """Probe a manifest bloom entry; missing bloom → must read."""
+    if not entry or "bloom" not in entry:
+        return True
+    import base64
+
+    enc = encode_bound(value)
+    if enc is None:
+        return True
+    bits = base64.b64decode(entry["bloom"])
+    m = entry.get("m", BLOOM_M)
+    canon = _bloom_canon(*enc)
+    for pos in _bloom_positions(canon, m, entry.get("k", BLOOM_K)):
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
 # ----------------------------------------------------- stats collection
 
 
@@ -126,20 +175,64 @@ def _iter_parquet_files(root: str) -> Iterator[str]:
                 yield os.path.join(dirpath, name)
 
 
-def _make_footer_reader(columns: list[str]):
+def _make_footer_reader(columns: list[str], bloom_columns: list[str] = ()):
     """Executor-side footer reader, built as a nested closure so it is
     pickled BY VALUE (see ``_make_enc``): reads parquet FOOTERS only and
     folds row-group stats to per-file
-    (rel_file, col, min, max, null_count, rows)."""
+    (rel_file, col, min, max, null_count, rows).
+
+    ``bloom_columns`` additionally builds a per-file bloom filter from the
+    COLUMN DATA (one column-projected read per file — the only data-page
+    cost in this module, paid once at commit; parquet's native writer-side
+    blooms are the production equivalent). Bloom rows are emitted as
+    (rel_file, "bloom:"+col, b64bits, None, m, k)."""
     enc = _make_enc()
     cols = list(columns)
+    bcols = [c for c in bloom_columns]
+    bloom_m, bloom_k = BLOOM_M, BLOOM_K
+
+    def bloom_of(values):
+        # self-contained mirror of _bloom_canon/_bloom_positions (module
+        # references would pickle by reference and fail on executors)
+        import base64
+        import hashlib
+
+        bits = bytearray(bloom_m // 8)
+        for v in values:
+            e = enc(v)
+            if e is None:
+                continue
+            kind, cv = e
+            canon = repr(float(cv)) if kind == "num" else str(cv)
+            digest = hashlib.md5(canon.encode("utf-8")).digest()
+            for i in range(bloom_k):
+                pos = (
+                    int.from_bytes(digest[i * 4 : i * 4 + 4], "big")
+                    % bloom_m
+                )
+                bits[pos // 8] |= 1 << (pos % 8)
+        return base64.b64encode(bytes(bits)).decode("ascii")
 
     def read_footers(items):
         import pyarrow.parquet as pq
 
         for abs_path, rel_path in items:
-            md = pq.ParquetFile(abs_path).metadata
+            pf = pq.ParquetFile(abs_path)
+            md = pf.metadata
             rows = md.num_rows
+            present = {md.schema.column(i).name for i in range(md.num_columns)}
+            for bc in bcols:
+                if bc not in present:
+                    continue
+                tbl = pf.read(columns=[bc])
+                yield (
+                    rel_path,
+                    f"bloom:{bc}",
+                    bloom_of(tbl.column(0).to_pylist()),
+                    None,
+                    bloom_m,
+                    bloom_k,
+                )
             agg = {
                 c: {"min": None, "max": None, "nulls": 0, "known": True}
                 for c in cols
@@ -196,12 +289,17 @@ def _make_footer_reader(columns: list[str]):
 
 
 def collect_file_stats(
-    spark: SparkSession, dir_path: str, columns: list[str]
+    spark: SparkSession,
+    dir_path: str,
+    columns: list[str],
+    bloom_for: list[str] = (),
 ) -> dict[str, dict[str, dict[str, Any]]]:
-    """Per-file column bounds for every parquet file under ``dir_path``:
-    ``{rel_file: {col: {"min": [kind, v]|None, "max": ..., "nulls": n,
-    "rows": n}}}`` — JSON-ready for the snapshot manifest. Footer reads
-    are distributed over executors; only the tiny stats rows come back."""
+    """Per-file column bounds (and optional blooms) for every parquet file
+    under ``dir_path``: ``{rel_file: {col: {"min": [kind, v]|None,
+    "max": ..., "nulls": n, "rows": n}}}`` plus
+    ``{"bloom:col": {"bloom": b64, "m": bits, "k": hashes}}`` — JSON-ready
+    for the snapshot manifest. Footer reads are distributed over
+    executors; only the tiny stats rows come back."""
     files = [
         (p, os.path.relpath(p, dir_path))
         for p in _iter_parquet_files(dir_path)
@@ -212,17 +310,20 @@ def collect_file_stats(
     n_slices = min(len(files), max(sc.defaultParallelism, 1))
     rows = (
         sc.parallelize(files, n_slices)
-        .mapPartitions(_make_footer_reader(columns))
+        .mapPartitions(_make_footer_reader(columns, bloom_for))
         .collect()
     )
     out: dict[str, dict[str, dict[str, Any]]] = {}
-    for rel, col, mn, mx, nulls, nrows in rows:
-        out.setdefault(rel, {})[col] = {
-            "min": mn,
-            "max": mx,
-            "nulls": nulls,
-            "rows": nrows,
-        }
+    for rel, col, a, b, c, d in rows:
+        if col.startswith("bloom:"):
+            out.setdefault(rel, {})[col] = {"bloom": a, "m": c, "k": d}
+        else:
+            out.setdefault(rel, {})[col] = {
+                "min": a,
+                "max": b,
+                "nulls": c,
+                "rows": d,
+            }
     return out
 
 

@@ -95,6 +95,7 @@ class SnapshotTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -113,6 +114,12 @@ class SnapshotTable:
         ``read_between``. Stats cover THIS commit's files; appended-to
         parents keep whatever stats their own commits recorded (a dir
         without stats is simply never skipped).
+
+        ``bloom_for`` additionally builds a per-file bloom filter over the
+        named columns (1 KiB each) for POINT-LOOKUP pruning via
+        ``read_eq`` — the lever for equality probes on columns the layout
+        does not cluster, where every file's [min, max] straddles the
+        probe. Costs one column-projected read per file at commit time.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
@@ -122,6 +129,7 @@ class SnapshotTable:
         parent = self.current_version()
         if mode == "append" and parent:
             self._check_evolution(self.schema(parent), df.schema)
+        bloom_for = bloom_for or []
         version = (parent or 0) + 1
         data_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
@@ -146,11 +154,14 @@ class SnapshotTable:
         specs = {data_dir: list(partition_by or [])}
         dir_schemas = {data_dir: df.schema.jsonValue()}
         file_stats: dict[str, dict] = {}
-        if stats_for:
+        if stats_for or bloom_for:
             from oss_data_lake_spark.sources.skipping import collect_file_stats
 
             file_stats[data_dir] = collect_file_stats(
-                self.spark, os.path.join(self.path, data_dir), stats_for
+                self.spark,
+                os.path.join(self.path, data_dir),
+                stats_for or [],
+                bloom_for=bloom_for,
             )
         if mode == "append" and parent:
             pm = self._manifest(parent)
@@ -362,8 +373,66 @@ class SnapshotTable:
         selection, _n_sel, _n_skip = self.plan_range_scan(
             column, lower, upper, version=v
         )
+        out = self._read_selection(v, selection)
+        pred = None
+        if lower is not None:
+            pred = F.col(column) >= F.lit(lower)
+        if upper is not None:
+            up = F.col(column) <= F.lit(upper)
+            pred = up if pred is None else (pred & up)
+        return out.filter(pred) if pred is not None else out
+
+    def plan_eq_scan(
+        self, column: str, value, version: int | None = None
+    ) -> tuple[dict[str, list[str] | None], int, int]:
+        """File-skipping plan for ``column = value``: min/max bounds AND
+        the per-file bloom (when recorded) must both admit the probe.
+        Same return shape as ``plan_range_scan``."""
+        from oss_data_lake_spark.sources import skipping
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
         manifest = self._manifest(v)
-        target = self.schema(v)
+        enc = skipping.encode_bound(value)
+        selection: dict[str, list[str] | None] = {}
+        n_sel = n_skip = 0
+        for d in manifest["data_dirs"]:
+            stats = manifest.get("file_stats", {}).get(d)
+            if not stats or enc is None:
+                selection[d] = None
+                continue
+            keep = [
+                f
+                for f, cols in sorted(stats.items())
+                if skipping.file_may_match(cols.get(column), enc, enc)
+                and skipping.bloom_may_contain(
+                    cols.get(f"bloom:{column}"), value
+                )
+            ]
+            selection[d] = keep
+            n_sel += len(keep)
+            n_skip += len(stats) - len(keep)
+        return selection, n_sel, n_skip
+
+    def read_eq(self, column: str, value, version: int | None = None) -> DataFrame:
+        """Point lookup ``column = value`` opening only files whose bounds
+        and bloom admit the probe; the exact equality filter still applies
+        to surviving rows (bloom false positives cost a file read, never a
+        wrong row)."""
+        v = version if version is not None else self.current_version()
+        selection, _n_sel, _n_skip = self.plan_eq_scan(column, value, version=v)
+        out = self._read_selection(v, selection)
+        return out.filter(F.col(column) == F.lit(value))
+
+    def _read_selection(
+        self, version: int, selection: dict[str, list[str] | None]
+    ) -> DataFrame:
+        """Union the per-dir scans of a pruned file selection, projected
+        onto the snapshot schema (empty selection → empty frame with that
+        schema)."""
+        manifest = self._manifest(version)
+        target = self.schema(version)
         parts: list[DataFrame] = []
         for d in manifest["data_dirs"]:
             sel = selection[d]
@@ -380,18 +449,11 @@ class SnapshotTable:
                     "fully pruned scan on a pre-schema manifest: no schema "
                     "to shape the empty result"
                 )
-            out = self.spark.createDataFrame([], target)
-        else:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-        pred = None
-        if lower is not None:
-            pred = F.col(column) >= F.lit(lower)
-        if upper is not None:
-            up = F.col(column) <= F.lit(upper)
-            pred = up if pred is None else (pred & up)
-        return out.filter(pred) if pred is not None else out
+            return self.spark.createDataFrame([], target)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _read_dir(
         self, manifest: dict, rel_dir: str, files: list[str] | None = None

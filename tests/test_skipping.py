@@ -271,3 +271,71 @@ def test_zvalue_rejects_bad_args(spark):
         zvalue_column(df, ["a"], bits=6)
     with pytest.raises(ValueError):
         zvalue_column(df, ["a", "b"], bits=0)
+
+
+# -------------------------------------------------------------- blooms
+
+
+def test_bloom_point_lookup_prunes_unclustered_files(spark, tmp_path):
+    """Equality probes on a column the layout does NOT cluster: min/max is
+    useless (every file straddles the probe), the bloom is the lever."""
+    import random
+
+    rnd = random.Random(3)
+    ids = list(range(10000))
+    rnd.shuffle(ids)  # deliberately unclustered
+    df = spark.createDataFrame(
+        [(i, f"payload_{i}") for i in ids], "doc_id long, payload string"
+    ).repartition(10)
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    t.commit(df, stats_for=["doc_id"], bloom_for=["doc_id"])
+
+    # min/max alone admits every file for a mid-range probe
+    _s, mm_sel, mm_skip = t.plan_range_scan("doc_id", 5000, 5000)
+    assert mm_skip == 0, "unclustered layout: bounds cannot skip"
+    # bloom prunes to ~1 file (false positives allowed, negatives not)
+    _s, n_sel, n_skip = t.plan_eq_scan("doc_id", 5000)
+    assert n_sel + n_skip == 10
+    assert n_sel <= 3, f"bloom should isolate the probe file(s), got {n_sel}"
+    got = t.read_eq("doc_id", 5000).collect()
+    assert [(r["doc_id"], r["payload"]) for r in got] == [(5000, "payload_5000")]
+
+
+def test_bloom_absent_value_reads_nothing_wrong(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i * 2.0) for i in range(1000)], "k long, v double"
+    ).repartition(4)
+    t = SnapshotTable(spark, str(tmp_path / "b2"))
+    t.commit(df, bloom_for=["k"])
+    out = t.read_eq("k", 10_000_000)
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+def test_bloom_string_column_and_int_float_canon(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "b3"))
+    t.commit(
+        spark.createDataFrame(
+            [(f"doc-{i}", float(i)) for i in range(2000)],
+            "name string, score double",
+        ).repartition(8),
+        bloom_for=["name", "score"],
+    )
+    assert [r["name"] for r in t.read_eq("name", "doc-777").collect()] == ["doc-777"]
+    # int probe must find the double value (canonicalized through float)
+    assert t.read_eq("score", 777).count() == 1
+    _s, n_sel, _n_skip = t.plan_eq_scan("name", "doc-777")
+    assert n_sel <= 3
+
+
+def test_no_bloom_recorded_reads_all_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "b4"))
+    t.commit(
+        spark.createDataFrame([(i,) for i in range(100)], "k long")
+        .repartition(4),
+        stats_for=["k"],
+    )
+    _s, n_sel, n_skip = t.plan_eq_scan("k", 50)
+    # bounds may skip non-straddling files, but no bloom claims are made;
+    # the lookup stays correct
+    assert t.read_eq("k", 50).count() == 1
