@@ -96,6 +96,8 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -120,9 +122,29 @@ class SnapshotTable:
         ``read_eq`` — the lever for equality probes on columns the layout
         does not cluster, where every file's [min, max] straddles the
         probe. Costs one column-projected read per file at commit time.
+
+        ``txn_app`` + ``txn_version`` make the commit IDEMPOTENT (the
+        Delta ``txnAppId``/``txnVersion`` writer-identity protocol): if
+        any snapshot in the version log already records this app with an
+        equal-or-higher transaction version, the commit is a no-op that
+        returns that snapshot's version. The identity is stored IN the
+        manifest, published by the same atomic pointer swap as the data —
+        so a re-delivered streaming micro-batch (foreachBatch is
+        at-least-once after a crash) can never append twice.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be set together")
+        if txn_app is not None:
+            for m in self.versions():
+                txn = m.get("txn")
+                if (
+                    txn
+                    and txn.get("app") == txn_app
+                    and txn.get("version") >= txn_version
+                ):
+                    return m["version"]  # already applied: idempotent no-op
         for c in partition_by or []:
             if c not in df.columns:
                 raise ValueError(f"partition column '{c}' not in dataframe")
@@ -190,6 +212,13 @@ class SnapshotTable:
             # per-dir per-file column bounds (Iceberg manifest stats) —
             # absent key = no stats = never skipped
             "file_stats": file_stats,
+            # writer identity for idempotent commits (Delta txnAppId
+            # protocol); None for plain commits
+            "txn": (
+                {"app": txn_app, "version": txn_version}
+                if txn_app is not None
+                else None
+            ),
             "committed_at_ms": int(time.time() * 1000),
         }
         self._publish(version, manifest)

@@ -1,0 +1,85 @@
+"""Streaming sink into a versioned SnapshotTable — exactly-once appends.
+
+The missing piece between the streaming front-ends (checkpointed file
+sources, ``streaming/ingest_stream.py``) and the table layer
+(``sources/snapshots.py``): landing micro-batches in a VERSIONED table
+whose readers get snapshot isolation, time travel, file-skipping stats —
+everything a plain parquet-directory sink lacks.
+
+Exactly-once protocol (the Delta ``txnAppId``/``txnVersion`` design):
+Structured Streaming's ``foreachBatch`` is AT-LEAST-ONCE — after a crash
+between the sink write and the checkpoint commit, the same ``batch_id`` is
+re-delivered. The sink therefore commits every batch with
+``txn_app=<sink id>, txn_version=batch_id``; the writer identity is stored
+IN the snapshot manifest, published by the same atomic pointer swap as the
+data, so "was this batch applied?" and "apply this batch" cannot diverge.
+A re-delivered batch finds its transaction version already recorded and
+no-ops. Idempotence is pinned by tests at three levels: direct double
+commit, simulated crash re-delivery, and a full stream restart from the
+same checkpoint.
+
+At 100 TB: each micro-batch append is one partition-parallel parquet
+write + an O(#snapshots) driver-side metadata check (bounded by
+``expire_snapshots``); per-batch file-skipping stats cost one footer pass
+over just that batch's files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def start_snapshot_sink(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    sink_id: str = "snapshot_sink",
+    stats_for: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append a streaming DataFrame into ``SnapshotTable(table_path)``,
+    one idempotent snapshot commit per micro-batch.
+
+    ``sink_id`` is the transactional writer identity — two different
+    streams appending to one table must use distinct ids (each id's batch
+    numbering is independent). ``stats_for`` harvests file-skipping
+    bounds for each batch's files. ``available_now=True`` drains the
+    currently-available input and stops (backfill mode); False runs
+    continuously."""
+    table = SnapshotTable(spark, table_path)
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        commit_batch(table, batch, batch_id, sink_id, stats_for=stats_for)
+
+    writer = (
+        source.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def commit_batch(
+    table: SnapshotTable,
+    batch: DataFrame,
+    batch_id: int,
+    sink_id: str,
+    stats_for: list[str] | None = None,
+) -> int:
+    """One micro-batch append with the idempotent writer identity —
+    factored out of the closure so tests (and manual backfills) can
+    exercise re-delivery without a running stream."""
+    return table.commit(
+        batch,
+        mode="append" if table.current_version() else "overwrite",
+        stats_for=stats_for,
+        txn_app=sink_id,
+        txn_version=batch_id,
+    )

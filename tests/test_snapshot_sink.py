@@ -1,0 +1,104 @@
+"""Exactly-once streaming appends into SnapshotTable
+(streaming/snapshot_sink.py + the txn writer-identity protocol).
+
+Idempotence is pinned at three levels: direct double commit, simulated
+crash re-delivery of a foreachBatch id, and a stream restart from the same
+checkpoint — plus the composition with file-skipping stats per batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+from oss_data_lake_spark.streaming.snapshot_sink import (
+    commit_batch,
+    start_snapshot_sink,
+)
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(lo, hi)]
+    )
+
+
+def test_txn_commit_is_idempotent(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(_batch(spark, 0, 10), txn_app="s1", txn_version=0)
+    # re-delivery of the same batch id: no-op returning the applied version
+    v1b = t.commit(
+        _batch(spark, 0, 10), mode="append", txn_app="s1", txn_version=0
+    )
+    assert v1b == v1
+    assert t.read().count() == 10
+    # a LOWER version (stale replay) is also refused
+    v1c = t.commit(
+        _batch(spark, 0, 5), mode="append", txn_app="s1", txn_version=0
+    )
+    assert v1c == v1 and t.read().count() == 10
+    # the next batch id applies
+    t.commit(_batch(spark, 10, 15), mode="append", txn_app="s1", txn_version=1)
+    assert t.read().count() == 15
+    # a DIFFERENT app's numbering is independent
+    t.commit(_batch(spark, 15, 18), mode="append", txn_app="s2", txn_version=0)
+    assert t.read().count() == 18
+
+
+def test_txn_args_must_pair(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t2"))
+    with pytest.raises(ValueError):
+        t.commit(_batch(spark, 0, 1), txn_app="s1")
+
+
+def test_crash_redelivery_via_commit_batch(spark, tmp_path):
+    """Simulated foreachBatch crash: the sink wrote batch 1, the
+    checkpoint didn't record it, the restarted stream re-delivers it."""
+    t = SnapshotTable(spark, str(tmp_path / "t3"))
+    commit_batch(t, _batch(spark, 0, 100), 0, "sink")
+    commit_batch(t, _batch(spark, 100, 150), 1, "sink")
+    before = t.read().count()
+    commit_batch(t, _batch(spark, 100, 150), 1, "sink")  # re-delivery
+    assert t.read().count() == before == 150
+
+
+def test_stream_restart_does_not_duplicate(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, 0, 200).coalesce(1).write.parquet(str(landing / "b1.parquet"))
+
+    glob_path = str(landing) + "/*/"
+
+    def drain():
+        src = spark.readStream.schema("k long, v double").parquet(glob_path)
+        q = start_snapshot_sink(
+            spark, src, table_path, ckpt, sink_id="ingest",
+            stats_for=["k"],
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    drain()
+    t = SnapshotTable(spark, table_path)
+    assert t.read().count() == 200
+
+    _batch(spark, 200, 300).coalesce(1).write.parquet(str(landing / "b2.parquet"))
+    drain()  # restart from the same checkpoint
+    assert t.read().count() == 300
+    drain()  # nothing new: no duplicates, no new data
+    assert t.read().count() == 300
+
+    # every batch landed as a versioned snapshot with a writer identity
+    txns = [m.get("txn") for m in t.versions()]
+    assert all(x and x["app"] == "ingest" for x in txns)
+    # per-batch stats compose: the point/range scan path sees the files
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 10)
+    assert n_sel >= 1 and n_sel + n_skip == sum(
+        len(fs) for fs in t._manifest(t.current_version())["file_stats"].values()
+    )
+    assert t.read_between("k", 250, 259).count() == 10
