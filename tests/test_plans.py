@@ -251,3 +251,41 @@ def test_salted_agg_has_salt_stage(spark, sf_dir):
     txt = explain_str(df)
     assert "__salt" in txt, txt
     assert count_exchanges(df) >= 2, explain_str(df, "simple")
+
+
+def test_p03_filescan_lists_only_admitted_files(spark, sf_dir):
+    """The file-skipping scan's FileScan must enumerate a strict SUBSET of
+    the clustered table's files — the prune is visible in the plan's
+    InMemoryFileIndex, not just in our python-side accounting."""
+    import re
+
+    from oss_data_lake_spark.operators.lake import (
+        ORDERS_DATE_HI,
+        ORDERS_DATE_LO,
+        orders_clustered,
+        skipping_orders_year,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    table = orders_clustered(spark, sf_dir)
+    _sel, n_sel, n_skip = table.plan_range_scan(
+        "o_orderdate", ORDERS_DATE_LO, ORDERS_DATE_HI
+    )
+    assert n_skip > 0
+    txt = explain_str(skipping_orders_year(spark, sf_dir), "simple")
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", txt)
+    assert m, "expected an explicit file-list scan in the plan"
+    assert int(m.group(1)) == n_sel
+    assert n_sel < n_sel + n_skip
+
+
+def test_e32_sweep_plan_has_no_nested_loop_join(spark, sf_dir):
+    """The interval sweep must never degenerate into the BNLJ range join
+    it exists to replace; its point lookup is a broadcast hash join."""
+    from oss_data_lake_spark.operators.asof import interval_open_orders
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(interval_open_orders(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
