@@ -231,6 +231,7 @@ class SnapshotTable:
         n_files: int,
         mode: str = "overwrite",
         stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Commit with a CLUSTERED layout: range-partition + sort on
         ``cluster_by`` so each of the ``n_files`` output files covers a
@@ -243,7 +244,10 @@ class SnapshotTable:
             n_files, F.col(cluster_by)
         ).sortWithinPartitions(cluster_by)
         return self.commit(
-            clustered, mode=mode, stats_for=stats_for or [cluster_by]
+            clustered,
+            mode=mode,
+            stats_for=stats_for or [cluster_by],
+            bloom_for=bloom_for,
         )
 
     def commit_zordered(
@@ -253,6 +257,7 @@ class SnapshotTable:
         n_files: int,
         mode: str = "overwrite",
         stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
         bits: int = 8,
     ) -> int:
         """Commit with a Z-ORDERED layout (Delta's ``OPTIMIZE ZORDER BY``,
@@ -274,7 +279,10 @@ class SnapshotTable:
             .drop("__z")
         )
         return self.commit(
-            ordered, mode=mode, stats_for=stats_for or list(zorder_by)
+            ordered,
+            mode=mode,
+            stats_for=stats_for or list(zorder_by),
+            bloom_for=bloom_for,
         )
 
     def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
@@ -607,20 +615,55 @@ class SnapshotTable:
         self,
         target_partitions: int = 1,
         partition_by: list[str] | None = None,
+        cluster_by: str | None = None,
+        zorder_by: list[str] | None = None,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Rewrite the CURRENT snapshot's (possibly many small) data dirs
         into one coalesced dir as a NEW snapshot — Iceberg's
-        ``rewrite_data_files``. History is untouched (old snapshots still
-        reference the old dirs); pair with ``vacuum`` after expiring them.
-        At scale ``target_partitions`` sizes output files; the rewrite is
-        one partition-parallel pass with no shuffle (coalesce).
-        ``partition_by`` lets compaction normalize a table whose dirs mix
-        evolved specs onto the latest spec in one pass."""
+        ``rewrite_data_files`` / Delta's ``OPTIMIZE``. History is
+        untouched (old snapshots still reference the old dirs); pair with
+        ``vacuum`` after expiring them. At scale ``target_partitions``
+        sizes output files; the plain rewrite is one partition-parallel
+        pass with no shuffle (coalesce). ``partition_by`` lets compaction
+        normalize a table whose dirs mix evolved specs onto the latest
+        spec in one pass.
+
+        ``cluster_by`` / ``zorder_by`` (mutually exclusive, and exclusive
+        with ``partition_by``'s layout) re-SORT during the rewrite —
+        ``OPTIMIZE ... ZORDER BY`` — so a table that accreted unordered
+        streaming micro-batches regains tight per-file bounds; stats (and
+        optional blooms) are re-harvested for the compacted files."""
+        if sum(x is not None for x in (cluster_by, zorder_by)) > 1:
+            raise ValueError("cluster_by and zorder_by are exclusive")
+        if (cluster_by or zorder_by) and partition_by:
+            raise ValueError(
+                "re-clustering compaction is exclusive with partition_by"
+            )
         cur = self.read()
+        if cluster_by is not None:
+            return self.commit_clustered(
+                cur,
+                cluster_by=cluster_by,
+                n_files=target_partitions,
+                stats_for=stats_for,
+                bloom_for=bloom_for,
+            )
+        if zorder_by is not None:
+            return self.commit_zordered(
+                cur,
+                zorder_by=zorder_by,
+                n_files=target_partitions,
+                stats_for=stats_for,
+                bloom_for=bloom_for,
+            )
         return self.commit(
             cur.coalesce(target_partitions),
             mode="overwrite",
             partition_by=partition_by,
+            stats_for=stats_for,
+            bloom_for=bloom_for,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

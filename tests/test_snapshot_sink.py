@@ -102,3 +102,70 @@ def test_stream_restart_does_not_duplicate(spark, tmp_path):
         len(fs) for fs in t._manifest(t.current_version())["file_stats"].values()
     )
     assert t.read_between("k", 250, 259).count() == 10
+
+
+def test_lakehouse_loop_stream_compact_matview(spark, tmp_path):
+    """The full loop: streaming micro-batches land exactly-once in a
+    versioned table; OPTIMIZE-style compaction re-clusters the accreted
+    small files (regaining tight bounds); an incremental MV refreshes from
+    the table and survives the compaction (rewritten history → loud full
+    rebuild, same values)."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.operators.matview import IncrementalAggregate
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    glob_path = str(landing) + "/*/"
+
+    def drain():
+        src = spark.readStream.schema("k long, v double").parquet(glob_path)
+        q = start_snapshot_sink(
+            spark, src, table_path, ckpt, sink_id="loop", stats_for=["k"]
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    _batch(spark, 0, 500).coalesce(4).write.parquet(str(landing / "b1.parquet"))
+    drain()
+    t = SnapshotTable(spark, table_path)
+    mv = IncrementalAggregate(
+        t, str(tmp_path / "mv"), group_by=["k"], measures={"sum_v": "v"}
+    )
+    assert mv.refresh()["mode"] == "full"
+
+    _batch(spark, 500, 900).coalesce(4).write.parquet(str(landing / "b2.parquet"))
+    drain()
+    assert mv.refresh()["mode"] == "incremental"
+
+    # streaming accreted small unordered files: compact + re-cluster
+    n_files_before = sum(
+        len(fs)
+        for fs in t._manifest(t.current_version())["file_stats"].values()
+    )
+    t.compact(target_partitions=4, cluster_by="k")
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 224)
+    assert n_sel == 1 and n_skip == 3, "re-clustered files must prune hard"
+    assert t.read().count() == 900
+
+    # MV sees rewritten history -> full rebuild, identical values
+    info = mv.refresh()
+    assert info["mode"] == "full"
+    expect = [
+        tuple(r)
+        for r in t.read()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("k")
+        .collect()
+    ]
+    got = [
+        (r["k"], r["n_rows"])
+        for r in mv.read().orderBy("k").collect()
+    ]
+    assert got == expect
+    assert n_files_before >= 4  # the loop actually exercised small files
