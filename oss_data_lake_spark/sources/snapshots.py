@@ -136,7 +136,10 @@ class SnapshotTable:
             raise ValueError(f"unsupported commit mode: {mode}")
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be set together")
-        if txn_app is not None:
+
+        def applied_txn() -> int | None:
+            if txn_app is None:
+                return None
             for m in self.versions():
                 txn = m.get("txn")
                 if (
@@ -144,16 +147,22 @@ class SnapshotTable:
                     and txn.get("app") == txn_app
                     and txn.get("version") >= txn_version
                 ):
-                    return m["version"]  # already applied: idempotent no-op
+                    return m["version"]
+            return None
+
+        already = applied_txn()
+        if already is not None:
+            return already  # idempotent no-op
         for c in partition_by or []:
             if c not in df.columns:
                 raise ValueError(f"partition column '{c}' not in dataframe")
         parent = self.current_version()
         if mode == "append" and parent:
+            # fast-fail before paying for the write; re-checked against the
+            # actual parent at claim time (optimistic concurrency below)
             self._check_evolution(self.schema(parent), df.schema)
         bloom_for = bloom_for or []
-        version = (parent or 0) + 1
-        data_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
+        data_dir = f"data/c{(parent or 0) + 1}-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -172,57 +181,77 @@ class SnapshotTable:
             else:
                 self.spark.conf.set(ts_key, prev_ts)
 
-        dirs = [data_dir]
-        specs = {data_dir: list(partition_by or [])}
-        dir_schemas = {data_dir: df.schema.jsonValue()}
-        file_stats: dict[str, dict] = {}
+        own_stats: dict = {}
         if stats_for or bloom_for:
             from oss_data_lake_spark.sources.skipping import collect_file_stats
 
-            file_stats[data_dir] = collect_file_stats(
+            own_stats = collect_file_stats(
                 self.spark,
                 os.path.join(self.path, data_dir),
                 stats_for or [],
                 bloom_for=bloom_for,
             )
-        if mode == "append" and parent:
-            pm = self._manifest(parent)
-            dirs = pm["data_dirs"] + dirs
-            specs = {**pm.get("partition_specs", {}), **specs}
-            dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
-            file_stats = {**pm.get("file_stats", {}), **file_stats}
-        manifest = {
-            "version": version,
-            "parent": parent,
-            "mode": mode,
-            "data_dirs": dirs,
-            # per-directory partition spec (spec evolution: dirs written
-            # under older specs keep them; absent key = unpartitioned)
-            "partition_specs": specs,
-            # per-directory WRITE schema: reads pass it to the reader so
-            # partition-column values round-trip by declared type (no
-            # directory-name type inference — '01' stays '01') and data
-            # columns read under their exact written types before the
-            # snapshot-schema projection upcasts them
-            "dir_schemas": dir_schemas,
-            # the table schema AS OF this snapshot: appends adopt the new
-            # (possibly evolved) write schema — older files are projected
-            # onto it at read time
-            "schema": df.schema.jsonValue(),
-            # per-dir per-file column bounds (Iceberg manifest stats) —
-            # absent key = no stats = never skipped
-            "file_stats": file_stats,
-            # writer identity for idempotent commits (Delta txnAppId
-            # protocol); None for plain commits
-            "txn": (
-                {"app": txn_app, "version": txn_version}
-                if txn_app is not None
-                else None
-            ),
-            "committed_at_ms": int(time.time() * 1000),
-        }
-        self._publish(version, manifest)
-        return version
+
+        # Concurrency (what Iceberg delegates to its catalog — the
+        # reference runs Lakekeeper for exactly this): the expensive data
+        # write happened ONCE above, outside any lock; the cheap metadata
+        # tail — txn-idempotence check, parent read, manifest build,
+        # version claim, pointer advance — runs inside the table's commit
+        # lock so the check and the claim cannot interleave with another
+        # writer's (the window that would let two re-deliveries of one
+        # micro-batch both land, or two writers claim one version slot).
+        # Append semantics compose across writers: each claim re-reads the
+        # actual parent and prepends its dirs.
+        with self._commit_lock():
+            already = applied_txn()
+            if already is not None:
+                return already  # a concurrent re-delivery won; dir orphaned
+            parent = self.current_version()
+            version = (parent or 0) + 1
+            dirs = [data_dir]
+            specs = {data_dir: list(partition_by or [])}
+            dir_schemas = {data_dir: df.schema.jsonValue()}
+            file_stats = {data_dir: own_stats} if own_stats else {}
+            if mode == "append" and parent:
+                self._check_evolution(self.schema(parent), df.schema)
+                pm = self._manifest(parent)
+                dirs = pm["data_dirs"] + dirs
+                specs = {**pm.get("partition_specs", {}), **specs}
+                dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
+                file_stats = {**pm.get("file_stats", {}), **file_stats}
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "data_dirs": dirs,
+                # per-directory partition spec (spec evolution: dirs
+                # written under older specs keep them; absent key =
+                # unpartitioned)
+                "partition_specs": specs,
+                # per-directory WRITE schema: reads pass it to the reader
+                # so partition-column values round-trip by declared type
+                # (no directory-name type inference — '01' stays '01') and
+                # data columns read under their exact written types before
+                # the snapshot-schema projection upcasts them
+                "dir_schemas": dir_schemas,
+                # the table schema AS OF this snapshot: appends adopt the
+                # new (possibly evolved) write schema — older files are
+                # projected onto it at read time
+                "schema": df.schema.jsonValue(),
+                # per-dir per-file column bounds (Iceberg manifest stats)
+                # — absent key = no stats = never skipped
+                "file_stats": file_stats,
+                # writer identity for idempotent commits (Delta txnAppId
+                # protocol); None for plain commits
+                "txn": (
+                    {"app": txn_app, "version": txn_version}
+                    if txn_app is not None
+                    else None
+                ),
+                "committed_at_ms": int(time.time() * 1000),
+            }
+            self._publish(version, manifest)
+            return version
 
     def commit_clustered(
         self,
@@ -304,24 +333,26 @@ class SnapshotTable:
                 )
 
     def rollback(self, version: int) -> int:
-        """New snapshot exposing exactly the file set of ``version``."""
+        """New snapshot exposing exactly the file set of ``version``.
+        Serialized by the same commit lock as ``commit``."""
         old = self._manifest(version)
-        cur = self.current_version() or 0
-        new_version = cur + 1
-        manifest = {
-            "version": new_version,
-            "parent": cur,
-            "mode": f"rollback_to_{version}",
-            "data_dirs": old["data_dirs"],
-            "partition_specs": old.get("partition_specs", {}),
-            "dir_schemas": old.get("dir_schemas", {}),
-            "file_stats": old.get("file_stats", {}),
-            # rollback restores the rolled-to snapshot's schema too
-            "schema": old.get("schema"),
-            "committed_at_ms": int(time.time() * 1000),
-        }
-        self._publish(new_version, manifest)
-        return new_version
+        with self._commit_lock():
+            cur = self.current_version() or 0
+            new_version = cur + 1
+            manifest = {
+                "version": new_version,
+                "parent": cur,
+                "mode": f"rollback_to_{version}",
+                "data_dirs": old["data_dirs"],
+                "partition_specs": old.get("partition_specs", {}),
+                "dir_schemas": old.get("dir_schemas", {}),
+                "file_stats": old.get("file_stats", {}),
+                # rollback restores the rolled-to snapshot's schema too
+                "schema": old.get("schema"),
+                "committed_at_ms": int(time.time() * 1000),
+            }
+            self._publish(new_version, manifest)
+            return new_version
 
     # ------------------------------------------------------------- reads
 
@@ -707,20 +738,59 @@ class SnapshotTable:
         with open(os.path.join(self._meta, f"v{version}.json")) as f:
             return json.load(f)
 
+    def _commit_lock(self):
+        """EXCLUSIVE table commit lock (``flock`` on ``_snapshots/LOCK``)
+        serializing the metadata tail of every commit/rollback across
+        threads AND processes on one host. The expensive data write stays
+        outside it — contention cost is a few metadata file operations.
+
+        Local-filesystem protocol (flock + hard-link claims are POSIX).
+        An object store has neither — that is precisely the gap an
+        Iceberg REST catalog (the reference's Lakekeeper) fills; route
+        commits through a catalog service there
+        (``sources/connectors`` upgrade hook)."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            with open(os.path.join(self._meta, "LOCK"), "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return held()
+
     def _publish(self, version: int, manifest: dict) -> None:
-        """Atomic two-step publish: manifest file, then CURRENT pointer —
-        both via temp + os.replace. A reader never observes a half-written
-        manifest or a pointer to a missing manifest."""
+        """Publish one snapshot — caller must hold ``_commit_lock``.
+
+        The manifest is written to a temp file and ``os.link``ed into
+        ``v{N}.json``: an ATOMIC create-exclusive with full content, so a
+        reader never observes a partial manifest, and a version slot can
+        never be silently overwritten even by a non-conforming writer
+        (the link raises instead). The CURRENT pointer then advances
+        MONOTONICALLY via temp + ``os.replace``."""
         mpath = os.path.join(self._meta, f"v{version}.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
-        cpath = os.path.join(self._meta, "CURRENT")
-        tmp = cpath + f".tmp-{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, cpath)
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise RuntimeError(
+                f"version {version} already exists at {self.path} — "
+                f"a writer bypassed the commit lock"
+            )
+        finally:
+            os.remove(tmp)
+        if version > (self.current_version() or 0):
+            cpath = os.path.join(self._meta, "CURRENT")
+            ctmp = cpath + f".tmp-{uuid.uuid4().hex[:6]}"
+            with open(ctmp, "w") as f:
+                f.write(str(version))
+            os.replace(ctmp, cpath)
 
 
 # --------------------------------------------------------- SQL time travel
