@@ -339,3 +339,70 @@ def test_no_bloom_recorded_reads_all_files(spark, tmp_path):
     # bounds may skip non-straddling files, but no bloom claims are made;
     # the lookup stays correct
     assert t.read_eq("k", 50).count() == 1
+
+
+# ---------------------------------------------------- property: soundness
+
+
+def _stats_for_values(values, nulls=0):
+    """Manifest stats entry as the executor pass would produce for a file
+    holding ``values`` (+ ``nulls`` null rows), via the same encoder."""
+    encs = [encode_bound(v) for v in values]
+    encs = [e for e in encs if e is not None]
+    if not encs:
+        return {"min": None, "max": None, "nulls": nulls, "rows": nulls}
+    lo = min(encs, key=lambda e: e[1])
+    hi = max(encs, key=lambda e: e[1])
+    return {
+        "min": list(lo),
+        "max": list(hi),
+        "nulls": nulls,
+        "rows": len(encs) + nulls,
+    }
+
+
+def test_matcher_soundness_property():
+    """For random homogeneous files and random bounds: whenever ANY value
+    in the file satisfies the range, the matcher must admit the file —
+    no false skip, ever. (False positives are allowed; false negatives
+    are correctness bugs.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nums = st.one_of(
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    texts = st.text(min_size=0, max_size=12)
+    dates = st.dates()
+
+    def family(values_strategy):
+        return st.tuples(
+            st.lists(values_strategy, min_size=1, max_size=30),
+            values_strategy,
+            values_strategy,
+        )
+
+    @given(
+        st.one_of(family(nums), family(texts), family(dates)),
+        st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(case, nulls):
+        values, a, b = case
+        lo_raw, hi_raw = (a, b) if not (b < a) else (b, a)
+        entry = _stats_for_values(values, nulls=nulls)
+        lo, hi = encode_bound(lo_raw), encode_bound(hi_raw)
+        any_match = any(
+            lo[1] <= e[1] <= hi[1]
+            for v in values
+            if (e := encode_bound(v)) is not None and e[0] == lo[0]
+        )
+        admitted = file_may_match(entry, lo, hi)
+        if any_match:
+            assert admitted, (
+                f"FALSE SKIP: values={values} range=[{lo_raw},{hi_raw}] "
+                f"entry={entry}"
+            )
+
+    check()
