@@ -52,6 +52,8 @@ HEADLINE = [
     "e22_ann_ivf_topk",
     "e26_ivf_neardup_pairs",
     "e27_binary_quantized_topk",
+    # round 5: PQ ANN — code-table ADC scoring + exact rerank
+    "e28_pq_topk",
     "e30_asof_error_before_purchase",
     "e44_gopher_quality",
     "e50_tumbling_hourly",

@@ -190,6 +190,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("avg_open_intervals"), "v3": ("max_open_intervals")},
              {"k1": "order_month", "v1": "n_orders",
               "v2": "avg_open_intervals", "v3": "max_open_intervals"}),
+            # e28 (round 5, cap full): PQ ANN — every (query, neighbor,
+            # adc-distance, exact-cosine, rank) value rides the hash
+            ("e28", "e28_pq_topk",
+             {"k1": _cw("q_id", "c_id"), "v1": ("approx_d2"),
+              "v2": ("cosine"), "v3": ("rank")},
+             {"k1": _cw_sql("q_id", "c_id"), "v1": "approx_d2",
+              "v2": "cosine", "v3": "rank"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

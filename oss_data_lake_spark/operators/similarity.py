@@ -614,6 +614,160 @@ def binary_quantized_topk(
     )
 
 
+# --------------------------------------------------------------- e28: PQ
+
+PQ_M = 8            # subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_SUB = 8          # dims per subspace
+PQ_K = 16           # centroids per subspace codebook
+PQ_RERANK = 50      # ADC candidates that pay for the exact rerank
+
+
+def _pq_codebook(emb: DataFrame) -> list[list[float]]:
+    """Deterministic PQ codebook: the first PQ_K stride-sampled vectors,
+    id-ordered — the same bounded fitted-model collect as the IVF
+    centroids (k-means refinement would drop in here; a deterministic
+    seed sample keeps both engines bit-reproducible). Subspace m's
+    centroid j is row j's slice [m*8, m*8+8)."""
+    rows = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    return [list(r["embedding"]) for r in rows]
+
+
+def _pq_encode(emb: DataFrame, codebook: list[list[float]]) -> DataFrame:
+    """Vector → PQ codes via mapInPandas BLAS: per subspace, the argmin
+    over rounded squared L2 to the codebook (tie → lowest centroid index,
+    numpy argmin's first-occurrence). Output is the compressed
+    representation PQ exists for: M small ints per vector — 8 bytes here
+    vs 256 bytes of floats, the table an ANN serving tier actually scans."""
+    cb = [list(v) for v in codebook]
+    m_sub, d_sub = PQ_M, PQ_SUB
+
+    def encode(batches):  # nested: pickled by value for plain sessions
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cb, dtype=np.float64)  # (k, 64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            codes = np.empty((len(pdf), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                sl = slice(m * d_sub, (m + 1) * d_sub)
+                # (n, k) rounded squared distances in this subspace
+                d2 = np.round(
+                    ((E[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2), 9
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, codes array<long>"
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """e28: product-quantization ANN top-k — the E3 compression path
+    (IVF partitions the corpus, sign-bits binarize it; PQ keeps a graded
+    distance): encode every vector as M=8 codebook indices, score queries
+    against CODES ONLY via asymmetric distance computation (per-query
+    lookup tables, never the raw candidate floats), exact-rerank the few
+    ADC survivors.
+
+    Determinism & oracle: the codebook is a stride sample (id-ordered),
+    subspace distances round to 9 dp before argmin/summing, ADC sums fold
+    through DECIMAL (order-independent), ties break toward lower ids —
+    the DuckDB oracle replays the identical construction. The 10-query
+    probe set is a bounded collect (in serving, queries arrive externally;
+    the corpus itself is never collected).
+
+    At 100 TB: the scanned artifact is the code table (8 longs/vector —
+    and 8 BYTES once bit-packed), the ADC join broadcasts 10×8×16 lookup
+    rows, the per-query aggregate is one keyed shuffle over 8 rows/vector,
+    and only RERANK candidates per query touch the float table (semi-join
+    pushdown)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _pq_codebook(emb)
+    codes = _pq_encode(emb, codebook)
+
+    # per-(query, subspace, centroid) rounded distance table — the ADC
+    # lookup rows; 10 × 8 × len(codebook) small rows, broadcast
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    table = []
+    for qr in q_rows:
+        qv = list(qr["embedding"])
+        for m in range(PQ_M):
+            for j, cv in enumerate(codebook):
+                d2 = round(
+                    sum(
+                        (float(qv[m * PQ_SUB + i]) - float(cv[m * PQ_SUB + i]))
+                        ** 2
+                        for i in range(PQ_SUB)
+                    ),
+                    9,
+                )
+                table.append((int(qr["vec_id"]), m, j, d2))
+    adc = spark.createDataFrame(table, "q_id long, m int, j long, d2 double")
+
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "j")
+    ).withColumn("m", F.col("m").cast("int"))
+    approx = (
+        exploded.join(F.broadcast(adc), ["m", "j"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        # decimal fold: 8 rounded doubles sum order-independently
+        .agg(
+            F.sum(F.col("d2").cast("decimal(20,9)"))
+            .cast("double")
+            .alias("approx_d2")
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.asc("approx_d2"), F.asc("c_id")
+    )
+    cand = approx.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= PQ_RERANK
+    )
+
+    # exact rerank of the ADC survivors only
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    cosine = F.round(
+        _dot_fast(F.col("q_emb"), F.col("c_emb"))
+        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        9,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "approx_d2", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def array_funcs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function family over the embedding column: element access,
     size, slices — values copied, never recomputed, so they hash-match."""
@@ -640,6 +794,7 @@ QUERIES = {
     "e25_embedding_neardup_pairs": embedding_neardup_pairs,
     "e26_ivf_neardup_pairs": ivf_neardup_pairs,
     "e27_binary_quantized_topk": binary_quantized_topk,
+    "e28_pq_topk": pq_topk,
 }
 
 _ELEMS_SQL = """
@@ -657,6 +812,61 @@ _NORMS_SQL = """
 """
 
 ORACLES = {
+    # replays the PQ construction exactly: stride codebook (id-ordered, j =
+    # rank), per-subspace squared L2 rounded to 9 dp with explicit
+    # multiplication (numpy's **2), argmin tie → lowest j, ADC sum through
+    # DECIMAL (order-independent), exact 9-dp cosine rerank of the top
+    # PQ_RERANK, ties → lowest id throughout
+    "e28_pq_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+               FROM (SELECT vec_id, v FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+                     ORDER BY vec_id LIMIT {PQ_K})),
+        subs AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+        subd AS (SELECT e.vec_id, subs.m, cb.j,
+                        round(list_sum(list_transform(range(0, {PQ_SUB}), i ->
+                            (v[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1]
+                             - cv[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1])
+                            * (v[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1]
+                               - cv[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1])
+                        )), 9) AS d2
+                 FROM e CROSS JOIN subs CROSS JOIN cb),
+        codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                                ORDER BY d2 ASC, j ASC) AS rn
+                      FROM subd)
+                  WHERE rn = 1),
+        adc AS (SELECT vec_id AS q_id, m, j, d2 FROM subd
+                WHERE vec_id < {N_QUERIES}),
+        approx AS (SELECT a.q_id, c.vec_id AS c_id,
+                          CAST(SUM(CAST(a.d2 AS DECIMAL(20,9))) AS DOUBLE)
+                              AS approx_d2
+                   FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.j
+                   WHERE a.q_id <> c.vec_id
+                   GROUP BY 1, 2),
+        cand AS (SELECT q_id, c_id, approx_d2,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY approx_d2 ASC, c_id ASC)
+                            AS adc_rank
+                 FROM approx),
+        n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        scored AS (SELECT q_id, c_id, approx_d2,
+                          round(list_inner_product(nq.v, nc.v)
+                                / (nq.norm * nc.norm), 9) AS cosine
+                   FROM cand
+                   JOIN n nq ON q_id = nq.vec_id
+                   JOIN n nc ON c_id = nc.vec_id
+                   WHERE adc_rank <= {PQ_RERANK}),
+        final AS (SELECT q_id, c_id, approx_d2, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY cosine DESC, c_id ASC)
+                             AS rank
+                  FROM scored)
+        SELECT q_id, c_id, approx_d2, cosine, rank FROM final
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
     "e27_binary_quantized_topk": f"""
         WITH {_NORMS_SQL},
         sig AS (SELECT vec_id, v, norm,

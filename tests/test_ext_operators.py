@@ -586,3 +586,41 @@ def test_interval_sweep_matches_naive_range_join(spark):
     naive = {(r["p"], r["open_cnt"]) for r in naive_rows}
     assert swept == naive
     assert (D(2024, 1, 4), 2) in swept and (D(2023, 12, 1), 0) in swept
+
+
+def test_pq_topk_recall_and_exact_rerank(spark, sf_dir):
+    """e28 (PQ codes + ADC + exact rerank): the returned neighbors must
+    keep a meaningful share of the exact top-k, every returned cosine must
+    equal the unquantized value (the rerank is exact), and the code table
+    must be the compressed artifact PQ promises (M codes in [0, K))."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        _pq_codebook,
+        _pq_encode,
+        brute_force_topk,
+        pq_topk,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {
+        (r.q_id, r.c_id): r.cosine
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < N_QUERIES)
+        ).collect()
+    }
+    pq = {(r.q_id, r.c_id): r.cosine for r in pq_topk(spark, sf_dir).collect()}
+    hits = set(pq) & set(bf)
+    assert len(hits) / len(bf) >= 0.4, f"recall {len(hits)/len(bf):.2f}"
+    for key in hits:
+        assert pq[key] == bf[key], f"rerank not exact at {key}"
+
+    codes = _pq_encode(emb, _pq_codebook(emb)).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
