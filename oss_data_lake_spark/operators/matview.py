@@ -85,10 +85,19 @@ class IncrementalAggregate:
             return None
 
     def _write_state(self, source_version: int) -> None:
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"source_version": source_version}, fh)
-        os.replace(tmp, self._state_path())
+        """Advance the refresh watermark MONOTONICALLY under the MV
+        table's commit lock: two refreshes racing (user error, but cheap
+        to defend) cannot regress the watermark below a newer refresh's —
+        a regressed watermark would silently double-apply a delta on the
+        next refresh."""
+        with self.mv._commit_lock():
+            cur = self.last_source_version()
+            if cur is not None and cur >= source_version:
+                return
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"source_version": source_version}, fh)
+            os.replace(tmp, self._state_path())
 
     # ---------------------------------------------------------- refresh
 
