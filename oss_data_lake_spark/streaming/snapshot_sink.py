@@ -39,6 +39,7 @@ def start_snapshot_sink(
     checkpoint_dir: str,
     sink_id: str = "snapshot_sink",
     stats_for: list[str] | None = None,
+    refresh_views: list | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Append a streaming DataFrame into ``SnapshotTable(table_path)``,
@@ -49,13 +50,25 @@ def start_snapshot_sink(
     numbering is independent). ``stats_for`` harvests file-skipping
     bounds for each batch's files. ``available_now=True`` drains the
     currently-available input and stops (backfill mode); False runs
-    continuously."""
+    continuously.
+
+    ``refresh_views`` takes ``IncrementalAggregate``s over this table:
+    each is refreshed AFTER the batch commit, making them continuously-
+    maintained streaming materialized views. The composition inherits
+    exactly-once end to end: a re-delivered batch no-ops the table commit,
+    so the MV's incremental refresh sees no new source version and no-ops
+    too (its watermark is monotonic under the MV's own lock); a crash
+    between commit and refresh just means the next batch's refresh folds
+    two deltas at once — the incremental scan is cumulative, not
+    per-batch."""
     table = SnapshotTable(spark, table_path)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         commit_batch(table, batch, batch_id, sink_id, stats_for=stats_for)
+        for mv in refresh_views or []:
+            mv.refresh()
 
     writer = (
         source.writeStream.foreachBatch(_commit)

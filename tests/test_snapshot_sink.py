@@ -222,3 +222,58 @@ def test_concurrent_idempotent_commits_apply_once(spark, tmp_path):
     # the claim section is serialized: every re-delivery resolves to the
     # single applied version
     assert set(results) == {applied[0]}, results
+
+
+def test_streaming_materialized_view_stays_current(spark, tmp_path):
+    """refresh_views= makes an IncrementalAggregate a STREAMING MV: after
+    every drain it equals the full recompute over the table head, and a
+    restart (re-delivery) leaves both table and MV unchanged."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.operators.matview import IncrementalAggregate
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    glob_path = str(landing) + "/*/"
+
+    t = SnapshotTable(spark, table_path)
+    mv = IncrementalAggregate(
+        t, str(tmp_path / "mv"), group_by=["k"], measures={"sum_v": "v"}
+    )
+
+    def drain():
+        src = spark.readStream.schema("k long, v double").parquet(glob_path)
+        q = start_snapshot_sink(
+            spark, src, table_path, ckpt, sink_id="smv",
+            refresh_views=[mv],
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    def full():
+        return sorted(
+            (r["k"], r["n_rows"])
+            for r in t.read()
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+
+    def mv_rows():
+        return sorted(
+            (r["k"], r["n_rows"]) for r in mv.read().collect()
+        )
+
+    _batch(spark, 0, 300).coalesce(2).write.parquet(str(landing / "b1.parquet"))
+    drain()
+    assert mv_rows() == full()
+    _batch(spark, 300, 500).coalesce(2).write.parquet(str(landing / "b2.parquet"))
+    drain()
+    assert mv_rows() == full()
+    before = mv_rows()
+    drain()  # nothing new
+    assert mv_rows() == before
