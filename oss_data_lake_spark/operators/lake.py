@@ -91,14 +91,17 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     ``o_orderdate`` (range-partition + sort into ORDERS_N_FILES files)
     with per-file min/max manifest stats — the Iceberg sort-order +
     manifest-stats layout (``sources/skipping.py``). Cached per scale
-    factor next to the p01/p02 lakes; the ``_SOURCE_STAMP`` protocol
-    matches ``sources/lake.py`` (local cache dir; the snapshot commit
-    itself publishes atomically via the manifest pointer)."""
+    factor next to the p01/p02 lakes with THEIR staged-build protocol
+    (``sources/lake.py``): built into a sibling ``.inprogress`` dir and
+    atomically renamed into place, so concurrent cache users (bench
+    warmup + a pytest run sharing lake_root) never observe a half-built
+    table or lose one mid-rebuild to the other's rmtree. Local cache dir
+    only — the stamp/rename protocol is local-FS."""
+    from oss_data_lake_spark.sources.lake import _source_stamp
+
     sf = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(lake_root(), sf, "orders_clustered")
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    stamp = _source_stamp(os.path.join(sf_dir, "orders.parquet"))
     marker = os.path.join(path, "_SOURCE_STAMP")
     try:
         with open(marker) as fh:
@@ -106,17 +109,20 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
                 return SnapshotTable(spark, path)
     except OSError:
         pass
-    shutil.rmtree(path, ignore_errors=True)
-    table = SnapshotTable(spark, path)
-    table.commit_clustered(
+    tmp = path + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    staged = SnapshotTable(spark, tmp)
+    staged.commit_clustered(
         load_table(spark, sf_dir, "orders"),
         cluster_by="o_orderdate",
         n_files=ORDERS_N_FILES,
         stats_for=["o_orderdate", "o_totalprice"],
     )
-    with open(marker, "w") as fh:
+    with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
         fh.write(stamp)
-    return table
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return SnapshotTable(spark, path)
 
 
 def skipping_orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:

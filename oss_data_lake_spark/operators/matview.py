@@ -37,13 +37,10 @@ Design:
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from oss_data_lake_spark.functions.deterministic import dsum
+from oss_data_lake_spark.functions.deterministic import PRECISION, SCALE, dsum
 from oss_data_lake_spark.sources.snapshots import SnapshotTable
 
 
@@ -56,7 +53,10 @@ class IncrementalAggregate:
     measure is available from :meth:`read` via ``with_avg``.
     """
 
-    _STATE = "_MV_STATE.json"
+    # the MV's transactional writer identity: each refresh commits with
+    # txn_version = the SOURCE version it folded through, so data and
+    # watermark publish in ONE atomic manifest write
+    _TXN_APP = "mv_refresh"
 
     def __init__(
         self,
@@ -74,30 +74,14 @@ class IncrementalAggregate:
 
     # ------------------------------------------------------------ state
 
-    def _state_path(self) -> str:
-        return os.path.join(self.mv.path, self._STATE)
-
     def last_source_version(self) -> int | None:
-        try:
-            with open(self._state_path()) as fh:
-                return json.load(fh)["source_version"]
-        except (OSError, KeyError, ValueError):
-            return None
-
-    def _write_state(self, source_version: int) -> None:
-        """Advance the refresh watermark MONOTONICALLY under the MV
-        table's commit lock: two refreshes racing (user error, but cheap
-        to defend) cannot regress the watermark below a newer refresh's —
-        a regressed watermark would silently double-apply a delta on the
-        next refresh."""
-        with self.mv._commit_lock():
-            cur = self.last_source_version()
-            if cur is not None and cur >= source_version:
-                return
-            tmp = self._state_path() + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"source_version": source_version}, fh)
-            os.replace(tmp, self._state_path())
+        """The source version the MV state covers — read from the MV's own
+        txn ledger, NOT a side file: the refresh commit carries it, so the
+        watermark can never be newer or older than the data it describes
+        (a side file updated after the commit could desynchronize on a
+        crash between the two writes and silently double-apply the next
+        delta)."""
+        return self.mv.txn_watermark(self._TXN_APP)
 
     # ---------------------------------------------------------- refresh
 
@@ -109,7 +93,13 @@ class IncrementalAggregate:
 
     def refresh(self) -> dict:
         """Fold source changes since the last refresh into the MV; returns
-        ``{"mode": "noop"|"incremental"|"full", "source_version": v}``."""
+        ``{"mode": "noop"|"incremental"|"full", "source_version": v}``.
+
+        Crash/race safety rides the snapshot txn protocol: the commit's
+        transaction version IS the watermark, so a crash before the commit
+        changes nothing, a crash after it loses nothing, and a racing
+        refresh that folded an OLDER source head no-ops against the newer
+        refresh's already-applied transaction instead of overwriting it."""
         head = self.source.current_version()
         if head is None:
             raise ValueError(f"source has no snapshots: {self.source.path}")
@@ -122,16 +112,21 @@ class IncrementalAggregate:
             try:
                 delta = self.source.read_changes(last, head)
                 mode = "incremental"
-            except ValueError:
-                # rewritten history (overwrite/rollback intervened):
-                # incremental delta undefined — rebuild from scratch
+            except (ValueError, OSError):
+                # rewritten history (overwrite/rollback intervened) or the
+                # watermark snapshot was expired: the incremental delta is
+                # undefined / unreadable — rebuild from scratch
                 delta = None
         if mode == "incremental":
             merged = self._merge(self.mv.read(), self._partial(delta))
         else:
             merged = self._partial(self.source.read(version=head))
-        self.mv.commit(merged, mode="overwrite")
-        self._write_state(head)
+        self.mv.commit(
+            merged,
+            mode="overwrite",
+            txn_app=self._TXN_APP,
+            txn_version=head,
+        )
         return {"mode": mode, "source_version": head}
 
     def _merge(self, cur: DataFrame, fresh: DataFrame) -> DataFrame:
@@ -148,7 +143,10 @@ class IncrementalAggregate:
         b = fresh.select(
             *self.group_by, *[F.col(c).alias(f"__b_{c}") for c in val_cols]
         )
-        dec = "decimal(25,6)"
+        # the engine-wide exact-fold type (functions/deterministic): the
+        # bit-identical-to-full-recompute guarantee requires the merge to
+        # fold at the SAME precision as dsum
+        dec = f"decimal({PRECISION},{SCALE})"
         out_cols = [
             (
                 F.coalesce("__a_n_rows", F.lit(0))

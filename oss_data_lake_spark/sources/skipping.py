@@ -85,7 +85,18 @@ def _make_enc():
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return ("str", v.isoformat(sep=" ", timespec="microseconds"))
         if isinstance(v, _dt.date):
-            return ("str", v.isoformat())
+            # dates render in the SAME fixed-width form as timestamps
+            # (midnight): a DATE column's stats must compare correctly
+            # against a bound parsed from an ISO string — which
+            # encode_bound normalizes to the timestamp form. A bare
+            # 'YYYY-MM-DD' here would sort BELOW its own midnight
+            # rendering and cause wrong skips / bloom false negatives.
+            return (
+                "str",
+                _dt.datetime(v.year, v.month, v.day).isoformat(
+                    sep=" ", timespec="microseconds"
+                ),
+            )
         if isinstance(v, bytes):
             try:
                 return ("str", v.decode("utf-8"))
@@ -359,21 +370,25 @@ def zvalue_column(df, cols: list[str], bits: int = 8):
         raise ValueError("z-ordering needs >= 2 columns (use clustering)")
     nb = 1 << bits
     probs = [i / nb for i in range(1, nb)]
-    buckets = []
-    for c in cols:
-        dt = dict(df.dtypes)[c]
+    dtypes = dict(df.dtypes)
+
+    def as_double(c: str) -> F.Column:
         vcol = F.col(c)
-        num = df.select(
-            vcol.cast("double").alias("__v")
-            if dt not in ("timestamp", "timestamp_ntz", "date")
-            else vcol.cast("timestamp").cast("double").alias("__v")
-        )
-        bnds = sorted(set(num.approxQuantile("__v", probs, 0.01)))
-        v = (
-            vcol.cast("double")
-            if dt not in ("timestamp", "timestamp_ntz", "date")
-            else vcol.cast("timestamp").cast("double")
-        )
+        if dtypes[c] in ("timestamp", "timestamp_ntz", "date"):
+            return vcol.cast("timestamp").cast("double")
+        return vcol.cast("double")
+
+    # ONE multi-column quantile pass (approxQuantile takes a column list):
+    # d columns cost one scan, not d
+    num = df.select(
+        *[as_double(c).alias(f"__v{i}") for i, c in enumerate(cols)]
+    )
+    all_bnds = num.approxQuantile(
+        [f"__v{i}" for i in range(len(cols))], probs, 0.01
+    )
+    buckets = []
+    for c, bnds_raw in zip(cols, all_bnds):
+        bnds = sorted(set(bnds_raw))
         arr = F.array(*[F.lit(float(b)) for b in bnds])
 
         def bucket(arr_c, v_c):
@@ -382,7 +397,7 @@ def zvalue_column(df, cols: list[str], bits: int = 8):
             # which would silently turn the captured column into x
             return F.size(F.filter(arr_c, lambda x: x <= v_c)).cast("long")
 
-        buckets.append(bucket(arr, v))
+        buckets.append(bucket(arr, as_double(c)))
     z = F.lit(0).cast("long")
     for i in range(bits - 1, -1, -1):
         for b in buckets:

@@ -140,14 +140,10 @@ class SnapshotTable:
         def applied_txn() -> int | None:
             if txn_app is None:
                 return None
-            for m in self.versions():
-                txn = m.get("txn")
-                if (
-                    txn
-                    and txn.get("app") == txn_app
-                    and txn.get("version") >= txn_version
-                ):
-                    return m["version"]
+            wm = self._txn_watermarks()
+            entry = wm.get(txn_app)
+            if entry is not None and entry["version"] >= txn_version:
+                return entry["snapshot"]
             return None
 
         already = applied_txn()
@@ -248,10 +244,61 @@ class SnapshotTable:
                     if txn_app is not None
                     else None
                 ),
+                # per-app high-water txn versions, carried FORWARD through
+                # every commit (incl. plain/compaction commits): the
+                # idempotence check reads ONLY the current manifest — O(1)
+                # instead of an O(#snapshots) scan — and survives
+                # expire_snapshots deleting the original commit's manifest
+                "txn_watermarks": self._next_watermarks(
+                    parent, txn_app, txn_version, version
+                ),
                 "committed_at_ms": int(time.time() * 1000),
             }
             self._publish(version, manifest)
             return version
+
+    def _txn_watermarks(self) -> dict:
+        """Per-app ``{app: {"version": v, "snapshot": k}}`` high-water map
+        from the CURRENT manifest; legacy manifests (pre-watermark) fall
+        back to one full version-log scan."""
+        cur = self.current_version()
+        if cur is None:
+            return {}
+        m = self._manifest(cur)
+        if "txn_watermarks" in m:
+            return m["txn_watermarks"]
+        wm: dict = {}
+        for old in self.versions():  # legacy chain: derive once
+            txn = old.get("txn")
+            if txn and (
+                txn["app"] not in wm
+                or txn["version"] > wm[txn["app"]]["version"]
+            ):
+                wm[txn["app"]] = {
+                    "version": txn["version"],
+                    "snapshot": old["version"],
+                }
+        return wm
+
+    def _next_watermarks(
+        self,
+        parent: int | None,
+        txn_app: str | None,
+        txn_version: int | None,
+        version: int,
+    ) -> dict:
+        wm = dict(self._txn_watermarks()) if parent else {}
+        if txn_app is not None:
+            wm[txn_app] = {"version": txn_version, "snapshot": version}
+        return wm
+
+    def txn_watermark(self, app: str) -> int | None:
+        """The highest transaction version this table has applied for
+        writer identity ``app`` (None if never) — the public face of the
+        idempotence ledger, used e.g. by incremental MVs to make their
+        refresh watermark atomic with their data commit."""
+        entry = self._txn_watermarks().get(app)
+        return None if entry is None else entry["version"]
 
     def commit_clustered(
         self,
@@ -349,6 +396,10 @@ class SnapshotTable:
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
+                # ...but carries the CURRENT head's txn ledger forward —
+                # rolling back data must not roll back applied-batch
+                # memory, or re-deliveries after a rollback double-apply
+                "txn_watermarks": self._txn_watermarks(),
                 "committed_at_ms": int(time.time() * 1000),
             }
             self._publish(new_version, manifest)
@@ -839,6 +890,34 @@ def snapshot_view(
     return view_name
 
 
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _literal_spans(text: str) -> list[tuple[int, int]]:
+    """Spans of single-quoted SQL string literals (``''`` escapes
+    respected). AS-OF-shaped text INSIDE a literal is data — a rewrite
+    that fired there would silently change predicate values. The guard is
+    on match START position, not segment splitting, because the timestamp
+    form's own ``'<iso>'`` argument is itself a literal the clause regex
+    must be allowed to consume."""
+    return [m.span() for m in _LITERAL_RE.finditer(text)]
+
+
+def _starts_in_literal(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a < pos < b for a, b in spans)
+
+
+def _sub_outside_literals(pattern: "re.Pattern[str]", repl, text: str) -> str:
+    spans = _literal_spans(text)
+
+    def guarded(m: "re.Match[str]") -> str:
+        if _starts_in_literal(m.start(), spans):
+            return m.group(0)
+        return repl(m)
+
+    return pattern.sub(guarded, text)
+
+
 def sql_with_time_travel(
     spark: SparkSession, text: str, tables: dict[str, "SnapshotTable"]
 ) -> DataFrame:
@@ -848,7 +927,14 @@ def sql_with_time_travel(
     (a silent pass-through would hand Spark's parser a syntax error far
     from the real cause). Plain references to registered names resolve to
     the CURRENT snapshot via temp views, so one statement can mix
-    versioned and head reads."""
+    versioned and head reads.
+
+    Rewrites and name-detection skip string literals (``'... FOR VERSION
+    AS OF 3'`` stays data). The temp views backing the rewrite are
+    DROPPED before returning — analysis is forced first, so the returned
+    DataFrame stays valid while later ``spark.sql`` calls see no leftover
+    shadowing views."""
+    created: list[str] = []
 
     def _view(name: str, version: int) -> str:
         t = tables.get(name)
@@ -859,6 +945,7 @@ def sql_with_time_travel(
             )
         view = f"__tt_{name.replace('.', '_')}_v{version}"
         t.read(version=version).createOrReplaceTempView(view)
+        created.append(view)
         return view
 
     def sub_version(m: "re.Match[str]") -> str:
@@ -874,9 +961,23 @@ def sql_with_time_travel(
             )
         return _view(name, t.version_as_of(_parse_ts_ms(m.group(2))))
 
-    rewritten = _TT_TS_RE.sub(sub_ts, _TT_VERSION_RE.sub(sub_version, text))
-    # plain (non-AS-OF) references to registered tables read the head
+    rewritten = _sub_outside_literals(
+        _TT_TS_RE,
+        sub_ts,
+        _sub_outside_literals(_TT_VERSION_RE, sub_version, text),
+    )
+    # plain (non-AS-OF) references to registered tables read the head;
+    # detection likewise ignores names that appear only inside literals
+    spans = _literal_spans(rewritten)
     for name, t in tables.items():
-        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+        if any(
+            not _starts_in_literal(m.start(), spans)
+            for m in re.finditer(rf"\b{re.escape(name)}\b", rewritten)
+        ):
             snapshot_view(spark, name, t)
-    return spark.sql(rewritten)
+            created.append(name)
+    df = spark.sql(rewritten)
+    df.schema  # force analysis so dropping the views cannot unbind the plan
+    for view in created:
+        spark.catalog.dropTempView(view)
+    return df

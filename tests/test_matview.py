@@ -105,3 +105,27 @@ def test_mv_is_versioned_and_time_travelable(spark, tmp_path, source):
     mv.refresh()
     assert _sorted(mv.read()) != before
     assert _sorted(mv.read(version=v1)) == before
+
+
+def test_watermark_is_atomic_with_mv_data(spark, tmp_path, source):
+    """Regression (round-5 review): the watermark rides the MV commit's
+    txn version — no side file to desynchronize. A stale racing refresh
+    (older source head) must no-op rather than overwrite newer state."""
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    head1 = source.current_version()
+    assert mv.last_source_version() == head1
+
+    source.commit(spark.createDataFrame(_rows(200, 300)), mode="append")
+    head2 = source.current_version()
+    mv.refresh()
+    assert mv.last_source_version() == head2
+    after = _sorted(mv.read())
+
+    # a stale writer committing with the OLDER head's txn version no-ops
+    stale = mv._partial(source.read(version=head1))
+    v = mv.mv.commit(
+        stale, mode="overwrite", txn_app=mv._TXN_APP, txn_version=head1
+    )
+    assert mv.last_source_version() == head2
+    assert _sorted(mv.read()) == after

@@ -406,3 +406,28 @@ def test_matcher_soundness_property():
             )
 
     check()
+
+
+def test_date_column_skipping_with_string_bounds(spark, tbl):
+    """Regression (round-5 review): DATE-column stats encode at midnight
+    form, so ISO-string bounds — which parse to timestamps — compare
+    correctly. Before the fix, a file whose max was the bound date itself
+    was wrongly skipped (silent row loss), and string probes against date
+    blooms always missed."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1) + dt.timedelta(days=i),) for i in range(40)],
+        "d date",
+    )
+    tbl.commit_clustered(df, cluster_by="d", n_files=4,
+                         stats_for=["d"], bloom_for=["d"])
+    # upper bound == a file's max date: the boundary row must survive
+    got = _collected(tbl.read_between("d", "2024-01-05", "2024-01-10"), "d")
+    assert [r[0] for r in got] == [
+        dt.date(2024, 1, 5) + dt.timedelta(days=i) for i in range(6)
+    ]
+    _sel, n_sel, n_skip = tbl.plan_range_scan("d", "2024-01-05", "2024-01-10")
+    assert n_skip >= 2, "clustered date files must still prune"
+    # bloom point lookup with a STRING probe on the date column
+    assert tbl.read_eq("d", "2024-01-07").count() == 1

@@ -277,3 +277,25 @@ def test_streaming_materialized_view_stays_current(spark, tmp_path):
     before = mv_rows()
     drain()  # nothing new
     assert mv_rows() == before
+
+
+def test_txn_ledger_survives_compaction_and_expiry(spark, tmp_path):
+    """Regression (round-5 review): the per-app txn watermark is carried
+    forward through every manifest, so maintenance (compact +
+    expire_snapshots) cannot erase the exactly-once memory — a
+    re-delivered batch after maintenance still no-ops."""
+    t = SnapshotTable(spark, str(tmp_path / "led"))
+    commit_batch(t, _batch(spark, 0, 50), 0, "sink")
+    commit_batch(t, _batch(spark, 50, 80), 1, "sink")
+    t.compact(target_partitions=1)
+    t.expire_snapshots(keep_last=1)  # original commit manifests gone
+    assert t.read().count() == 80
+    commit_batch(t, _batch(spark, 50, 80), 1, "sink")  # re-delivery
+    assert t.read().count() == 80, "ledger must survive maintenance"
+    assert t.txn_watermark("sink") == 1
+    # rollback keeps the ledger too
+    v = t.current_version()
+    t.commit(_batch(spark, 80, 90), mode="append")
+    t.rollback(v)
+    commit_batch(t, _batch(spark, 50, 80), 1, "sink")
+    assert t.read().count() == 80

@@ -424,3 +424,38 @@ def test_engine_sql_time_travel_roundtrip(spark, tmp_path):
     assert (got.s1, got.sh) == (10.0, 42.0)
     eng.snapshot_view("sales_v1", "sales", version=1)
     assert spark.sql("SELECT SUM(amt) AS s FROM sales_v1").collect()[0].s == 10.0
+
+
+def test_sql_time_travel_literal_safety_and_view_cleanup(spark, tmp_path):
+    """Regression (round-5 review): AS-OF-shaped text inside string
+    literals is data, not syntax; and the rewrite's temp views are
+    dropped after analysis instead of shadowing the session."""
+    from pyspark.sql import Row
+
+    from oss_data_lake_spark.sources.snapshots import (
+        SnapshotTable,
+        sql_with_time_travel,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tt"))
+    t.commit(spark.createDataFrame([Row(k=1, tag="x FOR VERSION AS OF 99 y")]))
+    t.commit(
+        spark.createDataFrame([Row(k=2, tag="later")]), mode="append"
+    )
+
+    out = sql_with_time_travel(
+        spark,
+        "SELECT k FROM tbl WHERE tag = 'x FOR VERSION AS OF 99 y'",
+        {"tbl": t},
+    )
+    assert [r["k"] for r in out.collect()] == [1]
+
+    old = sql_with_time_travel(
+        spark, "SELECT COUNT(*) AS n FROM tbl FOR VERSION AS OF 1", {"tbl": t}
+    )
+    assert old.collect()[0]["n"] == 1
+
+    # no leftover temp views shadowing the session
+    names = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert "tbl" not in names
+    assert not any(n.startswith("__tt_tbl") for n in names)
