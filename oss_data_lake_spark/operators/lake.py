@@ -99,9 +99,16 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     only — the stamp/rename protocol is local-FS."""
     from oss_data_lake_spark.sources.lake import _source_stamp
 
+    from oss_data_lake_spark.sources.skipping import ENC_VERSION
+
     sf = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(lake_root(), sf, "orders_clustered")
-    stamp = _source_stamp(os.path.join(sf_dir, "orders.parquet"))
+    # the stats-encoding version participates in the stamp: bumping it
+    # rebuilds the cache once so its manifest stats carry the current canon
+    stamp = (
+        f"enc{ENC_VERSION}:"
+        + _source_stamp(os.path.join(sf_dir, "orders.parquet"))
+    )
     marker = os.path.join(path, "_SOURCE_STAMP")
     try:
         with open(marker) as fh:

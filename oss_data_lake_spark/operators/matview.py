@@ -104,11 +104,27 @@ class IncrementalAggregate:
         if head is None:
             raise ValueError(f"source has no snapshots: {self.source.path}")
         last = self.last_source_version()
-        if last == head:
+        if last is not None and last > head:
+            # the ledger is AHEAD of the source: the source table was
+            # recreated (version numbering restarted) or this mv_path was
+            # repointed at a different source. Guessing would leave the MV
+            # silently stale (the commit would no-op against the higher
+            # ledger version) — refuse loudly instead.
+            raise ValueError(
+                f"MV watermark {last} is ahead of source head {head} "
+                f"({self.source.path}): the source was recreated or the "
+                f"MV was repointed — use a fresh mv_path"
+            )
+        # rollback desync: if the MV table was rolled back, its CURRENT
+        # DATA was committed at an older source version than the ledger
+        # high-water. The data's own provenance is the truth; rebuild
+        # fully and FORCE the ledger back in line.
+        desynced = self._data_version() != last
+        if not desynced and last == head:
             return {"mode": "noop", "source_version": head}
 
         mode = "full"
-        if last is not None:
+        if not desynced and last is not None:
             try:
                 delta = self.source.read_changes(last, head)
                 mode = "incremental"
@@ -126,8 +142,19 @@ class IncrementalAggregate:
             mode="overwrite",
             txn_app=self._TXN_APP,
             txn_version=head,
+            txn_force=desynced,
         )
         return {"mode": mode, "source_version": head}
+
+    def _data_version(self) -> int | None:
+        """The source version the MV's CURRENT DATA was committed for (the
+        current manifest's own txn record) — differs from the ledger
+        high-water exactly when the MV table was rolled back."""
+        cur = self.mv.current_version()
+        if cur is None:
+            return None
+        txn = self.mv._manifest(cur).get("txn")
+        return txn["version"] if txn and txn.get("app") == self._TXN_APP else None
 
     def _merge(self, cur: DataFrame, fresh: DataFrame) -> DataFrame:
         """Associative partial-state merge: counts add; decimal-exact sums

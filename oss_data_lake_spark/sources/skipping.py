@@ -113,15 +113,38 @@ def _make_enc():
 
 _enc = _make_enc()
 
+# Stats-encoding format version, stamped into every persisted stats/bloom
+# entry. v2 renders DATE values in the midnight timestamp form (so string
+# bounds compare correctly). Entries persisted under an OLDER encoding are
+# not trusted for "str"-kind skips or bloom probes — the file is read
+# instead (under-skip, never wrong-skip); numeric stats are
+# version-independent. Recompacting (or any rebuild) refreshes entries.
+ENC_VERSION = 2
 
-def encode_bound(v: Any) -> tuple[str, Any] | None:
+
+def encode_bound(v: Any, spark_type: str | None = None) -> tuple[str, Any] | None:
     """Public bound encoder: accepts python numbers, strings, date,
-    datetime, or ISO date/timestamp strings. ISO strings that parse as
-    timestamps are normalized to the stats' fixed-width form so
-    '1994-01-01' compares correctly against '1994-03-07 00:00:00.000000'."""
+    datetime, or ISO date/timestamp strings.
+
+    ``spark_type`` (the queried COLUMN's Spark ``simpleString`` type, when
+    the caller knows it — SnapshotTable resolves it from the snapshot
+    schema) disambiguates string bounds: against a string column,
+    '1994-01-01' is a plain string (stats hold bare strings); against a
+    date/timestamp column it parses to the temporal fixed-width form the
+    stats use. Without the type, a date-shaped string normalizes to the
+    temporal form (the common case for range scans on temporal columns) —
+    ambiguous-type callers should pass ``spark_type``."""
     if isinstance(v, str):
+        if spark_type == "string":
+            return _enc(v)
+        if spark_type in ("date", "timestamp", "timestamp_ntz", None):
+            try:
+                return _enc(datetime.datetime.fromisoformat(v))
+            except ValueError:
+                return _enc(v)
+        # numeric column probed with a string: try the numeric reading
         try:
-            return _enc(datetime.datetime.fromisoformat(v))
+            return _enc(float(v) if "." in v else int(v))
         except ValueError:
             return _enc(v)
     return _enc(v)
@@ -158,13 +181,20 @@ def _bloom_positions(canon: str, m: int = BLOOM_M, k: int = BLOOM_K):
         yield int.from_bytes(chunk, "big") % m
 
 
-def bloom_may_contain(entry: dict[str, Any] | None, value: Any) -> bool:
-    """Probe a manifest bloom entry; missing bloom → must read."""
+def bloom_may_contain(
+    entry: dict[str, Any] | None, value: Any, spark_type: str | None = None
+) -> bool:
+    """Probe a manifest bloom entry; missing bloom → must read.
+    ``spark_type`` disambiguates string probes exactly as in
+    ``encode_bound`` — the probe canon must match the build canon (typed
+    column values) or every lookup false-negatives."""
     if not entry or "bloom" not in entry:
         return True
+    if entry.get("enc") != ENC_VERSION:
+        return True  # built under an older canon: probes can't be trusted
     import base64
 
-    enc = encode_bound(value)
+    enc = encode_bound(value, spark_type)
     if enc is None:
         return True
     bits = base64.b64decode(entry["bloom"])
@@ -327,13 +357,16 @@ def collect_file_stats(
     out: dict[str, dict[str, dict[str, Any]]] = {}
     for rel, col, a, b, c, d in rows:
         if col.startswith("bloom:"):
-            out.setdefault(rel, {})[col] = {"bloom": a, "m": c, "k": d}
+            out.setdefault(rel, {})[col] = {
+                "bloom": a, "m": c, "k": d, "enc": ENC_VERSION,
+            }
         else:
             out.setdefault(rel, {})[col] = {
                 "min": a,
                 "max": b,
                 "nulls": c,
                 "rows": d,
+                "enc": ENC_VERSION,
             }
     return out
 
@@ -424,6 +457,12 @@ def file_may_match(
         return False  # all null
     mn, mx = entry.get("min"), entry.get("max")
     if mn is None or mx is None:
+        return True
+    if entry.get("enc") != ENC_VERSION and (
+        mn[0] == "str" or mx[0] == "str"
+    ):
+        # stats persisted under an older string/temporal encoding: not
+        # comparable to current bounds — read the file
         return True
     if lo is not None:
         if lo[0] != mx[0]:

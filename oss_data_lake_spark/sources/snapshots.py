@@ -98,6 +98,7 @@ class SnapshotTable:
         bloom_for: list[str] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        txn_force: bool = False,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -131,14 +132,20 @@ class SnapshotTable:
         manifest, published by the same atomic pointer swap as the data —
         so a re-delivered streaming micro-batch (foreachBatch is
         at-least-once after a crash) can never append twice.
+        ``txn_force=True`` skips the idempotence check and REWRITES the
+        app's ledger entry to this version — the REPAIR path for flows
+        that deliberately rewind state (e.g. an incremental MV rebuilding
+        after its table was rolled back); never for normal writers.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be set together")
+        if txn_force and txn_app is None:
+            raise ValueError("txn_force requires a txn identity")
 
         def applied_txn() -> int | None:
-            if txn_app is None:
+            if txn_app is None or txn_force:
                 return None
             wm = self._txn_watermarks()
             entry = wm.get(txn_app)
@@ -199,9 +206,13 @@ class SnapshotTable:
         # Append semantics compose across writers: each claim re-reads the
         # actual parent and prepends its dirs.
         with self._commit_lock():
-            already = applied_txn()
-            if already is not None:
-                return already  # a concurrent re-delivery won; dir orphaned
+            # ONE ledger read serves both the idempotence check and the
+            # outgoing manifest's carried-forward watermarks
+            wm = self._txn_watermarks()
+            if txn_app is not None and not txn_force:
+                entry = wm.get(txn_app)
+                if entry is not None and entry["version"] >= txn_version:
+                    return entry["snapshot"]  # re-delivery; dir orphaned
             parent = self.current_version()
             version = (parent or 0) + 1
             dirs = [data_dir]
@@ -250,7 +261,7 @@ class SnapshotTable:
                 # instead of an O(#snapshots) scan — and survives
                 # expire_snapshots deleting the original commit's manifest
                 "txn_watermarks": self._next_watermarks(
-                    parent, txn_app, txn_version, version
+                    wm if parent else {}, txn_app, txn_version, version
                 ),
                 "committed_at_ms": int(time.time() * 1000),
             }
@@ -280,14 +291,14 @@ class SnapshotTable:
                 }
         return wm
 
+    @staticmethod
     def _next_watermarks(
-        self,
-        parent: int | None,
+        parent_wm: dict,
         txn_app: str | None,
         txn_version: int | None,
         version: int,
     ) -> dict:
-        wm = dict(self._txn_watermarks()) if parent else {}
+        wm = dict(parent_wm)
         if txn_app is not None:
             wm[txn_app] = {"version": txn_version, "snapshot": version}
         return wm
@@ -453,8 +464,9 @@ class SnapshotTable:
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
         manifest = self._manifest(v)
-        lo = skipping.encode_bound(lower) if lower is not None else None
-        hi = skipping.encode_bound(upper) if upper is not None else None
+        ctype = self._column_type(v, column)
+        lo = skipping.encode_bound(lower, ctype) if lower is not None else None
+        hi = skipping.encode_bound(upper, ctype) if upper is not None else None
         selection: dict[str, list[str] | None] = {}
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
@@ -513,7 +525,8 @@ class SnapshotTable:
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
         manifest = self._manifest(v)
-        enc = skipping.encode_bound(value)
+        ctype = self._column_type(v, column)
+        enc = skipping.encode_bound(value, ctype)
         selection: dict[str, list[str] | None] = {}
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
@@ -526,7 +539,7 @@ class SnapshotTable:
                 for f, cols in sorted(stats.items())
                 if skipping.file_may_match(cols.get(column), enc, enc)
                 and skipping.bloom_may_contain(
-                    cols.get(f"bloom:{column}"), value
+                    cols.get(f"bloom:{column}"), value, ctype
                 )
             ]
             selection[d] = keep
@@ -543,6 +556,19 @@ class SnapshotTable:
         selection, _n_sel, _n_skip = self.plan_eq_scan(column, value, version=v)
         out = self._read_selection(v, selection)
         return out.filter(F.col(column) == F.lit(value))
+
+    def _column_type(self, version: int, column: str) -> str | None:
+        """The column's Spark simpleString type from the snapshot schema
+        (None when unknown — bound encoding then uses its default
+        heuristic; stats for unknown columns are typically absent anyway,
+        so the file is read)."""
+        target = self.schema(version)
+        if target is None:
+            return None
+        for f in target.fields:
+            if f.name == column:
+                return f.dataType.simpleString()
+        return None
 
     def _read_selection(
         self, version: int, selection: dict[str, list[str] | None]
@@ -890,14 +916,24 @@ def snapshot_view(
     return view_name
 
 
-_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_LITERAL_RE = re.compile(
+    # single-quoted strings ('' and \' escapes), double-quoted strings
+    # (Spark's default non-ANSI mode reads them as literals; in ANSI mode
+    # they are identifiers — not rewriting inside either is sound),
+    # line comments, block comments
+    r"'(?:[^'\\]|\\.|'')*'"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|--[^\n]*"
+    r"|/\*.*?\*/",
+    re.DOTALL,
+)
 
 
 def _literal_spans(text: str) -> list[tuple[int, int]]:
-    """Spans of single-quoted SQL string literals (``''`` escapes
-    respected). AS-OF-shaped text INSIDE a literal is data — a rewrite
-    that fired there would silently change predicate values. The guard is
-    on match START position, not segment splitting, because the timestamp
+    """Spans of SQL string literals and comments. AS-OF-shaped text INSIDE
+    one is data — a rewrite that fired there would silently change
+    predicate values (or trip over commented-out SQL). The guard is on
+    match START position, not segment splitting, because the timestamp
     form's own ``'<iso>'`` argument is itself a literal the clause regex
     must be allowed to consume."""
     return [m.span() for m in _LITERAL_RE.finditer(text)]
@@ -967,17 +1003,34 @@ def sql_with_time_travel(
         _sub_outside_literals(_TT_VERSION_RE, sub_version, text),
     )
     # plain (non-AS-OF) references to registered tables read the head;
-    # detection likewise ignores names that appear only inside literals
+    # detection likewise ignores names that appear only inside literals.
+    # A pre-existing USER temp view under a registered name is a conflict
+    # we refuse loudly — silently replacing (then dropping) it would
+    # destroy user session state.
     spans = _literal_spans(rewritten)
-    for name, t in tables.items():
-        if any(
-            not _starts_in_literal(m.start(), spans)
-            for m in re.finditer(rf"\b{re.escape(name)}\b", rewritten)
-        ):
-            snapshot_view(spark, name, t)
-            created.append(name)
-    df = spark.sql(rewritten)
-    df.schema  # force analysis so dropping the views cannot unbind the plan
-    for view in created:
-        spark.catalog.dropTempView(view)
-    return df
+    try:
+        for name, t in tables.items():
+            if any(
+                not _starts_in_literal(m.start(), spans)
+                for m in re.finditer(rf"\b{re.escape(name)}\b", rewritten)
+            ):
+                if any(
+                    v.name == name and v.isTemporary
+                    for v in spark.catalog.listTables()
+                ):
+                    raise ValueError(
+                        f"a temp view named '{name}' already exists in "
+                        f"this session; it would shadow (and be destroyed "
+                        f"by) the snapshot table of the same name — drop "
+                        f"it or register the table under another name"
+                    )
+                snapshot_view(spark, name, t)
+                created.append(name)
+        df = spark.sql(rewritten)
+        # force analysis so dropping the views cannot unbind the plan
+        df.schema
+        return df
+    finally:
+        # success or failure, no helper views outlive the call
+        for view in created:
+            spark.catalog.dropTempView(view)

@@ -57,10 +57,11 @@ def start_snapshot_sink(
     maintained streaming materialized views. The composition inherits
     exactly-once end to end: a re-delivered batch no-ops the table commit,
     so the MV's incremental refresh sees no new source version and no-ops
-    too (its watermark is monotonic under the MV's own lock); a crash
-    between commit and refresh just means the next batch's refresh folds
-    two deltas at once — the incremental scan is cumulative, not
-    per-batch."""
+    too (the MV watermark IS its refresh commit's txn version, so data and
+    watermark publish atomically and a stale racing refresh no-ops in the
+    ledger); a crash between commit and refresh just means the next
+    batch's refresh folds two deltas at once — the incremental scan is
+    cumulative, not per-batch."""
     table = SnapshotTable(spark, table_path)
 
     def _commit(batch: DataFrame, batch_id: int) -> None:

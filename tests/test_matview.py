@@ -129,3 +129,37 @@ def test_watermark_is_atomic_with_mv_data(spark, tmp_path, source):
     )
     assert mv.last_source_version() == head2
     assert _sorted(mv.read()) == after
+
+
+def test_mv_rollback_triggers_forced_full_rebuild(spark, tmp_path, source):
+    """Regression (round-5 review): rolling back the MV table desyncs its
+    data from the txn ledger; refresh must detect it and force a full
+    rebuild rather than folding deltas onto stale state (or no-opping)."""
+    mv = _mv(source, tmp_path)
+    mv.refresh()
+    v_good = mv.mv.current_version()
+    source.commit(spark.createDataFrame(_rows(200, 300)), mode="append")
+    mv.refresh()
+    mv.mv.rollback(v_good)  # operator rewinds the MV
+    info = mv.refresh()
+    assert info["mode"] == "full"
+    assert _sorted(mv.read()) == _sorted(_full(source))
+    # and the ledger is coherent again: next refresh is a clean noop
+    assert mv.refresh()["mode"] == "noop"
+
+
+def test_mv_refuses_recreated_source(spark, tmp_path, source):
+    """Regression (round-5 review): a source whose version numbering
+    restarted (recreated table) must fail loudly, not leave the MV
+    silently stale."""
+    import shutil
+
+    mv = _mv(source, tmp_path)
+    source.commit(spark.createDataFrame(_rows(200, 260)), mode="append")
+    source.commit(spark.createDataFrame(_rows(260, 300)), mode="append")
+    mv.refresh()
+    shutil.rmtree(source.path)
+    fresh = SnapshotTable(spark, source.path)
+    fresh.commit(spark.createDataFrame(_rows(0, 50)))
+    with pytest.raises(ValueError, match="ahead of source head"):
+        mv.refresh()

@@ -431,3 +431,48 @@ def test_date_column_skipping_with_string_bounds(spark, tbl):
     assert n_skip >= 2, "clustered date files must still prune"
     # bloom point lookup with a STRING probe on the date column
     assert tbl.read_eq("d", "2024-01-07").count() == 1
+
+
+def test_string_column_with_date_shaped_values(spark, tbl):
+    """Regression (round-5 review #2): a STRING column whose values look
+    like ISO dates keeps bare-string stats; the bound encodes per the
+    COLUMN TYPE from the snapshot schema, so boundary files survive and
+    string blooms hit."""
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}",) for d in range(1, 31)], "s string"
+    )
+    tbl.commit_clustered(df, cluster_by="s", n_files=3,
+                         stats_for=["s"], bloom_for=["s"])
+    got = _collected(tbl.read_between("s", "2024-01-05", "2024-01-10"), "s")
+    assert [r[0] for r in got] == [f"2024-01-{d:02d}" for d in range(5, 11)]
+    _sel, n_sel, n_skip = tbl.plan_range_scan("s", "2024-01-01", "2024-01-05")
+    assert n_skip >= 1
+    assert tbl.read_eq("s", "2024-01-07").count() == 1
+
+
+def test_old_encoding_stats_are_not_trusted(spark, tbl):
+    """Regression (round-5 review #2b): stats/blooms persisted without the
+    current encoding version never cause a skip (read instead)."""
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}",) for d in range(1, 21)], "s string"
+    )
+    tbl.commit_clustered(df, cluster_by="s", n_files=2,
+                         stats_for=["s"], bloom_for=["s"])
+    # simulate a pre-upgrade manifest: strip enc markers + regress dates
+    v = tbl.current_version()
+    mpath = os.path.join(tbl.path, "_snapshots", f"v{v}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    for files in m["file_stats"].values():
+        for cols in files.values():
+            for entry in cols.values():
+                entry.pop("enc", None)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    _sel, n_sel, n_skip = tbl.plan_range_scan("s", "2024-01-01", "2024-01-05")
+    assert n_skip == 0, "unversioned str-kind stats must never skip"
+    assert tbl.read_between("s", "2024-01-01", "2024-01-05").count() == 5
+    assert tbl.read_eq("s", "2024-01-03").count() == 1

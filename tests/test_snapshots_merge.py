@@ -459,3 +459,47 @@ def test_sql_time_travel_literal_safety_and_view_cleanup(spark, tmp_path):
     names = {v.name for v in spark.catalog.listTables() if v.isTemporary}
     assert "tbl" not in names
     assert not any(n.startswith("__tt_tbl") for n in names)
+
+
+def test_sql_time_travel_error_cleanup_and_conflicts(spark, tmp_path):
+    """Regression (round-5 review): helper views are dropped even when the
+    SQL fails; double-quoted literals and comments are not rewritten; a
+    pre-existing user temp view under a registered name raises instead of
+    being silently destroyed."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from pyspark.sql.utils import ParseException
+
+    from oss_data_lake_spark.sources.snapshots import (
+        SnapshotTable,
+        sql_with_time_travel,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tt2"))
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    t.commit(spark.createDataFrame([Row(k=2)]), mode="append")
+
+    # failing SQL: no leftover views
+    with _pytest.raises(ParseException):
+        sql_with_time_travel(
+            spark, "SELEC k FROM tbl2 FOR VERSION AS OF 1", {"tbl2": t}
+        )
+    names = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert not any(n.startswith("__tt_tbl2") for n in names)
+
+    # comments are data, not syntax
+    out = sql_with_time_travel(
+        spark,
+        "SELECT COUNT(*) AS n FROM tbl2 -- tbl2 FOR VERSION AS OF 1\n",
+        {"tbl2": t},
+    )
+    assert out.collect()[0]["n"] == 2
+
+    # pre-existing user temp view: loud conflict, view preserved
+    spark.createDataFrame([Row(z=9)]).createOrReplaceTempView("tbl2")
+    try:
+        with _pytest.raises(ValueError, match="already exists"):
+            sql_with_time_travel(spark, "SELECT * FROM tbl2", {"tbl2": t})
+        assert spark.sql("SELECT z FROM tbl2").collect()[0]["z"] == 9
+    finally:
+        spark.catalog.dropTempView("tbl2")
