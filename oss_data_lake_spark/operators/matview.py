@@ -64,13 +64,30 @@ class IncrementalAggregate:
         mv_path: str,
         group_by: list[str],
         measures: dict[str, str],
+        distinct_measures: dict[str, str] | None = None,
     ):
+        """``distinct_measures`` maps output name → column for APPROXIMATE
+        per-group distinct counts. Exact COUNT DISTINCT is famously not
+        incrementally maintainable (merging requires the full value sets);
+        the MV instead stores a mergeable HLL SKETCH per group
+        (Datasketches, ``hll_sketch_agg``) — the sketch of a union of row
+        sets equals the union of the partial sketches, so N incremental
+        refreshes estimate IDENTICALLY to the full recompute
+        (pytest-pinned), at a few KB of state per group."""
         if not group_by:
             raise ValueError("group_by must name at least one column")
         self.source = source
         self.mv = SnapshotTable(source.spark, mv_path)
         self.group_by = list(group_by)
         self.measures = dict(measures)
+        self.distinct_measures = dict(distinct_measures or {})
+        overlap = set(self.measures) & set(self.distinct_measures)
+        if overlap:
+            raise ValueError(f"measure names collide: {sorted(overlap)}")
+
+    @staticmethod
+    def _sk(out: str) -> str:
+        return f"__sk_{out}"
 
     # ------------------------------------------------------------ state
 
@@ -89,6 +106,8 @@ class IncrementalAggregate:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for out, col in self.measures.items():
             aggs.append(dsum(col, out))
+        for out, col in self.distinct_measures.items():
+            aggs.append(F.hll_sketch_agg(col).alias(self._sk(out)))
         return rows.groupBy(*self.group_by).agg(*aggs)
 
     def refresh(self) -> dict:
@@ -163,7 +182,8 @@ class IncrementalAggregate:
         order the full recompute's decimal fold would produce... except it
         is not: repeated double additions could drift across MANY
         refreshes, so sums re-fold through decimal here too."""
-        val_cols = ["n_rows", *self.measures.keys()]
+        sk_cols = [self._sk(out) for out in self.distinct_measures]
+        val_cols = ["n_rows", *self.measures.keys(), *sk_cols]
         a = cur.select(
             *self.group_by, *[F.col(c).alias(f"__a_{c}") for c in val_cols]
         )
@@ -189,6 +209,14 @@ class IncrementalAggregate:
                 .cast("double")
                 .alias(m)
             )
+        for sk in sk_cols:
+            av, bv = F.col(f"__a_{sk}"), F.col(f"__b_{sk}")
+            out_cols.append(
+                F.when(av.isNull(), bv)
+                .when(bv.isNull(), av)
+                .otherwise(F.hll_union(av, bv))
+                .alias(sk)
+            )
         return a.join(b, self.group_by, "full_outer").select(
             *self.group_by, *out_cols
         )
@@ -197,6 +225,11 @@ class IncrementalAggregate:
 
     def read(self, with_avg: bool = False, version: int | None = None) -> DataFrame:
         df = self.mv.read(version=version)
+        for out in self.distinct_measures:
+            # sketches are internal state; readers get the estimate
+            df = df.withColumn(
+                out, F.hll_sketch_estimate(self._sk(out))
+            ).drop(self._sk(out))
         if with_avg:
             for m in self.measures:
                 df = df.withColumn(
