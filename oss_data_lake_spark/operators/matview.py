@@ -69,11 +69,13 @@ class IncrementalAggregate:
         """``distinct_measures`` maps output name → column for APPROXIMATE
         per-group distinct counts. Exact COUNT DISTINCT is famously not
         incrementally maintainable (merging requires the full value sets);
-        the MV instead stores a mergeable HLL SKETCH per group
-        (Datasketches, ``hll_sketch_agg``) — the sketch of a union of row
-        sets equals the union of the partial sketches, so N incremental
-        refreshes estimate IDENTICALLY to the full recompute
-        (pytest-pinned), at a few KB of state per group."""
+        the MV instead stores a mergeable HLL SKETCH per group (Flajolet
+        et al., "HyperLogLog: the analysis of a near-optimal cardinality
+        estimation algorithm", AofA 2007; Apache DataSketches via Spark's
+        ``hll_sketch_agg``) — the sketch of a union of row sets equals the
+        union of the partial sketches, so N incremental refreshes estimate
+        IDENTICALLY to the full recompute (pytest-pinned), at a few KB of
+        state per group."""
         if not group_by:
             raise ValueError("group_by must name at least one column")
         self.source = source

@@ -676,12 +676,13 @@ def _pq_encode(emb: DataFrame, codebook: list[list[float]]) -> DataFrame:
 
 
 def pq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """e28: product-quantization ANN top-k — the E3 compression path
-    (IVF partitions the corpus, sign-bits binarize it; PQ keeps a graded
-    distance): encode every vector as M=8 codebook indices, score queries
-    against CODES ONLY via asymmetric distance computation (per-query
-    lookup tables, never the raw candidate floats), exact-rerank the few
-    ADC survivors.
+    """e28: product-quantization ANN top-k (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011)
+    — the E3 compression path (IVF partitions the corpus, sign-bits
+    binarize it; PQ keeps a graded distance): encode every vector as M=8
+    codebook indices, score queries against CODES ONLY via asymmetric
+    distance computation (the paper's ADC: per-query lookup tables, never
+    the raw candidate floats), exact-rerank the few ADC survivors.
 
     Determinism & oracle: the codebook is a stride sample (id-ordered),
     subspace distances round to 9 dp before argmin/summing, ADC sums fold
