@@ -23,7 +23,6 @@ warmup phase; build-once protocol in ``sources/lake.py``).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,13 +91,18 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     with per-file min/max manifest stats — the Iceberg sort-order +
     manifest-stats layout (``sources/skipping.py``). Cached per scale
     factor next to the p01/p02 lakes with THEIR staged-build protocol
-    (``sources/lake.py``): built into a sibling ``.inprogress`` dir and
-    atomically renamed into place, so concurrent cache users (bench
-    warmup + a pytest run sharing lake_root) never observe a half-built
-    table or lose one mid-rebuild to the other's rmtree. Local cache dir
-    only — the stamp/rename protocol is local-FS."""
-    from oss_data_lake_spark.sources.lake import _source_stamp
-
+    (``sources/lake.py``): staged into a UNIQUE temp dir and swapped into
+    place under a flock (``_publish_local``), so concurrent cache users
+    (bench warmup + a pytest run sharing lake_root) never observe a
+    half-built table, corrupt each other's staging, or lose one
+    mid-rebuild to the other's rmtree. Local cache dir only — the
+    stamp/swap protocol is local-FS."""
+    from oss_data_lake_spark.sources.lake import (
+        _built,
+        _publish_local,
+        _source_stamp,
+        _staging_dir,
+    )
     from oss_data_lake_spark.sources.skipping import ENC_VERSION
 
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -109,15 +113,9 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
         f"enc{ENC_VERSION}:"
         + _source_stamp(os.path.join(sf_dir, "orders.parquet"))
     )
-    marker = os.path.join(path, "_SOURCE_STAMP")
-    try:
-        with open(marker) as fh:
-            if fh.read().strip() == stamp:
-                return SnapshotTable(spark, path)
-    except OSError:
-        pass
-    tmp = path + ".inprogress"
-    shutil.rmtree(tmp, ignore_errors=True)
+    if _built(path, stamp):
+        return SnapshotTable(spark, path)
+    tmp = _staging_dir(path)
     staged = SnapshotTable(spark, tmp)
     staged.commit_clustered(
         load_table(spark, sf_dir, "orders"),
@@ -127,8 +125,7 @@ def orders_clustered(spark: SparkSession, sf_dir: str) -> SnapshotTable:
     )
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
         fh.write(stamp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    _publish_local(tmp, path, stamp)
     return SnapshotTable(spark, path)
 
 

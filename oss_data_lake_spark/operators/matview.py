@@ -186,11 +186,20 @@ class IncrementalAggregate:
         refreshes, so sums re-fold through decimal here too."""
         sk_cols = [self._sk(out) for out in self.distinct_measures]
         val_cols = ["n_rows", *self.measures.keys(), *sk_cols]
+        # group keys are renamed per side and joined NULL-SAFELY (<=>):
+        # Spark's equality join never matches NULL keys, so a plain
+        # full_outer on the key names would leave a NULL-keyed group's
+        # state row AND delta row both unmatched — the group would
+        # duplicate on every refresh and diverge from the full recompute.
+        # eqNullSafe treats NULL as a join value; the output key is the
+        # coalesce of the two sides (equal whenever both present).
         a = cur.select(
-            *self.group_by, *[F.col(c).alias(f"__a_{c}") for c in val_cols]
+            *[F.col(k).alias(f"__ka_{k}") for k in self.group_by],
+            *[F.col(c).alias(f"__a_{c}") for c in val_cols],
         )
         b = fresh.select(
-            *self.group_by, *[F.col(c).alias(f"__b_{c}") for c in val_cols]
+            *[F.col(k).alias(f"__kb_{k}") for k in self.group_by],
+            *[F.col(c).alias(f"__b_{c}") for c in val_cols],
         )
         # the engine-wide exact-fold type (functions/deterministic): the
         # bit-identical-to-full-recompute guarantee requires the merge to
@@ -219,9 +228,15 @@ class IncrementalAggregate:
                 .otherwise(F.hll_union(av, bv))
                 .alias(sk)
             )
-        return a.join(b, self.group_by, "full_outer").select(
-            *self.group_by, *out_cols
-        )
+        cond = None
+        for k in self.group_by:
+            eq = F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}"))
+            cond = eq if cond is None else (cond & eq)
+        key_cols = [
+            F.coalesce(F.col(f"__ka_{k}"), F.col(f"__kb_{k}")).alias(k)
+            for k in self.group_by
+        ]
+        return a.join(b, cond, "full_outer").select(*key_cols, *out_cols)
 
     # ------------------------------------------------------------- read
 

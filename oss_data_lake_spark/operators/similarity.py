@@ -638,6 +638,18 @@ def _pq_codebook(emb: DataFrame) -> list[list[float]]:
     return [list(r["embedding"]) for r in rows]
 
 
+def _round9_half_up(x: float) -> float:
+    """Round a NON-NEGATIVE scalar to 9 dp with ties AWAY from zero —
+    DuckDB's ``round()`` tie behavior (and Spark ``F.round``'s HALF_UP),
+    matching the rest of the engine. Python's ``round`` and ``np.round``
+    are round-half-to-EVEN: an exactly-representable half at the 9th
+    decimal would flip a code assignment / ADC distance across engines
+    and break the composite hash."""
+    import math
+
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
 def _pq_encode(emb: DataFrame, codebook: list[list[float]]) -> DataFrame:
     """Vector → PQ codes via mapInPandas BLAS: per subspace, the argmin
     over rounded squared L2 to the codebook (tie → lowest centroid index,
@@ -661,10 +673,12 @@ def _pq_encode(emb: DataFrame, codebook: list[list[float]]) -> DataFrame:
             codes = np.empty((len(pdf), m_sub), dtype=np.int64)
             for m in range(m_sub):
                 sl = slice(m * d_sub, (m + 1) * d_sub)
-                # (n, k) rounded squared distances in this subspace
-                d2 = np.round(
-                    ((E[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2), 9
-                )
+                # (n, k) squared distances, rounded HALF-UP to 9 dp
+                # (np.floor(x*1e9+0.5): squared L2 is non-negative, so
+                # this is exactly DuckDB round's half-away-from-zero —
+                # np.round's half-to-even would diverge on exact ties)
+                raw = ((E[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2)
+                d2 = np.floor(raw * 1e9 + 0.5) / 1e9
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
@@ -713,13 +727,12 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         qv = list(qr["embedding"])
         for m in range(PQ_M):
             for j, cv in enumerate(codebook):
-                d2 = round(
+                d2 = _round9_half_up(
                     sum(
                         (float(qv[m * PQ_SUB + i]) - float(cv[m * PQ_SUB + i]))
                         ** 2
                         for i in range(PQ_SUB)
-                    ),
-                    9,
+                    )
                 )
                 table.append((int(qr["vec_id"]), m, j, d2))
     adc = spark.createDataFrame(table, "q_id long, m int, j long, d2 double")

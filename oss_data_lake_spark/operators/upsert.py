@@ -149,19 +149,20 @@ def _m02_snapshot_table(spark: SparkSession, sf_dir: str):
     """Build-once (per scale factor, stamped against the source fixture)
     two-generation snapshot table over orders: v1 = open orders only,
     v2 appends the finished ones. Shared by m02 (API time travel) and m03
-    (SQL-text time travel). Built into a sibling ``.inprogress`` dir and
-    atomically renamed into place (the ``sources/lake.py`` protocol) so a
-    concurrent bench/test process sharing the lake dir can never read a
-    half-built table; NOTE rmtree+rename atomicity is LOCAL-FILESYSTEM
-    only — at 100 TB on an object store, publish via the snapshot layer's
-    own manifest pointer (it is already atomic per commit) instead of
-    directory swaps."""
+    (SQL-text time travel). Staged into a UNIQUE temp dir and swapped
+    into place under a flock (``sources/lake.py::_publish_local``) so
+    concurrent bench/test processes sharing the lake dir can never read a
+    half-built table or corrupt each other's staging; NOTE the swap
+    protocol is LOCAL-FILESYSTEM only — at 100 TB on an object store,
+    publish via the snapshot layer's own manifest pointer (it is already
+    atomic per commit) instead of directory swaps."""
     import os
-    import shutil
 
     from oss_data_lake_spark.sources.lake import (
         _built,
+        _publish_local,
         _source_stamp,
+        _staging_dir,
         lake_root,
     )
     from oss_data_lake_spark.sources.snapshots import SnapshotTable
@@ -174,8 +175,7 @@ def _m02_snapshot_table(spark: SparkSession, sf_dir: str):
         orders3 = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
-        tmp = path + ".inprogress"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = _staging_dir(path)
         t = SnapshotTable(spark, tmp)
         t.commit(orders3.filter(F.col("o_orderstatus") == "O"))
         t.commit(
@@ -183,8 +183,7 @@ def _m02_snapshot_table(spark: SparkSession, sf_dir: str):
         )
         with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
             fh.write(stamp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
+        _publish_local(tmp, path, stamp)
     return SnapshotTable(spark, path)
 
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,6 +122,41 @@ def _write_remote_marker(spark: SparkSession, marker: str, stamp: str) -> None:
         out.close()
 
 
+def _staging_dir(path: str) -> str:
+    """A UNIQUELY-named staging dir next to ``path``: two concurrent
+    builders each stage into their own directory, so neither can corrupt
+    the other's half-written build or lose the final-rename race on a
+    shared fixed name."""
+    return f"{path}.inprogress-{uuid.uuid4().hex[:6]}"
+
+
+def _publish_local(tmp: str, path: str, stamp: str) -> None:
+    """Swap a staged build into place, serialized ACROSS PROCESSES by a
+    flock on a sibling lock file. Under the lock: (1) re-check the stamp —
+    if a concurrent builder already published this generation, discard the
+    staged copy instead of double-swapping; (2) rename the old dir ASIDE,
+    rename the new one in, then delete the aside copy — the
+    readers-see-nothing window shrinks from a full rmtree tree-walk to
+    the gap between two renames (local-FS protocol; object-store caches
+    publish via the stamp-last path, and durable tables belong in
+    ``sources/snapshots.py`` whose pointer publish is atomic anywhere)."""
+    import fcntl
+
+    with open(path + ".lock", "a") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if _built(path, stamp):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            aside = f"{path}.old-{uuid.uuid4().hex[:6]}"
+            if os.path.exists(path):
+                os.rename(path, aside)
+            os.rename(tmp, path)
+            shutil.rmtree(aside, ignore_errors=True)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
 def _build_once(
     df_fn,
     path: str,
@@ -151,8 +187,7 @@ def _build_once(
             spark, os.path.join(path, "_SOURCE_STAMP"), stamp
         )
         return path
-    tmp = path + ".inprogress"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _staging_dir(path)
     (
         df_fn()
         .repartition(partition_col)
@@ -162,8 +197,7 @@ def _build_once(
     )
     with open(os.path.join(tmp, "_SOURCE_STAMP"), "w") as fh:
         fh.write(stamp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    _publish_local(tmp, path, stamp)
     return path
 
 

@@ -354,7 +354,16 @@ def collect_file_stats(
         .mapPartitions(_make_footer_reader(columns, bloom_for))
         .collect()
     )
-    out: dict[str, dict[str, dict[str, Any]]] = {}
+    # EVERY discovered file gets an entry, even when no column produced a
+    # usable stat row (row-group statistics absent/undecodable for all
+    # requested columns): the stats dict is the scan planner's FILE
+    # UNIVERSE, and a file missing from it would be silently excluded from
+    # pruned reads — wrong-skip data loss, not the promised "no stats →
+    # always read". An empty per-file dict prunes nothing (file_may_match
+    # and bloom_may_contain both return True for absent entries).
+    out: dict[str, dict[str, dict[str, Any]]] = {
+        rel: {} for _p, rel in files
+    }
     for rel, col, a, b, c, d in rows:
         if col.startswith("bloom:"):
             out.setdefault(rel, {})[col] = {

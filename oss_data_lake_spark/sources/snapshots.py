@@ -476,15 +476,38 @@ class SnapshotTable:
                 # with — the all-null skip rule must not fire): whole dir
                 selection[d] = None
                 continue
+            universe = self._stats_universe(d, stats)
             keep = [
                 f
-                for f, cols in sorted(stats.items())
-                if skipping.file_may_match(cols.get(column), lo, hi)
+                for f in universe
+                if skipping.file_may_match(
+                    stats.get(f, {}).get(column), lo, hi
+                )
             ]
             selection[d] = keep
             n_sel += len(keep)
-            n_skip += len(stats) - len(keep)
+            n_skip += len(universe) - len(keep)
         return selection, n_sel, n_skip
+
+    def _stats_universe(self, rel_dir: str, stats: dict) -> list[str]:
+        """The FILE UNIVERSE a pruned scan of ``rel_dir`` plans against:
+        the stats dict's keys unioned with the directory's actual parquet
+        listing. ``collect_file_stats`` records every file it discovers
+        (possibly with an empty column map), but manifests persisted by
+        older builds could miss a file whose footer yielded zero usable
+        stat rows — planning from stats alone would silently EXCLUDE such
+        a file (wrong-skip data loss). A file found by the listing but
+        absent from stats defaults to must-read. The listing is one
+        O(#files) metadata call per directory per plan; a catalog-backed
+        deployment would instead trust its manifests, which the current
+        writer makes complete."""
+        from oss_data_lake_spark.sources.skipping import _iter_parquet_files
+
+        root = os.path.join(self.path, rel_dir)
+        listed = [
+            os.path.relpath(p, root) for p in _iter_parquet_files(root)
+        ]
+        return sorted(set(stats) | set(listed))
 
     def read_between(
         self,
@@ -534,17 +557,20 @@ class SnapshotTable:
             if not stats or enc is None:
                 selection[d] = None
                 continue
+            universe = self._stats_universe(d, stats)
             keep = [
                 f
-                for f, cols in sorted(stats.items())
-                if skipping.file_may_match(cols.get(column), enc, enc)
+                for f in universe
+                if skipping.file_may_match(
+                    stats.get(f, {}).get(column), enc, enc
+                )
                 and skipping.bloom_may_contain(
-                    cols.get(f"bloom:{column}"), value, ctype
+                    stats.get(f, {}).get(f"bloom:{column}"), value, ctype
                 )
             ]
             selection[d] = keep
             n_sel += len(keep)
-            n_skip += len(stats) - len(keep)
+            n_skip += len(universe) - len(keep)
         return selection, n_sel, n_skip
 
     def read_eq(self, column: str, value, version: int | None = None) -> DataFrame:

@@ -476,3 +476,49 @@ def test_old_encoding_stats_are_not_trusted(spark, tbl):
     assert n_skip == 0, "unversioned str-kind stats must never skip"
     assert tbl.read_between("s", "2024-01-01", "2024-01-05").count() == 5
     assert tbl.read_eq("s", "2024-01-03").count() == 1
+
+
+def test_stats_universe_covers_statless_files(spark, tbl):
+    """Two wrong-skip guards (ADVICE r5 #2):
+
+    1. ``collect_file_stats`` records EVERY file it discovers, even when
+       no requested column yields a usable stat row — an empty per-file
+       dict that prunes nothing (here: stats requested for a column that
+       does not exist in the files).
+    2. The scan planner's file universe is the stats dict UNIONED with
+       the directory listing, so a file missing from a (legacy) manifest's
+       stats — simulated by surgically deleting one file's entry — still
+       defaults to must-read instead of being silently excluded."""
+    import json
+    import os
+
+    from oss_data_lake_spark.sources.skipping import collect_file_stats
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    tbl.commit_clustered(df, cluster_by="k", n_files=4, stats_for=["k"])
+
+    # guard 1: a stats pass over a column absent from the files still
+    # yields one (empty) entry per file
+    d = tbl._manifest(1)["data_dirs"][0]
+    ghost = collect_file_stats(
+        spark, os.path.join(tbl.path, d), ["no_such_column"]
+    )
+    assert len(ghost) == 4
+    assert all(cols == {} for cols in ghost.values())
+
+    # guard 2: drop one file's stats entry from the manifest (a file whose
+    # footer produced zero usable rows under an older writer)
+    mpath = os.path.join(tbl.path, "_snapshots", "v1.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    stats = manifest["file_stats"][d]
+    victim = sorted(stats)[0]
+    del stats[victim]
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+
+    sel, n_sel, _n_skip = tbl.plan_range_scan("k", 90, 99)
+    kept = [f for files in sel.values() for f in (files or [])]
+    assert victim in kept, "stat-less file must default to must-read"
+    # and the pruned read is still complete
+    assert tbl.read_between("k", 0, 99).count() == 100
