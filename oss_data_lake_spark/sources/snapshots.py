@@ -78,6 +78,11 @@ def _compatible(old: T.DataType, new: T.DataType) -> bool:
     return old == new or (old.typeName(), new.typeName()) in _WIDENINGS
 
 
+class CommitConflict(RuntimeError):
+    """An optimistic rewrite/commit lost its validation race: the table
+    head moved between planning and publish. Retryable by replanning."""
+
+
 class SnapshotTable:
     """A parquet table with Iceberg-style snapshots, time travel, rollback."""
 
@@ -166,34 +171,8 @@ class SnapshotTable:
             self._check_evolution(self.schema(parent), df.schema)
         bloom_for = bloom_for or []
         data_dir = f"data/c{(parent or 0) + 1}-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        # Spark's default INT96 timestamp encoding is deprecated and
-        # carries NO column statistics; Iceberg mandates int64 micros,
-        # which do — required for timestamp file skipping. Set transiently
-        # so a shared (driver-owned) session keeps its own setting.
-        ts_key = "spark.sql.parquet.outputTimestampType"
-        prev_ts = self.spark.conf.get(ts_key, None)
-        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-        try:
-            writer.parquet(os.path.join(self.path, data_dir))
-        finally:
-            if prev_ts is None:
-                self.spark.conf.unset(ts_key)
-            else:
-                self.spark.conf.set(ts_key, prev_ts)
-
-        own_stats: dict = {}
-        if stats_for or bloom_for:
-            from oss_data_lake_spark.sources.skipping import collect_file_stats
-
-            own_stats = collect_file_stats(
-                self.spark,
-                os.path.join(self.path, data_dir),
-                stats_for or [],
-                bloom_for=bloom_for,
-            )
+        self._write_data_dir(df, data_dir, partition_by)
+        own_stats = self._harvest_stats(data_dir, stats_for, bloom_for)
 
         # Concurrency (what Iceberg delegates to its catalog — the
         # reference runs Lakekeeper for exactly this): the expensive data
@@ -219,6 +198,7 @@ class SnapshotTable:
             specs = {data_dir: list(partition_by or [])}
             dir_schemas = {data_dir: df.schema.jsonValue()}
             file_stats = {data_dir: own_stats} if own_stats else {}
+            dir_files: dict = {}
             if mode == "append" and parent:
                 self._check_evolution(self.schema(parent), df.schema)
                 pm = self._manifest(parent)
@@ -226,6 +206,9 @@ class SnapshotTable:
                 specs = {**pm.get("partition_specs", {}), **specs}
                 dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
+                # row-level rewrites shrink per-dir visibility; appends
+                # carry the parent's visible sets forward unchanged
+                dir_files = dict(pm.get("dir_files", {}))
             manifest = {
                 "version": version,
                 "parent": parent,
@@ -241,6 +224,9 @@ class SnapshotTable:
                 # data columns read under their exact written types before
                 # the snapshot-schema projection upcasts them
                 "dir_schemas": dir_schemas,
+                # per-dir VISIBLE-file subsets (absent key = whole dir):
+                # copy-on-write DML shrinks these instead of deleting data
+                "dir_files": dir_files,
                 # the table schema AS OF this snapshot: appends adopt the
                 # new (possibly evolved) write schema — older files are
                 # projected onto it at read time
@@ -267,6 +253,48 @@ class SnapshotTable:
             }
             self._publish(version, manifest)
             return version
+
+    def _write_data_dir(
+        self,
+        df: DataFrame,
+        data_dir: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write one immutable data directory. Spark's default INT96
+        timestamp encoding is deprecated and carries NO column statistics;
+        Iceberg mandates int64 micros, which do — required for timestamp
+        file skipping. Set transiently so a shared (driver-owned) session
+        keeps its own setting."""
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(ts_key, None)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(os.path.join(self.path, data_dir))
+        finally:
+            if prev_ts is None:
+                self.spark.conf.unset(ts_key)
+            else:
+                self.spark.conf.set(ts_key, prev_ts)
+
+    def _harvest_stats(
+        self,
+        data_dir: str,
+        stats_for: list[str] | None,
+        bloom_for: list[str] | None,
+    ) -> dict:
+        if not (stats_for or bloom_for):
+            return {}
+        from oss_data_lake_spark.sources.skipping import collect_file_stats
+
+        return collect_file_stats(
+            self.spark,
+            os.path.join(self.path, data_dir),
+            stats_for or [],
+            bloom_for=bloom_for or [],
+        )
 
     def _txn_watermarks(self) -> dict:
         """Per-app ``{app: {"version": v, "snapshot": k}}`` high-water map
@@ -404,6 +432,7 @@ class SnapshotTable:
                 "data_dirs": old["data_dirs"],
                 "partition_specs": old.get("partition_specs", {}),
                 "dir_schemas": old.get("dir_schemas", {}),
+                "dir_files": old.get("dir_files", {}),
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
@@ -432,18 +461,90 @@ class SnapshotTable:
             return self.spark.read.parquet(
                 *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
             )
-        # per-dir projection + union: each child stays an independent pruned
-        # scan (filters and column pruning push through Union, partition
-        # filters prune each dir under ITS OWN spec), so the plan at scale
-        # is the same parallel multi-dir scan with a cast on top
-        parts = [
-            self._align(self._read_dir(manifest, d), target)
-            for d in manifest["data_dirs"]
-        ]
+        parts = self._scan_parts(manifest, target)
+        if not parts:
+            return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _visible_files(self, manifest: dict, rel_dir: str) -> list[str] | None:
+        """The file subset of ``rel_dir`` VISIBLE in this snapshot (None =
+        every file). Row-level rewrites (``delete_where``/``update_where``/
+        ``merge_rows``) never mutate committed files; they shrink a dir's
+        visible set and add a replacement dir — Iceberg v2's copy-on-write
+        expressed at our manifest granularity."""
+        return manifest.get("dir_files", {}).get(rel_dir)
+
+    def _scan_parts(
+        self,
+        manifest: dict,
+        target: T.StructType,
+        selection: dict[str, list[str] | None] | None = None,
+    ) -> list[DataFrame]:
+        """The snapshot's scan children, aligned onto ``target``.
+
+        Same-schema UNPARTITIONED directories are folded into ONE
+        multi-path reader call instead of a per-directory ``unionByName``
+        chain: a table that accreted N append commits plans a single
+        parallel scan over N directories, so plan size stays flat in the
+        number of commit generations (a 1000-commit table would otherwise
+        parse a 1000-arm union; compaction bounds it operationally, this
+        bounds it structurally — plan pinned by
+        tests/test_snapshots_merge.py). Directories with a Hive partition
+        spec, or legacy dirs without a recorded schema, keep their own
+        scan (partition-column recovery needs the per-dir ``basePath``).
+
+        ``selection`` (the file-skipping plan) restricts each dir to a
+        file subset (None = whole dir, [] = fully pruned); the manifest's
+        ``dir_files`` visibility subset is intersected on top."""
+        specs = manifest.get("partition_specs", {})
+        schemas = manifest.get("dir_schemas", {})
+        # entries: ("dir", rel_dir, files) for per-dir scans, or
+        # ("group", schema_key, [abs paths]) for folded same-schema scans
+        entries: list = []
+        group_pos: dict[str, int] = {}
+        for d in manifest["data_dirs"]:
+            vis = self._visible_files(manifest, d)
+            sel = None if selection is None else selection.get(d)
+            if sel is None:
+                eff = vis
+            elif vis is None:
+                eff = sel
+            else:
+                vset = set(vis)
+                eff = [f for f in sel if f in vset]
+            if eff == []:
+                continue  # nothing visible / everything pruned
+            schema_json = schemas.get(d)
+            if schema_json is None or specs.get(d):
+                entries.append(("dir", d, eff))
+                continue
+            key = json.dumps(schema_json, sort_keys=True)
+            root = os.path.join(self.path, d)
+            paths = (
+                [root]
+                if eff is None
+                else [os.path.join(root, f) for f in eff]
+            )
+            if key in group_pos:
+                entries[group_pos[key]][2].extend(paths)
+            else:
+                group_pos[key] = len(entries)
+                entries.append(["group", schema_json, paths])
+        parts: list[DataFrame] = []
+        for kind, a, b in entries:
+            if kind == "dir":
+                part = self._read_dir(manifest, a, files=b)
+            else:
+                # unpartitioned same-schema dirs/files: one reader call,
+                # explicit schema, no partition discovery needed
+                part = self.spark.read.schema(
+                    T.StructType.fromJson(a)
+                ).parquet(*b)
+            parts.append(self._align(part, target))
+        return parts
 
     def plan_range_scan(
         self,
@@ -476,7 +577,10 @@ class SnapshotTable:
                 # with — the all-null skip rule must not fire): whole dir
                 selection[d] = None
                 continue
-            universe = self._stats_universe(d, stats)
+            vis = self._visible_files(manifest, d)
+            universe = (
+                self._stats_universe(d, stats) if vis is None else sorted(vis)
+            )
             keep = [
                 f
                 for f in universe
@@ -557,7 +661,10 @@ class SnapshotTable:
             if not stats or enc is None:
                 selection[d] = None
                 continue
-            universe = self._stats_universe(d, stats)
+            vis = self._visible_files(manifest, d)
+            universe = (
+                self._stats_universe(d, stats) if vis is None else sorted(vis)
+            )
             keep = [
                 f
                 for f in universe
@@ -599,27 +706,24 @@ class SnapshotTable:
     def _read_selection(
         self, version: int, selection: dict[str, list[str] | None]
     ) -> DataFrame:
-        """Union the per-dir scans of a pruned file selection, projected
-        onto the snapshot schema (empty selection → empty frame with that
-        schema)."""
+        """Union the scans of a pruned file selection, projected onto the
+        snapshot schema (empty selection → empty frame with that schema).
+        Same-schema unpartitioned dirs fold into one scan (_scan_parts)."""
         manifest = self._manifest(version)
         target = self.schema(version)
-        parts: list[DataFrame] = []
-        for d in manifest["data_dirs"]:
-            sel = selection[d]
-            if sel is None:
-                part = self._read_dir(manifest, d)
-            elif sel:
-                part = self._read_dir(manifest, d, files=sel)
-            else:
-                continue  # every file in the dir pruned
-            parts.append(self._align(part, target) if target else part)
-        if not parts:
-            if target is None:
+        if target is None:
+            # pre-schema legacy manifest: such manifests never carry
+            # stats, so every dir is whole (or the plan is vacuous)
+            if not all(v is None for v in selection.values()):
                 raise ValueError(
-                    "fully pruned scan on a pre-schema manifest: no schema "
-                    "to shape the empty result"
+                    "pruned scan on a pre-schema manifest: no schema to "
+                    "shape the result"
                 )
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
+            )
+        parts = self._scan_parts(manifest, target, selection=selection)
+        if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
@@ -718,7 +822,8 @@ class SnapshotTable:
         to_v = to_version if to_version is not None else self.current_version()
         if to_v is None or from_version > to_v:
             raise ValueError(f"bad version range: {from_version}..{to_v}")
-        base = set(self._manifest(from_version)["data_dirs"])
+        base_m = self._manifest(from_version)
+        base = set(base_m["data_dirs"])
         head = self._manifest(to_v)
         if not base <= set(head["data_dirs"]):
             raise ValueError(
@@ -726,6 +831,21 @@ class SnapshotTable:
                 f"{from_version} (an overwrite intervened); read the full "
                 f"snapshot instead"
             )
+        for d in base:
+            bvis = self._visible_files(base_m, d)
+            hvis = self._visible_files(head, d)
+            shrunk = (hvis is not None) and (
+                bvis is None or not set(bvis) <= set(hvis)
+            )
+            if shrunk:
+                # a copy-on-write DELETE/UPDATE/MERGE removed rows from
+                # this dir between the two versions: "rows added since"
+                # is undefined, exactly like an overwrite
+                raise ValueError(
+                    f"snapshot {to_v} is not an append descendant of "
+                    f"{from_version} (a row-level rewrite shrank '{d}'); "
+                    f"read the full snapshot instead"
+                )
         new_dirs = [d for d in head["data_dirs"] if d not in base]
         target = self.schema(to_v)
         if not new_dirs:
@@ -742,6 +862,271 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ----------------------------------- row-level DML (copy-on-write)
+    #
+    # The Trino-over-Iceberg-v2 surface the reference engine exposes
+    # (DELETE FROM / UPDATE / MERGE INTO, Trino 467 per reference
+    # docker-compose.yaml:153): committed files are never mutated.
+    # A rewrite (1) PRUNES the candidate file set through the manifest
+    # stats — only files whose bounds intersect the predicate are read,
+    # (2) rewrites the candidates' surviving/updated rows into a fresh
+    # data dir, and (3) publishes ONE atomic snapshot in which the
+    # candidate files are no longer visible (``dir_files`` shrink) and the
+    # replacement dir is. Non-candidate files are untouched — at 100 TB a
+    # keyed DELETE rewrites the few files the stats admit, not the table.
+    # Optimistic concurrency: the plan/rewrite runs lock-free against a
+    # pinned version; the metadata tail re-checks the head under the
+    # commit lock and retries the whole rewrite on conflict (Iceberg's
+    # validate-and-retry loop). A failed attempt's data dir is
+    # unreferenced garbage for ``vacuum``.
+
+    _DML_RETRIES = 3
+
+    def delete_where(
+        self,
+        condition: "str | F.Column",
+        prune_column: str | None = None,
+        prune_lower=None,
+        prune_upper=None,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+    ) -> dict:
+        """``DELETE FROM t WHERE condition`` as a pruned copy-on-write
+        rewrite. Rows where the condition is TRUE are removed; FALSE and
+        NULL survive (SQL DELETE semantics). ``prune_column`` + bounds
+        restrict the rewrite to files whose manifest stats intersect
+        ``[lower, upper]`` — files outside provably contain no matching
+        row ONLY if the caller's bounds really cover the condition, so
+        bounds must be implied by the condition (e.g. the condition's own
+        BETWEEN range). Returns ``{"version", "files_rewritten",
+        "files_skipped"}``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def transform(cand: DataFrame) -> DataFrame:
+            return cand.filter(~F.coalesce(cond, F.lit(False)))
+
+        return self._rewrite_where(
+            transform, "delete", prune_column, prune_lower, prune_upper,
+            stats_for, bloom_for,
+        )
+
+    def update_where(
+        self,
+        condition: "str | F.Column",
+        assignments: dict[str, "str | F.Column"],
+        prune_column: str | None = None,
+        prune_lower=None,
+        prune_upper=None,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+    ) -> dict:
+        """``UPDATE t SET col = expr, ... WHERE condition`` as a pruned
+        copy-on-write rewrite: candidate rows where the condition is TRUE
+        take the assigned expressions; FALSE/NULL rows pass through
+        unchanged. Assigned expressions see the PRE-update row (standard
+        SQL UPDATE: all assignments evaluate against the old values).
+        Same pruning contract and return shape as ``delete_where``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        fire = F.coalesce(cond, F.lit(False))
+
+        def transform(cand: DataFrame) -> DataFrame:
+            out_cols = []
+            for c in cand.columns:
+                a = assignments.get(c)
+                if a is None:
+                    out_cols.append(F.col(c))
+                else:
+                    expr = F.expr(a) if isinstance(a, str) else a
+                    out_cols.append(
+                        F.when(fire, expr).otherwise(F.col(c)).alias(c)
+                    )
+            return cand.select(*out_cols)
+
+        unknown = set(assignments) - set(
+            f.name for f in (self.schema() or T.StructType()).fields
+        )
+        if unknown:
+            raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+        return self._rewrite_where(
+            transform, "update", prune_column, prune_lower, prune_upper,
+            stats_for, bloom_for,
+        )
+
+    def merge_rows(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str | None = "update",
+        matched_condition: str | None = None,
+        when_not_matched: str | None = "insert",
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+    ) -> dict:
+        """``MERGE INTO t USING source ON keys`` with the full clause
+        matrix of ``operators.upsert.merge``, as a pruned copy-on-write
+        rewrite: candidate files are those whose stats on ``keys[0]``
+        intersect the SOURCE's key range (two driver scalars) — files
+        outside it provably hold no matching key, so target-survivor and
+        insert anti-joins both restrict to the candidate slice. DELETE,
+        UPDATE and MERGE thus share one pruned-rewrite path (Iceberg/Delta
+        parity). Source schema must match the table schema."""
+        from oss_data_lake_spark.operators.upsert import merge
+
+        target_schema = self.schema()
+        if target_schema is None:
+            raise ValueError("merge_rows needs a schema-carrying snapshot")
+        if set(source.columns) != set(f.name for f in target_schema.fields):
+            raise ValueError(
+                f"merge source schema mismatch: source={sorted(source.columns)}"
+                f" table={sorted(f.name for f in target_schema.fields)}"
+            )
+        bounds = source.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        src = self._align(source, target_schema)
+
+        def transform(cand: DataFrame) -> DataFrame:
+            return merge(
+                cand,
+                src,
+                keys,
+                when_matched=when_matched,
+                matched_condition=matched_condition,
+                when_not_matched=when_not_matched,
+            )
+
+        return self._rewrite_where(
+            transform, "merge", keys[0], bounds["lo"], bounds["hi"],
+            stats_for, bloom_for,
+        )
+
+    def _rewrite_where(
+        self,
+        transform,
+        tag: str,
+        prune_column: str | None,
+        prune_lower,
+        prune_upper,
+        stats_for: list[str] | None,
+        bloom_for: list[str] | None,
+    ) -> dict:
+        last_err: Exception | None = None
+        for _attempt in range(self._DML_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            target = self.schema(v)
+            if target is None:
+                raise ValueError(
+                    "row-level DML needs a schema-carrying snapshot "
+                    "(legacy manifest: recommit first)"
+                )
+            if prune_column is not None:
+                selection, n_sel, n_skip = self.plan_range_scan(
+                    prune_column, prune_lower, prune_upper, version=v
+                )
+            else:
+                manifest = self._manifest(v)
+                selection = {d: None for d in manifest["data_dirs"]}
+                n_sel, n_skip = 0, 0
+            candidates = self._read_selection(v, selection)
+            replacement = self._align(transform(candidates), target)
+            new_dir = f"data/r{v + 1}-{uuid.uuid4().hex[:8]}"
+            self._write_data_dir(replacement, new_dir)
+            own_stats = self._harvest_stats(new_dir, stats_for, bloom_for)
+            try:
+                version = self._publish_rewrite(
+                    v, selection, new_dir, target, own_stats, tag
+                )
+                return {
+                    "version": version,
+                    "files_rewritten": n_sel,
+                    "files_skipped": n_skip,
+                }
+            except CommitConflict as e:
+                last_err = e  # head moved: replan against the new head
+        raise CommitConflict(
+            f"{tag} on {self.path} lost {self._DML_RETRIES} optimistic "
+            f"retries to concurrent commits"
+        ) from last_err
+
+    def _publish_rewrite(
+        self,
+        planned_version: int,
+        selection: dict[str, list[str] | None],
+        new_dir: str,
+        target: T.StructType,
+        own_stats: dict,
+        tag: str,
+    ) -> int:
+        with self._commit_lock():
+            head = self.current_version()
+            if head != planned_version:
+                raise CommitConflict(
+                    f"planned against v{planned_version}, head is v{head}"
+                )
+            manifest = self._manifest(planned_version)
+            dirs: list[str] = []
+            dir_files: dict[str, list[str]] = {}
+            for d in manifest["data_dirs"]:
+                sel = selection.get(d)
+                vis = self._visible_files(manifest, d)
+                if sel is None:
+                    continue  # whole dir was rewritten: no longer visible
+                if sel == []:
+                    dirs.append(d)
+                    if vis is not None:
+                        dir_files[d] = vis
+                    continue
+                if vis is None:
+                    stats = manifest.get("file_stats", {}).get(d) or {}
+                    vis = self._stats_universe(d, stats)
+                removed = set(sel)
+                new_vis = [f for f in vis if f not in removed]
+                if not new_vis:
+                    continue  # every remaining file rewritten
+                dirs.append(d)
+                dir_files[d] = new_vis
+            keep = set(dirs)
+            dirs.append(new_dir)
+            new_manifest = {
+                "version": planned_version + 1,
+                "parent": planned_version,
+                "mode": tag,
+                "data_dirs": dirs,
+                "partition_specs": {
+                    **{
+                        d: s
+                        for d, s in manifest.get("partition_specs", {}).items()
+                        if d in keep
+                    },
+                    new_dir: [],
+                },
+                "dir_schemas": {
+                    **{
+                        d: s
+                        for d, s in manifest.get("dir_schemas", {}).items()
+                        if d in keep
+                    },
+                    new_dir: target.jsonValue(),
+                },
+                "dir_files": dir_files,
+                "file_stats": {
+                    **{
+                        d: s
+                        for d, s in manifest.get("file_stats", {}).items()
+                        if d in keep
+                    },
+                    **({new_dir: own_stats} if own_stats else {}),
+                },
+                "schema": target.jsonValue(),
+                "txn": None,
+                "txn_watermarks": self._txn_watermarks(),
+                "committed_at_ms": int(time.time() * 1000),
+            }
+            self._publish(planned_version + 1, new_manifest)
+            return planned_version + 1
 
     # ----------------------------------------------------------- cleanup
 
