@@ -58,6 +58,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oss_data_lake_spark.sources.catalog import (
+    CommitConflict,
+    CommitProtocol,
+    LocalFsCommitProtocol,
+)
+
 # Iceberg's safe type promotions (spec §Schemas: int→long, float→double,
 # decimal precision widening — we support the primitive pair plus the
 # int-family→double convenience Spark casts losslessly for int/long)
@@ -78,19 +84,26 @@ def _compatible(old: T.DataType, new: T.DataType) -> bool:
     return old == new or (old.typeName(), new.typeName()) in _WIDENINGS
 
 
-class CommitConflict(RuntimeError):
-    """An optimistic rewrite/commit lost its validation race: the table
-    head moved between planning and publish. Retryable by replanning."""
-
-
 class SnapshotTable:
-    """A parquet table with Iceberg-style snapshots, time travel, rollback."""
+    """A parquet table with Iceberg-style snapshots, time travel, rollback.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``protocol`` selects WHERE the metadata tail becomes atomic
+    (``sources/catalog.py``): default is the local-filesystem
+    flock/link protocol; pass a :class:`CasCommitProtocol` over a catalog
+    service / conditional-PUT object store for multi-writer safety where
+    POSIX primitives don't exist — the role the reference delegates to
+    Lakekeeper (reference docker-compose.yaml:21-46)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        protocol: CommitProtocol | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self._meta = os.path.join(self.path, "_snapshots")
-        os.makedirs(self._meta, exist_ok=True)
+        self.protocol = protocol or LocalFsCommitProtocol(self._meta)
 
     # ------------------------------------------------------------ commits
 
@@ -176,23 +189,26 @@ class SnapshotTable:
 
         # Concurrency (what Iceberg delegates to its catalog — the
         # reference runs Lakekeeper for exactly this): the expensive data
-        # write happened ONCE above, outside any lock; the cheap metadata
-        # tail — txn-idempotence check, parent read, manifest build,
-        # version claim, pointer advance — runs inside the table's commit
-        # lock so the check and the claim cannot interleave with another
-        # writer's (the window that would let two re-deliveries of one
-        # micro-batch both land, or two writers claim one version slot).
-        # Append semantics compose across writers: each claim re-reads the
-        # actual parent and prepends its dirs.
-        with self._commit_lock():
+        # write happened ONCE above, outside any serialization; the cheap
+        # metadata tail — txn-idempotence check, parent read, manifest
+        # build, version claim, pointer advance — runs through the
+        # table's COMMIT PROTOCOL (``sources/catalog.py``): under the
+        # local flock, or as an optimistic CAS loop against a catalog /
+        # conditional-PUT object store. Either way the idempotence check
+        # and the version claim cannot interleave with another writer's
+        # (the window that would let two re-deliveries of one micro-batch
+        # both land, or two writers claim one version slot). Append
+        # semantics compose across writers: each (re)build reads the
+        # actual parent and prepends its dirs. The build callback is PURE
+        # — optimistic protocols re-run it per claim race.
+        def build(parent: int | None, read_manifest) -> dict | int:
             # ONE ledger read serves both the idempotence check and the
             # outgoing manifest's carried-forward watermarks
-            wm = self._txn_watermarks()
+            wm = self._txn_watermarks(parent)
             if txn_app is not None and not txn_force:
                 entry = wm.get(txn_app)
                 if entry is not None and entry["version"] >= txn_version:
                     return entry["snapshot"]  # re-delivery; dir orphaned
-            parent = self.current_version()
             version = (parent or 0) + 1
             dirs = [data_dir]
             specs = {data_dir: list(partition_by or [])}
@@ -201,7 +217,7 @@ class SnapshotTable:
             dir_files: dict = {}
             if mode == "append" and parent:
                 self._check_evolution(self.schema(parent), df.schema)
-                pm = self._manifest(parent)
+                pm = read_manifest(parent)
                 dirs = pm["data_dirs"] + dirs
                 specs = {**pm.get("partition_specs", {}), **specs}
                 dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
@@ -209,7 +225,7 @@ class SnapshotTable:
                 # row-level rewrites shrink per-dir visibility; appends
                 # carry the parent's visible sets forward unchanged
                 dir_files = dict(pm.get("dir_files", {}))
-            manifest = {
+            return {
                 "version": version,
                 "parent": parent,
                 "mode": mode,
@@ -251,8 +267,8 @@ class SnapshotTable:
                 ),
                 "committed_at_ms": int(time.time() * 1000),
             }
-            self._publish(version, manifest)
-            return version
+
+        return self.protocol.commit(build)
 
     def _write_data_dir(
         self,
@@ -296,11 +312,13 @@ class SnapshotTable:
             bloom_for=bloom_for or [],
         )
 
-    def _txn_watermarks(self) -> dict:
+    def _txn_watermarks(self, version: int | None = None) -> dict:
         """Per-app ``{app: {"version": v, "snapshot": k}}`` high-water map
-        from the CURRENT manifest; legacy manifests (pre-watermark) fall
-        back to one full version-log scan."""
-        cur = self.current_version()
+        from the manifest at ``version`` (default: current head); legacy
+        manifests (pre-watermark) fall back to one full version-log scan.
+        Commit builds pass their PARENT explicitly so the read is
+        consistent with the version they are claiming."""
+        cur = version if version is not None else self.current_version()
         if cur is None:
             return {}
         m = self._manifest(cur)
@@ -420,13 +438,13 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> int:
         """New snapshot exposing exactly the file set of ``version``.
-        Serialized by the same commit lock as ``commit``."""
+        Serialized by the same commit protocol as ``commit``."""
         old = self._manifest(version)
-        with self._commit_lock():
-            cur = self.current_version() or 0
-            new_version = cur + 1
-            manifest = {
-                "version": new_version,
+
+        def build(parent: int | None, _read_manifest) -> dict:
+            cur = parent or 0
+            return {
+                "version": cur + 1,
                 "parent": cur,
                 "mode": f"rollback_to_{version}",
                 "data_dirs": old["data_dirs"],
@@ -439,11 +457,11 @@ class SnapshotTable:
                 # ...but carries the CURRENT head's txn ledger forward —
                 # rolling back data must not roll back applied-batch
                 # memory, or re-deliveries after a rollback double-apply
-                "txn_watermarks": self._txn_watermarks(),
+                "txn_watermarks": self._txn_watermarks(parent),
                 "committed_at_ms": int(time.time() * 1000),
             }
-            self._publish(new_version, manifest)
-            return new_version
+
+        return self.protocol.commit(build)
 
     # ------------------------------------------------------------- reads
 
@@ -794,20 +812,14 @@ class SnapshotTable:
         return max(cands)
 
     def current_version(self) -> int | None:
-        try:
-            with open(os.path.join(self._meta, "CURRENT")) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return None
+        return self.protocol.read_current()
 
     def versions(self) -> list[dict]:
         """All snapshot manifests, oldest first (the snapshot log)."""
-        out = []
-        for name in sorted(os.listdir(self._meta)):
-            if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(self._meta, name)) as f:
-                    out.append(json.load(f))
-        return sorted(out, key=lambda m: m["version"])
+        return [
+            self.protocol.read_manifest(v)
+            for v in self.protocol.list_versions()
+        ]
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental scan: rows ADDED after ``from_version`` up to
@@ -1060,13 +1072,12 @@ class SnapshotTable:
         own_stats: dict,
         tag: str,
     ) -> int:
-        with self._commit_lock():
-            head = self.current_version()
-            if head != planned_version:
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent != planned_version:
                 raise CommitConflict(
-                    f"planned against v{planned_version}, head is v{head}"
+                    f"planned against v{planned_version}, head is v{parent}"
                 )
-            manifest = self._manifest(planned_version)
+            manifest = read_manifest(planned_version)
             dirs: list[str] = []
             dir_files: dict[str, list[str]] = {}
             for d in manifest["data_dirs"]:
@@ -1090,7 +1101,7 @@ class SnapshotTable:
                 dir_files[d] = new_vis
             keep = set(dirs)
             dirs.append(new_dir)
-            new_manifest = {
+            return {
                 "version": planned_version + 1,
                 "parent": planned_version,
                 "mode": tag,
@@ -1122,11 +1133,11 @@ class SnapshotTable:
                 },
                 "schema": target.jsonValue(),
                 "txn": None,
-                "txn_watermarks": self._txn_watermarks(),
+                "txn_watermarks": self._txn_watermarks(parent),
                 "committed_at_ms": int(time.time() * 1000),
             }
-            self._publish(planned_version + 1, new_manifest)
-            return planned_version + 1
+
+        return self.protocol.commit(build)
 
     # ----------------------------------------------------------- cleanup
 
@@ -1200,7 +1211,7 @@ class SnapshotTable:
             keep.add(cur)
         expired = [v for v in versions if v not in keep]
         for v in expired:
-            os.remove(os.path.join(self._meta, f"v{v}.json"))
+            self.protocol.delete_manifest(v)
         self.vacuum()
         return expired
 
@@ -1223,62 +1234,7 @@ class SnapshotTable:
     # ----------------------------------------------------------- internal
 
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self._meta, f"v{version}.json")) as f:
-            return json.load(f)
-
-    def _commit_lock(self):
-        """EXCLUSIVE table commit lock (``flock`` on ``_snapshots/LOCK``)
-        serializing the metadata tail of every commit/rollback across
-        threads AND processes on one host. The expensive data write stays
-        outside it — contention cost is a few metadata file operations.
-
-        Local-filesystem protocol (flock + hard-link claims are POSIX).
-        An object store has neither — that is precisely the gap an
-        Iceberg REST catalog (the reference's Lakekeeper) fills; route
-        commits through a catalog service there
-        (``sources/connectors`` upgrade hook)."""
-        import fcntl
-        from contextlib import contextmanager
-
-        @contextmanager
-        def held():
-            with open(os.path.join(self._meta, "LOCK"), "a") as lf:
-                fcntl.flock(lf, fcntl.LOCK_EX)
-                try:
-                    yield
-                finally:
-                    fcntl.flock(lf, fcntl.LOCK_UN)
-
-        return held()
-
-    def _publish(self, version: int, manifest: dict) -> None:
-        """Publish one snapshot — caller must hold ``_commit_lock``.
-
-        The manifest is written to a temp file and ``os.link``ed into
-        ``v{N}.json``: an ATOMIC create-exclusive with full content, so a
-        reader never observes a partial manifest, and a version slot can
-        never be silently overwritten even by a non-conforming writer
-        (the link raises instead). The CURRENT pointer then advances
-        MONOTONICALLY via temp + ``os.replace``."""
-        mpath = os.path.join(self._meta, f"v{version}.json")
-        tmp = mpath + f".tmp-{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        try:
-            os.link(tmp, mpath)
-        except FileExistsError:
-            raise RuntimeError(
-                f"version {version} already exists at {self.path} — "
-                f"a writer bypassed the commit lock"
-            )
-        finally:
-            os.remove(tmp)
-        if version > (self.current_version() or 0):
-            cpath = os.path.join(self._meta, "CURRENT")
-            ctmp = cpath + f".tmp-{uuid.uuid4().hex[:6]}"
-            with open(ctmp, "w") as f:
-                f.write(str(version))
-            os.replace(ctmp, cpath)
+        return self.protocol.read_manifest(version)
 
 
 # --------------------------------------------------------- SQL time travel

@@ -92,3 +92,44 @@ def test_lake_build_once_on_s3a(spark, monkeypatch):
     assert "date" in back.columns
     # second call: stamp matches -> no rebuild (returns immediately)
     assert lake_mod.events_by_date(spark, sf_dir) == path
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_S3_ENDPOINT"),
+    reason="no S3/MinIO endpoint configured (SPARK_GRAFT_S3_ENDPOINT unset)",
+)
+def test_snapshot_table_on_s3a_with_cas_catalog(spark):
+    """The object-store deployment shape the CommitProtocol seam exists
+    for: DATA files under s3a:// (multipart-commit writes, no rename),
+    ALL metadata through a CAS catalog — the Iceberg REST-catalog split
+    the reference realizes with MinIO + Lakekeeper. Commits, appends and
+    time travel must work with no POSIX metadata operation on the store."""
+    from oss_data_lake_spark.sources.catalog import (
+        CasCommitProtocol,
+        InMemoryCasCatalog,
+    )
+    from oss_data_lake_spark.sources.objectstore import configure_s3a, s3a_available
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+    from pyspark.sql import Row
+
+    if not s3a_available(spark):
+        pytest.skip("s3a connector jars not on classpath")
+    configure_s3a(
+        spark,
+        os.environ["SPARK_GRAFT_S3_ENDPOINT"],
+        os.environ.get("SPARK_GRAFT_S3_KEY", "minioadmin"),
+        os.environ.get("SPARK_GRAFT_S3_SECRET", "minioadmin"),
+    )
+    bucket = os.environ.get("SPARK_GRAFT_S3_BUCKET", "warehouse")
+    t = SnapshotTable(
+        spark,
+        f"s3a://{bucket}/smoke/cas_snapshots",
+        protocol=CasCommitProtocol(InMemoryCasCatalog(), prefix="cas_smoke/"),
+    )
+    v1 = t.commit(spark.createDataFrame([Row(k=i) for i in range(5)]))
+    v2 = t.commit(
+        spark.createDataFrame([Row(k=i) for i in range(5, 10)]), mode="append"
+    )
+    assert (v1, v2) == (1, 2)
+    assert t.read().count() == 10
+    assert t.read(version=1).count() == 5
