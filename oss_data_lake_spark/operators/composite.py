@@ -45,6 +45,7 @@ from oss_data_lake_spark.operators import relational as rel
 from oss_data_lake_spark.operators import relational_more as rel2
 from oss_data_lake_spark.operators import similarity as sim
 from oss_data_lake_spark.operators import tier_a
+from oss_data_lake_spark.operators import upsert
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -130,11 +131,11 @@ def _composite(
 def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
     fine_q: dict[str, QueryFn] = {
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
-        **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES,
+        **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES, **upsert.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
-        **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES,
+        **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES, **upsert.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -155,9 +156,10 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": "sum_qty", "v3": "sum_disc_price"}),
         ],
         # ---- truth-twin composite ------------------------------------
-        # e12/e25 are the exhaustive oracle-semantics twins of e11/e26;
-        # folding them keeps their values driver-verified while freeing
-        # standalone slots under the 50-row cap for the p90 lake query.
+        # e12/e25 are the exhaustive oracle-semantics twins of e11/e26,
+        # and e20 (round 6) is the DECIMAL-fold exactness twin of the
+        # production e21; folding them keeps their values driver-verified
+        # while freeing standalone slots under the 50-row cap.
         "e91_truth_twins": [
             ("e12", "e12_ngram_jaccard_pairs",
              {"k1": ("doc_a"), "k2": ("doc_b"), "v1": ("jaccard")},
@@ -165,6 +167,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("e25", "e25_embedding_neardup_pairs",
              {"k1": ("vec_a"), "k2": ("vec_b"), "v1": ("cosine")},
              {"k1": "vec_a", "k2": "vec_b", "v1": "cosine"}),
+            ("e20", "e20_cosine_topk_exact",
+             {"k1": _cw("q_id", "c_id"), "v1": ("cosine"), "v2": ("rank")},
+             {"k1": _cw_sql("q_id", "c_id"), "v1": "cosine", "v2": "rank"}),
         ],
         # ---- EXT coverage composite ---------------------------------
         # e23/e24 are function-coverage queries, not showcase operators;
@@ -197,6 +202,22 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("cosine"), "v3": ("rank")},
              {"k1": _cw_sql("q_id", "c_id"), "v1": "approx_d2",
               "v2": "cosine", "v3": "rank"}),
+        ],
+        # ---- time-travel composite ----------------------------------
+        # m02 (API time travel) and m03 (SQL-text time travel) verify the
+        # same two-generation snapshot table through two surfaces; folded
+        # (round 6) to free standalone slots for p04/m04 under the cap.
+        "m90_time_travel": [
+            ("m02", "m02_snapshot_time_travel",
+             {"k1": ("version"), "k2": ("o_orderstatus"), "v1": ("n"),
+              "v2": ("sum_price")},
+             {"k1": "version", "k2": "o_orderstatus", "v1": "n",
+              "v2": "sum_price"}),
+            ("m03", "m03_sql_time_travel",
+             {"k1": ("version"), "v1": ("n"), "v2": ("n_status"),
+              "v3": ("sum_price")},
+             {"k1": "version", "v1": "n", "v2": "n_status",
+              "v3": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -153,10 +153,39 @@ def skipping_orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_fileskip_orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p04: the p03 predicate as PURE SQL TEXT through ``Engine.sql`` —
+    the reference's BI persona (a JDBC client issuing plain SELECTs,
+    reference RUNBOOK.md:120-132) gets manifest file skipping without
+    calling any engine API: ``sql_with_time_travel`` extracts the WHERE's
+    top-level range conjunct on the registered snapshot table's stats
+    column and backs the head view with the pruned scan
+    (``SnapshotTable.read_pruned``); the SQL's own WHERE still applies, so
+    the same oracle as p03 verifies the whole text→extract→prune→read
+    path. Plan evidence (files opened == plan_pruned count) is pinned by
+    tests/test_plans.py::test_p04_sql_scan_lists_only_admitted_files."""
+    from oss_data_lake_spark.engine import Engine
+
+    table = orders_clustered(spark, sf_dir)
+    eng = Engine(spark=spark)
+    eng.register_snapshot_table("orders_snap", table.path)
+    return eng.sql(f"""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS order_month,
+               COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders_snap
+        WHERE o_orderdate BETWEEN TIMESTAMP '{ORDERS_DATE_LO} 00:00:00'
+                              AND TIMESTAMP '{ORDERS_DATE_HI} 00:00:00'
+        GROUP BY date_format(o_orderdate, 'yyyy-MM')
+        ORDER BY order_month
+    """)
+
+
 QUERIES = {
     "p01_pruned_daily_events": pruned_daily_events,
     "p02_pruned_month_lineitem": pruned_month_lineitem,
     "p03_fileskip_orders_year": skipping_orders_year,
+    "p04_sql_fileskip_orders_year": sql_fileskip_orders_year,
 }
 
 ORACLES = {
@@ -187,6 +216,19 @@ ORACLES = {
     # commit + manifest-stats prune + file-subset read lost/duplicated
     # nothing (the prune itself can only affect which files are OPENED)
     "p03_fileskip_orders_year": f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '{ORDERS_DATE_LO} 00:00:00'
+                              AND TIMESTAMP '{ORDERS_DATE_HI} 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    # p04 answers the SAME question as p03 through the SQL-text path, so
+    # the identical membership re-derivation is its oracle: matching
+    # values prove the predicate extraction pruned nothing it shouldn't
+    "p04_sql_fileskip_orders_year": f"""
         SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
                COUNT(*) AS n,
                {sql_dsum("o_totalprice")} AS sum_price

@@ -708,6 +708,78 @@ class SnapshotTable:
         out = self._read_selection(v, selection)
         return out.filter(F.col(column) == F.lit(value))
 
+    def stats_columns(self, version: int | None = None) -> set[str]:
+        """Columns with at least one recorded per-file bound in the
+        snapshot's manifest — the columns a pruned scan can act on."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return set()
+        out: set[str] = set()
+        for stats in self._manifest(v).get("file_stats", {}).values():
+            for cols in stats.values():
+                out.update(c for c in cols if not c.startswith("bloom:"))
+        return out
+
+    def plan_pruned(
+        self,
+        preds: list[tuple[str, object, object]],
+        version: int | None = None,
+    ) -> tuple[dict[str, list[str] | None], int, int]:
+        """Multi-predicate scan plan: the INTERSECTION of each
+        ``(column, lower, upper)`` range plan — a file survives only if
+        every predicate's bounds admit it. Same return shape as
+        ``plan_range_scan``."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        merged: dict[str, list[str] | None] | None = None
+        for column, lo, hi in preds:
+            sel, _s, _k = self.plan_range_scan(column, lo, hi, version=v)
+            if merged is None:
+                merged = sel
+                continue
+            for d, files in sel.items():
+                cur = merged.get(d)
+                if files is None:
+                    continue  # this predicate doesn't restrict the dir
+                if cur is None:
+                    merged[d] = files
+                else:
+                    fset = set(files)
+                    merged[d] = [f for f in cur if f in fset]
+        if merged is None:
+            manifest = self._manifest(v)
+            merged = {d: None for d in manifest["data_dirs"]}
+        n_sel = sum(len(f) for f in merged.values() if f is not None)
+        n_skip = 0
+        manifest = self._manifest(v)
+        for d, files in merged.items():
+            if files is None:
+                continue
+            stats = manifest.get("file_stats", {}).get(d) or {}
+            vis = self._visible_files(manifest, d)
+            universe = (
+                self._stats_universe(d, stats) if vis is None else sorted(vis)
+            )
+            n_skip += len(universe) - len(files)
+        return merged, n_sel, n_skip
+
+    def read_pruned(
+        self,
+        preds: list[tuple[str, object, object]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the snapshot opening only files admitted by EVERY
+        predicate's manifest bounds — WITHOUT applying any row filter:
+        this is the scan a SQL layer puts its own WHERE on top of
+        (``engine.sql`` routes extracted SQL-text predicates here).
+        Pruning can only drop files PROVEN empty for the conjunction, so
+        layering the exact SQL predicates above yields identical results
+        to the unpruned scan."""
+        v = version if version is not None else self.current_version()
+        selection, _n_sel, _n_skip = self.plan_pruned(preds, version=v)
+        return self._read_selection(v, selection)
+
     def _column_type(self, version: int, column: str) -> str | None:
         """The column's Spark simpleString type from the snapshot schema
         (None when unknown — bound encoding then uses its default
@@ -1321,6 +1393,173 @@ def _sub_outside_literals(pattern: "re.Pattern[str]", repl, text: str) -> str:
     return pattern.sub(guarded, text)
 
 
+# ------------------------------------------- SQL-text predicate pruning
+#
+# The reference's primary persona is a BI tool issuing plain SQL
+# (reference RUNBOOK.md:120-132). File skipping must therefore fire from
+# SQL TEXT, not only from the read_between API: before registering a
+# snapshot table's head view, ``sql_with_time_travel`` extracts the
+# query's top-level WHERE conjuncts on the table's stats columns and backs
+# the view with a file-pruned scan. Soundness rests on two facts:
+#
+# 1. Pruning drops only files PROVEN empty for the extracted conjunction,
+#    and the SQL's own WHERE still runs on top of the view — so a missed
+#    or skipped extraction merely under-prunes; it can never change
+#    results.
+# 2. Extraction is aggressively conservative: it fires only for
+#    (a) predicates inside a WHERE whose OWN from-list (same paren depth)
+#        names the table — a subquery's or another UNION branch's WHERE
+#        never prunes it,
+#    (b) top-level conjuncts (paren depth 0 relative to the WHERE; spans
+#        containing OR / NOT / CASE are skipped whole),
+#    (c) a table referenced exactly ONCE in the statement (two references
+#        share one view; intersecting their predicates would be wrong),
+#    (d) columns that are stats columns of exactly that table; qualified
+#        names must be qualified by the table name itself.
+#    Anything else falls back to the unpruned head view.
+
+_NUM_LIT = r"-?\d+(?:\.\d+)?"
+_SQL_STR_LIT = r"(?:DATE\s+|TIMESTAMP\s+)?'[^']*'"
+_ANY_LIT = rf"(?:{_NUM_LIT}|{_SQL_STR_LIT})"
+_CMP_RE = re.compile(
+    rf"\b([A-Za-z_][\w.]*)\s*(>=|<=|=|>|<)\s*({_ANY_LIT})", re.IGNORECASE
+)
+_BETWEEN_RE = re.compile(
+    rf"\b([A-Za-z_][\w.]*)\s+BETWEEN\s+({_ANY_LIT})\s+AND\s+({_ANY_LIT})",
+    re.IGNORECASE,
+)
+_WHERE_RE = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_WHERE_END_RE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|QUALIFY"
+    r"|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+_BLOCKER_RE = re.compile(r"\b(OR|NOT|CASE)\b", re.IGNORECASE)
+
+
+def _masked(text: str) -> str:
+    """``text`` with string literals and comments blanked (same length):
+    structural scans — keywords, parens, name references — must not see
+    inside literals. Predicate VALUES are read from the original text at
+    the same offsets."""
+    out = list(text)
+    for a, b in _literal_spans(text):
+        for i in range(a, b):
+            if out[i] not in "\n":
+                out[i] = " "
+    return "".join(out)
+
+
+def _depths(masked: str) -> list[int]:
+    """Paren depth BEFORE each character position."""
+    depths = []
+    d = 0
+    for ch in masked:
+        depths.append(d)
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+    depths.append(d)
+    return depths
+
+
+def _parse_sql_literal(tok: str):
+    tok = tok.strip()
+    up = tok.upper()
+    if up.startswith("DATE") or up.startswith("TIMESTAMP"):
+        tok = tok[tok.index("'"):]
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def extract_prunable_predicates(
+    text: str, tables: dict[str, "SnapshotTable"]
+) -> dict[str, list[tuple[str, object, object]]]:
+    """Per-table ``[(column, lower, upper), ...]`` range conjuncts a
+    pruned head view may act on, under the conservative gates documented
+    above. ``=`` maps to a point range; strict ``<``/``>`` map to their
+    inclusive superset (sound for file pruning; the SQL applies the
+    strict predicate itself)."""
+    masked = _masked(text)
+    depths = _depths(masked)
+    out: dict[str, list[tuple[str, object, object]]] = {}
+    for name, t in tables.items():
+        # table REFERENCES only: a dotted qualifier (`t.col`) is a column
+        # reference, not a second table occurrence
+        refs = list(
+            re.finditer(rf"(?<![\w.]){re.escape(name)}(?![\w.])", masked)
+        )
+        if len(refs) != 1:
+            continue  # 0 refs: nothing to prune; >1: shared view — unsafe
+        stats_cols = t.stats_columns()
+        if not stats_cols:
+            continue
+        preds: list[tuple[str, object, object]] = []
+        for wm in _WHERE_RE.finditer(masked):
+            wdepth = depths[wm.start()]
+            # the WHERE's own from-list: nearest preceding FROM at the
+            # same depth; it must reference the table
+            froms = [
+                f
+                for f in _FROM_RE.finditer(masked, 0, wm.start())
+                if depths[f.start()] == wdepth
+            ]
+            if not froms:
+                continue
+            from_text = masked[froms[-1].end(): wm.start()]
+            if not re.search(rf"\b{re.escape(name)}\b", from_text):
+                continue
+            # clause end: next top-level keyword at the same depth, or the
+            # paren closing the block, or end of text
+            end = len(masked)
+            for km in _WHERE_END_RE.finditer(masked, wm.end()):
+                if depths[km.start()] <= wdepth:
+                    end = km.start()
+                    break
+            for i in range(wm.end(), end):
+                if masked[i] == ")" and depths[i] <= wdepth:
+                    end = i
+                    break
+            span = masked[wm.end(): end]
+            if _BLOCKER_RE.search(span):
+                continue  # OR / NOT / CASE: not a pure conjunction
+            lit_spans = _literal_spans(text)
+            for rex, is_between in ((_BETWEEN_RE, True), (_CMP_RE, False)):
+                # match on the ORIGINAL text (the masked copy has the
+                # literal VALUES blanked), bounded to the clause span;
+                # a match starting inside a literal is data, not SQL
+                for m in rex.finditer(text, wm.end(), end):
+                    if depths[m.start()] != wdepth:
+                        continue  # function-arg / subquery comparison
+                    if _starts_in_literal(m.start(), lit_spans):
+                        continue
+                    col = m.group(1)
+                    if "." in col:
+                        qual, col = col.rsplit(".", 1)
+                        if qual != name:
+                            continue
+                    if col not in stats_cols:
+                        continue
+                    if is_between:
+                        lo = _parse_sql_literal(m.group(2))
+                        hi = _parse_sql_literal(m.group(3))
+                    else:
+                        op, v = m.group(2), _parse_sql_literal(m.group(3))
+                        if op in (">=", ">"):
+                            lo, hi = v, None
+                        elif op in ("<=", "<"):
+                            lo, hi = None, v
+                        else:
+                            lo = hi = v
+                    preds.append((col, lo, hi))
+        if preds:
+            out[name] = preds
+    return out
+
+
 def sql_with_time_travel(
     spark: SparkSession, text: str, tables: dict[str, "SnapshotTable"]
 ) -> DataFrame:
@@ -1373,8 +1612,13 @@ def sql_with_time_travel(
     # detection likewise ignores names that appear only inside literals.
     # A pre-existing USER temp view under a registered name is a conflict
     # we refuse loudly — silently replacing (then dropping) it would
-    # destroy user session state.
+    # destroy user session state. When the statement's WHERE carries
+    # top-level range conjuncts on the table's stats columns, the head
+    # view is backed by a FILE-PRUNED scan (extract_prunable_predicates;
+    # no row filter — the SQL's own WHERE applies on top), so BI-style
+    # plain SQL gets the same manifest skipping as the read_between API.
     spans = _literal_spans(rewritten)
+    pruned = extract_prunable_predicates(rewritten, tables)
     try:
         for name, t in tables.items():
             if any(
@@ -1391,7 +1635,11 @@ def sql_with_time_travel(
                         f"by) the snapshot table of the same name — drop "
                         f"it or register the table under another name"
                     )
-                snapshot_view(spark, name, t)
+                preds = pruned.get(name)
+                if preds:
+                    t.read_pruned(preds).createOrReplaceTempView(name)
+                else:
+                    snapshot_view(spark, name, t)
                 created.append(name)
         df = spark.sql(rewritten)
         # force analysis so dropping the views cannot unbind the plan

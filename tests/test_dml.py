@@ -234,3 +234,48 @@ def test_plan_groups_by_schema_generation(spark, tmp_path):
     assert df.count() == 10
     # evolved column is NULL for the old generation
     assert df.filter(F.col("extra").isNull()).count() == 5
+
+
+def test_m04_rewrites_only_intersecting_files(spark, sf_dir):
+    """The m04 driver query's two DML steps, replayed with their exact
+    constants: each rewrite must touch only files whose date bounds
+    intersect its predicate (the copy-on-write pruning evidence the
+    driver's value-hash cannot show)."""
+    import tempfile
+
+    from oss_data_lake_spark.operators.upsert import (
+        DML_DELETE_HI,
+        DML_DELETE_LO,
+        DML_DISCOUNT,
+        DML_N_FILES,
+        DML_UPDATE_BEFORE,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m04pin_") + "/orders")
+    t.commit_clustered(
+        orders, cluster_by="o_orderdate", n_files=DML_N_FILES,
+        stats_for=["o_orderdate"],
+    )
+    d = t.delete_where(
+        f"o_orderdate BETWEEN TIMESTAMP '{DML_DELETE_LO} 00:00:00'"
+        f" AND TIMESTAMP '{DML_DELETE_HI} 00:00:00'",
+        prune_column="o_orderdate",
+        prune_lower=DML_DELETE_LO, prune_upper=DML_DELETE_HI,
+        stats_for=["o_orderdate"],
+    )
+    # one year of a ~6.5-year clustered span: a small fraction of files
+    assert 0 < d["files_rewritten"] < DML_N_FILES
+    assert d["files_skipped"] >= DML_N_FILES // 2
+    u = t.update_where(
+        f"o_orderstatus = 'F' AND o_orderdate <"
+        f" TIMESTAMP '{DML_UPDATE_BEFORE} 00:00:00'",
+        {"o_totalprice": f"o_totalprice * {DML_DISCOUNT}"},
+        prune_column="o_orderdate", prune_upper=DML_UPDATE_BEFORE,
+        stats_for=["o_orderdate"],
+    )
+    assert u["files_rewritten"] < d["files_rewritten"] + d["files_skipped"] + 1
+    assert u["files_skipped"] > 0

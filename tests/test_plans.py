@@ -289,3 +289,30 @@ def test_e32_sweep_plan_has_no_nested_loop_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_p04_sql_scan_lists_only_admitted_files(spark, sf_dir):
+    """The SQL-TEXT skipping path (p04): the plan of a plain SELECT over
+    the registered snapshot table must enumerate exactly the files the
+    multi-predicate prune admits — proof the WHERE was extracted and
+    routed through read_pruned, not just that results match."""
+    import re
+
+    from oss_data_lake_spark.operators.lake import (
+        ORDERS_DATE_HI,
+        ORDERS_DATE_LO,
+        orders_clustered,
+        sql_fileskip_orders_year,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    table = orders_clustered(spark, sf_dir)
+    _sel, n_sel, n_skip = table.plan_pruned(
+        [("o_orderdate", f"{ORDERS_DATE_LO} 00:00:00",
+          f"{ORDERS_DATE_HI} 00:00:00")]
+    )
+    assert n_skip > 0
+    txt = explain_str(sql_fileskip_orders_year(spark, sf_dir), "simple")
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", txt)
+    assert m, "expected an explicit file-list scan in the plan"
+    assert int(m.group(1)) == n_sel

@@ -1,0 +1,141 @@
+"""SQL-text predicate extraction → file-pruned head views
+(sources/snapshots.py::extract_prunable_predicates + read_pruned).
+
+Soundness frame: extraction may only surface predicates that are GENUINE
+top-level WHERE conjuncts of the query block that reads the table —
+anything else must be ignored (under-pruning is free, wrong-pruning loses
+rows). These tests pin every conservative gate, then prove end-to-end that
+the pruned SQL path returns identical results to the unpruned one while
+opening strictly fewer files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.sources.snapshots import (
+    SnapshotTable,
+    extract_prunable_predicates,
+    sql_with_time_travel,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), s=f"g{i % 4}") for i in range(100)]
+    )
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k", "v"])
+    return t
+
+
+def _preds(text, tbl, name="t"):
+    return extract_prunable_predicates(text, {name: tbl}).get(name)
+
+
+def test_between_and_comparisons_extract(tbl):
+    got = _preds("SELECT * FROM t WHERE k BETWEEN 10 AND 19", tbl)
+    assert got == [("k", 10, 19)]
+    got = _preds("SELECT * FROM t WHERE k >= 10 AND k <= 19 AND v = 5", tbl)
+    assert got == [("k", 10, None), ("k", None, 19), ("v", 5, 5)]
+    # strict ops map to their inclusive superset
+    got = _preds("SELECT * FROM t WHERE k > 10 AND k < 20", tbl)
+    assert got == [("k", 10, None), ("k", None, 20)]
+
+
+def test_qualified_names_must_match_table(tbl):
+    assert _preds("SELECT * FROM t WHERE t.k >= 50", tbl) == [("k", 50, None)]
+    # a foreign qualifier must NOT prune this table
+    assert _preds(
+        "SELECT * FROM t JOIN u ON t.k = u.k WHERE u.k >= 50", tbl
+    ) is None
+
+
+def test_or_not_case_disable_the_span(tbl):
+    assert _preds("SELECT * FROM t WHERE k > 90 OR v < 1", tbl) is None
+    assert _preds("SELECT * FROM t WHERE NOT (k > 90)", tbl) is None
+    assert _preds(
+        "SELECT * FROM t WHERE CASE WHEN k > 90 THEN 1 ELSE 0 END = 1", tbl
+    ) is None
+
+
+def test_non_stats_and_function_wrapped_columns_ignored(tbl):
+    assert _preds("SELECT * FROM t WHERE s = 'g1'", tbl) is None  # no stats
+    assert _preds("SELECT * FROM t WHERE abs(k) > 90", tbl) is None
+    # parenthesized conjunct is depth>0 relative to the WHERE: skipped
+    # (under-prune, never wrong-prune)
+    assert _preds("SELECT * FROM t WHERE (k > 90)", tbl) is None
+
+
+def test_subquery_and_union_wheres_never_prune_outer_table(tbl):
+    # the inner WHERE's from-list names u, not t
+    assert _preds(
+        "SELECT * FROM t WHERE k IN (SELECT k FROM u WHERE k < 5)", tbl
+    ) == []  or _preds(
+        "SELECT * FROM t WHERE k IN (SELECT k FROM u WHERE k < 5)", tbl
+    ) is None
+    # a union branch over ANOTHER table must not poison t's view
+    text = (
+        "SELECT k FROM t UNION ALL SELECT k FROM u WHERE k < 5"
+    )
+    assert _preds(text, tbl) is None
+    # the same table referenced twice shares one view: no extraction
+    text2 = (
+        "SELECT * FROM t WHERE k < 5 UNION ALL SELECT * FROM t WHERE k > 90"
+    )
+    assert _preds(text2, tbl) is None
+
+
+def test_predicate_shaped_text_inside_literal_ignored(tbl):
+    got = _preds("SELECT * FROM t WHERE s = 'k BETWEEN 1 AND 2'", tbl)
+    assert got is None
+
+
+def test_having_not_extracted(tbl):
+    got = _preds(
+        "SELECT s, count(*) c FROM t WHERE k BETWEEN 0 AND 9 "
+        "GROUP BY s HAVING count(*) > 3",
+        tbl,
+    )
+    assert got == [("k", 0, 9)]  # the HAVING comparison is not a pred
+
+
+def test_sql_pruned_view_matches_unpruned_and_opens_fewer_files(spark, tbl):
+    """End to end through sql_with_time_travel: identical results, fewer
+    files opened (plan-pinned via InMemoryFileIndex path count)."""
+    import re
+
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    text = "SELECT k, v FROM t WHERE k BETWEEN 20 AND 39 ORDER BY k"
+    df = sql_with_time_travel(spark, text, {"t": tbl})
+    got = [tuple(r) for r in df.collect()]
+    want = [(i, float(i)) for i in range(20, 40)]
+    assert got == want
+
+    _sel, n_sel, n_skip = tbl.plan_pruned([("k", 20, 39)])
+    assert n_skip > 0 and n_sel < n_sel + n_skip
+    plan = explain_str(
+        sql_with_time_travel(spark, text, {"t": tbl}), "simple"
+    )
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m and int(m.group(1)) == n_sel, plan
+
+
+def test_multi_column_plan_intersects(tbl):
+    """Two conjuncts on different stats columns intersect their plans:
+    k and v are correlated in the fixture, so each predicate alone admits
+    the same files, but a CONTRADICTORY conjunction admits none."""
+    sel, n_sel, _ = tbl.plan_pruned([("k", 0, 9), ("v", 90.0, 99.0)])
+    assert n_sel == 0
+    assert tbl.read_pruned([("k", 0, 9), ("v", 90.0, 99.0)]).count() == 0
+
+
+def test_unextractable_sql_still_correct(spark, tbl):
+    """The fallback path: an OR query gets the UNPRUNED view and full
+    results."""
+    text = "SELECT count(*) AS n FROM t WHERE k < 5 OR k > 94"
+    df = sql_with_time_travel(spark, text, {"t": tbl})
+    assert df.collect()[0]["n"] == 10
