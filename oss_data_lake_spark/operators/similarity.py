@@ -622,12 +622,37 @@ PQ_K = 16           # centroids per subspace codebook
 PQ_RERANK = 50      # ADC candidates that pay for the exact rerank
 
 
+PQ_LLOYD_ROUNDS = 2  # distributed k-means refinement passes over the corpus
+PQ_DEC = "DECIMAL(30,12)"  # exact fold type for centroid-mean determinism
+
+
+def _round9_signed(x: float) -> float:
+    """9-dp rounding with ties AWAY from zero for either sign — Spark
+    ``F.round``'s HALF_UP == DuckDB ``round()``; centroid components are
+    signed, unlike the non-negative squared distances."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e9 + 0.5), x) / 1e9
+
+
 def _pq_codebook(emb: DataFrame) -> list[list[float]]:
-    """Deterministic PQ codebook: the first PQ_K stride-sampled vectors,
-    id-ordered — the same bounded fitted-model collect as the IVF
-    centroids (k-means refinement would drop in here; a deterministic
-    seed sample keeps both engines bit-reproducible). Subspace m's
-    centroid j is row j's slice [m*8, m*8+8)."""
+    """TRAINED PQ codebook (Lloyd's k-means, the refinement Jégou et al.
+    §III-A prescribe per subspace): initialized from the PQ_K
+    stride-sampled vectors (id-ordered — a deterministic seed both
+    engines can replay), then PQ_LLOYD_ROUNDS distributed refinement
+    passes. Each round assigns every vector to its nearest centroid per
+    subspace (the same mapInPandas BLAS encode the index itself uses) and
+    re-fits each centroid to its members' mean.
+
+    Determinism across engines: member sums fold through DECIMAL
+    (order-independent), the mean does ONE double division, and every
+    component rounds HALF-UP to 9 dp — so the DuckDB oracle replays the
+    identical training trajectory bit-for-bit. Empty clusters keep their
+    previous centroid.
+
+    At 100 TB: each round is one distributed encode + one keyed aggregate
+    collapsing to M×K×(PQ_SUB+1) driver scalars (128 rows here) — the
+    fitted-model collect stays bounded regardless of corpus size."""
     rows = (
         emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
         .select("vec_id", "embedding")
@@ -635,7 +660,38 @@ def _pq_codebook(emb: DataFrame) -> list[list[float]]:
         .limit(PQ_K)
         .collect()
     )
-    return [list(r["embedding"]) for r in rows]
+    cb = [[float(x) for x in r["embedding"]] for r in rows]
+    for _ in range(PQ_LLOYD_ROUNDS):
+        cb = _lloyd_update(emb, cb)
+    return cb
+
+
+def _lloyd_update(emb: DataFrame, codebook: list[list[float]]) -> list[list[float]]:
+    """One Lloyd round: assign (distributed) → per-(subspace, centroid)
+    decimal-exact component sums (one keyed aggregate) → new means on the
+    driver (bounded collect)."""
+    codes = _pq_encode(emb, codebook)
+    ex = codes.select("vec_id", F.posexplode("codes").alias("m", "j"))
+    joined = ex.join(emb.select("vec_id", "embedding"), "vec_id")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(PQ_SUB):
+        # embedding[idx] is 0-based; float -> double -> decimal so the
+        # per-row quantization matches the oracle's DOUBLE[] cast chain
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CAST(CAST(embedding[m * {PQ_SUB} + {i}] AS DOUBLE)"
+                    f" AS {PQ_DEC})"
+                )
+            ).alias(f"s{i}")
+        )
+    stats = joined.groupBy("m", "j").agg(*aggs).collect()
+    new = [list(v) for v in codebook]
+    for r in stats:
+        m, j, n = int(r["m"]), int(r["j"]), int(r["n"])
+        for i in range(PQ_SUB):
+            new[j][m * PQ_SUB + i] = _round9_signed(float(r[f"s{i}"]) / n)
+    return new
 
 
 def _round9_half_up(x: float) -> float:
@@ -698,12 +754,14 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     distance computation (the paper's ADC: per-query lookup tables, never
     the raw candidate floats), exact-rerank the few ADC survivors.
 
-    Determinism & oracle: the codebook is a stride sample (id-ordered),
-    subspace distances round to 9 dp before argmin/summing, ADC sums fold
-    through DECIMAL (order-independent), ties break toward lower ids —
-    the DuckDB oracle replays the identical construction. The 10-query
-    probe set is a bounded collect (in serving, queries arrive externally;
-    the corpus itself is never collected).
+    Determinism & oracle: the codebook is TRAINED — a stride-sampled seed
+    refined by PQ_LLOYD_ROUNDS distributed k-means passes (``_pq_codebook``)
+    with decimal-exact centroid means; subspace distances round to 9 dp
+    before argmin/summing, ADC sums fold through DECIMAL
+    (order-independent), ties break toward lower ids — the DuckDB oracle
+    replays the identical construction INCLUDING the training trajectory.
+    The 10-query probe set is a bounded collect (in serving, queries
+    arrive externally; the corpus itself is never collected).
 
     At 100 TB: the scanned artifact is the code table (8 longs/vector —
     and 8 BYTES once bit-packed), the ADC join broadcasts 10×8×16 lookup
@@ -825,34 +883,80 @@ _NORMS_SQL = """
         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
 """
 
-ORACLES = {
-    # replays the PQ construction exactly: stride codebook (id-ordered, j =
-    # rank), per-subspace squared L2 rounded to 9 dp with explicit
-    # multiplication (numpy's **2), argmin tie → lowest j, ADC sum through
-    # DECIMAL (order-independent), exact 9-dp cosine rerank of the top
-    # PQ_RERANK, ties → lowest id throughout
-    "e28_pq_topk": f"""
+def _pq_subd_cte(tag: str, cbl: str) -> str:
+    """Per-(vector, subspace, centroid) 9-dp-rounded squared L2 against
+    the centroid-list table ``cbl`` — the ordered list_transform fold
+    mirrors numpy's sequential slice sum in ``_pq_encode``."""
+    idx = f"CAST(c.m * {PQ_SUB} AS INT) + CAST(ii AS INT) + 1"
+    return f"""
+        subd{tag} AS (SELECT e.vec_id, c.m, c.j,
+                        round(list_sum(list_transform(range(0, {PQ_SUB}), ii ->
+                            (v[{idx}] - cv8[CAST(ii AS INT) + 1])
+                          * (v[{idx}] - cv8[CAST(ii AS INT) + 1]))), 9) AS d2
+                 FROM e CROSS JOIN {cbl} c)"""
+
+
+def _pq_oracle() -> str:
+    """The e28 oracle, generated to replay the FULL construction —
+    stride-sample init, PQ_LLOYD_ROUNDS k-means refinement passes
+    (assign via 9-dp argmin, re-fit via DECIMAL-exact component means
+    rounded half-up to 9 dp, empty clusters keep their centroid), then
+    encode + broadcast ADC + decimal fold + exact rerank — so the driver
+    hash verifies the trained codebook itself, not just the final
+    geometry."""
+    parts = [
+        f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
-        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
-               FROM (SELECT vec_id, v FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-                     ORDER BY vec_id LIMIT {PQ_K})),
-        subs AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
-        subd AS (SELECT e.vec_id, subs.m, cb.j,
-                        round(list_sum(list_transform(range(0, {PQ_SUB}), i ->
-                            (v[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1]
-                             - cv[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1])
-                            * (v[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1]
-                               - cv[CAST(subs.m * {PQ_SUB} AS INT) + CAST(i AS INT) + 1])
-                        )), 9) AS d2
-                 FROM e CROSS JOIN subs CROSS JOIN cb),
+        m8 AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+        i8 AS (SELECT UNNEST(range(0, {PQ_SUB})) AS i),
+        cb0 AS (SELECT mm.m, s.j, ii.i,
+                       s.v[CAST(mm.m * {PQ_SUB} + ii.i AS INT) + 1] AS c
+                FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v
+                      FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+                      ORDER BY vec_id LIMIT {PQ_K}) s
+                CROSS JOIN m8 mm CROSS JOIN i8 ii)"""
+    ]
+    for r in range(PQ_LLOYD_ROUNDS):
+        parts.append(
+            f"""
+        cbl{r} AS (SELECT m, j, list(c ORDER BY i) AS cv8
+                   FROM cb{r} GROUP BY m, j),"""
+            + _pq_subd_cte(str(r), f"cbl{r}")
+            + f""",
+        codes{r} AS (SELECT vec_id, m, j FROM (
+                         SELECT vec_id, m, j,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                                   ORDER BY d2 ASC, j ASC) AS rn
+                         FROM subd{r})
+                     WHERE rn = 1),
+        upd{r} AS (SELECT a.m, a.j, ii.i,
+                          round(CAST(SUM(CAST(
+                                  v[CAST(a.m * {PQ_SUB} + ii.i AS INT) + 1]
+                                  AS {PQ_DEC})) AS DOUBLE)
+                                / COUNT(*), 9) AS c
+                   FROM codes{r} a JOIN e USING (vec_id)
+                   CROSS JOIN i8 ii
+                   GROUP BY 1, 2, 3),
+        cb{r + 1} AS (SELECT p.m, p.j, p.i, COALESCE(u.c, p.c) AS c
+                      FROM cb{r} p
+                      LEFT JOIN upd{r} u
+                        ON u.m = p.m AND u.j = p.j AND u.i = p.i)"""
+        )
+    fr = PQ_LLOYD_ROUNDS
+    parts.append(
+        f"""
+        cbl{fr} AS (SELECT m, j, list(c ORDER BY i) AS cv8
+                    FROM cb{fr} GROUP BY m, j),"""
+        + _pq_subd_cte("F", f"cbl{fr}")
+        + f""",
         codes AS (SELECT vec_id, m, j FROM (
                       SELECT vec_id, m, j,
                              ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                                 ORDER BY d2 ASC, j ASC) AS rn
-                      FROM subd)
+                      FROM subdF)
                   WHERE rn = 1),
-        adc AS (SELECT vec_id AS q_id, m, j, d2 FROM subd
+        adc AS (SELECT vec_id AS q_id, m, j, d2 FROM subdF
                 WHERE vec_id < {N_QUERIES}),
         approx AS (SELECT a.q_id, c.vec_id AS c_id,
                           CAST(SUM(CAST(a.d2 AS DECIMAL(20,9))) AS DOUBLE)
@@ -879,8 +983,16 @@ ORACLES = {
                              AS rank
                   FROM scored)
         SELECT q_id, c_id, approx_d2, cosine, rank FROM final
-        WHERE rank <= {TOP_K} ORDER BY q_id, rank
-    """,
+        WHERE rank <= {TOP_K} ORDER BY q_id, rank"""
+    )
+    return ",".join(parts)
+
+
+ORACLES = {
+    # replays the FULL trained-PQ construction (see _pq_oracle): k-means
+    # trajectory, encode, ADC decimal fold, exact 9-dp rerank — argmin
+    # tie → lowest j / lowest id throughout
+    "e28_pq_topk": _pq_oracle(),
     "e27_binary_quantized_topk": f"""
         WITH {_NORMS_SQL},
         sig AS (SELECT vec_id, v, norm,

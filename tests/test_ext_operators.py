@@ -615,7 +615,10 @@ def test_pq_topk_recall_and_exact_rerank(spark, sf_dir):
     }
     pq = {(r.q_id, r.c_id): r.cosine for r in pq_topk(spark, sf_dir).collect()}
     hits = set(pq) & set(bf)
-    assert len(hits) / len(bf) >= 0.4, f"recall {len(hits)/len(bf):.2f}"
+    # floor RAISED 0.4 -> 0.5 with the round-6 k-means-trained codebook
+    # (measured 0.58 at sf0.001, 0.68 at sf0.01; the stride sample alone
+    # sat at the old bar)
+    assert len(hits) / len(bf) >= 0.5, f"recall {len(hits)/len(bf):.2f}"
     for key in hits:
         assert pq[key] == bf[key], f"rerank not exact at {key}"
 
@@ -624,3 +627,51 @@ def test_pq_topk_recall_and_exact_rerank(spark, sf_dir):
     for r in codes[:50]:
         assert len(r["codes"]) == PQ_M
         assert all(0 <= c < PQ_K for c in r["codes"])
+
+
+def test_pq_lloyd_training_reduces_distortion(spark, sf_dir):
+    """k-means' own objective: the trained codebook's total quantization
+    error (sum over vectors and subspaces of the assigned centroid's
+    squared distance) must not exceed the stride-sample seed's — Lloyd
+    iterations are monotonically non-increasing in distortion, and on
+    real data strictly better."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.operators.similarity import (
+        IVF_CENTROID_STRIDE,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K).collect()
+    )
+    seed = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    trained = _pq_codebook(emb)
+    assert trained != seed, "training must move the centroids"
+
+    E = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+
+    def distortion(cb):
+        C = np.asarray(cb, dtype=np.float64)
+        total = 0.0
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            d2 = ((E[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).sum()
+        return total
+
+    d_seed, d_trained = distortion(seed), distortion(trained)
+    assert d_trained < d_seed, (
+        f"trained distortion {d_trained:.3f} not below seed {d_seed:.3f}"
+    )
