@@ -33,14 +33,29 @@ class Engine:
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
-        """Spark SQL text, plus the Trino/Iceberg time-travel clauses
-        (``FOR VERSION AS OF n`` / ``FOR TIMESTAMP AS OF 'ts'``) over any
-        snapshot tables registered via ``register_snapshot_table``."""
+        """Spark SQL text, plus — over any snapshot tables registered via
+        ``register_snapshot_table`` — the Trino/Iceberg statement surface
+        Spark's session catalog lacks:
+
+        - time-travel clauses (``FOR VERSION AS OF n`` /
+          ``FOR TIMESTAMP AS OF 'ts'``),
+        - row-level DML (``DELETE FROM`` / ``UPDATE ... SET``) executed as
+          stats-pruned copy-on-write rewrites (``sources/dml_sql.py``),
+        - maintenance statements (``OPTIMIZE [ZORDER BY|CLUSTER BY]``,
+          ``VACUUM``, ``DESCRIBE HISTORY``),
+        - and plain SELECTs whose WHERE conjuncts route the scan through
+          manifest file skipping (``extract_prunable_predicates``)."""
         if self._snapshot_tables:
+            from oss_data_lake_spark.sources.dml_sql import dispatch_statement
             from oss_data_lake_spark.sources.snapshots import (
                 sql_with_time_travel,
             )
 
+            dispatched = dispatch_statement(
+                self.spark, text, self._snapshot_tables
+            )
+            if dispatched is not None:
+                return dispatched
             return sql_with_time_travel(self.spark, text, self._snapshot_tables)
         return self.spark.sql(text)
 

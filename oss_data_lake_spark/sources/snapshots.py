@@ -975,6 +975,7 @@ class SnapshotTable:
         prune_upper=None,
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        prune_preds: list[tuple[str, object, object]] | None = None,
     ) -> dict:
         """``DELETE FROM t WHERE condition`` as a pruned copy-on-write
         rewrite. Rows where the condition is TRUE are removed; FALSE and
@@ -992,7 +993,7 @@ class SnapshotTable:
 
         return self._rewrite_where(
             transform, "delete", prune_column, prune_lower, prune_upper,
-            stats_for, bloom_for,
+            stats_for, bloom_for, prune_preds=prune_preds,
         )
 
     def update_where(
@@ -1004,6 +1005,7 @@ class SnapshotTable:
         prune_upper=None,
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        prune_preds: list[tuple[str, object, object]] | None = None,
     ) -> dict:
         """``UPDATE t SET col = expr, ... WHERE condition`` as a pruned
         copy-on-write rewrite: candidate rows where the condition is TRUE
@@ -1034,7 +1036,7 @@ class SnapshotTable:
             raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
         return self._rewrite_where(
             transform, "update", prune_column, prune_lower, prune_upper,
-            stats_for, bloom_for,
+            stats_for, bloom_for, prune_preds=prune_preds,
         )
 
     def merge_rows(
@@ -1094,6 +1096,7 @@ class SnapshotTable:
         prune_upper,
         stats_for: list[str] | None,
         bloom_for: list[str] | None,
+        prune_preds: list[tuple[str, object, object]] | None = None,
     ) -> dict:
         last_err: Exception | None = None
         for _attempt in range(self._DML_RETRIES):
@@ -1106,7 +1109,13 @@ class SnapshotTable:
                     "row-level DML needs a schema-carrying snapshot "
                     "(legacy manifest: recommit first)"
                 )
-            if prune_column is not None:
+            if prune_preds:
+                # multi-conjunct pruning (the SQL-text path): intersect
+                # every predicate's range plan
+                selection, n_sel, n_skip = self.plan_pruned(
+                    prune_preds, version=v
+                )
+            elif prune_column is not None:
                 selection, n_sel, n_skip = self.plan_range_scan(
                     prune_column, prune_lower, prune_upper, version=v
                 )

@@ -1,0 +1,114 @@
+"""SQL-text DML + maintenance statements over registered snapshot tables
+(sources/dml_sql.py through Engine.sql) — the Trino persona typing
+DELETE/UPDATE/OPTIMIZE/VACUUM/DESCRIBE HISTORY as plain SQL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.engine import Engine
+from oss_data_lake_spark.sources.dml_sql import (
+    _split_assignments,
+    conjunct_ranges,
+)
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), s=f"g{i % 4}") for i in range(100)]
+    )
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    e._snapshot_tables["t"] = t
+    return e
+
+
+def test_sql_delete_prunes_and_removes(spark, eng):
+    res = eng.sql("DELETE FROM t WHERE k BETWEEN 20 AND 39").collect()[0]
+    assert res["version"] == 2
+    assert 0 < res["files_rewritten"] < 10
+    assert res["files_skipped"] >= 7
+    left = [r["k"] for r in eng.sql("SELECT k FROM t ORDER BY k").collect()]
+    assert left == [i for i in range(100) if not 20 <= i <= 39]
+
+
+def test_sql_update_with_function_args_and_literal_where(spark, eng):
+    # function commas in SET; a literal containing ' WHERE ' as data
+    res = eng.sql(
+        "UPDATE t SET v = round(v * 2, 1), s = concat(s, ' WHERE x') "
+        "WHERE k >= 95"
+    ).collect()[0]
+    assert res["files_rewritten"] == 1 and res["files_skipped"] == 9
+    rows = {r["k"]: (r["v"], r["s"]) for r in eng.sql("SELECT * FROM t").collect()}
+    assert rows[97] == (194.0, "g1 WHERE x")
+    assert rows[50] == (50.0, "g2")
+
+
+def test_sql_update_without_where_touches_all(spark, eng):
+    eng.sql("UPDATE t SET v = v + 1000")
+    assert (
+        eng.sql("SELECT min(v) AS m FROM t").collect()[0]["m"] == 1000.0
+    )
+
+
+def test_sql_delete_inextractable_where_still_correct(spark, eng):
+    res = eng.sql("DELETE FROM t WHERE k < 5 OR k > 94").collect()[0]
+    assert res["files_skipped"] == 0  # OR disables pruning — full rewrite
+    assert eng.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 90
+
+
+def test_sql_optimize_vacuum_history(spark, eng):
+    eng.sql("DELETE FROM t WHERE k BETWEEN 0 AND 9")
+    v = eng.sql("OPTIMIZE t INTO 2 FILES").collect()[0]["version"]
+    assert v == 3
+    hist = eng.sql("DESCRIBE HISTORY t").collect()
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    assert hist[1]["operation"] == "delete"
+    assert hist[2]["operation"] == "overwrite"
+    # expire old snapshots so vacuum has garbage to reclaim
+    eng._snapshot_tables["t"].expire_snapshots(keep_last=1)
+    assert eng.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 90
+
+
+def test_sql_optimize_zorder(spark, tmp_path):
+    e = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "z"))
+    df = spark.createDataFrame(
+        [Row(a=i % 32, b=i // 32, v=float(i)) for i in range(1024)]
+    )
+    t.commit(df, stats_for=["a", "b"])
+    e._snapshot_tables["z"] = t
+    e.sql("OPTIMIZE z ZORDER BY (a, b) INTO 16 FILES")
+    _sel, n_sel, n_skip = t.plan_range_scan("a", 0, 3)
+    assert n_skip >= 8, "z-order must give both columns pruning power"
+    _sel, n_sel2, n_skip2 = t.plan_range_scan("b", 0, 3)
+    assert n_skip2 >= 8
+
+
+def test_sql_dml_unregistered_table_raises(spark, eng):
+    with pytest.raises(ValueError, match="not a registered snapshot table"):
+        eng.sql("DELETE FROM nope WHERE k = 1")
+
+
+def test_sql_select_still_falls_through(spark, eng):
+    out = eng.sql("SELECT count(*) AS n FROM t WHERE k < 10").collect()
+    assert out[0]["n"] == 10
+
+
+def test_assignment_splitter_and_ranges():
+    assert _split_assignments("a = f(x, y), b = c + 1") == {
+        "a": "f(x, y)", "b": "c + 1"
+    }
+    with pytest.raises(ValueError, match="cannot parse"):
+        _split_assignments("a +=1")
+    cols = {"k", "d"}
+    assert conjunct_ranges("k BETWEEN 1 AND 2 AND d >= '2024-01-01'", cols) == [
+        ("k", 1, 2), ("d", "2024-01-01", None)
+    ]
+    assert conjunct_ranges("k = 5 OR d = '2024'", cols) == []
+    assert conjunct_ranges("abs(k) > 5", cols) == []
+    assert conjunct_ranges("s = 'k BETWEEN 1 AND 2'", cols) == []
