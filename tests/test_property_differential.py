@@ -161,3 +161,93 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
     for v, expected in model.items():
         got = sorted(r.k for r in t.read(v).collect())
         assert got == sorted(expected), (v, got, expected)
+
+
+_dml_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 199), min_size=1, max_size=6)),
+        st.tuples(st.just("delete"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
+        st.tuples(st.just("update"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
+        st.tuples(st.just("merge"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
+        st.tuples(st.just("compact"), st.just(None)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_dml_ops)
+def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
+    """Differential model check for the copy-on-write DML surface: any
+    interleaving of appends, pruned range DELETEs/UPDATEs, keyed MERGEs
+    and compactions must leave the table equal to a python dict model —
+    and the pre-DML snapshot must still time-travel to the model's prior
+    state (no rewrite may corrupt history)."""
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    path = tmp_path_factory.mktemp("dml")
+    t = SnapshotTable(spark, str(path))
+    t.commit_clustered(
+        spark.createDataFrame([(k, float(k)) for k in range(100)], "k long, v double"),
+        cluster_by="k", n_files=5, stats_for=["k"],
+    )
+    model: dict[int, float] = {k: float(k) for k in range(100)}
+    prev_model = dict(model)
+    prev_version = t.current_version()
+
+    def check():
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == model
+
+    for op, arg in ops:
+        prev_model, prev_version = dict(model), t.current_version()
+        if op == "append":
+            rows = [(200 + i * 7 + k, -1.0) for i, k in enumerate(arg)]
+            # model is a dict (keyed): make appended keys unique vs existing
+            rows = [(k, v) for k, v in rows if k not in model]
+            if not rows:
+                continue
+            t.commit(
+                spark.createDataFrame(rows, "k long, v double"),
+                mode="append", stats_for=["k"],
+            )
+            model.update(dict(rows))
+        elif op in ("delete", "update"):
+            lo, width = arg
+            hi = lo + width
+            if op == "delete":
+                t.delete_where(
+                    f"k BETWEEN {lo} AND {hi}",
+                    prune_column="k", prune_lower=lo, prune_upper=hi,
+                    stats_for=["k"],
+                )
+                model = {k: v for k, v in model.items() if not lo <= k <= hi}
+            else:
+                t.update_where(
+                    f"k BETWEEN {lo} AND {hi}", {"v": "v + 1000.0"},
+                    prune_column="k", prune_lower=lo, prune_upper=hi,
+                    stats_for=["k"],
+                )
+                model = {
+                    k: (v + 1000.0 if lo <= k <= hi else v)
+                    for k, v in model.items()
+                }
+        elif op == "merge":
+            src = [(k, 9999.0) for k in sorted(set(arg))]
+            t.merge_rows(
+                spark.createDataFrame(src, "k long, v double"), ["k"],
+                stats_for=["k"],
+            )
+            model.update(dict(src))
+        elif op == "compact":
+            t.compact(target_partitions=2, stats_for=["k"])
+        check()
+        # history intact: the PRE-op snapshot still reads the old state
+        if prev_version is not None and op != "compact":
+            old = {r.k: r.v for r in t.read(version=prev_version).collect()}
+            assert old == prev_model, f"history corrupted by {op}"
