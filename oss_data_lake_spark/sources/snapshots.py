@@ -734,7 +734,13 @@ class SnapshotTable:
             raise ValueError(f"no snapshots at {self.path}")
         merged: dict[str, list[str] | None] | None = None
         for column, lo, hi in preds:
-            sel, _s, _k = self.plan_range_scan(column, lo, hi, version=v)
+            if lo is not None and lo == hi:
+                # point predicate: the eq plan adds per-file BLOOM
+                # pruning on top of the min/max bounds — the lever for
+                # `WHERE id = x` on columns the layout doesn't cluster
+                sel, _s, _k = self.plan_eq_scan(column, lo, version=v)
+            else:
+                sel, _s, _k = self.plan_range_scan(column, lo, hi, version=v)
             if merged is None:
                 merged = sel
                 continue

@@ -89,12 +89,35 @@ def main() -> None:
         t_sink = timed(
             lambda: t.commit(batch, mode="append", txn_app="m", txn_version=1)
         )
+        # row-level DML: delete a FIXED-size key slice from a clustered
+        # table whose PER-FILE size is constant across k (file count grows
+        # with the table) — copy-on-write cost must track the matched
+        # slice, not the table
+        d = SnapshotTable(spark, f"{OUT_ROOT}/k{k}/dml")
+        d.commit_clustered(
+            spark.range(0, base).select(
+                F.col("id").alias("key"), (F.col("id") * 0.1).alias("v")
+            ),
+            cluster_by="key",
+            n_files=10 * k,
+            stats_for=["key"],
+        )
+        t0 = time.perf_counter()
+        info = d.delete_where(
+            f"key BETWEEN 0 AND {DELTA_ROWS - 1}",
+            prune_column="key", prune_lower=0, prune_upper=DELTA_ROWS - 1,
+            stats_for=["key"],
+        )
+        t_dml = round(time.perf_counter() - t0, 3)
         row = {
             "k": k,
             "fact_rows": base,
             "mv_full_refresh_s": t_full,
             "mv_incr_refresh_s": t_incr,
             "sink_commit_5k_s": t_sink,
+            "dml_delete_fixed_slice_s": t_dml,
+            "dml_files_rewritten": info["files_rewritten"],
+            "dml_files_skipped": info["files_skipped"],
         }
         if k == KS[0]:
             # amortization at fixed table size: txn commit vs a bare

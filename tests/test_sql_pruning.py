@@ -139,3 +139,35 @@ def test_unextractable_sql_still_correct(spark, tbl):
     text = "SELECT count(*) AS n FROM t WHERE k < 5 OR k > 94"
     df = sql_with_time_travel(spark, text, {"t": tbl})
     assert df.collect()[0]["n"] == 10
+
+
+def test_equality_predicate_uses_bloom_pruning(spark, tmp_path):
+    """`WHERE col = x` through the SQL path must engage the per-file
+    BLOOM on unclustered columns: min/max bounds alone cannot prune a
+    column every file straddles, the bloom can."""
+    import re
+
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    # ids shuffled across files: every file's [min, max] straddles any probe
+    df = spark.createDataFrame(
+        [Row(doc_id=(i * 37) % 1000, v=float(i)) for i in range(1000)]
+    ).repartition(10)
+    t.commit(df, stats_for=["doc_id"], bloom_for=["doc_id"])
+
+    _sel, range_sel, range_skip = t.plan_range_scan("doc_id", 5, 5)
+    sel, eq_sel, eq_skip = t.plan_pruned([("doc_id", 5, 5)])
+    assert eq_skip > range_skip, (
+        "plan_pruned must route point predicates via the bloom, which "
+        "prunes beyond what min/max bounds can on this layout"
+    )
+
+    text = "SELECT v FROM b WHERE doc_id = 5"
+    df_out = sql_with_time_travel(spark, text, {"b": t})
+    assert df_out.count() == 1
+    plan = explain_str(
+        sql_with_time_travel(spark, text, {"b": t}), "simple"
+    )
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m and int(m.group(1)) == eq_sel, plan
