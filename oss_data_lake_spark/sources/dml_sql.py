@@ -9,6 +9,16 @@ statement-shaped text here BEFORE the query path:
 
 - ``DELETE FROM t WHERE cond``            → ``SnapshotTable.delete_where``
 - ``UPDATE t SET c = e, ... [WHERE cond]`` → ``SnapshotTable.update_where``
+- ``INSERT INTO t [(cols)] SELECT ...|VALUES ...``
+                                           → ``SnapshotTable.commit(append)``
+  (the source query runs through the full SELECT surface, so it may read
+  other registered snapshot tables, including ``FOR VERSION AS OF``;
+  positional column mapping, absent columns filled with NULL)
+- ``MERGE INTO t [AS a] USING (<query>)|<name> [AS] b ON a.k = b.k [AND ...]
+     [WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE]
+     [WHEN NOT MATCHED THEN INSERT *]``    → ``SnapshotTable.merge_rows``
+  (the star-form clause matrix — Trino/Delta's common shape; ON conjuncts
+  must equate same-named columns of the two sides)
 - ``OPTIMIZE t [ZORDER BY (a, b) | CLUSTER BY a] [INTO n FILES]``
                                            → ``SnapshotTable.compact``
 - ``VACUUM t``                             → ``SnapshotTable.vacuum``
@@ -67,9 +77,28 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)"
+    r"(?:\s*\(([^)]*)\))?\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
+    re.IGNORECASE,
+)
+_ON_KEY_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.(\w+)\s*=\s*([A-Za-z_]\w*)\.(\w+)\s*$"
+)
+_WHEN_RE = re.compile(
+    r"\bWHEN\s+(NOT\s+)?MATCHED\b(?:\s+AND\s+(.*?))?\s*\bTHEN\s+"
+    r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+    re.IGNORECASE | re.DOTALL,
+)
 # statement-shape detector for the unregistered-table error path
 _DML_SHAPE_RE = re.compile(
-    r"^\s*(DELETE\s+FROM|UPDATE\s|OPTIMIZE\s|VACUUM\s|DESCRIBE\s+HISTORY)",
+    r"^\s*(DELETE\s+FROM|UPDATE\s|INSERT\s+INTO|MERGE\s+INTO"
+    r"|OPTIMIZE\s|VACUUM\s|DESCRIBE\s+HISTORY)",
     re.IGNORECASE,
 )
 
@@ -151,6 +180,140 @@ def _require(tables: dict[str, SnapshotTable], name: str, stmt: str):
     return t
 
 
+def _depth0_matches(pattern: str, text: str) -> list["re.Match[str]"]:
+    masked = _masked(text)
+    depths = _depths(masked)
+    return [
+        w
+        for w in re.finditer(pattern, masked, re.IGNORECASE)
+        if depths[w.start()] == 0
+    ]
+
+
+def _run_merge(
+    spark: SparkSession,
+    text: str,
+    head: "re.Match[str]",
+    tables: dict[str, SnapshotTable],
+) -> DataFrame:
+    """The restricted star-form MERGE grammar (module docstring). All
+    structural splits (USING→ON→WHEN, AND conjuncts) happen on
+    literal-masked depth-0 text."""
+    from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+    t = _require(tables, head.group(1), "MERGE INTO")
+    tgt_alias = head.group(2) or head.group(1)
+    rest = text[head.end():]
+    ons = _depth0_matches(r"\bON\b", rest)
+    if not ons:
+        raise ValueError("MERGE INTO requires an ON clause")
+    src_spec = rest[: ons[0].start()].strip()
+    after_on = rest[ons[0].end():]
+    whens = _depth0_matches(r"\bWHEN\b", after_on)
+    if not whens:
+        raise ValueError("MERGE INTO requires at least one WHEN clause")
+    on_text = after_on[: whens[0].start()].strip()
+    clause_text = after_on[whens[0].start():].strip().rstrip(";").strip()
+
+    # ---- source: (subquery) [AS] alias | name [[AS] alias]
+    if src_spec.startswith("("):
+        ms, dd = _masked(src_spec), _depths(_masked(src_spec))
+        close = next(
+            (i for i, ch in enumerate(ms) if ch == ")" and dd[i] == 1), None
+        )
+        if close is None:
+            raise ValueError("unbalanced parens in MERGE source")
+        src_df = sql_with_time_travel(spark, src_spec[1:close], tables)
+        alias_part = src_spec[close + 1:].strip()
+        am = re.match(r"^(?:AS\s+)?([A-Za-z_]\w*)$", alias_part, re.IGNORECASE)
+        src_alias = am.group(1) if am else None
+    else:
+        nm = re.match(
+            r"^([A-Za-z_][\w.]*)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?$",
+            src_spec,
+            re.IGNORECASE,
+        )
+        if not nm:
+            raise ValueError(f"cannot parse MERGE source: {src_spec!r}")
+        src_name = nm.group(1)
+        src_alias = nm.group(2) or src_name
+        src_df = (
+            tables[src_name].read()
+            if src_name in tables
+            else spark.table(src_name)
+        )
+    if src_alias is None:
+        raise ValueError("MERGE source subquery needs an alias")
+
+    # ---- ON: depth-0 AND conjuncts equating same-named columns
+    keys: list[str] = []
+    conjuncts, start = [], 0
+    ands = _depth0_matches(r"\bAND\b", on_text)
+    for a in ands:
+        conjuncts.append(on_text[start: a.start()])
+        start = a.end()
+    conjuncts.append(on_text[start:])
+    for c in conjuncts:
+        km = _ON_KEY_RE.match(c)
+        sides = (
+            {km.group(1): km.group(2), km.group(3): km.group(4)} if km else {}
+        )
+        if (
+            not km
+            or set(sides) != {tgt_alias, src_alias}
+            or km.group(2) != km.group(4)
+        ):
+            raise ValueError(
+                f"MERGE ON conjunct {c.strip()!r} is outside the restricted "
+                f"grammar: expected {tgt_alias}.<col> = {src_alias}.<col> "
+                f"with the SAME column name on both sides"
+            )
+        keys.append(km.group(2))
+
+    # ---- WHEN clauses (star forms only)
+    when_matched: str | None = None
+    when_not_matched: str | None = None
+    matched_condition: str | None = None
+    covered = 0
+    for wm_ in _WHEN_RE.finditer(clause_text):
+        if clause_text[covered: wm_.start()].strip():
+            break  # unparsed text between clauses — handled below
+        covered = wm_.end()
+        is_not, cond, action = wm_.group(1), wm_.group(2), wm_.group(3).upper()
+        if is_not:
+            if not action.startswith("INSERT"):
+                raise ValueError(
+                    "WHEN NOT MATCHED supports only THEN INSERT *"
+                )
+            when_not_matched = "insert"
+            if cond:
+                raise ValueError("WHEN NOT MATCHED AND <cond> not supported")
+        else:
+            when_matched = "update" if action.startswith("UPDATE") else "delete"
+            if cond:
+                if re.search(rf"\b{re.escape(tgt_alias)}\.", cond):
+                    raise ValueError(
+                        "matched conditions may reference only the SOURCE "
+                        "row in the restricted grammar"
+                    )
+                matched_condition = re.sub(
+                    rf"\b{re.escape(src_alias)}\.", "", cond
+                ).strip()
+    if clause_text[covered:].strip():
+        raise ValueError(
+            f"unrecognized MERGE clause text: {clause_text[covered:].strip()[:60]!r}"
+        )
+    info = t.merge_rows(
+        src_df,
+        keys,
+        when_matched=when_matched,
+        matched_condition=matched_condition,
+        when_not_matched=when_not_matched,
+        stats_for=sorted(t.stats_columns()) or None,
+    )
+    return _metrics_df(spark, info)
+
+
 def dispatch_statement(
     spark: SparkSession, text: str, tables: dict[str, SnapshotTable]
 ) -> DataFrame | None:
@@ -192,6 +355,43 @@ def dispatch_statement(
             stats_for=sorted(t.stats_columns()),
         )
         return _metrics_df(spark, info)
+
+    m = _INSERT_RE.match(text)
+    if m:
+        from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+        t = _require(tables, m.group(1), "INSERT INTO")
+        target_schema = t.schema()
+        if target_schema is None:
+            raise ValueError("INSERT INTO needs a schema-carrying snapshot")
+        names = [f.name for f in target_schema.fields]
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).split(",")]
+            unknown = set(cols) - set(names)
+            if unknown:
+                raise ValueError(
+                    f"INSERT column list names unknown columns: {sorted(unknown)}"
+                )
+        else:
+            cols = names
+        # the source may be VALUES ... or any SELECT over the session —
+        # including other registered snapshot tables and AS-OF clauses
+        src = sql_with_time_travel(spark, m.group(3), tables)
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT arity mismatch: query produces {len(src.columns)} "
+                f"columns, target list has {len(cols)}"
+            )
+        aligned = t._align(src.toDF(*cols), target_schema)
+        version = t.commit(
+            aligned, mode="append",
+            stats_for=sorted(t.stats_columns()) or None,
+        )
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _MERGE_HEAD_RE.match(text)
+    if m:
+        return _run_merge(spark, text, m, tables)
 
     m = _OPTIMIZE_RE.match(text)
     if m:

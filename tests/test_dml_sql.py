@@ -112,3 +112,68 @@ def test_assignment_splitter_and_ranges():
     assert conjunct_ranges("k = 5 OR d = '2024'", cols) == []
     assert conjunct_ranges("abs(k) > 5", cols) == []
     assert conjunct_ranges("s = 'k BETWEEN 1 AND 2'", cols) == []
+
+
+def test_sql_insert_values_and_select(spark, eng):
+    v = eng.sql(
+        "INSERT INTO t VALUES (1000, 1.5, 'new'), (1001, 2.5, 'new')"
+    ).collect()[0]["version"]
+    assert v == 2
+    assert eng.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 102
+    # column-list form with NULL fill, source = SELECT over the table itself
+    eng.sql("INSERT INTO t (k, s) SELECT k + 2000, s FROM t WHERE k < 2")
+    rows = {r["k"]: (r["v"], r["s"]) for r in eng.sql("SELECT * FROM t").collect()}
+    assert rows[2000] == (None, "g0") and rows[1000] == (1.5, "new")
+
+
+def test_sql_insert_arity_and_unknown_columns(spark, eng):
+    with pytest.raises(ValueError, match="arity mismatch"):
+        eng.sql("INSERT INTO t VALUES (1, 2.0)")
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.sql("INSERT INTO t (nope) VALUES (1)")
+
+
+def test_sql_merge_full_clause_matrix(spark, eng):
+    res = eng.sql("""
+        MERGE INTO t USING (
+            SELECT k, CAST(0.0 AS DOUBLE) AS v, 'upd' AS s FROM t WHERE k < 3
+            UNION ALL
+            SELECT 500 AS k, CAST(5.0 AS DOUBLE) AS v, 'ins' AS s
+        ) AS src
+        ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    assert res["version"] == 2
+    rows = {r["k"]: (r["v"], r["s"]) for r in eng.sql("SELECT * FROM t").collect()}
+    assert len(rows) == 101
+    assert rows[1] == (0.0, "upd")
+    assert rows[500] == (5.0, "ins")
+    assert rows[50] == (50.0, "g2")
+
+
+def test_sql_merge_delete_clause_with_condition(spark, eng):
+    eng.sql("""
+        MERGE INTO t AS tgt USING (
+            SELECT k, v, s FROM t WHERE k BETWEEN 10 AND 19
+        ) src
+        ON tgt.k = src.k
+        WHEN MATCHED AND src.k % 2 = 0 THEN DELETE
+    """)
+    left = [r["k"] for r in eng.sql("SELECT k FROM t ORDER BY k").collect()]
+    assert left == [k for k in range(100) if not (10 <= k <= 19 and k % 2 == 0)]
+
+
+def test_sql_merge_restricted_grammar_refusals(spark, eng):
+    with pytest.raises(ValueError, match="restricted"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="ON clause"):
+        eng.sql("MERGE INTO t USING x WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="SOURCE"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT k, v, s FROM t) s ON t.k = s.k "
+            "WHEN MATCHED AND t.v > 5 THEN UPDATE SET *"
+        )
