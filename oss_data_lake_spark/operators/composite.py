@@ -225,6 +225,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("avg_price")},
              {"k1": "o_orderstatus", "v1": "n", "v2": "sum_price",
               "v3": "avg_price"}),
+            # m06 (round 6): the SQL-TEXT DML statement surface —
+            # DELETE / UPDATE / INSERT / MERGE typed through Engine.sql,
+            # final state value-verified against a CTE-chain replay
+            ("m06", "m06_sql_dml_orders",
+             {"k1": ("order_year"), "k2": ("o_orderstatus"), "v1": ("n"),
+              "v2": ("sum_price")},
+             {"k1": "order_year", "k2": "o_orderstatus", "v1": "n",
+              "v2": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -360,12 +360,82 @@ def row_level_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_DML_MERGE_MOD = 11
+
+
+def sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m06: the SQL-TEXT DML statement surface end to end — the Trino
+    persona typing four statements through ``Engine.sql``
+    (``sources/dml_sql.py``) against a snapshot table:
+
+    1. ``DELETE FROM`` one calendar year (extracted WHERE → pruned CoW),
+    2. ``UPDATE ... SET`` a discount on dated finished orders,
+    3. ``INSERT INTO ... VALUES`` two synthetic rows,
+    4. star-form ``MERGE INTO`` re-pricing every 11th key via a
+       self-referential source subquery.
+
+    Each statement publishes one atomic snapshot version; the returned
+    accounting reads the final head. The oracle replays the four
+    statements as a CTE chain over the raw fixture, so a mis-parsed
+    clause, wrong-pruned file, or mis-applied merge anywhere in the
+    text→dispatch→rewrite pipeline breaks the value hash."""
+    import tempfile
+
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    orders4 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m06_") + "/orders")
+    t.commit_clustered(
+        orders4, cluster_by="o_orderdate", n_files=12,
+        stats_for=["o_orderdate"],
+    )
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["t_m06"] = t
+    eng.sql(
+        f"DELETE FROM t_m06 WHERE o_orderdate BETWEEN"
+        f" TIMESTAMP '{DML_DELETE_LO} 00:00:00'"
+        f" AND TIMESTAMP '{DML_DELETE_HI} 00:00:00'"
+    )
+    eng.sql(
+        f"UPDATE t_m06 SET o_totalprice = o_totalprice * {DML_DISCOUNT}"
+        f" WHERE o_orderstatus = 'F' AND o_orderdate <"
+        f" TIMESTAMP '{DML_UPDATE_BEFORE} 00:00:00'"
+    )
+    eng.sql(
+        "INSERT INTO t_m06 VALUES"
+        " (90000001, 'X', TIMESTAMP '2030-01-01 00:00:00', CAST(111.0 AS DOUBLE)),"
+        " (90000002, 'X', TIMESTAMP '2030-01-02 00:00:00', CAST(222.0 AS DOUBLE))"
+    )
+    eng.sql(f"""
+        MERGE INTO t_m06 USING (
+            SELECT o_orderkey, 'M' AS o_orderstatus, o_orderdate,
+                   o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+            FROM t_m06 WHERE o_orderkey % {SQL_DML_MERGE_MOD} = 0
+        ) AS s
+        ON t_m06.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    return (
+        t.read()
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("order_year", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
     "m03_sql_time_travel": snapshot_sql_time_travel_query,
     "m04_row_level_dml_orders": row_level_dml_orders,
     "m05_snapshot_merge_orders": snapshot_merge_orders,
+    "m06_sql_dml_orders": sql_dml_orders,
 }
 
 _SRC_SQL = f"""
@@ -437,6 +507,49 @@ ORACLES = {
         SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderstatus,
                COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
         FROM surv
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # m06: the four SQL-text statements replayed as a CTE chain — s1
+    # deletes the year, s2 applies the dated discount, s3 unions the two
+    # inserted rows, s4 applies the merge's re-pricing
+    "m06_sql_dml_orders": f"""
+        WITH s1 AS (
+            SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+            FROM orders
+            WHERE NOT (o_orderdate BETWEEN TIMESTAMP '{DML_DELETE_LO} 00:00:00'
+                                       AND TIMESTAMP '{DML_DELETE_HI} 00:00:00')
+        ),
+        s2 AS (
+            SELECT o_orderkey, o_orderstatus, o_orderdate,
+                   CASE WHEN o_orderstatus = 'F'
+                             AND o_orderdate < TIMESTAMP '{DML_UPDATE_BEFORE} 00:00:00'
+                        THEN o_totalprice * {DML_DISCOUNT}
+                        ELSE o_totalprice END AS o_totalprice
+            FROM s1
+        ),
+        s3 AS (
+            SELECT * FROM s2
+            UNION ALL
+            SELECT 90000001, 'X', TIMESTAMP '2030-01-01 00:00:00',
+                   CAST(111.0 AS DOUBLE)
+            UNION ALL
+            SELECT 90000002, 'X', TIMESTAMP '2030-01-02 00:00:00',
+                   CAST(222.0 AS DOUBLE)
+        ),
+        s4 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {SQL_DML_MERGE_MOD} = 0
+                        THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+                   o_orderdate,
+                   CASE WHEN o_orderkey % {SQL_DML_MERGE_MOD} = 0
+                        THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM s3
+        )
+        SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderstatus,
+               COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+        FROM s4
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
