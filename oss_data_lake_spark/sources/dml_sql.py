@@ -50,10 +50,12 @@ from oss_data_lake_spark.sources.snapshots import (
     _BETWEEN_RE,
     _BLOCKER_RE,
     _CMP_RE,
+    _IN_RE,
+    _NULL_RE,
+    _build_pred,
     _depths,
     _literal_spans,
     _masked,
-    _parse_sql_literal,
     _starts_in_literal,
 )
 
@@ -103,21 +105,20 @@ _DML_SHAPE_RE = re.compile(
 )
 
 
-def conjunct_ranges(
-    cond: str, stats_cols: set[str]
-) -> list[tuple[str, object, object]]:
-    """Prunable ``(col, lo, hi)`` ranges from a bare WHERE condition (the
-    single-table DML context — no FROM-scope resolution needed). Same
-    conservative gates as the SELECT extractor: OR/NOT/CASE anywhere →
-    nothing; only depth-0 conjuncts on stats columns; predicate-shaped
-    text inside literals ignored. Under-extraction only costs pruning."""
+def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
+    """Prunable predicates from a bare WHERE condition (the single-table
+    DML context — no FROM-scope resolution needed): ranges, point/IN
+    probes (bloom-powered), IS [NOT] NULL. Same conservative gates as the
+    SELECT extractor: OR/CASE/negations anywhere → nothing; only depth-0
+    conjuncts on stats columns; predicate-shaped text inside literals
+    ignored. Under-extraction only costs pruning."""
     masked = _masked(cond)
     if _BLOCKER_RE.search(masked):
         return []
     depths = _depths(masked)
     spans = _literal_spans(cond)
-    out: list[tuple[str, object, object]] = []
-    for rex, is_between in ((_BETWEEN_RE, True), (_CMP_RE, False)):
+    out: list = []
+    for rex in (_BETWEEN_RE, _CMP_RE, _IN_RE, _NULL_RE):
         for m in rex.finditer(cond):
             if depths[m.start()] != 0:
                 continue
@@ -126,19 +127,9 @@ def conjunct_ranges(
             col = m.group(1)
             if "." in col or col not in stats_cols:
                 continue
-            if is_between:
-                out.append(
-                    (col, _parse_sql_literal(m.group(2)),
-                     _parse_sql_literal(m.group(3)))
-                )
-            else:
-                op, v = m.group(2), _parse_sql_literal(m.group(3))
-                if op in (">=", ">"):
-                    out.append((col, v, None))
-                elif op in ("<=", "<"):
-                    out.append((col, None, v))
-                else:
-                    out.append((col, v, v))
+            pred = _build_pred(rex, m, col)
+            if pred is not None:
+                out.append(pred)
     return out
 
 

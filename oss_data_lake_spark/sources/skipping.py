@@ -452,6 +452,28 @@ def zvalue_column(df, cols: list[str], bits: int = 8):
 # -------------------------------------------------------------- pruning
 
 
+def file_may_contain_null(entry: dict[str, Any] | None) -> bool:
+    """Can the file contain a NULL in this column? (``col IS NULL``
+    pruning.) Missing stats → must read; a file whose recorded null count
+    is zero provably has no NULL row."""
+    if entry is None:
+        return True
+    return entry.get("nulls", 1) > 0
+
+
+def file_may_contain_nonnull(entry: dict[str, Any] | None) -> bool:
+    """Can the file contain a NON-NULL value in this column?
+    (``col IS NOT NULL`` pruning.) Missing stats → must read; an all-null
+    (or empty) file provably cannot match."""
+    if entry is None:
+        return True
+    rows = entry.get("rows")
+    nulls = entry.get("nulls")
+    if rows is None or nulls is None:
+        return True
+    return nulls < rows
+
+
 def file_may_match(
     entry: dict[str, Any] | None,
     lo: tuple[str, Any] | None,

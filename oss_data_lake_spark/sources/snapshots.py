@@ -720,27 +720,102 @@ class SnapshotTable:
                 out.update(c for c in cols if not c.startswith("bloom:"))
         return out
 
+    def plan_null_scan(
+        self, column: str, want_null: bool, version: int | None = None
+    ) -> tuple[dict[str, list[str] | None], int, int]:
+        """File-skipping plan for ``column IS [NOT] NULL`` from the
+        recorded per-file null counts: a zero-null file cannot match
+        ``IS NULL``; an all-null (or empty) file cannot match
+        ``IS NOT NULL``. Missing stats → must read."""
+        from oss_data_lake_spark.sources import skipping
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        manifest = self._manifest(v)
+        admit = (
+            skipping.file_may_contain_null
+            if want_null
+            else skipping.file_may_contain_nonnull
+        )
+        selection: dict[str, list[str] | None] = {}
+        n_sel = n_skip = 0
+        for d in manifest["data_dirs"]:
+            stats = manifest.get("file_stats", {}).get(d)
+            if not stats:
+                selection[d] = None
+                continue
+            vis = self._visible_files(manifest, d)
+            universe = (
+                self._stats_universe(d, stats) if vis is None else sorted(vis)
+            )
+            keep = [
+                f for f in universe if admit(stats.get(f, {}).get(column))
+            ]
+            selection[d] = keep
+            n_sel += len(keep)
+            n_skip += len(universe) - len(keep)
+        return selection, n_sel, n_skip
+
+    # Predicate forms plan_pruned accepts:
+    #   (col, lo, hi)                       range (lo == hi → eq + bloom)
+    #   {"col": c, "in": [v1, v2, ...]}     IN list: the UNION of the
+    #                                       per-value eq plans (each
+    #                                       bloom-powered)
+    #   {"col": c, "null": True|False}      IS NULL / IS NOT NULL
+
+    def _plan_one(
+        self, pred, v: int
+    ) -> dict[str, list[str] | None]:
+        if isinstance(pred, dict):
+            if "in" in pred:
+                sels = [
+                    self.plan_eq_scan(pred["col"], val, version=v)[0]
+                    for val in pred["in"]
+                ]
+                return self._union_selections(sels, v)
+            return self.plan_null_scan(pred["col"], pred["null"], version=v)[0]
+        column, lo, hi = pred
+        if lo is not None and lo == hi:
+            # point predicate: the eq plan adds per-file BLOOM pruning on
+            # top of the min/max bounds — the lever for `WHERE id = x` on
+            # columns the layout doesn't cluster
+            return self.plan_eq_scan(column, lo, version=v)[0]
+        return self.plan_range_scan(column, lo, hi, version=v)[0]
+
+    def _union_selections(
+        self, sels: list[dict[str, list[str] | None]], v: int
+    ) -> dict[str, list[str] | None]:
+        """Disjunctive combine (IN lists): a file survives if ANY branch
+        admits it; a dir read whole by any branch stays whole."""
+        manifest = self._manifest(v)
+        out: dict[str, list[str] | None] = {}
+        for d in manifest["data_dirs"]:
+            per_dir = [s.get(d) for s in sels]
+            if not sels or any(p is None for p in per_dir):
+                out[d] = None
+                continue
+            seen: set[str] = set()
+            for p in per_dir:
+                seen.update(p)
+            out[d] = sorted(seen)
+        return out
+
     def plan_pruned(
         self,
-        preds: list[tuple[str, object, object]],
+        preds: list,
         version: int | None = None,
     ) -> tuple[dict[str, list[str] | None], int, int]:
         """Multi-predicate scan plan: the INTERSECTION of each
-        ``(column, lower, upper)`` range plan — a file survives only if
-        every predicate's bounds admit it. Same return shape as
-        ``plan_range_scan``."""
+        predicate's plan (conjunction semantics) — a file survives only
+        if every predicate admits it. Predicate forms documented at
+        ``_plan_one``. Same return shape as ``plan_range_scan``."""
         v = version if version is not None else self.current_version()
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
         merged: dict[str, list[str] | None] | None = None
-        for column, lo, hi in preds:
-            if lo is not None and lo == hi:
-                # point predicate: the eq plan adds per-file BLOOM
-                # pruning on top of the min/max bounds — the lever for
-                # `WHERE id = x` on columns the layout doesn't cluster
-                sel, _s, _k = self.plan_eq_scan(column, lo, version=v)
-            else:
-                sel, _s, _k = self.plan_range_scan(column, lo, hi, version=v)
+        for pred in preds:
+            sel = self._plan_one(pred, v)
             if merged is None:
                 merged = sel
                 continue
@@ -1450,7 +1525,21 @@ _WHERE_END_RE = re.compile(
     r"|UNION|INTERSECT|EXCEPT)\b",
     re.IGNORECASE,
 )
-_BLOCKER_RE = re.compile(r"\b(OR|NOT|CASE)\b", re.IGNORECASE)
+# NOT blocks extraction (NOT IN / NOT BETWEEN / NOT LIKE / NOT (…) all
+# negate in ways range pruning cannot express) — EXCEPT the `IS NOT NULL`
+# form, which has its own sound plan (null-count pruning)
+_BLOCKER_RE = re.compile(
+    r"\b(OR|CASE)\b|\bNOT\b(?!\s+NULL\b)", re.IGNORECASE
+)
+_IN_RE = re.compile(
+    rf"\b([A-Za-z_][\w.]*)\s+IN\s*\(\s*"
+    rf"({_ANY_LIT}(?:\s*,\s*{_ANY_LIT})*)\s*\)",
+    re.IGNORECASE,
+)
+_NULL_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+IS\s+(NOT\s+)?NULL\b", re.IGNORECASE
+)
+_ANY_LIT_RE = re.compile(_ANY_LIT, re.IGNORECASE)
 
 
 def _masked(text: str) -> str:
@@ -1488,6 +1577,29 @@ def _parse_sql_literal(tok: str):
     if tok.startswith("'"):
         return tok[1:-1]
     return float(tok) if "." in tok else int(tok)
+
+
+def _build_pred(rex: "re.Pattern[str]", m: "re.Match[str]", col: str):
+    """One matched conjunct → a ``plan_pruned`` predicate (forms at
+    ``SnapshotTable._plan_one``)."""
+    if rex is _BETWEEN_RE:
+        return (col, _parse_sql_literal(m.group(2)), _parse_sql_literal(m.group(3)))
+    if rex is _CMP_RE:
+        op, v = m.group(2), _parse_sql_literal(m.group(3))
+        if op in (">=", ">"):
+            return (col, v, None)
+        if op in ("<=", "<"):
+            return (col, None, v)
+        return (col, v, v)
+    if rex is _IN_RE:
+        vals = [
+            _parse_sql_literal(tok)
+            for tok in _ANY_LIT_RE.findall(m.group(2))
+        ]
+        return {"col": col, "in": vals} if vals else None
+    if rex is _NULL_RE:
+        return {"col": col, "null": m.group(2) is None}
+    return None
 
 
 def extract_prunable_predicates(
@@ -1542,7 +1654,7 @@ def extract_prunable_predicates(
             if _BLOCKER_RE.search(span):
                 continue  # OR / NOT / CASE: not a pure conjunction
             lit_spans = _literal_spans(text)
-            for rex, is_between in ((_BETWEEN_RE, True), (_CMP_RE, False)):
+            for rex in (_BETWEEN_RE, _CMP_RE, _IN_RE, _NULL_RE):
                 # match on the ORIGINAL text (the masked copy has the
                 # literal VALUES blanked), bounded to the clause span;
                 # a match starting inside a literal is data, not SQL
@@ -1558,18 +1670,9 @@ def extract_prunable_predicates(
                             continue
                     if col not in stats_cols:
                         continue
-                    if is_between:
-                        lo = _parse_sql_literal(m.group(2))
-                        hi = _parse_sql_literal(m.group(3))
-                    else:
-                        op, v = m.group(2), _parse_sql_literal(m.group(3))
-                        if op in (">=", ">"):
-                            lo, hi = v, None
-                        elif op in ("<=", "<"):
-                            lo, hi = None, v
-                        else:
-                            lo = hi = v
-                    preds.append((col, lo, hi))
+                    pred = _build_pred(rex, m, col)
+                    if pred is not None:
+                        preds.append(pred)
         if preds:
             out[name] = preds
     return out

@@ -171,3 +171,65 @@ def test_equality_predicate_uses_bloom_pruning(spark, tmp_path):
     )
     m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
     assert m and int(m.group(1)) == eq_sel, plan
+
+
+def test_in_list_predicate_unions_bloom_plans(spark, tmp_path):
+    """`col IN (...)` prunes as the UNION of per-value bloom probes —
+    still sound (a file outside every branch provably holds no listed
+    value), and each branch gets bloom power beyond min/max."""
+    t = SnapshotTable(spark, str(tmp_path / "in"))
+    df = spark.createDataFrame(
+        [Row(doc_id=(i * 37) % 1000, v=float(i)) for i in range(1000)]
+    ).repartition(10)
+    t.commit(df, stats_for=["doc_id"], bloom_for=["doc_id"])
+
+    preds = extract_prunable_predicates(
+        "SELECT * FROM x WHERE doc_id IN (5, 17, 400)", {"x": t}
+    )["x"]
+    assert preds == [{"col": "doc_id", "in": [5, 17, 400]}]
+    sel, n_sel, n_skip = t.plan_pruned(preds)
+    assert n_skip > 0
+    got = sql_with_time_travel(
+        spark, "SELECT v FROM x WHERE doc_id IN (5, 17, 400)", {"x": t}
+    ).count()
+    assert got == 3
+
+
+def test_null_predicates_prune_from_null_counts(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "n"))
+    with_nulls = spark.createDataFrame(
+        [Row(k=i, v=(None if i % 2 == 0 else float(i))) for i in range(50)],
+        "k long, v double",
+    )
+    no_nulls = spark.createDataFrame(
+        [Row(k=100 + i, v=float(i)) for i in range(50)], "k long, v double"
+    )
+    all_nulls = spark.createDataFrame(
+        [Row(k=200 + i, v=None) for i in range(50)], "k long, v double"
+    )
+    t.commit(with_nulls.coalesce(1), stats_for=["v"])
+    t.commit(no_nulls.coalesce(1), mode="append", stats_for=["v"])
+    t.commit(all_nulls.coalesce(1), mode="append", stats_for=["v"])
+
+    sel, n_sel, n_skip = t.plan_pruned([{"col": "v", "null": True}])
+    assert (n_sel, n_skip) == (2, 1), "zero-null file must skip IS NULL"
+    sel, n_sel, n_skip = t.plan_pruned([{"col": "v", "null": False}])
+    assert (n_sel, n_skip) == (2, 1), "all-null file must skip IS NOT NULL"
+
+    # end-to-end through SQL text, both forms, exact results
+    got = sql_with_time_travel(
+        spark, "SELECT count(*) AS n FROM t WHERE v IS NULL", {"t": t}
+    ).collect()[0]["n"]
+    assert got == 25 + 50
+    got = sql_with_time_travel(
+        spark, "SELECT count(*) AS n FROM t WHERE v IS NOT NULL", {"t": t}
+    ).collect()[0]["n"]
+    assert got == 25 + 50
+    # IS NOT NULL extraction survives the NOT blocker exception; real
+    # negations still disable
+    assert extract_prunable_predicates(
+        "SELECT * FROM t WHERE v IS NOT NULL", {"t": t}
+    )["t"] == [{"col": "v", "null": False}]
+    assert extract_prunable_predicates(
+        "SELECT * FROM t WHERE v NOT IN (1, 2)", {"t": t}
+    ) == {}
