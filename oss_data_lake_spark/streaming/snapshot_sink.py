@@ -35,7 +35,7 @@ from oss_data_lake_spark.sources.snapshots import SnapshotTable
 def start_snapshot_sink(
     spark: SparkSession,
     source: DataFrame,
-    table_path: str,
+    table_path: "str | SnapshotTable",
     checkpoint_dir: str,
     sink_id: str = "snapshot_sink",
     stats_for: list[str] | None = None,
@@ -61,8 +61,16 @@ def start_snapshot_sink(
     watermark publish atomically and a stale racing refresh no-ops in the
     ledger); a crash between commit and refresh just means the next
     batch's refresh folds two deltas at once — the incremental scan is
-    cumulative, not per-batch."""
-    table = SnapshotTable(spark, table_path)
+    cumulative, not per-batch.
+
+    ``table_path`` also accepts an existing ``SnapshotTable`` handle, so
+    a table on a non-default commit protocol (``CasCommitProtocol`` for
+    object stores) streams through the same sink unchanged."""
+    table = (
+        table_path
+        if isinstance(table_path, SnapshotTable)
+        else SnapshotTable(spark, table_path)
+    )
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

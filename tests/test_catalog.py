@@ -199,3 +199,51 @@ def test_cas_streaming_sink_exactly_once(spark, tmp_path):
     assert again == v1
     assert t.read().count() == 10
     assert t.txn_watermark("s") == 1
+
+
+def test_cas_concurrent_mixed_dml_and_appends(spark, tmp_path):
+    """Concurrent APPEND + pruned DELETE + pruned UPDATE racing through
+    the CAS catalog: the copy-on-write publish validates its planned head
+    and replans on conflict, so all three land (in some serial order) and
+    the final state equals the commutative outcome — their key ranges are
+    disjoint, so order cannot matter."""
+    import threading
+
+    t = _cas_table(spark, tmp_path, "dmlrace")
+    t.commit_clustered(
+        _batch(spark, 0, 100), cluster_by="k", n_files=5, stats_for=["k"]
+    )
+    barrier = threading.Barrier(3)
+    errors: list[Exception] = []
+
+    def run(fn):
+        try:
+            barrier.wait()
+            fn()
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    ops = [
+        lambda: t.commit(_batch(spark, 200, 210), mode="append"),
+        lambda: t.delete_where(
+            "k BETWEEN 0 AND 9", prune_column="k",
+            prune_lower=0, prune_upper=9, stats_for=["k"],
+        ),
+        lambda: t.update_where(
+            "k BETWEEN 90 AND 99", {"v": "v + 1000.0"},
+            prune_column="k", prune_lower=90, prune_upper=99,
+            stats_for=["k"],
+        ),
+    ]
+    threads = [threading.Thread(target=run, args=(fn,)) for fn in ops]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.current_version() == 4  # 1 initial + 3 racing commits
+    got = {r.k: r.v for r in t.read().collect()}
+    want = {k: float(k) for k in range(10, 90)}
+    want.update({k: float(k) + 1000.0 for k in range(90, 100)})
+    want.update({k: float(k) for k in range(200, 210)})
+    assert got == want
