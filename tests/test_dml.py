@@ -279,3 +279,72 @@ def test_m04_rewrites_only_intersecting_files(spark, sf_dir):
     )
     assert u["files_rewritten"] < d["files_rewritten"] + d["files_skipped"] + 1
     assert u["files_skipped"] > 0
+
+
+def test_dml_on_partitioned_snapshot_table(spark, tmp_path):
+    """CoW DELETE on a Hive-partitioned snapshot table: candidates inside
+    key=value subdirectories prune and rewrite correctly, untouched
+    partition dirs keep their layout (and their partition pruning), and
+    the rewrite normalizes its own rows onto an unpartitioned dir —
+    partition SPEC EVOLUTION handles the mix by design."""
+    t = SnapshotTable(spark, str(tmp_path / "part"))
+    df = spark.createDataFrame(
+        [Row(day=f"d{i % 5}", k=i, v=float(i)) for i in range(100)]
+    )
+    t.commit(df, partition_by=["day"], stats_for=["k"])
+    info = t.delete_where(
+        "k BETWEEN 0 AND 19", prune_column="k", prune_lower=0, prune_upper=19,
+        stats_for=["k"],
+    )
+    assert info["files_skipped"] > 0, "per-partition files must prune on k"
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(20, 100))
+    # partition column survives the mixed-layout read
+    days = {r.day for r in t.read().collect()}
+    assert days == {f"d{i}" for i in range(5)}
+    # second delete keyed on the PARTITION column still works (row-level,
+    # not dir-level — the partition dirs of other days are untouched)
+    t.delete_where("day = 'd0'")
+    assert {r.day for r in t.read().collect()} == {"d1", "d2", "d3", "d4"}
+
+
+def test_dml_across_schema_evolution(spark, tmp_path):
+    """DML over a table whose older files predate a column: candidates
+    align onto the head schema (NULL-filled), the UPDATE can assign the
+    evolved column, and time travel to the pre-DML version still shows
+    the old schema's view."""
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    t.commit(
+        spark.createDataFrame([Row(k=10 + i, tag=f"x{i}") for i in range(10)]),
+        mode="append",
+    )
+    t.update_where("tag IS NULL", {"tag": "'legacy'"})
+    rows = {r.k: r.tag for r in t.read().collect()}
+    assert all(rows[k] == "legacy" for k in range(10))
+    assert rows[15] == "x5"
+    # the evolved-away NULLs are still visible at the pre-update version
+    old = {r.k: r.tag for r in t.read(version=2).collect()}
+    assert all(old[k] is None for k in range(10))
+
+
+def test_sql_insert_from_time_travel_source(spark, tmp_path):
+    """INSERT INTO ... SELECT ... FOR VERSION AS OF: the DML source runs
+    through the full SELECT surface, so a table can re-ingest its own
+    history (the restore-a-slice workflow)."""
+    from oss_data_lake_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "tt"))
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)]))
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5, 10)]),
+        mode="append",
+    )
+    eng._snapshot_tables["tt"] = t
+    eng.sql("DELETE FROM tt WHERE k < 5")
+    assert t.read().count() == 5
+    # restore the deleted slice from version 1
+    eng.sql("INSERT INTO tt SELECT k, v FROM tt FOR VERSION AS OF 1")
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(10))
