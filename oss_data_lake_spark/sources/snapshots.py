@@ -1378,11 +1378,25 @@ class SnapshotTable:
         return expired
 
     def vacuum(self) -> list[str]:
-        """Delete data directories unreachable from ANY snapshot (crash
-        leftovers). Never touches referenced files."""
+        """Reclaim storage unreachable from ANY live snapshot:
+
+        1. whole data DIRECTORIES no manifest references (crash
+           leftovers, fully-rewritten dirs after their snapshots expire);
+        2. individual FILES inside referenced directories that EVERY
+           referencing manifest's visibility subset excludes — the dead
+           files copy-on-write DML leaves behind (a dir stays referenced
+           as long as one live file remains, so dir-level GC alone would
+           leak the rewritten files forever as DML accrues). A dir any
+           live manifest reads whole keeps every file.
+
+        Never touches a file any live snapshot can read. Returns the
+        removed rel paths (dirs and files)."""
         import shutil
 
-        referenced = {d for m in self.versions() for d in m["data_dirs"]}
+        from oss_data_lake_spark.sources.skipping import _iter_parquet_files
+
+        manifests = self.versions()
+        referenced = {d for m in manifests for d in m["data_dirs"]}
         data_root = os.path.join(self.path, "data")
         removed = []
         if os.path.isdir(data_root):
@@ -1391,6 +1405,25 @@ class SnapshotTable:
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(data_root, name))
                     removed.append(rel)
+        for d in sorted(referenced):
+            live: set[str] = set()
+            whole = False
+            for m in manifests:
+                if d not in m["data_dirs"]:
+                    continue
+                vis = self._visible_files(m, d)
+                if vis is None:
+                    whole = True  # some snapshot reads the whole dir
+                    break
+                live.update(vis)
+            if whole:
+                continue
+            root = os.path.join(self.path, d)
+            for p in list(_iter_parquet_files(root)):
+                rel_f = os.path.relpath(p, root)
+                if rel_f not in live:
+                    os.remove(p)
+                    removed.append(f"{d}/{rel_f}")
         return removed
 
     # ----------------------------------------------------------- internal

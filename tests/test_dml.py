@@ -348,3 +348,38 @@ def test_sql_insert_from_time_travel_source(spark, tmp_path):
     eng.sql("INSERT INTO tt SELECT k, v FROM tt FOR VERSION AS OF 1")
     got = sorted(r.k for r in t.read().collect())
     assert got == list(range(10))
+
+
+def test_vacuum_reclaims_files_dead_after_dml(spark, tmp_path):
+    """Copy-on-write DML leaves rewritten files on disk for time travel;
+    once the old snapshots EXPIRE, file-level vacuum must reclaim them —
+    dir-level GC alone would leak them forever (the dir stays referenced
+    by its surviving files)."""
+    import os
+
+    from oss_data_lake_spark.sources.skipping import _iter_parquet_files
+
+    t = SnapshotTable(spark, str(tmp_path / "gc"))
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    d1 = t._manifest(1)["data_dirs"][0]
+    n_before = len(list(_iter_parquet_files(os.path.join(t.path, d1))))
+    assert n_before == 10
+
+    t.delete_where(
+        "k BETWEEN 0 AND 19", prune_column="k", prune_lower=0, prune_upper=19,
+        stats_for=["k"],
+    )
+    # v1 still lives: nothing reclaimable yet
+    assert t.vacuum() == []
+    assert len(list(_iter_parquet_files(os.path.join(t.path, d1)))) == n_before
+    assert t.read(version=1).count() == 100  # time travel intact
+
+    removed = t.expire_snapshots(keep_last=1)  # expire v1 (runs vacuum)
+    assert removed == [1]
+    n_after = len(list(_iter_parquet_files(os.path.join(t.path, d1))))
+    assert n_after < n_before, "dead rewritten files must be reclaimed"
+    # the table is untouched
+    assert sorted(r.k for r in t.read().collect()) == list(range(20, 100))
+    # pruned reads stay consistent after the reclaim
+    assert t.read_between("k", 20, 39).count() == 20
