@@ -1,0 +1,114 @@
+"""SnapshotTable as a streaming SOURCE (streaming/snapshot_source.py) —
+versions as offsets, manifest diffs as micro-batches, checkpoint-exact
+resume. Delta readStream parity on the Spark 4 Python DataSource API."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+from oss_data_lake_spark.streaming.snapshot_source import (
+    FORMAT_NAME,
+    SnapshotStreamSource,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(SnapshotStreamSource)
+    return spark
+
+
+def _drain(spark, path: str, ck: str) -> list[tuple]:
+    got: list[tuple] = []
+
+    def sink(batch, _bid):
+        got.extend(tuple(r) for r in batch.collect())
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_stream_reads_appends_and_resumes_from_checkpoint(
+    registered, spark, tmp_path
+):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)]))
+
+    first = _drain(spark, t.path, ck)
+    assert sorted(first) == [(i, float(i)) for i in range(5)]
+
+    # two more commits while the stream is down; resume drains ONLY them
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5, 8)]),
+        mode="append",
+    )
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(8, 10)]),
+        mode="append",
+    )
+    second = _drain(spark, t.path, ck)
+    assert sorted(second) == [(i, float(i)) for i in range(5, 10)]
+
+    # nothing new: the next drain is empty (no replay)
+    assert _drain(spark, t.path, ck) == []
+
+
+def test_stream_projects_evolved_schema(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    ck = str(tmp_path / "ck")
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    _drain(spark, t.path, ck)
+    t.commit(
+        spark.createDataFrame([Row(k=2, tag="x")]), mode="append"
+    )
+    got = _drain(spark, t.path, ck)
+    # the batch projects onto the HEAD schema (k, tag)
+    assert got == [(2, "x")]
+
+
+def test_stream_refuses_rewritten_history(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rw"))
+    ck = str(tmp_path / "ck")
+    t.commit(
+        spark.createDataFrame([Row(k=i) for i in range(10)]),
+        stats_for=["k"],
+    )
+    _drain(spark, t.path, ck)
+    t.delete_where("k < 3", prune_column="k", prune_lower=0, prune_upper=2)
+    with pytest.raises(Exception, match="rewrite|append chain|shrank"):
+        _drain(spark, t.path, ck)
+
+
+def test_start_version_skips_history(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "sv"))
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    t.commit(spark.createDataFrame([Row(k=2)]), mode="append")
+    got: list[tuple] = []
+
+    def sink(batch, _bid):
+        got.extend(tuple(r) for r in batch.collect())
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.path)
+        .option("startVersion", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == [(2,)]
