@@ -52,11 +52,16 @@ class Engine:
             )
 
             dispatched = dispatch_statement(
-                self.spark, text, self._snapshot_tables
+                self.spark, text, self._snapshot_tables, engine=self
             )
             if dispatched is not None:
                 return dispatched
             return sql_with_time_travel(self.spark, text, self._snapshot_tables)
+        from oss_data_lake_spark.sources.dml_sql import dispatch_statement
+
+        dispatched = dispatch_statement(self.spark, text, {}, engine=self)
+        if dispatched is not None:
+            return dispatched
         return self.spark.sql(text)
 
     def register_snapshot_table(self, name: str, path: str):
@@ -68,6 +73,29 @@ class Engine:
         t = SnapshotTable(self.spark, path)
         self._snapshot_tables[name] = t
         return t
+
+    def snapshot_table_path(self, name: str) -> str:
+        """The managed location for snapshot table ``name``: under the
+        engine's warehouse dir (falling back to the session's
+        ``spark.sql.warehouse.dir``) in a ``_snapshot_tables/`` namespace
+        — the path policy `CREATE TABLE ... USING snapshot` uses."""
+        import os
+
+        root = self._warehouse_dir
+        if root is None:
+            root = self.spark.conf.get("spark.sql.warehouse.dir")
+            if root.startswith("file:"):
+                root = root[len("file:"):]
+        return os.path.join(root, "_snapshot_tables", name)
+
+    def drop_snapshot_table(self, name: str, delete_data: bool = True):
+        """Unregister (and by default delete) a managed snapshot table —
+        `DROP TABLE` semantics for the snapshot layer."""
+        import shutil
+
+        t = self._snapshot_tables.pop(name)
+        if delete_data:
+            shutil.rmtree(t.path, ignore_errors=True)
 
     def snapshot_view(
         self, view_name: str, table_name: str, version: int | None = None

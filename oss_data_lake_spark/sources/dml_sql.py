@@ -305,12 +305,67 @@ def _run_merge(
     return _metrics_df(spark, info)
 
 
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
+    r"USING\s+SNAPSHOT\s+AS\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _prunable_columns(df: DataFrame) -> list[str]:
+    """Columns worth harvesting file stats for at CTAS time: the
+    primitive comparable types the skipping encoder understands."""
+    ok = {
+        "byte", "short", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz",
+    }
+    return [c for c, t in df.dtypes if t in ok or t.startswith("decimal")]
+
+
 def dispatch_statement(
-    spark: SparkSession, text: str, tables: dict[str, SnapshotTable]
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, SnapshotTable],
+    engine=None,
 ) -> DataFrame | None:
     """Execute ``text`` if it is a recognized DML/maintenance statement
     against a registered snapshot table; return None for everything else
-    (the caller's query path takes over)."""
+    (the caller's query path takes over). ``engine`` (an ``Engine``)
+    enables the lifecycle statements — ``CREATE TABLE ... USING snapshot
+    AS <query>`` (managed location under the engine's warehouse,
+    auto-registered, stats harvested for every prunable column) and
+    ``DROP TABLE`` of a REGISTERED snapshot table (unregister + delete;
+    unregistered names fall through to the session catalog's DROP)."""
+    from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+    m = _CREATE_RE.match(text)
+    if m and engine is not None:
+        if_not_exists, name, query = m.group(1), m.group(2), m.group(3)
+        if name in tables:
+            if if_not_exists:
+                return spark.createDataFrame([(0,)], "version long").limit(0)
+            raise ValueError(
+                f"snapshot table '{name}' already exists; use "
+                f"CREATE TABLE IF NOT EXISTS or DROP TABLE first"
+            )
+        df = sql_with_time_travel(spark, query, tables)
+        t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
+        version = t.commit(df, stats_for=_prunable_columns(df) or None)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _DROP_RE.match(text)
+    if m:
+        if_exists, name = m.group(1), m.group(2)
+        if name in tables and engine is not None:
+            engine.drop_snapshot_table(name)
+            return spark.createDataFrame([(name,)], "dropped string")
+        if name not in tables:
+            return None  # session-catalog table: Spark's own DROP handles it
+
     m = _DELETE_RE.match(text)
     if m:
         t = _require(tables, m.group(1), "DELETE FROM")

@@ -12,11 +12,15 @@ Design (scaled-down Iceberg):
   concurrent readers of any older snapshot are undisturbed (snapshot
   isolation for readers).
 - A manifest ``_snapshots/v{N}.json`` lists the data directories visible in
-  that snapshot (append = parent dirs + new dir; overwrite = new dir only).
-- ``_snapshots/CURRENT`` names the live version; both manifest and pointer
-  are published via write-temp + ``os.replace`` (atomic on POSIX), so a
-  crash mid-commit leaves the previous snapshot intact (the orphaned data
-  dir is unreferenced garbage, reclaimed by ``vacuum``).
+  that snapshot (append = parent dirs + new dir; overwrite = new dir only;
+  row-level DML additionally shrinks per-dir VISIBLE-file subsets).
+- ``_snapshots/CURRENT`` names the live version. WHERE the manifest slot
+  claim and pointer advance become atomic is pluggable
+  (``sources/catalog.py``): the default local protocol uses flock +
+  hard-link claims + ``os.replace``; ``CasCommitProtocol`` runs the same
+  tail as conditional-PUT claims + pointer CAS for object stores. Either
+  way a crash mid-commit leaves the previous snapshot intact (the
+  orphaned data dir is unreferenced garbage, reclaimed by ``vacuum``).
 - ``rollback(v)`` never deletes: it creates a NEW snapshot whose file list
   equals the old one — exactly Iceberg's ``rollback_to_snapshot``.
 - **Schema evolution**: every manifest records the table schema AS OF that

@@ -177,3 +177,51 @@ def test_sql_merge_restricted_grammar_refusals(spark, eng):
             "MERGE INTO t USING (SELECT k, v, s FROM t) s ON t.k = s.k "
             "WHEN MATCHED AND t.v > 5 THEN UPDATE SET *"
         )
+
+
+def test_sql_ctas_and_drop_lifecycle(spark, tmp_path):
+    """CREATE TABLE ... USING snapshot AS <query> materializes a managed
+    snapshot table (auto-registered, stats harvested), the new table
+    immediately supports the whole statement surface, and DROP TABLE
+    unregisters + deletes; session-catalog DROPs still fall through."""
+    import os
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(100)]
+    ).createOrReplaceTempView("src_view")
+
+    v = eng.sql(
+        "CREATE TABLE managed USING snapshot AS SELECT k, v FROM src_view"
+    ).collect()[0]["version"]
+    assert v == 1
+    t = eng._snapshot_tables["managed"]
+    assert t.path == str(tmp_path / "wh" / "_snapshot_tables" / "managed")
+    assert os.path.isdir(t.path)
+    assert t.stats_columns() == {"k", "v"}, "CTAS must harvest stats"
+
+    # the created table takes DML + time travel right away
+    eng.sql("DELETE FROM managed WHERE k BETWEEN 0 AND 9")
+    assert eng.sql("SELECT count(*) AS n FROM managed").collect()[0]["n"] == 90
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM managed FOR VERSION AS OF 1"
+        ).collect()[0]["n"]
+        == 100
+    )
+
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE managed USING snapshot AS SELECT 1 AS x")
+    # IF NOT EXISTS: no-op, table untouched
+    eng.sql(
+        "CREATE TABLE IF NOT EXISTS managed USING snapshot AS SELECT 1 AS x"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM managed").collect()[0]["n"] == 90
+
+    eng.sql("DROP TABLE managed")
+    assert "managed" not in eng._snapshot_tables
+    assert not os.path.exists(t.path)
+
+    # plain CREATE/DROP still reach the session catalog untouched
+    eng.sql("CREATE TABLE IF NOT EXISTS plain_tbl (a INT) USING parquet")
+    eng.sql("DROP TABLE plain_tbl")
