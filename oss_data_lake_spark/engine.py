@@ -64,6 +64,19 @@ class Engine:
             return dispatched
         return self.spark.sql(text)
 
+    def sql_script(self, script: str) -> DataFrame | None:
+        """Run a multi-statement SQL script (statements split on
+        depth-0 semicolons outside literals) through the full statement
+        surface; returns the LAST statement's result — the
+        runbook/notebook pattern of DDL + DML + a final SELECT in one
+        string."""
+        from oss_data_lake_spark.sources.dml_sql import split_statements
+
+        last: DataFrame | None = None
+        for stmt in split_statements(script):
+            last = self.sql(stmt)
+        return last
+
     def register_snapshot_table(self, name: str, path: str):
         """Expose the SnapshotTable at ``path`` to ``sql`` under ``name``
         (plain references read the current snapshot; AS-OF clauses time

@@ -133,6 +133,21 @@ def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
     return out
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on semicolons — only at paren depth 0 and
+    outside string literals/comments (the masked-text discipline every
+    structural split here uses). Empty statements vanish."""
+    masked = _masked(script)
+    depths = _depths(masked)
+    out, start = [], 0
+    for i, ch in enumerate(masked):
+        if ch == ";" and depths[i] == 0:
+            out.append(script[start:i])
+            start = i + 1
+    out.append(script[start:])
+    return [s for s in (p.strip() for p in out) if s]
+
+
 def _split_assignments(set_text: str) -> dict[str, str]:
     """``a = expr, b = expr`` split at paren-depth-0 commas (function
     arguments keep their commas)."""

@@ -225,3 +225,34 @@ def test_sql_ctas_and_drop_lifecycle(spark, tmp_path):
     # plain CREATE/DROP still reach the session catalog untouched
     eng.sql("CREATE TABLE IF NOT EXISTS plain_tbl (a INT) USING parquet")
     eng.sql("DROP TABLE plain_tbl")
+
+
+def test_sql_script_runs_full_lifecycle(spark, tmp_path):
+    """One script string: CTAS -> DML -> maintenance -> final SELECT.
+    Statements split on depth-0 semicolons only (a ';' inside a string
+    literal is data)."""
+    from oss_data_lake_spark.sources.dml_sql import split_statements
+
+    assert split_statements("SELECT 'a;b' AS s; SELECT 2") == [
+        "SELECT 'a;b' AS s", "SELECT 2"
+    ]
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(50)]
+    ).createOrReplaceTempView("feed")
+    out = eng.sql_script("""
+        CREATE TABLE script_t USING snapshot AS SELECT k, v FROM feed;
+        DELETE FROM script_t WHERE k < 10;
+        UPDATE script_t SET v = v * 2 WHERE k >= 40;
+        INSERT INTO script_t VALUES (1000, CAST(-1.0 AS DOUBLE));
+        OPTIMIZE script_t INTO 1 FILES;
+        SELECT count(*) AS n, sum(v) AS s FROM script_t;
+    """)
+    row = out.collect()[0]
+    assert row["n"] == 41
+    want = sum(float(k) for k in range(10, 40)) + sum(
+        2.0 * k for k in range(40, 50)
+    ) - 1.0
+    assert row["s"] == want
+    eng.sql("DROP TABLE script_t")
