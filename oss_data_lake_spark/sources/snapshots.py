@@ -1732,6 +1732,12 @@ def sql_with_time_travel(
     DataFrame stays valid while later ``spark.sql`` calls see no leftover
     shadowing views."""
     created: list[str] = []
+    # predicate extraction runs on the ORIGINAL text (the AS-OF clause
+    # sits in the FROM list, so the WHERE's conjuncts associate with the
+    # table name exactly like a plain reference): versioned views get the
+    # same file pruning as head views, planned against THAT version's
+    # manifest stats
+    pruned_tt = extract_prunable_predicates(text, tables)
 
     def _view(name: str, version: int) -> str:
         t = tables.get(name)
@@ -1741,7 +1747,13 @@ def sql_with_time_travel(
                 f"table '{name}' (registered: {sorted(tables)})"
             )
         view = f"__tt_{name.replace('.', '_')}_v{version}"
-        t.read(version=version).createOrReplaceTempView(view)
+        preds = pruned_tt.get(name)
+        df = (
+            t.read_pruned(preds, version=version)
+            if preds
+            else t.read(version=version)
+        )
+        df.createOrReplaceTempView(view)
         created.append(view)
         return view
 

@@ -233,3 +233,32 @@ def test_null_predicates_prune_from_null_counts(spark, tmp_path):
     assert extract_prunable_predicates(
         "SELECT * FROM t WHERE v NOT IN (1, 2)", {"t": t}
     ) == {}
+
+
+def test_as_of_views_also_prune(spark, tmp_path):
+    """FOR VERSION AS OF + a WHERE range: the versioned view must plan
+    against THAT version's manifest stats and open only admitted files —
+    time travel and file skipping compose."""
+    import re
+
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    t = SnapshotTable(spark, str(tmp_path / "ttp"))
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    # v2 deletes the probed range; the AS-OF read must still see it
+    t.delete_where(
+        "k BETWEEN 20 AND 39", prune_column="k", prune_lower=20,
+        prune_upper=39, stats_for=["k"],
+    )
+    text = (
+        "SELECT count(*) AS n FROM ttp FOR VERSION AS OF 1 "
+        "WHERE k BETWEEN 20 AND 39"
+    )
+    out = sql_with_time_travel(spark, text, {"ttp": t})
+    assert out.collect()[0]["n"] == 20
+    _sel, n_sel, n_skip = t.plan_pruned([("k", 20, 39)], version=1)
+    assert n_skip > 0
+    plan = explain_str(sql_with_time_travel(spark, text, {"ttp": t}), "simple")
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m and int(m.group(1)) == n_sel, plan
