@@ -329,6 +329,16 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s+CHECK\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _prunable_columns(df: DataFrame) -> list[str]:
@@ -380,6 +390,22 @@ def dispatch_statement(
             return spark.createDataFrame([(name,)], "dropped string")
         if name not in tables:
             return None  # session-catalog table: Spark's own DROP handles it
+
+    m = _ADD_CONSTRAINT_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].add_constraint(m.group(2), m.group(3))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _DROP_CONSTRAINT_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].drop_constraint(m.group(2))
+        return spark.createDataFrame([(version,)], "version long")
 
     m = _DELETE_RE.match(text)
     if m:

@@ -187,6 +187,13 @@ class SnapshotTable:
             # actual parent at claim time (optimistic concurrency below)
             self._check_evolution(self.schema(parent), df.schema)
         bloom_for = bloom_for or []
+        # CHECK constraints gate every commit kind BEFORE the data write
+        # (one filter+limit pass; a constraint added concurrently with an
+        # in-flight commit gates from the NEXT commit on — it already
+        # validated the table as of its own publish)
+        table_constraints = self.constraints(parent) if parent else {}
+        if table_constraints:
+            self._enforce(table_constraints, df, context="this commit")
         data_dir = f"data/c{(parent or 0) + 1}-{uuid.uuid4().hex[:8]}"
         self._write_data_dir(df, data_dir, partition_by)
         own_stats = self._harvest_stats(data_dir, stats_for, bloom_for)
@@ -268,6 +275,14 @@ class SnapshotTable:
                 # expire_snapshots deleting the original commit's manifest
                 "txn_watermarks": self._next_watermarks(
                     wm if parent else {}, txn_app, txn_version, version
+                ),
+                # table-level CHECK constraints survive every commit kind
+                # (like Delta table properties — an overwrite reshapes
+                # data, not the quality contract)
+                "constraints": (
+                    read_manifest(parent).get("constraints", {})
+                    if parent
+                    else {}
                 ),
                 "committed_at_ms": int(time.time() * 1000),
             }
@@ -360,6 +375,81 @@ class SnapshotTable:
         refresh watermark atomic with their data commit."""
         entry = self._txn_watermarks().get(app)
         return None if entry is None else entry["version"]
+
+    # -------------------------------------------------- CHECK constraints
+    #
+    # Delta's table CHECK constraints (ALTER TABLE ... ADD CONSTRAINT ...
+    # CHECK (expr)): table-level predicates every NEW row must satisfy,
+    # enforced at write time — the quality gate a training-data ingest
+    # pipeline wants at the storage boundary. SQL semantics: a row
+    # violates only when the expression evaluates to FALSE (NULL
+    # satisfies). Stored in the manifest and carried through every commit
+    # kind; enforcement costs one filter+limit(1) pass over each commit's
+    # (or rewrite's) data.
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("constraints", {}))
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Register CHECK constraint ``name`` and VALIDATE the existing
+        data against it (like Delta, adding fails if current rows
+        violate). Publishes a metadata-only snapshot (same data, new
+        constraint set); returns the new version."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        if name in self.constraints(cur):
+            raise ValueError(f"constraint '{name}' already exists")
+        self._enforce({name: expr}, self.read(cur), context="existing rows")
+        return self._commit_constraints(
+            lambda cons: {**cons, name: expr}, f"add_constraint_{name}"
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        cur = self.current_version()
+        if cur is None or name not in self.constraints(cur):
+            raise ValueError(f"no such constraint: '{name}'")
+        return self._commit_constraints(
+            lambda cons: {k: v for k, v in cons.items() if k != name},
+            f"drop_constraint_{name}",
+        )
+
+    def _commit_constraints(self, update_fn, tag: str) -> int:
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("constraint change on an empty table")
+            manifest = dict(read_manifest(parent))
+            manifest["constraints"] = update_fn(
+                dict(manifest.get("constraints", {}))
+            )
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = tag
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
+
+    def _enforce(
+        self, constraints: dict[str, str], df: DataFrame, context: str
+    ) -> None:
+        """One pass: raise on the first row violating any constraint
+        (expr IS FALSE; NULL satisfies, per SQL CHECK semantics)."""
+        for cname, expr in constraints.items():
+            bad = df.filter(
+                F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
+            ).limit(1)
+            if bad.count() > 0:
+                sample = bad.collect()[0].asDict()
+                raise ValueError(
+                    f"CHECK constraint '{cname}' ({expr}) violated by "
+                    f"{context}: {sample}"
+                )
 
     def commit_clustered(
         self,
@@ -462,6 +552,11 @@ class SnapshotTable:
                 # rolling back data must not roll back applied-batch
                 # memory, or re-deliveries after a rollback double-apply
                 "txn_watermarks": self._txn_watermarks(parent),
+                # the quality contract is an operator decision, not data
+                # state: rollback keeps the HEAD's constraints
+                "constraints": (
+                    self.constraints(parent) if parent else {}
+                ),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -1210,6 +1305,10 @@ class SnapshotTable:
                 n_sel, n_skip = 0, 0
             candidates = self._read_selection(v, selection)
             replacement = self._align(transform(candidates), target)
+            if tag != "delete":  # deletes can't create violating rows
+                cons = self.constraints(v)
+                if cons:
+                    self._enforce(cons, replacement, context=f"this {tag}")
             new_dir = f"data/r{v + 1}-{uuid.uuid4().hex[:8]}"
             self._write_data_dir(replacement, new_dir)
             own_stats = self._harvest_stats(new_dir, stats_for, bloom_for)
@@ -1300,6 +1399,7 @@ class SnapshotTable:
                 "schema": target.jsonValue(),
                 "txn": None,
                 "txn_watermarks": self._txn_watermarks(parent),
+                "constraints": manifest.get("constraints", {}),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
