@@ -339,6 +339,36 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_COLUMNS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+COLUMNS?\s+"
+    r"\(?\s*([A-Za-z_][\w\s,]*?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_column_defs(defs: str) -> dict[str, str]:
+    """``a INT, b DECIMAL(10,2)`` → {name: type_ddl}; commas inside type
+    parens are not separators."""
+    masked = _masked(defs)
+    depths = _depths(masked)
+    parts, start = [], 0
+    for i, ch in enumerate(masked):
+        if ch == "," and depths[i] == 0:
+            parts.append(defs[start:i])
+            start = i + 1
+    parts.append(defs[start:])
+    out: dict[str, str] = {}
+    for p in parts:
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)\s*$", p, re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {p.strip()!r}")
+        out[m.group(1)] = m.group(2)
+    return out
 
 
 def _prunable_columns(df: DataFrame) -> list[str]:
@@ -405,6 +435,23 @@ def dispatch_statement(
         if name not in tables:
             return None
         version = tables[name].drop_constraint(m.group(2))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _ADD_COLUMNS_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].add_columns(_parse_column_defs(m.group(2)))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _DROP_COLUMN_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        names = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        version = tables[name].drop_columns(names)
         return spark.createDataFrame([(version,)], "version long")
 
     m = _DELETE_RE.match(text)

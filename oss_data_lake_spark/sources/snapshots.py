@@ -88,6 +88,12 @@ def _compatible(old: T.DataType, new: T.DataType) -> bool:
     return old == new or (old.typeName(), new.typeName()) in _WIDENINGS
 
 
+def _parse_type(ddl: str) -> T.DataType:
+    """Spark type-DDL string → DataType (``int``, ``string``,
+    ``decimal(10,2)``, ``array<double>``, ...)."""
+    return T._parse_datatype_string(ddl)
+
+
 class SnapshotTable:
     """A parquet table with Iceberg-style snapshots, time travel, rollback.
 
@@ -416,6 +422,68 @@ class SnapshotTable:
             lambda cons: {k: v for k, v in cons.items() if k != name},
             f"drop_constraint_{name}",
         )
+
+    # ------------------------------------------------- schema-change DDL
+    #
+    # Iceberg's metadata-only schema evolution (ALTER TABLE ... ADD
+    # COLUMNS / DROP COLUMN): no data file is touched — the snapshot
+    # schema changes and reads project every file onto it (added columns
+    # NULL-fill for pre-evolution files; dropped columns become invisible
+    # at the new version while time travel still shows them). RENAME is
+    # deliberately unsupported: name-based projection would silently lose
+    # the renamed column's data in old files — doing it right needs
+    # Iceberg's field-ID indirection, so we refuse instead of corrupting.
+
+    def add_columns(self, cols: dict[str, str]) -> int:
+        """Append nullable columns (name → Spark type DDL string) to the
+        table schema; metadata-only commit."""
+        def update(schema: T.StructType) -> T.StructType:
+            existing = {f.name for f in schema.fields}
+            dup = existing & set(cols)
+            if dup:
+                raise ValueError(f"columns already exist: {sorted(dup)}")
+            fields = list(schema.fields)
+            for cname, ddl in cols.items():
+                fields.append(
+                    T.StructField(cname, _parse_type(ddl), nullable=True)
+                )
+            return T.StructType(fields)
+
+        return self._commit_schema(update, f"add_columns_{'_'.join(cols)}")
+
+    def drop_columns(self, names: list[str]) -> int:
+        """Remove columns from the table schema; metadata-only commit
+        (data files keep the bytes — time travel still reads them)."""
+        def update(schema: T.StructType) -> T.StructType:
+            existing = {f.name for f in schema.fields}
+            missing = set(names) - existing
+            if missing:
+                raise ValueError(f"no such columns: {sorted(missing)}")
+            kept = [f for f in schema.fields if f.name not in set(names)]
+            if not kept:
+                raise ValueError("cannot drop every column")
+            return T.StructType(kept)
+
+        return self._commit_schema(update, f"drop_columns_{'_'.join(names)}")
+
+    def _commit_schema(self, update_fn, tag: str) -> int:
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("schema change on an empty table")
+            manifest = dict(read_manifest(parent))
+            s = manifest.get("schema")
+            if s is None:
+                raise ValueError("schema change needs a schema-carrying snapshot")
+            manifest["schema"] = update_fn(T.StructType.fromJson(s)).jsonValue()
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = tag
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
 
     def _commit_constraints(self, update_fn, tag: str) -> int:
         def build(parent: int | None, read_manifest) -> dict:

@@ -96,3 +96,46 @@ def test_streaming_sink_batches_are_gated(spark, tmp_path):
         )
     commit_batch(t, spark.createDataFrame([Row(k=2, v=5.0)]), 2, "sink")
     assert t.read().count() == 2
+
+
+def test_schema_ddl_add_and_drop_columns(spark, tmp_path):
+    """Metadata-only ADD COLUMNS / DROP COLUMN: no data file is touched,
+    reads project (NULL-fill / hide), time travel shows the old shape,
+    and subsequent appends follow the evolved schema. RENAME refuses —
+    name-based projection would silently lose old files' data."""
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(5)]
+    ).createOrReplaceTempView("feed0")
+    eng.sql("CREATE TABLE evo USING snapshot AS SELECT k, v FROM feed0")
+    t = eng._snapshot_tables["evo"]
+
+    v = eng.sql(
+        "ALTER TABLE evo ADD COLUMNS (tag STRING, score DECIMAL(10,2))"
+    ).collect()[0]["version"]
+    assert v == 2
+    assert [f.name for f in t.schema().fields] == ["k", "v", "tag", "score"]
+    rows = eng.sql("SELECT * FROM evo").collect()
+    assert all(r["tag"] is None and r["score"] is None for r in rows)
+    # appends follow the evolved schema
+    eng.sql(
+        "INSERT INTO evo VALUES (100, CAST(1.0 AS DOUBLE), 'x', CAST(2.5 AS DECIMAL(10,2)))"
+    )
+    got = {r["k"]: r["tag"] for r in eng.sql("SELECT k, tag FROM evo").collect()}
+    assert got[100] == "x" and got[0] is None
+
+    eng.sql("ALTER TABLE evo DROP COLUMN v")
+    assert [f.name for f in t.schema().fields] == ["k", "tag", "score"]
+    assert "v" not in eng.sql("SELECT * FROM evo").columns
+    # time travel still shows v
+    assert "v" in eng.sql("SELECT * FROM evo FOR VERSION AS OF 1").columns
+
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"tag": "string"})
+    with pytest.raises(ValueError, match="no such columns"):
+        t.drop_columns(["nope"])
+    # session-catalog ALTER still falls through untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS plain_evo (a INT) USING parquet")
+    eng.sql("ALTER TABLE plain_evo ADD COLUMNS (b INT)")
+    assert "b" in spark.table("plain_evo").columns
+    spark.sql("DROP TABLE plain_evo")
