@@ -79,6 +79,12 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+_FILES_RE = re.compile(
+    r"^\s*DESCRIBE\s+FILES\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)"
     r"(?:\s*\(([^)]*)\))?\s+(.*?)\s*;?\s*$",
@@ -568,6 +574,77 @@ def dispatch_statement(
             rows,
             "version long, parent long, operation string, "
             "n_data_dirs long, committed_at_ms long",
+        )
+
+    m = _DETAIL_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "DESCRIBE DETAIL")
+        v = t.current_version()
+        manifest = t._manifest(v)
+        n_files = n_visible = 0
+        for d in manifest["data_dirs"]:
+            universe = t._stats_universe(
+                d, manifest.get("file_stats", {}).get(d) or {}
+            )
+            vis = manifest.get("dir_files", {}).get(d)
+            n_files += len(universe)
+            n_visible += len(universe) if vis is None else len(vis)
+        schema = t.schema(v)
+        return spark.createDataFrame(
+            [
+                (
+                    v,
+                    len(manifest["data_dirs"]),
+                    n_files,
+                    n_visible,
+                    ", ".join(f.name for f in schema.fields) if schema else None,
+                    ", ".join(
+                        f"{k}: {x}"
+                        for k, x in sorted(
+                            manifest.get("constraints", {}).items()
+                        )
+                    ),
+                    sorted(t.stats_columns(v)),
+                )
+            ],
+            "version long, n_data_dirs long, n_files long, "
+            "n_visible_files long, columns string, constraints string, "
+            "stats_columns array<string>",
+        )
+
+    m = _FILES_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "DESCRIBE FILES")
+        v = t.current_version()
+        manifest = t._manifest(v)
+        rows = []
+        for d in manifest["data_dirs"]:
+            stats = manifest.get("file_stats", {}).get(d) or {}
+            universe = t._stats_universe(d, stats)
+            vis = manifest.get("dir_files", {}).get(d)
+            vset = None if vis is None else set(vis)
+            for f in universe:
+                cols = stats.get(f, {})
+                nrows = None
+                for c, entry in cols.items():
+                    if not c.startswith("bloom:") and "rows" in entry:
+                        nrows = entry["rows"]
+                        break
+                rows.append(
+                    (
+                        d,
+                        f,
+                        vset is None or f in vset,
+                        nrows,
+                        sorted(
+                            c for c in cols if not c.startswith("bloom:")
+                        ),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "data_dir string, file string, visible boolean, "
+            "rows long, stat_columns array<string>",
         )
 
     if _DML_SHAPE_RE.match(text):

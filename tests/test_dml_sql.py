@@ -256,3 +256,17 @@ def test_sql_script_runs_full_lifecycle(spark, tmp_path):
     ) - 1.0
     assert row["s"] == want
     eng.sql("DROP TABLE script_t")
+
+
+def test_describe_detail_and_files(spark, eng):
+    eng.sql("DELETE FROM t WHERE k BETWEEN 0 AND 9")
+    detail = eng.sql("DESCRIBE DETAIL t").collect()[0]
+    assert detail["version"] == 2
+    assert detail["n_files"] > detail["n_visible_files"]
+    assert "k, v, s" == detail["columns"]
+    assert detail["stats_columns"] == ["k"]
+    files = eng.sql("DESCRIBE FILES t").collect()
+    assert len(files) == detail["n_files"]
+    invisible = [r for r in files if not r["visible"]]
+    assert invisible, "the deleted slice's file must show as invisible"
+    assert all(r["stat_columns"] == ["k"] for r in files if r["stat_columns"])
