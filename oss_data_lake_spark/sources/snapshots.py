@@ -232,6 +232,7 @@ class SnapshotTable:
             dir_schemas = {data_dir: df.schema.jsonValue()}
             file_stats = {data_dir: own_stats} if own_stats else {}
             dir_files: dict = {}
+            delete_dirs: list = []
             if mode == "append" and parent:
                 self._check_evolution(self.schema(parent), df.schema)
                 pm = read_manifest(parent)
@@ -240,8 +241,10 @@ class SnapshotTable:
                 dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
                 # row-level rewrites shrink per-dir visibility; appends
-                # carry the parent's visible sets forward unchanged
+                # carry the parent's visible sets AND delete vectors
+                # forward unchanged (overwrite starts clean)
                 dir_files = dict(pm.get("dir_files", {}))
+                delete_dirs = list(pm.get("delete_dirs", []))
             return {
                 "version": version,
                 "parent": parent,
@@ -260,6 +263,8 @@ class SnapshotTable:
                 # per-dir VISIBLE-file subsets (absent key = whole dir):
                 # copy-on-write DML shrinks these instead of deleting data
                 "dir_files": dir_files,
+                # merge-on-read tombstone dirs (anti-joined at read time)
+                "delete_dirs": delete_dirs,
                 # the table schema AS OF this snapshot: appends adopt the
                 # new (possibly evolved) write schema — older files are
                 # projected onto it at read time
@@ -613,6 +618,7 @@ class SnapshotTable:
                 "partition_specs": old.get("partition_specs", {}),
                 "dir_schemas": old.get("dir_schemas", {}),
                 "dir_files": old.get("dir_files", {}),
+                "delete_dirs": old.get("delete_dirs", []),
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
@@ -646,12 +652,15 @@ class SnapshotTable:
             return self.spark.read.parquet(
                 *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
             )
-        parts = self._scan_parts(manifest, target)
+        dv_dirs = manifest.get("delete_dirs", [])
+        parts = self._scan_parts(manifest, target, with_meta=bool(dv_dirs))
         if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dv_dirs:
+            out = self._apply_delete_vectors(out, dv_dirs)
         return out
 
     def _visible_files(self, manifest: dict, rel_dir: str) -> list[str] | None:
@@ -667,6 +676,7 @@ class SnapshotTable:
         manifest: dict,
         target: T.StructType,
         selection: dict[str, list[str] | None] | None = None,
+        with_meta: bool = False,
     ) -> list[DataFrame]:
         """The snapshot's scan children, aligned onto ``target``.
 
@@ -728,7 +738,11 @@ class SnapshotTable:
                 part = self.spark.read.schema(
                     T.StructType.fromJson(a)
                 ).parquet(*b)
-            parts.append(self._align(part, target))
+            parts.append(
+                self._align_with_meta(part, target)
+                if with_meta
+                else self._align(part, target)
+            )
         return parts
 
     def plan_range_scan(
@@ -1060,12 +1074,17 @@ class SnapshotTable:
             return self.spark.read.parquet(
                 *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
             )
-        parts = self._scan_parts(manifest, target, selection=selection)
+        dv_dirs = manifest.get("delete_dirs", [])
+        parts = self._scan_parts(
+            manifest, target, selection=selection, with_meta=bool(dv_dirs)
+        )
         if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dv_dirs:
+            out = self._apply_delete_vectors(out, dv_dirs)
         return out
 
     def _read_dir(
@@ -1115,6 +1134,156 @@ class SnapshotTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    # ---------------------------------- merge-on-read delete vectors
+    #
+    # Iceberg v2 position deletes / Delta deletion vectors: a DELETE may
+    # record (file, row-position) tombstones instead of rewriting data
+    # files — O(matched rows written as a tiny parquet) instead of
+    # O(candidate files rewritten). Readers anti-join the scan against
+    # the union of the snapshot's delete vectors on
+    # (relative file, _metadata.row_index); compaction materializes the
+    # deletes and clears the vectors. Positions never touch the driver —
+    # the tombstone write is a distributed filter+projection.
+
+    def _file_uri_prefix(self) -> str:
+        """What ``_metadata.file_path`` prefixes this table's files with
+        (local paths canonicalize to ``file:`` URIs)."""
+        return self.path if "://" in self.path else f"file:{self.path}"
+
+    def _rel_file_col(self) -> F.Column:
+        """``_metadata.file_path`` → table-relative file path (the same
+        coordinates manifests use), computed identically at tombstone
+        write and scan time so the anti-join compares like with like."""
+        return F.expr(
+            f"substring(_metadata.file_path, {len(self._file_uri_prefix()) + 2})"
+        )
+
+    def _align_with_meta(self, df: DataFrame, target: T.StructType) -> DataFrame:
+        cols = []
+        present = set(df.columns)
+        for f in target.fields:
+            if f.name in present:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cols.append(self._rel_file_col().alias("__dv_file"))
+        cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
+        return df.select(*cols)
+
+    def _read_delete_vectors(self, dv_dirs: list[str]) -> DataFrame:
+        return self.spark.read.schema("file string, pos long").parquet(
+            *[os.path.join(self.path, d) for d in dv_dirs]
+        )
+
+    def _apply_delete_vectors(self, out: DataFrame, dv_dirs: list[str]) -> DataFrame:
+        """Anti-join the (meta-carrying) scan against the tombstones;
+        AQE picks broadcast when the vectors are small (the usual case)."""
+        dv = self._read_delete_vectors(dv_dirs)
+        return out.join(
+            dv,
+            (out["__dv_file"] == dv["file"]) & (out["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        ).drop("__dv_file", "__dv_pos")
+
+    def delete_where_mor(
+        self,
+        condition: "str | F.Column",
+        prune_column: str | None = None,
+        prune_lower=None,
+        prune_upper=None,
+        prune_preds: list | None = None,
+    ) -> dict:
+        """MERGE-ON-READ ``DELETE``: write (file, position) tombstones for
+        the matching rows instead of rewriting their files. Same pruning
+        contract as ``delete_where``; cost is one pruned scan + a tiny
+        parquet write, independent of how large the candidate FILES are.
+        Readers pay an anti-join until ``compact()`` materializes the
+        deletes. Returns ``{"version", "files_scanned", "files_skipped",
+        "mode": "merge-on-read"}``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        last_err: Exception | None = None
+        for _attempt in range(self._DML_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            target = self.schema(v)
+            if target is None:
+                raise ValueError("MoR delete needs a schema-carrying snapshot")
+            manifest = self._manifest(v)
+            if prune_preds:
+                selection, n_sel, n_skip = self.plan_pruned(prune_preds, version=v)
+            elif prune_column is not None:
+                selection, n_sel, n_skip = self.plan_range_scan(
+                    prune_column, prune_lower, prune_upper, version=v
+                )
+            else:
+                selection = {d: None for d in manifest["data_dirs"]}
+                n_sel, n_skip = 0, 0
+            parts = self._scan_parts(
+                manifest, target, selection=selection, with_meta=True
+            )
+            if not parts:
+                return {
+                    "version": v, "files_scanned": n_sel,
+                    "files_skipped": n_skip, "mode": "merge-on-read",
+                }
+            cand = parts[0]
+            for p in parts[1:]:
+                cand = cand.unionByName(p)
+            dv_dirs = manifest.get("delete_dirs", [])
+            if dv_dirs:
+                cand = self._apply_delete_vectors_keep_meta(cand, dv_dirs)
+            tombstones = (
+                cand.filter(F.coalesce(cond, F.lit(False)))
+                .select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+            )
+            new_dir = f"deletes/dv{v + 1}-{uuid.uuid4().hex[:8]}"
+            tombstones.write.mode("errorifexists").parquet(
+                os.path.join(self.path, new_dir)
+            )
+
+            def build(parent: int | None, read_manifest) -> dict:
+                if parent != v:
+                    raise CommitConflict(
+                        f"planned against v{v}, head is v{parent}"
+                    )
+                m = dict(read_manifest(v))
+                m["delete_dirs"] = m.get("delete_dirs", []) + [new_dir]
+                m["version"] = v + 1
+                m["parent"] = v
+                m["mode"] = "delete_mor"
+                m["txn"] = None
+                m["txn_watermarks"] = self._txn_watermarks(v)
+                m["committed_at_ms"] = int(time.time() * 1000)
+                return m
+
+            try:
+                version = self.protocol.commit(build)
+                return {
+                    "version": version,
+                    "files_scanned": n_sel,
+                    "files_skipped": n_skip,
+                    "mode": "merge-on-read",
+                }
+            except CommitConflict as e:
+                last_err = e
+        raise CommitConflict(
+            f"MoR delete on {self.path} lost {self._DML_RETRIES} retries"
+        ) from last_err
+
+    def _apply_delete_vectors_keep_meta(
+        self, out: DataFrame, dv_dirs: list[str]
+    ) -> DataFrame:
+        dv = self._read_delete_vectors(dv_dirs)
+        return out.join(
+            dv,
+            (out["__dv_file"] == dv["file"]) & (out["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+
     def version_as_of(self, ts_ms: int) -> int:
         """The snapshot visible at epoch-millis ``ts_ms``: the LARGEST
         version committed at or before it (Iceberg's
@@ -1162,6 +1331,12 @@ class SnapshotTable:
                 f"snapshot {to_v} is not an append descendant of "
                 f"{from_version} (an overwrite intervened); read the full "
                 f"snapshot instead"
+            )
+        if set(head.get("delete_dirs", [])) != set(base_m.get("delete_dirs", [])):
+            raise ValueError(
+                f"snapshot {to_v} is not an append descendant of "
+                f"{from_version} (merge-on-read delete vectors changed); "
+                f"read the full snapshot instead"
             )
         for d in base:
             bvis = self._visible_files(base_m, d)
@@ -1456,6 +1631,10 @@ class SnapshotTable:
                     new_dir: target.jsonValue(),
                 },
                 "dir_files": dir_files,
+                # delete vectors for rewritten files become vacuous (their
+                # files left visibility); vectors for untouched files
+                # still apply
+                "delete_dirs": manifest.get("delete_dirs", []),
                 "file_stats": {
                     **{
                         d: s
@@ -1576,6 +1755,17 @@ class SnapshotTable:
                 rel = f"data/{name}"
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(data_root, name))
+                    removed.append(rel)
+        # merge-on-read tombstone dirs unreferenced by any live snapshot
+        dv_referenced = {
+            d for m in manifests for d in m.get("delete_dirs", [])
+        }
+        dv_root = os.path.join(self.path, "deletes")
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                rel = f"deletes/{name}"
+                if rel not in dv_referenced:
+                    shutil.rmtree(os.path.join(dv_root, name))
                     removed.append(rel)
         for d in sorted(referenced):
             live: set[str] = set()

@@ -129,6 +129,14 @@ def _build_source_class():
                     f"append chain (an overwrite/rollback intervened) — "
                     f"restart the stream from a fresh startVersion"
                 )
+            if set(head.get("delete_dirs", [])) != set(
+                base_m.get("delete_dirs", [])
+            ):
+                raise ValueError(
+                    f"snapshot_stream: merge-on-read delete vectors "
+                    f"changed between versions {sv} and {ev} — no "
+                    f"well-defined append delta"
+                )
             for d in base_dirs:
                 bvis = self._visible(base_m, d)
                 hvis = self._visible(head, d)

@@ -1,0 +1,125 @@
+"""Merge-on-read deletes (Iceberg v2 position deletes / Delta deletion
+vectors): DELETE writes (file, row-position) tombstones instead of
+rewriting files; every read path anti-joins them; compaction
+materializes and vacuum reclaims."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.sources.skipping import _iter_parquet_files
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    return t
+
+
+def _data_files(t):
+    return sorted(
+        p
+        for d in t._manifest(t.current_version())["data_dirs"]
+        for p in _iter_parquet_files(os.path.join(t.path, d))
+    )
+
+
+def test_mor_delete_leaves_files_untouched(spark, tbl):
+    before = _data_files(tbl)
+    mtimes = {p: os.path.getmtime(p) for p in before}
+    info = tbl.delete_where_mor(
+        "k BETWEEN 20 AND 39", prune_column="k", prune_lower=20, prune_upper=39
+    )
+    assert info["mode"] == "merge-on-read"
+    assert info["files_skipped"] > 0, "MoR delete must still prune its scan"
+    assert info["version"] == 2
+    # no data file rewritten, none added
+    assert _data_files(tbl) == before
+    assert {p: os.path.getmtime(p) for p in before} == mtimes
+    # rows are gone from the head, present in history
+    got = sorted(r.k for r in tbl.read().collect())
+    assert got == [i for i in range(100) if not 20 <= i <= 39]
+    assert tbl.read(version=1).count() == 100
+    # pruned reads apply the vectors too
+    assert tbl.read_between("k", 0, 49).count() == 30
+
+
+def test_mor_deletes_stack_and_append_composes(spark, tbl):
+    tbl.delete_where_mor("k < 10")
+    tbl.delete_where_mor("k >= 90")
+    assert sorted(r.k for r in tbl.read().collect()) == list(range(10, 90))
+    # appended rows are unaffected by existing vectors
+    tbl.commit(
+        spark.createDataFrame([Row(k=200, v=0.5)]), mode="append"
+    )
+    got = sorted(r.k for r in tbl.read().collect())
+    assert got == list(range(10, 90)) + [200]
+    # re-deleting an already-tombstoned range is a no-op for results
+    tbl.delete_where_mor("k < 10")
+    assert tbl.read().count() == 81
+
+
+def test_mor_then_compact_materializes_and_vacuum_reclaims(spark, tbl):
+    tbl.delete_where_mor(
+        "k BETWEEN 0 AND 19", prune_column="k", prune_lower=0, prune_upper=19
+    )
+    assert tbl._manifest(tbl.current_version())["delete_dirs"]
+    tbl.compact(target_partitions=2, stats_for=["k"])
+    head = tbl._manifest(tbl.current_version())
+    assert head.get("delete_dirs", []) == []
+    assert tbl.read().count() == 80
+    tbl.expire_snapshots(keep_last=1)
+    assert not os.path.isdir(os.path.join(tbl.path, "deletes")) or not os.listdir(
+        os.path.join(tbl.path, "deletes")
+    )
+    assert tbl.read().count() == 80
+
+
+def test_mor_and_cow_interplay(spark, tbl):
+    tbl.delete_where_mor("k BETWEEN 0 AND 9")
+    # a CoW delete on another range: candidates read with vectors applied,
+    # untouched files keep their vectors
+    tbl.delete_where(
+        "k BETWEEN 90 AND 99", prune_column="k", prune_lower=90, prune_upper=99
+    )
+    assert sorted(r.k for r in tbl.read().collect()) == list(range(10, 90))
+    # an UPDATE over a tombstoned range must not resurrect rows
+    tbl.update_where("k < 20", {"v": "v + 1000.0"})
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert 0 not in rows and rows[10] == 1010.0
+
+
+def test_mor_breaks_incremental_chains_loudly(spark, tbl):
+    v1 = tbl.current_version()
+    tbl.delete_where_mor("k < 5")
+    with pytest.raises(ValueError, match="delete vectors"):
+        tbl.read_changes(v1)
+
+
+def test_mor_refuses_streaming_start_with_active_vectors(spark, tmp_path):
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        FORMAT_NAME,
+        SnapshotStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotStreamSource)
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    t.delete_where_mor("k < 3")
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.path)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="delete vectors"):
+        q.awaitTermination()
