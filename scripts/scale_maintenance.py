@@ -109,6 +109,38 @@ def main() -> None:
             stats_for=["key"],
         )
         t_dml = round(time.perf_counter() - t0, 3)
+        # CoW vs MoR with GROWING file sizes (file COUNT fixed at 10, so
+        # at k=16 each file holds 16x the rows): a fixed 20k-key delete
+        # forces CoW to rewrite one ever-bigger file, while MoR writes a
+        # constant 20k tombstones — the separation that justifies
+        # merge-on-read at 100 TB
+        def big_file_table(tag):
+            bt = SnapshotTable(spark, f"{OUT_ROOT}/k{k}/{tag}")
+            bt.commit_clustered(
+                spark.range(0, base).select(
+                    F.col("id").alias("key"), (F.col("id") * 0.1).alias("v")
+                ),
+                cluster_by="key",
+                n_files=10,
+                stats_for=["key"],
+            )
+            return bt
+
+        cow_t = big_file_table("cow")
+        t_cow = timed(
+            lambda: cow_t.delete_where(
+                f"key BETWEEN 0 AND {DELTA_ROWS - 1}",
+                prune_column="key", prune_lower=0, prune_upper=DELTA_ROWS - 1,
+                stats_for=["key"],
+            )
+        )
+        mor_t = big_file_table("mor")
+        t_mor = timed(
+            lambda: mor_t.delete_where_mor(
+                f"key BETWEEN 0 AND {DELTA_ROWS - 1}",
+                prune_column="key", prune_lower=0, prune_upper=DELTA_ROWS - 1,
+            )
+        )
         row = {
             "k": k,
             "fact_rows": base,
@@ -118,6 +150,8 @@ def main() -> None:
             "dml_delete_fixed_slice_s": t_dml,
             "dml_files_rewritten": info["files_rewritten"],
             "dml_files_skipped": info["files_skipped"],
+            "cow_delete_bigfile_s": t_cow,
+            "mor_delete_bigfile_s": t_mor,
         }
         if k == KS[0]:
             # amortization at fixed table size: txn commit vs a bare
