@@ -345,6 +345,18 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PROP_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_PROP_KEY_RE = re.compile(r"'([^']*)'")
 _ADD_COLUMNS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s*"
     r"\((.*)\)\s*;?\s*$",
@@ -443,6 +455,29 @@ def dispatch_statement(
         version = tables[name].drop_constraint(m.group(2))
         return spark.createDataFrame([(version,)], "version long")
 
+    m = _SET_PROPS_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        props = dict(_PROP_PAIR_RE.findall(m.group(2)))
+        if not props:
+            raise ValueError(
+                "SET TBLPROPERTIES expects 'key' = 'value' pairs"
+            )
+        version = tables[name].set_properties(props)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _UNSET_PROPS_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].unset_properties(
+            _PROP_KEY_RE.findall(m.group(2))
+        )
+        return spark.createDataFrame([(version,)], "version long")
+
     m = _ADD_COLUMNS_RE.match(text)
     if m:
         name = m.group(1)
@@ -465,6 +500,14 @@ def dispatch_statement(
         t = _require(tables, m.group(1), "DELETE FROM")
         cond = m.group(2) or "true"
         preds = conjunct_ranges(cond, t.stats_columns())
+        if t.properties().get("delete.mode") == "merge-on-read":
+            info = t.delete_where_mor(cond, prune_preds=preds)
+            return spark.createDataFrame(
+                [(info["version"], info["files_scanned"],
+                  info["files_skipped"], info["mode"])],
+                "version long, files_scanned long, files_skipped long, "
+                "mode string",
+            )
         info = t.delete_where(
             cond, prune_preds=preds, stats_for=sorted(t.stats_columns())
         )

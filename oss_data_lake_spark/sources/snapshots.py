@@ -295,6 +295,11 @@ class SnapshotTable:
                     if parent
                     else {}
                 ),
+                "properties": (
+                    read_manifest(parent).get("properties", {})
+                    if parent
+                    else {}
+                ),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -427,6 +432,48 @@ class SnapshotTable:
             lambda cons: {k: v for k, v in cons.items() if k != name},
             f"drop_constraint_{name}",
         )
+
+    # --------------------------------------------------- table properties
+    #
+    # Delta-style TBLPROPERTIES: a small string map in the manifest,
+    # carried through every commit kind. The engine interprets
+    # ``delete.mode = merge-on-read`` (SQL DELETEs route through
+    # ``delete_where_mor``); everything else is user metadata.
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("properties", {}))
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        return self._commit_meta(
+            "properties", lambda cur: {**cur, **props}, "set_properties"
+        )
+
+    def unset_properties(self, names: list[str]) -> int:
+        return self._commit_meta(
+            "properties",
+            lambda cur: {k: v for k, v in cur.items() if k not in set(names)},
+            "unset_properties",
+        )
+
+    def _commit_meta(self, key: str, update_fn, tag: str) -> int:
+        """Metadata-only commit updating one manifest map field."""
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError(f"{tag} on an empty table")
+            manifest = dict(read_manifest(parent))
+            manifest[key] = update_fn(dict(manifest.get(key, {})))
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = tag
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
 
     # ------------------------------------------------- schema-change DDL
     #
@@ -630,6 +677,9 @@ class SnapshotTable:
                 # state: rollback keeps the HEAD's constraints
                 "constraints": (
                     self.constraints(parent) if parent else {}
+                ),
+                "properties": (
+                    self.properties(parent) if parent else {}
                 ),
                 "committed_at_ms": int(time.time() * 1000),
             }
@@ -1647,6 +1697,7 @@ class SnapshotTable:
                 "txn": None,
                 "txn_watermarks": self._txn_watermarks(parent),
                 "constraints": manifest.get("constraints", {}),
+                "properties": manifest.get("properties", {}),
                 "committed_at_ms": int(time.time() * 1000),
             }
 

@@ -123,3 +123,39 @@ def test_mor_refuses_streaming_start_with_active_vectors(spark, tmp_path):
     )
     with pytest.raises(Exception, match="delete vectors"):
         q.awaitTermination()
+
+
+def test_table_properties_route_sql_delete_through_mor(spark, tmp_path):
+    """delete.mode = merge-on-read makes the SQL persona's DELETE write
+    tombstones instead of rewriting files; properties persist through
+    commits and UNSET restores copy-on-write."""
+    from oss_data_lake_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    eng._snapshot_tables["p"] = t
+
+    eng.sql(
+        "ALTER TABLE p SET TBLPROPERTIES ('delete.mode' = 'merge-on-read',"
+        " 'owner' = 'pipeline')"
+    )
+    assert t.properties() == {
+        "delete.mode": "merge-on-read", "owner": "pipeline"
+    }
+    files_before = _data_files(t)
+    res = eng.sql("DELETE FROM p WHERE k BETWEEN 0 AND 9").collect()[0]
+    assert res["mode"] == "merge-on-read"
+    assert _data_files(t) == files_before, "MoR SQL delete must not rewrite"
+    assert eng.sql("SELECT count(*) AS n FROM p").collect()[0]["n"] == 90
+
+    # properties survive an append
+    t.commit(spark.createDataFrame([Row(k=500, v=1.0)]), mode="append")
+    assert t.properties()["delete.mode"] == "merge-on-read"
+
+    eng.sql("ALTER TABLE p UNSET TBLPROPERTIES ('delete.mode')")
+    assert t.properties() == {"owner": "pipeline"}
+    res = eng.sql("DELETE FROM p WHERE k BETWEEN 10 AND 19").collect()[0]
+    assert "files_rewritten" in res.asDict(), "back to copy-on-write"
+    assert eng.sql("SELECT count(*) AS n FROM p").collect()[0]["n"] == 81
