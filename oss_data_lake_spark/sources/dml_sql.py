@@ -22,7 +22,20 @@ statement-shaped text here BEFORE the query path:
 - ``OPTIMIZE t [ZORDER BY (a, b) | CLUSTER BY a] [INTO n FILES]``
                                            → ``SnapshotTable.compact``
 - ``VACUUM t``                             → ``SnapshotTable.vacuum``
-- ``DESCRIBE HISTORY t``                   → the snapshot log as rows
+- ``DESCRIBE HISTORY | DETAIL | FILES t``  → snapshot log / table summary
+                                             / per-file manifest view
+- ``CREATE TABLE t USING snapshot AS <query>`` / ``DROP TABLE t``
+                                           → managed CTAS + lifecycle
+- ``ALTER TABLE t ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n``
+                                           → commit-time quality gates
+- ``ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN c``
+                                           → metadata-only schema DDL
+- ``ALTER TABLE t SET | UNSET TBLPROPERTIES (...)``
+                                           → table properties
+                                             (``delete.mode =
+                                             merge-on-read`` routes
+                                             DELETEs through position
+                                             tombstones)
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
