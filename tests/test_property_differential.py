@@ -167,6 +167,7 @@ _dml_ops = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.lists(st.integers(0, 199), min_size=1, max_size=6)),
         st.tuples(st.just("delete"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
+        st.tuples(st.just("mor_delete"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
         st.tuples(st.just("update"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
         st.tuples(st.just("merge"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
         st.tuples(st.just("compact"), st.just(None)),
@@ -217,10 +218,17 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
                 mode="append", stats_for=["k"],
             )
             model.update(dict(rows))
-        elif op in ("delete", "update"):
+        elif op in ("delete", "update", "mor_delete"):
             lo, width = arg
             hi = lo + width
-            if op == "delete":
+            if op == "mor_delete":
+                # merge-on-read: tombstones, no rewrite — same model
+                t.delete_where_mor(
+                    f"k BETWEEN {lo} AND {hi}",
+                    prune_column="k", prune_lower=lo, prune_upper=hi,
+                )
+                model = {k: v for k, v in model.items() if not lo <= k <= hi}
+            elif op == "delete":
                 t.delete_where(
                     f"k BETWEEN {lo} AND {hi}",
                     prune_column="k", prune_lower=lo, prune_upper=hi,
