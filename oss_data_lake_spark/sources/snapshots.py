@@ -1324,6 +1324,125 @@ class SnapshotTable:
             f"MoR delete on {self.path} lost {self._DML_RETRIES} retries"
         ) from last_err
 
+    def update_where_mor(
+        self,
+        condition: "str | F.Column",
+        assignments: dict[str, "str | F.Column"],
+        prune_column: str | None = None,
+        prune_lower=None,
+        prune_upper=None,
+        prune_preds: list | None = None,
+        stats_for: list[str] | None = None,
+    ) -> dict:
+        """MERGE-ON-READ ``UPDATE``: tombstone the matching rows and
+        append their updated versions — ONE atomic commit, zero candidate
+        files rewritten (Delta's deletion-vector update). Write volume is
+        O(matched rows), not O(candidate files). Assignments see the
+        pre-update row; constraints gate the updated rows."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        target_now = self.schema()
+        if target_now is not None:
+            unknown = set(assignments) - {f.name for f in target_now.fields}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE assigns unknown columns: {sorted(unknown)}"
+                )
+        last_err: Exception | None = None
+        for _attempt in range(self._DML_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            target = self.schema(v)
+            if target is None:
+                raise ValueError("MoR update needs a schema-carrying snapshot")
+            manifest = self._manifest(v)
+            if prune_preds:
+                selection, n_sel, n_skip = self.plan_pruned(prune_preds, version=v)
+            elif prune_column is not None:
+                selection, n_sel, n_skip = self.plan_range_scan(
+                    prune_column, prune_lower, prune_upper, version=v
+                )
+            else:
+                selection = {d: None for d in manifest["data_dirs"]}
+                n_sel, n_skip = 0, 0
+            parts = self._scan_parts(
+                manifest, target, selection=selection, with_meta=True
+            )
+            if not parts:
+                return {
+                    "version": v, "files_scanned": n_sel,
+                    "files_skipped": n_skip, "mode": "merge-on-read",
+                }
+            cand = parts[0]
+            for p in parts[1:]:
+                cand = cand.unionByName(p)
+            dv_dirs = manifest.get("delete_dirs", [])
+            if dv_dirs:
+                cand = self._apply_delete_vectors_keep_meta(cand, dv_dirs)
+            matched = cand.filter(F.coalesce(cond, F.lit(False)))
+            out_cols = []
+            for f in target.fields:
+                a = assignments.get(f.name)
+                if a is None:
+                    out_cols.append(F.col(f.name))
+                else:
+                    expr = F.expr(a) if isinstance(a, str) else a
+                    out_cols.append(expr.cast(f.dataType).alias(f.name))
+            updated = matched.select(*out_cols)
+            cons = self.constraints(v)
+            if cons:
+                self._enforce(cons, updated, context="this update")
+            new_dv = f"deletes/dv{v + 1}-{uuid.uuid4().hex[:8]}"
+            matched.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ).write.mode("errorifexists").parquet(
+                os.path.join(self.path, new_dv)
+            )
+            new_data = f"data/u{v + 1}-{uuid.uuid4().hex[:8]}"
+            self._write_data_dir(updated, new_data)
+            own_stats = self._harvest_stats(new_data, stats_for, None)
+
+            def build(parent: int | None, read_manifest) -> dict:
+                if parent != v:
+                    raise CommitConflict(
+                        f"planned against v{v}, head is v{parent}"
+                    )
+                m = dict(read_manifest(v))
+                m["delete_dirs"] = m.get("delete_dirs", []) + [new_dv]
+                m["data_dirs"] = m["data_dirs"] + [new_data]
+                m["partition_specs"] = {
+                    **m.get("partition_specs", {}), new_data: [],
+                }
+                m["dir_schemas"] = {
+                    **m.get("dir_schemas", {}), new_data: target.jsonValue(),
+                }
+                if own_stats:
+                    m["file_stats"] = {
+                        **m.get("file_stats", {}), new_data: own_stats,
+                    }
+                m["version"] = v + 1
+                m["parent"] = v
+                m["mode"] = "update_mor"
+                m["txn"] = None
+                m["txn_watermarks"] = self._txn_watermarks(v)
+                m["committed_at_ms"] = int(time.time() * 1000)
+                return m
+
+            try:
+                version = self.protocol.commit(build)
+                return {
+                    "version": version,
+                    "files_scanned": n_sel,
+                    "files_skipped": n_skip,
+                    "mode": "merge-on-read",
+                }
+            except CommitConflict as e:
+                last_err = e
+        raise CommitConflict(
+            f"MoR update on {self.path} lost {self._DML_RETRIES} retries"
+        ) from last_err
+
     def _apply_delete_vectors_keep_meta(
         self, out: DataFrame, dv_dirs: list[str]
     ) -> DataFrame:

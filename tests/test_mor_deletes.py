@@ -159,3 +159,43 @@ def test_table_properties_route_sql_delete_through_mor(spark, tmp_path):
     res = eng.sql("DELETE FROM p WHERE k BETWEEN 10 AND 19").collect()[0]
     assert "files_rewritten" in res.asDict(), "back to copy-on-write"
     assert eng.sql("SELECT count(*) AS n FROM p").collect()[0]["n"] == 81
+
+
+def test_mor_update_moves_rows_without_rewrites(spark, tbl):
+    """MoR UPDATE: matched rows tombstone out of their files and re-land
+    updated in a fresh append dir — one atomic version, zero candidate
+    files rewritten, assignments see the pre-update row."""
+    before = _data_files(tbl)
+    info = tbl.update_where_mor(
+        "k BETWEEN 20 AND 29", {"v": "v + 1000.0"},
+        prune_column="k", prune_lower=20, prune_upper=29, stats_for=["k"],
+    )
+    assert info["mode"] == "merge-on-read"
+    assert info["files_skipped"] > 0
+    after = _data_files(tbl)
+    assert set(before) < set(after), "one appended dir, originals untouched"
+    assert all(p in after for p in before)
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert len(rows) == 100
+    assert rows[25] == 1025.0 and rows[50] == 50.0
+    # stacking on top of a MoR delete composes
+    tbl.delete_where_mor("k BETWEEN 0 AND 9")
+    tbl.update_where_mor("k BETWEEN 25 AND 34", {"v": "v + 1.0"})
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert len(rows) == 90
+    assert rows[25] == 1026.0 and rows[30] == 31.0 and rows[40] == 40.0
+    # time travel: pre-update values intact
+    assert {r.k: r.v for r in tbl.read(version=1).collect()}[25] == 25.0
+    # compaction materializes everything
+    tbl.compact(target_partitions=2, stats_for=["k"])
+    assert tbl._manifest(tbl.current_version()).get("delete_dirs", []) == []
+    assert {r.k: r.v for r in tbl.read().collect()} == rows
+
+
+def test_mor_update_respects_constraints(spark, tbl):
+    tbl.add_constraint("v_small", "v < 500")
+    with pytest.raises(ValueError, match="v_small"):
+        tbl.update_where_mor("k < 5", {"v": "v + 1000.0"})
+    assert tbl.read().filter("v >= 500").count() == 0
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.update_where_mor("k < 5", {"nope": "1"})
