@@ -546,6 +546,17 @@ def dispatch_statement(
             set_text, cond = body, "true"
         assigns = _split_assignments(set_text)
         preds = conjunct_ranges(cond, t.stats_columns())
+        if t.properties().get("delete.mode") == "merge-on-read":
+            info = t.update_where_mor(
+                cond, assigns, prune_preds=preds,
+                stats_for=sorted(t.stats_columns()),
+            )
+            return spark.createDataFrame(
+                [(info["version"], info["files_scanned"],
+                  info["files_skipped"], info["mode"])],
+                "version long, files_scanned long, files_skipped long, "
+                "mode string",
+            )
         info = t.update_where(
             cond, assigns, prune_preds=preds,
             stats_for=sorted(t.stats_columns()),

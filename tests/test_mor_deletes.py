@@ -199,3 +199,22 @@ def test_mor_update_respects_constraints(spark, tbl):
     assert tbl.read().filter("v >= 500").count() == 0
     with pytest.raises(ValueError, match="unknown columns"):
         tbl.update_where_mor("k < 5", {"nope": "1"})
+
+
+def test_sql_update_routes_through_mor_property(spark, tmp_path):
+    from oss_data_lake_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "u"))
+    t.commit_clustered(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(50)]),
+        cluster_by="k", n_files=5, stats_for=["k"],
+    )
+    eng._snapshot_tables["u"] = t
+    eng.sql("ALTER TABLE u SET TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    before = _data_files(t)
+    res = eng.sql("UPDATE u SET v = v * 2 WHERE k < 10").collect()[0]
+    assert res["mode"] == "merge-on-read"
+    assert all(p in _data_files(t) for p in before)
+    rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM u").collect()}
+    assert rows[5] == 10.0 and rows[20] == 20.0 and len(rows) == 50
