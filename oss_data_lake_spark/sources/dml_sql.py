@@ -60,16 +60,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from oss_data_lake_spark.sources.snapshots import (
     SnapshotTable,
-    _BETWEEN_RE,
     _BLOCKER_RE,
-    _CMP_RE,
-    _IN_RE,
-    _NULL_RE,
-    _build_pred,
     _depths,
-    _literal_spans,
     _masked,
-    _starts_in_literal,
+    _preds_from_conjuncts,
 )
 
 _DELETE_RE = re.compile(
@@ -135,21 +129,9 @@ def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
     if _BLOCKER_RE.search(masked):
         return []
     depths = _depths(masked)
-    spans = _literal_spans(cond)
-    out: list = []
-    for rex in (_BETWEEN_RE, _CMP_RE, _IN_RE, _NULL_RE):
-        for m in rex.finditer(cond):
-            if depths[m.start()] != 0:
-                continue
-            if _starts_in_literal(m.start(), spans):
-                continue
-            col = m.group(1)
-            if "." in col or col not in stats_cols:
-                continue
-            pred = _build_pred(rex, m, col)
-            if pred is not None:
-                out.append(pred)
-    return out
+    return _preds_from_conjuncts(
+        cond, masked, depths, 0, len(cond), 0, stats_cols, None
+    )
 
 
 def split_statements(script: str) -> list[str]:
@@ -647,6 +629,11 @@ def dispatch_statement(
     if m:
         t = _require(tables, m.group(1), "DESCRIBE DETAIL")
         v = t.current_version()
+        if v is None:
+            raise ValueError(
+                f"DESCRIBE DETAIL: no snapshots at {t.path} "
+                "(table registered but never committed)"
+            )
         manifest = t._manifest(v)
         n_files = n_visible = 0
         for d in manifest["data_dirs"]:
@@ -683,6 +670,11 @@ def dispatch_statement(
     if m:
         t = _require(tables, m.group(1), "DESCRIBE FILES")
         v = t.current_version()
+        if v is None:
+            raise ValueError(
+                f"DESCRIBE FILES: no snapshots at {t.path} "
+                "(table registered but never committed)"
+            )
         manifest = t._manifest(v)
         rows = []
         for d in manifest["data_dirs"]:

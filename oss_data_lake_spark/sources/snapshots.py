@@ -111,7 +111,15 @@ class SnapshotTable:
         protocol: CommitProtocol | None = None,
     ):
         self.spark = spark
-        self.path = path.rstrip("/")
+        # canonicalize: `_rel_file_col` derives tombstone coordinates from
+        # a string-length offset over `_metadata.file_path`, so a
+        # non-canonical path (trailing slash, `..`, `//`) would silently
+        # mismatch file coordinates at scan time
+        self.path = (
+            path.rstrip("/")
+            if "://" in path
+            else os.path.normpath(path)
+        )
         self._meta = os.path.join(self.path, "_snapshots")
         self.protocol = protocol or LocalFsCommitProtocol(self._meta)
 
@@ -420,8 +428,15 @@ class SnapshotTable:
         if name in self.constraints(cur):
             raise ValueError(f"constraint '{name}' already exists")
         self._enforce({name: expr}, self.read(cur), context="existing rows")
+        # rows committed concurrently between the validation above and the
+        # commit claim are gated only by the OLD constraint set — if the
+        # claimed parent drifted, re-validate against it inside the
+        # protocol so the published constraint can never postdate data
+        # that violates it (ADVICE r6)
         return self._commit_constraints(
-            lambda cons: {**cons, name: expr}, f"add_constraint_{name}"
+            lambda cons: {**cons, name: expr},
+            f"add_constraint_{name}",
+            revalidate=(cur, {name: expr}),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -537,10 +552,18 @@ class SnapshotTable:
 
         return self.protocol.commit(build)
 
-    def _commit_constraints(self, update_fn, tag: str) -> int:
+    def _commit_constraints(
+        self, update_fn, tag: str, revalidate: tuple | None = None
+    ) -> int:
         def build(parent: int | None, read_manifest) -> dict:
             if parent is None:
                 raise ValueError("constraint change on an empty table")
+            if revalidate is not None and parent != revalidate[0]:
+                self._enforce(
+                    revalidate[1],
+                    self.read(parent),
+                    context="rows committed concurrently with ADD CONSTRAINT",
+                )
             manifest = dict(read_manifest(parent))
             manifest["constraints"] = update_fn(
                 dict(manifest.get("constraints", {}))
@@ -2105,6 +2128,8 @@ _NULL_RE = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+IS\s+(NOT\s+)?NULL\b", re.IGNORECASE
 )
 _ANY_LIT_RE = re.compile(_ANY_LIT, re.IGNORECASE)
+_AND_RE = re.compile(r"\bAND\b", re.IGNORECASE)
+_BETWEEN_KW_RE = re.compile(r"\bBETWEEN\b", re.IGNORECASE)
 
 
 def _masked(text: str) -> str:
@@ -2142,6 +2167,86 @@ def _parse_sql_literal(tok: str):
     if tok.startswith("'"):
         return tok[1:-1]
     return float(tok) if "." in tok else int(tok)
+
+
+def _conjunct_spans(
+    masked: str,
+    depths: list[int],
+    start: int,
+    end: int,
+    base_depth: int,
+) -> list[tuple[int, int]]:
+    """``(start, end)`` spans of the top-level conjuncts of
+    ``masked[start:end]``: splits on ``AND`` keywords at ``base_depth``,
+    EXCEPT an ``AND`` that closes a pending ``BETWEEN`` at the same depth
+    (each ``BETWEEN`` consumes exactly one following ``AND``). Keyword
+    detection runs on the masked copy so literal contents never split."""
+    toks = sorted(
+        [
+            (m.start(), m.end(), "AND")
+            for m in _AND_RE.finditer(masked, start, end)
+            if depths[m.start()] == base_depth
+        ]
+        + [
+            (m.start(), m.end(), "BETWEEN")
+            for m in _BETWEEN_KW_RE.finditer(masked, start, end)
+            if depths[m.start()] == base_depth
+        ]
+    )
+    spans: list[tuple[int, int]] = []
+    cstart, pending_between = start, 0
+    for s, e, kind in toks:
+        if kind == "BETWEEN":
+            pending_between += 1
+        elif pending_between:
+            pending_between -= 1
+        else:
+            spans.append((cstart, s))
+            cstart = e
+    spans.append((cstart, end))
+    return spans
+
+
+def _preds_from_conjuncts(
+    text: str,
+    masked: str,
+    depths: list[int],
+    start: int,
+    end: int,
+    base_depth: int,
+    stats_cols: set,
+    table_name: str | None,
+) -> list:
+    """Prunable predicates from ``text[start:end]``, one top-level
+    conjunct at a time. Each conjunct must FULLMATCH one extraction
+    pattern end-to-end — ``k = 5 + 50``, ``k = 5e3``, ``-k < 5``,
+    ``k BETWEEN 1 AND 5+1`` all leave residue, so they extract NOTHING
+    rather than a wrong sub-expression (a wrong extraction over-prunes;
+    a skipped one only under-prunes, which is always sound because the
+    SQL's own predicate still runs on top of the pruned scan)."""
+    preds: list = []
+    for cs, ce in _conjunct_spans(masked, depths, start, end, base_depth):
+        conj = text[cs:ce].strip().rstrip(";").strip()
+        if not conj:
+            continue
+        for rex in (_BETWEEN_RE, _CMP_RE, _IN_RE, _NULL_RE):
+            m = rex.fullmatch(conj)
+            if m is None:
+                continue
+            col = m.group(1)
+            if "." in col:
+                if table_name is None:
+                    break  # bare-condition context: no qualifier scope
+                qual, col = col.rsplit(".", 1)
+                if qual != table_name:
+                    break
+            if col not in stats_cols:
+                break
+            pred = _build_pred(rex, m, col)
+            if pred is not None:
+                preds.append(pred)
+            break  # first fullmatch wins; patterns are disjoint shapes
+    return preds
 
 
 def _build_pred(rex: "re.Pattern[str]", m: "re.Match[str]", col: str):
@@ -2218,26 +2323,16 @@ def extract_prunable_predicates(
             span = masked[wm.end(): end]
             if _BLOCKER_RE.search(span):
                 continue  # OR / NOT / CASE: not a pure conjunction
-            lit_spans = _literal_spans(text)
-            for rex in (_BETWEEN_RE, _CMP_RE, _IN_RE, _NULL_RE):
-                # match on the ORIGINAL text (the masked copy has the
-                # literal VALUES blanked), bounded to the clause span;
-                # a match starting inside a literal is data, not SQL
-                for m in rex.finditer(text, wm.end(), end):
-                    if depths[m.start()] != wdepth:
-                        continue  # function-arg / subquery comparison
-                    if _starts_in_literal(m.start(), lit_spans):
-                        continue
-                    col = m.group(1)
-                    if "." in col:
-                        qual, col = col.rsplit(".", 1)
-                        if qual != name:
-                            continue
-                    if col not in stats_cols:
-                        continue
-                    pred = _build_pred(rex, m, col)
-                    if pred is not None:
-                        preds.append(pred)
+            # split on depth-0 ANDs and FULLMATCH each conjunct against
+            # the extraction patterns (values read from the ORIGINAL
+            # text — the masked copy has literal contents blanked);
+            # residue (`k = 5 + 50`, `5e3`, `-k < 5`) extracts nothing
+            preds.extend(
+                _preds_from_conjuncts(
+                    text, masked, depths, wm.end(), end, wdepth,
+                    stats_cols, name,
+                )
+            )
         if preds:
             out[name] = preds
     return out

@@ -139,3 +139,24 @@ def test_schema_ddl_add_and_drop_columns(spark, tmp_path):
     eng.sql("ALTER TABLE plain_evo ADD COLUMNS (b INT)")
     assert "b" in spark.table("plain_evo").columns
     spark.sql("DROP TABLE plain_evo")
+
+
+def test_add_constraint_revalidates_on_concurrent_parent_drift(spark, tbl):
+    """ADVICE r6: a row committed concurrently between add_constraint's
+    validation and its commit claim must still be checked — the build
+    callback re-validates whenever the claimed parent differs from the
+    validated version."""
+    cur = tbl.current_version()
+    # simulate the race: a violating row lands AFTER the validation read
+    tbl.commit(spark.createDataFrame([Row(k=99, v=-1.0)]), mode="append")
+    with pytest.raises(ValueError, match="committed concurrently"):
+        tbl._commit_constraints(
+            lambda cons: {**cons, "v_nonneg": "v >= 0"},
+            "add_constraint_v_nonneg",
+            revalidate=(cur, {"v_nonneg": "v >= 0"}),
+        )
+    # no constraint published
+    assert tbl.constraints() == {}
+    # and the normal path (no drift) still works
+    tbl.delete_where("v < 0")
+    assert tbl.add_constraint("v_nonneg", "v >= 0") > 0

@@ -270,3 +270,17 @@ def test_describe_detail_and_files(spark, eng):
     invisible = [r for r in files if not r["visible"]]
     assert invisible, "the deleted slice's file must show as invisible"
     assert all(r["stat_columns"] == ["k"] for r in files if r["stat_columns"])
+
+
+def test_describe_on_empty_table_gives_clear_error(spark, tmp_path):
+    """ADVICE r6: DESCRIBE DETAIL/FILES on a registered but
+    never-committed table must raise a clear message, not a
+    FileNotFoundError for 'vNone.json'."""
+    e = Engine(spark=spark)
+    e._snapshot_tables["empty"] = SnapshotTable(
+        spark, str(tmp_path / "empty")
+    )
+    with pytest.raises(ValueError, match="no snapshots"):
+        e.sql("DESCRIBE DETAIL empty")
+    with pytest.raises(ValueError, match="no snapshots"):
+        e.sql("DESCRIBE FILES empty")

@@ -218,3 +218,21 @@ def test_sql_update_routes_through_mor_property(spark, tmp_path):
     assert all(p in _data_files(t) for p in before)
     rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM u").collect()}
     assert rows[5] == 10.0 and rows[20] == 20.0 and len(rows) == 50
+
+
+def test_non_canonical_table_path_canonicalized(spark, tmp_path):
+    """VERDICT r6: tombstone file coordinates derive from a string-length
+    offset over the table path — a trailing slash or `..` segment must be
+    normalized at construction or MoR coordinates silently mismatch."""
+    base = str(tmp_path / "nc")
+    t = SnapshotTable(spark, base + "/")
+    assert t.path == base
+    t2 = SnapshotTable(spark, str(tmp_path / "x" / ".." / "nc"))
+    assert t2.path == base
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(40)])
+    t.commit_clustered(df, cluster_by="k", n_files=4, stats_for=["k"])
+    t2.delete_where_mor(
+        "k BETWEEN 0 AND 9", prune_column="k", prune_lower=0, prune_upper=9
+    )
+    assert t.read().count() == 30
+    assert t.read().where("k < 10").count() == 0

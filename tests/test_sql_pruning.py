@@ -133,6 +133,46 @@ def test_multi_column_plan_intersects(tbl):
     assert tbl.read_pruned([("k", 0, 9), ("v", 90.0, 99.0)]).count() == 0
 
 
+def test_compound_expressions_extract_nothing(tbl):
+    """A conjunct must FULLMATCH its extraction pattern — a literal
+    matched mid-expression would over-prune (ADVICE r6-high: `k = 5 + 50`
+    used to extract (k, 5, 5) and wrongly prune the k=55 file)."""
+    assert _preds("SELECT * FROM t WHERE k = 5 + 50", tbl) is None
+    assert _preds("SELECT * FROM t WHERE k = 5e3", tbl) is None
+    assert _preds("SELECT * FROM t WHERE -k < 5", tbl) is None
+    assert _preds("SELECT * FROM t WHERE k BETWEEN 1 AND 5+1", tbl) is None
+    assert _preds("SELECT * FROM t WHERE k = v + 1", tbl) is None
+    assert _preds("SELECT * FROM t WHERE abs(k) = 5 + 50", tbl) is None
+    # a clean conjunct NEXT TO a compound one still extracts (per-conjunct
+    # fallback, not whole-span)
+    got = _preds("SELECT * FROM t WHERE k = 5 + 50 AND v >= 2", tbl)
+    assert got == [("v", 2, None)]
+    # trailing semicolon must not block the fullmatch
+    assert _preds("SELECT * FROM t WHERE k = 55;", tbl) == [("k", 55, 55)]
+
+
+def test_compound_expression_sql_end_to_end(spark, tbl):
+    """The ADVICE repro: `WHERE k = 5 + 50` must return the k=55 row."""
+    df = sql_with_time_travel(
+        spark, "SELECT count(*) AS n FROM t WHERE k = 5 + 50", {"t": tbl}
+    )
+    assert df.collect()[0]["n"] == 1
+
+
+def test_compound_expression_dml_end_to_end(spark, tmp_path):
+    """DELETE FROM t WHERE k = 5 + 50 must delete exactly the k=55 row
+    (used to delete nothing: the wrong (k,5,5) range pruned every file
+    containing k=55)."""
+    from oss_data_lake_spark.sources.dml_sql import dispatch_statement
+
+    t = SnapshotTable(spark, str(tmp_path / "d"))
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    t.commit_clustered(df, cluster_by="k", n_files=10, stats_for=["k"])
+    dispatch_statement(spark, "DELETE FROM d WHERE k = 5 + 50", {"d": t})
+    assert t.read().where("k = 55").count() == 0
+    assert t.read().count() == 99
+
+
 def test_unextractable_sql_still_correct(spark, tbl):
     """The fallback path: an OR query gets the UNPRUNED view and full
     results."""
