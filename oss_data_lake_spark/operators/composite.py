@@ -233,6 +233,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("sum_price")},
              {"k1": "order_year", "k2": "o_orderstatus", "v1": "n",
               "v2": "sum_price"}),
+            # m07 (round 7): the CHANGE DATA FEED over a merge-on-read
+            # DML wave — every (commit_version, change_type, year,
+            # status) gross count and signed price value-verified
+            ("m07", "m07_change_feed_orders",
+             {"k1": _cw("commit_version", "change_type"),
+              "k2": _cw("order_year", "o_orderstatus"),
+              "v1": ("n"), "v2": ("sum_price")},
+             {"k1": _cw_sql("commit_version", "change_type"),
+              "k2": _cw_sql("order_year", "o_orderstatus"),
+              "v1": "n", "v2": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -29,10 +29,14 @@ Design:
   the current state. State size = #groups — for day×key rollups that is
   thousands of rows regardless of fact size, so the merge-and-rewrite is
   O(groups), not O(fact).
-- **Rewritten history** (an overwrite/rollback on the source between
-  refreshes): ``read_changes`` refuses to produce a delta, and the MV
-  falls back to a FULL recompute — loud in the returned refresh info,
-  silent in semantics (the result is the same correct aggregate).
+- **DML / rewritten history between refreshes**: ``read_changes``
+  refuses to produce an append-only delta, but the CHANGE FEED
+  (``SnapshotTable.read_change_feed``) still defines one — deletes
+  RETRACT from the decomposable state (decimal subtraction is exact, so
+  the MV stays bit-identical to the full recompute), fully-retracted
+  groups drop. Only HLL distinct measures cannot retract (a sketch
+  cannot forget an element) — those fall back to a FULL recompute, loud
+  in the returned refresh info, silent in semantics.
 """
 
 from __future__ import annotations
@@ -112,6 +116,27 @@ class IncrementalAggregate:
             aggs.append(F.hll_sketch_agg(col).alias(self._sk(out)))
         return rows.groupBy(*self.group_by).agg(*aggs)
 
+    def _partial_signed(self, feed: DataFrame) -> DataFrame:
+        """Signed partial over CHANGE-FEED rows: inserts add, deletes
+        retract. Decomposable sums subtract EXACTLY in the decimal fold
+        (negation is exact integer arithmetic), so a state reached
+        through retractions is still bit-identical to the full recompute.
+        Only callable without distinct measures — an HLL sketch cannot
+        forget an element."""
+        w = F.when(
+            F.col(SnapshotTable.CHANGE_TYPE_COL) == "delete", F.lit(-1)
+        ).otherwise(F.lit(1))
+        dec = f"decimal({PRECISION},{SCALE})"
+        aggs = [F.sum(w).cast("long").alias("n_rows")]
+        for out, col in self.measures.items():
+            d = F.col(col).cast(dec)
+            aggs.append(
+                F.sum(F.when(w < 0, -d).otherwise(d))
+                .cast("double")
+                .alias(out)
+            )
+        return feed.groupBy(*self.group_by).agg(*aggs)
+
     def refresh(self) -> dict:
         """Fold source changes since the last refresh into the MV; returns
         ``{"mode": "noop"|"incremental"|"full", "source_version": v}``.
@@ -150,12 +175,24 @@ class IncrementalAggregate:
                 delta = self.source.read_changes(last, head)
                 mode = "incremental"
             except (ValueError, OSError):
-                # rewritten history (overwrite/rollback intervened) or the
-                # watermark snapshot was expired: the incremental delta is
-                # undefined / unreadable — rebuild from scratch
-                delta = None
+                # DML / overwrite / rollback intervened: no append-only
+                # delta. The CHANGE FEED still has a well-defined one —
+                # consume it as retractions, unless a distinct measure's
+                # HLL state makes retraction impossible (a sketch cannot
+                # forget an element) or the needed manifests expired, in
+                # which case rebuild from scratch.
+                if not self.distinct_measures:
+                    try:
+                        feed = self.source.read_change_feed(last, head)
+                        mode = "retract"
+                    except (ValueError, OSError):
+                        pass
         if mode == "incremental":
             merged = self._merge(self.mv.read(), self._partial(delta))
+        elif mode == "retract":
+            merged = self._merge(
+                self.mv.read(), self._partial_signed(feed)
+            ).filter(F.col("n_rows") != 0)  # fully-retracted groups drop
         else:
             merged = self._partial(self.source.read(version=head))
         self.mv.commit(

@@ -429,6 +429,79 @@ def sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M07_UPDATE_BEFORE = "1997-01-01"
+
+
+def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m07: the CHANGE DATA FEED (Delta CDF / Iceberg changelog parity,
+    ``SnapshotTable.read_change_feed``) over a DML wave:
+
+    1. orders committed clustered (v1),
+    2. merge-on-read DELETE of one calendar year (v2 — the tombstone
+       file IS the delete delta),
+    3. merge-on-read UPDATE discounting finished orders before 1997
+       (v3 — pre-image deletes + post-image inserts; the fixture's dates
+       run 1995-2001, so this window is non-empty at every SF),
+    4. append of two synthetic rows (v4 — plain inserts).
+
+    The feed from v1 is aggregated per (commit_version, change_type,
+    order_year, status); merge-on-read deltas are EXACT row sets (no
+    copy-on-write file-boundary noise), so every gross count and signed
+    price is re-derivable from the raw fixture — the oracle restates the
+    wave as literal unions. A row mis-attributed to the wrong commit,
+    change type, or pre/post image breaks the value hash."""
+    import tempfile
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m07_") + "/orders")
+    t.commit_clustered(
+        orders,
+        cluster_by="o_orderdate",
+        n_files=DML_N_FILES,
+        stats_for=["o_orderdate"],
+    )
+    t.delete_where_mor(
+        f"o_orderdate BETWEEN TIMESTAMP '{DML_DELETE_LO} 00:00:00'"
+        f" AND TIMESTAMP '{DML_DELETE_HI} 00:00:00'",
+        prune_column="o_orderdate",
+        prune_lower=DML_DELETE_LO,
+        prune_upper=DML_DELETE_HI,
+    )
+    t.update_where_mor(
+        f"o_orderstatus = 'F' AND o_orderdate <"
+        f" TIMESTAMP '{M07_UPDATE_BEFORE} 00:00:00'",
+        {"o_totalprice": f"o_totalprice * {DML_DISCOUNT}"},
+        prune_column="o_orderdate",
+        prune_upper=M07_UPDATE_BEFORE,
+    )
+    t.commit(
+        spark.createDataFrame(
+            [
+                (90000001, "X", "2030-01-01 00:00:00", 111.0),
+                (90000002, "X", "2030-01-02 00:00:00", 222.0),
+            ],
+            "o_orderkey long, o_orderstatus string, o_orderdate string,"
+            " o_totalprice double",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")),
+        mode="append",
+    )
+    feed = t.read_change_feed(1)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("commit_version", "change_type", "order_year", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
@@ -436,6 +509,7 @@ QUERIES = {
     "m04_row_level_dml_orders": row_level_dml_orders,
     "m05_snapshot_merge_orders": snapshot_merge_orders,
     "m06_sql_dml_orders": sql_dml_orders,
+    "m07_change_feed_orders": change_feed_orders,
 }
 
 _SRC_SQL = f"""
@@ -557,4 +631,47 @@ ORACLES = {
     # m05 = the snapshot-native path under the IDENTICAL oracle: matching
     # both proves the CoW merge equals the set-based semantics
     "m05_snapshot_merge_orders": _MERGE_ACCOUNTING_SQL,
+    # m07: the change feed restated as literal unions — v2 deletes the
+    # 1996 rows (merge-on-read tombstones), v3 emits pre-image deletes
+    # and discounted post-image inserts for dated 'F' orders (rows
+    # already tombstoned in v2 are NOT update candidates; disjoint here
+    # by date anyway), v4 inserts the two appended rows
+    "m07_change_feed_orders": f"""
+        WITH del96 AS (
+            SELECT o_orderdate, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '{DML_DELETE_LO} 00:00:00'
+                                  AND TIMESTAMP '{DML_DELETE_HI} 00:00:00'
+        ),
+        updf AS (
+            SELECT o_orderdate, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderstatus = 'F'
+              AND o_orderdate < TIMESTAMP '{M07_UPDATE_BEFORE} 00:00:00'
+              AND NOT (o_orderdate BETWEEN TIMESTAMP '{DML_DELETE_LO} 00:00:00'
+                                       AND TIMESTAMP '{DML_DELETE_HI} 00:00:00')
+        ),
+        feed AS (
+            SELECT 2 AS commit_version, 'delete' AS change_type,
+                   o_orderdate, o_orderstatus, o_totalprice FROM del96
+            UNION ALL
+            SELECT 3, 'delete', o_orderdate, o_orderstatus, o_totalprice
+            FROM updf
+            UNION ALL
+            SELECT 3, 'insert', o_orderdate, o_orderstatus,
+                   o_totalprice * {DML_DISCOUNT}
+            FROM updf
+            UNION ALL
+            SELECT 4, 'insert', TIMESTAMP '2030-01-01 00:00:00', 'X',
+                   CAST(111.0 AS DOUBLE)
+            UNION ALL
+            SELECT 4, 'insert', TIMESTAMP '2030-01-02 00:00:00', 'X',
+                   CAST(222.0 AS DOUBLE)
+        )
+        SELECT CAST(commit_version AS BIGINT) AS commit_version,
+               change_type,
+               strftime(o_orderdate, '%Y') AS order_year, o_orderstatus,
+               COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+        FROM feed
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2, 3, 4
+    """,
 }

@@ -71,10 +71,16 @@ def _build_source_class():
         """Driver-side planner: versions → file partitions. Reads
         manifests directly from the local metadata layout."""
 
-        def __init__(self, path: str, start_version: int):
+        def __init__(
+            self,
+            path: str,
+            start_version: int,
+            skip_change_commits: bool = False,
+        ):
             self.path = path.rstrip("/")
             self.meta = os.path.join(self.path, "_snapshots")
             self.start_version = start_version
+            self.skip_change_commits = skip_change_commits
 
         # -------------------------------------------------------- meta
         def _current(self) -> int:
@@ -103,6 +109,29 @@ def _build_source_class():
             pass  # sink checkpoint owns progress; manifests are immutable
 
         # -------------------------------------------------- partitions
+        def _classify(self, prev: dict, cur: dict) -> str:
+            """One commit step: 'noop' (metadata-only / compaction),
+            'append' (only new files arrived), or 'change' (files left
+            visibility or delete vectors moved)."""
+            if str(cur.get("mode", "")).startswith("compact"):
+                return "noop"  # dataChange=false: same rows, new files
+            if set(cur.get("delete_dirs", [])) != set(
+                prev.get("delete_dirs", [])
+            ):
+                return "change"
+            prev_dirs = set(prev["data_dirs"])
+            if not prev_dirs <= set(cur["data_dirs"]):
+                return "change"
+            for d in prev_dirs:
+                pvis = self._visible(prev, d)
+                cvis = self._visible(cur, d)
+                if (cvis is not None) and (
+                    pvis is None or not set(pvis) <= set(cvis)
+                ):
+                    return "change"
+            new_dirs = [d for d in cur["data_dirs"] if d not in prev_dirs]
+            return "append" if new_dirs else "noop"
+
         def partitions(self, start: dict, end: dict):
             sv, ev = start["version"], end["version"]
             if ev <= sv:
@@ -114,65 +143,62 @@ def _build_source_class():
                     "snapshot_stream: head manifest has no schema"
                 )
             columns = [f["name"] for f in target["fields"]]
-            if sv == 0:
-                base_dirs: set[str] = set()
-                base_m: dict = {"data_dirs": []}
-            else:
-                base_m = self._manifest(sv)
-                base_dirs = set(base_m["data_dirs"])
-            # append-descendant check, file-level (same contract as
-            # read_changes): every base dir must survive with its
-            # visible set intact or grown
-            if not base_dirs <= set(head["data_dirs"]):
-                raise ValueError(
-                    f"snapshot_stream: versions {sv}..{ev} are not an "
-                    f"append chain (an overwrite/rollback intervened) — "
-                    f"restart the stream from a fresh startVersion"
-                )
-            if set(head.get("delete_dirs", [])) != set(
-                base_m.get("delete_dirs", [])
-            ):
-                raise ValueError(
-                    f"snapshot_stream: merge-on-read delete vectors "
-                    f"changed between versions {sv} and {ev} — no "
-                    f"well-defined append delta"
-                )
-            for d in base_dirs:
-                bvis = self._visible(base_m, d)
-                hvis = self._visible(head, d)
-                if (hvis is not None) and (
-                    bvis is None or not set(bvis) <= set(hvis)
-                ):
-                    raise ValueError(
-                        f"snapshot_stream: a row-level rewrite shrank "
-                        f"'{d}' between versions {sv} and {ev} — no "
-                        f"well-defined append delta"
-                    )
+            # walk the range COMMIT BY COMMIT (not one base-vs-head
+            # diff): each append step emits exactly the files it added,
+            # so a change commit elsewhere in the range doesn't poison
+            # the appends around it
             parts: list[_FilePartition] = []
-            for d in head["data_dirs"]:
-                if d in base_dirs:
+            prev: dict = (
+                self._manifest(sv) if sv > 0 else {"data_dirs": []}
+            )
+            for v in range(sv + 1, ev + 1):
+                cur = self._manifest(v)
+                kind = self._classify(prev, cur)
+                if kind == "change":
+                    if not self.skip_change_commits:
+                        raise ValueError(
+                            f"snapshot_stream: version {v} is not an "
+                            f"append (an overwrite / rollback / row-level "
+                            f"DML / merge-on-read delete intervened) — "
+                            f"no well-defined append delta. Set "
+                            f"skipChangeCommits=true to pass over change "
+                            f"commits (their rows, including any files "
+                            f"they add, are SKIPPED — Delta semantics), "
+                            f"or consume SnapshotTable.read_change_feed "
+                            f"for typed insert/delete rows"
+                        )
+                    prev = cur
+                    continue  # skip the WHOLE commit, added files incl.
+                if kind == "noop":
+                    prev = cur
                     continue
-                if head.get("partition_specs", {}).get(d):
-                    raise ValueError(
-                        "snapshot_stream does not support "
-                        "Hive-partitioned commit layouts yet (partition "
-                        "values live in dir names, not files); commit "
-                        "unpartitioned for streaming"
+                prev_dirs = set(prev["data_dirs"])
+                for d in cur["data_dirs"]:
+                    if d in prev_dirs:
+                        continue
+                    if cur.get("partition_specs", {}).get(d):
+                        raise ValueError(
+                            "snapshot_stream does not support "
+                            "Hive-partitioned commit layouts yet "
+                            "(partition values live in dir names, not "
+                            "files); commit unpartitioned for streaming"
+                        )
+                    vis = self._visible(cur, d)
+                    root = os.path.join(self.path, d)
+                    files = (
+                        [os.path.join(root, f) for f in vis]
+                        if vis is not None
+                        else [
+                            os.path.join(dp, f)
+                            for dp, _dn, fs in os.walk(root)
+                            for f in sorted(fs)
+                            if f.endswith(".parquet")
+                            and not f.startswith("_")
+                        ]
                     )
-                vis = self._visible(head, d)
-                root = os.path.join(self.path, d)
-                files = (
-                    [os.path.join(root, f) for f in vis]
-                    if vis is not None
-                    else [
-                        os.path.join(dp, f)
-                        for dp, _dn, fs in os.walk(root)
-                        for f in sorted(fs)
-                        if f.endswith(".parquet") and not f.startswith("_")
-                    ]
-                )
-                for p in files:
-                    parts.append(_FilePartition(p, columns))
+                    for p in files:
+                        parts.append(_FilePartition(p, columns))
+                prev = cur
             return parts
 
         # -------------------------------------------------------- read
@@ -194,7 +220,14 @@ def _build_source_class():
 
         Options: ``path`` (table root, required); ``startVersion``
         (first micro-batch starts AFTER this version; default 0 =
-        stream the table from its first commit)."""
+        stream the table from its first commit);
+        ``skipChangeCommits`` ('true'/'false', default false) — pass
+        over non-append commits (overwrite / rollback / row-level DML /
+        merge-on-read deletes) instead of erroring, Delta's
+        ``skipChangeCommits`` semantics: the change commit contributes
+        NOTHING to the stream, including any files it added. Retraction
+        consumers should read ``SnapshotTable.read_change_feed``
+        batch-side instead."""
 
         @classmethod
         def name(cls) -> str:
@@ -217,6 +250,10 @@ def _build_source_class():
             return _SnapshotStreamReader(
                 self.options["path"],
                 int(self.options.get("startVersion", 0) or 0),
+                str(
+                    self.options.get("skipChangeCommits", "false")
+                ).lower()
+                == "true",
             )
 
     return SnapshotStreamSource

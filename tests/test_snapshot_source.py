@@ -87,7 +87,7 @@ def test_stream_refuses_rewritten_history(registered, spark, tmp_path):
     )
     _drain(spark, t.path, ck)
     t.delete_where("k < 3", prune_column="k", prune_lower=0, prune_upper=2)
-    with pytest.raises(Exception, match="rewrite|append chain|shrank"):
+    with pytest.raises(Exception, match="not an append"):
         _drain(spark, t.path, ck)
 
 
@@ -180,3 +180,72 @@ def test_lakehouse_streaming_hub(registered, spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _drain_opts(spark, path: str, ck: str, **opts) -> list[tuple]:
+    got: list[tuple] = []
+
+    def sink(batch, _bid):
+        got.extend(tuple(r) for r in batch.collect())
+
+    reader = spark.readStream.format(FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_skip_change_commits_passes_over_dml(registered, spark, tmp_path):
+    """Delta's skipChangeCommits: a stream survives a DML commit by
+    contributing NOTHING for it — appends before and after still arrive
+    exactly once, per-commit (not base-vs-head) diffing."""
+    t = SnapshotTable(spark, str(tmp_path / "sc"))
+    ck = str(tmp_path / "ck")
+    t.commit(
+        spark.createDataFrame([Row(k=i) for i in range(10)]),
+        stats_for=["k"],
+    )
+    got = _drain_opts(spark, t.path, ck, skipChangeCommits="true")
+    assert sorted(got) == [(i,) for i in range(10)]
+    # a wave: append + CoW delete + MoR delete + append, all undrained
+    t.commit(spark.createDataFrame([Row(k=100)]), mode="append")
+    t.delete_where("k < 3", prune_column="k", prune_lower=0, prune_upper=2)
+    t.delete_where_mor("k = 5")
+    t.commit(spark.createDataFrame([Row(k=101)]), mode="append")
+    got = _drain_opts(spark, t.path, ck, skipChangeCommits="true")
+    # ONLY the two appends arrive; the DML commits (including the CoW
+    # rewrite's replacement files) are skipped whole
+    assert sorted(got) == [(100,), (101,)]
+    # compaction is dataChange=false: nothing arrives, no flag needed
+    t.compact(target_partitions=1)
+    assert _drain_opts(spark, t.path, ck, skipChangeCommits="true") == []
+
+
+def test_without_skip_flag_dml_still_refuses(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "nf"))
+    ck = str(tmp_path / "ck")
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(5)]))
+    _drain(spark, t.path, ck)
+    t.delete_where_mor("k = 1")
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(spark, t.path, ck)
+
+
+def test_compaction_alone_streams_as_noop(registered, spark, tmp_path):
+    """A compact commit must not error OR replay rows even WITHOUT
+    skipChangeCommits — it is dataChange=false by tag."""
+    t = SnapshotTable(spark, str(tmp_path / "cp"))
+    ck = str(tmp_path / "ck")
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(6)]))
+    _drain(spark, t.path, ck)
+    t.compact(target_partitions=1)
+    assert _drain(spark, t.path, ck) == []
+    t.commit(spark.createDataFrame([Row(k=99)]), mode="append")
+    assert _drain(spark, t.path, ck) == [(99,)]
