@@ -28,8 +28,11 @@ statement-shaped text here BEFORE the query path:
                                            → managed CTAS + lifecycle
 - ``ALTER TABLE t ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n``
                                            → commit-time quality gates
-- ``ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN c``
-                                           → metadata-only schema DDL
+- ``ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN c
+               | RENAME COLUMN a TO b``    → metadata-only schema DDL
+                                             (rename resolves by field
+                                             id — old files keep their
+                                             written names)
 - ``ALTER TABLE t SET | UNSET TBLPROPERTIES (...)``
                                            → table properties
                                              (``delete.mode =
@@ -362,6 +365,11 @@ _DROP_COLUMN_RE = re.compile(
     r"\(?\s*([A-Za-z_][\w\s,]*?)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_RENAME_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_column_defs(defs: str) -> dict[str, str]:
@@ -488,6 +496,14 @@ def dispatch_statement(
             return None
         names = [c.strip() for c in m.group(2).split(",") if c.strip()]
         version = tables[name].drop_columns(names)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _RENAME_COLUMN_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].rename_column(m.group(2), m.group(3))
         return spark.createDataFrame([(version,)], "version long")
 
     m = _DELETE_RE.match(text)

@@ -241,18 +241,31 @@ class SnapshotTable:
                 if entry is not None and entry["version"] >= txn_version:
                     return entry["snapshot"]  # re-delivery; dir orphaned
             version = (parent or 0) + 1
+            pm = read_manifest(parent) if parent else None
+            # stable column identity (field ids): names the parent knows
+            # keep their ids across appends AND overwrites; new names get
+            # fresh ids — the substrate for RENAME COLUMN
+            field_ids, last_fid = self._next_field_ids(
+                pm, [f.name for f in df.schema.fields]
+            )
             dirs = [data_dir]
             specs = {data_dir: list(partition_by or [])}
             dir_schemas = {data_dir: df.schema.jsonValue()}
+            dir_field_ids = {data_dir: field_ids}
             file_stats = {data_dir: own_stats} if own_stats else {}
             dir_files: dict = {}
             delete_dirs: list = []
             if mode == "append" and parent:
                 self._check_evolution(self.schema(parent), df.schema)
-                pm = read_manifest(parent)
                 dirs = pm["data_dirs"] + dirs
                 specs = {**pm.get("partition_specs", {}), **specs}
                 dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
+                dir_field_ids = {
+                    **pm.get("dir_field_ids", {}), **dir_field_ids,
+                }
+                # append keeps the parent's full name→id map (its dirs
+                # stay resolvable even for columns this append lacks)
+                field_ids = {**pm.get("field_ids", {}), **field_ids}
                 file_stats = {**pm.get("file_stats", {}), **file_stats}
                 # row-level rewrites shrink per-dir visibility; appends
                 # carry the parent's visible sets AND delete vectors
@@ -283,6 +296,11 @@ class SnapshotTable:
                 # new (possibly evolved) write schema — older files are
                 # projected onto it at read time
                 "schema": df.schema.jsonValue(),
+                # stable column identity: current name → field id, the
+                # per-dir write-time mappings, and the id high-water
+                "field_ids": field_ids,
+                "dir_field_ids": dir_field_ids,
+                "last_field_id": last_fid,
                 # per-dir per-file column bounds (Iceberg manifest stats)
                 # — absent key = no stats = never skipped
                 "file_stats": file_stats,
@@ -502,10 +520,10 @@ class SnapshotTable:
     # COLUMNS / DROP COLUMN): no data file is touched — the snapshot
     # schema changes and reads project every file onto it (added columns
     # NULL-fill for pre-evolution files; dropped columns become invisible
-    # at the new version while time travel still shows them). RENAME is
-    # deliberately unsupported: name-based projection would silently lose
-    # the renamed column's data in old files — doing it right needs
-    # Iceberg's field-ID indirection, so we refuse instead of corrupting.
+    # at the new version while time travel still shows them). RENAME
+    # works through the field-ID indirection above (``rename_column``) —
+    # name-based projection alone would silently lose the renamed
+    # column's data in old files.
 
     def add_columns(self, cols: dict[str, str]) -> int:
         """Append nullable columns (name → Spark type DDL string) to the
@@ -547,7 +565,18 @@ class SnapshotTable:
             s = manifest.get("schema")
             if s is None:
                 raise ValueError("schema change needs a schema-carrying snapshot")
-            manifest["schema"] = update_fn(T.StructType.fromJson(s)).jsonValue()
+            new_schema = update_fn(T.StructType.fromJson(s))
+            manifest["schema"] = new_schema.jsonValue()
+            # field-id bookkeeping: dropped names leave the map (their
+            # ids stay burned — a re-added same-name column gets a FRESH
+            # id, so pre-drop data does not resurface); added names get
+            # fresh ids past the high-water
+            if manifest.get("field_ids") is not None:
+                fids, last = self._next_field_ids(
+                    manifest, [f.name for f in new_schema.fields]
+                )
+                manifest["field_ids"] = fids
+                manifest["last_field_id"] = last
             manifest["version"] = parent + 1
             manifest["parent"] = parent
             manifest["mode"] = tag
@@ -688,7 +717,7 @@ class SnapshotTable:
         Serialized by the same commit protocol as ``commit``."""
         old = self._manifest(version)
 
-        def build(parent: int | None, _read_manifest) -> dict:
+        def build(parent: int | None, read_manifest) -> dict:
             cur = parent or 0
             return {
                 "version": cur + 1,
@@ -702,6 +731,16 @@ class SnapshotTable:
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
+                "field_ids": old.get("field_ids"),
+                "dir_field_ids": old.get("dir_field_ids", {}),
+                # the id HIGH-WATER follows the head, not the rolled-to
+                # snapshot: ids burned after it must stay burned, or a
+                # post-rollback ADD COLUMN could reuse a live dir's id
+                "last_field_id": (
+                    read_manifest(parent).get("last_field_id")
+                    if parent
+                    else old.get("last_field_id")
+                ),
                 # ...but carries the CURRENT head's txn ledger forward —
                 # rolling back data must not roll back applied-batch
                 # memory, or re-deliveries after a rollback double-apply
@@ -745,6 +784,142 @@ class SnapshotTable:
         if dv_dirs:
             out = self._apply_delete_vectors(out, dv_dirs)
         return out
+
+    # ------------------------------------------------ field-ID indirection
+    #
+    # Iceberg's column-identity model: every column carries a stable
+    # FIELD ID assigned at creation; data directories remember the
+    # write-time name → id mapping (``dir_field_ids``), the snapshot
+    # remembers the current name → id mapping (``field_ids``). Reads
+    # resolve a dir's columns BY ID, so ``ALTER TABLE ... RENAME COLUMN``
+    # is a metadata-only commit: old files keep their written names, the
+    # projection re-labels them; a column dropped and re-added under the
+    # same name gets a FRESH id, so pre-drop data does not resurface.
+    # Stats and blooms stay keyed by write-time names per dir; planners
+    # translate current → write-time names through the id.
+
+    @staticmethod
+    def _next_field_ids(
+        parent_manifest: dict | None, names: list[str]
+    ) -> tuple[dict[str, int], int]:
+        """name → id for a commit's columns: parent's ids for names it
+        knows, fresh ids beyond ``last_field_id`` for new names."""
+        prev = (parent_manifest or {}).get("field_ids") or {}
+        last = (parent_manifest or {}).get("last_field_id") or (
+            max(prev.values()) if prev else 0
+        )
+        out: dict[str, int] = {}
+        for n in names:
+            if n in prev:
+                out[n] = prev[n]
+            else:
+                last += 1
+                out[n] = last
+        return out, last
+
+    def _dir_renames(self, manifest: dict, rel_dir: str) -> dict[str, str]:
+        """write-time name → CURRENT name for columns of ``rel_dir`` that
+        were renamed since the dir was written (empty dict = identity;
+        legacy manifests without field ids fall back to name matching)."""
+        return self._dir_projection(manifest, rel_dir)[1]
+
+    def _dir_projection(
+        self, manifest: dict, rel_dir: str
+    ) -> tuple[list[str], dict[str, str]]:
+        """``(dead_columns, renames)`` resolving ``rel_dir``'s write-time
+        names against the snapshot's current name → id map:
+
+        - a write column whose id LEFT the map (DROP COLUMN) is DEAD — it
+          must be dropped before name alignment, or a later re-added
+          same-name column would resurface the old bytes;
+        - a write column whose id maps to a different current name is
+          RENAMED (applied after the drops, so a live column renamed onto
+          a dead one's name wins)."""
+        fids = manifest.get("field_ids")
+        dmap = manifest.get("dir_field_ids", {}).get(rel_dir)
+        if not fids or not dmap:
+            return [], {}
+        id2cur = {i: n for n, i in fids.items()}
+        dead = [w for w, i in dmap.items() if i not in id2cur]
+        renames = {
+            w: id2cur[i]
+            for w, i in dmap.items()
+            if i in id2cur and id2cur[i] != w
+        }
+        return dead, renames
+
+    def _dir_stat_name(self, manifest: dict, rel_dir: str, column: str) -> str:
+        """CURRENT column name → the WRITE-TIME name ``rel_dir``'s stats
+        and blooms are keyed by (identity when no rename applies)."""
+        fids = manifest.get("field_ids")
+        dmap = manifest.get("dir_field_ids", {}).get(rel_dir)
+        if not fids or not dmap:
+            return column
+        i = fids.get(column)
+        if i is None:
+            return column
+        for w, wid in dmap.items():
+            if wid == i:
+                return w
+        return column
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE ... RENAME COLUMN old TO new`` — metadata-only:
+        the snapshot schema and the name → field-id mapping change; data
+        files keep their written names and reads re-label them by id.
+        Time travel shows the old name at old versions; stats/blooms
+        (keyed by write-time names) keep pruning through the id
+        translation. Refuses on legacy directories that predate field-id
+        manifests (name-based projection there would silently NULL the
+        renamed column's old data — recommit/compact first)."""
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("rename on an empty table")
+            manifest = dict(read_manifest(parent))
+            s = manifest.get("schema")
+            fids = manifest.get("field_ids")
+            if s is None or not fids:
+                raise ValueError(
+                    "RENAME COLUMN needs a field-id-carrying snapshot "
+                    "(legacy manifest: recommit or compact first)"
+                )
+            schema = T.StructType.fromJson(s)
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: '{old}'")
+            if new in names:
+                raise ValueError(f"column already exists: '{new}'")
+            fid = fids[old]
+            dir_ids = manifest.get("dir_field_ids", {})
+            missing = [
+                d
+                for d in manifest["data_dirs"]
+                if fid not in set(dir_ids.get(d, {}).values())
+            ]
+            if missing:
+                raise ValueError(
+                    f"RENAME COLUMN '{old}': directories predate field-id "
+                    f"manifests ({missing}); recommit or compact first"
+                )
+            manifest["schema"] = T.StructType(
+                [
+                    T.StructField(new if f.name == old else f.name,
+                                  f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            ).jsonValue()
+            manifest["field_ids"] = {
+                (new if n == old else n): i for n, i in fids.items()
+            }
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = f"rename_{old}_to_{new}"
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
 
     def _visible_files(self, manifest: dict, rel_dir: str) -> list[str] | None:
         """The file subset of ``rel_dir`` VISIBLE in this snapshot (None =
@@ -796,10 +971,17 @@ class SnapshotTable:
             if eff == []:
                 continue  # nothing visible / everything pruned
             schema_json = schemas.get(d)
+            proj = self._dir_projection(manifest, d)
             if schema_json is None or specs.get(d):
-                entries.append(("dir", d, eff))
+                entries.append(("dir", (d, proj), eff))
                 continue
-            key = json.dumps(schema_json, sort_keys=True)
+            # fold key includes the dir's projection (drops + renames):
+            # dirs written under different historical names must not
+            # share one reader call
+            key = json.dumps(
+                [schema_json, sorted(proj[0]), sorted(proj[1].items())],
+                sort_keys=True,
+            )
             root = os.path.join(self.path, d)
             paths = (
                 [root]
@@ -810,17 +992,25 @@ class SnapshotTable:
                 entries[group_pos[key]][2].extend(paths)
             else:
                 group_pos[key] = len(entries)
-                entries.append(["group", schema_json, paths])
+                entries.append(["group", (schema_json, proj), paths])
         parts: list[DataFrame] = []
         for kind, a, b in entries:
+            schema_or_dir, (dead, renames) = a
             if kind == "dir":
-                part = self._read_dir(manifest, a, files=b)
+                part = self._read_dir(manifest, schema_or_dir, files=b)
             else:
                 # unpartitioned same-schema dirs/files: one reader call,
                 # explicit schema, no partition discovery needed
                 part = self.spark.read.schema(
-                    T.StructType.fromJson(a)
+                    T.StructType.fromJson(schema_or_dir)
                 ).parquet(*b)
+            if dead:
+                # field-id projection: columns whose id left the schema
+                # are invisible even to a re-added same-name column
+                part = part.drop(*dead)
+            if renames:
+                # field-id projection: write-time names → current names
+                part = part.withColumnsRenamed(renames)
             parts.append(
                 self._align_with_meta(part, target)
                 if with_meta
@@ -863,11 +1053,12 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
+            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
                 f
                 for f in universe
                 if skipping.file_may_match(
-                    stats.get(f, {}).get(column), lo, hi
+                    stats.get(f, {}).get(col_d), lo, hi
                 )
             ]
             selection[d] = keep
@@ -947,14 +1138,15 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
+            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
                 f
                 for f in universe
                 if skipping.file_may_match(
-                    stats.get(f, {}).get(column), enc, enc
+                    stats.get(f, {}).get(col_d), enc, enc
                 )
                 and skipping.bloom_may_contain(
-                    stats.get(f, {}).get(f"bloom:{column}"), value, ctype
+                    stats.get(f, {}).get(f"bloom:{col_d}"), value, ctype
                 )
             ]
             selection[d] = keep
@@ -978,10 +1170,14 @@ class SnapshotTable:
         v = version if version is not None else self.current_version()
         if v is None:
             return set()
+        m = self._manifest(v)
         out: set[str] = set()
-        for stats in self._manifest(v).get("file_stats", {}).values():
+        for d, stats in m.get("file_stats", {}).items():
+            ren = self._dir_renames(m, d)
             for cols in stats.values():
-                out.update(c for c in cols if not c.startswith("bloom:"))
+                out.update(
+                    ren.get(c, c) for c in cols if not c.startswith("bloom:")
+                )
         return out
 
     def plan_null_scan(
@@ -1013,8 +1209,9 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
+            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
-                f for f in universe if admit(stats.get(f, {}).get(column))
+                f for f in universe if admit(stats.get(f, {}).get(col_d))
             ]
             selection[d] = keep
             n_sel += len(keep)
@@ -1450,6 +1647,15 @@ class SnapshotTable:
                 m["dir_schemas"] = {
                     **m.get("dir_schemas", {}), new_data: target.jsonValue(),
                 }
+                if m.get("field_ids"):
+                    m["dir_field_ids"] = {
+                        **m.get("dir_field_ids", {}),
+                        new_data: {
+                            f.name: m["field_ids"][f.name]
+                            for f in target.fields
+                            if f.name in m["field_ids"]
+                        },
+                    }
                 if own_stats:
                     m["file_stats"] = {
                         **m.get("file_stats", {}), new_data: own_stats,
@@ -1561,12 +1767,18 @@ class SnapshotTable:
             if target is None:
                 raise ValueError("no changes and no schema to shape an empty result")
             return self.spark.createDataFrame([], target)
-        parts = [
-            self._align(self._read_dir(head, d), target)
-            if target is not None
-            else self.spark.read.parquet(os.path.join(self.path, d))
-            for d in new_dirs
-        ]
+        def _one(d: str) -> DataFrame:
+            if target is None:
+                return self.spark.read.parquet(os.path.join(self.path, d))
+            part = self._read_dir(head, d)
+            dead, ren = self._dir_projection(head, d)
+            if dead:
+                part = part.drop(*dead)
+            if ren:
+                part = part.withColumnsRenamed(ren)
+            return self._align(part, target)
+
+        parts = [_one(d) for d in new_dirs]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2015,11 +2227,33 @@ class SnapshotTable:
                 dir_files[d] = new_vis
             keep = set(dirs)
             dirs.append(new_dir)
+            fids = manifest.get("field_ids") or {}
             return {
                 "version": planned_version + 1,
                 "parent": planned_version,
                 "mode": tag,
                 "data_dirs": dirs,
+                "field_ids": fids,
+                "last_field_id": manifest.get("last_field_id"),
+                # the replacement dir is written under CURRENT names
+                "dir_field_ids": {
+                    **{
+                        d: m
+                        for d, m in manifest.get("dir_field_ids", {}).items()
+                        if d in keep
+                    },
+                    **(
+                        {
+                            new_dir: {
+                                f.name: fids[f.name]
+                                for f in target.fields
+                                if f.name in fids
+                            }
+                        }
+                        if fids
+                        else {}
+                    ),
+                },
                 "partition_specs": {
                     **{
                         d: s

@@ -63,9 +63,15 @@ def _build_source_class():
     ``read`` touches is stdlib/pyarrow or pickled partition data."""
 
     class _FilePartition(InputPartition):
-        def __init__(self, abs_path: str, columns: list[str]):
+        def __init__(
+            self, abs_path: str, columns: list[str],
+            src_names: list[str] | None = None,
+        ):
             self.abs_path = abs_path
             self.columns = columns
+            # per-column WRITE-TIME name inside this file (field-id
+            # resolution for renamed columns); None = same as columns
+            self.src_names = src_names or columns
 
     class _SnapshotStreamReader(DataSourceStreamReader):
         """Driver-side planner: versions → file partitions. Reads
@@ -173,6 +179,7 @@ def _build_source_class():
                     prev = cur
                     continue
                 prev_dirs = set(prev["data_dirs"])
+                head_fids = head.get("field_ids") or {}
                 for d in cur["data_dirs"]:
                     if d in prev_dirs:
                         continue
@@ -183,6 +190,16 @@ def _build_source_class():
                             "(partition values live in dir names, not "
                             "files); commit unpartitioned for streaming"
                         )
+                    # field-id projection: a column renamed between this
+                    # commit and the head is read under its WRITE name
+                    dmap = cur.get("dir_field_ids", {}).get(d) or {}
+                    id2w = {i: w for w, i in dmap.items()}
+                    src_names = [
+                        id2w.get(head_fids.get(c), c)
+                        if head_fids.get(c) in id2w
+                        else c
+                        for c in columns
+                    ]
                     vis = self._visible(cur, d)
                     root = os.path.join(self.path, d)
                     files = (
@@ -197,7 +214,9 @@ def _build_source_class():
                         ]
                     )
                     for p in files:
-                        parts.append(_FilePartition(p, columns))
+                        parts.append(
+                            _FilePartition(p, columns, src_names)
+                        )
                 prev = cur
             return parts
 
@@ -211,8 +230,8 @@ def _build_source_class():
             present = set(tbl.column_names)
             for row in tbl.to_pylist():
                 yield tuple(
-                    row.get(c) if c in present else None
-                    for c in partition.columns
+                    row.get(s) if s in present else None
+                    for s in partition.src_names
                 )
 
     class SnapshotStreamSource(DataSource):

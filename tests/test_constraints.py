@@ -101,8 +101,9 @@ def test_streaming_sink_batches_are_gated(spark, tmp_path):
 def test_schema_ddl_add_and_drop_columns(spark, tmp_path):
     """Metadata-only ADD COLUMNS / DROP COLUMN: no data file is touched,
     reads project (NULL-fill / hide), time travel shows the old shape,
-    and subsequent appends follow the evolved schema. RENAME refuses —
-    name-based projection would silently lose old files' data."""
+    and subsequent appends follow the evolved schema. (RENAME — a
+    field-id-resolved metadata commit since round 7 — is covered by
+    tests/test_rename.py.)"""
     eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
     spark.createDataFrame(
         [Row(k=i, v=float(i)) for i in range(5)]

@@ -121,7 +121,7 @@ def test_mor_refuses_streaming_start_with_active_vectors(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="delete vectors"):
+    with pytest.raises(Exception, match="merge-on-read delete"):
         q.awaitTermination()
 
 
