@@ -64,8 +64,13 @@ from pyspark.sql import DataFrame, SparkSession
 from oss_data_lake_spark.sources.snapshots import (
     SnapshotTable,
     _BLOCKER_RE,
+    _CMP_RE,
+    _IN_RE,
+    _ANY_LIT_RE,
+    _conjunct_spans,
     _depths,
     _masked,
+    _parse_sql_literal,
     _preds_from_conjuncts,
 )
 
@@ -135,6 +140,30 @@ def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
     return _preds_from_conjuncts(
         cond, masked, depths, 0, len(cond), 0, stats_cols, None
     )
+
+
+def eq_delete_probe(cond: str, table_cols: set[str]):
+    """If the DELETE condition is EXACTLY one conjunct of the form
+    ``col = lit`` or ``col IN (lits)`` on a table column, return
+    ``(col, [values])`` — the shape an EQUALITY delete can take without
+    any scan. Anything else returns None (the position-delete path)."""
+    masked = _masked(cond)
+    if _BLOCKER_RE.search(masked):
+        return None
+    depths = _depths(masked)
+    spans = _conjunct_spans(masked, depths, 0, len(cond), 0)
+    if len(spans) != 1:
+        return None
+    conj = cond[spans[0][0]: spans[0][1]].strip().rstrip(";").strip()
+    m = _CMP_RE.fullmatch(conj)
+    if m and m.group(2) == "=" and m.group(1) in table_cols:
+        return m.group(1), [_parse_sql_literal(m.group(3))]
+    m = _IN_RE.fullmatch(conj)
+    if m and m.group(1) in table_cols:
+        vals = [_parse_sql_literal(t) for t in _ANY_LIT_RE.findall(m.group(2))]
+        if vals:
+            return m.group(1), vals
+    return None
 
 
 def split_statements(script: str) -> list[str]:
@@ -312,6 +341,20 @@ def _run_merge(
     if clause_text[covered:].strip():
         raise ValueError(
             f"unrecognized MERGE clause text: {clause_text[covered:].strip()[:60]!r}"
+        )
+    if (
+        t.properties().get("delete.mode") == "merge-on-read"
+        and when_matched == "update"
+        and when_not_matched == "insert"
+        and matched_condition is None
+    ):
+        # the plain upsert form routes scan-free: equality-delete the
+        # source keys + append the source rows, one atomic commit
+        info = t.merge_rows_mor(
+            src_df, keys, stats_for=sorted(t.stats_columns()) or None
+        )
+        return spark.createDataFrame(
+            [(info["version"], info["mode"])], "version long, mode string"
         )
     info = t.merge_rows(
         src_df,
@@ -512,6 +555,18 @@ def dispatch_statement(
         cond = m.group(2) or "true"
         preds = conjunct_ranges(cond, t.stats_columns())
         if t.properties().get("delete.mode") == "merge-on-read":
+            schema = t.schema()
+            probe = eq_delete_probe(
+                cond, {f.name for f in schema.fields} if schema else set()
+            )
+            if probe is not None:
+                # scan-free keyed delete: just the key tuples land
+                col, vals = probe
+                info = t.delete_where_eq(col, vals)
+                return spark.createDataFrame(
+                    [(info["version"], info["n_keys"], info["mode"])],
+                    "version long, n_keys long, mode string",
+                )
             info = t.delete_where_mor(cond, prune_preds=preds)
             return spark.createDataFrame(
                 [(info["version"], info["files_scanned"],

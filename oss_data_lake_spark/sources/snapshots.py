@@ -255,6 +255,7 @@ class SnapshotTable:
             file_stats = {data_dir: own_stats} if own_stats else {}
             dir_files: dict = {}
             delete_dirs: list = []
+            eq_deletes: list = []
             if mode == "append" and parent:
                 self._check_evolution(self.schema(parent), df.schema)
                 dirs = pm["data_dirs"] + dirs
@@ -272,6 +273,7 @@ class SnapshotTable:
                 # forward unchanged (overwrite starts clean)
                 dir_files = dict(pm.get("dir_files", {}))
                 delete_dirs = list(pm.get("delete_dirs", []))
+                eq_deletes = list(pm.get("eq_deletes", []))
             return {
                 "version": version,
                 "parent": parent,
@@ -292,6 +294,8 @@ class SnapshotTable:
                 "dir_files": dir_files,
                 # merge-on-read tombstone dirs (anti-joined at read time)
                 "delete_dirs": delete_dirs,
+                # outstanding equality deletes (keys + applicable dirs)
+                "eq_deletes": eq_deletes,
                 # the table schema AS OF this snapshot: appends adopt the
                 # new (possibly evolved) write schema — older files are
                 # projected onto it at read time
@@ -728,6 +732,7 @@ class SnapshotTable:
                 "dir_schemas": old.get("dir_schemas", {}),
                 "dir_files": old.get("dir_files", {}),
                 "delete_dirs": old.get("delete_dirs", []),
+                "eq_deletes": old.get("eq_deletes", []),
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
@@ -775,14 +780,18 @@ class SnapshotTable:
                 *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
             )
         dv_dirs = manifest.get("delete_dirs", [])
-        parts = self._scan_parts(manifest, target, with_meta=bool(dv_dirs))
+        need_meta = bool(dv_dirs or manifest.get("eq_deletes"))
+        parts = self._scan_parts(manifest, target, with_meta=need_meta)
         if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if dv_dirs:
-            out = self._apply_delete_vectors(out, dv_dirs)
+        if need_meta:
+            if dv_dirs:
+                out = self._apply_delete_vectors_keep_meta(out, dv_dirs)
+            out = self._apply_eq_deletes(out, manifest)
+            out = out.drop("__dv_file", "__dv_pos")
         return out
 
     # ------------------------------------------------ field-ID indirection
@@ -1355,16 +1364,20 @@ class SnapshotTable:
                 *[os.path.join(self.path, d) for d in manifest["data_dirs"]]
             )
         dv_dirs = manifest.get("delete_dirs", [])
+        need_meta = bool(dv_dirs or manifest.get("eq_deletes"))
         parts = self._scan_parts(
-            manifest, target, selection=selection, with_meta=bool(dv_dirs)
+            manifest, target, selection=selection, with_meta=need_meta
         )
         if not parts:
             return self.spark.createDataFrame([], target)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if dv_dirs:
-            out = self._apply_delete_vectors(out, dv_dirs)
+        if need_meta:
+            if dv_dirs:
+                out = self._apply_delete_vectors_keep_meta(out, dv_dirs)
+            out = self._apply_eq_deletes(out, manifest)
+            out = out.drop("__dv_file", "__dv_pos")
         return out
 
     def _read_dir(
@@ -1513,6 +1526,7 @@ class SnapshotTable:
             dv_dirs = manifest.get("delete_dirs", [])
             if dv_dirs:
                 cand = self._apply_delete_vectors_keep_meta(cand, dv_dirs)
+            cand = self._apply_eq_deletes(cand, manifest)
             tombstones = (
                 cand.filter(F.coalesce(cond, F.lit(False)))
                 .select(
@@ -1609,6 +1623,7 @@ class SnapshotTable:
             dv_dirs = manifest.get("delete_dirs", [])
             if dv_dirs:
                 cand = self._apply_delete_vectors_keep_meta(cand, dv_dirs)
+            cand = self._apply_eq_deletes(cand, manifest)
             matched = cand.filter(F.coalesce(cond, F.lit(False)))
             out_cols = []
             for f in target.fields:
@@ -1692,6 +1707,284 @@ class SnapshotTable:
             "left_anti",
         )
 
+    # ------------------------------------------------- equality deletes
+    #
+    # Iceberg v2's SECOND delete-file kind: where a position delete needs
+    # a SCAN to find its rows, an equality delete just records KEY TUPLES
+    # — write cost O(keys), independent of table and file size: the
+    # streaming-CDC-upsert primitive. Sequencing follows Iceberg's
+    # data-sequence-number rule, expressed at our manifest granularity as
+    # ``applies_dirs``: an equality delete applies only to data
+    # directories present when it committed — a row with the same key
+    # appended LATER survives. Key columns are recorded by FIELD ID, so
+    # renames cannot detach a delete from its column. Readers anti-join
+    # each outstanding delete's broadcast keys against the applicable
+    # dirs only; ``compact`` materializes and clears them (and the
+    # tombstone-ratio policy triggers that automatically).
+
+    def delete_where_eq(
+        self, columns: "str | list[str]", keys
+    ) -> dict:
+        """Keyed DELETE as an equality-delete file: drop every CURRENT
+        row whose ``columns`` tuple appears in ``keys`` (a DataFrame of
+        key tuples, a list of scalars for one column, or a list of
+        tuples). No data file is read or written — one tiny parquet of
+        keys plus a metadata commit. Returns ``{"version", "n_keys",
+        "mode": "equality-delete"}``."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        if not cols:
+            raise ValueError("equality delete needs at least one column")
+        if isinstance(keys, DataFrame):
+            key_df = keys.select(*cols).distinct()
+        else:
+            rows = [
+                tuple(k) if isinstance(k, (tuple, list)) else (k,)
+                for k in keys
+            ]
+            if not rows:
+                raise ValueError("equality delete needs at least one key")
+            target_now = self.schema()
+            if target_now is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            ftypes = {f.name: f.dataType for f in target_now.fields}
+            missing = [c for c in cols if c not in ftypes]
+            if missing:
+                raise ValueError(f"no such columns: {missing}")
+            key_df = self.spark.createDataFrame(
+                rows, T.StructType(
+                    [T.StructField(c, ftypes[c], True) for c in cols]
+                )
+            ).distinct()
+        last_err: Exception | None = None
+        for _attempt in range(self._DML_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            manifest = self._manifest(v)
+            fids = manifest.get("field_ids") or {}
+            ids = [fids.get(c) for c in cols]
+            if any(i is None for i in ids):
+                raise ValueError(
+                    f"equality delete on {cols}: not all columns carry "
+                    f"field ids (legacy manifest — recommit first)"
+                )
+            new_dir = f"deletes/eq{v + 1}-{uuid.uuid4().hex[:8]}"
+            key_df.coalesce(1).write.mode("errorifexists").parquet(
+                os.path.join(self.path, new_dir)
+            )
+            entry = {
+                "dir": new_dir,
+                "cols": cols,
+                "ids": ids,
+                "applies_dirs": list(manifest["data_dirs"]),
+            }
+            n_keys = key_df.count()
+
+            def build(parent: int | None, read_manifest) -> dict:
+                if parent != v:
+                    raise CommitConflict(
+                        f"planned against v{v}, head is v{parent}"
+                    )
+                m = dict(read_manifest(v))
+                m["eq_deletes"] = m.get("eq_deletes", []) + [entry]
+                m["version"] = v + 1
+                m["parent"] = v
+                m["mode"] = "delete_eq"
+                m["txn"] = None
+                m["txn_watermarks"] = self._txn_watermarks(v)
+                m["committed_at_ms"] = int(time.time() * 1000)
+                return m
+
+            try:
+                version = self.protocol.commit(build)
+                return {
+                    "version": version,
+                    "n_keys": n_keys,
+                    "mode": "equality-delete",
+                }
+            except CommitConflict as e:
+                last_err = e
+        raise CommitConflict(
+            f"equality delete on {self.path} lost {self._DML_RETRIES} retries"
+        ) from last_err
+
+    def _apply_eq_deletes(
+        self, out: DataFrame, manifest: dict
+    ) -> DataFrame:
+        """Anti-join the (meta-carrying) scan against every outstanding
+        equality delete: a row drops iff its key tuple matches AND its
+        source file lives in one of the delete's ``applies_dirs`` (rows
+        appended after the delete are exempt — the sequencing rule). Keys
+        are explicitly broadcast (CDC-batch-sized by design)."""
+        entries = manifest.get("eq_deletes", [])
+        if not entries:
+            return out
+        fids = manifest.get("field_ids") or {}
+        id2cur = {i: n for n, i in fids.items()}
+        for e in entries:
+            if not e.get("applies_dirs"):
+                continue
+            keys = self.spark.read.parquet(
+                os.path.join(self.path, e["dir"])
+            ).select(
+                *[
+                    F.col(w).alias(f"__eq_{j}")
+                    for j, w in enumerate(e["cols"])
+                ]
+            ).distinct()
+            cond = None
+            for j, (w, i) in enumerate(zip(e["cols"], e["ids"])):
+                cur = id2cur.get(i, w)
+                c = out[cur] == keys[f"__eq_{j}"]
+                cond = c if cond is None else (cond & c)
+            app = None
+            for d in e["applies_dirs"]:
+                s = out["__dv_file"].startswith(d + "/")
+                app = s if app is None else (app | s)
+            out = out.join(F.broadcast(keys), cond & app, "left_anti")
+        return out
+
+    def _eq_matched_rows(
+        self, manifest: dict, entry: dict, target: T.StructType,
+        pre_state: bool,
+    ) -> DataFrame:
+        """Rows of ``manifest`` matched by ONE equality delete's keys
+        within its ``applies_dirs`` — the change-feed primitive. The scan
+        applies the manifest's OWN delete state first (``pre_state``:
+        position vectors and, for resurrection reads, the other remaining
+        equality deletes), so already-removed rows never re-enter."""
+        sel: dict[str, list[str] | None] = {
+            d: (None if d in set(entry["applies_dirs"]) else [])
+            for d in manifest["data_dirs"]
+        }
+        scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
+        if not scan:
+            return self.spark.createDataFrame([], target)
+        out = scan[0]
+        for q in scan[1:]:
+            out = out.unionByName(q)
+        dv_dirs = manifest.get("delete_dirs", [])
+        if dv_dirs:
+            out = self._apply_delete_vectors_keep_meta(out, dv_dirs)
+        if pre_state:
+            others = dict(manifest)
+            others["eq_deletes"] = [
+                e for e in manifest.get("eq_deletes", [])
+                if e["dir"] != entry["dir"]
+            ]
+            out = self._apply_eq_deletes(out, others)
+        keys = self.spark.read.parquet(
+            os.path.join(self.path, entry["dir"])
+        ).select(
+            *[F.col(w).alias(f"__eq_{j}") for j, w in enumerate(entry["cols"])]
+        ).distinct()
+        fids = manifest.get("field_ids") or {}
+        id2cur = {i: n for n, i in fids.items()}
+        cond = None
+        for j, (w, i) in enumerate(zip(entry["cols"], entry["ids"])):
+            cur = id2cur.get(i, w)
+            c = out[cur] == keys[f"__eq_{j}"]
+            cond = c if cond is None else (cond & c)
+        hit = out.join(F.broadcast(keys), cond, "left_semi")
+        return hit.select(*[F.col(f.name) for f in target.fields])
+
+    def merge_rows_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        stats_for: list[str] | None = None,
+    ) -> dict:
+        """MERGE-ON-READ upsert (``WHEN MATCHED THEN UPDATE SET * /
+        WHEN NOT MATCHED THEN INSERT *``): ONE atomic commit writing an
+        equality-delete file on the source's key tuples plus the source
+        rows as a fresh data dir (exempt from the delete by sequencing).
+        Cost is O(source) — zero target files read or written: the
+        streaming-CDC-upsert primitive. Richer clause forms (DELETE
+        clauses, matched conditions) need the CoW ``merge_rows``."""
+        target_schema = self.schema()
+        if target_schema is None:
+            raise ValueError("merge_rows_mor needs a schema-carrying snapshot")
+        if set(source.columns) != set(f.name for f in target_schema.fields):
+            raise ValueError(
+                f"merge source schema mismatch: source={sorted(source.columns)}"
+                f" table={sorted(f.name for f in target_schema.fields)}"
+            )
+        src = self._align(source, target_schema)
+        last_err: Exception | None = None
+        for _attempt in range(self._DML_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"no snapshots at {self.path}")
+            manifest = self._manifest(v)
+            fids = manifest.get("field_ids") or {}
+            ids = [fids.get(k) for k in keys]
+            if any(i is None for i in ids):
+                raise ValueError(
+                    f"merge_rows_mor on {keys}: not all key columns carry "
+                    f"field ids (legacy manifest — recommit first)"
+                )
+            cons = self.constraints(v)
+            if cons:
+                self._enforce(cons, src, context="this merge")
+            eq_dir = f"deletes/eq{v + 1}-{uuid.uuid4().hex[:8]}"
+            src.select(*keys).distinct().coalesce(1).write.mode(
+                "errorifexists"
+            ).parquet(os.path.join(self.path, eq_dir))
+            data_dir = f"data/g{v + 1}-{uuid.uuid4().hex[:8]}"
+            self._write_data_dir(src, data_dir)
+            own_stats = self._harvest_stats(data_dir, stats_for, None)
+            entry = {
+                "dir": eq_dir,
+                "cols": list(keys),
+                "ids": ids,
+                "applies_dirs": list(manifest["data_dirs"]),
+            }
+
+            def build(parent: int | None, read_manifest) -> dict:
+                if parent != v:
+                    raise CommitConflict(
+                        f"planned against v{v}, head is v{parent}"
+                    )
+                m = dict(read_manifest(v))
+                m["eq_deletes"] = m.get("eq_deletes", []) + [entry]
+                m["data_dirs"] = m["data_dirs"] + [data_dir]
+                m["partition_specs"] = {
+                    **m.get("partition_specs", {}), data_dir: [],
+                }
+                m["dir_schemas"] = {
+                    **m.get("dir_schemas", {}),
+                    data_dir: target_schema.jsonValue(),
+                }
+                if m.get("field_ids"):
+                    m["dir_field_ids"] = {
+                        **m.get("dir_field_ids", {}),
+                        data_dir: {
+                            f.name: m["field_ids"][f.name]
+                            for f in target_schema.fields
+                            if f.name in m["field_ids"]
+                        },
+                    }
+                if own_stats:
+                    m["file_stats"] = {
+                        **m.get("file_stats", {}), data_dir: own_stats,
+                    }
+                m["version"] = v + 1
+                m["parent"] = v
+                m["mode"] = "merge_mor"
+                m["txn"] = None
+                m["txn_watermarks"] = self._txn_watermarks(v)
+                m["committed_at_ms"] = int(time.time() * 1000)
+                return m
+
+            try:
+                version = self.protocol.commit(build)
+                return {"version": version, "mode": "merge-on-read"}
+            except CommitConflict as e:
+                last_err = e
+        raise CommitConflict(
+            f"MoR merge on {self.path} lost {self._DML_RETRIES} retries"
+        ) from last_err
+
     def version_as_of(self, ts_ms: int) -> int:
         """The snapshot visible at epoch-millis ``ts_ms``: the LARGEST
         version committed at or before it (Iceberg's
@@ -1745,6 +2038,14 @@ class SnapshotTable:
                 f"snapshot {to_v} is not an append descendant of "
                 f"{from_version} (merge-on-read delete vectors changed); "
                 f"read the full snapshot instead"
+            )
+        if [e["dir"] for e in head.get("eq_deletes", [])] != [
+            e["dir"] for e in base_m.get("eq_deletes", [])
+        ]:
+            raise ValueError(
+                f"snapshot {to_v} is not an append descendant of "
+                f"{from_version} (equality deletes changed); read the "
+                f"change feed or the full snapshot instead"
             )
         for d in base:
             bvis = self._visible_files(base_m, d)
@@ -1906,32 +2207,40 @@ class SnapshotTable:
             )
 
         # files that LEFT visibility → deletes (minus rows the parent had
-        # already tombstoned — they were never visible)
+        # already tombstoned or equality-deleted — they were never
+        # visible)
         if any(s is None or s for s in removed_sel.values()):
             p_dvs = p.get("delete_dirs", [])
+            meta = bool(p_dvs or p.get("eq_deletes"))
             scan = self._scan_parts(
-                p, target, selection=removed_sel, with_meta=bool(p_dvs)
+                p, target, selection=removed_sel, with_meta=meta
             )
             if scan:
                 rm = scan[0]
                 for q in scan[1:]:
                     rm = rm.unionByName(q)
                 if p_dvs:
-                    rm = self._apply_delete_vectors(rm, p_dvs)
+                    rm = self._apply_delete_vectors_keep_meta(rm, p_dvs)
+                if meta:
+                    rm = self._apply_eq_deletes(rm, p)
                 parts.append(stamp(rm, "delete"))
         # files that BECAME visible → inserts (minus rows the child
-        # already tombstones — e.g. a later feed pair's dv target)
+        # already tombstones — e.g. a later feed pair's dv target;
+        # equality deletes are dir-aware, so fresh dirs pass untouched)
         if any(s is None or s for s in added_sel.values()):
             c_dvs = c.get("delete_dirs", [])
+            meta = bool(c_dvs or c.get("eq_deletes"))
             scan = self._scan_parts(
-                c, target, selection=added_sel, with_meta=bool(c_dvs)
+                c, target, selection=added_sel, with_meta=meta
             )
             if scan:
                 ad = scan[0]
                 for q in scan[1:]:
                     ad = ad.unionByName(q)
                 if c_dvs:
-                    ad = self._apply_delete_vectors(ad, c_dvs)
+                    ad = self._apply_delete_vectors_keep_meta(ad, c_dvs)
+                if meta:
+                    ad = self._apply_eq_deletes(ad, c)
                 parts.append(stamp(ad, "insert"))
         # delete vectors that ARRIVED → deletes of surviving-file rows
         new_dvs = [
@@ -1952,6 +2261,27 @@ class SnapshotTable:
             parts.append(
                 stamp(self._dv_matched_rows(c, gone_dvs, target), "insert")
             )
+        # equality deletes that ARRIVED → deletes of the keys' matched
+        # rows in the PARENT's visible state; ones that LEFT while their
+        # dirs stayed (rollback) → resurrections from the CHILD's state
+        p_eqs = {e["dir"]: e for e in p.get("eq_deletes", [])}
+        c_eqs = {e["dir"]: e for e in c.get("eq_deletes", [])}
+        for dirname, e in c_eqs.items():
+            if dirname not in p_eqs:
+                parts.append(
+                    stamp(
+                        self._eq_matched_rows(p, e, target, pre_state=True),
+                        "delete",
+                    )
+                )
+        for dirname, e in p_eqs.items():
+            if dirname not in c_eqs:
+                parts.append(
+                    stamp(
+                        self._eq_matched_rows(c, e, target, pre_state=True),
+                        "insert",
+                    )
+                )
         return parts
 
     def _dv_matched_rows(
@@ -2275,6 +2605,17 @@ class SnapshotTable:
                 # files left visibility); vectors for untouched files
                 # still apply
                 "delete_dirs": manifest.get("delete_dirs", []),
+                # equality deletes keep applying to surviving dirs; the
+                # replacement dir is exempt (its rows were read THROUGH
+                # the deletes); entries with no surviving dir drop
+                "eq_deletes": [
+                    {**e, "applies_dirs": kept}
+                    for e in manifest.get("eq_deletes", [])
+                    for kept in [
+                        [d for d in e.get("applies_dirs", []) if d in keep]
+                    ]
+                    if kept
+                ],
                 "file_stats": {
                     **{
                         d: s
@@ -2294,6 +2635,102 @@ class SnapshotTable:
         return self.protocol.commit(build)
 
     # ----------------------------------------------------------- cleanup
+
+    # Merge-on-read debt is pay-later: every outstanding position
+    # tombstone and equality delete adds an anti-join to EVERY read
+    # (SCALE.md's read-amplification curve). The auto-compaction policy
+    # is the Delta auto-compact analogue: table properties set a
+    # threshold, the sink (and any caller) checks it after writes, and
+    # ``compact`` materializes the deletes back to a clean file set.
+    #
+    #   compact.tombstone-ratio = '0.1'  → compact when (dv rows +
+    #       eq-delete keys) / known table rows ≥ 0.1
+    #   compact.max-eq-deletes  = '8'    → compact when ≥ 8 equality
+    #       deletes are outstanding (each is a read-time anti-join)
+
+    def maintenance_status(self) -> dict:
+        """Tombstone accumulation vs table size and whether the
+        configured auto-compaction threshold is crossed. Costs one count
+        over the (tiny) delete files plus a manifest-stats walk — no
+        data-file reads."""
+        v = self.current_version()
+        out = {
+            "due": False, "tombstone_rows": 0, "eq_delete_keys": 0,
+            "n_eq_deletes": 0, "table_rows_known": 0, "ratio": 0.0,
+            "threshold": None, "max_eq_deletes": None,
+        }
+        if v is None:
+            return out
+        m = self._manifest(v)
+        props = m.get("properties", {})
+        thr = props.get("compact.tombstone-ratio")
+        max_eq = props.get("compact.max-eq-deletes")
+        out["threshold"] = float(thr) if thr is not None else None
+        out["max_eq_deletes"] = int(max_eq) if max_eq is not None else None
+        dv_dirs = m.get("delete_dirs", [])
+        if dv_dirs:
+            out["tombstone_rows"] = self._read_delete_vectors(dv_dirs).count()
+        eqs = m.get("eq_deletes", [])
+        out["n_eq_deletes"] = len(eqs)
+        for e in eqs:
+            out["eq_delete_keys"] += (
+                self.spark.read.parquet(
+                    os.path.join(self.path, e["dir"])
+                ).count()
+            )
+        rows = 0
+        for d in m["data_dirs"]:
+            stats = m.get("file_stats", {}).get(d) or {}
+            vis = self._visible_files(m, d)
+            files = stats.keys() if vis is None else vis
+            for f in files:
+                for cname, entry in (stats.get(f) or {}).items():
+                    if not cname.startswith("bloom:") and "rows" in entry:
+                        rows += entry["rows"]
+                        break
+        out["table_rows_known"] = rows
+        dead = out["tombstone_rows"] + out["eq_delete_keys"]
+        if dead:
+            out["ratio"] = (
+                dead / rows if rows else float("inf")
+            )
+        if out["threshold"] is not None and out["ratio"] >= out["threshold"]:
+            out["due"] = True
+        if (
+            out["max_eq_deletes"] is not None
+            and out["n_eq_deletes"] >= out["max_eq_deletes"]
+        ):
+            out["due"] = True
+        return out
+
+    def auto_compact(
+        self,
+        target_partitions: int | None = None,
+        **compact_kwargs,
+    ) -> int | None:
+        """Compact IF the maintenance policy says so; returns the new
+        version or None. Wired into the streaming sink so a table that
+        accretes merge-on-read debt under load self-heals at the
+        configured ratio instead of paying ever-growing read-time
+        anti-joins."""
+        status = self.maintenance_status()
+        if not status["due"]:
+            return None
+        if target_partitions is None:
+            v = self.current_version()
+            m = self._manifest(v)
+            n_files = 0
+            for d in m["data_dirs"]:
+                vis = self._visible_files(m, d)
+                if vis is not None:
+                    n_files += len(vis)
+                else:
+                    stats = m.get("file_stats", {}).get(d) or {}
+                    n_files += max(len(stats), 1)
+            target_partitions = max(1, min(32, n_files))
+        return self.compact(
+            target_partitions=target_partitions, **compact_kwargs
+        )
 
     def compact(
         self,
@@ -2403,6 +2840,8 @@ class SnapshotTable:
         # merge-on-read tombstone dirs unreferenced by any live snapshot
         dv_referenced = {
             d for m in manifests for d in m.get("delete_dirs", [])
+        } | {
+            e["dir"] for m in manifests for e in m.get("eq_deletes", [])
         }
         dv_root = os.path.join(self.path, "deletes")
         if os.path.isdir(dv_root):

@@ -76,6 +76,10 @@ def start_snapshot_sink(
         if batch.isEmpty():
             return
         commit_batch(table, batch, batch_id, sink_id, stats_for=stats_for)
+        # auto-compaction policy: a no-op unless the table's
+        # compact.tombstone-ratio / compact.max-eq-deletes properties are
+        # set AND crossed — merge-on-read debt self-heals under load
+        table.auto_compact(stats_for=stats_for)
         for mv in refresh_views or []:
             mv.refresh()
 

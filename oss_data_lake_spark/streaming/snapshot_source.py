@@ -125,6 +125,10 @@ def _build_source_class():
                 prev.get("delete_dirs", [])
             ):
                 return "change"
+            if [e["dir"] for e in cur.get("eq_deletes", [])] != [
+                e["dir"] for e in prev.get("eq_deletes", [])
+            ]:
+                return "change"
             prev_dirs = set(prev["data_dirs"])
             if not prev_dirs <= set(cur["data_dirs"]):
                 return "change"
