@@ -52,6 +52,9 @@ def merge(
     when_matched: str | None = "update",
     matched_condition: str | None = None,
     when_not_matched: str | None = "insert",
+    matched_assignments: dict[str, str] | None = None,
+    insert_values: dict[str, str] | None = None,
+    source_keys: list[str] | None = None,
 ) -> DataFrame:
     """Full MERGE clause semantics, set-based (Trino/Iceberg ``MERGE INTO``
     over the reference's warehouse — WHEN MATCHED [AND cond] THEN
@@ -64,6 +67,15 @@ def merge(
       matched clause; matched rows whose source fails it keep the TARGET
       version (standard fall-through when there is no second clause).
     - ``when_not_matched``: ``"insert"`` or None.
+    - ``matched_assignments``: the NON-star ``UPDATE SET c = expr`` form
+      (Trino's full grammar): per-column SQL expressions evaluated over
+      BOTH rows of a match — reference the target row as ``t.<col>`` and
+      the source row as ``s.<col>``. Unassigned columns keep the target
+      value. With assignments the source only needs its referenced
+      columns plus the keys, not the full table schema.
+    - ``insert_values``: the ``INSERT (cols) VALUES (exprs)`` form:
+      per-column SQL expressions over the SOURCE row (bare or
+      ``s.``-qualified names); unnamed target columns insert NULL.
 
     Every piece is a keys-equi join (semi/anti) — co-partitioned single
     shuffle each, no windows, no cartesian; at 100 TB wrap the result in
@@ -73,12 +85,39 @@ def merge(
         raise ValueError(f"unsupported when_matched: {when_matched}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"unsupported when_not_matched: {when_not_matched}")
-    if set(target.columns) != set(source.columns):
+    skeys = list(source_keys) if source_keys is not None else list(keys)
+    if len(skeys) != len(keys):
+        raise ValueError("source_keys must pair with keys")
+    if matched_assignments:
+        bad = set(matched_assignments) - set(target.columns)
+        if bad:
+            raise ValueError(f"SET assigns unknown columns: {sorted(bad)}")
+        missing = set(skeys) - set(source.columns)
+        if missing:
+            raise ValueError(f"merge source lacks key columns: {sorted(missing)}")
+    if skeys != list(keys) and not (matched_assignments or insert_values):
+        raise ValueError(
+            "ON keys with different target/source column names need the "
+            "non-star clause forms (SET assignments / INSERT VALUES)"
+        )
+    if insert_values:
+        bad = set(insert_values) - set(target.columns)
+        if bad:
+            raise ValueError(f"INSERT names unknown columns: {sorted(bad)}")
+    star_shapes = (
+        (when_matched == "update" and not matched_assignments)
+        or (when_not_matched == "insert" and not insert_values)
+    )
+    if star_shapes and set(target.columns) != set(source.columns):
         raise ValueError(
             f"merge schema mismatch: target={target.columns} source={source.columns}"
         )
-    tgt_keys = target.select(*keys)
-    src_matched = source.join(tgt_keys, keys, "left_semi")
+    # target keys re-labeled to the SOURCE key names for source-side
+    # semi/anti joins (identity when the names agree)
+    tgt_keys = target.select(
+        *[F.col(t).alias(sk) for t, sk in zip(keys, skeys)]
+    )
+    src_matched = source.join(tgt_keys, skeys, "left_semi")
     if matched_condition is not None:
         cond = F.expr(matched_condition)
         # SQL ternary logic: the clause fires only when cond IS TRUE; FALSE
@@ -86,25 +125,75 @@ def merge(
         src_hit = src_matched.filter(cond)
         miss_keys = src_matched.filter(
             ~F.coalesce(cond, F.lit(False))
-        ).select(*keys)
+        ).select(*[F.col(sk).alias(t) for t, sk in zip(keys, skeys)])
     else:
         src_hit = src_matched
-        miss_keys = src_matched.limit(0).select(*keys)
+        miss_keys = src_matched.limit(0).select(
+            *[F.col(sk).alias(t) for t, sk in zip(keys, skeys)]
+        )
 
+    src_keys_as_tgt = source.select(
+        *[F.col(sk).alias(t) for t, sk in zip(keys, skeys)]
+    )
     pieces: list[DataFrame] = []
     # target rows with no source match always survive
-    pieces.append(target.join(source.select(*keys), keys, "left_anti"))
+    pieces.append(target.join(src_keys_as_tgt, keys, "left_anti"))
     # matched rows whose clause condition failed keep the target version
     pieces.append(target.join(miss_keys, keys, "left_semi"))
     if when_matched == "update":
-        pieces.append(src_hit)
+        if matched_assignments:
+            # non-star SET: evaluate each assignment over the matched
+            # PAIR (t = target row, s = source row); unassigned columns
+            # keep the target value — one keys-equi inner join
+            cond = None
+            for k, sk in zip(keys, skeys):
+                e = F.col(f"t.{k}") == F.col(f"s.{sk}")
+                cond = e if cond is None else (cond & e)
+            tgt_fields = {f.name: f.dataType for f in target.schema.fields}
+            joined = target.alias("t").join(src_hit.alias("s"), cond, "inner")
+            pieces.append(
+                joined.select(
+                    *[
+                        F.expr(matched_assignments[c])
+                        .cast(tgt_fields[c])
+                        .alias(c)
+                        if c in matched_assignments
+                        else F.col(f"t.{c}").alias(c)
+                        for c in target.columns
+                    ]
+                )
+            )
+        else:
+            pieces.append(src_hit)
     elif when_matched is None:
         pieces.append(
-            target.join(src_hit.select(*keys), keys, "left_semi")
+            target.join(
+                src_hit.select(
+                    *[F.col(sk).alias(t) for t, sk in zip(keys, skeys)]
+                ),
+                keys,
+                "left_semi",
+            )
         )
     # "delete": matched+condition rows contribute nothing
     if when_not_matched == "insert":
-        pieces.append(source.join(tgt_keys, keys, "left_anti"))
+        unmatched = source.join(tgt_keys, skeys, "left_anti")
+        if insert_values:
+            # INSERT (cols) VALUES (exprs): expressions over the SOURCE
+            # row; target columns not named insert NULL
+            tgt_fields = {f.name: f.dataType for f in target.schema.fields}
+            pieces.append(
+                unmatched.alias("s").select(
+                    *[
+                        F.expr(insert_values[c]).cast(tgt_fields[c]).alias(c)
+                        if c in insert_values
+                        else F.lit(None).cast(tgt_fields[c]).alias(c)
+                        for c in target.columns
+                    ]
+                )
+            )
+        else:
+            pieces.append(unmatched)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -371,8 +460,10 @@ def sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. ``DELETE FROM`` one calendar year (extracted WHERE → pruned CoW),
     2. ``UPDATE ... SET`` a discount on dated finished orders,
     3. ``INSERT INTO ... VALUES`` two synthetic rows,
-    4. star-form ``MERGE INTO`` re-pricing every 11th key via a
-       self-referential source subquery.
+    4. NON-STAR ``MERGE INTO`` (the full Trino grammar, round 7):
+       arbitrary ``SET col = expr`` assignments over a NARROW source
+       (keys only, aliased differently from the target column) plus an
+       ``INSERT (cols) VALUES (exprs)`` clause for an unmatched key.
 
     Each statement publishes one atomic snapshot version; the returned
     accounting reads the final head. The oracle replays the four
@@ -411,12 +502,15 @@ def sql_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql(f"""
         MERGE INTO t_m06 USING (
-            SELECT o_orderkey, 'M' AS o_orderstatus, o_orderdate,
-                   o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+            SELECT o_orderkey AS src_key
             FROM t_m06 WHERE o_orderkey % {SQL_DML_MERGE_MOD} = 0
+            UNION ALL SELECT 90000003
         ) AS s
-        ON t_m06.o_orderkey = s.o_orderkey
-        WHEN MATCHED THEN UPDATE SET *
+        ON t_m06.o_orderkey = s.src_key
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+            o_totalprice = t_m06.o_totalprice * CAST(1.1 AS DOUBLE)
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.src_key, 'Z', CAST(9.5 AS DOUBLE))
     """)
     return (
         t.read()
@@ -620,6 +714,8 @@ ORACLES = {
                         THEN o_totalprice * CAST(1.1 AS DOUBLE)
                         ELSE o_totalprice END AS o_totalprice
             FROM s3
+            UNION ALL
+            SELECT 90000003, 'Z', NULL, CAST(9.5 AS DOUBLE)
         )
         SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderstatus,
                COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price

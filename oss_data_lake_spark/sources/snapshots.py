@@ -2419,6 +2419,9 @@ class SnapshotTable:
         when_not_matched: str | None = "insert",
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        matched_assignments: dict[str, str] | None = None,
+        insert_values: dict[str, str] | None = None,
+        source_keys: list[str] | None = None,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` with the full clause
         matrix of ``operators.upsert.merge``, as a pruned copy-on-write
@@ -2433,15 +2436,21 @@ class SnapshotTable:
         target_schema = self.schema()
         if target_schema is None:
             raise ValueError("merge_rows needs a schema-carrying snapshot")
-        if set(source.columns) != set(f.name for f in target_schema.fields):
+        non_star = bool(matched_assignments or insert_values)
+        if not non_star and set(source.columns) != set(
+            f.name for f in target_schema.fields
+        ):
             raise ValueError(
                 f"merge source schema mismatch: source={sorted(source.columns)}"
                 f" table={sorted(f.name for f in target_schema.fields)}"
             )
+        skey0 = (source_keys or keys)[0]
         bounds = source.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            F.min(skey0).alias("lo"), F.max(skey0).alias("hi")
         ).first()
-        src = self._align(source, target_schema)
+        # non-star clauses keep the source's OWN (possibly narrower)
+        # schema: the assignment/VALUES expressions reference it directly
+        src = source if non_star else self._align(source, target_schema)
 
         def transform(cand: DataFrame) -> DataFrame:
             return merge(
@@ -2451,6 +2460,9 @@ class SnapshotTable:
                 when_matched=when_matched,
                 matched_condition=matched_condition,
                 when_not_matched=when_not_matched,
+                matched_assignments=matched_assignments,
+                insert_values=insert_values,
+                source_keys=source_keys,
             )
 
         return self._rewrite_where(

@@ -68,7 +68,7 @@ def test_sql_optimize_vacuum_history(spark, eng):
     hist = eng.sql("DESCRIBE HISTORY t").collect()
     assert [r["version"] for r in hist] == [1, 2, 3]
     assert hist[1]["operation"] == "delete"
-    assert hist[2]["operation"] == "overwrite"
+    assert hist[2]["operation"] == "compact"  # dataChange=false tag
     # expire old snapshots so vacuum has garbage to reclaim
     eng._snapshot_tables["t"].expire_snapshots(keep_last=1)
     assert eng.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 90
@@ -165,10 +165,18 @@ def test_sql_merge_delete_clause_with_condition(spark, eng):
 
 
 def test_sql_merge_restricted_grammar_refusals(spark, eng):
-    with pytest.raises(ValueError, match="restricted"):
+    # differing ON names are fine for non-star clauses (round 7), but a
+    # star UPDATE needs the full table schema from the source
+    with pytest.raises(ValueError, match="schema mismatch"):
         eng.sql(
             "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
             "WHEN MATCHED THEN UPDATE SET *"
+        )
+    # non-alias-qualified ON conjuncts stay outside the grammar
+    with pytest.raises(ValueError, match="restricted"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON k = a "
+            "WHEN MATCHED THEN DELETE"
         )
     with pytest.raises(ValueError, match="ON clause"):
         eng.sql("MERGE INTO t USING x WHEN MATCHED THEN DELETE")
@@ -284,3 +292,82 @@ def test_describe_on_empty_table_gives_clear_error(spark, tmp_path):
         e.sql("DESCRIBE DETAIL empty")
     with pytest.raises(ValueError, match="no snapshots"):
         e.sql("DESCRIBE FILES empty")
+
+
+def test_sql_merge_nonstar_set_assignments(spark, eng):
+    """Round 7: arbitrary `SET c = expr` — expressions see BOTH rows
+    (target via its alias, source via its alias, bare unique names
+    auto-qualify), unassigned columns keep target values, and the source
+    may be NARROWER than the table (keys + referenced columns only)."""
+    res = eng.sql("""
+        MERGE INTO t AS tg USING (
+            SELECT k, v AS bump FROM t WHERE k < 5
+        ) AS src
+        ON tg.k = src.k
+        WHEN MATCHED THEN UPDATE SET v = tg.v + src.bump * 10
+    """).collect()[0]
+    assert res["version"] == 2
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM t").collect()}
+    for k in range(5):
+        assert got[k] == float(k) + float(k) * 10
+    assert got[50] == 50.0  # untouched
+    # s column unique → bare name resolves to source; v ambiguous → raises
+    with pytest.raises(ValueError, match="ambiguous column 'v'"):
+        eng.sql("""
+            MERGE INTO t USING (SELECT k, v FROM t WHERE k = 1) AS s2
+            ON t.k = s2.k
+            WHEN MATCHED THEN UPDATE SET v = v + 1
+        """)
+
+
+def test_sql_merge_insert_cols_values(spark, eng):
+    """INSERT (cols) VALUES (exprs): expressions over the SOURCE row
+    only; unnamed columns NULL-fill."""
+    res = eng.sql("""
+        MERGE INTO t USING (
+            SELECT k + 1000 AS nk, v FROM t WHERE k < 3
+        ) AS s
+        ON t.k = s.nk
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.nk, v * 2)
+    """).collect()[0]
+    assert res["version"] == 2
+    rows = {r["k"]: r for r in eng.sql(
+        "SELECT * FROM t WHERE k >= 1000"
+    ).collect()}
+    assert sorted(rows) == [1000, 1001, 1002]
+    assert rows[1000]["v"] == 0.0 and rows[1002]["v"] == 4.0
+    assert all(r["s"] is None for r in rows.values())  # unnamed → NULL
+    # target references in VALUES refuse
+    with pytest.raises(ValueError, match="only the source row"):
+        eng.sql("""
+            MERGE INTO t USING (SELECT k + 9999 AS nk FROM t LIMIT 1) AS s
+            ON t.k = s.nk
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.nk, t.v)
+        """)
+    # arity mismatch refuses
+    with pytest.raises(ValueError, match="columns but VALUES"):
+        eng.sql("""
+            MERGE INTO t USING (SELECT k + 9999 AS nk FROM t LIMIT 1) AS s
+            ON t.k = s.nk
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.nk)
+        """)
+
+
+def test_sql_merge_full_nonstar_combination(spark, eng):
+    """Both non-star clauses together, with a matched condition."""
+    res = eng.sql("""
+        MERGE INTO t USING (
+            SELECT k AS mk, CAST(k * 1.5 AS DOUBLE) AS nv
+            FROM t WHERE k BETWEEN 0 AND 9
+            UNION ALL SELECT 5000, CAST(7.0 AS DOUBLE)
+        ) AS s
+        ON t.k = s.mk
+        WHEN MATCHED AND s.nv > 6.0 THEN UPDATE SET v = nv, s = 'upd'
+        WHEN NOT MATCHED THEN INSERT (k, s) VALUES (mk, 'new')
+    """).collect()[0]
+    assert res["version"] == 2
+    got = {r["k"]: r for r in eng.sql("SELECT * FROM t").collect()}
+    # nv > 6 → k in 5..9 updated; 0..4 keep target row (condition miss)
+    assert got[7]["v"] == 10.5 and got[7]["s"] == "upd"
+    assert got[3]["v"] == 3.0 and got[3]["s"] == "g3"
+    assert got[5000]["s"] == "new" and got[5000]["v"] is None
