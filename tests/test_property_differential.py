@@ -170,6 +170,8 @@ _dml_ops = st.lists(
         st.tuples(st.just("mor_delete"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
         st.tuples(st.just("update"), st.tuples(st.integers(0, 199), st.integers(0, 60))),
         st.tuples(st.just("merge"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
+        st.tuples(st.just("eq_delete"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
+        st.tuples(st.just("mor_merge"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
         st.tuples(st.just("compact"), st.just(None)),
     ),
     min_size=2,
@@ -184,9 +186,11 @@ _dml_ops = st.lists(
 )
 @given(ops=_dml_ops)
 def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
-    """Differential model check for the copy-on-write DML surface: any
-    interleaving of appends, pruned range DELETEs/UPDATEs, keyed MERGEs
-    and compactions must leave the table equal to a python dict model —
+    """Differential model check for the DML surface: any interleaving of
+    appends, pruned range DELETEs/UPDATEs (copy-on-write AND merge-on-
+    read), EQUALITY deletes, keyed MERGEs (CoW and the scan-free MoR
+    upsert) and compactions must leave the table equal to a python dict
+    model —
     and the pre-DML snapshot must still time-travel to the model's prior
     state (no rewrite may corrupt history)."""
     from oss_data_lake_spark.sources.snapshots import SnapshotTable
@@ -248,6 +252,17 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
         elif op == "merge":
             src = [(k, 9999.0) for k in sorted(set(arg))]
             t.merge_rows(
+                spark.createDataFrame(src, "k long, v double"), ["k"],
+                stats_for=["k"],
+            )
+            model.update(dict(src))
+        elif op == "eq_delete":
+            keys = sorted(set(arg))
+            t.delete_where_eq("k", keys)
+            model = {k: v for k, v in model.items() if k not in set(keys)}
+        elif op == "mor_merge":
+            src = [(k, -7.5) for k in sorted(set(arg))]
+            t.merge_rows_mor(
                 spark.createDataFrame(src, "k long, v double"), ["k"],
                 stats_for=["k"],
             )

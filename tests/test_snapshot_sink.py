@@ -152,9 +152,11 @@ def test_lakehouse_loop_stream_compact_matview(spark, tmp_path):
     assert n_sel == 1 and n_skip == 3, "re-clustered files must prune hard"
     assert t.read().count() == 900
 
-    # MV sees rewritten history -> full rebuild, identical values
+    # compaction is dataChange=false since round 7: the MV refreshes
+    # through the (empty) change feed instead of a full rebuild —
+    # identical values at zero scan cost
     info = mv.refresh()
-    assert info["mode"] == "full"
+    assert info["mode"] == "retract"
     expect = [
         tuple(r)
         for r in t.read()
