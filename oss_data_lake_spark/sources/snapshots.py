@@ -1129,6 +1129,49 @@ class SnapshotTable:
         # target order, and a select would drop `_metadata` access
         return part
 
+    def _partition_stats_entry(
+        self, rel_file: str, column: str, ctype: str | None
+    ) -> dict | None:
+        """A SYNTHETIC per-file stats entry for a Hive PARTITION column,
+        derived from the file's own path segment: every row of the file
+        provably carries the segment's value, so (min, max) is a point
+        and the null marker is an all-null entry. This gives partition
+        columns manifest-level file skipping — they have no footer stats
+        (partitionBy removes them from the files) and the folded
+        multi-dir scan bypasses Spark's native partition pruning, so this
+        planner-side derivation is what keeps `WHERE p = x` from opening
+        every file at scale. Unparseable paths return None (must read)."""
+        import urllib.parse
+
+        from oss_data_lake_spark.sources import skipping
+
+        m = re.search(f"/{re.escape(column)}=([^/]+)/", "/" + rel_file)
+        if not m:
+            return None
+        raw = m.group(1)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return {"rows": 1, "nulls": 1, "enc": skipping.ENC_VERSION}
+        enc = skipping.encode_bound(urllib.parse.unquote(raw), ctype)
+        if enc is None:
+            return None
+        return {
+            "rows": 1, "nulls": 0, "min": enc, "max": enc,
+            "enc": skipping.ENC_VERSION,
+        }
+
+    def _plan_partition_dir(
+        self, manifest: dict, d: str, admit
+    ) -> tuple[list[str], int]:
+        """Per-dir partition-column plan: every (visible) file judged by
+        its path-derived synthetic entry through ``admit``; returns
+        ``(kept_files, universe_size)``."""
+        stats = manifest.get("file_stats", {}).get(d) or {}
+        vis = self._visible_files(manifest, d)
+        universe = (
+            self._stats_universe(d, stats) if vis is None else sorted(vis)
+        )
+        return [f for f in universe if admit(f)], len(universe)
+
     def plan_range_scan(
         self,
         column: str,
@@ -1154,6 +1197,22 @@ class SnapshotTable:
         selection: dict[str, list[str] | None] = {}
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
+            col_d = self._dir_stat_name(manifest, d, column)
+            if (lo is not None or hi is not None) and col_d in (
+                manifest.get("partition_specs", {}).get(d) or []
+            ):
+                # PARTITION column: per-file value derived from the path
+                # segment — prunes even without footer stats
+                keep, n_univ = self._plan_partition_dir(
+                    manifest, d,
+                    lambda f, _c=col_d: skipping.file_may_match(
+                        self._partition_stats_entry(f, _c, ctype), lo, hi
+                    ),
+                )
+                selection[d] = keep
+                n_sel += len(keep)
+                n_skip += n_univ - len(keep)
+                continue
             stats = manifest.get("file_stats", {}).get(d)
             if not stats or (lo is None and hi is None):
                 # no stats, or an unbounded scan (no predicate to prune
@@ -1164,7 +1223,6 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
-            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
                 f
                 for f in universe
@@ -1241,6 +1299,20 @@ class SnapshotTable:
         selection: dict[str, list[str] | None] = {}
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
+            col_d = self._dir_stat_name(manifest, d, column)
+            if enc is not None and col_d in (
+                manifest.get("partition_specs", {}).get(d) or []
+            ):
+                keep, n_univ = self._plan_partition_dir(
+                    manifest, d,
+                    lambda f, _c=col_d: skipping.file_may_match(
+                        self._partition_stats_entry(f, _c, ctype), enc, enc
+                    ),
+                )
+                selection[d] = keep
+                n_sel += len(keep)
+                n_skip += n_univ - len(keep)
+                continue
             stats = manifest.get("file_stats", {}).get(d)
             if not stats or enc is None:
                 selection[d] = None
@@ -1249,7 +1321,6 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
-            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
                 f
                 for f in universe
@@ -1289,6 +1360,14 @@ class SnapshotTable:
                 out.update(
                     ren.get(c, c) for c in cols if not c.startswith("bloom:")
                 )
+        # Hive PARTITION columns prune from their path segments (the
+        # planners derive synthetic per-file bounds), so they count as
+        # stats columns even though footers cannot carry them
+        dirs = set(m["data_dirs"])
+        for d, spec in m.get("partition_specs", {}).items():
+            if d in dirs and spec:
+                ren = self._dir_renames(m, d)
+                out.update(ren.get(c, c) for c in spec)
         return out
 
     def plan_null_scan(
@@ -1312,6 +1391,19 @@ class SnapshotTable:
         selection: dict[str, list[str] | None] = {}
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
+            col_d = self._dir_stat_name(manifest, d, column)
+            if col_d in (manifest.get("partition_specs", {}).get(d) or []):
+                ctype = self._column_type(v, column)
+                keep, n_univ = self._plan_partition_dir(
+                    manifest, d,
+                    lambda f, _c=col_d: admit(
+                        self._partition_stats_entry(f, _c, ctype)
+                    ),
+                )
+                selection[d] = keep
+                n_sel += len(keep)
+                n_skip += n_univ - len(keep)
+                continue
             stats = manifest.get("file_stats", {}).get(d)
             if not stats:
                 selection[d] = None
@@ -1320,7 +1412,6 @@ class SnapshotTable:
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
             )
-            col_d = self._dir_stat_name(manifest, d, column)
             keep = [
                 f for f in universe if admit(stats.get(f, {}).get(col_d))
             ]
