@@ -73,6 +73,39 @@ def _build_source_class():
             # resolution for renamed columns); None = same as columns
             self.src_names = src_names or columns
 
+    class _ChangePartition(InputPartition):
+        """One file's contribution to a CHANGE-FEED micro-batch. The
+        executor reads the file with pyarrow and emits typed rows:
+
+        - ``only_positions`` set  → emit exactly those row indices
+          (position-tombstone delta);
+        - ``eq_only`` set         → emit rows whose key tuple matches
+          (equality-delete delta);
+        - otherwise               → emit every row EXCEPT
+          ``skip_positions`` and rows matching any ``eq_skip`` entry
+          (whole-file visibility delta, pre-filtered by the snapshot's
+          own delete state)."""
+
+        def __init__(
+            self,
+            abs_path: str,
+            src_names: list[str],
+            change_type: str,
+            commit_version: int,
+            skip_positions: list[int] | None = None,
+            only_positions: list[int] | None = None,
+            eq_only: tuple | None = None,      # (key_src_names, key_rows)
+            eq_skip: list | None = None,       # [(key_src_names, key_rows)]
+        ):
+            self.abs_path = abs_path
+            self.src_names = src_names
+            self.change_type = change_type
+            self.commit_version = commit_version
+            self.skip_positions = skip_positions or []
+            self.only_positions = only_positions or []
+            self.eq_only = eq_only
+            self.eq_skip = eq_skip or []
+
     class _SnapshotStreamReader(DataSourceStreamReader):
         """Driver-side planner: versions → file partitions. Reads
         manifests directly from the local metadata layout."""
@@ -82,11 +115,13 @@ def _build_source_class():
             path: str,
             start_version: int,
             skip_change_commits: bool = False,
+            change_feed: bool = False,
         ):
             self.path = path.rstrip("/")
             self.meta = os.path.join(self.path, "_snapshots")
             self.start_version = start_version
             self.skip_change_commits = skip_change_commits
+            self.change_feed = change_feed
 
         # -------------------------------------------------------- meta
         def _current(self) -> int:
@@ -142,6 +177,196 @@ def _build_source_class():
             new_dirs = [d for d in cur["data_dirs"] if d not in prev_dirs]
             return "append" if new_dirs else "noop"
 
+        # ---------------------------------------- change-feed planning
+        #
+        # (driver-side; the delete/equality files are metadata-scale —
+        # read with pyarrow directly, no Spark job)
+
+        def _rel_files(self, m: dict, d: str) -> list[str]:
+            vis = self._visible(m, d)
+            if vis is not None:
+                return sorted(vis)
+            root = os.path.join(self.path, d)
+            out = []
+            for dp, _dn, fs in os.walk(root):
+                for f in sorted(fs):
+                    if f.endswith(".parquet") and not f.startswith("_"):
+                        out.append(
+                            os.path.relpath(os.path.join(dp, f), root)
+                        )
+            return sorted(out)
+
+        def _dv_positions(self, dv_dirs: list) -> dict:
+            import pyarrow.parquet as pq
+
+            out: dict[str, list[int]] = {}
+            for dd in dv_dirs:
+                t = pq.read_table(os.path.join(self.path, dd))
+                for rec in t.to_pylist():
+                    out.setdefault(rec["file"], []).append(rec["pos"])
+            return {k: sorted(v) for k, v in out.items()}
+
+        def _eq_keys(self, entry: dict) -> list[tuple]:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(self.path, entry["dir"]))
+            return [
+                tuple(r[c] for c in entry["cols"]) for r in t.to_pylist()
+            ]
+
+        def _src_names_for(self, m, d, columns, head_fids):
+            dmap = m.get("dir_field_ids", {}).get(d) or {}
+            id2w = {i: w for w, i in dmap.items()}
+            return [
+                id2w.get(head_fids.get(c), c)
+                if head_fids.get(c) in id2w
+                else c
+                for c in columns
+            ]
+
+        def _entry_key_src(self, m, d, entry):
+            """the equality entry's key columns under dir d's WRITE names
+            (field-id resolution — a rename between the file's commit and
+            the delete's must not detach the match)."""
+            dmap = m.get("dir_field_ids", {}).get(d) or {}
+            id2w = {i: w for w, i in dmap.items()}
+            return [
+                id2w.get(i, cname)
+                for cname, i in zip(entry["cols"], entry["ids"])
+            ]
+
+        def _spec_guard(self, m, d):
+            if m.get("partition_specs", {}).get(d):
+                raise ValueError(
+                    "snapshot_stream does not support Hive-partitioned "
+                    "commit layouts yet (partition values live in dir "
+                    "names, not files); commit unpartitioned for streaming"
+                )
+
+        def _change_partitions(self, p, c, v, columns, head_fids):
+            """One commit step → typed-change partitions, mirroring
+            SnapshotTable._pair_changes: file-visibility diffs (whole-
+            file inserts/deletes, pre-filtered by the owning snapshot's
+            delete state), position-tombstone diffs (exactly the listed
+            rows), equality-delete diffs (key-matched rows)."""
+            if str(c.get("mode", "")).startswith("compact"):
+                return []
+            parts = []
+            p_dirs, c_dirs = list(p["data_dirs"]), list(c["data_dirs"])
+            p_set, c_set = set(p_dirs), set(c_dirs)
+            p_dvpos = self._dv_positions(p.get("delete_dirs", []))
+            c_dvpos = self._dv_positions(c.get("delete_dirs", []))
+            p_eqs = p.get("eq_deletes", [])
+            c_eqs = c.get("eq_deletes", [])
+
+            def eq_filters(m, eqs, d):
+                return [
+                    (self._entry_key_src(m, d, e), self._eq_keys(e))
+                    for e in eqs
+                    if d in set(e.get("applies_dirs", []))
+                ]
+
+            removed: list[tuple[str, str]] = []
+            added: list[tuple[str, str]] = []
+            for d in p_dirs:
+                if d not in c_set:
+                    removed += [(d, f) for f in self._rel_files(p, d)]
+                    continue
+                if (
+                    self._visible(p, d) is None
+                    and self._visible(c, d) is None
+                ):
+                    continue
+                pf = set(self._rel_files(p, d))
+                cf = set(self._rel_files(c, d))
+                removed += [(d, f) for f in sorted(pf - cf)]
+                added += [(d, f) for f in sorted(cf - pf)]
+            for d in c_dirs:
+                if d not in p_set:
+                    added += [(d, f) for f in self._rel_files(c, d)]
+            for d, f in removed:
+                self._spec_guard(p, d)
+                rel = f"{d}/{f}"
+                parts.append(_ChangePartition(
+                    os.path.join(self.path, rel),
+                    self._src_names_for(p, d, columns, head_fids),
+                    "delete", v,
+                    skip_positions=p_dvpos.get(rel, []),
+                    eq_skip=eq_filters(p, p_eqs, d),
+                ))
+            for d, f in added:
+                self._spec_guard(c, d)
+                rel = f"{d}/{f}"
+                parts.append(_ChangePartition(
+                    os.path.join(self.path, rel),
+                    self._src_names_for(c, d, columns, head_fids),
+                    "insert", v,
+                    skip_positions=c_dvpos.get(rel, []),
+                    eq_skip=eq_filters(c, c_eqs, d),
+                ))
+
+            def owner(rel):
+                for d in c_dirs:
+                    if rel.startswith(d + "/"):
+                        return d
+                return None
+
+            def visible_in_c(d, rel):
+                return rel[len(d) + 1:] in set(self._rel_files(c, d))
+
+            new_dv = [
+                dd for dd in c.get("delete_dirs", [])
+                if dd not in set(p.get("delete_dirs", []))
+            ]
+            gone_dv = [
+                dd for dd in p.get("delete_dirs", [])
+                if dd not in set(c.get("delete_dirs", []))
+            ]
+            for dd, kind in [(x, "delete") for x in new_dv] + [
+                (x, "insert") for x in gone_dv
+            ]:
+                for rel, poss in self._dv_positions([dd]).items():
+                    d = owner(rel)
+                    if d is None or not visible_in_c(d, rel):
+                        continue
+                    self._spec_guard(c, d)
+                    parts.append(_ChangePartition(
+                        os.path.join(self.path, rel),
+                        self._src_names_for(c, d, columns, head_fids),
+                        kind, v,
+                        only_positions=poss,
+                    ))
+            p_eq_dirs = {e["dir"] for e in p_eqs}
+            c_eq_dirs = {e["dir"] for e in c_eqs}
+            for e, kind, m_state, eqs_state, dvpos in (
+                [(e, "delete", p, p_eqs, p_dvpos)
+                 for e in c_eqs if e["dir"] not in p_eq_dirs]
+                + [(e, "insert", c, c_eqs, c_dvpos)
+                   for e in p_eqs if e["dir"] not in c_eq_dirs]
+            ):
+                keys = self._eq_keys(e)
+                for d in e.get("applies_dirs", []):
+                    if d not in c_set:
+                        continue
+                    self._spec_guard(c, d)
+                    for f in self._rel_files(c, d):
+                        rel = f"{d}/{f}"
+                        parts.append(_ChangePartition(
+                            os.path.join(self.path, rel),
+                            self._src_names_for(
+                                c, d, columns, head_fids
+                            ),
+                            kind, v,
+                            skip_positions=dvpos.get(rel, []),
+                            eq_only=(
+                                self._entry_key_src(c, d, e), keys
+                            ),
+                            # the changed entry itself is never in the
+                            # filter state (p for arriving, c for gone)
+                            eq_skip=eq_filters(m_state, eqs_state, d),
+                        ))
+            return parts
+
         def partitions(self, start: dict, end: dict):
             sv, ev = start["version"], end["version"]
             if ev <= sv:
@@ -153,6 +378,19 @@ def _build_source_class():
                     "snapshot_stream: head manifest has no schema"
                 )
             columns = [f["name"] for f in target["fields"]]
+            if self.change_feed:
+                parts: list = []
+                prev = self._manifest(sv) if sv > 0 else {"data_dirs": []}
+                head_fids = head.get("field_ids") or {}
+                for v in range(sv + 1, ev + 1):
+                    cur = self._manifest(v)
+                    parts.extend(
+                        self._change_partitions(
+                            prev, cur, v, columns, head_fids
+                        )
+                    )
+                    prev = cur
+                return parts
             # walk the range COMMIT BY COMMIT (not one base-vs-head
             # diff): each append step emits exactly the files it added,
             # so a change commit elsewhere in the range doesn't poison
@@ -232,11 +470,44 @@ def _build_source_class():
 
             tbl = pq.read_table(partition.abs_path)
             present = set(tbl.column_names)
-            for row in tbl.to_pylist():
-                yield tuple(
+
+            def project(row):
+                return tuple(
                     row.get(s) if s in present else None
                     for s in partition.src_names
                 )
+
+            if isinstance(partition, _ChangePartition):
+                rows = tbl.to_pylist()
+                extra = (partition.change_type, partition.commit_version)
+                if partition.only_positions:
+                    for i in partition.only_positions:
+                        yield project(rows[i]) + extra
+                    return
+                skip = set(partition.skip_positions)
+                eq_skip = [
+                    (names, set(map(tuple, ks)))
+                    for names, ks in partition.eq_skip
+                ]
+                only = partition.eq_only
+                only_keys = set(map(tuple, only[1])) if only else None
+                for i, row in enumerate(rows):
+                    if i in skip:
+                        continue
+                    if any(
+                        tuple(row.get(n) for n in names) in ks
+                        for names, ks in eq_skip
+                    ):
+                        continue
+                    if only_keys is not None and (
+                        tuple(row.get(n) for n in only[0])
+                        not in only_keys
+                    ):
+                        continue
+                    yield project(row) + extra
+                return
+            for row in tbl.to_pylist():
+                yield project(row)
 
     class SnapshotStreamSource(DataSource):
         """``spark.readStream.format("snapshot_stream").option("path", p)``.
@@ -248,13 +519,22 @@ def _build_source_class():
         over non-append commits (overwrite / rollback / row-level DML /
         merge-on-read deletes) instead of erroring, Delta's
         ``skipChangeCommits`` semantics: the change commit contributes
-        NOTHING to the stream, including any files it added. Retraction
-        consumers should read ``SnapshotTable.read_change_feed``
-        batch-side instead."""
+        NOTHING to the stream, including any files it added.
+        ``changeFeed`` ('true'/'false', default false) — Delta's
+        streaming ``readChangeFeed``: every commit kind becomes a typed
+        micro-batch of (table columns, ``_change_type`` insert/delete,
+        ``_commit_version``) rows, matching the batch
+        ``SnapshotTable.read_change_feed`` semantics — appends stream as
+        inserts, MoR deltas as exactly their tombstoned/keyed rows, CoW
+        rewrites and overwrites as retraction pairs, compaction as
+        nothing. The stream NEVER refuses on DML in this mode."""
 
         @classmethod
         def name(cls) -> str:
             return FORMAT_NAME
+
+        def _flag(self, name: str) -> bool:
+            return str(self.options.get(name, "false")).lower() == "true"
 
         def schema(self):
             meta = os.path.join(self.options["path"], "_snapshots")
@@ -267,16 +547,30 @@ def _build_source_class():
                 raise ValueError(
                     "snapshot_stream needs a schema-carrying snapshot table"
                 )
-            return T.StructType.fromJson(s)
+            out = T.StructType.fromJson(s)
+            if self._flag("changeFeed"):
+                out = T.StructType(
+                    list(out.fields)
+                    + [
+                        T.StructField("_change_type", T.StringType(), False),
+                        T.StructField(
+                            "_commit_version", T.LongType(), False
+                        ),
+                    ]
+                )
+            return out
 
         def streamReader(self, schema):
+            if self._flag("changeFeed") and self._flag("skipChangeCommits"):
+                raise ValueError(
+                    "changeFeed and skipChangeCommits are exclusive: the "
+                    "feed EMITS change commits, skip passes over them"
+                )
             return _SnapshotStreamReader(
                 self.options["path"],
                 int(self.options.get("startVersion", 0) or 0),
-                str(
-                    self.options.get("skipChangeCommits", "false")
-                ).lower()
-                == "true",
+                self._flag("skipChangeCommits"),
+                self._flag("changeFeed"),
             )
 
     return SnapshotStreamSource

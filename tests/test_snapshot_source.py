@@ -249,3 +249,84 @@ def test_compaction_alone_streams_as_noop(registered, spark, tmp_path):
     assert _drain(spark, t.path, ck) == []
     t.commit(spark.createDataFrame([Row(k=99)]), mode="append")
     assert _drain(spark, t.path, ck) == [(99,)]
+
+
+def _drain_feed(spark, path: str, ck: str) -> list[tuple]:
+    return _drain_opts(spark, path, ck, changeFeed="true")
+
+
+def test_change_feed_stream_survives_dml(registered, spark, tmp_path):
+    """Delta's streaming readChangeFeed: the stream emits typed
+    insert/delete rows for EVERY commit kind and never refuses on DML —
+    the multiset of streamed changes reproduces the table."""
+    from collections import Counter
+
+    t = SnapshotTable(spark, str(tmp_path / "cf"))
+    ck = str(tmp_path / "ck")
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(20)]),
+        stats_for=["k"],
+    )
+    got = _drain_feed(spark, t.path, ck)
+    assert len(got) == 20
+    assert all(r[2] == "insert" and r[3] == 1 for r in got)
+
+    # a DML wave, all undrained: MoR delete + MoR update + CoW delete +
+    # append + eq delete
+    t.delete_where_mor("k BETWEEN 0 AND 2")
+    t.update_where_mor("k = 5", {"v": "v + 100"})
+    t.delete_where("k BETWEEN 10 AND 12", prune_column="k",
+                   prune_lower=10, prune_upper=12)
+    t.commit(spark.createDataFrame([Row(k=100, v=1.0)]), mode="append")
+    t.delete_where_eq("k", [7, 100])
+    changes = _drain_feed(spark, t.path, ck)
+
+    # applying the streamed changes to the v1 state reproduces the head
+    state = Counter((r[0], r[1]) for r in got)
+    for k, v, ct, _ver in changes:
+        if ct == "insert":
+            state[(k, v)] += 1
+        else:
+            state[(k, v)] -= 1
+    state = Counter({kv: n for kv, n in state.items() if n})
+    head = Counter((r["k"], r["v"]) for r in t.read().collect())
+    assert state == head
+
+    # per-kind spot checks
+    by = {}
+    for k, v, ct, ver in changes:
+        by.setdefault((ver, ct), []).append((k, v))
+    assert sorted(by[(2, "delete")]) == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    assert by[(3, "delete")] == [(5, 5.0)]
+    assert by[(3, "insert")] == [(5, 105.0)]
+    assert sorted(k for k, _ in by[(4, "delete")] if 10 <= k <= 12) == [10, 11, 12]
+    assert by[(5, "insert")] == [(100, 1.0)]
+    assert sorted(by[(6, "delete")]) == [(7, 7.0), (100, 1.0)]
+
+    # nothing new: empty; then compaction streams as nothing
+    assert _drain_feed(spark, t.path, ck) == []
+    t.compact(target_partitions=1)
+    assert _drain_feed(spark, t.path, ck) == []
+
+
+def test_change_feed_stream_resumes_mid_wave(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cfr"))
+    ck = str(tmp_path / "ck")
+    t.commit(spark.createDataFrame([Row(k=i) for i in range(6)]))
+    _drain_feed(spark, t.path, ck)
+    t.delete_where_mor("k < 2")
+    first = _drain_feed(spark, t.path, ck)
+    assert sorted(r[0] for r in first) == [0, 1]
+    t.commit(spark.createDataFrame([Row(k=50)]), mode="append")
+    second = _drain_feed(spark, t.path, ck)  # only the new commit
+    assert second == [(50, "insert", 3)]
+
+
+def test_change_feed_excludes_skip_flag(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cfx"))
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    with pytest.raises(Exception, match="exclusive"):
+        _drain_opts(
+            spark, t.path, str(tmp_path / "ck"),
+            changeFeed="true", skipChangeCommits="true",
+        )
