@@ -877,11 +877,16 @@ def dispatch_statement(
                         )
                     ),
                     sorted(t.stats_columns(v)),
+                    # merge-on-read DEBT (what auto-compaction repays):
+                    # outstanding tombstone dirs + equality deletes
+                    len(manifest.get("delete_dirs", [])),
+                    len(manifest.get("eq_deletes", [])),
                 )
             ],
             "version long, n_data_dirs long, n_files long, "
             "n_visible_files long, columns string, constraints string, "
-            "stats_columns array<string>",
+            "stats_columns array<string>, n_delete_vector_dirs long, "
+            "n_eq_deletes long",
         )
 
     m = _FILES_RE.match(text)

@@ -566,9 +566,41 @@ def _build_source_class():
                     "changeFeed and skipChangeCommits are exclusive: the "
                     "feed EMITS change commits, skip passes over them"
                 )
+            start = int(self.options.get("startVersion", 0) or 0)
+            ts = self.options.get("startTimestamp")
+            if ts is not None:
+                if self.options.get("startVersion") is not None:
+                    raise ValueError(
+                        "startVersion and startTimestamp are exclusive"
+                    )
+                # Delta's startingTimestamp: stream from the first commit
+                # AT OR AFTER the timestamp — i.e. the offset is the last
+                # version strictly before it
+                import datetime
+
+                ms = int(
+                    datetime.datetime.fromisoformat(ts)
+                    .replace(
+                        tzinfo=datetime.timezone.utc
+                    )
+                    .timestamp()
+                    * 1000
+                )
+                meta = os.path.join(self.options["path"], "_snapshots")
+                start = 0
+                with open(os.path.join(meta, "CURRENT")) as fh:
+                    cur = int(fh.read().strip())
+                for v in range(1, cur + 1):
+                    try:
+                        with open(os.path.join(meta, f"v{v}.json")) as fh:
+                            m = json.load(fh)
+                    except FileNotFoundError:
+                        continue  # expired
+                    if m.get("committed_at_ms", 0) < ms:
+                        start = v
             return _SnapshotStreamReader(
                 self.options["path"],
-                int(self.options.get("startVersion", 0) or 0),
+                start,
                 self._flag("skipChangeCommits"),
                 self._flag("changeFeed"),
             )

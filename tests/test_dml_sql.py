@@ -273,6 +273,13 @@ def test_describe_detail_and_files(spark, eng):
     assert detail["n_files"] > detail["n_visible_files"]
     assert "k, v, s" == detail["columns"]
     assert detail["stats_columns"] == ["k"]
+    # CoW delete leaves no merge-on-read debt
+    assert detail["n_delete_vector_dirs"] == 0
+    assert detail["n_eq_deletes"] == 0
+    eng.sql("ALTER TABLE t SET TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    eng.sql("DELETE FROM t WHERE k BETWEEN 90 AND 99")
+    d2 = eng.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d2["n_delete_vector_dirs"] == 1  # MoR debt now visible
     files = eng.sql("DESCRIBE FILES t").collect()
     assert len(files) == detail["n_files"]
     invisible = [r for r in files if not r["visible"]]

@@ -330,3 +330,31 @@ def test_change_feed_excludes_skip_flag(registered, spark, tmp_path):
             spark, t.path, str(tmp_path / "ck"),
             changeFeed="true", skipChangeCommits="true",
         )
+
+
+def test_start_timestamp_option(registered, spark, tmp_path):
+    """Delta's startingTimestamp: the stream begins at the first commit
+    AT OR AFTER the timestamp (exclusive with startVersion)."""
+    import json
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "ts"))
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    t.commit(spark.createDataFrame([Row(k=2)]), mode="append")
+    t.commit(spark.createDataFrame([Row(k=3)]), mode="append")
+    # pin manifest timestamps so the cutoff is deterministic
+    for v, ms in ((1, 1000), (2, 2000), (3, 3000)):
+        p = os.path.join(t.path, "_snapshots", f"v{v}.json")
+        m = json.load(open(p))
+        m["committed_at_ms"] = ms
+        json.dump(m, open(p, "w"))
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"),
+        startTimestamp="1970-01-01T00:00:02",
+    )
+    assert sorted(got) == [(2,), (3,)]
+    with pytest.raises(Exception, match="exclusive"):
+        _drain_opts(
+            spark, t.path, str(tmp_path / "ck2"),
+            startTimestamp="1970-01-01T00:00:02", startVersion="1",
+        )
