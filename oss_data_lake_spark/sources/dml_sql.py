@@ -44,6 +44,23 @@ statement-shaped text here BEFORE the query path:
                                              merge-on-read`` routes
                                              DELETEs through position
                                              tombstones)
+- ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
+                                           → ``SnapshotTable.rollback``
+                                             (a NEW snapshot exposing
+                                             the old file set — Delta
+                                             RESTORE)
+- ``CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n]``
+                                           → zero-copy clone referencing
+                                             the source's files
+                                             (``shallow_clone_to``)
+- ``COPY INTO t FROM '<path>' [PATTERN = '<glob>']``
+                                           → idempotent file-level bulk
+                                             ingest (``copy_into``) —
+                                             re-runs load only files not
+                                             yet in the ingest ledger
+- ``SHOW CREATE TABLE t``                  → reconstructed DDL (schema,
+                                             layout, location,
+                                             properties, constraints)
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
@@ -126,7 +143,8 @@ _WHEN_RE = re.compile(
 # statement-shape detector for the unregistered-table error path
 _DML_SHAPE_RE = re.compile(
     r"^\s*(DELETE\s+FROM|UPDATE\s|INSERT\s+INTO|MERGE\s+INTO"
-    r"|OPTIMIZE\s|VACUUM\s|DESCRIBE\s+HISTORY)",
+    r"|OPTIMIZE\s|VACUUM\s|DESCRIBE\s+HISTORY"
+    r"|RESTORE\s+TABLE|COPY\s+INTO)",
     re.IGNORECASE,
 )
 
@@ -560,6 +578,27 @@ _RENAME_COLUMN_RE = re.compile(
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
+    r"SHALLOW\s+CLONE\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'"
+    r"(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_column_defs(defs: str) -> dict[str, str]:
@@ -622,6 +661,99 @@ def dispatch_statement(
         t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
         version = t.commit(df, stats_for=_prunable_columns(df) or None)
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _CLONE_RE.match(text)
+    if m and engine is not None:
+        if_not_exists, name, src_name, as_of = m.groups()
+        if name in tables:
+            if if_not_exists:
+                return spark.createDataFrame([(0,)], "version long").limit(0)
+            raise ValueError(
+                f"snapshot table '{name}' already exists; use "
+                f"CREATE TABLE IF NOT EXISTS or DROP TABLE first"
+            )
+        src = _require(tables, src_name, "SHALLOW CLONE")
+        clone = src.shallow_clone_to(
+            engine.snapshot_table_path(name),
+            int(as_of) if as_of else None,
+        )
+        tables[name] = clone
+        return spark.createDataFrame(
+            [
+                (
+                    name,
+                    src.path,
+                    clone._manifest(1)["clone_source"]["version"],
+                )
+            ],
+            "table string, source_path string, source_version long",
+        )
+
+    m = _RESTORE_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "RESTORE TABLE")
+        if m.group(2) is not None:
+            to_v = int(m.group(2))
+        else:
+            from oss_data_lake_spark.sources.snapshots import _parse_ts_ms
+
+            to_v = t.version_as_of(_parse_ts_ms(m.group(3)))
+        version = t.rollback(to_v)
+        return spark.createDataFrame(
+            [(version, to_v)], "version long, restored_to long"
+        )
+
+    m = _COPY_INTO_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "COPY INTO")
+        res = t.copy_into(
+            m.group(2),
+            m.group(3) or "*.parquet",
+            force=bool(m.group(4)),
+        )
+        return spark.createDataFrame(
+            [(res["version"], res["files_loaded"], res["rows_loaded"])],
+            "version long, files_loaded long, rows_loaded long",
+        )
+
+    m = _SHOW_CREATE_RE.match(text)
+    if m and m.group(1) in tables:
+        t = tables[m.group(1)]
+        v = t.current_version()
+        if v is None:
+            raise ValueError(
+                f"SHOW CREATE TABLE: no snapshots at {t.path} "
+                "(table registered but never committed)"
+            )
+        manifest = t._manifest(v)
+        schema = t.schema(v)
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString().upper()}"
+            for f in schema.fields
+        )
+        lines = [f"CREATE TABLE {m.group(1)} (\n{cols}\n)", "USING snapshot"]
+        dirs = manifest["data_dirs"]
+        spec = (
+            manifest.get("partition_specs", {}).get(dirs[-1], [])
+            if dirs
+            else []
+        )
+        if spec:
+            lines.append(f"PARTITIONED BY ({', '.join(spec)})")
+        lines.append(f"LOCATION '{t.path}'")
+        props = t.properties(v)
+        if props:
+            body = ",\n".join(
+                f"  '{k}' = '{x}'" for k, x in sorted(props.items())
+            )
+            lines.append(f"TBLPROPERTIES (\n{body}\n)")
+        stmt = "\n".join(lines)
+        for cname, expr in sorted(t.constraints(v).items()):
+            stmt += (
+                f";\nALTER TABLE {m.group(1)} ADD CONSTRAINT {cname} "
+                f"CHECK ({expr})"
+            )
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
     m = _DROP_RE.match(text)
     if m:

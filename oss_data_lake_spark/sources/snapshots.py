@@ -136,6 +136,7 @@ class SnapshotTable:
         txn_version: int | None = None,
         txn_force: bool = False,
         tag: str | None = None,
+        props_update: dict[str, str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -178,6 +179,10 @@ class SnapshotTable:
         app's ledger entry to this version — the REPAIR path for flows
         that deliberately rewind state (e.g. an incremental MV rebuilding
         after its table was rolled back); never for normal writers.
+
+        ``props_update`` merges table properties INTO THE SAME manifest
+        publish as the data — data + metadata land atomically or not at
+        all (the substrate ``copy_into``'s ingest ledger rides on).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
@@ -331,11 +336,14 @@ class SnapshotTable:
                     if parent
                     else {}
                 ),
-                "properties": (
-                    read_manifest(parent).get("properties", {})
-                    if parent
-                    else {}
-                ),
+                "properties": {
+                    **(
+                        read_manifest(parent).get("properties", {})
+                        if parent
+                        else {}
+                    ),
+                    **(props_update or {}),
+                },
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -762,6 +770,185 @@ class SnapshotTable:
             }
 
         return self.protocol.commit(build)
+
+    # --------------------------------------------- zero-copy shallow clone
+    #
+    # Delta's CREATE TABLE ... SHALLOW CLONE / Iceberg snapshot-ref
+    # tables: a NEW table whose first snapshot references the SOURCE
+    # table's data files by absolute path — no data is copied, the clone
+    # costs one manifest write regardless of table size (the
+    # 100-TB-dev-branch primitive: clone prod, run experimental DML on
+    # the clone, drop it). Divergence is natural: the clone's own
+    # commits write under its root; copy-on-write DML rewrites only
+    # touched files into the clone (untouched data keeps pointing at the
+    # source); ``compact()`` localizes everything. Same caveat as Delta:
+    # vacuum/expire on the SOURCE does not know about clones — a source
+    # vacuum can orphan a clone's external references, so clones are
+    # working copies, not backups. The clone's own ``vacuum`` never
+    # touches external (source-rooted) files.
+
+    def shallow_clone_to(
+        self, dest_path: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Clone this table's snapshot ``version`` (default: current) to
+        a new table at ``dest_path`` without copying data. Refuses when
+        the snapshot carries merge-on-read debt (position/equality delete
+        coordinates are source-root-relative and would not survive the
+        root change) — ``compact()`` the source first; likewise the
+        clone itself is copy-on-write-only until compacted local."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots to clone at {self.path}")
+        m = self._manifest(v)
+        if m.get("delete_dirs") or m.get("eq_deletes"):
+            raise ValueError(
+                "shallow clone of a snapshot with outstanding "
+                "merge-on-read deletes is unsupported (tombstone "
+                "coordinates are source-relative); compact() first"
+            )
+
+        def _abs(d: str) -> str:
+            if os.path.isabs(d) or "://" in d:
+                return d  # clone of a clone: already external
+            return os.path.join(self.path, d)
+
+        def _abs_keys(mapping: dict) -> dict:
+            return {_abs(k): val for k, val in mapping.items()}
+
+        clone = SnapshotTable(self.spark, dest_path)
+        if clone.current_version() is not None:
+            raise ValueError(f"clone destination {dest_path} already exists")
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent:
+                raise ValueError(
+                    f"clone destination {dest_path} already exists"
+                )
+            return {
+                "version": 1,
+                "parent": None,
+                "mode": "shallow_clone",
+                "clone_source": {"path": self.path, "version": v},
+                "data_dirs": [_abs(d) for d in m["data_dirs"]],
+                "partition_specs": _abs_keys(m.get("partition_specs", {})),
+                "dir_schemas": _abs_keys(m.get("dir_schemas", {})),
+                "dir_files": _abs_keys(m.get("dir_files", {})),
+                "delete_dirs": [],
+                "eq_deletes": [],
+                "schema": m.get("schema"),
+                "field_ids": m.get("field_ids"),
+                "dir_field_ids": _abs_keys(m.get("dir_field_ids", {})),
+                "last_field_id": m.get("last_field_id"),
+                "file_stats": _abs_keys(m.get("file_stats", {})),
+                "txn": None,
+                # fresh writer ledger: the clone is a NEW table — source
+                # micro-batch identities must not suppress clone commits
+                "txn_watermarks": {},
+                "constraints": self.constraints(v),
+                "properties": self.properties(v),
+                "committed_at_ms": int(time.time() * 1000),
+            }
+
+        clone.protocol.commit(build)
+        return clone
+
+    def _external_dirs(self, manifest: dict) -> list[str]:
+        """Data dirs outside this table's root (shallow-clone refs)."""
+        return [
+            d
+            for d in manifest["data_dirs"]
+            if os.path.isabs(d) or "://" in d
+        ]
+
+    def _require_local_dirs(self, manifest: dict, op: str) -> None:
+        """Merge-on-read writers record table-ROOT-relative file
+        coordinates; on a shallow clone still referencing source files
+        those coordinates would be wrong, so MoR ops refuse until
+        ``compact()`` localizes the data (copy-on-write DML works)."""
+        ext = self._external_dirs(manifest)
+        if ext:
+            raise ValueError(
+                f"{op} needs table-local files but {len(ext)} dir(s) are "
+                "shallow-clone references; compact() first or use "
+                "copy-on-write (delete.mode=copy-on-write)"
+            )
+
+    # -------------------------------------------- idempotent file ingest
+    #
+    # Delta's COPY INTO: bulk-load files from a landing location with
+    # FILE-LEVEL idempotency — re-running the statement after new files
+    # arrive ingests exactly the delta; re-running unchanged is a no-op.
+    # The load ledger (per-source ingested file names) lives in table
+    # properties and is published IN THE SAME manifest as the data
+    # (``props_update``), so a crash between write and publish leaves
+    # both out — re-run and it ingests again, never doubles. Scale note:
+    # the ledger is name-level JSON in the manifest, right to ~1e5 files
+    # per source; past that it should spill to a parquet sidecar exactly
+    # like delete vectors do. Concurrent COPY INTO from the SAME source
+    # should be serialized by the caller (each re-checks the ledger
+    # before writing, not inside the commit claim).
+
+    _COPY_LEDGER_PROP = "copy.into.ledger"
+
+    def copy_into(
+        self,
+        src: str,
+        pattern: str = "*.parquet",
+        stats_for: list[str] | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Ingest files under ``src`` matching ``pattern`` (recursive)
+        that no previous ``copy_into`` from this source loaded. Returns
+        ``{"version", "files_loaded", "rows_loaded"}`` (version is the
+        unchanged head on a no-op).
+
+        The ledger is MONOTONE across ``rollback``/RESTORE (properties
+        follow the head, not the restored snapshot) — files once loaded
+        stay skipped even after their rows were rolled away, exactly
+        Delta's COPY INTO + RESTORE interaction; ``force=True`` is the
+        Delta ``COPY_OPTIONS ('force'='true')`` escape: reload every
+        matching file regardless of the ledger (may duplicate rows)."""
+        import fnmatch
+
+        src_abs = os.path.abspath(src)
+        found: list[str] = []
+        for root, _dirs, files in os.walk(src_abs):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # hidden/metadata (_SUCCESS, .crc)
+                if fnmatch.fnmatch(f, pattern):
+                    found.append(
+                        os.path.relpath(os.path.join(root, f), src_abs)
+                    )
+        found.sort()
+        ledger = json.loads(
+            self.properties().get(self._COPY_LEDGER_PROP, "{}")
+        )
+        seen = set(ledger.get(src_abs, []))
+        new = found if force else [f for f in found if f not in seen]
+        if not new:
+            return {
+                "version": self.current_version(),
+                "files_loaded": 0,
+                "rows_loaded": 0,
+            }
+        df = self.spark.read.parquet(
+            *[os.path.join(src_abs, f) for f in new]
+        )
+        rows = df.count()  # parquet footer count — no data scan
+        ledger[src_abs] = sorted(seen | set(new))
+        version = self.commit(
+            df,
+            mode="append",
+            stats_for=stats_for,
+            tag="copy_into",
+            props_update={self._COPY_LEDGER_PROP: json.dumps(ledger)},
+        )
+        return {
+            "version": version,
+            "files_loaded": len(new),
+            "rows_loaded": rows,
+        }
 
     # ------------------------------------------------------------- reads
 
@@ -1696,6 +1883,7 @@ class SnapshotTable:
             if target is None:
                 raise ValueError("MoR delete needs a schema-carrying snapshot")
             manifest = self._manifest(v)
+            self._require_local_dirs(manifest, "merge-on-read DELETE")
             if prune_preds:
                 selection, n_sel, n_skip = self.plan_pruned(prune_preds, version=v)
             elif prune_column is not None:
@@ -1793,6 +1981,7 @@ class SnapshotTable:
             if target is None:
                 raise ValueError("MoR update needs a schema-carrying snapshot")
             manifest = self._manifest(v)
+            self._require_local_dirs(manifest, "merge-on-read UPDATE")
             if prune_preds:
                 selection, n_sel, n_skip = self.plan_pruned(prune_preds, version=v)
             elif prune_column is not None:
@@ -1954,6 +2143,7 @@ class SnapshotTable:
             if v is None:
                 raise ValueError(f"no snapshots at {self.path}")
             manifest = self._manifest(v)
+            self._require_local_dirs(manifest, "equality DELETE")
             fids = manifest.get("field_ids") or {}
             ids = [fids.get(c) for c in cols]
             if any(i is None for i in ids):
@@ -2109,6 +2299,7 @@ class SnapshotTable:
             if v is None:
                 raise ValueError(f"no snapshots at {self.path}")
             manifest = self._manifest(v)
+            self._require_local_dirs(manifest, "merge-on-read MERGE")
             fids = manifest.get("field_ids") or {}
             ids = [fids.get(k) for k in keys]
             if any(i is None for i in ids):
@@ -3026,14 +3217,21 @@ class SnapshotTable:
            leak the rewritten files forever as DML accrues). A dir any
            live manifest reads whole keeps every file.
 
-        Never touches a file any live snapshot can read. Returns the
-        removed rel paths (dirs and files)."""
+        Never touches a file any live snapshot can read, and never a
+        file OUTSIDE this table's root (a shallow clone's external
+        source references are the source table's to manage). Returns
+        the removed rel paths (dirs and files)."""
         import shutil
 
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
 
         manifests = self.versions()
-        referenced = {d for m in manifests for d in m["data_dirs"]}
+        referenced = {
+            d
+            for m in manifests
+            for d in m["data_dirs"]
+            if not (os.path.isabs(d) or "://" in d)
+        }
         data_root = os.path.join(self.path, "data")
         removed = []
         if os.path.isdir(data_root):

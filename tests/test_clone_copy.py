@@ -1,0 +1,263 @@
+"""Round-7 table-lifecycle surfaces: RESTORE TABLE, SHALLOW CLONE,
+COPY INTO, SHOW CREATE TABLE (Delta's RESTORE / CLONE / COPY INTO
+statements over the snapshot layer; the reference exposes the analogous
+Iceberg rollback + snapshot-ref workflows through Trino procedures)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.engine import Engine
+from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+
+def _mk(spark, path, n=100, n_files=5):
+    t = SnapshotTable(spark, str(path))
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), g=f"g{i % 4}") for i in range(n)]
+    )
+    t.commit_clustered(df, cluster_by="k", n_files=n_files, stats_for=["k"])
+    return t
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+
+
+# ------------------------------------------------------------- RESTORE
+
+
+def test_restore_to_version(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=0.0, g="x") for i in range(5)]),
+        mode="append",
+    )
+    eng._snapshot_tables["t"] = t
+    row = eng.sql("RESTORE TABLE t TO VERSION AS OF 1").collect()[0]
+    assert (row["version"], row["restored_to"]) == (3, 1)
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 100
+    # RESTORE is itself a commit: time travel still sees the pre-restore
+    # head, and restoring forward again recovers it
+    assert t.read(2).count() == 105
+    eng.sql("RESTORE TABLE t TO VERSION AS OF 2")
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 105
+
+
+def test_restore_to_timestamp(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.commit(spark.createDataFrame([Row(k=1, v=1.0, g="x")]), mode="append")
+    for v, ms in ((1, 1000), (2, 2000)):
+        p = os.path.join(t.path, "_snapshots", f"v{v}.json")
+        m = json.load(open(p))
+        m["committed_at_ms"] = ms
+        json.dump(m, open(p, "w"))
+    eng._snapshot_tables["t"] = t
+    row = eng.sql(
+        "RESTORE TABLE t TO TIMESTAMP AS OF '1970-01-01T00:00:01.500'"
+    ).collect()[0]
+    assert row["restored_to"] == 1
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 100
+
+
+def test_restore_unregistered_raises(spark, eng):
+    with pytest.raises(ValueError, match="not a registered"):
+        eng.sql("RESTORE TABLE nope TO VERSION AS OF 1")
+
+
+# ------------------------------------------------------- SHALLOW CLONE
+
+
+def test_shallow_clone_is_zero_copy_and_reads_equal(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    eng._snapshot_tables["src"] = t
+    eng.sql("CREATE TABLE c SHALLOW CLONE src")
+    clone = eng._snapshot_tables["c"]
+    # zero-copy: no parquet under the clone's root at clone time
+    assert glob.glob(os.path.join(clone.path, "data", "**", "*.parquet"),
+                     recursive=True) == []
+    assert sorted(r["k"] for r in eng.sql("SELECT k FROM c").collect()) == \
+        list(range(100))
+    # manifest lineage
+    m1 = clone._manifest(1)
+    assert m1["mode"] == "shallow_clone"
+    assert m1["clone_source"] == {"path": t.path, "version": 1}
+    eng.sql("DROP TABLE c")
+
+
+def test_shallow_clone_version_as_of_and_divergence(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    t.commit(
+        spark.createDataFrame([Row(k=100, v=100.0, g="x")]), mode="append"
+    )
+    eng._snapshot_tables["src"] = t
+    eng.sql("CREATE TABLE c SHALLOW CLONE src VERSION AS OF 1")
+    assert eng.sql("SELECT count(*) AS c FROM c").collect()[0]["c"] == 100
+    # clone-side CoW DML rewrites into the clone; the source is untouched
+    res = eng.sql("DELETE FROM c WHERE k BETWEEN 0 AND 19").collect()[0]
+    assert res["files_skipped"] > 0  # cloned stats prune across the root move
+    assert eng.sql("SELECT count(*) AS c FROM c").collect()[0]["c"] == 80
+    assert t.read().count() == 101
+    # source-side DML doesn't reach the clone (immutable files + own manifest)
+    t.delete_where("k >= 50")
+    assert eng.sql("SELECT count(*) AS c FROM c").collect()[0]["c"] == 80
+    eng.sql("DROP TABLE c")
+
+
+def test_shallow_clone_refuses_mor_debt_and_mor_on_clone(
+    spark, eng, tmp_path
+):
+    t = _mk(spark, tmp_path / "src")
+    t.set_properties({"delete.mode": "merge-on-read"})
+    eng._snapshot_tables["src"] = t
+    eng.sql("DELETE FROM src WHERE k BETWEEN 0 AND 4")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        eng.sql("CREATE TABLE c SHALLOW CLONE src")
+    # a pre-debt version clones fine
+    eng.sql("CREATE TABLE c SHALLOW CLONE src VERSION AS OF 1")
+    clone = eng._snapshot_tables["c"]
+    # MoR writers refuse while external refs remain...
+    with pytest.raises(ValueError, match="compact"):
+        clone.delete_where_mor("k = 60")
+    with pytest.raises(ValueError, match="compact"):
+        clone.delete_where_eq("k", [60])
+    # ...and unlock once compaction localizes the data
+    clone.compact(target_partitions=2)
+    clone.delete_where_mor("k = 60")
+    assert clone.read().count() == 99
+    eng.sql("DROP TABLE c")
+
+
+def test_clone_of_clone_and_vacuum_never_crosses_roots(
+    spark, eng, tmp_path
+):
+    t = _mk(spark, tmp_path / "src")
+    eng._snapshot_tables["src"] = t
+    eng.sql("CREATE TABLE c1 SHALLOW CLONE src")
+    eng.sql("CREATE TABLE c2 SHALLOW CLONE c1")
+    c2 = eng._snapshot_tables["c2"]
+    assert c2.read().count() == 100
+    # both clones reference the ORIGINAL source files (no chain reads)
+    assert all(d.startswith(t.path) for d in c2._manifest(1)["data_dirs"])
+    # CoW rewrite in the clone, then drop every snapshot that saw the
+    # external refs: vacuum may only reclaim CLONE-LOCAL storage
+    c2.delete_where("k < 50")
+    c2.expire_snapshots(keep_last=1)
+    removed = c2.vacuum()
+    assert all(not os.path.isabs(p) for p in removed)
+    src_files = glob.glob(
+        os.path.join(t.path, "data", "**", "*.parquet"), recursive=True
+    )
+    assert len(src_files) == 5  # source storage intact
+    assert t.read().count() == 100
+    eng.sql("DROP TABLE c2")
+    eng.sql("DROP TABLE c1")
+    assert t.read().count() == 100  # DROP of clones never deletes source data
+
+
+def test_clone_if_not_exists_and_existing_name(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "src", n=10, n_files=1)
+    eng._snapshot_tables["src"] = t
+    eng.sql("CREATE TABLE c SHALLOW CLONE src")
+    assert eng.sql("CREATE TABLE IF NOT EXISTS c SHALLOW CLONE src").count() == 0
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE c SHALLOW CLONE src")
+    eng.sql("DROP TABLE c")
+
+
+# ------------------------------------------------------------ COPY INTO
+
+
+def test_copy_into_idempotent_delta_loads(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10, n_files=1)
+    eng._snapshot_tables["t"] = t
+    land = tmp_path / "landing"
+    spark.createDataFrame(
+        [Row(k=i, v=float(i), g="a") for i in range(3)]
+    ).coalesce(1).write.parquet(str(land / "b1"))
+    r1 = eng.sql(f"COPY INTO t FROM '{land}'").collect()[0]
+    assert (r1["files_loaded"], r1["rows_loaded"]) == (1, 3)
+    # re-run: file-level no-op, head version unchanged
+    r2 = eng.sql(f"COPY INTO t FROM '{land}'").collect()[0]
+    assert (r2["files_loaded"], r2["rows_loaded"]) == (0, 0)
+    assert r2["version"] == r1["version"]
+    # an unrelated commit between runs must not disturb the ledger
+    eng.sql("INSERT INTO t VALUES (99, 99.0, 'z')")
+    spark.createDataFrame(
+        [Row(k=i, v=float(i), g="b") for i in range(5)]
+    ).coalesce(1).write.parquet(str(land / "b2"))
+    r3 = eng.sql(f"COPY INTO t FROM '{land}'").collect()[0]
+    assert (r3["files_loaded"], r3["rows_loaded"]) == (1, 5)
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 19
+    # the ledger is real table metadata: visible as a property and
+    # carried by every commit kind
+    ledger = json.loads(t.properties()[SnapshotTable._COPY_LEDGER_PROP])
+    (entries,) = ledger.values()
+    assert len(entries) == 2
+
+
+def test_copy_into_pattern_filters_files(spark, eng, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5, n_files=1)
+    eng._snapshot_tables["t"] = t
+    land = tmp_path / "landing"
+    spark.createDataFrame([Row(k=1, v=1.0, g="a")]).coalesce(1).write.parquet(
+        str(land / "keep")
+    )
+    os.makedirs(land / "skip", exist_ok=True)
+    with open(land / "skip" / "notes.txt", "w") as fh:
+        fh.write("not parquet")
+    r = eng.sql(f"COPY INTO t FROM '{land}' PATTERN = '*.parquet'").collect()[0]
+    assert r["files_loaded"] == 1
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 6
+
+
+def test_copy_into_ledger_is_monotone_across_restore_force_reloads(
+    spark, eng, tmp_path
+):
+    """Delta's COPY INTO × RESTORE interaction: the ledger follows the
+    HEAD (properties survive rollback), so files once loaded stay
+    skipped even after RESTORE rolled their rows away — the documented
+    Delta gotcha — and ``FORCE`` is the explicit reload escape."""
+    t = _mk(spark, tmp_path / "t", n=10, n_files=1)
+    eng._snapshot_tables["t"] = t
+    land = tmp_path / "landing"
+    spark.createDataFrame([Row(k=77, v=7.0, g="q")]).coalesce(1).write.parquet(
+        str(land / "b1")
+    )
+    eng.sql(f"COPY INTO t FROM '{land}'")
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 11
+    eng.sql("RESTORE TABLE t TO VERSION AS OF 1")
+    r = eng.sql(f"COPY INTO t FROM '{land}'").collect()[0]
+    assert (r["files_loaded"], r["rows_loaded"]) == (0, 0)
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 10
+    r = eng.sql(f"COPY INTO t FROM '{land}' FORCE").collect()[0]
+    assert (r["files_loaded"], r["rows_loaded"]) == (1, 1)
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 11
+
+
+# ---------------------------------------------------- SHOW CREATE TABLE
+
+
+def test_show_create_table_reconstructs_ddl(spark, eng, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i), g=f"g{i % 2}") for i in range(10)]
+    )
+    t.commit(df, partition_by=["g"])
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.set_properties({"delete.mode": "merge-on-read"})
+    eng._snapshot_tables["t"] = t
+    stmt = eng.sql("SHOW CREATE TABLE t").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE t (" in stmt
+    assert "k BIGINT" in stmt and "v DOUBLE" in stmt and "g STRING" in stmt
+    assert "USING snapshot" in stmt
+    assert "PARTITIONED BY (g)" in stmt
+    assert f"LOCATION '{t.path}'" in stmt
+    assert "'delete.mode' = 'merge-on-read'" in stmt
+    assert "ADD CONSTRAINT v_nonneg CHECK (v >= 0)" in stmt
