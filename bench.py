@@ -83,6 +83,7 @@ HEADLINE = [
     # insert/delete feed aggregated; the timing includes the wave by
     # design: CDF cost IS manifest-diff + delta-scan cost).
     "m07_change_feed_orders",
+    "m08_lifecycle_orders",
     # round 4: semantic-dedup clustering (iterative connected components
     # over the LSH near-dup pairs) and train/eval decontamination
     # (broadcast 8-gram overlap scan) — the two pipeline stages between

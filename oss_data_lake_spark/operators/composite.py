@@ -243,6 +243,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": _cw_sql("commit_version", "change_type"),
               "k2": _cw_sql("order_year", "o_orderstatus"),
               "v1": "n", "v2": "sum_price"}),
+            # m08 (round 7): the table LIFECYCLE statements — RESTORE /
+            # SHALLOW CLONE / idempotent COPY INTO — both surfaces'
+            # per-status counts and sums value-verified
+            ("m08", "m08_lifecycle_orders",
+             {"k1": ("surface"), "k2": ("o_orderstatus"),
+              "v1": ("n"), "v2": ("sum_price")},
+             {"k1": "surface", "k2": "o_orderstatus",
+              "v1": "n", "v2": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

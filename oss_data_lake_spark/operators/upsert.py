@@ -596,6 +596,72 @@ def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M08_BASE_MOD = 10  # v1 = keys % 10 < 5; landing slice = keys % 10 in (8, 9)
+
+
+def lifecycle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m08: the table LIFECYCLE statements end to end (Delta RESTORE /
+    SHALLOW CLONE / COPY INTO parity — the Iceberg rollback +
+    snapshot-ref + idempotent-ingest workflows the reference reaches
+    through Trino procedures):
+
+    1. commit v1 = orders with key%10 < 5; append v2 = the rest,
+    2. ``CREATE TABLE ... SHALLOW CLONE t VERSION AS OF 2`` — a
+       zero-copy clone referencing v2's files absolutely,
+    3. ``RESTORE TABLE t TO VERSION AS OF 1`` — the base table rolls
+       back to the v1 file set (a new commit; clone unaffected),
+    4. a landing dir holding the key%10 ∈ {8,9} slice as parquet,
+       ``COPY INTO t FROM landing`` run TWICE — the second run must be
+       a file-level no-op (double-load breaks the value hash),
+
+    then aggregates BOTH surfaces (restored+copied base, clone) per
+    status in long format. The oracle restates each surface as plain
+    set algebra over the raw fixture: a restore exposing the wrong file
+    set, a clone resolving the wrong root, or a non-idempotent re-copy
+    all break the hash."""
+    import tempfile
+
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    orders4 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="m08_")
+    t = SnapshotTable(spark, root + "/orders")
+    t.commit_clustered(
+        orders4.filter(F.col("o_orderkey") % M08_BASE_MOD < 5),
+        cluster_by="o_orderdate",
+        n_files=6,
+        stats_for=["o_orderdate"],
+    )
+    t.commit(
+        orders4.filter(F.col("o_orderkey") % M08_BASE_MOD >= 5),
+        mode="append",
+    )
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["t_m08"] = t
+    clone = t.shallow_clone_to(root + "/clone", version=2)
+    eng.sql("RESTORE TABLE t_m08 TO VERSION AS OF 1")
+    landing = root + "/landing"
+    orders4.filter(
+        (F.col("o_orderkey") % M08_BASE_MOD).isin(8, 9)
+    ).write.parquet(landing + "/batch1")
+    eng.sql(f"COPY INTO t_m08 FROM '{landing}'")
+    eng.sql(f"COPY INTO t_m08 FROM '{landing}'")  # must no-op
+
+    def agg(df: DataFrame, surface: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(surface).alias("surface"), "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+
+    return (
+        agg(t.read(), "restored_copied")
+        .unionByName(agg(clone.read(), "clone"))
+        .orderBy("surface", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
@@ -604,6 +670,7 @@ QUERIES = {
     "m05_snapshot_merge_orders": snapshot_merge_orders,
     "m06_sql_dml_orders": sql_dml_orders,
     "m07_change_feed_orders": change_feed_orders,
+    "m08_lifecycle_orders": lifecycle_orders,
 }
 
 _SRC_SQL = f"""
@@ -769,5 +836,27 @@ ORACLES = {
         FROM feed
         GROUP BY 1, 2, 3, 4
         ORDER BY 1, 2, 3, 4
+    """,
+    # m08: each lifecycle surface restated as set algebra — the clone at
+    # source-v2 is the whole fixture; the restored base is v1's slice
+    # plus ONE copy of the landing slice (idempotent re-run adds nothing)
+    "m08_lifecycle_orders": f"""
+        WITH restored_copied AS (
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % {M08_BASE_MOD} < 5
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % {M08_BASE_MOD} IN (8, 9)
+        )
+        SELECT * FROM (
+            SELECT 'restored_copied' AS surface, o_orderstatus,
+                   COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+            FROM restored_copied GROUP BY 2
+            UNION ALL
+            SELECT 'clone', o_orderstatus,
+                   COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+            FROM orders GROUP BY 2
+        )
+        ORDER BY surface, o_orderstatus
     """,
 }
