@@ -173,6 +173,7 @@ _dml_ops = st.lists(
         st.tuples(st.just("eq_delete"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
         st.tuples(st.just("mor_merge"), st.lists(st.integers(0, 220), min_size=1, max_size=5)),
         st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("restore"), st.integers(0, 100)),
     ),
     min_size=2,
     max_size=7,
@@ -189,8 +190,10 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
     """Differential model check for the DML surface: any interleaving of
     appends, pruned range DELETEs/UPDATEs (copy-on-write AND merge-on-
     read), EQUALITY deletes, keyed MERGEs (CoW and the scan-free MoR
-    upsert) and compactions must leave the table equal to a python dict
-    model —
+    upsert), compactions, and RESTOREs to random earlier versions
+    (round 7 — rollback must resurrect exactly that version's visible
+    state, including its outstanding delete vectors) must leave the
+    table equal to a python dict model —
     and the pre-DML snapshot must still time-travel to the model's prior
     state (no rewrite may corrupt history)."""
     from oss_data_lake_spark.sources.snapshots import SnapshotTable
@@ -204,6 +207,8 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
     model: dict[int, float] = {k: float(k) for k in range(100)}
     prev_model = dict(model)
     prev_version = t.current_version()
+    # per-version model snapshots — what a RESTORE must resurrect
+    history: dict[int, dict[int, float]] = {prev_version: dict(model)}
 
     def check():
         got = {r.k: r.v for r in t.read().collect()}
@@ -269,6 +274,12 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
             model.update(dict(src))
         elif op == "compact":
             t.compact(target_partitions=2, stats_for=["k"])
+        elif op == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            t.rollback(target)
+            model = dict(history[target])
+        history[t.current_version()] = dict(model)
         check()
         # history intact: the PRE-op snapshot still reads the old state
         if prev_version is not None and op != "compact":
