@@ -61,6 +61,21 @@ statement-shaped text here BEFORE the query path:
 - ``SHOW CREATE TABLE t``                  → reconstructed DDL (schema,
                                              layout, location,
                                              properties, constraints)
+- ``INSERT OVERWRITE [TABLE] t [(cols)] SELECT ...|VALUES ...``
+                                           → overwrite commit under the
+                                             existing table schema
+- ``TRUNCATE TABLE t``                     → empty overwrite commit
+                                             (schema survives, history
+                                             stays time-travelable)
+- ``CREATE OR REPLACE TABLE t USING snapshot AS <query>``
+                                           → overwrite commit on an
+                                             existing table (history
+                                             preserved), plain CTAS
+                                             otherwise
+- ``SHOW TBLPROPERTIES t [('key')]``       → property listing
+- ``ALTER TABLE t EXPIRE SNAPSHOTS KEEP LAST n``
+                                           → manifest retention
+                                             (``expire_snapshots``)
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
@@ -123,9 +138,22 @@ _FILES_RE = re.compile(
     r"^\s*DESCRIBE\s+FILES\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)"
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)"
     r"(?:\s*\(([^)]*)\))?\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][\w.]*)"
+    r"(?:\s*\(\s*'([^']+)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_EXPIRE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+EXPIRE\s+SNAPSHOTS\s+"
+    r"KEEP\s+LAST\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _MERGE_HEAD_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)"
@@ -144,7 +172,7 @@ _WHEN_RE = re.compile(
 _DML_SHAPE_RE = re.compile(
     r"^\s*(DELETE\s+FROM|UPDATE\s|INSERT\s+INTO|MERGE\s+INTO"
     r"|OPTIMIZE\s|VACUUM\s|DESCRIBE\s+HISTORY"
-    r"|RESTORE\s+TABLE|COPY\s+INTO)",
+    r"|RESTORE\s+TABLE|COPY\s+INTO|TRUNCATE\s+TABLE)",
     re.IGNORECASE,
 )
 
@@ -533,7 +561,8 @@ def _run_merge(
 
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
+    r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+    r"(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
     r"USING\s+SNAPSHOT\s+AS\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -649,14 +678,29 @@ def dispatch_statement(
 
     m = _CREATE_RE.match(text)
     if m and engine is not None:
-        if_not_exists, name, query = m.group(1), m.group(2), m.group(3)
+        or_replace, if_not_exists, name, query = m.groups()
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "CREATE OR REPLACE and IF NOT EXISTS are exclusive"
+            )
         if name in tables:
             if if_not_exists:
                 return spark.createDataFrame([(0,)], "version long").limit(0)
-            raise ValueError(
-                f"snapshot table '{name}' already exists; use "
-                f"CREATE TABLE IF NOT EXISTS or DROP TABLE first"
+            if not or_replace:
+                raise ValueError(
+                    f"snapshot table '{name}' already exists; use "
+                    f"CREATE OR REPLACE TABLE, CREATE TABLE IF NOT "
+                    f"EXISTS, or DROP TABLE first"
+                )
+            # OR REPLACE on an existing snapshot table = an overwrite
+            # COMMIT, not a drop-and-recreate: the version history stays
+            # time-travelable across the replacement
+            df = sql_with_time_travel(spark, query, tables)
+            version = tables[name].commit(
+                df, mode="overwrite", tag="replace_table",
+                stats_for=_prunable_columns(df) or None,
             )
+            return spark.createDataFrame([(version,)], "version long")
         df = sql_with_time_travel(spark, query, tables)
         t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
         version = t.commit(df, stats_for=_prunable_columns(df) or None)
@@ -899,13 +943,14 @@ def dispatch_statement(
     if m:
         from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
 
-        t = _require(tables, m.group(1), "INSERT INTO")
+        mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
+        t = _require(tables, m.group(2), f"INSERT {m.group(1).upper()}")
         target_schema = t.schema()
         if target_schema is None:
-            raise ValueError("INSERT INTO needs a schema-carrying snapshot")
+            raise ValueError("INSERT needs a schema-carrying snapshot")
         names = [f.name for f in target_schema.fields]
-        if m.group(2):
-            cols = [c.strip() for c in m.group(2).split(",")]
+        if m.group(3):
+            cols = [c.strip() for c in m.group(3).split(",")]
             unknown = set(cols) - set(names)
             if unknown:
                 raise ValueError(
@@ -915,7 +960,7 @@ def dispatch_statement(
             cols = names
         # the source may be VALUES ... or any SELECT over the session —
         # including other registered snapshot tables and AS-OF clauses
-        src = sql_with_time_travel(spark, m.group(3), tables)
+        src = sql_with_time_travel(spark, m.group(4), tables)
         if len(src.columns) != len(cols):
             raise ValueError(
                 f"INSERT arity mismatch: query produces {len(src.columns)} "
@@ -923,7 +968,7 @@ def dispatch_statement(
             )
         aligned = t._align(src.toDF(*cols), target_schema)
         version = t.commit(
-            aligned, mode="append",
+            aligned, mode=mode,
             stats_for=sorted(t.stats_columns()) or None,
         )
         return spark.createDataFrame([(version,)], "version long")
@@ -947,6 +992,40 @@ def dispatch_statement(
             stats_for=sorted(t.stats_columns()) or None,
         )
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _TRUNCATE_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "TRUNCATE TABLE")
+        schema = t.schema()
+        if schema is None:
+            raise ValueError("TRUNCATE TABLE needs a schema-carrying snapshot")
+        # an empty OVERWRITE commit: schema survives, history intact
+        # (time travel still reads the pre-truncate versions), O(1) write
+        version = t.commit(
+            spark.createDataFrame([], schema), mode="overwrite",
+            tag="truncate",
+        )
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _SHOW_PROPS_RE.match(text)
+    if m and m.group(1) in tables:
+        t = tables[m.group(1)]
+        props = t.properties()
+        if m.group(2) is not None:
+            props = {
+                k: v for k, v in props.items() if k == m.group(2)
+            }
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
+
+    m = _EXPIRE_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "EXPIRE SNAPSHOTS")
+        expired = t.expire_snapshots(keep_last=int(m.group(2)))
+        return spark.createDataFrame(
+            [(v,) for v in expired] or [], "expired_version long"
+        )
 
     m = _VACUUM_RE.match(text)
     if m:

@@ -378,3 +378,86 @@ def test_sql_merge_full_nonstar_combination(spark, eng):
     assert got[7]["v"] == 10.5 and got[7]["s"] == "upd"
     assert got[3]["v"] == 3.0 and got[3]["s"] == "g3"
     assert got[5000]["s"] == "new" and got[5000]["v"] is None
+
+
+def test_insert_overwrite_replaces_under_schema(spark, eng):
+    """INSERT OVERWRITE = overwrite commit under the EXISTING schema;
+    history stays time-travelable."""
+    res = eng.sql(
+        "INSERT OVERWRITE t VALUES (1, CAST(1.0 AS DOUBLE), 'only')"
+    ).collect()[0]
+    assert res["version"] == 2
+    rows = eng.sql("SELECT * FROM t").collect()
+    assert len(rows) == 1 and rows[0]["s"] == "only"
+    assert eng.sql(
+        "SELECT count(*) AS c FROM t FOR VERSION AS OF 1"
+    ).collect()[0]["c"] == 100
+    # partial column list NULL-fills the rest, optional TABLE keyword
+    eng.sql("INSERT OVERWRITE TABLE t (k) VALUES (7)")
+    rows = eng.sql("SELECT * FROM t").collect()
+    assert len(rows) == 1 and rows[0]["v"] is None and rows[0]["k"] == 7
+
+
+def test_truncate_table_keeps_schema_and_history(spark, eng):
+    res = eng.sql("TRUNCATE TABLE t").collect()[0]
+    assert res["version"] == 2
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 0
+    # schema survives: an INSERT still aligns
+    eng.sql("INSERT INTO t VALUES (1, CAST(2.0 AS DOUBLE), 'x')")
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 1
+    assert eng.sql(
+        "SELECT count(*) AS c FROM t FOR VERSION AS OF 1"
+    ).collect()[0]["c"] == 100
+
+
+def test_show_tblproperties(spark, eng):
+    eng.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delete.mode'='merge-on-read', 'owner'='me')"
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in eng.sql("SHOW TBLPROPERTIES t").collect()
+    }
+    assert got == {"delete.mode": "merge-on-read", "owner": "me"}
+    one = eng.sql("SHOW TBLPROPERTIES t ('owner')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("owner", "me")]
+
+
+def test_expire_snapshots_sql(spark, eng):
+    eng.sql("DELETE FROM t WHERE k < 10")
+    eng.sql("DELETE FROM t WHERE k < 20")
+    expired = [
+        r["expired_version"]
+        for r in eng.sql(
+            "ALTER TABLE t EXPIRE SNAPSHOTS KEEP LAST 1"
+        ).collect()
+    ]
+    assert expired == [1, 2]
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 80
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM t FOR VERSION AS OF 1").collect()
+
+
+def test_create_or_replace_preserves_history(spark, tmp_path):
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE r USING snapshot AS "
+        "SELECT 1 AS k, 'a' AS s"
+    )
+    v = e.sql(
+        "CREATE OR REPLACE TABLE r USING snapshot AS "
+        "SELECT 2 AS k, 'b' AS s UNION ALL SELECT 3, 'c'"
+    ).collect()[0]["version"]
+    assert v == 2
+    assert e.sql("SELECT count(*) AS c FROM r").collect()[0]["c"] == 2
+    # replacement is a COMMIT: the original generation still reads
+    assert e.sql(
+        "SELECT s FROM r FOR VERSION AS OF 1"
+    ).collect()[0]["s"] == "a"
+    with pytest.raises(ValueError, match="exclusive"):
+        e.sql(
+            "CREATE OR REPLACE TABLE IF NOT EXISTS r USING snapshot AS "
+            "SELECT 1 AS k"
+        )
+    e.sql("DROP TABLE r")
