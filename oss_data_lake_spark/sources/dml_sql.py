@@ -783,7 +783,21 @@ def dispatch_statement(
             else []
         )
         if spec:
-            lines.append(f"PARTITIONED BY ({', '.join(spec)})")
+            trs = (
+                manifest.get("partition_transforms", {}).get(dirs[-1]) or {}
+            )
+
+            def _disp(c: str) -> str:
+                tr = trs.get(c)
+                if tr is None:
+                    return c
+                if tr["param"] is None:
+                    return f"{tr['kind']}({tr['source']})"
+                return f"{tr['kind']}({tr['param']}, {tr['source']})"
+
+            lines.append(
+                f"PARTITIONED BY ({', '.join(_disp(c) for c in spec)})"
+            )
         lines.append(f"LOCATION '{t.path}'")
         props = t.properties(v)
         if props:

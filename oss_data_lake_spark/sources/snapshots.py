@@ -94,6 +94,82 @@ def _parse_type(ddl: str) -> T.DataType:
     return T._parse_datatype_string(ddl)
 
 
+# ------------------------------------------------ hidden partitioning
+#
+# Iceberg's partition TRANSFORMS (spec §Partition Transforms): a table
+# partitions by a DERIVED value — days(ts), bucket(16, k),
+# truncate(4, s) — that the reader never sees and the writer never
+# supplies. The derived value lives in a hidden ``_p_*`` column that
+# exists only inside the data directories (Hive path segments + per-dir
+# write schema); the snapshot schema excludes it, so every read path
+# drops it at the projection. Planners prune on the SOURCE column's
+# predicates by pushing the bounds through the transform: monotone
+# transforms (time granularities, truncate) map range bounds directly,
+# bucket maps equality probes through the same hash the writer used.
+
+_TIME_FORMATS = {
+    "years": "%Y",
+    "months": "%Y-%m",
+    "days": "%Y-%m-%d",
+    "hours": "%Y-%m-%d-%H",
+}
+_TIME_SPARK_FORMATS = {
+    "years": "yyyy",
+    "months": "yyyy-MM",
+    "days": "yyyy-MM-dd",
+    "hours": "yyyy-MM-dd-HH",
+}
+_TRANSFORM_RE = re.compile(
+    r"^\s*(years|months|days|hours)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$"
+    r"|^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_partition_entry(entry: str) -> tuple[str, dict | None]:
+    """One ``partition_by`` entry → ``(physical_column, transform)``.
+    A bare column name is identity partitioning (transform None); a
+    transform call returns the deterministic hidden column name and the
+    spec dict ``{"kind", "source", "param"}``."""
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        return entry.strip(), None
+    if m.group(1):
+        kind, source, param = m.group(1).lower(), m.group(2), None
+        pcol = f"_p_{kind}_{source}"
+    else:
+        kind, source = m.group(3).lower(), m.group(5)
+        param = int(m.group(4))
+        if param <= 0:
+            raise ValueError(f"{kind} width must be positive: {entry!r}")
+        pcol = f"_p_{kind}{param}_{source}"
+    return pcol, {"kind": kind, "source": source, "param": param}
+
+
+def _transform_time_value(value, fmt: str) -> str | None:
+    """A source-column bound → its time-granularity partition value
+    (None = unmappable, caller must not prune)."""
+    if isinstance(value, datetime.datetime):
+        return value.strftime(fmt)
+    if isinstance(value, datetime.date):
+        return datetime.datetime(
+            value.year, value.month, value.day
+        ).strftime(fmt)
+    if isinstance(value, str):
+        txt = value.strip().replace("T", " ")
+        for pat in (
+            "%Y-%m-%d %H:%M:%S.%f",
+            "%Y-%m-%d %H:%M:%S",
+            "%Y-%m-%d %H:%M",
+            "%Y-%m-%d",
+        ):
+            try:
+                return datetime.datetime.strptime(txt, pat).strftime(fmt)
+            except ValueError:
+                continue
+    return None
+
+
 class SnapshotTable:
     """A parquet table with Iceberg-style snapshots, time travel, rollback.
 
@@ -203,9 +279,29 @@ class SnapshotTable:
         already = applied_txn()
         if already is not None:
             return already  # idempotent no-op
-        for c in partition_by or []:
-            if c not in df.columns:
-                raise ValueError(f"partition column '{c}' not in dataframe")
+        # hidden partitioning: transform entries derive a hidden _p_*
+        # column that exists only in the data directory — the snapshot
+        # schema (below) stays the ORIGINAL df's, so readers never see it
+        parsed_spec = [parse_partition_entry(c) for c in (partition_by or [])]
+        phys_cols = [p for p, _ in parsed_spec]
+        transforms: dict[str, dict] = {}
+        write_df = df
+        dtypes = dict(df.dtypes)
+        for pcol, tr in parsed_spec:
+            if tr is None:
+                if pcol not in df.columns:
+                    raise ValueError(
+                        f"partition column '{pcol}' not in dataframe"
+                    )
+                continue
+            if tr["source"] not in df.columns:
+                raise ValueError(
+                    f"partition transform source '{tr['source']}' "
+                    f"not in dataframe"
+                )
+            tr = {**tr, "vtype": dtypes[tr["source"]]}
+            transforms[pcol] = tr
+            write_df = write_df.withColumn(pcol, self._transform_expr(tr))
         parent = self.current_version()
         if mode == "append" and parent:
             # fast-fail before paying for the write; re-checked against the
@@ -220,7 +316,7 @@ class SnapshotTable:
         if table_constraints:
             self._enforce(table_constraints, df, context="this commit")
         data_dir = f"data/c{(parent or 0) + 1}-{uuid.uuid4().hex[:8]}"
-        self._write_data_dir(df, data_dir, partition_by)
+        self._write_data_dir(write_df, data_dir, phys_cols or None)
         own_stats = self._harvest_stats(data_dir, stats_for, bloom_for)
 
         # Concurrency (what Iceberg delegates to its catalog — the
@@ -254,8 +350,12 @@ class SnapshotTable:
                 pm, [f.name for f in df.schema.fields]
             )
             dirs = [data_dir]
-            specs = {data_dir: list(partition_by or [])}
-            dir_schemas = {data_dir: df.schema.jsonValue()}
+            specs = {data_dir: list(phys_cols)}
+            tr_map = {data_dir: transforms} if transforms else {}
+            # the WRITE schema includes the hidden transform columns so
+            # their path-segment values parse under the declared type;
+            # the snapshot schema (original df) excludes them
+            dir_schemas = {data_dir: write_df.schema.jsonValue()}
             dir_field_ids = {data_dir: field_ids}
             file_stats = {data_dir: own_stats} if own_stats else {}
             dir_files: dict = {}
@@ -265,6 +365,7 @@ class SnapshotTable:
                 self._check_evolution(self.schema(parent), df.schema)
                 dirs = pm["data_dirs"] + dirs
                 specs = {**pm.get("partition_specs", {}), **specs}
+                tr_map = {**pm.get("partition_transforms", {}), **tr_map}
                 dir_schemas = {**pm.get("dir_schemas", {}), **dir_schemas}
                 dir_field_ids = {
                     **pm.get("dir_field_ids", {}), **dir_field_ids,
@@ -288,6 +389,9 @@ class SnapshotTable:
                 # written under older specs keep them; absent key =
                 # unpartitioned)
                 "partition_specs": specs,
+                # hidden-partition transform specs per dir (absent =
+                # every spec entry is an identity/visible column)
+                "partition_transforms": tr_map,
                 # per-directory WRITE schema: reads pass it to the reader
                 # so partition-column values round-trip by declared type
                 # (no directory-name type inference — '01' stays '01') and
@@ -348,6 +452,27 @@ class SnapshotTable:
             }
 
         return self.protocol.commit(build)
+
+    @staticmethod
+    def _transform_expr(tr: dict) -> F.Column:
+        """The Catalyst expression computing one hidden partition value
+        (pure codegen — no UDF): time granularities format to
+        lexicographically-ordered strings, bucket is a null-preserving
+        xxhash64 mod (Spark's ``xxhash64`` hashes NULL to the seed, so
+        the null branch is explicit — a NULL source must land in the
+        null partition, as Iceberg specifies), truncate is a string
+        prefix or a floor-width for integers."""
+        src = F.col(tr["source"])
+        kind = tr["kind"]
+        if kind in _TIME_SPARK_FORMATS:
+            return F.date_format(src, _TIME_SPARK_FORMATS[kind])
+        if kind == "bucket":
+            return F.when(src.isNull(), F.lit(None).cast("int")).otherwise(
+                F.pmod(F.xxhash64(src), F.lit(tr["param"])).cast("int")
+            )
+        if tr["vtype"] == "string":
+            return F.substring(src, 1, tr["param"])
+        return (F.floor(src / tr["param"]) * tr["param"]).cast(tr["vtype"])
 
     def _write_data_dir(
         self,
@@ -737,6 +862,7 @@ class SnapshotTable:
                 "mode": f"rollback_to_{version}",
                 "data_dirs": old["data_dirs"],
                 "partition_specs": old.get("partition_specs", {}),
+                "partition_transforms": old.get("partition_transforms", {}),
                 "dir_schemas": old.get("dir_schemas", {}),
                 "dir_files": old.get("dir_files", {}),
                 "delete_dirs": old.get("delete_dirs", []),
@@ -831,6 +957,9 @@ class SnapshotTable:
                 "clone_source": {"path": self.path, "version": v},
                 "data_dirs": [_abs(d) for d in m["data_dirs"]],
                 "partition_specs": _abs_keys(m.get("partition_specs", {})),
+                "partition_transforms": _abs_keys(
+                    m.get("partition_transforms", {})
+                ),
                 "dir_schemas": _abs_keys(m.get("dir_schemas", {})),
                 "dir_files": _abs_keys(m.get("dir_files", {})),
                 "delete_dirs": [],
@@ -1346,6 +1475,76 @@ class SnapshotTable:
             "enc": skipping.ENC_VERSION,
         }
 
+    def _transform_for(
+        self, manifest: dict, d: str, col_d: str
+    ) -> tuple[str | None, dict | None]:
+        """The ``(hidden_column, transform)`` partitioning dir ``d`` by
+        a DERIVED value of write-time column ``col_d``, or (None, None).
+        The lever that makes hidden partitioning prune: a predicate on
+        the SOURCE column reaches the hidden column's path segments."""
+        for pcol, tr in (
+            manifest.get("partition_transforms", {}).get(d) or {}
+        ).items():
+            if tr.get("source") == col_d:
+                return pcol, tr
+        return None, None
+
+    @staticmethod
+    def _transform_ptype(tr: dict) -> str:
+        """The hidden column's declared type for bound encoding."""
+        if tr["kind"] in _TIME_FORMATS:
+            return "string"
+        if tr["kind"] == "bucket":
+            return "int"
+        return tr.get("vtype", "string")
+
+    def _transform_bound(self, tr: dict, value):
+        """Map a source-column bound through a MONOTONE transform into
+        the hidden column's value space (None = unmappable — caller
+        must not prune). Sound because every supported transform except
+        bucket is order-preserving: lo ≤ v ≤ hi ⇒ T(lo) ≤ T(v) ≤ T(hi),
+        so admitting files by [T(lo), T(hi)] can only over-admit.
+        Bucket is not monotone and only serves the equality path."""
+        kind = tr["kind"]
+        if kind in _TIME_FORMATS:
+            return _transform_time_value(value, _TIME_FORMATS[kind])
+        if kind == "truncate":
+            if tr.get("vtype") == "string":
+                return str(value)[: tr["param"]]
+            try:
+                import math
+
+                return int(
+                    math.floor(float(value) / tr["param"])
+                ) * tr["param"]
+            except (TypeError, ValueError):
+                return None
+        return None  # bucket
+
+    def _bucket_value(self, tr: dict, value) -> int | None:
+        """A point-probe literal → its bucket id, computed by the SAME
+        Catalyst expression the writer used (one driver-local one-row
+        evaluation — no table scan, and no Python re-implementation of
+        xxhash64 to drift from)."""
+        try:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(value).cast(tr.get("vtype", "string"))
+                        ),
+                        F.lit(tr["param"]),
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .first()
+            )
+        except Exception:
+            return None  # uncastable literal: no pruning
+        return row["b"]
+
     def _plan_partition_dir(
         self, manifest: dict, d: str, admit
     ) -> tuple[list[str], int]:
@@ -1400,6 +1599,47 @@ class SnapshotTable:
                 n_sel += len(keep)
                 n_skip += n_univ - len(keep)
                 continue
+            pcol, tr = self._transform_for(manifest, d, col_d)
+            if (lo is not None or hi is not None) and tr is not None:
+                # HIDDEN partitioning: push the source bounds through a
+                # monotone transform onto the hidden column's segments
+                plo = (
+                    self._transform_bound(tr, lower)
+                    if lower is not None
+                    else None
+                )
+                phi = (
+                    self._transform_bound(tr, upper)
+                    if upper is not None
+                    else None
+                )
+                if (lower is None or plo is not None) and (
+                    upper is None or phi is not None
+                ):
+                    ptype = self._transform_ptype(tr)
+                    elo = (
+                        skipping.encode_bound(plo, ptype)
+                        if plo is not None
+                        else None
+                    )
+                    ehi = (
+                        skipping.encode_bound(phi, ptype)
+                        if phi is not None
+                        else None
+                    )
+                    if elo is not None or ehi is not None:
+                        keep, n_univ = self._plan_partition_dir(
+                            manifest, d,
+                            lambda f, _c=pcol, _t=ptype, _l=elo, _h=ehi:
+                            skipping.file_may_match(
+                                self._partition_stats_entry(f, _c, _t),
+                                _l, _h,
+                            ),
+                        )
+                        selection[d] = keep
+                        n_sel += len(keep)
+                        n_skip += n_univ - len(keep)
+                        continue
             stats = manifest.get("file_stats", {}).get(d)
             if not stats or (lo is None and hi is None):
                 # no stats, or an unbounded scan (no predicate to prune
@@ -1500,6 +1740,33 @@ class SnapshotTable:
                 n_sel += len(keep)
                 n_skip += n_univ - len(keep)
                 continue
+            pcol, tr = self._transform_for(manifest, d, col_d)
+            if tr is not None and value is not None:
+                # HIDDEN partitioning: a point probe maps exactly —
+                # monotone transforms via the bound map, bucket via the
+                # writer's own hash expression
+                if tr["kind"] == "bucket":
+                    pval = self._bucket_value(tr, value)
+                else:
+                    pval = self._transform_bound(tr, value)
+                ptype = self._transform_ptype(tr)
+                penc = (
+                    skipping.encode_bound(pval, ptype)
+                    if pval is not None
+                    else None
+                )
+                if penc is not None:
+                    keep, n_univ = self._plan_partition_dir(
+                        manifest, d,
+                        lambda f, _c=pcol, _t=ptype, _e=penc:
+                        skipping.file_may_match(
+                            self._partition_stats_entry(f, _c, _t), _e, _e
+                        ),
+                    )
+                    selection[d] = keep
+                    n_sel += len(keep)
+                    n_skip += n_univ - len(keep)
+                    continue
             stats = manifest.get("file_stats", {}).get(d)
             if not stats or enc is None:
                 selection[d] = None
@@ -1554,7 +1821,12 @@ class SnapshotTable:
         for d, spec in m.get("partition_specs", {}).items():
             if d in dirs and spec:
                 ren = self._dir_renames(m, d)
-                out.update(ren.get(c, c) for c in spec)
+                trs = m.get("partition_transforms", {}).get(d) or {}
+                for c in spec:
+                    # a hidden transform column prunes on its SOURCE —
+                    # the _p_* name itself is not a table column
+                    src = trs[c]["source"] if c in trs else c
+                    out.add(ren.get(src, src))
         return out
 
     def plan_null_scan(
@@ -1579,12 +1851,28 @@ class SnapshotTable:
         n_sel = n_skip = 0
         for d in manifest["data_dirs"]:
             col_d = self._dir_stat_name(manifest, d, column)
+            pcol, tr = self._transform_for(manifest, d, col_d)
             if col_d in (manifest.get("partition_specs", {}).get(d) or []):
                 ctype = self._column_type(v, column)
                 keep, n_univ = self._plan_partition_dir(
                     manifest, d,
                     lambda f, _c=col_d: admit(
                         self._partition_stats_entry(f, _c, ctype)
+                    ),
+                )
+                selection[d] = keep
+                n_sel += len(keep)
+                n_skip += n_univ - len(keep)
+                continue
+            if tr is not None:
+                # every transform is NULL-PRESERVING (NULL source →
+                # null partition segment), so the source's IS [NOT]
+                # NULL maps 1:1 onto the hidden column's segments
+                ptype = self._transform_ptype(tr)
+                keep, n_univ = self._plan_partition_dir(
+                    manifest, d,
+                    lambda f, _c=pcol, _t=ptype: admit(
+                        self._partition_stats_entry(f, _c, _t)
                     ),
                 )
                 selection[d] = keep
@@ -2987,6 +3275,13 @@ class SnapshotTable:
                         if d in keep
                     },
                     new_dir: [],
+                },
+                "partition_transforms": {
+                    d: s
+                    for d, s in manifest.get(
+                        "partition_transforms", {}
+                    ).items()
+                    if d in keep
                 },
                 "dir_schemas": {
                     **{

@@ -129,3 +129,171 @@ def test_partition_pruning_composes_with_footer_stats(spark, tmp_path):
     assert got.count() == 10
     total = sum(len(f) for f in sel.values() if f is not None)
     assert total == n_sel and n_skip > n_sel
+
+
+# ------------------------------------------------- hidden partitioning
+#
+# Iceberg partition transforms: the table partitions by a DERIVED value
+# (days(ts) / bucket(n, k) / truncate(w, s)) held in a hidden _p_*
+# column that readers never see; planners prune on the SOURCE column's
+# predicates by pushing bounds through the transform.
+
+
+def _mk_days(spark, path, n=120):
+    import datetime
+
+    t = SnapshotTable(spark, str(path))
+    rows = [
+        Row(
+            k=i,
+            ts=datetime.datetime(1996, 1 + i % 6, 1 + i % 28, i % 24),
+            s=f"s{i:03d}",
+        )
+        for i in range(n)
+    ]
+    rows.append(Row(k=-1, ts=None, s=None))
+    t.commit(spark.createDataFrame(rows), partition_by=["days(ts)"])
+    return t
+
+
+def test_hidden_days_invisible_and_prunes(spark, tmp_path):
+    t = _mk_days(spark, tmp_path / "d")
+    df = t.read()
+    assert df.columns == ["k", "ts", "s"], "hidden column must not leak"
+    assert df.count() == 121
+    sel, n_sel, n_skip = t.plan_range_scan(
+        "ts", "1996-03-01", "1996-03-31 23:59:59"
+    )
+    assert n_skip > 0 and n_sel > 0
+    pruned = t.read_between("ts", "1996-03-01", "1996-03-31 23:59:59")
+    cond = "ts >= '1996-03-01' AND ts <= '1996-03-31 23:59:59'"
+    assert pruned.filter(cond).count() == df.filter(cond).count()
+    # point probe isolates one day's files
+    _sel, n_sel2, n_skip2 = t.plan_eq_scan("ts", "1996-02-02 00:00:00")
+    assert n_skip2 > n_skip
+    # NULL source rows live in the null partition and prune to it
+    _sel, n_null, skip_null = t.plan_null_scan("ts", True)
+    assert n_null == 1
+    assert t.read().where("ts IS NULL").count() == 1
+
+
+def test_hidden_bucket_eq_prunes_range_does_not(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    t.commit(
+        spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)]),
+        partition_by=["bucket(8, k)"],
+    )
+    assert t.read().columns == ["k", "v"]
+    sel, n_sel, n_skip = t.plan_eq_scan("k", 42)
+    assert n_skip > 0, "point probe must isolate one bucket"
+    got = t.read_eq("k", 42).where("k = 42")
+    assert got.count() == 1
+    # bucket is not monotone: a range must NOT claim pruning power
+    sel, n_sel, n_skip = t.plan_range_scan("k", 10, 20)
+    assert n_skip == 0
+    assert t.read_between("k", 10, 20).where(
+        "k BETWEEN 10 AND 20"
+    ).count() == 11
+
+
+def test_hidden_truncate_string_and_int(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tr"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(g=f"grp{i % 4}x{i}", k=i * 10) for i in range(80)]
+        ),
+        partition_by=["truncate(4, g)", "truncate(200, k)"],
+    )
+    assert t.read().columns == ["g", "k"]
+    _sel, n_sel, n_skip = t.plan_eq_scan("g", "grp2x2")
+    assert n_skip > 0
+    assert t.read_eq("g", "grp2x2").where("g = 'grp2x2'").count() == 1
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 150)
+    assert n_skip > 0
+    assert t.read_between("k", 0, 150).where(
+        "k BETWEEN 0 AND 150"
+    ).count() == 16
+
+
+def test_hidden_partitioning_sql_routing_and_show_create(spark, tmp_path):
+    """SQL-text WHERE on the SOURCE column routes through the hidden
+    transform (stats_columns reports the source), and SHOW CREATE TABLE
+    displays the transform, not the hidden column."""
+    t = _mk_days(spark, tmp_path / "s")
+    assert "ts" in t.stats_columns()
+    e = Engine(spark=spark)
+    e._snapshot_tables["h"] = t
+    got = e.sql(
+        "SELECT count(*) AS c FROM h "
+        "WHERE ts BETWEEN TIMESTAMP '1996-03-01 00:00:00'"
+        " AND TIMESTAMP '1996-03-31 23:59:59'"
+    ).collect()[0]["c"]
+    want = t.read().where(
+        "ts >= '1996-03-01' AND ts <= '1996-03-31 23:59:59'"
+    ).count()
+    assert got == want
+    stmt = e.sql("SHOW CREATE TABLE h").collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (days(ts))" in stmt
+    assert "_p_days_ts" not in stmt
+
+
+def test_hidden_partitioning_dml_and_history(spark, tmp_path):
+    """Copy-on-write DML prunes through the transform and rewrites
+    correctly; rollback and appends carry the transform spec."""
+    t = _mk_days(spark, tmp_path / "m")
+    import datetime
+
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=1000, ts=datetime.datetime(1997, 1, 1), s="late")]
+        ),
+        mode="append",
+        partition_by=["days(ts)"],
+    )
+    res = t.delete_where(
+        "ts >= TIMESTAMP '1996-03-01 00:00:00' AND "
+        "ts <= TIMESTAMP '1996-03-31 23:59:59'",
+        prune_column="ts",
+        prune_lower="1996-03-01",
+        prune_upper="1996-03-31 23:59:59",
+    )
+    assert res["files_skipped"] > 0
+    assert t.read().where(
+        "ts >= '1996-03-01' AND ts <= '1996-03-31 23:59:59'"
+    ).count() == 0
+    assert t.read().where("s = 'late'").count() == 1
+    t.rollback(2)
+    assert t.read().where(
+        "ts >= '1996-03-01' AND ts <= '1996-03-31 23:59:59'"
+    ).count() > 0
+    # the transform survives rollback: the pre-delete files still prune
+    _sel, n_sel, n_skip = t.plan_eq_scan("ts", "1996-02-02 00:00:00")
+    assert n_skip > 0
+
+
+def test_hidden_transform_survives_source_rename(spark, tmp_path):
+    t = _mk_days(spark, tmp_path / "r")
+    t.rename_column("ts", "event_ts")
+    assert "event_ts" in t.stats_columns()
+    _sel, n_sel, n_skip = t.plan_range_scan(
+        "event_ts", "1996-03-01", "1996-03-31 23:59:59"
+    )
+    assert n_skip > 0, "renamed source must keep pruning via field id"
+    got = t.read_between(
+        "event_ts", "1996-03-01", "1996-03-31 23:59:59"
+    ).where("event_ts >= '1996-03-01' AND event_ts <= '1996-03-31 23:59:59'")
+    assert got.count() == t.read().where(
+        "event_ts >= '1996-03-01' AND event_ts <= '1996-03-31 23:59:59'"
+    ).count()
+
+
+def test_transform_parse_errors():
+    from oss_data_lake_spark.sources.snapshots import parse_partition_entry
+
+    assert parse_partition_entry("p") == ("p", None)
+    pcol, tr = parse_partition_entry("days(ts)")
+    assert pcol == "_p_days_ts" and tr["kind"] == "days"
+    pcol, tr = parse_partition_entry("bucket(16, user_id)")
+    assert pcol == "_p_bucket16_user_id" and tr["param"] == 16
+    with pytest.raises(ValueError, match="positive"):
+        parse_partition_entry("truncate(0, s)")
