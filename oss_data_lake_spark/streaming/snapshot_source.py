@@ -53,6 +53,29 @@ from pyspark.sql.datasource import (
 FORMAT_NAME = "snapshot_stream"
 
 
+def _decode_segment(raw: str, typ: str):
+    """A Hive ``key=value`` path segment value → a typed python value
+    under the dir's DECLARED write-schema type (driver-side, at plan
+    time — executors receive the decoded constants, never the paths)."""
+    import datetime
+    import urllib.parse
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    v = urllib.parse.unquote(raw)
+    if typ in ("byte", "short", "integer", "long"):
+        return int(v)
+    if typ in ("float", "double"):
+        return float(v)
+    if typ == "boolean":
+        return v.lower() == "true"
+    if typ == "date":
+        return datetime.date.fromisoformat(v)
+    if isinstance(typ, str) and typ.startswith("timestamp"):
+        return datetime.datetime.fromisoformat(v.replace(" ", "T"))
+    return v
+
+
 def _build_source_class():
     """The DataSource / reader / partition classes are defined INSIDE
     this factory so cloudpickle ships them to Python workers BY VALUE
@@ -66,12 +89,17 @@ def _build_source_class():
         def __init__(
             self, abs_path: str, columns: list[str],
             src_names: list[str] | None = None,
+            consts: dict | None = None,
         ):
             self.abs_path = abs_path
             self.columns = columns
             # per-column WRITE-TIME name inside this file (field-id
             # resolution for renamed columns); None = same as columns
             self.src_names = src_names or columns
+            # Hive PARTITION-column values for this file, decoded from
+            # its path segments at PLAN time (partitionBy strips them
+            # from the file bytes); {} for unpartitioned dirs
+            self.consts = consts or {}
 
     class _ChangePartition(InputPartition):
         """One file's contribution to a CHANGE-FEED micro-batch. The
@@ -96,6 +124,7 @@ def _build_source_class():
             only_positions: list[int] | None = None,
             eq_only: tuple | None = None,      # (key_src_names, key_rows)
             eq_skip: list | None = None,       # [(key_src_names, key_rows)]
+            consts: dict | None = None,
         ):
             self.abs_path = abs_path
             self.src_names = src_names
@@ -105,6 +134,7 @@ def _build_source_class():
             self.only_positions = only_positions or []
             self.eq_only = eq_only
             self.eq_skip = eq_skip or []
+            self.consts = consts or {}
 
     class _SnapshotStreamReader(DataSourceStreamReader):
         """Driver-side planner: versions → file partitions. Reads
@@ -235,13 +265,42 @@ def _build_source_class():
                 for cname, i in zip(entry["cols"], entry["ids"])
             ]
 
-        def _spec_guard(self, m, d):
-            if m.get("partition_specs", {}).get(d):
-                raise ValueError(
-                    "snapshot_stream does not support Hive-partitioned "
-                    "commit layouts yet (partition values live in dir "
-                    "names, not files); commit unpartitioned for streaming"
+        def _path_consts(self, m, d, rel_file):
+            """IDENTITY partition-column values for one file of dir
+            ``d``, decoded from its ``key=value`` path segments under
+            the dir's declared write types (round 7 — partitioned
+            layouts stream; previously refused). Hidden transform
+            (``_p_*``) columns are omitted: they exist in no read
+            schema, so their segments are simply ignored."""
+            spec = m.get("partition_specs", {}).get(d) or []
+            if not spec:
+                return {}
+            trs = m.get("partition_transforms", {}).get(d) or {}
+            types: dict = {}
+            sj = m.get("dir_schemas", {}).get(d)
+            if sj:
+                types = {
+                    f["name"]: f["type"]
+                    for f in sj.get("fields", [])
+                    if isinstance(f.get("type"), str)
+                }
+            out = {}
+            path = "/" + rel_file.replace(os.sep, "/")
+            import re as _re
+
+            for cname in spec:
+                if cname in trs:
+                    continue
+                mm = _re.search(f"/{_re.escape(cname)}=([^/]+)/", path)
+                if not mm:
+                    raise ValueError(
+                        f"snapshot_stream: partition segment '{cname}' "
+                        f"missing from {rel_file!r}"
+                    )
+                out[cname] = _decode_segment(
+                    mm.group(1), types.get(cname, "string")
                 )
+            return out
 
         def _change_partitions(self, p, c, v, columns, head_fids):
             """One commit step → typed-change partitions, mirroring
@@ -285,7 +344,6 @@ def _build_source_class():
                 if d not in p_set:
                     added += [(d, f) for f in self._rel_files(c, d)]
             for d, f in removed:
-                self._spec_guard(p, d)
                 rel = f"{d}/{f}"
                 parts.append(_ChangePartition(
                     os.path.join(self.path, rel),
@@ -293,9 +351,9 @@ def _build_source_class():
                     "delete", v,
                     skip_positions=p_dvpos.get(rel, []),
                     eq_skip=eq_filters(p, p_eqs, d),
+                    consts=self._path_consts(p, d, f),
                 ))
             for d, f in added:
-                self._spec_guard(c, d)
                 rel = f"{d}/{f}"
                 parts.append(_ChangePartition(
                     os.path.join(self.path, rel),
@@ -303,6 +361,7 @@ def _build_source_class():
                     "insert", v,
                     skip_positions=c_dvpos.get(rel, []),
                     eq_skip=eq_filters(c, c_eqs, d),
+                    consts=self._path_consts(c, d, f),
                 ))
 
             def owner(rel):
@@ -329,12 +388,12 @@ def _build_source_class():
                     d = owner(rel)
                     if d is None or not visible_in_c(d, rel):
                         continue
-                    self._spec_guard(c, d)
                     parts.append(_ChangePartition(
                         os.path.join(self.path, rel),
                         self._src_names_for(c, d, columns, head_fids),
                         kind, v,
                         only_positions=poss,
+                        consts=self._path_consts(c, d, rel[len(d) + 1:]),
                     ))
             p_eq_dirs = {e["dir"] for e in p_eqs}
             c_eq_dirs = {e["dir"] for e in c_eqs}
@@ -348,7 +407,6 @@ def _build_source_class():
                 for d in e.get("applies_dirs", []):
                     if d not in c_set:
                         continue
-                    self._spec_guard(c, d)
                     for f in self._rel_files(c, d):
                         rel = f"{d}/{f}"
                         parts.append(_ChangePartition(
@@ -364,6 +422,7 @@ def _build_source_class():
                             # the changed entry itself is never in the
                             # filter state (p for arriving, c for gone)
                             eq_skip=eq_filters(m_state, eqs_state, d),
+                            consts=self._path_consts(c, d, f),
                         ))
             return parts
 
@@ -425,13 +484,6 @@ def _build_source_class():
                 for d in cur["data_dirs"]:
                     if d in prev_dirs:
                         continue
-                    if cur.get("partition_specs", {}).get(d):
-                        raise ValueError(
-                            "snapshot_stream does not support "
-                            "Hive-partitioned commit layouts yet "
-                            "(partition values live in dir names, not "
-                            "files); commit unpartitioned for streaming"
-                        )
                     # field-id projection: a column renamed between this
                     # commit and the head is read under its WRITE name
                     dmap = cur.get("dir_field_ids", {}).get(d) or {}
@@ -457,7 +509,12 @@ def _build_source_class():
                     )
                     for p in files:
                         parts.append(
-                            _FilePartition(p, columns, src_names)
+                            _FilePartition(
+                                p, columns, src_names,
+                                consts=self._path_consts(
+                                    cur, d, os.path.relpath(p, root)
+                                ),
+                            )
                         )
                 prev = cur
             return parts
@@ -470,12 +527,18 @@ def _build_source_class():
 
             tbl = pq.read_table(partition.abs_path)
             present = set(tbl.column_names)
+            # partition-column values decoded from the file's path at
+            # plan time (the file bytes don't carry them)
+            consts = getattr(partition, "consts", {}) or {}
 
             def project(row):
                 return tuple(
-                    row.get(s) if s in present else None
+                    row.get(s) if s in present else consts.get(s)
                     for s in partition.src_names
                 )
+
+            def keyval(row, n):
+                return row.get(n) if n in present else consts.get(n)
 
             if isinstance(partition, _ChangePartition):
                 rows = tbl.to_pylist()
@@ -495,12 +558,12 @@ def _build_source_class():
                     if i in skip:
                         continue
                     if any(
-                        tuple(row.get(n) for n in names) in ks
+                        tuple(keyval(row, n) for n in names) in ks
                         for names, ks in eq_skip
                     ):
                         continue
                     if only_keys is not None and (
-                        tuple(row.get(n) for n in only[0])
+                        tuple(keyval(row, n) for n in only[0])
                         not in only_keys
                     ):
                         continue
