@@ -607,6 +607,21 @@ _RENAME_COLUMN_RE = re.compile(
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+CREATE\s+TAG\s+"
+    r"([A-Za-z_][\w.-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+TAG\s+"
+    r"([A-Za-z_][\w.-]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
@@ -884,6 +899,34 @@ def dispatch_statement(
         if name not in tables:
             return None  # session-catalog ALTER falls through
         version = tables[name].rename_column(m.group(2), m.group(3))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _ALTER_TYPE_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].widen_column(m.group(2), m.group(3))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _CREATE_TAG_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].create_tag(
+            m.group(2), int(m.group(3)) if m.group(3) else None
+        )
+        return spark.createDataFrame(
+            [(version, m.group(2))], "version long, tag string"
+        )
+
+    m = _DROP_TAG_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].drop_tag(m.group(2))
         return spark.createDataFrame([(version,)], "version long")
 
     m = _DELETE_RE.match(text)

@@ -694,6 +694,76 @@ class SnapshotTable:
 
         return self._commit_schema(update, f"drop_columns_{'_'.join(names)}")
 
+    def widen_column(self, name: str, type_ddl: str) -> int:
+        """Metadata-only TYPE WIDENING (Iceberg's safe promotions —
+        ``ALTER TABLE ... ALTER COLUMN c TYPE t``): the snapshot schema
+        adopts the wider type; no data file is touched — reads already
+        upcast every dir onto the snapshot schema. Narrowing or
+        cross-family changes refuse (they would corrupt silently)."""
+        new_t = _parse_type(type_ddl)
+
+        def update(schema: T.StructType) -> T.StructType:
+            fields, found = [], False
+            for f in schema.fields:
+                if f.name == name:
+                    found = True
+                    if not _compatible(f.dataType, new_t):
+                        raise ValueError(
+                            f"cannot alter column '{name}' from "
+                            f"{f.dataType.simpleString()} to "
+                            f"{new_t.simpleString()}: not a safe widening"
+                        )
+                    fields.append(T.StructField(name, new_t, f.nullable))
+                else:
+                    fields.append(f)
+            if not found:
+                raise ValueError(f"no such column: '{name}'")
+            return T.StructType(fields)
+
+        return self._commit_schema(update, "widen_column")
+
+    # ------------------------------------------------------ snapshot tags
+    #
+    # Iceberg refs (tags): a NAMED pointer to a snapshot version, stored
+    # in table properties (``tag.<name>`` → version) so it rides every
+    # commit and publishes atomically. ``FOR VERSION AS OF '<tag>'``
+    # time-travels by name; ``expire_snapshots`` keeps tagged versions
+    # alive regardless of keep_last — exactly Iceberg's tag retention.
+
+    _TAG_NAME_RE = re.compile(r"[A-Za-z_][\w.-]*")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots to tag at {self.path}")
+        if not self._TAG_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        self._manifest(v)  # must exist (raises otherwise)
+        if f"tag.{name}" in self.properties():
+            raise ValueError(f"tag {name!r} already exists")
+        return self.set_properties({f"tag.{name}": str(v)})
+
+    def drop_tag(self, name: str) -> int:
+        if f"tag.{name}" not in self.properties():
+            raise ValueError(f"unknown tag {name!r}")
+        return self.unset_properties([f"tag.{name}"])
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k[len("tag."):]: int(x)
+            for k, x in self.properties().items()
+            if k.startswith("tag.")
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        """Tag name → version number (the ``AS OF '<tag>'`` resolver)."""
+        raw = self.properties().get(f"tag.{name}")
+        if raw is None:
+            raise ValueError(
+                f"unknown tag {name!r} (tags: {sorted(self.tags())})"
+            )
+        return int(raw)
+
     def _commit_schema(self, update_fn, tag: str) -> int:
         def build(parent: int | None, read_manifest) -> dict:
             if parent is None:
@@ -3494,6 +3564,9 @@ class SnapshotTable:
         keep = set(versions[-keep_last:])
         if cur is not None:
             keep.add(cur)
+        # TAGGED versions never expire (Iceberg tag retention) — a tag
+        # is a promise that AS OF '<tag>' keeps resolving
+        keep.update(self.tags().values())
         expired = [v for v in versions if v not in keep]
         for v in expired:
             self.protocol.delete_manifest(v)
@@ -3590,6 +3663,10 @@ class SnapshotTable:
 
 _TT_VERSION_RE = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
+_TT_TAG_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+    re.IGNORECASE,
 )
 _TT_TS_RE = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+"
@@ -3971,6 +4048,16 @@ def sql_with_time_travel(
     def sub_version(m: "re.Match[str]") -> str:
         return _view(m.group(1), int(m.group(2)))
 
+    def sub_tag(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        t = tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"time-travel clause references unregistered snapshot "
+                f"table '{name}' (registered: {sorted(tables)})"
+            )
+        return _view(name, t.resolve_ref(m.group(2)))
+
     def sub_ts(m: "re.Match[str]") -> str:
         name = m.group(1)
         t = tables.get(name)
@@ -3984,7 +4071,11 @@ def sql_with_time_travel(
     rewritten = _sub_outside_literals(
         _TT_TS_RE,
         sub_ts,
-        _sub_outside_literals(_TT_VERSION_RE, sub_version, text),
+        _sub_outside_literals(
+            _TT_TAG_RE,
+            sub_tag,
+            _sub_outside_literals(_TT_VERSION_RE, sub_version, text),
+        ),
     )
     # plain (non-AS-OF) references to registered tables read the head;
     # detection likewise ignores names that appear only inside literals.

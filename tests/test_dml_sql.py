@@ -461,3 +461,68 @@ def test_create_or_replace_preserves_history(spark, tmp_path):
             "SELECT 1 AS k"
         )
     e.sql("DROP TABLE r")
+
+
+def test_alter_column_type_widening(spark, eng, tmp_path):
+    """Metadata-only type widening: ALTER COLUMN ... TYPE promotes the
+    snapshot schema; old files upcast at read; narrowing refuses."""
+    t = SnapshotTable(spark, str(tmp_path / "w"))
+    t.commit(
+        spark.createDataFrame([(i, i) for i in range(20)], "k int, v int"),
+        stats_for=["k"],
+    )
+    eng._snapshot_tables["w"] = t
+    res = eng.sql("ALTER TABLE w ALTER COLUMN v TYPE bigint").collect()[0]
+    assert res["version"] == 2
+    assert dict(eng.sql("SELECT * FROM w").dtypes)["v"] == "bigint"
+    assert eng.sql("SELECT sum(v) AS s FROM w").collect()[0]["s"] == 190
+    # a wider append now fits where it would have been rejected
+    t.commit(
+        spark.createDataFrame([(100, 2**40)], "k int, v long"), mode="append"
+    )
+    assert eng.sql("SELECT max(v) AS m FROM w").collect()[0]["m"] == 2**40
+    # time travel shows the NARROW type at the old version
+    assert dict(t.read(1).dtypes)["v"] == "int"
+    # stats on k still prune after the unrelated widening
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 5)
+    assert n_sel >= 1
+    with pytest.raises(ValueError, match="not a safe widening"):
+        eng.sql("ALTER TABLE w ALTER COLUMN v TYPE int")
+    with pytest.raises(ValueError, match="no such column"):
+        eng.sql("ALTER TABLE w ALTER COLUMN nope TYPE bigint")
+
+
+def test_snapshot_tags_time_travel_and_retention(spark, eng):
+    """Iceberg tags: named version refs — AS OF '<tag>' resolves,
+    expire keeps tagged versions, drop releases them."""
+    eng.sql("ALTER TABLE t CREATE TAG baseline")          # v1
+    eng.sql("DELETE FROM t WHERE k < 50")                 # v2
+    eng.sql("DELETE FROM t WHERE k < 80")                 # v3
+    got = eng.sql(
+        "SELECT count(*) AS c FROM t FOR VERSION AS OF 'baseline'"
+    ).collect()[0]["c"]
+    assert got == 100
+    t = eng._snapshot_tables["t"]
+    assert t.tags() == {"baseline": 1}
+    # tagged version SURVIVES expiry; untagged v2 goes
+    expired = [
+        r["expired_version"]
+        for r in eng.sql(
+            "ALTER TABLE t EXPIRE SNAPSHOTS KEEP LAST 1"
+        ).collect()
+    ]
+    assert 1 not in expired and 2 in expired
+    assert eng.sql(
+        "SELECT count(*) AS c FROM t FOR VERSION AS OF 'baseline'"
+    ).collect()[0]["c"] == 100
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE t CREATE TAG baseline")
+    eng.sql("ALTER TABLE t DROP TAG baseline")
+    with pytest.raises(ValueError, match="unknown tag"):
+        eng.sql("SELECT * FROM t FOR VERSION AS OF 'baseline'")
+    # a literal containing the clause shape stays data
+    n = eng.sql(
+        "SELECT count(*) AS c FROM t "
+        "WHERE s <> 't FOR VERSION AS OF ''x'''"
+    ).collect()[0]["c"]
+    assert n == 20
