@@ -75,7 +75,16 @@ statement-shaped text here BEFORE the query path:
 - ``SHOW TBLPROPERTIES t [('key')]``       → property listing
 - ``ALTER TABLE t EXPIRE SNAPSHOTS KEEP LAST n``
                                            → manifest retention
-                                             (``expire_snapshots``)
+                                             (``expire_snapshots``;
+                                             tagged versions survive)
+- ``ALTER TABLE t ALTER COLUMN c TYPE <t>``
+                                           → metadata-only type
+                                             widening (safe promotions
+                                             only)
+- ``ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n``
+                                           → named snapshot refs;
+                                             ``FOR VERSION AS OF '<n>'``
+                                             time-travels by tag
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
