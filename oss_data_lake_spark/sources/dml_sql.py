@@ -131,8 +131,9 @@ _UPDATE_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_][\w.]*)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\)|\s+CLUSTER\s+BY\s+([A-Za-z_]\w*))?"
-    r"(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$",
-    re.IGNORECASE,
+    r"(?:\s+INTO\s+(\d+)\s+FILES)?"
+    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
@@ -1051,6 +1052,33 @@ def dispatch_statement(
         )
         cluster = m.group(3)
         n_files = int(m.group(4)) if m.group(4) else (16 if (zorder or cluster) else 1)
+        where = m.group(5)
+        if where:
+            # SCOPED compaction: rewrite only the files the WHERE's
+            # manifest bounds admit (Delta's OPTIMIZE ... WHERE)
+            if zorder or cluster:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE is exclusive with "
+                    "ZORDER BY / CLUSTER BY (re-clustering is whole-table)"
+                )
+            preds = conjunct_ranges(where, t.stats_columns())
+            if not preds:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE needs prunable conjuncts on "
+                    "stats/partition columns (ranges, =, IN, IS NULL) — "
+                    f"cannot scope by {where!r}; drop the WHERE to "
+                    "compact the whole table"
+                )
+            res = t.compact_where(
+                prune_preds=preds,
+                target_partitions=n_files,
+                stats_for=sorted(t.stats_columns()) or None,
+            )
+            return spark.createDataFrame(
+                [(res["version"], res["files_rewritten"],
+                  res["files_skipped"])],
+                "version long, files_rewritten long, files_skipped long",
+            )
         version = t.compact(
             target_partitions=n_files,
             cluster_by=cluster,

@@ -3551,6 +3551,37 @@ class SnapshotTable:
             tag="compact",
         )
 
+    def compact_where(
+        self,
+        prune_preds: list | None = None,
+        prune_column: str | None = None,
+        prune_lower=None,
+        prune_upper=None,
+        target_partitions: int = 1,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+    ) -> dict:
+        """SCOPED compaction (Delta's ``OPTIMIZE ... WHERE``): rewrite
+        only the files the predicate's manifest bounds admit into
+        ``target_partitions`` coalesced files — whole files, never row
+        subsets, so the visible multiset is unchanged (the commit tags
+        ``compact`` = dataChange:false; the change feed and
+        ``skipChangeCommits`` pass over it). At 100 TB this is THE
+        compaction shape: you coalesce yesterday's small streaming
+        files, not the table. Files with outstanding tombstones get
+        their deletes materialized in passing (visible rows only are
+        rewritten). Returns Delta-style operation metrics."""
+        return self._rewrite_where(
+            lambda df: df.coalesce(target_partitions),
+            "compact",
+            prune_column,
+            prune_lower,
+            prune_upper,
+            stats_for,
+            bloom_for,
+            prune_preds=prune_preds,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Iceberg's ``expire_snapshots``: drop manifests older than the
         newest ``keep_last`` versions, then vacuum newly-unreferenced data

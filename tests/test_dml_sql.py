@@ -526,3 +526,35 @@ def test_snapshot_tags_time_travel_and_retention(spark, eng):
         "WHERE s <> 't FOR VERSION AS OF ''x'''"
     ).collect()[0]["c"]
     assert n == 20
+
+
+def test_optimize_where_scoped_compaction(spark, eng, tmp_path):
+    """OPTIMIZE ... WHERE rewrites only the files the predicate's
+    bounds admit (whole files — visible rows unchanged, dataChange
+    false), leaving the rest untouched."""
+    t = SnapshotTable(spark, str(tmp_path / "o"))
+    # 3 waves x 4 clustered files = 12 small files over disjoint ranges
+    for w in range(3):
+        t.commit_clustered(
+            spark.createDataFrame(
+                [Row(k=w * 100 + i, v=float(i)) for i in range(40)]
+            ),
+            cluster_by="k", n_files=4, stats_for=["k"],
+            mode="append" if w else "overwrite",
+        )
+    eng._snapshot_tables["o"] = t
+    before = eng.sql("SELECT * FROM o").collect()
+    res = eng.sql(
+        "OPTIMIZE o INTO 1 FILES WHERE k BETWEEN 0 AND 39"
+    ).collect()[0]
+    assert res["files_rewritten"] == 4 and res["files_skipped"] == 8
+    after = eng.sql("SELECT * FROM o").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # dataChange=false: the scoped compact streams as nothing
+    hist = eng.sql("DESCRIBE HISTORY o").collect()
+    assert hist[-1]["operation"] == "compact"
+    # unprunable WHERE refuses rather than silently compacting all
+    with pytest.raises(ValueError, match="prunable"):
+        eng.sql("OPTIMIZE o WHERE v + 1 > 2")
+    with pytest.raises(ValueError, match="exclusive"):
+        eng.sql("OPTIMIZE o ZORDER BY (k) WHERE k < 10")
