@@ -162,7 +162,12 @@ _SHOW_PROPS_RE = re.compile(
 )
 _EXPIRE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+EXPIRE\s+SNAPSHOTS\s+"
-    r"KEEP\s+LAST\s+(\d+)\s*;?\s*$",
+    r"(?:KEEP\s+LAST\s+(\d+))?"
+    r"(?:\s*(?:OLDER\s+THAN\s+(?:TIMESTAMP\s+)?'([^']+)'))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _MERGE_HEAD_RE = re.compile(
@@ -1114,11 +1119,36 @@ def dispatch_statement(
         )
 
     m = _EXPIRE_RE.match(text)
-    if m:
+    if m and (m.group(2) or m.group(3)):
         t = _require(tables, m.group(1), "EXPIRE SNAPSHOTS")
-        expired = t.expire_snapshots(keep_last=int(m.group(2)))
+        older = None
+        if m.group(3):
+            from oss_data_lake_spark.sources.snapshots import _parse_ts_ms
+
+            older = _parse_ts_ms(m.group(3))
+        expired = t.expire_snapshots(
+            keep_last=int(m.group(2)) if m.group(2) else 1,
+            older_than_ms=older,
+        )
         return spark.createDataFrame(
             [(v,) for v in expired] or [], "expired_version long"
+        )
+
+    m = _DESCRIBE_RE.match(text)
+    if m and m.group(1) in tables:
+        t = tables[m.group(1)]
+        schema = t.schema()
+        if schema is None:
+            raise ValueError(
+                f"DESCRIBE: no snapshots at {t.path} "
+                "(table registered but never committed)"
+            )
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), None)
+                for f in schema.fields
+            ],
+            "col_name string, data_type string, comment string",
         )
 
     m = _VACUUM_RE.match(text)

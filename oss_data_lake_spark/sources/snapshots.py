@@ -3582,19 +3582,32 @@ class SnapshotTable:
             prune_preds=prune_preds,
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
         """Iceberg's ``expire_snapshots``: drop manifests older than the
         newest ``keep_last`` versions, then vacuum newly-unreferenced data
         dirs. The CURRENT pointer is never expired; returns the expired
         version numbers. Time travel to expired versions stops working —
-        that is the point (bounded metadata + reclaimable storage)."""
+        that is the point (bounded metadata + reclaimable storage).
+
+        ``older_than_ms`` adds Iceberg's TIME-based retention: only
+        snapshots committed BEFORE the cutoff are eligible (a snapshot
+        younger than the cutoff survives even beyond ``keep_last``)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        versions = [m["version"] for m in self.versions()]
+        manifests = self.versions()
+        versions = [m["version"] for m in manifests]
         cur = self.current_version()
         keep = set(versions[-keep_last:])
         if cur is not None:
             keep.add(cur)
+        if older_than_ms is not None:
+            keep.update(
+                m["version"]
+                for m in manifests
+                if m.get("committed_at_ms", 0) >= older_than_ms
+            )
         # TAGGED versions never expire (Iceberg tag retention) — a tag
         # is a promise that AS OF '<tag>' keeps resolving
         keep.update(self.tags().values())

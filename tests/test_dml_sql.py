@@ -558,3 +558,33 @@ def test_optimize_where_scoped_compaction(spark, eng, tmp_path):
         eng.sql("OPTIMIZE o WHERE v + 1 > 2")
     with pytest.raises(ValueError, match="exclusive"):
         eng.sql("OPTIMIZE o ZORDER BY (k) WHERE k < 10")
+
+
+def test_describe_plain_and_time_based_expiry(spark, eng):
+    import json as _json
+    import os as _os
+
+    rows = eng.sql("DESCRIBE t").collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows] == [
+        ("k", "bigint"), ("v", "double"), ("s", "string"),
+    ]
+    t = eng._snapshot_tables["t"]
+    eng.sql("DELETE FROM t WHERE k < 10")   # v2
+    eng.sql("DELETE FROM t WHERE k < 20")   # v3
+    # pin commit times: v1 old, v2/v3 recent
+    for v, ms in ((1, 1000), (2, 5_000_000_000_000), (3, 5_000_000_000_001)):
+        p = _os.path.join(t.path, "_snapshots", f"v{v}.json")
+        mm = _json.load(open(p))
+        mm["committed_at_ms"] = ms
+        _json.dump(mm, open(p, "w"))
+    expired = [
+        r["expired_version"]
+        for r in eng.sql(
+            "ALTER TABLE t EXPIRE SNAPSHOTS OLDER THAN '2100-01-01'"
+        ).collect()
+    ]
+    # only v1 predates the cutoff; v2 survives by YOUTH despite keep_last=1
+    assert expired == [1]
+    assert eng.sql(
+        "SELECT count(*) AS c FROM t FOR VERSION AS OF 2"
+    ).collect()[0]["c"] == 90
