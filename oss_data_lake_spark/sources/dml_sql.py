@@ -73,10 +73,16 @@ statement-shaped text here BEFORE the query path:
                                              preserved), plain CTAS
                                              otherwise
 - ``SHOW TBLPROPERTIES t [('key')]``       → property listing
-- ``ALTER TABLE t EXPIRE SNAPSHOTS KEEP LAST n``
+- ``ALTER TABLE t EXPIRE SNAPSHOTS [KEEP LAST n] [OLDER THAN 'ts']``
                                            → manifest retention
                                              (``expire_snapshots``;
-                                             tagged versions survive)
+                                             tagged and younger-than-
+                                             cutoff versions survive)
+- ``DESC[RIBE] [TABLE] t``                 → column listing
+- ``OPTIMIZE t [INTO n FILES] WHERE cond`` → SCOPED compaction
+                                             (``compact_where`` — only
+                                             bound-admitted files
+                                             rewrite, dataChange=false)
 - ``ALTER TABLE t ALTER COLUMN c TYPE <t>``
                                            → metadata-only type
                                              widening (safe promotions
