@@ -1045,9 +1045,17 @@ def dispatch_statement(
                 f"columns, target list has {len(cols)}"
             )
         aligned = t._align(src.toDF(*cols), target_schema)
+        # the insert adopts the table's current partition layout
+        # (identity or hidden transform) instead of accreting
+        # unpartitioned dirs — Iceberg write-under-current-spec.
+        # Identity partition columns leave the file bytes (path
+        # segments carry them), so footer stats skip them.
+        pb = t.current_partition_by()
+        identity = {c for c in pb if "(" not in c}
         version = t.commit(
             aligned, mode=mode,
-            stats_for=sorted(t.stats_columns()) or None,
+            partition_by=pb or None,
+            stats_for=sorted(t.stats_columns() - identity) or None,
         )
         return spark.createDataFrame([(version,)], "version long")
 

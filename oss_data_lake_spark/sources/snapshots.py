@@ -1136,10 +1136,18 @@ class SnapshotTable:
         )
         rows = df.count()  # parquet footer count — no data scan
         ledger[src_abs] = sorted(seen | set(new))
+        pb = self.current_partition_by()
+        identity = {c for c in pb if "(" not in c}
         version = self.commit(
             df,
             mode="append",
-            stats_for=stats_for,
+            # ingested data adopts the table's current partition layout;
+            # identity partition columns get path-segment (not footer)
+            # stats, so they leave the stats_for list
+            partition_by=pb or None,
+            stats_for=(
+                sorted(set(stats_for) - identity) if stats_for else None
+            ),
             tag="copy_into",
             props_update={self._COPY_LEDGER_PROP: json.dumps(ledger)},
         )
@@ -1544,6 +1552,36 @@ class SnapshotTable:
             "rows": 1, "nulls": 0, "min": enc, "max": enc,
             "enc": skipping.ENC_VERSION,
         }
+
+    def current_partition_by(self, version: int | None = None) -> list[str]:
+        """The LATEST data dir's partition spec rendered back into
+        ``commit(partition_by=)`` form (transforms as their call syntax,
+        sources translated to CURRENT column names) — what engine-level
+        INSERT/COPY INTO adopt so appends follow the table's layout
+        instead of silently accreting unpartitioned dirs."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return []
+        m = self._manifest(v)
+        dirs = m.get("data_dirs") or []
+        if not dirs:
+            return []
+        d = dirs[-1]
+        spec = m.get("partition_specs", {}).get(d) or []
+        trs = m.get("partition_transforms", {}).get(d) or {}
+        ren = self._dir_renames(m, d)
+        out = []
+        for c in spec:
+            tr = trs.get(c)
+            if tr is None:
+                out.append(ren.get(c, c))
+                continue
+            src = ren.get(tr["source"], tr["source"])
+            if tr["param"] is None:
+                out.append(f"{tr['kind']}({src})")
+            else:
+                out.append(f"{tr['kind']}({tr['param']}, {src})")
+        return out
 
     def _transform_for(
         self, manifest: dict, d: str, col_d: str

@@ -297,3 +297,53 @@ def test_transform_parse_errors():
     assert pcol == "_p_bucket16_user_id" and tr["param"] == 16
     with pytest.raises(ValueError, match="positive"):
         parse_partition_entry("truncate(0, s)")
+
+
+def test_insert_and_copy_adopt_current_layout(spark, tmp_path):
+    """SQL INSERT INTO and COPY INTO write under the table's CURRENT
+    partition spec (identity and hidden transform) — appends must not
+    accrete unpartitioned dirs that erode pruning."""
+    import datetime
+    import glob as _glob
+
+    e = Engine(spark=spark)
+    # identity layout
+    t = SnapshotTable(spark, str(tmp_path / "i"))
+    t.commit(
+        spark.createDataFrame([Row(k=i, p=i % 2) for i in range(8)]),
+        partition_by=["p"],
+    )
+    e._snapshot_tables["i"] = t
+    e.sql("INSERT INTO i VALUES (100, 1), (101, 0)")
+    m = t._manifest(t.current_version())
+    new_dir = m["data_dirs"][-1]
+    assert m["partition_specs"][new_dir] == ["p"]
+    assert _glob.glob(
+        str(tmp_path / "i" / new_dir / "p=1" / "*.parquet")
+    ), "insert must write Hive segments under the adopted spec"
+    _sel, n_sel, n_skip = t.plan_eq_scan("p", 1)
+    assert n_skip > 0 and t.read_eq("p", 1).count() == 5
+
+    # hidden days(ts) layout, through COPY INTO
+    h = SnapshotTable(spark, str(tmp_path / "h"))
+    h.commit(
+        spark.createDataFrame(
+            [Row(k=i, ts=datetime.datetime(1996, 1, 1 + i % 4))
+             for i in range(8)]
+        ),
+        partition_by=["days(ts)"],
+    )
+    e._snapshot_tables["h"] = h
+    land = tmp_path / "land"
+    spark.createDataFrame(
+        [Row(k=100, ts=datetime.datetime(1996, 2, 1))]
+    ).coalesce(1).write.parquet(str(land / "b1"))
+    e.sql(f"COPY INTO h FROM '{land}'")
+    m = h._manifest(h.current_version())
+    new_dir = m["data_dirs"][-1]
+    assert "_p_days_ts" in (m["partition_transforms"].get(new_dir) or {})
+    assert h.read().columns == ["k", "ts"]
+    # the copied day prunes alongside the original commit's days
+    _sel, n_sel, n_skip = h.plan_eq_scan("ts", "1996-02-01 00:00:00")
+    assert n_sel >= 1 and n_skip > 0
+    assert h.read().where("ts = '1996-02-01'").count() == 1
