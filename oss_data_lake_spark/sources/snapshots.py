@@ -3293,11 +3293,42 @@ class SnapshotTable:
                 if cons:
                     self._enforce(cons, replacement, context=f"this {tag}")
             new_dir = f"data/r{v + 1}-{uuid.uuid4().hex[:8]}"
-            self._write_data_dir(replacement, new_dir)
-            own_stats = self._harvest_stats(new_dir, stats_for, bloom_for)
+            # the replacement keeps the table's CURRENT partition layout
+            # (identity or hidden transform) — CoW DML must not erode a
+            # partitioned table into unpartitioned accretion
+            parsed = [
+                parse_partition_entry(c)
+                for c in self.current_partition_by(version=v)
+            ]
+            if not all(
+                (tr["source"] if tr else p) in replacement.columns
+                for p, tr in parsed
+            ):
+                parsed = []  # layout's source column gone: plain write
+            phys = [p for p, _ in parsed]
+            trs: dict[str, dict] = {}
+            write_df = replacement
+            dtypes = dict(replacement.dtypes)
+            for pcol, tr in parsed:
+                if tr is not None:
+                    tr = {**tr, "vtype": dtypes[tr["source"]]}
+                    trs[pcol] = tr
+                    write_df = write_df.withColumn(
+                        pcol, self._transform_expr(tr)
+                    )
+            self._write_data_dir(write_df, new_dir, phys or None)
+            own_stats = self._harvest_stats(
+                new_dir,
+                [c for c in (stats_for or []) if c not in set(phys)]
+                or None,
+                bloom_for,
+            )
             try:
                 version = self._publish_rewrite(
-                    v, selection, new_dir, target, own_stats, tag
+                    v, selection, new_dir, target, own_stats, tag,
+                    new_spec=phys,
+                    new_transforms=trs,
+                    new_dir_schema=write_df.schema.jsonValue(),
                 )
                 return {
                     "version": version,
@@ -3319,6 +3350,9 @@ class SnapshotTable:
         target: T.StructType,
         own_stats: dict,
         tag: str,
+        new_spec: list[str] | None = None,
+        new_transforms: dict | None = None,
+        new_dir_schema: dict | None = None,
     ) -> int:
         def build(parent: int | None, read_manifest) -> dict:
             if parent != planned_version:
@@ -3382,14 +3416,17 @@ class SnapshotTable:
                         for d, s in manifest.get("partition_specs", {}).items()
                         if d in keep
                     },
-                    new_dir: [],
+                    new_dir: list(new_spec or []),
                 },
                 "partition_transforms": {
-                    d: s
-                    for d, s in manifest.get(
-                        "partition_transforms", {}
-                    ).items()
-                    if d in keep
+                    **{
+                        d: s
+                        for d, s in manifest.get(
+                            "partition_transforms", {}
+                        ).items()
+                        if d in keep
+                    },
+                    **({new_dir: new_transforms} if new_transforms else {}),
                 },
                 "dir_schemas": {
                     **{
@@ -3397,7 +3434,7 @@ class SnapshotTable:
                         for d, s in manifest.get("dir_schemas", {}).items()
                         if d in keep
                     },
-                    new_dir: target.jsonValue(),
+                    new_dir: new_dir_schema or target.jsonValue(),
                 },
                 "dir_files": dir_files,
                 # delete vectors for rewritten files become vacuous (their

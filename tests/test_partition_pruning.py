@@ -347,3 +347,54 @@ def test_insert_and_copy_adopt_current_layout(spark, tmp_path):
     _sel, n_sel, n_skip = h.plan_eq_scan("ts", "1996-02-01 00:00:00")
     assert n_sel >= 1 and n_skip > 0
     assert h.read().where("ts = '1996-02-01'").count() == 1
+
+
+def test_cow_rewrite_keeps_partition_layout(spark, tmp_path):
+    """CoW DELETE/UPDATE replacement dirs stay under the table's spec —
+    DML must not erode a partitioned table into unpartitioned dirs, and
+    the rewritten rows must keep pruning."""
+    import datetime
+    import glob as _glob
+
+    t = _mk_days(spark, tmp_path / "c")
+    # delete only the AFTERNOON rows of February: candidate files (the
+    # February day-partitions) keep morning survivors, which must be
+    # rewritten back under day segments
+    t.delete_where(
+        "ts >= TIMESTAMP '1996-02-01 00:00:00' AND "
+        "ts <= TIMESTAMP '1996-02-28 23:59:59' AND hour(ts) >= 6",
+        prune_column="ts",
+        prune_lower="1996-02-01",
+        prune_upper="1996-02-28 23:59:59",
+    )
+    m = t._manifest(t.current_version())
+    new_dir = m["data_dirs"][-1]
+    assert new_dir.startswith("data/r")
+    assert "_p_days_ts" in (m["partition_transforms"].get(new_dir) or {})
+    assert _glob.glob(
+        str(tmp_path / "c" / new_dir / "_p_days_ts=*")
+    ), "replacement must carry Hive day segments"
+    assert t.read().columns == ["k", "ts", "s"]
+    # the rewritten survivors still prune by day
+    _sel, n_sel, n_skip = t.plan_eq_scan("ts", "1996-01-02 00:00:00")
+    assert n_skip > 0
+    feb = t.read().where("ts >= '1996-02-01' AND ts <= '1996-02-28 23:59:59'")
+    assert feb.count() > 0 and feb.where("hour(ts) >= 6").count() == 0
+
+    # identity layout through SQL UPDATE
+    e = Engine(spark=spark)
+    ti = SnapshotTable(spark, str(tmp_path / "iu"))
+    ti.commit(
+        spark.createDataFrame([Row(k=i, p=i % 2, v=float(i))
+                               for i in range(10)]),
+        partition_by=["p"],
+    )
+    e._snapshot_tables["iu"] = ti
+    e.sql("UPDATE iu SET v = v + 100 WHERE k >= 0")
+    m = ti._manifest(ti.current_version())
+    new_dir = m["data_dirs"][-1]
+    assert m["partition_specs"][new_dir] == ["p"]
+    _sel, n_sel, n_skip = ti.plan_eq_scan("p", 1)
+    assert n_skip > 0
+    assert ti.read_eq("p", 1).count() == 5
+    assert ti.read().where("v < 100").count() == 0
