@@ -208,3 +208,48 @@ def test_empty_range_and_bad_range(spark, tbl):
     assert feed.columns[-2:] == ["_change_type", "_commit_version"]
     with pytest.raises(ValueError, match="bad version range"):
         tbl.read_change_feed(5, 1)
+
+
+def test_change_feed_over_partitioned_table(spark, tmp_path):
+    """Round 7: the batch change feed works over Hive-partitioned dirs
+    — partition values ride the basePath recovery in both CoW
+    retraction pairs and MoR tombstone deltas."""
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 2, v=float(i)) for i in range(8)]
+        ),
+        partition_by=["p"],
+    )
+    t.delete_where("k >= 6")
+    t.commit(
+        spark.createDataFrame([Row(k=100, p=0, v=1.0)]),
+        mode="append", partition_by=["p"],
+    )
+    feed = t.read_change_feed(1)
+    # replay the delta onto the v1 state: base + feed == head
+    state = Counter(
+        (r["k"], r["p"], r["v"]) for r in t.read(1).collect()
+    )
+    for r in feed.collect():
+        assert r["p"] == (r["k"] % 2 if r["k"] < 100 else 0)
+        state[(r["k"], r["p"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    want = Counter(
+        (r["k"], r["p"], r["v"]) for r in t.read().collect()
+    )
+    assert +state == want and (100, 0, 1.0) in want
+
+    t2 = SnapshotTable(spark, str(tmp_path / "m"))
+    t2.commit(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 2, v=float(i)) for i in range(8)]
+        ),
+        partition_by=["p"],
+    )
+    t2.delete_where_mor("k = 3")
+    rows = t2.read_change_feed(1).collect()
+    assert [(r["k"], r["p"], r["_change_type"]) for r in rows] == [
+        (3, 1, "delete")
+    ]
