@@ -77,6 +77,7 @@ HEADLINE = [
     # clustered commit, pruned CoW DELETE + UPDATE, head read; the timing
     # includes the table build by design: DML cost IS write-path cost).
     "p04_sql_fileskip_orders_year",
+    "p05_hidden_partition_day_events",
     "m04_row_level_dml_orders",
     # round 7: the change data feed over a merge-on-read DML wave (m07 —
     # clustered commit, MoR DELETE + UPDATE, append, then the typed

@@ -154,6 +154,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("sum_qty"), "v3": ("sum_disc_price")},
              {"k1": "ship_month", "k2": "l_returnflag", "v1": "n",
               "v2": "sum_qty", "v3": "sum_disc_price"}),
+            # p05 (round 7): p01's week re-answered through TRUE hidden
+            # partitioning (days(ts) transform) — every (day, type)
+            # count and sum value-verified through the composite hash
+            ("p05", "p05_hidden_partition_day_events",
+             {"k1": ("date"), "k2": ("event_type"), "v1": ("n"),
+              "v2": ("sum_value")},
+             {"k1": "date", "k2": "event_type", "v1": "n",
+              "v2": "sum_value"}),
         ],
         # ---- truth-twin composite ------------------------------------
         # e12/e25 are the exhaustive oracle-semantics twins of e11/e26,

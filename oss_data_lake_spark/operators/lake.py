@@ -181,17 +181,72 @@ def sql_fileskip_orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def hidden_partition_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p05 (round 7): TRUE hidden partitioning end to end — events
+    committed ``days(ts)``-partitioned into a snapshot table (the
+    partition value lives in a hidden ``_p_days_ts`` column no reader
+    ever sees), then ONE WEEK queried through the SOURCE column's range
+    (``read_between("ts", ...)``), which prunes by pushing the bounds
+    through the transform onto the day path segments. The oracle is
+    p01's shape over the raw fixture: matching values prove the whole
+    derive→hidden-write→transform-prune→read round-trip, and the hidden
+    column leaking into the result would break the schema check."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="p05_") + "/events"
+    )
+    t.commit(ev, partition_by=["days(ts)"])
+    return (
+        # the range bound over-admits up to midnight of the next day
+        # (read_between's residual is exact; sub-second rows inside the
+        # last day must survive it) — the day-string filter below is the
+        # effective predicate, mirrored verbatim in the oracle
+        t.read_between(
+            "ts", f"{EVENTS_DATE_LO} 00:00:00", "2024-01-15 00:00:00"
+        )
+        .filter(
+            F.date_format("ts", "yyyy-MM-dd").between(
+                EVENTS_DATE_LO, EVENTS_DATE_HI
+            )
+        )
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .orderBy("date", "event_type")
+    )
+
+
 QUERIES = {
     "p01_pruned_daily_events": pruned_daily_events,
     "p02_pruned_month_lineitem": pruned_month_lineitem,
     "p03_fileskip_orders_year": skipping_orders_year,
     "p04_sql_fileskip_orders_year": sql_fileskip_orders_year,
+    "p05_hidden_partition_day_events": hidden_partition_day_events,
 }
 
 ORACLES = {
     # re-derives the partition key from the raw fixture: value equality
     # proves the partitioned round-trip lost/duplicated nothing
     "p01_pruned_daily_events": f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS date,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{EVENTS_DATE_LO}' AND '{EVENTS_DATE_HI}'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # p05 answers p01's question through TRUE hidden partitioning
+    # (days(ts) transform, source-predicate pruning), so p01's raw-
+    # fixture re-derivation is its oracle verbatim: matching values
+    # prove the hidden layout lost/duplicated/leaked nothing
+    "p05_hidden_partition_day_events": f"""
         SELECT strftime(ts, '%Y-%m-%d') AS date,
                event_type,
                COUNT(*) AS n,

@@ -101,11 +101,19 @@ def commit_batch(
 ) -> int:
     """One micro-batch append with the idempotent writer identity —
     factored out of the closure so tests (and manual backfills) can
-    exercise re-delivery without a running stream."""
+    exercise re-delivery without a running stream. Batches adopt the
+    table's current partition layout (identity or hidden transform) so
+    streaming accretion never erodes pruning; identity partition
+    columns get path-segment (not footer) stats."""
+    pb = table.current_partition_by()
+    identity = {c for c in pb if "(" not in c}
     return table.commit(
         batch,
         mode="append" if table.current_version() else "overwrite",
-        stats_for=stats_for,
+        partition_by=pb or None,
+        stats_for=(
+            sorted(set(stats_for) - identity) if stats_for else None
+        ),
         txn_app=sink_id,
         txn_version=batch_id,
     )
