@@ -196,6 +196,11 @@ def hidden_partition_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "value"
     )
+    # the production write shape: co-locate each day before the
+    # partitioned write so every day lands as ~1 file instead of
+    # (tasks × days) small files — at 100 TB the small-file explosion,
+    # not the shuffle, is what kills partitioned ingest
+    ev = ev.repartition(32, F.date_format("ts", "yyyy-MM-dd"))
     t = SnapshotTable(
         spark, tempfile.mkdtemp(prefix="p05_") + "/events"
     )
