@@ -429,3 +429,15 @@ def test_change_feed_over_partitioned_dml(registered, spark, tmp_path):
     )
     assert +state == want
     assert all(r[1] in (0, 1) for r in got), "partition value must ride"
+
+
+def test_stream_over_shallow_clone(registered, spark, tmp_path):
+    """The snapshot stream source works on a SHALLOW CLONE: external
+    (source-absolute) dirs resolve in the file planner, and the clone's
+    own appends stream alongside them."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)]))
+    clone = src.shallow_clone_to(str(tmp_path / "c"))
+    clone.commit(spark.createDataFrame([Row(k=9, v=9.0)]), mode="append")
+    got = _drain(spark, clone.path, str(tmp_path / "ck"))
+    assert sorted(got) == [(i, float(i)) for i in range(5)] + [(9, 9.0)]
