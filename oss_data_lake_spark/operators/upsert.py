@@ -55,6 +55,9 @@ def merge(
     matched_assignments: dict[str, str] | None = None,
     insert_values: dict[str, str] | None = None,
     source_keys: list[str] | None = None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_assignments: dict[str, str] | None = None,
 ) -> DataFrame:
     """Full MERGE clause semantics, set-based (Trino/Iceberg ``MERGE INTO``
     over the reference's warehouse — WHEN MATCHED [AND cond] THEN
@@ -76,6 +79,13 @@ def merge(
     - ``insert_values``: the ``INSERT (cols) VALUES (exprs)`` form:
       per-column SQL expressions over the SOURCE row (bare or
       ``s.``-qualified names); unnamed target columns insert NULL.
+    - ``when_not_matched_by_source``: Delta's third clause family —
+      TARGET rows with NO source match: ``"delete"`` drops them,
+      ``"update"`` applies ``not_matched_by_source_assignments``
+      (expressions over the TARGET row, bare or ``t.``-qualified), None
+      keeps them (default). ``not_matched_by_source_condition`` gates
+      the clause (predicate over the target row; non-firing rows
+      survive unchanged) — the SYNC-to-source primitive.
 
     Every piece is a keys-equi join (semi/anti) — co-partitioned single
     shuffle each, no windows, no cartesian; at 100 TB wrap the result in
@@ -85,6 +95,20 @@ def merge(
         raise ValueError(f"unsupported when_matched: {when_matched}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"unsupported when_not_matched: {when_not_matched}")
+    if when_not_matched_by_source not in ("delete", "update", None):
+        raise ValueError(
+            f"unsupported when_not_matched_by_source: "
+            f"{when_not_matched_by_source}"
+        )
+    if when_not_matched_by_source == "update":
+        if not not_matched_by_source_assignments:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs SET "
+                "assignments (no source row exists to copy from)"
+            )
+        bad = set(not_matched_by_source_assignments) - set(target.columns)
+        if bad:
+            raise ValueError(f"SET assigns unknown columns: {sorted(bad)}")
     skeys = list(source_keys) if source_keys is not None else list(keys)
     if len(skeys) != len(keys):
         raise ValueError("source_keys must pair with keys")
@@ -136,8 +160,38 @@ def merge(
         *[F.col(sk).alias(t) for t, sk in zip(keys, skeys)]
     )
     pieces: list[DataFrame] = []
-    # target rows with no source match always survive
-    pieces.append(target.join(src_keys_as_tgt, keys, "left_anti"))
+    # target rows with no source match: survive by default, or pass
+    # through the WHEN NOT MATCHED BY SOURCE clause (Delta's third
+    # clause family — same anti-join, so still one keys-equi shuffle)
+    nmbs = target.join(src_keys_as_tgt, keys, "left_anti")
+    if when_not_matched_by_source is None:
+        pieces.append(nmbs)
+    else:
+        fire = (
+            F.coalesce(
+                F.expr(not_matched_by_source_condition), F.lit(False)
+            )
+            if not_matched_by_source_condition is not None
+            else F.lit(True)
+        )
+        pieces.append(nmbs.filter(~fire))  # non-firing rows survive
+        if when_not_matched_by_source == "update":
+            tgt_fields = {f.name: f.dataType for f in target.schema.fields}
+            pieces.append(
+                nmbs.filter(fire)
+                .alias("t")
+                .select(
+                    *[
+                        F.expr(not_matched_by_source_assignments[c])
+                        .cast(tgt_fields[c])
+                        .alias(c)
+                        if c in not_matched_by_source_assignments
+                        else F.col(f"t.{c}").alias(c)
+                        for c in target.columns
+                    ]
+                )
+            )
+        # "delete": firing rows contribute nothing
     # matched rows whose clause condition failed keep the target version
     pieces.append(target.join(miss_keys, keys, "left_semi"))
     if when_matched == "update":

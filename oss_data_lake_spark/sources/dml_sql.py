@@ -16,7 +16,8 @@ statement-shaped text here BEFORE the query path:
   positional column mapping, absent columns filled with NULL)
 - ``MERGE INTO t [AS a] USING (<query>)|<name> [AS] b ON a.k = b.k2 [AND ..]
      [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
-     [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]``
+     [WHEN NOT MATCHED [BY TARGET] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET c = expr, ...]``
                                            → ``SnapshotTable.merge_rows``
   (the full Trino clause grammar as of round 7: arbitrary ``SET``
   assignments see both rows — bare names resolve by scope, ambiguity
@@ -476,18 +477,63 @@ def _run_merge(
     matched_condition: str | None = None
     matched_assignments: dict[str, str] | None = None
     insert_values: dict[str, str] | None = None
+    when_nmbs: str | None = None
+    nmbs_condition: str | None = None
+    nmbs_assignments: dict[str, str] | None = None
     whens2 = _depth0_matches(r"\bWHEN\b", clause_text)
     ends = [w.start() for w in whens2[1:]] + [len(clause_text)]
     for w, end in zip(whens2, ends):
         clause = clause_text[w.end(): end].strip().rstrip(";").strip()
         cm = re.fullmatch(
-            r"(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s*\bTHEN\b\s+(.*)",
+            r"(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
+            r"(?:\s+AND\s+(.*?))?\s*\bTHEN\b\s+(.*)",
             clause,
             re.IGNORECASE | re.DOTALL,
         )
         if not cm:
             raise ValueError(f"unrecognized MERGE clause: WHEN {clause[:60]!r}")
-        is_not, cond, action = cm.group(1), cm.group(2), cm.group(3).strip()
+        is_not, by = cm.group(1), cm.group(2)
+        cond, action = cm.group(3), cm.group(4).strip()
+        if by and not is_not:
+            raise ValueError("BY SOURCE/TARGET qualifies NOT MATCHED only")
+        if is_not and by and "SOURCE" in by.upper():
+            # Delta's third clause family: TARGET rows with no source
+            # match. Expressions/conditions see the TARGET row only.
+            def _tgt_scope(expr: str) -> str:
+                if re.search(rf"\b{re.escape(src_alias)}\.", expr):
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE expressions cannot "
+                        "reference the source (no source row exists)"
+                    )
+                return re.sub(
+                    rf"\b{re.escape(tgt_alias)}\.", "", expr
+                ).strip()
+
+            if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                when_nmbs = "delete"
+            else:
+                mu = re.fullmatch(
+                    r"UPDATE\s+SET\s+(.*)", action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not mu:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports THEN DELETE "
+                        "or UPDATE SET c = expr, ..."
+                    )
+                raw = _split_assignments(mu.group(1))
+                bad = set(raw) - tgt_cols
+                if bad:
+                    raise ValueError(
+                        f"SET assigns unknown columns: {sorted(bad)}"
+                    )
+                when_nmbs = "update"
+                nmbs_assignments = {
+                    c: _tgt_scope(e) for c, e in raw.items()
+                }
+            if cond:
+                nmbs_condition = _tgt_scope(cond)
+            continue
         if is_not:
             if cond:
                 raise ValueError("WHEN NOT MATCHED AND <cond> not supported")
@@ -558,6 +604,7 @@ def _run_merge(
         and matched_condition is None
         and matched_assignments is None
         and insert_values is None
+        and when_nmbs is None
     ):
         # the plain upsert form routes scan-free: equality-delete the
         # source keys + append the source rows, one atomic commit
@@ -577,6 +624,9 @@ def _run_merge(
         matched_assignments=matched_assignments,
         insert_values=insert_values,
         source_keys=src_keys,
+        when_not_matched_by_source=when_nmbs,
+        not_matched_by_source_condition=nmbs_condition,
+        not_matched_by_source_assignments=nmbs_assignments,
     )
     return _metrics_df(spark, info)
 

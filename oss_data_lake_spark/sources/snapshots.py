@@ -3202,6 +3202,9 @@ class SnapshotTable:
         matched_assignments: dict[str, str] | None = None,
         insert_values: dict[str, str] | None = None,
         source_keys: list[str] | None = None,
+        when_not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_assignments: dict[str, str] | None = None,
     ) -> dict:
         """``MERGE INTO t USING source ON keys`` with the full clause
         matrix of ``operators.upsert.merge``, as a pruned copy-on-write
@@ -3210,27 +3213,43 @@ class SnapshotTable:
         outside it provably hold no matching key, so target-survivor and
         insert anti-joins both restrict to the candidate slice. DELETE,
         UPDATE and MERGE thus share one pruned-rewrite path (Iceberg/Delta
-        parity). Source schema must match the table schema."""
+        parity). Source schema must match the table schema.
+
+        A ``WHEN NOT MATCHED BY SOURCE`` clause DISABLES the key-range
+        pruning: unmatched target rows OUTSIDE the source range must
+        fire it too, so every file is a candidate (the clause is
+        inherently whole-table — same in Delta)."""
         from oss_data_lake_spark.operators.upsert import merge
 
         target_schema = self.schema()
         if target_schema is None:
             raise ValueError("merge_rows needs a schema-carrying snapshot")
-        non_star = bool(matched_assignments or insert_values)
-        if not non_star and set(source.columns) != set(
+        # only the STAR forms need the full table schema from the source
+        # (non-star clauses and BY SOURCE-only merges reference just
+        # their named columns plus the keys)
+        star_shapes = (
+            (when_matched == "update" and not matched_assignments)
+            or (when_not_matched == "insert" and not insert_values)
+        )
+        if star_shapes and set(source.columns) != set(
             f.name for f in target_schema.fields
         ):
             raise ValueError(
                 f"merge source schema mismatch: source={sorted(source.columns)}"
                 f" table={sorted(f.name for f in target_schema.fields)}"
             )
-        skey0 = (source_keys or keys)[0]
-        bounds = source.agg(
-            F.min(skey0).alias("lo"), F.max(skey0).alias("hi")
-        ).first()
+        whole_table = when_not_matched_by_source is not None
+        if whole_table:
+            lo = hi = None
+        else:
+            skey0 = (source_keys or keys)[0]
+            bounds = source.agg(
+                F.min(skey0).alias("lo"), F.max(skey0).alias("hi")
+            ).first()
+            lo, hi = bounds["lo"], bounds["hi"]
         # non-star clauses keep the source's OWN (possibly narrower)
         # schema: the assignment/VALUES expressions reference it directly
-        src = source if non_star else self._align(source, target_schema)
+        src = self._align(source, target_schema) if star_shapes else source
 
         def transform(cand: DataFrame) -> DataFrame:
             return merge(
@@ -3243,10 +3262,18 @@ class SnapshotTable:
                 matched_assignments=matched_assignments,
                 insert_values=insert_values,
                 source_keys=source_keys,
+                when_not_matched_by_source=when_not_matched_by_source,
+                not_matched_by_source_condition=(
+                    not_matched_by_source_condition
+                ),
+                not_matched_by_source_assignments=(
+                    not_matched_by_source_assignments
+                ),
             )
 
         return self._rewrite_where(
-            transform, "merge", keys[0], bounds["lo"], bounds["hi"],
+            transform, "merge",
+            None if whole_table else keys[0], lo, hi,
             stats_for, bloom_for,
         )
 

@@ -588,3 +588,59 @@ def test_describe_plain_and_time_based_expiry(spark, eng):
     assert eng.sql(
         "SELECT count(*) AS c FROM t FOR VERSION AS OF 2"
     ).collect()[0]["c"] == 90
+
+
+def test_merge_not_matched_by_source_delete_syncs(spark, eng):
+    """Delta's third clause family: WHEN NOT MATCHED BY SOURCE THEN
+    DELETE turns MERGE into a full sync — the target becomes exactly
+    the source."""
+    eng.sql("""
+        MERGE INTO t USING (
+            SELECT k, CAST(-1.0 AS DOUBLE) AS v, 'src' AS s
+            FROM t WHERE k BETWEEN 40 AND 59
+            UNION ALL SELECT 7777, CAST(7.0 AS DOUBLE), 'new'
+        ) AS src
+        ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    rows = {r["k"]: (r["v"], r["s"]) for r in eng.sql("SELECT * FROM t").collect()}
+    assert set(rows) == set(range(40, 60)) | {7777}
+    assert rows[45] == (-1.0, "src") and rows[7777] == (7.0, "new")
+
+
+def test_merge_not_matched_by_source_conditional_update(spark, eng):
+    """BY SOURCE UPDATE with a condition: stale target rows get flagged,
+    rows failing the condition survive untouched."""
+    eng.sql("""
+        MERGE INTO t AS tgt USING (
+            SELECT k FROM t WHERE k < 10
+        ) src
+        ON tgt.k = src.k
+        WHEN NOT MATCHED BY SOURCE AND tgt.k < 50
+            THEN UPDATE SET s = 'stale', v = tgt.v * CAST(0.0 AS DOUBLE)
+    """)
+    rows = {r["k"]: (r["v"], r["s"]) for r in eng.sql("SELECT * FROM t").collect()}
+    assert len(rows) == 100
+    assert rows[5] == (5.0, "g1")          # matched: untouched (no clause)
+    assert rows[30] == (0.0, "stale")      # unmatched + cond true
+    assert rows[80] == (80.0, "g0")        # unmatched + cond false
+
+
+def test_merge_by_source_grammar_refusals(spark, eng):
+    with pytest.raises(ValueError, match="DELETE or UPDATE SET"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="cannot reference the source"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.a"
+        )
+    with pytest.raises(ValueError, match="NOT MATCHED only"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
