@@ -499,15 +499,30 @@ def _run_merge(
         if is_not and by and "SOURCE" in by.upper():
             # Delta's third clause family: TARGET rows with no source
             # match. Expressions/conditions see the TARGET row only.
+            if when_nmbs is not None:
+                raise ValueError(
+                    "multiple WHEN NOT MATCHED BY SOURCE clauses are "
+                    "not supported (clause-ordering semantics): fold "
+                    "the conditions into one clause"
+                )
             def _tgt_scope(expr: str) -> str:
-                if re.search(rf"\b{re.escape(src_alias)}\.", expr):
+                # literal-masked scan/sub: alias-shaped text INSIDE
+                # string literals is data, not a reference
+                masked = _masked(expr)
+                if re.search(rf"\b{re.escape(src_alias)}\.", masked):
                     raise ValueError(
                         "NOT MATCHED BY SOURCE expressions cannot "
                         "reference the source (no source row exists)"
                     )
-                return re.sub(
-                    rf"\b{re.escape(tgt_alias)}\.", "", expr
-                ).strip()
+                out, pat = [], re.compile(
+                    rf"\b{re.escape(tgt_alias)}\."
+                )
+                last = 0
+                for mm in pat.finditer(masked):
+                    out.append(expr[last: mm.start()])
+                    last = mm.end()
+                out.append(expr[last:])
+                return "".join(out).strip()
 
             if re.fullmatch(r"DELETE", action, re.IGNORECASE):
                 when_nmbs = "delete"
@@ -780,11 +795,28 @@ def dispatch_statement(
                 )
             # OR REPLACE on an existing snapshot table = an overwrite
             # COMMIT, not a drop-and-recreate: the version history stays
-            # time-travelable across the replacement
+            # time-travelable across the replacement, and the partition
+            # layout carries over when the replacement still has the
+            # spec's source columns
+            from oss_data_lake_spark.sources.snapshots import (
+                parse_partition_entry,
+            )
+
             df = sql_with_time_travel(spark, query, tables)
+            pb = tables[name].current_partition_by()
+            entries = [parse_partition_entry(c) for c in pb]
+            if not all(
+                (tr["source"] if tr else p) in df.columns
+                for p, tr in entries
+            ):
+                pb = []  # layout's source column gone: plain replace
+            identity = {p for p, tr in entries if tr is None} if pb else set()
             version = tables[name].commit(
                 df, mode="overwrite", tag="replace_table",
-                stats_for=_prunable_columns(df) or None,
+                partition_by=pb or None,
+                stats_for=sorted(
+                    set(_prunable_columns(df)) - identity
+                ) or None,
             )
             return spark.createDataFrame([(version,)], "version long")
         df = sql_with_time_travel(spark, query, tables)
@@ -839,6 +871,9 @@ def dispatch_statement(
         res = t.copy_into(
             m.group(2),
             m.group(3) or "*.parquet",
+            # harvest the same footer stats an INSERT would (copy_into
+            # itself drops identity partition columns from the list)
+            stats_for=sorted(t.stats_columns()) or None,
             force=bool(m.group(4)),
         )
         return spark.createDataFrame(
@@ -1163,9 +1198,13 @@ def dispatch_statement(
         if schema is None:
             raise ValueError("TRUNCATE TABLE needs a schema-carrying snapshot")
         # an empty OVERWRITE commit: schema survives, history intact
-        # (time travel still reads the pre-truncate versions), O(1) write
+        # (time travel still reads the pre-truncate versions), O(1)
+        # write — and the partition LAYOUT survives too, or the classic
+        # truncate-and-reload workflow would silently reload
+        # unpartitioned
         version = t.commit(
             spark.createDataFrame([], schema), mode="overwrite",
+            partition_by=t.current_partition_by() or None,
             tag="truncate",
         )
         return spark.createDataFrame([(version,)], "version long")

@@ -1044,7 +1044,15 @@ class SnapshotTable:
                 # micro-batch identities must not suppress clone commits
                 "txn_watermarks": {},
                 "constraints": self.constraints(v),
-                "properties": self.properties(v),
+                # tags name SOURCE version numbers — meaningless (or
+                # wrong) against the clone's own history, so they stay
+                # behind; the rest (delete.mode, ingest ledger, ...)
+                # travels
+                "properties": {
+                    k: val
+                    for k, val in self.properties(v).items()
+                    if not k.startswith("tag.")
+                },
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -3310,9 +3318,26 @@ class SnapshotTable:
                     prune_column, prune_lower, prune_upper, version=v
                 )
             else:
+                from oss_data_lake_spark.sources.skipping import (
+                    _iter_parquet_files,
+                )
+
                 manifest = self._manifest(v)
                 selection = {d: None for d in manifest["data_dirs"]}
+                # whole-table rewrite: report the REAL file count, not
+                # 0/0 — operation metrics are what cost monitoring reads
                 n_sel, n_skip = 0, 0
+                for d in manifest["data_dirs"]:
+                    vis = self._visible_files(manifest, d)
+                    if vis is not None:
+                        n_sel += len(vis)
+                    else:
+                        n_sel += sum(
+                            1
+                            for _ in _iter_parquet_files(
+                                os.path.join(self.path, d)
+                            )
+                        )
             candidates = self._read_selection(v, selection)
             replacement = self._align(transform(candidates), target)
             if tag != "delete":  # deletes can't create violating rows

@@ -73,7 +73,19 @@ def _decode_segment(raw: str, typ: str):
         return datetime.date.fromisoformat(v)
     if isinstance(typ, str) and typ.startswith("timestamp"):
         return datetime.datetime.fromisoformat(v.replace(" ", "T"))
-    return v
+    if isinstance(typ, str) and typ.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(v)
+    if typ == "string":
+        return v
+    # an unknown type decoded as a raw string would emit MISTYPED rows;
+    # refuse at plan time instead (the pre-round-7 behavior for ALL
+    # partitioned layouts, now scoped to the genuinely undecodable)
+    raise ValueError(
+        f"snapshot_stream: cannot decode partition segment {raw!r} "
+        f"under declared type {typ!r}"
+    )
 
 
 def _build_source_class():
@@ -638,17 +650,14 @@ def _build_source_class():
                     )
                 # Delta's startingTimestamp: stream from the first commit
                 # AT OR AFTER the timestamp — i.e. the offset is the last
-                # version strictly before it
-                import datetime
-
-                ms = int(
-                    datetime.datetime.fromisoformat(ts)
-                    .replace(
-                        tzinfo=datetime.timezone.utc
-                    )
-                    .timestamp()
-                    * 1000
+                # version strictly before it. _parse_ts_ms is the shared
+                # literal parser (naive literals read as UTC; an explicit
+                # offset is honored, not clobbered)
+                from oss_data_lake_spark.sources.snapshots import (
+                    _parse_ts_ms,
                 )
+
+                ms = _parse_ts_ms(ts)
                 meta = os.path.join(self.options["path"], "_snapshots")
                 start = 0
                 with open(os.path.join(meta, "CURRENT")) as fh:

@@ -261,3 +261,20 @@ def test_show_create_table_reconstructs_ddl(spark, eng, tmp_path):
     assert f"LOCATION '{t.path}'" in stmt
     assert "'delete.mode' = 'merge-on-read'" in stmt
     assert "ADD CONSTRAINT v_nonneg CHECK (v >= 0)" in stmt
+
+
+def test_clone_drops_source_tags(spark, eng, tmp_path):
+    """Source tags name SOURCE versions — they must not travel to the
+    clone (whose history is its own); other properties do."""
+    t = _mk(spark, tmp_path / "src", n=10, n_files=1)
+    t.set_properties({"delete.mode": "merge-on-read"})
+    t.commit(
+        spark.createDataFrame([Row(k=100, v=1.0, g="x")]), mode="append"
+    )
+    t.create_tag("rel1", version=3)
+    eng._snapshot_tables["src"] = t
+    eng.sql("CREATE TABLE c SHALLOW CLONE src")
+    clone = eng._snapshot_tables["c"]
+    assert clone.tags() == {}
+    assert clone.properties()["delete.mode"] == "merge-on-read"
+    eng.sql("DROP TABLE c")

@@ -644,3 +644,58 @@ def test_merge_by_source_grammar_refusals(spark, eng):
             "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
             "WHEN MATCHED BY SOURCE THEN DELETE"
         )
+
+
+def test_truncate_and_replace_keep_partition_layout(spark, eng, tmp_path):
+    """ADVICE-style round-7 self-review fix: TRUNCATE and CREATE OR
+    REPLACE must not erase the table's partition layout — the classic
+    truncate-and-reload keeps day pruning."""
+    import datetime
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    t = SnapshotTable(spark, str(tmp_path / "h"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, ts=datetime.datetime(1996, 1, 1 + i % 5))
+             for i in range(20)]
+        ),
+        partition_by=["days(ts)"],
+    )
+    e._snapshot_tables["h"] = t
+    e.sql("TRUNCATE TABLE h")
+    e.sql(
+        "INSERT INTO h VALUES (100, TIMESTAMP '1996-02-01 00:00:00')"
+    )
+    m = t._manifest(t.current_version())
+    new_dir = m["data_dirs"][-1]
+    assert "_p_days_ts" in (m["partition_transforms"].get(new_dir) or {})
+    _sel, n_sel, n_skip = t.plan_eq_scan("ts", "1996-02-01 00:00:00")
+    assert n_sel >= 1
+
+
+def test_by_source_literal_safety_and_duplicate_clause(spark, eng):
+    # alias-shaped text inside a string literal is data, not a reference
+    eng.sql("""
+        MERGE INTO t USING (SELECT k FROM t WHERE k < 10) src
+        ON t.k = src.k
+        WHEN NOT MATCHED BY SOURCE AND t.k < 12
+            THEN UPDATE SET s = 'src.row t.k'
+    """)
+    rows = {r["k"]: r["s"] for r in eng.sql("SELECT * FROM t").collect()}
+    assert rows[11] == "src.row t.k" and rows[5] == "g1"
+    with pytest.raises(ValueError, match="multiple WHEN NOT MATCHED BY"):
+        eng.sql(
+            "MERGE INTO t USING (SELECT 1 AS a) s ON t.k = s.a "
+            "WHEN NOT MATCHED BY SOURCE AND t.k < 50 THEN UPDATE SET v = t.v "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+
+
+def test_by_source_merge_reports_real_file_counts(spark, eng):
+    res = eng.sql("""
+        MERGE INTO t USING (SELECT k FROM t WHERE k < 10) src
+        ON t.k = src.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """).collect()[0]
+    assert res["files_rewritten"] == 10  # the whole 10-file table
+    assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 10
