@@ -1059,6 +1059,136 @@ class SnapshotTable:
         clone.protocol.commit(build)
         return clone
 
+    def publish(self, require_source_unchanged: bool = True) -> int:
+        """Complete the WRITE-AUDIT-PUBLISH loop for a shallow clone:
+        push THIS clone's head state back to its source table as ONE
+        atomic commit (Iceberg's WAP pattern — stage on a branch, audit,
+        fast-forward publish; here the clone is the branch).
+
+        Mechanics: still-external dirs (untouched source data) re-become
+        source-relative references — zero copy; clone-LOCAL dirs (the
+        audited new/rewritten data, including any localized MoR
+        tombstones) are copied into the source root under their own
+        names, so tombstone coordinates survive verbatim. The copy
+        happens OUTSIDE the commit protocol (like every data write); a
+        lost publish race leaves only unreferenced dirs for the
+        source's vacuum.
+
+        ``require_source_unchanged`` (default): refuse with a
+        CommitConflict if the source advanced past the cloned version —
+        re-clone and replay (no rebase semantics). The source's OWN
+        tags survive the publish; the clone's audited properties and
+        constraints are adopted."""
+        import shutil
+
+        v = self.current_version()
+        if v is None:
+            raise ValueError(f"nothing to publish at {self.path}")
+        srcinfo = self._manifest(1).get("clone_source")
+        if not srcinfo:
+            raise ValueError(
+                "publish() pushes a SHALLOW CLONE back to its source; "
+                f"{self.path} is not a clone"
+            )
+        src_root = srcinfo["path"]
+        head = self._manifest(v)
+        moved: dict[str, str] = {}
+
+        def localize(d: str) -> str:
+            if d in moved:
+                return moved[d]
+            if os.path.isabs(d) or "://" in d:
+                if not (d + "/").startswith(src_root + "/"):
+                    raise ValueError(
+                        f"clone dir {d!r} references a root other than "
+                        f"the clone source {src_root!r}"
+                    )
+                rel = os.path.relpath(d, src_root)
+            else:
+                # clone-local data: copy UNDER THE SAME NAME so
+                # position-tombstone file coordinates stay valid
+                dst = os.path.join(src_root, d)
+                if os.path.exists(dst):
+                    raise ValueError(
+                        f"publish collision: {d!r} already exists under "
+                        f"the source root"
+                    )
+                shutil.copytree(os.path.join(self.path, d), dst)
+                rel = d
+            moved[d] = rel
+            return rel
+
+        data_dirs = [localize(d) for d in head["data_dirs"]]
+        delete_dirs = [localize(d) for d in head.get("delete_dirs", [])]
+        eq_deletes = [
+            {
+                **e,
+                "dir": localize(e["dir"]),
+                "applies_dirs": [
+                    localize(x) for x in e.get("applies_dirs", [])
+                ],
+            }
+            for e in head.get("eq_deletes", [])
+        ]
+
+        def remap(mapping: dict) -> dict:
+            return {moved.get(k, k): s for k, s in mapping.items()}
+
+        source = SnapshotTable(self.spark, src_root)
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if require_source_unchanged and (parent or 0) != srcinfo[
+                "version"
+            ]:
+                raise CommitConflict(
+                    f"source advanced to v{parent} since the clone was "
+                    f"taken at v{srcinfo['version']}; re-clone and "
+                    f"replay the changes (publish has no rebase)"
+                )
+            parent_props = (
+                read_manifest(parent).get("properties", {}) if parent else {}
+            )
+            return {
+                "version": (parent or 0) + 1,
+                "parent": parent,
+                "mode": "publish_clone",
+                "data_dirs": data_dirs,
+                "partition_specs": remap(head.get("partition_specs", {})),
+                "partition_transforms": remap(
+                    head.get("partition_transforms", {})
+                ),
+                "dir_schemas": remap(head.get("dir_schemas", {})),
+                "dir_files": remap(head.get("dir_files", {})),
+                "delete_dirs": delete_dirs,
+                "eq_deletes": eq_deletes,
+                "schema": head.get("schema"),
+                "field_ids": head.get("field_ids"),
+                "dir_field_ids": remap(head.get("dir_field_ids", {})),
+                "last_field_id": head.get("last_field_id"),
+                "file_stats": remap(head.get("file_stats", {})),
+                "txn": None,
+                "txn_watermarks": source._txn_watermarks(parent),
+                # audited quality contract travels with the publish...
+                "constraints": self.constraints(v),
+                # ...and so do the clone's properties, minus ITS tags
+                # (clone-version refs), while the SOURCE's tags survive
+                "properties": {
+                    **{
+                        k: x
+                        for k, x in self.properties(v).items()
+                        if not k.startswith("tag.")
+                    },
+                    **{
+                        k: x
+                        for k, x in parent_props.items()
+                        if k.startswith("tag.")
+                    },
+                },
+                "committed_at_ms": int(time.time() * 1000),
+            }
+
+        return source.protocol.commit(build)
+
     def _external_dirs(self, manifest: dict) -> list[str]:
         """Data dirs outside this table's root (shallow-clone refs)."""
         return [

@@ -278,3 +278,79 @@ def test_clone_drops_source_tags(spark, eng, tmp_path):
     assert clone.tags() == {}
     assert clone.properties()["delete.mode"] == "merge-on-read"
     eng.sql("DROP TABLE c")
+
+
+# ------------------------------------------------ WAP publish loop
+
+
+def test_wap_clone_write_audit_publish(spark, eng, tmp_path):
+    """The full write-audit-publish loop: clone prod, run DML + add a
+    constraint on the clone (the audit), publish back — ONE atomic
+    source commit; untouched data is never copied, rewritten data moves
+    once, and the source's history and tags survive."""
+    t = _mk(spark, tmp_path / "prod")
+    t.create_tag("baseline")
+    eng._snapshot_tables["prod"] = t
+    eng.sql("CREATE TABLE wap SHALLOW CLONE prod")
+    clone = eng._snapshot_tables["wap"]
+    # the "write": CoW DML on the clone (prod untouched)
+    eng.sql("DELETE FROM wap WHERE k BETWEEN 0 AND 19")
+    eng.sql("UPDATE wap SET v = v * 2 WHERE k >= 90")
+    # the "audit": the cleaned data satisfies a new contract
+    clone.add_constraint("k_floor", "k >= 20")
+    assert t.read().count() == 100  # prod still pristine
+    # the "publish"
+    new_v = clone.publish()
+    assert new_v == 3  # v1 data, v2 tag commit, v3 publish
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert set(got) == set(range(20, 100))
+    assert got[95] == 190.0 and got[50] == 50.0
+    # one commit, history + tags intact, contract adopted
+    assert t.current_version() == 3
+    assert t.read(1).count() == 100
+    assert t.tags() == {"baseline": 1}
+    assert "k_floor" in t.constraints()
+    # untouched source files were NOT duplicated: only the rewrite dirs
+    # (delete + update) copied over
+    pub = t._manifest(3)
+    local_new = [d for d in pub["data_dirs"] if d.startswith("data/r")]
+    assert local_new, "the audited rewrite dirs must have moved over"
+    # the untouched original commit is RE-REFERENCED relatively, never
+    # copied (the zero-copy half of publish)
+    assert any(d.startswith("data/c1") for d in pub["data_dirs"])
+    assert all(not os.path.isabs(d) for d in pub["data_dirs"])
+    eng.sql("DROP TABLE wap")
+    assert t.read().count() == 80  # publish survives clone teardown
+
+
+def test_wap_publish_refuses_moved_source(spark, eng, tmp_path):
+    from oss_data_lake_spark.sources.catalog import CommitConflict
+
+    t = _mk(spark, tmp_path / "prod", n=20, n_files=2)
+    eng._snapshot_tables["prod"] = t
+    clone = t.shallow_clone_to(str(tmp_path / "wap"))
+    clone.delete_where("k < 5")
+    # source moves underneath the clone
+    t.commit(
+        spark.createDataFrame([Row(k=100, v=1.0, g="z")]), mode="append"
+    )
+    with pytest.raises(CommitConflict, match="re-clone"):
+        clone.publish()
+    assert t.read().count() == 21  # source unharmed
+    # a plain (non-clone) table refuses publish outright
+    with pytest.raises(ValueError, match="not a clone"):
+        t.publish()
+
+
+def test_wap_publish_carries_localized_mor_debt(spark, eng, tmp_path):
+    """Clone → compact (localize) → MoR delete on the clone → publish:
+    the tombstone dir travels with its data dirs and the coordinates
+    hold in the source root."""
+    t = _mk(spark, tmp_path / "prod", n=50, n_files=5)
+    clone = t.shallow_clone_to(str(tmp_path / "wap"))
+    clone.compact(target_partitions=2)
+    clone.delete_where_mor("k BETWEEN 10 AND 14")
+    new_v = clone.publish()
+    assert sorted(r["k"] for r in t.read(new_v).collect()) == [
+        k for k in range(50) if not 10 <= k <= 14
+    ]
