@@ -1099,10 +1099,13 @@ class SnapshotTable:
                 return moved[d]
             if os.path.isabs(d) or "://" in d:
                 if not (d + "/").startswith(src_root + "/"):
-                    raise ValueError(
-                        f"clone dir {d!r} references a root other than "
-                        f"the clone source {src_root!r}"
-                    )
+                    # a clone-of-clone flattens its refs to the ORIGINAL
+                    # root; publishing to the MIDDLE clone keeps them as
+                    # external refs — the destination is itself a clone
+                    # holding refs into that same root, so no new
+                    # cross-root dependency is created
+                    moved[d] = d
+                    return d
                 rel = os.path.relpath(d, src_root)
             else:
                 # clone-local data: copy UNDER THE SAME NAME so

@@ -354,3 +354,17 @@ def test_wap_publish_carries_localized_mor_debt(spark, eng, tmp_path):
     assert sorted(r["k"] for r in t.read(new_v).collect()) == [
         k for k in range(50) if not 10 <= k <= 14
     ]
+
+
+def test_wap_publish_chain_to_middle_clone(spark, eng, tmp_path):
+    """Publishing a clone-of-clone back to the MIDDLE clone: refs into
+    the ORIGINAL root stay external (the middle clone already holds
+    such refs), local rewrites move — the chain publishes correctly."""
+    t = _mk(spark, tmp_path / "orig")
+    c1 = t.shallow_clone_to(str(tmp_path / "c1"))
+    c2 = c1.shallow_clone_to(str(tmp_path / "c2"))
+    c2.delete_where("k < 20")
+    v = c2.publish()
+    assert c1.read(v).count() == 80
+    assert t.read().count() == 100   # original untouched
+    assert c2.read().count() == 80
