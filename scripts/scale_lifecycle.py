@@ -82,6 +82,20 @@ def main() -> None:
         t.read().write.parquet(f"{root}/ctas")
         ctas_s = time.perf_counter() - t0
 
+        # 1b. WAP publish cost is O(changed files): fixed-slice delete
+        # on the clone, then publish back — flat while the table grows
+        clone.delete_where(
+            "ts >= TIMESTAMP '1996-01-05 00:00:00' AND "
+            "ts <= TIMESTAMP '1996-01-09 23:59:59'",
+            prune_column="ts",
+            prune_lower="1996-01-05",
+            prune_upper="1996-01-09 23:59:59",
+        )
+        t0 = time.perf_counter()
+        pub_v = clone.publish()
+        publish_s = time.perf_counter() - t0
+        t.rollback(pub_v - 1)  # undo for the compaction legs
+
         # 2. scoped vs full compaction: the FIXED first-month slice
         t0 = time.perf_counter()
         res = t.compact_where(
@@ -113,6 +127,7 @@ def main() -> None:
             "rows": BASE_ROWS * k,
             "clone_s": round(clone_s, 3),
             "ctas_copy_s": round(ctas_s, 3),
+            "publish_s": round(publish_s, 3),
             "scoped_compact_s": round(scoped_s, 3),
             "scoped_files_rewritten": res["files_rewritten"],
             "scoped_files_skipped": res["files_skipped"],
