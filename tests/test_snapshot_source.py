@@ -441,3 +441,22 @@ def test_stream_over_shallow_clone(registered, spark, tmp_path):
     clone.commit(spark.createDataFrame([Row(k=9, v=9.0)]), mode="append")
     got = _drain(spark, clone.path, str(tmp_path / "ck"))
     assert sorted(got) == [(i, float(i)) for i in range(5)] + [(9, 9.0)]
+
+
+def test_change_feed_partitioned_mor_positions(registered, spark, tmp_path):
+    """MoR position tombstones over a PARTITIONED table stream as exact
+    per-row deltas: the tombstone coordinates include the partition
+    segments, and the recovered partition constants ride the rows."""
+    t = SnapshotTable(spark, str(tmp_path / "pm"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 2, v=float(i)) for i in range(8)]
+        ),
+        partition_by=["p"],
+    )
+    t.delete_where_mor("k IN (2, 5)")
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"), changeFeed="true"
+    )
+    deletes = [r for r in got if r[-2] == "delete"]
+    assert sorted((r[0], r[1]) for r in deletes) == [(2, 0), (5, 1)]
