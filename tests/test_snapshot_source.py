@@ -460,3 +460,27 @@ def test_change_feed_partitioned_mor_positions(registered, spark, tmp_path):
     )
     deletes = [r for r in got if r[-2] == "delete"]
     assert sorted((r[0], r[1]) for r in deletes) == [(2, 0), (5, 1)]
+
+
+def test_change_feed_partitioned_eq_delete_on_partition_key(
+    registered, spark, tmp_path
+):
+    """An equality delete keyed on the PARTITION column itself: the
+    executor matches the key against the path-recovered constant (the
+    column isn't in the file bytes at all)."""
+    t = SnapshotTable(spark, str(tmp_path / "pe"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 3, v=float(i)) for i in range(9)]
+        ),
+        partition_by=["p"],
+    )
+    t.delete_where_eq("p", [1])
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        i for i in range(9) if i % 3 != 1
+    ]
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"), changeFeed="true"
+    )
+    deletes = sorted(r[0] for r in got if r[-2] == "delete")
+    assert deletes == [1, 4, 7]
