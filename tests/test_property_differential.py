@@ -180,13 +180,14 @@ _dml_ops = st.lists(
 )
 
 
+@pytest.mark.parametrize("layout", ["clustered", "hidden_bucket"])
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_dml_ops)
-def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
+def test_dml_sequences_match_model(spark, tmp_path_factory, layout, ops):
     """Differential model check for the DML surface: any interleaving of
     appends, pruned range DELETEs/UPDATEs (copy-on-write AND merge-on-
     read), EQUALITY deletes, keyed MERGEs (CoW and the scan-free MoR
@@ -200,10 +201,17 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, ops):
 
     path = tmp_path_factory.mktemp("dml")
     t = SnapshotTable(spark, str(path))
-    t.commit_clustered(
-        spark.createDataFrame([(k, float(k)) for k in range(100)], "k long, v double"),
-        cluster_by="k", n_files=5, stats_for=["k"],
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], "k long, v double"
     )
+    if layout == "clustered":
+        t.commit_clustered(base, cluster_by="k", n_files=5, stats_for=["k"])
+    else:
+        # round 7: the SAME randomized op mix over a hidden
+        # bucket(4, k)-partitioned base — sticky CoW layout, MoR
+        # coordinates through partition segments, transform-pruned
+        # candidates all under differential fire
+        t.commit(base, partition_by=["bucket(4, k)"], stats_for=["k"])
     model: dict[int, float] = {k: float(k) for k in range(100)}
     prev_model = dict(model)
     prev_version = t.current_version()
