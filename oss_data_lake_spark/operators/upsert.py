@@ -163,7 +163,11 @@ def merge(
     # target rows with no source match: survive by default, or pass
     # through the WHEN NOT MATCHED BY SOURCE clause (Delta's third
     # clause family — same anti-join, so still one keys-equi shuffle)
-    nmbs = target.join(src_keys_as_tgt, keys, "left_anti")
+    # alias as 't' BEFORE evaluating the fire condition so the
+    # documented 't.<col>'-qualified condition form resolves for direct
+    # API callers too (the SQL path pre-strips the alias; assignments
+    # already re-alias below)
+    nmbs = target.join(src_keys_as_tgt, keys, "left_anti").alias("t")
     if when_not_matched_by_source is None:
         pieces.append(nmbs)
     else:

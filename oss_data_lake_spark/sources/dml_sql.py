@@ -123,6 +123,7 @@ from oss_data_lake_spark.sources.snapshots import (
     _conjunct_spans,
     _depths,
     _masked,
+    _coerce_key_value,
     _parse_sql_literal,
     _preds_from_conjuncts,
 )
@@ -620,9 +621,13 @@ def _run_merge(
         and matched_assignments is None
         and insert_values is None
         and when_nmbs is None
+        and src_keys == keys
     ):
         # the plain upsert form routes scan-free: equality-delete the
         # source keys + append the source rows, one atomic commit
+        # (src_keys == keys gate: merge_rows_mor eq-deletes/appends on
+        # the TARGET key names, so ON t.k = s.nk must fall through to
+        # merge_rows and its source_keys-aware validation)
         info = t.merge_rows_mor(
             src_df, keys, stats_for=sorted(t.stats_columns()) or None
         )
@@ -1046,8 +1051,21 @@ def dispatch_statement(
                 cond, {f.name for f in schema.fields} if schema else set()
             )
             if probe is not None:
-                # scan-free keyed delete: just the key tuples land
+                # parsed literals are raw Python str/int/float; coerce
+                # to the column's declared type (TIMESTAMP '...' / DATE
+                # '...' / numeric-vs-double). A literal that cannot be
+                # coerced takes the position-delete path instead of
+                # tripping Spark's type verifier.
                 col, vals = probe
+                ftypes = {f.name: f.dataType for f in schema.fields}
+                try:
+                    vals = [
+                        _coerce_key_value(v, ftypes[col]) for v in vals
+                    ]
+                except (TypeError, ValueError):
+                    probe = None
+            if probe is not None:
+                # scan-free keyed delete: just the key tuples land
                 info = t.delete_where_eq(col, vals)
                 return spark.createDataFrame(
                     [(info["version"], info["n_keys"], info["mode"])],

@@ -299,6 +299,18 @@ class SnapshotTable:
                     f"partition transform source '{tr['source']}' "
                     f"not in dataframe"
                 )
+            if tr["kind"] in _TIME_SPARK_FORMATS and dtypes[
+                tr["source"]
+            ] not in ("timestamp", "timestamp_ntz", "date"):
+                # Iceberg's transform typing rule: a time granularity
+                # needs a timestamp/date source. On e.g. a string
+                # column, unparseable values would hash to the null
+                # partition and IS NOT NULL / range pruning on the
+                # source column could silently skip their files.
+                raise ValueError(
+                    f"{tr['kind']}() needs a timestamp/date source "
+                    f"column; '{tr['source']}' is {dtypes[tr['source']]}"
+                )
             tr = {**tr, "vtype": dtypes[tr["source"]]}
             transforms[pcol] = tr
             write_df = write_df.withColumn(pcol, self._transform_expr(tr))
@@ -2669,6 +2681,17 @@ class SnapshotTable:
             missing = [c for c in cols if c not in ftypes]
             if missing:
                 raise ValueError(f"no such columns: {missing}")
+            # SQL-parsed literals arrive as raw Python str/int/float
+            # (DELETE ... WHERE ts = TIMESTAMP '...' yields a str);
+            # coerce each value to the column's declared type so the
+            # typed createDataFrame below never trips Spark's verifier
+            rows = [
+                tuple(
+                    _coerce_key_value(v, ftypes[c])
+                    for v, c in zip(r, cols)
+                )
+                for r in rows
+            ]
             key_df = self.spark.createDataFrame(
                 rows, T.StructType(
                     [T.StructField(c, ftypes[c], True) for c in cols]
@@ -3737,6 +3760,27 @@ class SnapshotTable:
         status = self.maintenance_status()
         if not status["due"]:
             return None
+        # policy-driven compaction must keep the table's layout: an
+        # unqualified compact() would rewrite a partitioned table
+        # unpartitioned, and every later commit adopting
+        # current_partition_by() would then silently accrete
+        # unpartitioned dirs — the exact erosion the sink promises
+        # never happens. Identity partition columns live in the path,
+        # not the payload, so they leave stats_for.
+        if (
+            "partition_by" not in compact_kwargs
+            and compact_kwargs.get("cluster_by") is None
+            and compact_kwargs.get("zorder_by") is None
+        ):
+            spec = self.current_partition_by()
+            if spec:
+                compact_kwargs["partition_by"] = spec
+                sf = compact_kwargs.get("stats_for")
+                if sf:
+                    identity = {c for c in spec if "(" not in c}
+                    compact_kwargs["stats_for"] = [
+                        c for c in sf if c not in identity
+                    ] or None
         if target_partitions is None:
             v = self.current_version()
             m = self._manifest(v)
@@ -4136,6 +4180,47 @@ def _parse_sql_literal(tok: str):
     if tok.startswith("'"):
         return tok[1:-1]
     return float(tok) if "." in tok else int(tok)
+
+
+def _coerce_key_value(v, dtype: T.DataType):
+    """A raw Python literal (str/int/float, the shapes
+    ``_parse_sql_literal`` produces) coerced to what Spark's type
+    verifier accepts for ``dtype``. Values already the right shape pass
+    through; an unconvertible value raises the same TypeError the
+    verifier would, just earlier and with the column type in hand."""
+    if v is None:
+        return None
+    if isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType)
+    ) and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v.strip().replace("T", " "))
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, str):
+            return datetime.date.fromisoformat(v.strip())
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        return v
+    if isinstance(dtype, (T.DoubleType, T.FloatType)) and isinstance(
+        v, (int, str)
+    ):
+        return float(v)
+    if isinstance(
+        dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        if isinstance(v, str):
+            return int(v)
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+    if isinstance(dtype, T.DecimalType) and isinstance(
+        v, (int, float, str)
+    ):
+        import decimal
+
+        return decimal.Decimal(str(v))
+    if isinstance(dtype, T.BooleanType) and isinstance(v, str):
+        return v.strip().lower() in ("true", "t", "1", "yes")
+    return v
 
 
 def _conjunct_spans(
