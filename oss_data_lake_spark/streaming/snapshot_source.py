@@ -117,33 +117,45 @@ def _build_source_class():
         """One file's contribution to a CHANGE-FEED micro-batch. The
         executor reads the file with pyarrow and emits typed rows:
 
-        - ``only_positions`` set  → emit exactly those row indices
+        - ``only_dv_refs`` set  → emit exactly the row indices those
+          delete-vector files tombstone for this file
           (position-tombstone delta);
-        - ``eq_only`` set         → emit rows whose key tuple matches
+        - ``eq_only`` set       → emit rows whose key tuple matches the
+          referenced equality-delete file's keys
           (equality-delete delta);
-        - otherwise               → emit every row EXCEPT
-          ``skip_positions`` and rows matching any ``eq_skip`` entry
-          (whole-file visibility delta, pre-filtered by the snapshot's
-          own delete state)."""
+        - otherwise             → emit every row EXCEPT positions any
+          ``skip_dv_refs`` vector tombstones and rows matching any
+          ``eq_skip`` reference (whole-file visibility delta,
+          pre-filtered by the snapshot's own delete state).
+
+        Tombstone positions and equality keys are shipped as FILE
+        REFERENCES, not values: the driver plans from file lists only
+        (a wave with 10^5 tombstoned positions costs the driver one
+        vectorized distinct over the vectors' ``file`` column), and the
+        executor that already reads its data file reads the relevant
+        delete files too — the same side-file pattern Iceberg v2
+        executors use."""
 
         def __init__(
             self,
             abs_path: str,
+            rel_path: str,
             src_names: list[str],
             change_type: str,
             commit_version: int,
-            skip_positions: list[int] | None = None,
-            only_positions: list[int] | None = None,
-            eq_only: tuple | None = None,      # (key_src_names, key_rows)
-            eq_skip: list | None = None,       # [(key_src_names, key_rows)]
+            skip_dv_refs: list[str] | None = None,   # abs dv dirs
+            only_dv_refs: list[str] | None = None,   # abs dv dirs
+            eq_only: tuple | None = None,    # (key_src_names, abs_dir, cols)
+            eq_skip: list | None = None,     # [(key_src_names, abs_dir, cols)]
             consts: dict | None = None,
         ):
             self.abs_path = abs_path
+            self.rel_path = rel_path
             self.src_names = src_names
             self.change_type = change_type
             self.commit_version = commit_version
-            self.skip_positions = skip_positions or []
-            self.only_positions = only_positions or []
+            self.skip_dv_refs = skip_dv_refs or []
+            self.only_dv_refs = only_dv_refs or []
             self.eq_only = eq_only
             self.eq_skip = eq_skip or []
             self.consts = consts or {}
@@ -238,22 +250,33 @@ def _build_source_class():
                         )
             return sorted(out)
 
-        def _dv_positions(self, dv_dirs: list) -> dict:
+        def _dv_file_set(self, dd: str) -> frozenset:
+            """The rel data files one delete-vector dir tombstones — a
+            vectorized single-column distinct (positions NEVER
+            materialize driver-side; executors holding a file read its
+            positions from the referenced vectors themselves). Memoized:
+            vector dirs are immutable once committed."""
+            cache = getattr(self, "_dvf_cache", None)
+            if cache is None:
+                cache = self._dvf_cache = {}
+            hit = cache.get(dd)
+            if hit is not None:
+                return hit
             import pyarrow.parquet as pq
 
-            out: dict[str, list[int]] = {}
-            for dd in dv_dirs:
-                t = pq.read_table(os.path.join(self.path, dd))
-                for rec in t.to_pylist():
-                    out.setdefault(rec["file"], []).append(rec["pos"])
-            return {k: sorted(v) for k, v in out.items()}
+            t = pq.read_table(
+                os.path.join(self.path, dd), columns=["file"]
+            )
+            out = frozenset(t.column("file").unique().to_pylist())
+            cache[dd] = out
+            return out
 
-        def _eq_keys(self, entry: dict) -> list[tuple]:
-            import pyarrow.parquet as pq
-
-            t = pq.read_table(os.path.join(self.path, entry["dir"]))
+        def _dv_refs_for(self, dv_dirs: list, rel: str) -> list[str]:
+            """abs paths of the vector dirs that tombstone ``rel``."""
             return [
-                tuple(r[c] for c in entry["cols"]) for r in t.to_pylist()
+                os.path.join(self.path, dd)
+                for dd in dv_dirs
+                if rel in self._dv_file_set(dd)
             ]
 
         def _src_names_for(self, m, d, columns, head_fids):
@@ -325,14 +348,20 @@ def _build_source_class():
             parts = []
             p_dirs, c_dirs = list(p["data_dirs"]), list(c["data_dirs"])
             p_set, c_set = set(p_dirs), set(c_dirs)
-            p_dvpos = self._dv_positions(p.get("delete_dirs", []))
-            c_dvpos = self._dv_positions(c.get("delete_dirs", []))
+            p_dvd = p.get("delete_dirs", [])
+            c_dvd = c.get("delete_dirs", [])
             p_eqs = p.get("eq_deletes", [])
             c_eqs = c.get("eq_deletes", [])
 
             def eq_filters(m, eqs, d):
+                # references only: (write-time key names, abs key file
+                # dir, stored column names) — the executor reads the keys
                 return [
-                    (self._entry_key_src(m, d, e), self._eq_keys(e))
+                    (
+                        self._entry_key_src(m, d, e),
+                        os.path.join(self.path, e["dir"]),
+                        list(e["cols"]),
+                    )
                     for e in eqs
                     if d in set(e.get("applies_dirs", []))
                 ]
@@ -358,20 +387,20 @@ def _build_source_class():
             for d, f in removed:
                 rel = f"{d}/{f}"
                 parts.append(_ChangePartition(
-                    os.path.join(self.path, rel),
+                    os.path.join(self.path, rel), rel,
                     self._src_names_for(p, d, columns, head_fids),
                     "delete", v,
-                    skip_positions=p_dvpos.get(rel, []),
+                    skip_dv_refs=self._dv_refs_for(p_dvd, rel),
                     eq_skip=eq_filters(p, p_eqs, d),
                     consts=self._path_consts(p, d, f),
                 ))
             for d, f in added:
                 rel = f"{d}/{f}"
                 parts.append(_ChangePartition(
-                    os.path.join(self.path, rel),
+                    os.path.join(self.path, rel), rel,
                     self._src_names_for(c, d, columns, head_fids),
                     "insert", v,
-                    skip_positions=c_dvpos.get(rel, []),
+                    skip_dv_refs=self._dv_refs_for(c_dvd, rel),
                     eq_skip=eq_filters(c, c_eqs, d),
                     consts=self._path_consts(c, d, f),
                 ))
@@ -385,51 +414,49 @@ def _build_source_class():
             def visible_in_c(d, rel):
                 return rel[len(d) + 1:] in set(self._rel_files(c, d))
 
-            new_dv = [
-                dd for dd in c.get("delete_dirs", [])
-                if dd not in set(p.get("delete_dirs", []))
-            ]
-            gone_dv = [
-                dd for dd in p.get("delete_dirs", [])
-                if dd not in set(c.get("delete_dirs", []))
-            ]
+            new_dv = [dd for dd in c_dvd if dd not in set(p_dvd)]
+            gone_dv = [dd for dd in p_dvd if dd not in set(c_dvd)]
             for dd, kind in [(x, "delete") for x in new_dv] + [
                 (x, "insert") for x in gone_dv
             ]:
-                for rel, poss in self._dv_positions([dd]).items():
+                for rel in sorted(self._dv_file_set(dd)):
                     d = owner(rel)
                     if d is None or not visible_in_c(d, rel):
                         continue
                     parts.append(_ChangePartition(
-                        os.path.join(self.path, rel),
+                        os.path.join(self.path, rel), rel,
                         self._src_names_for(c, d, columns, head_fids),
                         kind, v,
-                        only_positions=poss,
+                        only_dv_refs=[os.path.join(self.path, dd)],
                         consts=self._path_consts(c, d, rel[len(d) + 1:]),
                     ))
             p_eq_dirs = {e["dir"] for e in p_eqs}
             c_eq_dirs = {e["dir"] for e in c_eqs}
-            for e, kind, m_state, eqs_state, dvpos in (
-                [(e, "delete", p, p_eqs, p_dvpos)
+            for e, kind, m_state, eqs_state, dvd_state in (
+                [(e, "delete", p, p_eqs, p_dvd)
                  for e in c_eqs if e["dir"] not in p_eq_dirs]
-                + [(e, "insert", c, c_eqs, c_dvpos)
+                + [(e, "insert", c, c_eqs, c_dvd)
                    for e in p_eqs if e["dir"] not in c_eq_dirs]
             ):
-                keys = self._eq_keys(e)
+                eq_abs = os.path.join(self.path, e["dir"])
                 for d in e.get("applies_dirs", []):
                     if d not in c_set:
                         continue
                     for f in self._rel_files(c, d):
                         rel = f"{d}/{f}"
                         parts.append(_ChangePartition(
-                            os.path.join(self.path, rel),
+                            os.path.join(self.path, rel), rel,
                             self._src_names_for(
                                 c, d, columns, head_fids
                             ),
                             kind, v,
-                            skip_positions=dvpos.get(rel, []),
+                            skip_dv_refs=self._dv_refs_for(
+                                dvd_state, rel
+                            ),
                             eq_only=(
-                                self._entry_key_src(c, d, e), keys
+                                self._entry_key_src(c, d, e),
+                                eq_abs,
+                                list(e["cols"]),
                             ),
                             # the changed entry itself is never in the
                             # filter state (p for arriving, c for gone)
@@ -555,17 +582,40 @@ def _build_source_class():
             if isinstance(partition, _ChangePartition):
                 rows = tbl.to_pylist()
                 extra = (partition.change_type, partition.commit_version)
-                if partition.only_positions:
-                    for i in partition.only_positions:
+                rel = partition.rel_path
+
+                def dv_positions(refs):
+                    # this executor reads only ITS file's tombstones —
+                    # a pushed-down (file == rel) scan of the vectors
+                    ps: list[int] = []
+                    for ref in refs:
+                        dt = pq.read_table(
+                            ref,
+                            columns=["file", "pos"],
+                            filters=[("file", "==", rel)],
+                        )
+                        ps.extend(dt.column("pos").to_pylist())
+                    return sorted(ps)
+
+                def eq_keyset(ref, cols):
+                    kt = pq.read_table(ref, columns=list(cols))
+                    return set(
+                        zip(*[kt.column(c).to_pylist() for c in cols])
+                    ) if kt.num_rows else set()
+
+                if partition.only_dv_refs:
+                    for i in dv_positions(partition.only_dv_refs):
                         yield project(rows[i]) + extra
                     return
-                skip = set(partition.skip_positions)
+                skip = set(dv_positions(partition.skip_dv_refs))
                 eq_skip = [
-                    (names, set(map(tuple, ks)))
-                    for names, ks in partition.eq_skip
+                    (names, eq_keyset(ref, cols))
+                    for names, ref, cols in partition.eq_skip
                 ]
                 only = partition.eq_only
-                only_keys = set(map(tuple, only[1])) if only else None
+                only_keys = (
+                    eq_keyset(only[1], only[2]) if only else None
+                )
                 for i, row in enumerate(rows):
                     if i in skip:
                         continue
