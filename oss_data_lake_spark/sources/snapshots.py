@@ -1068,6 +1068,7 @@ class SnapshotTable:
                 "committed_at_ms": int(time.time() * 1000),
             }
 
+        self._carry_ledger_sidecars(self.properties(v), clone.path)
         clone.protocol.commit(build)
         return clone
 
@@ -1202,6 +1203,7 @@ class SnapshotTable:
                 "committed_at_ms": int(time.time() * 1000),
             }
 
+        self._carry_ledger_sidecars(self.properties(v), src_root)
         return source.protocol.commit(build)
 
     def _external_dirs(self, manifest: dict) -> list[str]:
@@ -1233,14 +1235,53 @@ class SnapshotTable:
     # The load ledger (per-source ingested file names) lives in table
     # properties and is published IN THE SAME manifest as the data
     # (``props_update``), so a crash between write and publish leaves
-    # both out — re-run and it ingests again, never doubles. Scale note:
-    # the ledger is name-level JSON in the manifest, right to ~1e5 files
-    # per source; past that it should spill to a parquet sidecar exactly
-    # like delete vectors do. Concurrent COPY INTO from the SAME source
-    # should be serialized by the caller (each re-checks the ledger
-    # before writing, not inside the commit claim).
+    # both out — re-run and it ingests again, never doubles. Scale:
+    # below ``_COPY_LEDGER_SPILL`` names per source the ledger is
+    # inline JSON; past it the name list SPILLS to a parquet sidecar
+    # under ``ledgers/`` referenced from the property (the
+    # delete-vector pattern) — the manifest stays O(1) per source
+    # regardless of how many files were ever ingested, and ``vacuum``
+    # reclaims sidecars no live snapshot references. Concurrent COPY
+    # INTO from the SAME source should be serialized by the caller
+    # (each re-checks the ledger before writing, not inside the commit
+    # claim).
 
     _COPY_LEDGER_PROP = "copy.into.ledger"
+    _COPY_LEDGER_SPILL = 10_000
+
+    def _carry_ledger_sidecars(self, props: dict, dest_root: str) -> None:
+        """COPY INTO ledger sidecar references are table-root-relative;
+        when properties travel to another root (shallow clone, WAP
+        publish) the tiny sidecar files must travel too, under the same
+        relative name, so the reference resolves at the destination."""
+        raw = props.get(self._COPY_LEDGER_PROP)
+        if not raw:
+            return
+        import shutil
+
+        for entry in json.loads(raw).values():
+            if not isinstance(entry, dict):
+                continue
+            srcf = os.path.join(self.path, entry["sidecar"])
+            dstf = os.path.join(dest_root, entry["sidecar"])
+            if os.path.abspath(srcf) != os.path.abspath(
+                dstf
+            ) and not os.path.exists(dstf):
+                os.makedirs(os.path.dirname(dstf), exist_ok=True)
+                shutil.copyfile(srcf, dstf)
+
+    def _ledger_entry_files(self, entry) -> set[str]:
+        """One source's ingested-file set: inline list, or a spilled
+        sidecar read column-wise (never enters the manifest)."""
+        if isinstance(entry, dict):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.path, entry["sidecar"]),
+                columns=["file"],
+            )
+            return set(t.column("file").to_pylist())
+        return set(entry or [])
 
     def copy_into(
         self,
@@ -1276,7 +1317,7 @@ class SnapshotTable:
         ledger = json.loads(
             self.properties().get(self._COPY_LEDGER_PROP, "{}")
         )
-        seen = set(ledger.get(src_abs, []))
+        seen = self._ledger_entry_files(ledger.get(src_abs))
         new = found if force else [f for f in found if f not in seen]
         if not new:
             return {
@@ -1288,7 +1329,23 @@ class SnapshotTable:
             *[os.path.join(src_abs, f) for f in new]
         )
         rows = df.count()  # parquet footer count — no data scan
-        ledger[src_abs] = sorted(seen | set(new))
+        merged = sorted(seen | set(new))
+        if len(merged) > self._COPY_LEDGER_SPILL:
+            # spill: the manifest carries an O(1) sidecar reference; a
+            # crash before the commit publishes leaves the sidecar as
+            # unreferenced garbage for vacuum, never a half-ledger
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rel = f"ledgers/copy-{uuid.uuid4().hex[:12]}.parquet"
+            os.makedirs(os.path.join(self.path, "ledgers"), exist_ok=True)
+            pq.write_table(
+                pa.table({"file": merged}),
+                os.path.join(self.path, rel),
+            )
+            ledger[src_abs] = {"sidecar": rel, "count": len(merged)}
+        else:
+            ledger[src_abs] = merged
         pb = self.current_partition_by()
         identity = {c for c in pb if "(" not in c}
         version = self.commit(
@@ -4080,6 +4137,23 @@ class SnapshotTable:
                 rel = f"deletes/{name}"
                 if rel not in dv_referenced:
                     shutil.rmtree(os.path.join(dv_root, name))
+                    removed.append(rel)
+        # COPY INTO ledger sidecars no live manifest's property references
+        # (superseded spills, crash leftovers)
+        led_referenced = set()
+        for m in manifests:
+            raw = (m.get("properties") or {}).get(self._COPY_LEDGER_PROP)
+            if not raw:
+                continue
+            for entry in json.loads(raw).values():
+                if isinstance(entry, dict):
+                    led_referenced.add(entry["sidecar"])
+        led_root = os.path.join(self.path, "ledgers")
+        if os.path.isdir(led_root):
+            for name in os.listdir(led_root):
+                rel = f"ledgers/{name}"
+                if rel not in led_referenced:
+                    os.remove(os.path.join(led_root, name))
                     removed.append(rel)
         for d in sorted(referenced):
             live: set[str] = set()
