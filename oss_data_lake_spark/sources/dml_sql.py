@@ -92,6 +92,15 @@ statement-shaped text here BEFORE the query path:
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
+- ``ALTER TABLE t ADD | DROP PARTITION FIELD days(ts)|bucket(n, c)|c``
+                                           → metadata-only partition-
+                                             spec evolution (future
+                                             writes adopt the declared
+                                             spec; old dirs keep theirs,
+                                             pruning spans both)
+- ``SHOW PARTITIONS t``                    → distinct partition tuples
+                                             from file-path segments
+                                             (no data scan)
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
@@ -723,6 +732,20 @@ _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_PART_FIELD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+PARTITION\s+FIELD\s+"
+    r"([A-Za-z_]\w*\s*\([^)]*\)|[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_PART_FIELD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+PARTITION\s+FIELD\s+"
+    r"([A-Za-z_]\w*\s*\([^)]*\)|[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
     r"SHALLOW\s+CLONE\s+([A-Za-z_][\w.]*)"
@@ -1019,6 +1042,32 @@ def dispatch_statement(
             return None  # session-catalog ALTER falls through
         version = tables[name].widen_column(m.group(2), m.group(3))
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _ADD_PART_FIELD_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].add_partition_field(m.group(2))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _DROP_PART_FIELD_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].drop_partition_field(m.group(2))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _SHOW_PARTITIONS_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog SHOW PARTITIONS falls through
+        parts = tables[name].show_partitions()
+        return spark.createDataFrame(
+            [(p,) for p in parts], "partition string"
+        )
 
     m = _CREATE_TAG_RE.match(text)
     if m:

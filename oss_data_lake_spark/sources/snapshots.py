@@ -146,6 +146,19 @@ def parse_partition_entry(entry: str) -> tuple[str, dict | None]:
     return pcol, {"kind": kind, "source": source, "param": param}
 
 
+def _rename_spec_entry(entry: str, old: str, new: str) -> str:
+    """A ``partition_by`` entry with column ``old`` renamed to ``new``
+    (identity entries and transform sources both follow)."""
+    pcol, tr = parse_partition_entry(entry)
+    if tr is None:
+        return new if entry.strip() == old else entry
+    if tr["source"] != old:
+        return entry
+    if tr["param"] is None:
+        return f"{tr['kind']}({new})"
+    return f"{tr['kind']}({tr['param']}, {new})"
+
+
 def _transform_time_value(value, fmt: str) -> str | None:
     """A source-column bound → its time-granularity partition value
     (None = unmappable, caller must not prune)."""
@@ -1038,6 +1051,7 @@ class SnapshotTable:
                 "mode": "shallow_clone",
                 "clone_source": {"path": self.path, "version": v},
                 "data_dirs": [_abs(d) for d in m["data_dirs"]],
+                "declared_partition_by": m.get("declared_partition_by"),
                 "partition_specs": _abs_keys(m.get("partition_specs", {})),
                 "partition_transforms": _abs_keys(
                     m.get("partition_transforms", {})
@@ -1169,6 +1183,7 @@ class SnapshotTable:
                 "parent": parent,
                 "mode": "publish_clone",
                 "data_dirs": data_dirs,
+                "declared_partition_by": head.get("declared_partition_by"),
                 "partition_specs": remap(head.get("partition_specs", {})),
                 "partition_transforms": remap(
                     head.get("partition_transforms", {})
@@ -1524,6 +1539,12 @@ class SnapshotTable:
             manifest["field_ids"] = {
                 (new if n == old else n): i for n, i in fids.items()
             }
+            decl = manifest.get("declared_partition_by")
+            if decl:
+                # a declared spec names CURRENT columns — follow the rename
+                manifest["declared_partition_by"] = [
+                    _rename_spec_entry(e, old, new) for e in decl
+                ]
             manifest["version"] = parent + 1
             manifest["parent"] = parent
             manifest["mode"] = f"rename_{old}_to_{new}"
@@ -1764,15 +1785,21 @@ class SnapshotTable:
         }
 
     def current_partition_by(self, version: int | None = None) -> list[str]:
-        """The LATEST data dir's partition spec rendered back into
-        ``commit(partition_by=)`` form (transforms as their call syntax,
-        sources translated to CURRENT column names) — what engine-level
-        INSERT/COPY INTO adopt so appends follow the table's layout
-        instead of silently accreting unpartitioned dirs."""
+        """The spec future writes adopt, in ``commit(partition_by=)``
+        form: a DECLARED spec when partition-spec evolution set one
+        (``set_partition_spec`` / ALTER TABLE ... PARTITION FIELD), else
+        the LATEST data dir's spec rendered back (transforms as their
+        call syntax, sources translated to CURRENT column names) — what
+        engine-level INSERT/COPY INTO adopt so appends follow the
+        table's layout instead of silently accreting unpartitioned
+        dirs."""
         v = version if version is not None else self.current_version()
         if v is None:
             return []
         m = self._manifest(v)
+        declared = m.get("declared_partition_by")
+        if declared is not None:
+            return list(declared)
         dirs = m.get("data_dirs") or []
         if not dirs:
             return []
@@ -1792,6 +1819,122 @@ class SnapshotTable:
             else:
                 out.append(f"{tr['kind']}({tr['param']}, {src})")
         return out
+
+    # ------------------------------------------ partition-spec evolution
+    #
+    # Iceberg's ALTER TABLE ... ADD/DROP PARTITION FIELD: metadata-only.
+    # The DECLARED spec governs what future writes adopt
+    # (current_partition_by); existing dirs keep the spec they were
+    # written under, and reads/pruning span both generations because
+    # every dir carries its own spec — no data moves at ALTER time.
+
+    def set_partition_spec(self, spec: list[str]) -> int:
+        """Declare the partition spec (identity columns and/or hidden
+        transforms in ``commit(partition_by=)`` call syntax) that future
+        writes adopt. Validates eagerly: sources must exist in the
+        current schema, time-granularity transforms need a
+        timestamp/date source (Iceberg's transform typing rule),
+        duplicate target fields refuse."""
+        schema = self.schema()
+        dtypes = (
+            {f.name: f.dataType.simpleString() for f in schema.fields}
+            if schema is not None
+            else None
+        )
+        seen: set[str] = set()
+        for entry in spec:
+            pcol, tr = parse_partition_entry(entry)
+            if pcol in seen:
+                raise ValueError(f"duplicate partition field: {entry!r}")
+            seen.add(pcol)
+            src = tr["source"] if tr else pcol
+            if dtypes is not None and src not in dtypes:
+                raise ValueError(
+                    f"partition field source '{src}' not in table schema"
+                )
+            if (
+                tr
+                and tr["kind"] in _TIME_SPARK_FORMATS
+                and dtypes is not None
+                and dtypes[src] not in ("timestamp", "timestamp_ntz", "date")
+            ):
+                raise ValueError(
+                    f"{tr['kind']}() needs a timestamp/date source "
+                    f"column; '{src}' is {dtypes[src]}"
+                )
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("partition-spec change on an empty table")
+            manifest = dict(read_manifest(parent))
+            manifest["declared_partition_by"] = list(spec)
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = "set_partition_spec"
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
+
+    def add_partition_field(self, entry: str) -> int:
+        """``ALTER TABLE ... ADD PARTITION FIELD entry``."""
+        cur = self.current_partition_by()
+        new_pcol, _ = parse_partition_entry(entry)
+        if any(parse_partition_entry(e)[0] == new_pcol for e in cur):
+            raise ValueError(f"partition field already present: {entry!r}")
+        return self.set_partition_spec(cur + [entry.strip()])
+
+    def drop_partition_field(self, entry: str) -> int:
+        """``ALTER TABLE ... DROP PARTITION FIELD entry`` (matched by
+        the field it produces, so whitespace variants agree)."""
+        cur = self.current_partition_by()
+        pcol, _ = parse_partition_entry(entry)
+        kept = [e for e in cur if parse_partition_entry(e)[0] != pcol]
+        if len(kept) == len(cur):
+            raise ValueError(f"no such partition field: {entry!r}")
+        return self.set_partition_spec(kept)
+
+    def show_partitions(self, version: int | None = None) -> list[str]:
+        """``SHOW PARTITIONS``: the snapshot's distinct partition path
+        tuples, read from FILE PATH SEGMENTS only (the P20 coordinates —
+        no data scan). Each dir parses under its OWN spec, so
+        generations written before a spec evolution list alongside the
+        current layout. Hidden transform fields appear under their path
+        names (``_p_days_ts=2024-01-01``)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        m = self._manifest(v)
+        specs = m.get("partition_specs", {})
+        out: set[str] = set()
+        for d in m.get("data_dirs", []):
+            spec = specs.get(d) or []
+            if not spec:
+                continue
+            vis = self._visible_files(m, d)
+            if vis is None:
+                root = (
+                    d if os.path.isabs(d) or "://" in d
+                    else os.path.join(self.path, d)
+                )
+                vis = [
+                    os.path.relpath(os.path.join(dp, f), root)
+                    for dp, _dn, fs in os.walk(root)
+                    for f in fs
+                    if f.endswith(".parquet") and not f.startswith("_")
+                ]
+            for rel in vis:
+                path = "/" + rel.replace(os.sep, "/")
+                segs = []
+                for c in spec:
+                    mm = re.search(f"/{re.escape(c)}=([^/]+)/", path)
+                    if mm:
+                        segs.append(f"{c}={mm.group(1)}")
+                if segs:
+                    out.add("/".join(segs))
+        return sorted(out)
 
     def _transform_for(
         self, manifest: dict, d: str, col_d: str
