@@ -101,6 +101,12 @@ statement-shaped text here BEFORE the query path:
 - ``SHOW PARTITIONS t``                    → distinct partition tuples
                                              from file-path segments
                                              (no data scan)
+- ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]``
+                                           → footer/manifest-harvested
+                                             live row count + size (and
+                                             approx NDV per column);
+                                             engine views broadcast
+                                             small-by-stats dimensions
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
@@ -746,6 +752,12 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w.]*)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
     r"SHALLOW\s+CLONE\s+([A-Za-z_][\w.]*)"
@@ -1067,6 +1079,22 @@ def dispatch_statement(
         parts = tables[name].show_partitions()
         return spark.createDataFrame(
             [(p,) for p in parts], "partition string"
+        )
+
+    m = _ANALYZE_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ANALYZE falls through
+        cols = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        st = tables[name].analyze(columns=cols)
+        return spark.createDataFrame(
+            [(st["version"], st["row_count"], st["size_bytes"])],
+            "version long, row_count long, size_bytes long",
         )
 
     m = _CREATE_TAG_RE.match(text)

@@ -146,6 +146,25 @@ def parse_partition_entry(entry: str) -> tuple[str, dict | None]:
     return pcol, {"kind": kind, "source": source, "param": param}
 
 
+_SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgtp]?i?b?)$")
+_SIZE_MULT = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024, "kib": 1024,
+    "m": 1024**2, "mb": 1024**2, "mib": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "gib": 1024**3,
+    "t": 1024**4, "tb": 1024**4, "tib": 1024**4,
+    "p": 1024**5, "pb": 1024**5, "pib": 1024**5,
+}
+
+
+def _parse_size_bytes(s) -> int:
+    """A Spark size conf value ('10485760', '10MB', '-1') → bytes."""
+    m = _SIZE_RE.match(str(s).strip().lower())
+    if not m:
+        raise ValueError(f"unparseable size: {s!r}")
+    return int(m.group(1)) * _SIZE_MULT[m.group(2)]
+
+
 def _rename_spec_entry(entry: str, old: str, new: str) -> str:
     """A ``partition_by`` entry with column ``old`` renamed to ``new``
     (identity entries and transform sources both follow)."""
@@ -1819,6 +1838,142 @@ class SnapshotTable:
             else:
                 out.append(f"{tr['kind']}({tr['param']}, {src})")
         return out
+
+    # --------------------------------------------------- table statistics
+    #
+    # ANALYZE TABLE ... COMPUTE STATISTICS: Spark's CBO reads catalog
+    # stats; this engine has no session catalog entry per snapshot
+    # table, so harvested stats live in the manifest and the engine
+    # applies them where the optimizer cannot see — the broadcast
+    # decision. Spark's static estimate for a parquet scan is FILE
+    # BYTES, which overshoots a merge-on-read table that tombstoned
+    # most of its rows; ANALYZE records the LIVE size so a dimension
+    # that IS small joins as a broadcast without a hand-placed hint.
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """Harvest table statistics from parquet FOOTERS and the
+        manifest's delete state (metadata-scale — no data read):
+        visible-file byte size, footer row count, live rows (footer
+        rows minus position tombstones minus equality keys —
+        approximate above, exact at zero debt), and live size (bytes
+        scaled by the live fraction). ``columns`` adds approximate NDV
+        per column — the one data scan, same as Spark's own ANALYZE
+        FOR COLUMNS. Publishes a metadata-only ``analyze`` commit;
+        read back via :meth:`table_stats`. Stats are as-of the
+        analyzed version and go stale like any CBO stats — re-run
+        after large DML waves."""
+        import pyarrow.parquet as pq
+
+        v = self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        m = self._manifest(v)
+        total_bytes = 0
+        footer_rows = 0
+        for d in m.get("data_dirs", []):
+            root = (
+                d if os.path.isabs(d) or "://" in d
+                else os.path.join(self.path, d)
+            )
+            vis = self._visible_files(m, d)
+            paths = (
+                [os.path.join(root, f) for f in vis]
+                if vis is not None
+                else [
+                    os.path.join(dp, f)
+                    for dp, _dn, fs in os.walk(root)
+                    for f in fs
+                    if f.endswith(".parquet") and not f.startswith("_")
+                ]
+            )
+            for p in paths:
+                total_bytes += os.path.getsize(p)
+                footer_rows += pq.ParquetFile(p).metadata.num_rows
+        dead = 0
+        for dd in m.get("delete_dirs", []):
+            droot = os.path.join(self.path, dd)
+            for dp, _dn, fs in os.walk(droot):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        dead += pq.ParquetFile(
+                            os.path.join(dp, f)
+                        ).metadata.num_rows
+        for e in m.get("eq_deletes", []):
+            eroot = os.path.join(self.path, e["dir"])
+            for dp, _dn, fs in os.walk(eroot):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        dead += pq.ParquetFile(
+                            os.path.join(dp, f)
+                        ).metadata.num_rows
+        live_rows = max(footer_rows - dead, 0)
+        live_frac = live_rows / footer_rows if footer_rows else 0.0
+        stats: dict = {
+            "analyzed_version": v,
+            "file_bytes": total_bytes,
+            "footer_rows": footer_rows,
+            "row_count": live_rows,
+            "size_bytes": int(total_bytes * live_frac),
+        }
+        if columns:
+            schema = self.schema(v)
+            known = {f.name for f in schema.fields} if schema else set()
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(f"ANALYZE: no such columns: {bad}")
+            row = self.read(version=v).agg(
+                *[
+                    F.approx_count_distinct(c).alias(c)
+                    for c in columns
+                ]
+            ).collect()[0]
+            stats["ndv"] = {c: int(row[c]) for c in columns}
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("ANALYZE on an empty table")
+            manifest = dict(read_manifest(parent))
+            prev = manifest.get("table_stats") or {}
+            manifest["table_stats"] = {
+                **stats,
+                # FOR COLUMNS merges into (never clears) earlier NDVs
+                "ndv": {**prev.get("ndv", {}), **stats.get("ndv", {})},
+            }
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = "analyze"
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        stats["version"] = self.protocol.commit(build)
+        return stats
+
+    def table_stats(self, version: int | None = None) -> dict | None:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        return self._manifest(v).get("table_stats")
+
+    def read_hinted(self, version: int | None = None) -> DataFrame:
+        """:meth:`read`, plus a broadcast hint when ANALYZE recorded a
+        live size under the session's autoBroadcastJoinThreshold — the
+        stats-driven join decision Spark's file-size estimate cannot
+        make for merge-on-read tables (tombstones don't shrink file
+        bytes). Respects a disabled threshold (<= 0)."""
+        df = self.read(version=version)
+        st = self.table_stats(version)
+        if not st:
+            return df
+        thr = _parse_size_bytes(
+            self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        if thr > 0 and st["size_bytes"] <= thr:
+            return df.hint("broadcast")
+        return df
 
     # ------------------------------------------ partition-spec evolution
     #
@@ -4370,8 +4525,11 @@ def snapshot_view(
 ) -> str:
     """Register ``table`` at ``version`` (default: current) as a temp view
     — the time-travel surface for JDBC/BI clients sharing the session
-    (serving.py): ``CREATE VIEW``-equivalent without SQL-text rewriting."""
-    table.read(version=version).createOrReplaceTempView(view_name)
+    (serving.py): ``CREATE VIEW``-equivalent without SQL-text rewriting.
+    ANALYZE-harvested stats ride along (``read_hinted``): a dimension
+    whose LIVE size is under the broadcast threshold joins broadcast
+    even when its file bytes overshoot."""
+    table.read_hinted(version=version).createOrReplaceTempView(view_name)
     return view_name
 
 
