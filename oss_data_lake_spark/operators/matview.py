@@ -205,14 +205,37 @@ class IncrementalAggregate:
         return {"mode": mode, "source_version": head}
 
     def _data_version(self) -> int | None:
-        """The source version the MV's CURRENT DATA was committed for (the
-        current manifest's own txn record) — differs from the ledger
-        high-water exactly when the MV table was rolled back."""
+        """The source version the MV's CURRENT DATA was committed for —
+        differs from the ledger high-water exactly when the MV table was
+        rolled back. Metadata-only commits on the MV (set_properties,
+        constraints, tags — the SQL surface adds these around refreshes)
+        don't move data, so the walk steps past any commit whose file
+        state equals its parent's until it reaches the refresh txn; a
+        DATA-changing non-refresh commit (rollback/restore) stops it —
+        that is the desync the caller rebuilds from."""
         cur = self.mv.current_version()
-        if cur is None:
-            return None
-        txn = self.mv._manifest(cur).get("txn")
-        return txn["version"] if txn and txn.get("app") == self._TXN_APP else None
+        while cur is not None:
+            m = self.mv._manifest(cur)
+            txn = m.get("txn")
+            if txn and txn.get("app") == self._TXN_APP:
+                return txn["version"]
+            parent = m.get("parent")
+            if parent is None:
+                return None
+            try:
+                pm = self.mv._manifest(parent)
+            except (OSError, ValueError):
+                return None  # expired history: rebuild conservatively
+            same_data = (
+                m.get("data_dirs") == pm.get("data_dirs")
+                and m.get("dir_files", {}) == pm.get("dir_files", {})
+                and m.get("delete_dirs", []) == pm.get("delete_dirs", [])
+                and m.get("eq_deletes", []) == pm.get("eq_deletes", [])
+            )
+            if not same_data:
+                return None
+            cur = parent
+        return None
 
     def _merge(self, cur: DataFrame, fresh: DataFrame) -> DataFrame:
         """Associative partial-state merge: counts add; decimal-exact sums

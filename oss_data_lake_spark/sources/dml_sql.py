@@ -107,6 +107,15 @@ statement-shaped text here BEFORE the query path:
                                              approx NDV per column);
                                              engine views broadcast
                                              small-by-stats dimensions
+- ``CREATE | REFRESH | DROP MATERIALIZED VIEW mv [AS SELECT ...]``
+                                           → incrementally-maintained
+                                             aggregate over a snapshot
+                                             table (matview.py): refresh
+                                             consumes only the source
+                                             delta (change feed
+                                             retractions for DML),
+                                             bit-identical to the full
+                                             recompute
 
 DML statements prune through the same conservative conjunct extraction as
 SELECTs (``snapshots.extract_prunable_predicates``'s machinery over the
@@ -125,6 +134,7 @@ falling through to Spark's parser would produce a far-from-cause error
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -752,6 +762,121 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+"
+    r"(SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_MV_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_][\w.]*)\s+"
+    r"GROUP\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_COUNT_RE = re.compile(
+    r"^COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_]\w*)$", re.IGNORECASE
+)
+_MV_SUM_RE = re.compile(
+    r"^SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_MV_AVG_RE = re.compile(
+    r"^AVG\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_MV_ACD_RE = re.compile(
+    r"^APPROX_COUNT_DISTINCT\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+"
+    r"([A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_MV_DEF_PROP = "mv.definition"
+_MV_PRES_PROP = "mv.presentation"
+
+
+def _split_select_items(text: str) -> list[str]:
+    """Top-level comma split of a SELECT list (commas inside call
+    parentheses stay put)."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(text[start:i].strip())
+            start = i + 1
+    items.append(text[start:].strip())
+    return [x for x in items if x]
+
+
+def _parse_mv_select(select_text: str, tables) -> dict:
+    """The restricted MV grammar → an IncrementalAggregate definition +
+    a presentation projection (state columns → the SELECT's shape)."""
+    sm = _MV_SELECT_RE.match(select_text)
+    if not sm:
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW supports: SELECT <group columns, "
+            "COUNT(*)/SUM(c)/AVG(c)/APPROX_COUNT_DISTINCT(c) AS alias> "
+            "FROM <registered snapshot table> GROUP BY <columns>"
+        )
+    items_txt, src_name, gb_txt = sm.groups()
+    group_by = [c.strip() for c in gb_txt.split(",")]
+    measures: dict[str, str] = {}
+    distincts: dict[str, str] = {}
+    pres: list[str] = []
+    for item in _split_select_items(items_txt):
+        if re.fullmatch(r"[A-Za-z_]\w*", item):
+            if item not in group_by:
+                raise ValueError(
+                    f"non-aggregate SELECT column '{item}' must appear "
+                    f"in GROUP BY"
+                )
+            pres.append(item)
+            continue
+        m = _MV_COUNT_RE.match(item)
+        if m:
+            pres.append(f"n_rows AS {m.group(1)}")
+            continue
+        m = _MV_SUM_RE.match(item)
+        if m:
+            measures[m.group(2)] = m.group(1)
+            pres.append(m.group(2))
+            continue
+        m = _MV_AVG_RE.match(item)
+        if m:
+            alias = m.group(2)
+            measures[f"__s_{alias}"] = m.group(1)
+            pres.append(
+                f"__s_{alias} / CAST(n_rows AS DOUBLE) AS {alias}"
+            )
+            continue
+        m = _MV_ACD_RE.match(item)
+        if m:
+            alias = m.group(2)
+            distincts[alias] = m.group(1)
+            pres.append(f"hll_sketch_estimate(__sk_{alias}) AS {alias}")
+            continue
+        raise ValueError(
+            f"unsupported materialized-view SELECT item: {item!r} "
+            f"(decomposable aggregates only — COUNT(*) / SUM / AVG / "
+            f"APPROX_COUNT_DISTINCT, each AS <alias>)"
+        )
+    return {
+        "source": src_name,
+        "group_by": group_by,
+        "measures": measures,
+        "distinct_measures": distincts,
+        "presentation": pres,
+    }
+
+
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w.]*)\s+COMPUTE\s+STATISTICS"
     r"(?:\s+FOR\s+COLUMNS\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?"
@@ -1080,6 +1205,82 @@ def dispatch_statement(
         return spark.createDataFrame(
             [(p,) for p in parts], "partition string"
         )
+
+    m = _CREATE_MV_RE.match(text)
+    if m and engine is not None:
+        from oss_data_lake_spark.operators.matview import (
+            IncrementalAggregate,
+        )
+
+        name, select_text = m.groups()
+        if name in tables:
+            raise ValueError(
+                f"snapshot table '{name}' already exists; DROP it first"
+            )
+        d = _parse_mv_select(select_text, tables)
+        src = _require(tables, d["source"], "CREATE MATERIALIZED VIEW")
+        ia = IncrementalAggregate(
+            src,
+            engine.snapshot_table_path(name),
+            d["group_by"],
+            d["measures"],
+            d["distinct_measures"] or None,
+        )
+        info = ia.refresh()  # initial full materialization
+        mvt = engine.register_snapshot_table(name, ia.mv.path)
+        mvt.set_properties({
+            _MV_DEF_PROP: json.dumps({
+                "source_path": src.path,
+                "group_by": d["group_by"],
+                "measures": d["measures"],
+                "distinct_measures": d["distinct_measures"],
+            }),
+            _MV_PRES_PROP: json.dumps(d["presentation"]),
+        })
+        return spark.createDataFrame(
+            [(info["mode"], info["source_version"])],
+            "mode string, source_version long",
+        )
+
+    m = _REFRESH_MV_RE.match(text)
+    if m:
+        from oss_data_lake_spark.operators.matview import (
+            IncrementalAggregate,
+        )
+
+        name = m.group(1)
+        mvt = _require(tables, name, "REFRESH MATERIALIZED VIEW")
+        raw = mvt.properties().get(_MV_DEF_PROP)
+        if raw is None:
+            raise ValueError(
+                f"'{name}' is not a materialized view (no "
+                f"{_MV_DEF_PROP} definition)"
+            )
+        d = json.loads(raw)
+        ia = IncrementalAggregate(
+            SnapshotTable(spark, d["source_path"]),
+            mvt.path,
+            d["group_by"],
+            d["measures"],
+            d["distinct_measures"] or None,
+        )
+        info = ia.refresh()
+        return spark.createDataFrame(
+            [(info["mode"], info["source_version"], mvt.current_version())],
+            "mode string, source_version long, version long",
+        )
+
+    m = _DROP_MV_RE.match(text)
+    if m and engine is not None:
+        name = m.group(1)
+        mvt = _require(tables, name, "DROP MATERIALIZED VIEW")
+        if mvt.properties().get(_MV_DEF_PROP) is None:
+            raise ValueError(
+                f"'{name}' is a plain snapshot table, not a "
+                f"materialized view — use DROP TABLE"
+            )
+        engine.drop_snapshot_table(name)
+        return spark.createDataFrame([(name,)], "dropped string")
 
     m = _ANALYZE_RE.match(text)
     if m:

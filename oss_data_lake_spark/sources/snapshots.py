@@ -4528,8 +4528,15 @@ def snapshot_view(
     (serving.py): ``CREATE VIEW``-equivalent without SQL-text rewriting.
     ANALYZE-harvested stats ride along (``read_hinted``): a dimension
     whose LIVE size is under the broadcast threshold joins broadcast
-    even when its file bytes overshoot."""
-    table.read_hinted(version=version).createOrReplaceTempView(view_name)
+    even when its file bytes overshoot. A MATERIALIZED VIEW's stored
+    state (``n_rows`` / ``__s_*`` sums / ``__sk_*`` sketches) projects
+    through its recorded presentation onto the defining SELECT's shape
+    — queries see the declared aliases, never the internal state."""
+    df = table.read_hinted(version=version)
+    pres = table.properties().get("mv.presentation")
+    if pres:
+        df = df.selectExpr(*json.loads(pres))
+    df.createOrReplaceTempView(view_name)
     return view_name
 
 
