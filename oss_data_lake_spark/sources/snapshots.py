@@ -1121,10 +1121,17 @@ class SnapshotTable:
         source's vacuum.
 
         ``require_source_unchanged`` (default): refuse with a
-        CommitConflict if the source advanced past the cloned version —
-        re-clone and replay (no rebase semantics). The source's OWN
-        tags survive the publish; the clone's audited properties and
-        constraints are adopted."""
+        CommitConflict if the source advanced past the cloned version.
+        ``require_source_unchanged=False`` REBASES instead: when the
+        source's commits since the clone touched a DISJOINT set of base
+        dirs from the clone's audited changes (file sets, visibility,
+        tombstone/equality targets all compared), the publish
+        re-parents the clone's diff onto the source head — both lands
+        land; overlapping changes (or a source-side schema change)
+        still refuse with a CommitConflict. Iceberg's cherry-pick of
+        non-conflicting commits, at manifest granularity. The source's
+        OWN tags survive the publish; the clone's audited properties
+        and constraints are adopted."""
         import shutil
 
         v = self.current_version()
@@ -1185,37 +1192,35 @@ class SnapshotTable:
 
         source = SnapshotTable(self.spark, src_root)
 
+        def _owner_dirs(root: str, dirs: list[str]) -> set[str]:
+            """The data dirs a set of delete-vector dirs tombstones —
+            a vectorized single-column read, metadata-scale."""
+            import pyarrow.parquet as pq
+
+            owners: set[str] = set()
+            for dd in dirs:
+                t = pq.read_table(
+                    os.path.join(root, dd), columns=["file"]
+                )
+                for f in t.column("file").unique().to_pylist():
+                    parts = f.split("/")
+                    owners.add("/".join(parts[:2]) if len(parts) > 2 else f)
+            return owners
+
         def build(parent: int | None, read_manifest) -> dict:
-            if require_source_unchanged and (parent or 0) != srcinfo[
-                "version"
-            ]:
+            advanced = (parent or 0) != srcinfo["version"]
+            if advanced and require_source_unchanged:
                 raise CommitConflict(
                     f"source advanced to v{parent} since the clone was "
                     f"taken at v{srcinfo['version']}; re-clone and "
-                    f"replay the changes (publish has no rebase)"
+                    f"replay the changes, or publish("
+                    f"require_source_unchanged=False) to rebase "
+                    f"non-overlapping changes"
                 )
             parent_props = (
                 read_manifest(parent).get("properties", {}) if parent else {}
             )
-            return {
-                "version": (parent or 0) + 1,
-                "parent": parent,
-                "mode": "publish_clone",
-                "data_dirs": data_dirs,
-                "declared_partition_by": head.get("declared_partition_by"),
-                "partition_specs": remap(head.get("partition_specs", {})),
-                "partition_transforms": remap(
-                    head.get("partition_transforms", {})
-                ),
-                "dir_schemas": remap(head.get("dir_schemas", {})),
-                "dir_files": remap(head.get("dir_files", {})),
-                "delete_dirs": delete_dirs,
-                "eq_deletes": eq_deletes,
-                "schema": head.get("schema"),
-                "field_ids": head.get("field_ids"),
-                "dir_field_ids": remap(head.get("dir_field_ids", {})),
-                "last_field_id": head.get("last_field_id"),
-                "file_stats": remap(head.get("file_stats", {})),
+            common = {
                 "txn": None,
                 "txn_watermarks": source._txn_watermarks(parent),
                 # audited quality contract travels with the publish...
@@ -1235,6 +1240,143 @@ class SnapshotTable:
                     },
                 },
                 "committed_at_ms": int(time.time() * 1000),
+            }
+            if not advanced:
+                return {
+                    "version": (parent or 0) + 1,
+                    "parent": parent,
+                    "mode": "publish_clone",
+                    "data_dirs": data_dirs,
+                    "declared_partition_by": head.get(
+                        "declared_partition_by"
+                    ),
+                    "partition_specs": remap(
+                        head.get("partition_specs", {})
+                    ),
+                    "partition_transforms": remap(
+                        head.get("partition_transforms", {})
+                    ),
+                    "dir_schemas": remap(head.get("dir_schemas", {})),
+                    "dir_files": remap(head.get("dir_files", {})),
+                    "delete_dirs": delete_dirs,
+                    "eq_deletes": eq_deletes,
+                    "schema": head.get("schema"),
+                    "field_ids": head.get("field_ids"),
+                    "dir_field_ids": remap(head.get("dir_field_ids", {})),
+                    "last_field_id": head.get("last_field_id"),
+                    "file_stats": remap(head.get("file_stats", {})),
+                    **common,
+                }
+            # ---- rebase: re-parent the clone's diff onto the new head
+            base = read_manifest(srcinfo["version"])
+            head_src = read_manifest(parent)
+            if json.dumps(head_src.get("schema"), sort_keys=True) != (
+                json.dumps(base.get("schema"), sort_keys=True)
+            ) or head_src.get("field_ids") != base.get("field_ids"):
+                raise CommitConflict(
+                    "publish rebase: source schema evolved since the "
+                    "clone — re-clone and replay"
+                )
+            base_dirs = list(base["data_dirs"])
+            head_dirs = list(head_src["data_dirs"])
+            clone_dirs = list(data_dirs)
+            base_set, head_set = set(base_dirs), set(head_dirs)
+            clone_set = set(clone_dirs)
+            base_df = base.get("dir_files", {})
+            clone_df = remap(head.get("dir_files", {}))
+            src_df = head_src.get("dir_files", {})
+            clone_removed = [d for d in base_dirs if d not in clone_set]
+            clone_added = [d for d in clone_dirs if d not in base_set]
+            clone_vis = {
+                d for d in base_dirs
+                if d in clone_set and clone_df.get(d) != base_df.get(d)
+            }
+            src_removed = [d for d in base_dirs if d not in head_set]
+            src_vis = {
+                d for d in base_dirs
+                if d in head_set and src_df.get(d) != base_df.get(d)
+            }
+            # each side's TOUCHED base dirs: removed, visibility moved,
+            # tombstoned, or equality-targeted
+            clone_touched = (
+                set(clone_removed)
+                | clone_vis
+                | (_owner_dirs(self.path, head.get("delete_dirs", []))
+                   & base_set)
+                | {
+                    d
+                    for e in eq_deletes
+                    for d in e.get("applies_dirs", [])
+                    if d in base_set
+                }
+            )
+            src_touched = (
+                set(src_removed)
+                | src_vis
+                | (_owner_dirs(src_root, head_src.get("delete_dirs", []))
+                   & base_set)
+                | {
+                    d
+                    for e in head_src.get("eq_deletes", [])
+                    for d in e.get("applies_dirs", [])
+                    if d in base_set
+                }
+            )
+            overlap = sorted(clone_touched & src_touched)
+            if overlap:
+                raise CommitConflict(
+                    f"publish rebase: the source and the clone both "
+                    f"changed {overlap} since v{srcinfo['version']} — "
+                    f"re-clone and replay"
+                )
+            clone_removed_set = set(clone_removed)
+            final_dirs = [
+                d for d in head_dirs if d not in clone_removed_set
+            ] + [
+                d for d in clone_dirs
+                if d not in base_set and d not in head_set
+            ]
+
+            def merged(key: str) -> dict:
+                return {
+                    **dict(head_src.get(key, {})),
+                    **remap(head.get(key, {})),
+                }
+
+            return {
+                "version": (parent or 0) + 1,
+                "parent": parent,
+                "mode": "publish_rebase",
+                "data_dirs": final_dirs,
+                "declared_partition_by": head.get("declared_partition_by"),
+                "partition_specs": merged("partition_specs"),
+                "partition_transforms": merged("partition_transforms"),
+                "dir_schemas": merged("dir_schemas"),
+                # visibility: the source head's view, overridden by the
+                # clone for the dirs the CLONE touched or added (the
+                # disjointness check above makes this well-defined)
+                "dir_files": {
+                    **dict(src_df),
+                    **{
+                        d: f for d, f in clone_df.items()
+                        if d in clone_vis or d not in base_set
+                    },
+                },
+                "delete_dirs": list(
+                    dict.fromkeys(
+                        list(head_src.get("delete_dirs", []))
+                        + list(delete_dirs)
+                    )
+                ),
+                "eq_deletes": (
+                    list(head_src.get("eq_deletes", [])) + list(eq_deletes)
+                ),
+                "schema": head.get("schema"),
+                "field_ids": head.get("field_ids"),
+                "dir_field_ids": merged("dir_field_ids"),
+                "last_field_id": head.get("last_field_id"),
+                "file_stats": merged("file_stats"),
+                **common,
             }
 
         self._carry_ledger_sidecars(self.properties(v), src_root)
