@@ -1296,11 +1296,13 @@ class SnapshotTable:
                 d for d in base_dirs
                 if d in head_set and src_df.get(d) != base_df.get(d)
             }
-            # each side's TOUCHED base dirs: removed, visibility moved,
-            # tombstoned, or equality-targeted
-            clone_touched = (
+            # HARD touches conflict at dir granularity: removals,
+            # tombstone targets, equality applies (their coordinates
+            # are not mergeable). Visibility shrinks are file-granular
+            # — two pruned CoW DMLs on DIFFERENT files of the same dir
+            # rebase by intersecting their survivor sets below.
+            clone_hard = (
                 set(clone_removed)
-                | clone_vis
                 | (_owner_dirs(self.path, head.get("delete_dirs", []))
                    & base_set)
                 | {
@@ -1310,9 +1312,8 @@ class SnapshotTable:
                     if d in base_set
                 }
             )
-            src_touched = (
+            src_hard = (
                 set(src_removed)
-                | src_vis
                 | (_owner_dirs(src_root, head_src.get("delete_dirs", []))
                    & base_set)
                 | {
@@ -1322,13 +1323,42 @@ class SnapshotTable:
                     if d in base_set
                 }
             )
-            overlap = sorted(clone_touched & src_touched)
+            overlap = sorted(
+                (clone_hard & (src_hard | src_vis))
+                | (src_hard & clone_vis)
+            )
             if overlap:
                 raise CommitConflict(
                     f"publish rebase: the source and the clone both "
                     f"changed {overlap} since v{srcinfo['version']} — "
                     f"re-clone and replay"
                 )
+            # file-level visibility merge for dirs BOTH sides shrank:
+            # each side's removed-file set (relative to the base's view)
+            # must be disjoint; the merged view removes both
+            vis_merge: dict[str, list[str]] = {}
+            for d in sorted(clone_vis & src_vis):
+                bvis = base_df.get(d)
+                if bvis is None:
+                    root_d = os.path.join(src_root, d)
+                    bvis = [
+                        os.path.relpath(os.path.join(dp, f), root_d)
+                        for dp, _dn, fs in os.walk(root_d)
+                        for f in fs
+                        if f.endswith(".parquet") and not f.startswith("_")
+                    ]
+                u = set(bvis)
+                cv, sv = clone_df.get(d), src_df.get(d)
+                c_rm = u - (u if cv is None else set(cv))
+                s_rm = u - (u if sv is None else set(sv))
+                clash = sorted(c_rm & s_rm)
+                if clash:
+                    raise CommitConflict(
+                        f"publish rebase: the source and the clone both "
+                        f"rewrote files of '{d}' ({clash[:3]}...) since "
+                        f"v{srcinfo['version']} — re-clone and replay"
+                    )
+                vis_merge[d] = sorted(u - c_rm - s_rm)
             clone_removed_set = set(clone_removed)
             final_dirs = [
                 d for d in head_dirs if d not in clone_removed_set
@@ -1353,14 +1383,16 @@ class SnapshotTable:
                 "partition_transforms": merged("partition_transforms"),
                 "dir_schemas": merged("dir_schemas"),
                 # visibility: the source head's view, overridden by the
-                # clone for the dirs the CLONE touched or added (the
-                # disjointness check above makes this well-defined)
+                # clone for the dirs only the CLONE touched (plus its
+                # new dirs), and by the file-level merge where BOTH
+                # sides shrank disjoint file sets
                 "dir_files": {
                     **dict(src_df),
                     **{
                         d: f for d, f in clone_df.items()
                         if d in clone_vis or d not in base_set
                     },
+                    **vis_merge,
                 },
                 "delete_dirs": list(
                     dict.fromkeys(

@@ -512,7 +512,7 @@ def test_wap_publish_rebase_refuses_overlapping_changes(
     clone.delete_where("k < 5")
     # the source rewrites the SAME base dir's files underneath
     t.delete_where("k >= 15")
-    with pytest.raises(CommitConflict, match="both\\s+changed"):
+    with pytest.raises(CommitConflict, match="both (changed|rewrote)"):
         clone.publish(require_source_unchanged=False)
     # the source is unharmed and still at ITS truth
     assert sorted(r["k"] for r in t.read().collect()) == list(range(15))
@@ -544,3 +544,26 @@ def test_wap_publish_rebase_with_source_mor_debt(spark, eng, tmp_path):
     new_v = clone.publish(require_source_unchanged=False)
     got = sorted(r["k"] for r in t.read(new_v).collect())
     assert got == [k for k in range(20) if k not in (3, 7)] + [500]
+
+
+def test_wap_publish_rebase_merges_file_disjoint_cow_deletes(
+    spark, eng, tmp_path
+):
+    """Visibility shrinks are FILE-granular in the rebase: two pruned
+    CoW deletes that rewrote DIFFERENT files of the same base dir merge
+    (survivor-set intersection); overlapping files still refuse."""
+    t = _mk(spark, tmp_path / "prod", n=20, n_files=2)  # k-clustered
+    clone = t.shallow_clone_to(str(tmp_path / "wap"))
+    # each side's bounds prune to ONE of the two clustered files
+    r = clone.delete_where(
+        "k BETWEEN 0 AND 4", prune_column="k", prune_lower=0, prune_upper=4
+    )
+    assert r["files_skipped"] >= 1  # clone touched only file 1
+    r = t.delete_where(
+        "k BETWEEN 15 AND 19", prune_column="k",
+        prune_lower=15, prune_upper=19,
+    )
+    assert r["files_skipped"] >= 1  # source touched only file 2
+    new_v = clone.publish(require_source_unchanged=False)
+    assert t._manifest(new_v)["mode"] == "publish_rebase"
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(5, 15))
