@@ -226,8 +226,15 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, layout, ops):
         prev_model, prev_version = dict(model), t.current_version()
         if op == "append":
             rows = [(200 + i * 7 + k, -1.0) for i, k in enumerate(arg)]
-            # model is a dict (keyed): make appended keys unique vs existing
-            rows = [(k, v) for k, v in rows if k not in model]
+            # model is a dict (keyed): make appended keys unique vs
+            # existing AND within the batch (i*7+k can collide)
+            seen_k = set(model)
+            uniq = []
+            for k, v in rows:
+                if k not in seen_k:
+                    seen_k.add(k)
+                    uniq.append((k, v))
+            rows = uniq
             if not rows:
                 continue
             t.commit(
@@ -293,3 +300,17 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, layout, ops):
         if prev_version is not None and op != "compact":
             old = {r.k: r.v for r in t.read(version=prev_version).collect()}
             assert old == prev_model, f"history corrupted by {op}"
+
+    # round 8: the CHANGE FEED over the WHOLE random history (append
+    # steps folded into one multi-path scan, DML/rollback steps on
+    # per-commit arms) must net-replay to exactly the final model —
+    # the multiset equation under differential fire
+    from collections import Counter
+
+    net: Counter = Counter()
+    for r in t.read_change_feed(0).collect():
+        net[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert all(c in (0, 1) for c in net.values()), net
+    assert {k: v for (k, v), c in net.items() if c == 1} == model
