@@ -3316,6 +3316,51 @@ class SnapshotTable:
             out = out.join(F.broadcast(keys), cond & app, "left_anti")
         return out
 
+    # past this many keys the IN-plan's O(keys x files) driver cost
+    # stops paying for itself; the arm falls back to the whole applies
+    # scan (executors filter either way — pruning is an optimization)
+    _EQ_ARM_PRUNE_MAX_KEYS = 256
+
+    def _eq_arm_selection(
+        self, manifest: dict, entry: dict
+    ) -> dict[str, list[str] | None]:
+        """The file selection for one equality-delete feed arm:
+        ``applies_dirs`` whole, everything else pruned — tightened by
+        the key column's stats/bloom plan for bounded single-column key
+        sets (key files are CDC-batch-sized by design; one pyarrow
+        column read at plan time)."""
+        applies = set(entry["applies_dirs"])
+        sel: dict[str, list[str] | None] = {
+            d: (None if d in applies else [])
+            for d in manifest["data_dirs"]
+        }
+        mv = manifest.get("version")
+        if len(entry["cols"]) != 1 or mv is None:
+            return sel
+        try:
+            import pyarrow.parquet as pq
+
+            kt = pq.read_table(
+                os.path.join(self.path, entry["dir"]),
+                columns=[entry["cols"][0]],
+            )
+            keys = [
+                k for k in kt.column(entry["cols"][0]).unique().to_pylist()
+                if k is not None
+            ]
+            if not keys or len(keys) > self._EQ_ARM_PRUNE_MAX_KEYS:
+                return sel
+            fids = manifest.get("field_ids") or {}
+            id2cur = {i: n for n, i in fids.items()}
+            cur_name = id2cur.get(entry["ids"][0], entry["cols"][0])
+            insel = self._plan_one({"col": cur_name, "in": keys}, mv)
+        except (OSError, ValueError, KeyError):
+            return sel  # pruning is best-effort; the scan stays sound
+        for d, files in insel.items():
+            if d in applies and files is not None:
+                sel[d] = files
+        return sel
+
     def _eq_matched_rows(
         self, manifest: dict, entry: dict, target: T.StructType,
         pre_state: bool,
@@ -3324,11 +3369,13 @@ class SnapshotTable:
         within its ``applies_dirs`` — the change-feed primitive. The scan
         applies the manifest's OWN delete state first (``pre_state``:
         position vectors and, for resurrection reads, the other remaining
-        equality deletes), so already-removed rows never re-enter."""
-        sel: dict[str, list[str] | None] = {
-            d: (None if d in set(entry["applies_dirs"]) else [])
-            for d in manifest["data_dirs"]
-        }
+        equality deletes), so already-removed rows never re-enter.
+        Single-column deletes prune the applies scan through the key
+        column's footer stats/blooms first (a file whose bounds exclude
+        every key provably contributes no matched row), so the arm's
+        cost tracks the files the keys can live in, not the applies
+        set."""
+        sel = self._eq_arm_selection(manifest, entry)
         scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
         if not scan:
             return self.spark.createDataFrame([], target)

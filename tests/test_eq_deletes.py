@@ -248,3 +248,34 @@ def test_max_eq_deletes_knob_and_sink_wiring(spark, tmp_path):
     got = t.read()
     assert got.count() == 48  # 50 - 3 deleted + 1 appended
     assert got.where("k IN (1,2,3)").count() == 0
+
+
+def test_eq_feed_arm_prunes_by_key_stats(spark, tbl):
+    """Round 8: the change feed's equality arm opens only the files the
+    key column's footer stats/blooms admit — a 10-file k-clustered
+    table with a 2-key delete scans ~2 files, not 10; the feed rows
+    stay exact."""
+    t = tbl
+    t.delete_where_eq("k", [7, 93])
+    m = t._manifest(t.current_version())
+    entry = m["eq_deletes"][0]
+    sel = t._eq_arm_selection(m, entry)
+    d = m["data_dirs"][0]
+    admitted = sel[d]
+    assert admitted is not None and 1 <= len(admitted) <= 3
+    # and the arm's OUTPUT is unchanged by the pruning
+    feed = t.read_change_feed(1)
+    dels = sorted(
+        r["k"] for r in feed.where("_change_type = 'delete'").collect()
+    )
+    assert dels == [7, 93]
+
+    # an oversized key set falls back to the whole applies scan
+    t2 = SnapshotTable(spark, str(t.path))
+    old = SnapshotTable._EQ_ARM_PRUNE_MAX_KEYS
+    try:
+        SnapshotTable._EQ_ARM_PRUNE_MAX_KEYS = 1
+        sel = t2._eq_arm_selection(m, entry)
+        assert sel[d] is None
+    finally:
+        SnapshotTable._EQ_ARM_PRUNE_MAX_KEYS = old
