@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from oss_data_lake_spark.operators import asof
 from oss_data_lake_spark.operators import dedup
 from oss_data_lake_spark.operators import lake
+from oss_data_lake_spark.operators import pipeline
 from oss_data_lake_spark.operators import relational as rel
 from oss_data_lake_spark.operators import relational_more as rel2
 from oss_data_lake_spark.operators import similarity as sim
@@ -132,10 +133,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
     fine_q: dict[str, QueryFn] = {
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
         **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES, **upsert.QUERIES,
+        **pipeline.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
         **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES, **upsert.ORACLES,
+        **pipeline.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -210,6 +213,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("cosine"), "v3": ("rank")},
              {"k1": _cw_sql("q_id", "c_id"), "v1": "approx_d2",
               "v2": "cosine", "v3": "rank"}),
+            # e15 (round 8): exact-substring duplicate pairs (the Lee
+            # et al. span-level complement to MinHash) — every pair's
+            # shared-window count rides the hash
+            ("e15", "e15_exact_substring_pairs",
+             {"k1": _cw("doc_a", "doc_b"), "v1": ("shared_windows")},
+             {"k1": _cw_sql("doc_a", "doc_b"), "v1": "shared_windows"}),
+            # e76 (round 8): concat-and-chunk sequence packing — every
+            # per-source block/boundary/waste stat rides the hash
+            ("e76", "e76_sequence_packing",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("total_tokens"),
+              "v3": ("n_blocks"), "v4": ("boundary_docs"),
+              "s1": _cw("tail_waste")},
+             {"k1": "source", "v1": "n_docs", "v2": "total_tokens",
+              "v3": "n_blocks", "v4": "boundary_docs",
+              "s1": _cw_sql("tail_waste")}),
         ],
         # ---- time-travel composite ----------------------------------
         # m02 (API time travel) and m03 (SQL-text time travel) verify the

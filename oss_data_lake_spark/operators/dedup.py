@@ -658,12 +658,61 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_WIN = 32  # exact-duplicate window width (chars)
+
+
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e15: exact-substring duplicate pairs — the exact-match
+    complement to MinHash (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 finds duplicated training
+    SPANS, not just near-identical whole documents): two documents pair
+    when they share at least one exact ``SUBSTR_WIN``-char window.
+
+    Production shape: each document explodes into its rolling windows
+    (pure Catalyst ``transform(sequence(...))`` — narrow, no shuffle),
+    distinct per doc, then ONE equi-join on the window value: Spark
+    hash-partitions the join key, so cost is O(matching windows), never
+    all-pairs. At cluster scale the join key becomes ``xxhash64(win)``
+    with an equality re-verify to halve shuffle width; df-capping (drop
+    windows appearing in >f·N docs, the e11 pattern) bounds boilerplate
+    hot keys. Reference anchor: the reference's pandas dedup is
+    whole-text ``drop_duplicates``; this is the span-level
+    generalization a pretraining corpus needs."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= SUBSTR_WIN
+    )
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SUBSTR_WIN - 1}),"
+                f" i -> substring(text, i, {SUBSTR_WIN}))"
+            )
+        ).alias("win"),
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "e10_exact_dedup_stats": exact_dedup_stats,
     "e11_minhash_lsh_pairs": minhash_lsh_query,
     "e12_ngram_jaccard_pairs": ngram_jaccard_query,
     "e13_simhash_pairs": simhash_query,
     "e14_neardup_clusters": neardup_clusters_query,
+    "e15_exact_substring_pairs": exact_substring_pairs,
 }
 
 def _jaccard_pairs_sql(df_cap_frac: float | None) -> str:
@@ -755,6 +804,23 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 ORACLES = {
+    "e15_exact_substring_pairs": f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {SUBSTR_WIN - 1})) AS i
+            FROM documents
+            WHERE length(text) >= {SUBSTR_WIN}
+        ), w AS (
+            SELECT DISTINCT doc_id,
+                   substr(text, CAST(i AS INT), {SUBSTR_WIN}) AS win
+            FROM pos
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_windows
+        FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY doc_a, doc_b
+    """,
     # valid because e11 exact-verifies candidates and LSH recall is 100% on
     # the fixed (seed, data) pair — see module docstring; pytest pins the
     # candidates ⊇ truth containment that makes this hold.

@@ -331,6 +331,73 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTX_TOKENS = 256  # training-example block length
+
+
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e76: concat-and-chunk SEQUENCE PACKING — the GPT-pretraining
+    dataloader shape: per SOURCE shard, documents in doc_id order form
+    one token stream cut into ``CTX_TOKENS``-token blocks; a document
+    occupies the blocks its [start, start+n) token interval covers.
+    Per-shard packing is the 100-TB design point: the running-total
+    window partitions by source, so ordering is SHARD-LOCAL — one
+    bounded shuffle, never a global sort; shards pack independently on
+    their executors exactly as a dataloader consumes them.
+
+    Reports per source: docs, tokens, blocks (integer ceil), documents
+    that CROSS a block boundary (the attention-mask-contamination
+    metric packing-aware trainers care about), and tail waste (unused
+    slots in the final block)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.withColumn(
+            "start", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+        )
+        .withColumn(
+            "crosses",
+            (
+                F.floor((F.col("start") + F.col("n_tok") - 1) / CTX_TOKENS)
+                > F.floor(F.col("start") / CTX_TOKENS)
+            ).cast("long"),
+        )
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("crosses").cast("long").alias("boundary_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                f"CAST((total_tokens + {CTX_TOKENS - 1}) DIV {CTX_TOKENS} "
+                f"AS BIGINT)"
+            ).alias("n_blocks"),
+            "boundary_docs",
+            F.expr(
+                f"CAST((total_tokens + {CTX_TOKENS - 1}) DIV {CTX_TOKENS} "
+                f"* {CTX_TOKENS} - total_tokens AS BIGINT)"
+            ).alias("tail_waste"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
@@ -338,6 +405,7 @@ QUERIES = {
     "e73_chunk_dedup_stats": chunk_dedup_stats,
     "e74_pii_redaction": pii_redaction_report,
     "e75_decontamination": decontamination_report,
+    "e76_sequence_packing": sequence_packing_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
@@ -350,6 +418,34 @@ _DECON_JOINS = " ".join(
 _DECON_CONCAT = " || ' ' || ".join(f"t{i}.w" for i in range(DECON_NGRAM))
 
 ORACLES = {
+    "e76_sequence_packing": f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_tok
+            FROM documents
+        ), placed AS (
+            SELECT source, doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start
+            FROM toks
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST((sum(n_tok) + {CTX_TOKENS - 1}) // {CTX_TOKENS}
+                   AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN (start + n_tok - 1) // {CTX_TOKENS}
+                             > start // {CTX_TOKENS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+               CAST((sum(n_tok) + {CTX_TOKENS - 1}) // {CTX_TOKENS}
+                   * {CTX_TOKENS} - sum(n_tok) AS BIGINT) AS tail_waste
+        FROM placed
+        GROUP BY source
+        ORDER BY source
+    """,
     "e75_decontamination": f"""
         WITH w AS (SELECT doc_id,
                           generate_subscripts(string_split(text, ' '), 1) AS pos,
