@@ -69,6 +69,7 @@ class IncrementalAggregate:
         group_by: list[str],
         measures: dict[str, str],
         distinct_measures: dict[str, str] | None = None,
+        nonnull_measures: dict[str, str] | None = None,
     ):
         """``distinct_measures`` maps output name → column for APPROXIMATE
         per-group distinct counts. Exact COUNT DISTINCT is famously not
@@ -87,9 +88,23 @@ class IncrementalAggregate:
         self.group_by = list(group_by)
         self.measures = dict(measures)
         self.distinct_measures = dict(distinct_measures or {})
-        overlap = set(self.measures) & set(self.distinct_measures)
-        if overlap:
-            raise ValueError(f"measure names collide: {sorted(overlap)}")
+        # per-group NON-NULL counts (output name → column): the AVG
+        # denominator — SQL AVG divides by count of non-NULL values,
+        # not by row count. Decomposable (counts add; retractions
+        # subtract only when the retracted row's value was non-null).
+        self.nonnull_measures = dict(nonnull_measures or {})
+        groups = [
+            set(self.measures),
+            set(self.distinct_measures),
+            set(self.nonnull_measures),
+        ]
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                overlap = groups[i] & groups[j]
+                if overlap:
+                    raise ValueError(
+                        f"measure names collide: {sorted(overlap)}"
+                    )
 
     @staticmethod
     def _sk(out: str) -> str:
@@ -112,6 +127,8 @@ class IncrementalAggregate:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for out, col in self.measures.items():
             aggs.append(dsum(col, out))
+        for out, col in self.nonnull_measures.items():
+            aggs.append(F.count(col).cast("long").alias(out))
         for out, col in self.distinct_measures.items():
             aggs.append(F.hll_sketch_agg(col).alias(self._sk(out)))
         return rows.groupBy(*self.group_by).agg(*aggs)
@@ -133,6 +150,14 @@ class IncrementalAggregate:
             aggs.append(
                 F.sum(F.when(w < 0, -d).otherwise(d))
                 .cast("double")
+                .alias(out)
+            )
+        for out, col in self.nonnull_measures.items():
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), w).otherwise(F.lit(0))
+                )
+                .cast("long")
                 .alias(out)
             )
         return feed.groupBy(*self.group_by).agg(*aggs)
@@ -245,7 +270,12 @@ class IncrementalAggregate:
         is not: repeated double additions could drift across MANY
         refreshes, so sums re-fold through decimal here too."""
         sk_cols = [self._sk(out) for out in self.distinct_measures]
-        val_cols = ["n_rows", *self.measures.keys(), *sk_cols]
+        val_cols = [
+            "n_rows",
+            *self.measures.keys(),
+            *self.nonnull_measures.keys(),
+            *sk_cols,
+        ]
         # group keys are renamed per side and joined NULL-SAFELY (<=>):
         # Spark's equality join never matches NULL keys, so a plain
         # full_outer on the key names would leave a NULL-keyed group's
@@ -278,6 +308,15 @@ class IncrementalAggregate:
                     + F.coalesce(F.col(f"__b_{m}").cast(dec), F.lit(0).cast(dec))
                 )
                 .cast("double")
+                .alias(m)
+            )
+        for m in self.nonnull_measures:
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"__a_{m}"), F.lit(0))
+                    + F.coalesce(F.col(f"__b_{m}"), F.lit(0))
+                )
+                .cast("long")
                 .alias(m)
             )
         for sk in sk_cols:

@@ -816,7 +816,7 @@ def _split_select_items(text: str) -> list[str]:
     return [x for x in items if x]
 
 
-def _parse_mv_select(select_text: str, tables) -> dict:
+def _parse_mv_select(select_text: str) -> dict:
     """The restricted MV grammar → an IncrementalAggregate definition +
     a presentation projection (state columns → the SELECT's shape)."""
     sm = _MV_SELECT_RE.match(select_text)
@@ -829,8 +829,26 @@ def _parse_mv_select(select_text: str, tables) -> dict:
     items_txt, src_name, gb_txt = sm.groups()
     group_by = [c.strip() for c in gb_txt.split(",")]
     measures: dict[str, str] = {}
+    nonnulls: dict[str, str] = {}
     distincts: dict[str, str] = {}
     pres: list[str] = []
+    seen_aliases: set[str] = set()
+
+    def check_alias(alias: str) -> str:
+        # aliases must not shadow the stored state's own columns
+        # (n_rows, __s_*/__c_* folds, __sk_* sketches) or repeat — a
+        # collision would only surface as an ambiguous-reference error
+        # at the first REFRESH, far from the CREATE that caused it
+        if alias == "n_rows" or alias.startswith("__"):
+            raise ValueError(
+                f"materialized-view alias {alias!r} collides with "
+                f"internal state columns (n_rows / __*)"
+            )
+        if alias in seen_aliases or alias in group_by:
+            raise ValueError(f"duplicate output column: {alias!r}")
+        seen_aliases.add(alias)
+        return alias
+
     for item in _split_select_items(items_txt):
         if re.fullmatch(r"[A-Za-z_]\w*", item):
             if item not in group_by:
@@ -842,24 +860,29 @@ def _parse_mv_select(select_text: str, tables) -> dict:
             continue
         m = _MV_COUNT_RE.match(item)
         if m:
-            pres.append(f"n_rows AS {m.group(1)}")
+            pres.append(f"n_rows AS {check_alias(m.group(1))}")
             continue
         m = _MV_SUM_RE.match(item)
         if m:
-            measures[m.group(2)] = m.group(1)
-            pres.append(m.group(2))
+            alias = check_alias(m.group(2))
+            measures[alias] = m.group(1)
+            pres.append(alias)
             continue
         m = _MV_AVG_RE.match(item)
         if m:
-            alias = m.group(2)
+            alias = check_alias(m.group(2))
+            # SQL AVG = sum / count of NON-NULL values (never row
+            # count); nullif keeps the all-NULL group NULL, not NaN
             measures[f"__s_{alias}"] = m.group(1)
+            nonnulls[f"__c_{alias}"] = m.group(1)
             pres.append(
-                f"__s_{alias} / CAST(n_rows AS DOUBLE) AS {alias}"
+                f"__s_{alias} / nullif(CAST(__c_{alias} AS DOUBLE), "
+                f"0.0) AS {alias}"
             )
             continue
         m = _MV_ACD_RE.match(item)
         if m:
-            alias = m.group(2)
+            alias = check_alias(m.group(2))
             distincts[alias] = m.group(1)
             pres.append(f"hll_sketch_estimate(__sk_{alias}) AS {alias}")
             continue
@@ -872,6 +895,7 @@ def _parse_mv_select(select_text: str, tables) -> dict:
         "source": src_name,
         "group_by": group_by,
         "measures": measures,
+        "nonnull_measures": nonnulls,
         "distinct_measures": distincts,
         "presentation": pres,
     }
@@ -1207,7 +1231,12 @@ def dispatch_statement(
         )
 
     m = _CREATE_MV_RE.match(text)
-    if m and engine is not None:
+    if m:
+        if engine is None:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW needs an Engine (managed "
+                "location + registration); use Engine.sql"
+            )
         from oss_data_lake_spark.operators.matview import (
             IncrementalAggregate,
         )
@@ -1217,7 +1246,7 @@ def dispatch_statement(
             raise ValueError(
                 f"snapshot table '{name}' already exists; DROP it first"
             )
-        d = _parse_mv_select(select_text, tables)
+        d = _parse_mv_select(select_text)
         src = _require(tables, d["source"], "CREATE MATERIALIZED VIEW")
         ia = IncrementalAggregate(
             src,
@@ -1225,6 +1254,7 @@ def dispatch_statement(
             d["group_by"],
             d["measures"],
             d["distinct_measures"] or None,
+            nonnull_measures=d["nonnull_measures"] or None,
         )
         info = ia.refresh()  # initial full materialization
         mvt = engine.register_snapshot_table(name, ia.mv.path)
@@ -1233,6 +1263,7 @@ def dispatch_statement(
                 "source_path": src.path,
                 "group_by": d["group_by"],
                 "measures": d["measures"],
+                "nonnull_measures": d["nonnull_measures"],
                 "distinct_measures": d["distinct_measures"],
             }),
             _MV_PRES_PROP: json.dumps(d["presentation"]),
@@ -1263,6 +1294,7 @@ def dispatch_statement(
             d["group_by"],
             d["measures"],
             d["distinct_measures"] or None,
+            nonnull_measures=d.get("nonnull_measures") or None,
         )
         info = ia.refresh()
         return spark.createDataFrame(
@@ -1271,7 +1303,11 @@ def dispatch_statement(
         )
 
     m = _DROP_MV_RE.match(text)
-    if m and engine is not None:
+    if m:
+        if engine is None:
+            raise ValueError(
+                "DROP MATERIALIZED VIEW needs an Engine; use Engine.sql"
+            )
         name = m.group(1)
         mvt = _require(tables, name, "DROP MATERIALIZED VIEW")
         if mvt.properties().get(_MV_DEF_PROP) is None:

@@ -146,7 +146,6 @@ def parse_partition_entry(entry: str) -> tuple[str, dict | None]:
     return pcol, {"kind": kind, "source": source, "param": param}
 
 
-_SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgtp]?i?b?)$")
 _SIZE_MULT = {
     "": 1, "b": 1,
     "k": 1024, "kb": 1024, "kib": 1024,
@@ -155,14 +154,21 @@ _SIZE_MULT = {
     "t": 1024**4, "tb": 1024**4, "tib": 1024**4,
     "p": 1024**5, "pb": 1024**5, "pib": 1024**5,
 }
+_SIZE_RE = re.compile(
+    r"^(-?\d+(?:\.\d+)?)\s*(" + "|".join(
+        re.escape(k) for k in _SIZE_MULT if k
+    ) + r")?$"
+)
 
 
 def _parse_size_bytes(s) -> int:
-    """A Spark size conf value ('10485760', '10MB', '-1') → bytes."""
+    """A Spark size conf value ('10485760', '10MB', '1.5g', '-1') →
+    bytes. Suffixes are exactly the ones the multiplier table knows, so
+    a regex hit can never miss the lookup."""
     m = _SIZE_RE.match(str(s).strip().lower())
     if not m:
         raise ValueError(f"unparseable size: {s!r}")
-    return int(m.group(1)) * _SIZE_MULT[m.group(2)]
+    return int(float(m.group(1)) * _SIZE_MULT[m.group(2) or ""])
 
 
 def _rename_spec_entry(entry: str, old: str, new: str) -> str:
@@ -492,6 +498,15 @@ class SnapshotTable:
                     ),
                     **(props_update or {}),
                 },
+                # table-level metadata that survives every commit kind:
+                # the DECLARED partition spec (ALTER ... PARTITION FIELD
+                # — a plain commit must not erase the layout future
+                # writes adopt) and ANALYZE statistics (stale-until-
+                # re-analyzed semantics, like any CBO stats)
+                "declared_partition_by": (
+                    pm.get("declared_partition_by") if pm else None
+                ),
+                "table_stats": pm.get("table_stats") if pm else None,
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -1286,7 +1301,6 @@ class SnapshotTable:
             clone_df = remap(head.get("dir_files", {}))
             src_df = head_src.get("dir_files", {})
             clone_removed = [d for d in base_dirs if d not in clone_set]
-            clone_added = [d for d in clone_dirs if d not in base_set]
             clone_vis = {
                 d for d in base_dirs
                 if d in clone_set and clone_df.get(d) != base_df.get(d)
@@ -1373,6 +1387,34 @@ class SnapshotTable:
                     **remap(head.get(key, {})),
                 }
 
+            # properties three-way merge: the source HEAD's values win
+            # (it may have advanced its COPY INTO ledger, tags, knobs
+            # since the clone) except where the CLONE changed a value
+            # relative to its base — the audited change being published
+            base_props = base.get("properties", {}) or {}
+            clone_props = {
+                k: x
+                for k, x in self.properties(v).items()
+                if not k.startswith("tag.")
+            }
+            merged_props = {
+                k: x
+                for k, x in parent_props.items()
+                if not k.startswith("tag.")
+            }
+            for k, x in clone_props.items():
+                if base_props.get(k) != x:
+                    merged_props[k] = x
+            for k in base_props:
+                if not k.startswith("tag.") and k not in clone_props:
+                    merged_props.pop(k, None)  # the clone unset it
+            merged_props.update(
+                {
+                    k: x
+                    for k, x in parent_props.items()
+                    if k.startswith("tag.")
+                }
+            )
             return {
                 "version": (parent or 0) + 1,
                 "parent": parent,
@@ -1400,8 +1442,16 @@ class SnapshotTable:
                         + list(delete_dirs)
                     )
                 ),
-                "eq_deletes": (
-                    list(head_src.get("eq_deletes", [])) + list(eq_deletes)
+                # deduped by key-file dir: base-inherited entries arrive
+                # from BOTH sides (the clone carries its base's state)
+                "eq_deletes": list(
+                    {
+                        e["dir"]: e
+                        for e in (
+                            list(head_src.get("eq_deletes", []))
+                            + list(eq_deletes)
+                        )
+                    }.values()
                 ),
                 "schema": head.get("schema"),
                 "field_ids": head.get("field_ids"),
@@ -1409,6 +1459,9 @@ class SnapshotTable:
                 "last_field_id": head.get("last_field_id"),
                 "file_stats": merged("file_stats"),
                 **common,
+                # after **common: the three-way merge REPLACES the
+                # strict path's clone-props-win rule on rebase
+                "properties": merged_props,
             }
 
         self._carry_ledger_sidecars(self.properties(v), src_root)
@@ -2140,11 +2193,14 @@ class SnapshotTable:
         st = self.table_stats(version)
         if not st:
             return df
-        thr = _parse_size_bytes(
-            self.spark.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        try:
+            thr = _parse_size_bytes(
+                self.spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
             )
-        )
+        except ValueError:
+            return df  # unparseable session conf: no hint, never raise
         if thr > 0 and st["size_bytes"] <= thr:
             return df.hint("broadcast")
         return df
@@ -3679,7 +3735,12 @@ class SnapshotTable:
         for v in range(from_version + 1, to_v + 1):
             cur_m = self._manifest(v)
             new_dirs = self._append_only_step(prev_m, cur_m)
-            if new_dirs is None:
+            if new_dirs is None or any(d in fold_sel for d in new_dirs):
+                # not foldable — or a dir RE-ENTERING visibility
+                # (rollback past its removal) that already has a folded
+                # arm at its first add: a second fold entry would
+                # overwrite the first and lose that insert event, so
+                # the whole step keeps per-commit arms
                 parts.extend(self._pair_changes(prev_m, cur_m, target, v))
             else:
                 for d in new_dirs:
@@ -4934,7 +4995,16 @@ def _coerce_key_value(v, dtype: T.DataType):
 
         return decimal.Decimal(str(v))
     if isinstance(dtype, T.BooleanType) and isinstance(v, str):
-        return v.strip().lower() in ("true", "t", "1", "yes")
+        s = v.strip().lower()
+        if s in ("true", "t", "1", "yes"):
+            return True
+        if s in ("false", "f", "0", "no"):
+            return False
+        # an unrecognized string must NOT silently become False (that
+        # would tombstone every flag=false row); raising routes the
+        # statement to the position-delete path, whose SQL cast
+        # semantics (NULL) match nothing
+        raise ValueError(f"not a boolean literal: {v!r}")
     return v
 
 

@@ -120,3 +120,27 @@ def test_post_analyze_mor_dimension_broadcasts_without_hint(
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_commit_carries_stats_and_size_parse_is_robust(spark, tmp_path):
+    """Round-8 review findings: a plain commit must not erase ANALYZE
+    stats (stale-until-re-analyzed semantics), and size-conf parsing
+    accepts fractional values and never KeyErrors."""
+    from oss_data_lake_spark.sources.snapshots import _parse_size_bytes
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(100).selectExpr("id AS k"))
+    t.analyze()
+    t.commit(spark.range(5).selectExpr("id + 100 AS k"), mode="append")
+    st = t.table_stats()
+    assert st is not None and st["analyzed_version"] == 1  # stale, kept
+
+    assert _parse_size_bytes("1.5g") == int(1.5 * 1024**3)
+    assert _parse_size_bytes("-1") == -1
+    assert _parse_size_bytes("10MB") == 10 * 1024**2
+    with pytest.raises(ValueError):
+        _parse_size_bytes("10ki")  # raises ValueError, never KeyError
+    # (read_hinted additionally guards with a no-hint fallback should a
+    # session conf ever reach it unparseable — Spark validates its own
+    # conf.set, so that path is not drivable end-to-end)
+    assert t.read_hinted().count() == 105

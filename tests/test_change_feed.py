@@ -351,3 +351,25 @@ def test_feed_fold_respects_partitioned_dirs(spark, tmp_path):
     assert sorted({r["_commit_version"] for r in rows}) == list(range(1, 13))
     assert all(r["_commit_version"] == r["k"] // 2 + 1 for r in rows)
     _check_feed(t, 0, 12)
+
+
+def test_feed_fold_handles_dir_readded_by_rollback(spark, tmp_path):
+    """Round-8 review finding: a dir re-entering visibility (rollback
+    past its removal) must NOT overwrite its earlier folded insert arm —
+    the step keeps per-commit arms and every event survives."""
+    t = SnapshotTable(spark, str(tmp_path / "readd"))
+    t.commit(spark.createDataFrame([Row(k=1)]), mode="append")     # v1: A
+    t.commit(spark.createDataFrame([Row(k=2)]), mode="append")     # v2: B
+    t.rollback(1)                                                  # v3: B out
+    t.rollback(2)                                                  # v4: B back
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in t.read_change_feed(0, 4).collect()
+    )
+    assert rows == [
+        (1, "insert", 1),
+        (2, "delete", 3),
+        (2, "insert", 2),
+        (2, "insert", 4),
+    ]
+    _check_feed(t, 0, 4)

@@ -567,3 +567,32 @@ def test_wap_publish_rebase_merges_file_disjoint_cow_deletes(
     new_v = clone.publish(require_source_unchanged=False)
     assert t._manifest(new_v)["mode"] == "publish_rebase"
     assert sorted(r["k"] for r in t.read().collect()) == list(range(5, 15))
+
+
+def test_rebase_preserves_source_side_property_updates(
+    spark, eng, tmp_path
+):
+    """Round-8 review finding: a rebase must keep the SOURCE head's
+    property changes (e.g. its COPY INTO ledger advanced after the
+    clone) unless the clone itself changed that property — otherwise
+    the next COPY INTO re-ingests and duplicates rows."""
+    t = _mk(spark, tmp_path / "prod", n=10, n_files=1)
+    clone = t.shallow_clone_to(str(tmp_path / "wap"))
+    # source ingests AFTER the clone (new dir + ledger property)
+    land = tmp_path / "landing"
+    spark.createDataFrame([Row(k=700, v=7.0, g="z")]).coalesce(1).write.parquet(
+        str(land / "b1")
+    )
+    assert t.copy_into(str(land))["files_loaded"] == 1
+    # clone's audited, disjoint change
+    clone.commit(
+        spark.createDataFrame([Row(k=800, v=8.0, g="w")]), mode="append"
+    )
+    new_v = clone.publish(require_source_unchanged=False)
+    assert t._manifest(new_v)["mode"] == "publish_rebase"
+    assert sorted(r["k"] for r in t.read().collect()) == (
+        list(range(10)) + [700, 800]
+    )
+    # the ledger survived the rebase: re-ingest is a no-op
+    assert t.copy_into(str(land))["files_loaded"] == 0
+    assert t.read().count() == 12

@@ -144,3 +144,78 @@ def test_mv_definition_survives_reregistration(spark, base, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_mv_avg_matches_sql_semantics_with_nulls(spark, tmp_path):
+    """Round-8 review finding: AVG divides by the count of NON-NULL
+    values; an MV over a nullable measure must match the recompute
+    through appends and retractions."""
+    t = SnapshotTable(spark, str(tmp_path / "facts"))
+    t.commit(
+        spark.createDataFrame(
+            [
+                Row(sym="a", qty=10.0, k=0),
+                Row(sym="a", qty=None, k=1),
+                Row(sym="b", qty=None, k=2),
+                Row(sym="b", qty=None, k=3),
+            ],
+            "sym string, qty double, k long",
+        ),
+        stats_for=["k"],
+    )
+    eng = Engine(spark=spark)
+    eng._warehouse_dir = str(tmp_path / "wh")
+    eng._snapshot_tables["facts"] = t
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT sym, AVG(qty) AS a, "
+        "COUNT(*) AS n FROM facts GROUP BY sym"
+    )
+
+    def both():
+        got = {
+            r["sym"]: (r["a"], r["n"])
+            for r in eng.sql("SELECT * FROM mv").collect()
+        }
+        want = {
+            r["sym"]: (r["a"], r["n"])
+            for r in eng.sql(
+                "SELECT sym, AVG(qty) AS a, COUNT(*) AS n FROM facts "
+                "GROUP BY sym"
+            ).collect()
+        }
+        return got, want
+
+    got, want = both()
+    assert got == want and got["a"] == (10.0, 2) and got["b"][0] is None
+
+    eng.sql("INSERT INTO facts VALUES ('a', 30.0, 4), ('b', 6.0, 5)")
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    got, want = both()
+    assert got == want and got["a"] == (20.0, 3)
+
+    # retraction wave: delete the only non-null 'a' rows
+    eng.sql("DELETE FROM facts WHERE k IN (0, 4)")
+    row = eng.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert row["mode"] == "retract"
+    got, want = both()
+    assert got == want and got["a"][0] is None
+    eng.sql("DROP MATERIALIZED VIEW mv")
+
+
+def test_mv_rejects_internal_alias_collisions(spark, base):
+    t, eng = base
+    with pytest.raises(ValueError, match="collides with"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT sym, "
+            "SUM(qty) AS n_rows FROM facts GROUP BY sym"
+        )
+    with pytest.raises(ValueError, match="collides with"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT sym, "
+            "SUM(qty) AS __s_x FROM facts GROUP BY sym"
+        )
+    with pytest.raises(ValueError, match="duplicate output"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT sym, "
+            "SUM(qty) AS x, COUNT(*) AS x FROM facts GROUP BY sym"
+        )

@@ -162,3 +162,25 @@ def test_declared_spec_travels_with_clone(spark, evolved, tmp_path):
     eng.sql("ALTER TABLE t ADD PARTITION FIELD days(ts)")
     clone = t.shallow_clone_to(str(tmp_path / "c"))
     assert clone.current_partition_by() == ["cat", "days(ts)"]
+
+
+def test_plain_commit_preserves_declared_spec(spark, evolved):
+    """Round-8 review finding: a direct t.commit()/compact() must not
+    erase the ALTER-declared spec (commit() now carries it like
+    properties)."""
+    t, eng = evolved
+    eng.sql("ALTER TABLE t ADD PARTITION FIELD days(ts)")
+    declared = ["cat", "days(ts)"]
+    assert t.current_partition_by() == declared
+    # a plain unpartitioned append does NOT erase the declaration
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=900, v=9.0, cat="odd",
+                 ts=__import__("datetime").datetime(2024, 7, 1))]
+        ),
+        mode="append",
+    )
+    assert t.current_partition_by() == declared
+    # neither does a compaction
+    t.compact(target_partitions=1)
+    assert t.current_partition_by() == declared

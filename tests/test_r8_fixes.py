@@ -191,3 +191,28 @@ def test_time_transform_rejects_non_temporal_source(spark, tmp_path):
     )
     v = t.commit(df2, partition_by=["days(ts)"])
     assert v == 1
+
+
+def test_bool_literal_delete_never_coerces_garbage_to_false(
+    spark, tmp_path
+):
+    """Round-8 review finding: DELETE ... WHERE flag = 'oops' must NOT
+    silently tombstone every flag=false row — the unconvertible literal
+    routes to the position-delete path (SQL cast semantics: NULL
+    matches nothing)."""
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, flag=(i % 2 == 0)) for i in range(10)]
+        )
+    )
+    t.set_properties({"delete.mode": "merge-on-read"})
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["b"] = t
+    res = eng.sql("DELETE FROM b WHERE flag = 'oops'").collect()[0]
+    assert res["mode"] == "merge-on-read"  # position path, not eq
+    assert t.read().count() == 10          # and nothing matched
+    # real boolean strings still take the scan-free route
+    res = eng.sql("DELETE FROM b WHERE flag = 'true'").collect()[0]
+    assert res["mode"] == "equality-delete"
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 5, 7, 9]
