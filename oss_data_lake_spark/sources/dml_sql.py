@@ -1651,12 +1651,19 @@ def dispatch_statement(
                     # outstanding tombstone dirs + equality deletes
                     len(manifest.get("delete_dirs", [])),
                     len(manifest.get("eq_deletes", [])),
+                    # the spec future writes adopt (declared via
+                    # partition-spec evolution, else latest-dir sticky)
+                    ", ".join(t.current_partition_by(v)) or None,
+                    # ANALYZE stats (None until ANALYZE TABLE runs)
+                    (manifest.get("table_stats") or {}).get("row_count"),
+                    (manifest.get("table_stats") or {}).get("size_bytes"),
                 )
             ],
             "version long, n_data_dirs long, n_files long, "
             "n_visible_files long, columns string, constraints string, "
             "stats_columns array<string>, n_delete_vector_dirs long, "
-            "n_eq_deletes long",
+            "n_eq_deletes long, partition_by string, "
+            "stats_row_count long, stats_size_bytes long",
         )
 
     m = _FILES_RE.match(text)

@@ -699,3 +699,27 @@ def test_by_source_merge_reports_real_file_counts(spark, eng):
     """).collect()[0]
     assert res["files_rewritten"] == 10  # the whole 10-file table
     assert eng.sql("SELECT count(*) AS c FROM t").collect()[0]["c"] == 10
+
+
+def test_describe_detail_shows_spec_and_stats(spark, eng, tmp_path):
+    """Round 8: DESCRIBE DETAIL surfaces the declared/sticky partition
+    spec and ANALYZE statistics."""
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dd"))
+    t.commit(
+        spark.range(50).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v",
+            "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS g",
+        ),
+        partition_by=["g"],
+    )
+    eng._snapshot_tables["dd"] = t
+    d = eng.sql("DESCRIBE DETAIL dd").collect()[0]
+    assert d["partition_by"] == "g"
+    assert d["stats_row_count"] is None  # no ANALYZE yet
+    eng.sql("ALTER TABLE dd ADD PARTITION FIELD bucket(4, k)")
+    eng.sql("ANALYZE TABLE dd COMPUTE STATISTICS")
+    d = eng.sql("DESCRIBE DETAIL dd").collect()[0]
+    assert d["partition_by"] == "g, bucket(4, k)"
+    assert d["stats_row_count"] == 50 and d["stats_size_bytes"] > 0
