@@ -241,28 +241,55 @@ def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
     )
 
 
+# multi-conjunct probes expand IN lists as a cross product; past this
+# many key tuples the position-delete scan is the better plan anyway
+_EQ_PROBE_MAX_ROWS = 1000
+
+
 def eq_delete_probe(cond: str, table_cols: set[str]):
-    """If the DELETE condition is EXACTLY one conjunct of the form
-    ``col = lit`` or ``col IN (lits)`` on a table column, return
-    ``(col, [values])`` — the shape an EQUALITY delete can take without
-    any scan. Anything else returns None (the position-delete path)."""
+    """If the DELETE condition is a conjunction of ``col = lit`` /
+    ``col IN (lits)`` terms on DISTINCT table columns, return
+    ``(cols, [key_tuples])`` — the shape an EQUALITY delete can take
+    without any scan (multi-conjunct forms become one composite-key
+    delete; IN lists cross-product, bounded). Anything else returns
+    None (the position-delete path)."""
+    import itertools
+
     masked = _masked(cond)
     if _BLOCKER_RE.search(masked):
         return None
     depths = _depths(masked)
     spans = _conjunct_spans(masked, depths, 0, len(cond), 0)
-    if len(spans) != 1:
+    if not spans:
         return None
-    conj = cond[spans[0][0]: spans[0][1]].strip().rstrip(";").strip()
-    m = _CMP_RE.fullmatch(conj)
-    if m and m.group(2) == "=" and m.group(1) in table_cols:
-        return m.group(1), [_parse_sql_literal(m.group(3))]
-    m = _IN_RE.fullmatch(conj)
-    if m and m.group(1) in table_cols:
-        vals = [_parse_sql_literal(t) for t in _ANY_LIT_RE.findall(m.group(2))]
-        if vals:
-            return m.group(1), vals
-    return None
+    cols: list[str] = []
+    per_col_vals: list[list] = []
+    for lo, hi in spans:
+        conj = cond[lo:hi].strip().rstrip(";").strip()
+        m = _CMP_RE.fullmatch(conj)
+        if m and m.group(2) == "=" and m.group(1) in table_cols:
+            col, vals = m.group(1), [_parse_sql_literal(m.group(3))]
+        else:
+            m = _IN_RE.fullmatch(conj)
+            if not (m and m.group(1) in table_cols):
+                return None
+            col = m.group(1)
+            vals = [
+                _parse_sql_literal(t)
+                for t in _ANY_LIT_RE.findall(m.group(2))
+            ]
+            if not vals:
+                return None
+        if col in cols:
+            return None  # a = 1 AND a = 2 — let the scan decide
+        cols.append(col)
+        per_col_vals.append(vals)
+    n_rows = 1
+    for vs in per_col_vals:
+        n_rows *= len(vs)
+    if n_rows > _EQ_PROBE_MAX_ROWS:
+        return None
+    return cols, [tuple(t) for t in itertools.product(*per_col_vals)]
 
 
 def split_statements(script: str) -> list[str]:
@@ -1366,21 +1393,25 @@ def dispatch_statement(
             )
             if probe is not None:
                 # parsed literals are raw Python str/int/float; coerce
-                # to the column's declared type (TIMESTAMP '...' / DATE
-                # '...' / numeric-vs-double). A literal that cannot be
-                # coerced takes the position-delete path instead of
-                # tripping Spark's type verifier.
-                col, vals = probe
+                # to each column's declared type (TIMESTAMP '...' /
+                # DATE '...' / numeric-vs-double). A literal that
+                # cannot be coerced takes the position-delete path
+                # instead of tripping Spark's type verifier.
+                cols, rows = probe
                 ftypes = {f.name: f.dataType for f in schema.fields}
                 try:
-                    vals = [
-                        _coerce_key_value(v, ftypes[col]) for v in vals
+                    rows = [
+                        tuple(
+                            _coerce_key_value(v, ftypes[c])
+                            for v, c in zip(r, cols)
+                        )
+                        for r in rows
                     ]
                 except (TypeError, ValueError):
                     probe = None
             if probe is not None:
                 # scan-free keyed delete: just the key tuples land
-                info = t.delete_where_eq(col, vals)
+                info = t.delete_where_eq(cols, rows)
                 return spark.createDataFrame(
                     [(info["version"], info["n_keys"], info["mode"])],
                     "version long, n_keys long, mode string",

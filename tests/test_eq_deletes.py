@@ -279,3 +279,46 @@ def test_eq_feed_arm_prunes_by_key_stats(spark, tbl):
         assert sel[d] is None
     finally:
         SnapshotTable._EQ_ARM_PRUNE_MAX_KEYS = old
+
+
+def test_sql_multi_conjunct_delete_routes_scan_free(spark, tmp_path):
+    """Round 8: a conjunction of col = lit / col IN (...) terms on
+    distinct columns routes as ONE composite-key equality delete
+    (IN lists cross-product); non-eq conjuncts keep the scan path."""
+    from oss_data_lake_spark.engine import Engine
+
+    t = SnapshotTable(spark, str(tmp_path / "mc"))
+    t.commit(
+        spark.createDataFrame(
+            [
+                Row(k=i, g="a" if i % 2 == 0 else "b", v=float(i))
+                for i in range(20)
+            ]
+        ),
+        stats_for=["k"],
+    )
+    t.set_properties({"delete.mode": "merge-on-read"})
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["mc"] = t
+
+    res = eng.sql("DELETE FROM mc WHERE k = 4 AND g = 'a'").collect()[0]
+    assert res["mode"] == "equality-delete" and res["n_keys"] == 1
+    assert t.read().where("k = 4").count() == 0
+
+    # IN x eq cross product: (6,'a'), (8,'a') match; (7,'a') no row
+    res = eng.sql(
+        "DELETE FROM mc WHERE k IN (6, 7, 8) AND g = 'a'"
+    ).collect()[0]
+    assert res["mode"] == "equality-delete" and res["n_keys"] == 3
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        set(range(20)) - {4, 6, 8}
+    )
+    # rows with g='b' at those keys were never touched
+    assert t.read().where("k = 7").count() == 1
+
+    # a range conjunct keeps the position path
+    res = eng.sql(
+        "DELETE FROM mc WHERE g = 'b' AND k < 3"
+    ).collect()[0]
+    assert res["mode"] == "merge-on-read"
+    assert t.read().where("k = 1").count() == 0
