@@ -169,7 +169,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
@@ -1620,7 +1621,7 @@ def dispatch_statement(
     m = _VACUUM_RE.match(text)
     if m:
         t = _require(tables, m.group(1), "VACUUM")
-        removed = t.vacuum()
+        removed = t.vacuum(dry_run=bool(m.group(2)))
         return spark.createDataFrame(
             [(d,) for d in removed] or [], "removed_dir string"
         )

@@ -4670,7 +4670,7 @@ class SnapshotTable:
         self.vacuum()
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, dry_run: bool = False) -> list[str]:
         """Reclaim storage unreachable from ANY live snapshot:
 
         1. whole data DIRECTORIES no manifest references (crash
@@ -4685,7 +4685,9 @@ class SnapshotTable:
         Never touches a file any live snapshot can read, and never a
         file OUTSIDE this table's root (a shallow clone's external
         source references are the source table's to manage). Returns
-        the removed rel paths (dirs and files)."""
+        the removed rel paths (dirs and files). ``dry_run=True``
+        (Delta's ``VACUUM ... DRY RUN``) returns what WOULD be removed
+        without touching anything."""
         import shutil
 
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
@@ -4703,7 +4705,8 @@ class SnapshotTable:
             for name in os.listdir(data_root):
                 rel = f"data/{name}"
                 if rel not in referenced:
-                    shutil.rmtree(os.path.join(data_root, name))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(data_root, name))
                     removed.append(rel)
         # merge-on-read tombstone dirs unreferenced by any live snapshot
         dv_referenced = {
@@ -4716,7 +4719,8 @@ class SnapshotTable:
             for name in os.listdir(dv_root):
                 rel = f"deletes/{name}"
                 if rel not in dv_referenced:
-                    shutil.rmtree(os.path.join(dv_root, name))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(dv_root, name))
                     removed.append(rel)
         # COPY INTO ledger sidecars no live manifest's property references
         # (superseded spills, crash leftovers)
@@ -4733,7 +4737,8 @@ class SnapshotTable:
             for name in os.listdir(led_root):
                 rel = f"ledgers/{name}"
                 if rel not in led_referenced:
-                    os.remove(os.path.join(led_root, name))
+                    if not dry_run:
+                        os.remove(os.path.join(led_root, name))
                     removed.append(rel)
         for d in sorted(referenced):
             live: set[str] = set()
@@ -4752,7 +4757,8 @@ class SnapshotTable:
             for p in list(_iter_parquet_files(root)):
                 rel_f = os.path.relpath(p, root)
                 if rel_f not in live:
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                     removed.append(f"{d}/{rel_f}")
         return removed
 

@@ -723,3 +723,29 @@ def test_describe_detail_shows_spec_and_stats(spark, eng, tmp_path):
     d = eng.sql("DESCRIBE DETAIL dd").collect()[0]
     assert d["partition_by"] == "g, bucket(4, k)"
     assert d["stats_row_count"] == 50 and d["stats_size_bytes"] > 0
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, eng, tmp_path):
+    """Round 8: VACUUM t DRY RUN (Delta parity) reports what would be
+    reclaimed and touches nothing; the real VACUUM then removes it."""
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "vd"))
+    t.commit_clustered(
+        spark.range(40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        cluster_by="k", n_files=4, stats_for=["k"],
+    )
+    t.delete_where(
+        "k < 10", prune_column="k", prune_lower=0, prune_upper=9,
+        stats_for=["k"],
+    )
+    t.expire_snapshots(keep_last=1)  # vacuums dirs, but dead FILES may remain
+    eng._snapshot_tables["vd"] = t
+    would = sorted(r["removed_dir"] for r in eng.sql("VACUUM vd DRY RUN").collect())
+    # nothing actually removed: a second dry run sees the same set
+    again = sorted(r["removed_dir"] for r in eng.sql("VACUUM vd DRY RUN").collect())
+    assert would == again
+    did = sorted(r["removed_dir"] for r in eng.sql("VACUUM vd").collect())
+    assert did == would
+    assert eng.sql("VACUUM vd").count() == 0  # now clean
+    assert t.read().count() == 30
