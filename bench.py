@@ -91,6 +91,12 @@ HEADLINE = [
     # near-dup detection and a data release.
     "e14_neardup_clusters",
     "e75_decontamination",
+    # round 8: sequence packing (the concat-and-chunk dataloader stats —
+    # one shard-local running-total window, no global sort). Its sibling
+    # e15 (exact-substring pairs) stays out of the headline: a 2.5M-row
+    # window self-join at sf0.1 would add ~half the current total for a
+    # fine-grained-only operator; it is oracle-verified via e90.
+    "e76_sequence_packing",
 ]
 
 
