@@ -170,12 +170,30 @@ def _build_source_class():
             start_version: int,
             skip_change_commits: bool = False,
             change_feed: bool = False,
+            max_versions_per_trigger: int | None = None,
+            max_files_per_trigger: int | None = None,
         ):
             self.path = path.rstrip("/")
             self.meta = os.path.join(self.path, "_snapshots")
             self.start_version = start_version
             self.skip_change_commits = skip_change_commits
             self.change_feed = change_feed
+            # Delta's maxFilesPerTrigger-family admission control. The
+            # Python DataSource API's latestOffset takes no start/limit
+            # (and the engine may call it before initialOffset), so the
+            # budget applies relative to the best-known progress:
+            # start_version at construction, then every partitions()/
+            # commit() call advances it. A RESTARTED query's checkpoint
+            # can sit above that guess; the engine then plans one batch
+            # whose end < start — partitions() returns nothing for it,
+            # records the true position as a FLOOR, and the next batch
+            # clamps to it, so no version ever replays (pinned). A
+            # genuine failure-replay of an uncommitted batch has
+            # end > start and never sets the floor.
+            self.max_versions_per_trigger = max_versions_per_trigger
+            self.max_files_per_trigger = max_files_per_trigger
+            self._baseline: int = start_version
+            self._floor: int | None = None
 
         # -------------------------------------------------------- meta
         def _current(self) -> int:
@@ -197,11 +215,48 @@ def _build_source_class():
         def initialOffset(self) -> dict:
             return {"version": self.start_version}
 
+        def _new_file_count(self, prev: dict, cur: dict) -> int:
+            """Files a commit step added (metadata-scale: listings of
+            the NEW dirs only) — the admission-control unit."""
+            prev_dirs = set(prev.get("data_dirs", []))
+            return sum(
+                len(self._rel_files(cur, d))
+                for d in cur.get("data_dirs", [])
+                if d not in prev_dirs
+            )
+
         def latestOffset(self) -> dict:
-            return {"version": max(self._current(), self.start_version)}
+            cur = max(self._current(), self.start_version)
+            base = self._baseline
+            if cur <= base:
+                return {"version": cur}
+            hi = cur
+            if self.max_versions_per_trigger is not None:
+                hi = min(hi, base + max(self.max_versions_per_trigger, 1))
+            if self.max_files_per_trigger is not None:
+                budget = max(self.max_files_per_trigger, 1)
+                taken = 0
+                prev = (
+                    self._manifest(base) if base > 0 else {"data_dirs": []}
+                )
+                capped = base
+                for v in range(base + 1, hi + 1):
+                    m = self._manifest(v)
+                    taken += self._new_file_count(prev, m)
+                    prev = m
+                    capped = v
+                    # always admit >= 1 version, then stop at budget
+                    if taken >= budget:
+                        break
+                hi = capped
+            return {"version": hi}
 
         def commit(self, end: dict) -> None:
-            pass  # sink checkpoint owns progress; manifests are immutable
+            # sink checkpoint owns durable progress; the reader only
+            # learns its admission-control baseline from it
+            v = end.get("version") if isinstance(end, dict) else None
+            if v is not None:
+                self._baseline = max(self._baseline, int(v))
 
         # -------------------------------------------------- partitions
         def _classify(self, prev: dict, cur: dict) -> str:
@@ -467,6 +522,16 @@ def _build_source_class():
 
         def partitions(self, start: dict, end: dict):
             sv, ev = start["version"], end["version"]
+            if ev < sv:
+                # a restored checkpoint above our capped offer: record
+                # the true position — later batches clamp to it so the
+                # range below never replays
+                self._floor = max(self._floor or 0, sv)
+            if self._floor is not None:
+                sv = max(sv, self._floor)
+            # the engine's planned range reveals its progress: the
+            # admission baseline advances even before commit() fires
+            self._baseline = max(self._baseline, sv, ev)
             if ev <= sv:
                 return []
             head = self._manifest(ev)
@@ -645,6 +710,14 @@ def _build_source_class():
         merge-on-read deletes) instead of erroring, Delta's
         ``skipChangeCommits`` semantics: the change commit contributes
         NOTHING to the stream, including any files it added.
+        ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` (ints ≥ 1)
+        — Delta's admission control: each micro-batch advances at most
+        that many versions / admits versions until that many NEW files
+        accumulate (always ≥ 1 version per batch, so progress never
+        stalls). The cap is relative to the engine's known progress;
+        the first batch after a checkpoint restart is uncapped (a
+        capped guess below the restored offset would plan a replaying
+        batch under the API's equality-compared offsets).
         ``changeFeed`` ('true'/'false', default false) — Delta's
         streaming ``readChangeFeed``: every commit kind becomes a typed
         micro-batch of (table columns, ``_change_type`` insert/delete,
@@ -720,11 +793,22 @@ def _build_source_class():
                         continue  # expired
                     if m.get("committed_at_ms", 0) < ms:
                         start = v
+            def _int_opt(name: str) -> int | None:
+                raw = self.options.get(name)
+                if raw is None:
+                    return None
+                n = int(raw)
+                if n < 1:
+                    raise ValueError(f"{name} must be >= 1, got {raw!r}")
+                return n
+
             return _SnapshotStreamReader(
                 self.options["path"],
                 start,
                 self._flag("skipChangeCommits"),
                 self._flag("changeFeed"),
+                max_versions_per_trigger=_int_opt("maxVersionsPerTrigger"),
+                max_files_per_trigger=_int_opt("maxFilesPerTrigger"),
             )
 
     return SnapshotStreamSource

@@ -543,3 +543,119 @@ def test_large_tombstone_wave_plans_by_reference(registered, spark, tmp_path):
         for i in range(n)
         if i % 2 == 1 and not (i % 7 == 1) and i % 7 != 3
     }
+
+
+def _drain_paced(spark, path: str, ck: str, n_rows: int, **opts):
+    """Drain with a PROCESSING-TIME trigger until n_rows arrive (the
+    availableNow wrapper snapshots latestOffset once, so admission
+    control paces only polling triggers) and return the non-empty
+    batches."""
+    import time as _time
+
+    batches: list[list[tuple]] = []
+
+    def sink(batch, _bid):
+        rows = [tuple(r) for r in batch.collect()]
+        if rows:
+            batches.append(rows)
+
+    reader = spark.readStream.format(FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if sum(len(b) for b in batches) >= n_rows:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert sum(len(b) for b in batches) == n_rows, batches
+    return batches
+
+
+def test_max_versions_per_trigger_paces_batches(registered, spark, tmp_path):
+    """Round 8 (Delta admission-control parity): maxVersionsPerTrigger
+    splits a 6-commit backlog into paced micro-batches; the union is
+    exactly-once identical to the unpaced drain."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for w in range(6):
+        t.commit(
+            spark.createDataFrame([Row(k=w * 10 + j) for j in range(3)]),
+            mode="append",
+        )
+    batches = _drain_paced(
+        spark, t.path, str(tmp_path / "ck"), 18,
+        maxVersionsPerTrigger="2",
+    )
+    assert len(batches) == 3  # 6 versions / 2 per trigger
+    assert all(len(b) == 6 for b in batches)  # 2 commits x 3 rows
+    flat = sorted(r for b in batches for r in b)
+    assert flat == sorted((w * 10 + j,) for w in range(6) for j in range(3))
+
+
+def test_max_files_per_trigger_paces_by_file_count(
+    registered, spark, tmp_path
+):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # commits with 1, 3, 1, 1 files
+    for w, nf in enumerate((1, 3, 1, 1)):
+        t.commit(
+            spark.createDataFrame(
+                [Row(k=w * 10 + j) for j in range(nf)]
+            ).repartition(nf),
+            mode="append",
+        )
+    batches = _drain_paced(
+        spark, t.path, str(tmp_path / "ck"), 6, maxFilesPerTrigger="2"
+    )
+    # v1 (1 file) + v2 (3 files) crosses the budget -> batch 1 = v1+v2;
+    # then v3+v4 (2 files) = batch 2
+    assert len(batches) == 2
+    assert sorted(len(b) for b in batches) == [2, 4]
+
+
+def test_paced_stream_resumes_from_checkpoint(registered, spark, tmp_path):
+    """A paced stream's checkpoint restart replays nothing; the first
+    post-restart batch is the documented uncapped catch-up."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+    for w in range(4):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    first = _drain_paced(spark, t.path, ck, 4, maxVersionsPerTrigger="1")
+    assert len(first) == 4
+    assert sorted(r for b in first for r in b) == [(0,), (1,), (2,), (3,)]
+    for w in range(4, 7):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    second = _drain_paced(spark, t.path, ck, 3, maxVersionsPerTrigger="1")
+    flat = sorted(r for b in second for r in b)
+    assert flat == [(4,), (5,), (6,)]  # no replay, only the new commits
+
+
+def test_pacing_composes_with_change_feed(registered, spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(6)]))
+    t.delete_where_mor("k IN (1, 4)")
+    t.commit(spark.createDataFrame([Row(k=10, v=1.0)]), mode="append")
+    # rows: 6 inserts + 2 feed deletes + 1 insert = 9
+    batches = _drain_paced(
+        spark, t.path, str(tmp_path / "ck"), 9,
+        changeFeed="true", maxVersionsPerTrigger="1",
+    )
+    assert len(batches) == 3  # one per commit
+    from collections import Counter
+
+    net = Counter()
+    for b in batches:
+        for r in b:
+            net[r[:2]] += 1 if r[2] == "insert" else -1
+    live = {k for k, c in net.items() if c > 0}
+    assert live == {(i, float(i)) for i in range(6) if i not in (1, 4)} | {
+        (10, 1.0)
+    }
