@@ -4793,6 +4793,14 @@ _TT_TS_RE = re.compile(
     r"(?:TIMESTAMP\s+)?'([^']+)'",
     re.IGNORECASE,
 )
+# Delta's CDF table-valued function: table_changes('t', start[, end]),
+# bounds as version numbers (INCLUSIVE, Delta semantics) or quoted
+# timestamp literals
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'([A-Za-z_][\w.]*)'\s*,\s*"
+    r"(\d+|'[^']+')(?:\s*,\s*(\d+|'[^']+'))?\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _parse_ts_ms(literal: str) -> int:
@@ -5248,13 +5256,57 @@ def sql_with_time_travel(
             )
         return _view(name, t.version_as_of(_parse_ts_ms(m.group(2))))
 
+    def sub_table_changes(m: "re.Match[str]") -> str:
+        # Delta's table_changes('t', start[, end]) → a view over the
+        # change feed. Numeric bounds are INCLUSIVE commit versions
+        # (Delta semantics — our read_change_feed takes the exclusive
+        # floor, hence start-1); a quoted bound resolves through
+        # version_as_of (start: changes strictly after the version
+        # current just BEFORE the instant; end: the version as of it).
+        name = m.group(1)
+        t = tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"table_changes references unregistered snapshot "
+                f"table '{name}' (registered: {sorted(tables)})"
+            )
+
+        def bound(tok: str | None, *, start: bool) -> int | None:
+            if tok is None:
+                return None
+            if tok.startswith("'"):
+                ms = _parse_ts_ms(tok[1:-1])
+                if start:
+                    try:
+                        return t.version_as_of(ms - 1)
+                    except ValueError:
+                        return 0  # before the first commit: everything
+                return t.version_as_of(ms)
+            return int(tok) - 1 if start else int(tok)
+
+        frm = bound(m.group(2), start=True)
+        to = bound(m.group(3), start=False)
+        view = (
+            f"__tc_{name.replace('.', '_')}_{frm}_"
+            f"{to if to is not None else 'head'}"
+        )
+        t.read_change_feed(frm, to).createOrReplaceTempView(view)
+        created.append(view)
+        return view
+
     rewritten = _sub_outside_literals(
         _TT_TS_RE,
         sub_ts,
         _sub_outside_literals(
             _TT_TAG_RE,
             sub_tag,
-            _sub_outside_literals(_TT_VERSION_RE, sub_version, text),
+            _sub_outside_literals(
+                _TT_VERSION_RE,
+                sub_version,
+                _sub_outside_literals(
+                    _TABLE_CHANGES_RE, sub_table_changes, text
+                ),
+            ),
         ),
     )
     # plain (non-AS-OF) references to registered tables read the head;

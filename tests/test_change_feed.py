@@ -373,3 +373,66 @@ def test_feed_fold_handles_dir_readded_by_rollback(spark, tmp_path):
         (2, "insert", 4),
     ]
     _check_feed(t, 0, 4)
+
+
+def test_table_changes_sql_tvf(spark, tmp_path):
+    """Delta's table_changes('t', start[, end]) TVF: the change feed as
+    plain SQL through Engine.sql, with Delta's INCLUSIVE version bounds
+    and timestamp bounds via version_as_of."""
+    import json
+    import os as _os
+
+    from oss_data_lake_spark.engine import Engine
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=1), Row(k=2)]))          # v1
+    t.commit(spark.createDataFrame([Row(k=3)]), mode="append")     # v2
+    t.delete_where("k = 1")                                        # v3
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["t"] = t
+
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in eng.sql("SELECT * FROM table_changes('t', 1)").collect()
+    )
+    # the unpruned CoW delete rewrote BOTH dirs: retraction pairs for
+    # every surviving row (k=2, k=3), plus the true delete of k=1
+    assert rows == [
+        (1, "delete", 3),
+        (1, "insert", 1),
+        (2, "delete", 3),
+        (2, "insert", 1),
+        (2, "insert", 3),
+        (3, "delete", 3),
+        (3, "insert", 2),
+        (3, "insert", 3),
+    ]
+    # INCLUSIVE start=2, explicit end=2: exactly the v2 commit
+    rows = eng.sql("SELECT * FROM table_changes('t', 2, 2)").collect()
+    assert [(r["k"], r["_change_type"]) for r in rows] == [(3, "insert")]
+    # aggregation over the TVF composes with plain SQL
+    n = eng.sql(
+        "SELECT count(*) AS n FROM table_changes('t', 1) "
+        "WHERE _change_type = 'insert'"
+    ).collect()[0]["n"]
+    assert n == 5
+
+    # timestamp bounds: pin commit times, then ask for changes since v2's
+    for v, ms in ((1, 1000), (2, 2000), (3, 3000)):
+        p = _os.path.join(t.path, "_snapshots", f"v{v}.json")
+        mm = json.load(open(p))
+        mm["committed_at_ms"] = ms
+        json.dump(mm, open(p, "w"))
+    rows = sorted(
+        (r["k"], r["_change_type"])
+        for r in eng.sql(
+            "SELECT * FROM table_changes('t', '1970-01-01T00:00:02')"
+        ).collect()
+    )
+    assert rows == [
+        (1, "delete"), (2, "delete"), (2, "insert"),
+        (3, "delete"), (3, "insert"), (3, "insert"),
+    ]
+    # unregistered table refuses loudly
+    with pytest.raises(ValueError, match="unregistered"):
+        eng.sql("SELECT * FROM table_changes('nope', 1)")
