@@ -314,3 +314,91 @@ def test_dml_sequences_match_model(spark, tmp_path_factory, layout, ops):
         )
     assert all(c in (0, 1) for c in net.values()), net
     assert {k: v for (k, v), c in net.items() if c == 1} == model
+
+
+# ---------------------------------------------------------------------------
+# WAP publish rebase: random DISJOINT concurrent changes on clone and source
+# must merge to exactly (source ops ∘ clone ops)(base) — both lands land.
+# ---------------------------------------------------------------------------
+
+_rebase_ops = st.tuples(
+    # clone ops touch keys 0..39 (file 1..2 of the 5-file clustering);
+    # source ops touch keys 60..99 (file 4..5) — disjoint by construction
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"), st.tuples(st.integers(0, 30), st.integers(0, 9))),
+            st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"), st.tuples(st.integers(60, 90), st.integers(0, 9))),
+            st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_rebase_ops)
+def test_publish_rebase_matches_model(spark, tmp_path_factory, ops):
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    clone_ops, source_ops = ops
+    path = tmp_path_factory.mktemp("rebase")
+    t = SnapshotTable(spark, str(path / "src"))
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], "k long, v double"
+    )
+    t.commit_clustered(base, cluster_by="k", n_files=5, stats_for=["k"])
+    clone = t.shallow_clone_to(str(path / "wap"))
+
+    model: dict[int, float] = {k: float(k) for k in range(100)}
+
+    def apply(tbl, side_ops, key_base):
+        for i, (op, arg) in enumerate(side_ops):
+            if op == "delete":
+                lo, width = arg
+                hi = lo + width
+                tbl.delete_where(
+                    f"k BETWEEN {lo} AND {hi}",
+                    prune_column="k", prune_lower=lo, prune_upper=hi,
+                    stats_for=["k"],
+                )
+                for k in list(model):
+                    if lo <= k <= hi:
+                        del model[k]
+            else:
+                rows = [
+                    (key_base + i * 31 + j * 3 + k, -1.0)
+                    for j, k in enumerate(arg)
+                ]
+                rows = [(k, x) for k, x in dict(rows).items() if k not in model]
+                if not rows:
+                    continue
+                tbl.commit(
+                    spark.createDataFrame(rows, "k long, v double"),
+                    mode="append", stats_for=["k"],
+                )
+                model.update(dict(rows))
+
+    apply(clone, clone_ops, 1000)   # the audited branch
+    apply(t, source_ops, 2000)      # the source advances concurrently
+
+    new_v = clone.publish(require_source_unchanged=False)
+    assert t._manifest(new_v)["mode"] == "publish_rebase"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == model
+    # the feed across the publish still satisfies the multiset equation
+    from collections import Counter
+
+    net: Counter = Counter()
+    for r in t.read_change_feed(0).collect():
+        net[(r["k"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    assert {k for (k, _v), c in net.items() if c == 1} == set(model)
