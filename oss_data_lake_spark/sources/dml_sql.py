@@ -93,6 +93,7 @@ statement-shaped text here BEFORE the query path:
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
 - ``ALTER TABLE t ADD | DROP PARTITION FIELD days(ts)|bucket(n, c)|c``
+- ``ALTER TABLE t WRITE ORDERED BY (c1, c2) | WRITE UNORDERED``
                                            → metadata-only partition-
                                              spec evolution (future
                                              writes adopt the declared
@@ -790,6 +791,15 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_WRITE_ORDERED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+WRITE\s+ORDERED\s+BY\s*"
+    r"\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_WRITE_UNORDERED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+WRITE\s+UNORDERED\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+"
     r"(SELECT\s+.+)$",
@@ -1136,6 +1146,9 @@ def dispatch_statement(
             lines.append(
                 f"PARTITIONED BY ({', '.join(_disp(c) for c in spec)})"
             )
+        so = manifest.get("declared_sort_order")
+        if so:
+            lines.append(f"WRITE ORDERED BY ({', '.join(so)})")
         lines.append(f"LOCATION '{t.path}'")
         props = t.properties(v)
         if props:
@@ -1257,6 +1270,28 @@ def dispatch_statement(
         return spark.createDataFrame(
             [(p,) for p in parts], "partition string"
         )
+
+    m = _WRITE_ORDERED_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        if not cols:
+            raise ValueError(
+                "WRITE ORDERED BY needs at least one column "
+                "(use WRITE UNORDERED to clear the order)"
+            )
+        version = tables[name].set_sort_order(cols)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _WRITE_UNORDERED_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].set_sort_order([])
+        return spark.createDataFrame([(version,)], "version long")
 
     m = _CREATE_MV_RE.match(text)
     if m:
@@ -1686,6 +1721,8 @@ def dispatch_statement(
                     # the spec future writes adopt (declared via
                     # partition-spec evolution, else latest-dir sticky)
                     ", ".join(t.current_partition_by(v)) or None,
+                    # the declared write sort order (WRITE ORDERED BY)
+                    ", ".join(t.current_sort_order(v)) or None,
                     # ANALYZE stats (None until ANALYZE TABLE runs)
                     (manifest.get("table_stats") or {}).get("row_count"),
                     (manifest.get("table_stats") or {}).get("size_bytes"),
@@ -1694,7 +1731,7 @@ def dispatch_statement(
             "version long, n_data_dirs long, n_files long, "
             "n_visible_files long, columns string, constraints string, "
             "stats_columns array<string>, n_delete_vector_dirs long, "
-            "n_eq_deletes long, partition_by string, "
+            "n_eq_deletes long, partition_by string, sort_order string, "
             "stats_row_count long, stats_size_bytes long",
         )
 

@@ -251,6 +251,7 @@ class SnapshotTable:
         txn_force: bool = False,
         tag: str | None = None,
         props_update: dict[str, str] | None = None,
+        apply_sort_order: bool = True,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -297,6 +298,15 @@ class SnapshotTable:
         ``props_update`` merges table properties INTO THE SAME manifest
         publish as the data — data + metadata land atomically or not at
         all (the substrate ``copy_into``'s ingest ledger rides on).
+
+        When the table DECLARES a sort order (``set_sort_order`` /
+        ``ALTER TABLE ... WRITE ORDERED BY``), the commit range-partitions
+        + locally sorts on it before writing — Iceberg's
+        write.distribution-mode=range — so every file covers a narrow
+        slice of the sort columns and footer stats (auto-harvested for
+        them) prune tightly. ``apply_sort_order=False`` opts out for
+        callers that arranged their own layout (``commit_clustered`` /
+        ``commit_zordered``).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported commit mode: {mode}")
@@ -365,6 +375,32 @@ class SnapshotTable:
         table_constraints = self.constraints(parent) if parent else {}
         if table_constraints:
             self._enforce(table_constraints, df, context="this commit")
+        # declared sort order (WRITE ORDERED BY): one range shuffle at
+        # write time buys every future read_between its file skipping.
+        # Columns the incoming frame lacks are skipped (stale metadata
+        # must not brick writes); stats auto-harvest for the sort columns
+        # so the clustered layout is actually prunable.
+        if apply_sort_order and parent:
+            sort_cols = [
+                c
+                for c in (self.current_sort_order(parent) or [])
+                if c in write_df.columns
+            ]
+            if sort_cols:
+                keys = phys_cols + [
+                    c for c in sort_cols if c not in phys_cols
+                ]
+                write_df = write_df.repartitionByRange(
+                    *[F.col(c) for c in keys]
+                ).sortWithinPartitions(*keys)
+                stats_for = list(
+                    dict.fromkeys(
+                        (stats_for or [])
+                        # identity partition values live in the path,
+                        # not the footers — nothing to harvest there
+                        + [c for c in sort_cols if c not in phys_cols]
+                    )
+                )
         data_dir = f"data/c{(parent or 0) + 1}-{uuid.uuid4().hex[:8]}"
         self._write_data_dir(write_df, data_dir, phys_cols or None)
         own_stats = self._harvest_stats(data_dir, stats_for, bloom_for)
@@ -505,6 +541,9 @@ class SnapshotTable:
                 # re-analyzed semantics, like any CBO stats)
                 "declared_partition_by": (
                     pm.get("declared_partition_by") if pm else None
+                ),
+                "declared_sort_order": (
+                    pm.get("declared_sort_order") if pm else None
                 ),
                 "table_stats": pm.get("table_stats") if pm else None,
                 "committed_at_ms": int(time.time() * 1000),
@@ -819,9 +858,103 @@ class SnapshotTable:
         raw = self.properties().get(f"tag.{name}")
         if raw is None:
             raise ValueError(
-                f"unknown tag {name!r} (tags: {sorted(self.tags())})"
+                f"unknown tag {name!r} (tags: {sorted(self.tags())}, "
+                f"branches: {sorted(self.branches())})"
             )
         return int(raw)
+
+    # ------------------------------------------------------------ branches
+    #
+    # Iceberg refs (branches): an independently-writable line of commits
+    # diverging from a snapshot. Implemented as a MANAGED shallow clone
+    # under the table's own root (``_branches/<name>``) — creation is
+    # zero-copy and O(1); any DML/SQL runs against the branch handle;
+    # ``fast_forward`` completes the loop by publishing the branch back
+    # (the WAP pattern with a name). Existence is the branch directory's
+    # snapshot log (crash-safe: no property/dir two-step to desync), and
+    # the source table's ``vacuum``/``expire_snapshots`` treat branch-
+    # referenced files as LIVE, so retention on main can never corrupt
+    # an open branch.
+
+    _BRANCHES_DIR = "_branches"
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Branch ``name`` off snapshot ``version`` (default: head).
+        Zero-copy; refuses on outstanding merge-on-read debt like any
+        shallow clone (``compact()`` first)."""
+        if not self._TAG_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        dest = os.path.join(self.path, self._BRANCHES_DIR, name)
+        if SnapshotTable(self.spark, dest).current_version() is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        return self.shallow_clone_to(dest, version=version)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle to an existing branch — a full ``SnapshotTable``:
+        read/time-travel/DML/merge/compact all work against it."""
+        bt = SnapshotTable(
+            self.spark, os.path.join(self.path, self._BRANCHES_DIR, name)
+        )
+        if bt.current_version() is None:
+            raise ValueError(
+                f"unknown branch {name!r} (branches: "
+                f"{sorted(self.branches())})"
+            )
+        return bt
+
+    def branches(self) -> dict[str, dict]:
+        """``{name: {"head": branch head version, "from_version": the
+        source snapshot it branched from}}``."""
+        out: dict[str, dict] = {}
+        for name, bt in self._branch_tables():
+            src = bt._manifest(1).get("clone_source") or {}
+            out[name] = {
+                "head": bt.current_version(),
+                "from_version": src.get("version"),
+            }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        import shutil
+
+        root = os.path.join(self.path, self._BRANCHES_DIR, name)
+        if SnapshotTable(self.spark, root).current_version() is None:
+            raise ValueError(
+                f"unknown branch {name!r} (branches: "
+                f"{sorted(self.branches())})"
+            )
+        shutil.rmtree(root)
+
+    def fast_forward(
+        self,
+        name: str,
+        require_source_unchanged: bool = True,
+        drop: bool = True,
+    ) -> int:
+        """Land branch ``name``'s accumulated changes on this table as
+        ONE atomic commit (Iceberg's fast_forward procedure; the
+        publish/rebase machinery underneath, so
+        ``require_source_unchanged=False`` rebases non-overlapping
+        concurrent main-line commits). Drops the branch on success by
+        default — pass ``drop=False`` to keep developing on it."""
+        v = self.branch(name).publish(
+            require_source_unchanged=require_source_unchanged
+        )
+        if drop:
+            self.drop_branch(name)
+        return v
+
+    def _branch_tables(self) -> list[tuple[str, "SnapshotTable"]]:
+        root = os.path.join(self.path, self._BRANCHES_DIR)
+        out: list[tuple[str, SnapshotTable]] = []
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                bt = SnapshotTable(self.spark, os.path.join(root, name))
+                if bt.current_version() is not None:
+                    out.append((name, bt))
+        return out
 
     def _commit_schema(self, update_fn, tag: str) -> int:
         def build(parent: int | None, read_manifest) -> dict:
@@ -921,6 +1054,7 @@ class SnapshotTable:
             stats_for=stats_for or [cluster_by],
             bloom_for=bloom_for,
             tag=tag,
+            apply_sort_order=False,
         )
 
     def commit_zordered(
@@ -958,6 +1092,7 @@ class SnapshotTable:
             stats_for=stats_for or list(zorder_by),
             bloom_for=bloom_for,
             tag=tag,
+            apply_sort_order=False,
         )
 
     def _check_evolution(self, old: T.StructType, new: T.StructType) -> None:
@@ -1021,6 +1156,20 @@ class SnapshotTable:
                 "properties": (
                     self.properties(parent) if parent else {}
                 ),
+                # layout declarations are operator decisions (HEAD's,
+                # like constraints); table stats describe the file set
+                # this rollback exposes (the rolled-to snapshot's)
+                "declared_partition_by": (
+                    read_manifest(parent).get("declared_partition_by")
+                    if parent
+                    else old.get("declared_partition_by")
+                ),
+                "declared_sort_order": (
+                    read_manifest(parent).get("declared_sort_order")
+                    if parent
+                    else old.get("declared_sort_order")
+                ),
+                "table_stats": old.get("table_stats"),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -1086,6 +1235,7 @@ class SnapshotTable:
                 "clone_source": {"path": self.path, "version": v},
                 "data_dirs": [_abs(d) for d in m["data_dirs"]],
                 "declared_partition_by": m.get("declared_partition_by"),
+                "declared_sort_order": m.get("declared_sort_order"),
                 "partition_specs": _abs_keys(m.get("partition_specs", {})),
                 "partition_transforms": _abs_keys(
                     m.get("partition_transforms", {})
@@ -1265,6 +1415,7 @@ class SnapshotTable:
                     "declared_partition_by": head.get(
                         "declared_partition_by"
                     ),
+                    "declared_sort_order": head.get("declared_sort_order"),
                     "partition_specs": remap(
                         head.get("partition_specs", {})
                     ),
@@ -1421,6 +1572,7 @@ class SnapshotTable:
                 "mode": "publish_rebase",
                 "data_dirs": final_dirs,
                 "declared_partition_by": head.get("declared_partition_by"),
+                "declared_sort_order": head.get("declared_sort_order"),
                 "partition_specs": merged("partition_specs"),
                 "partition_transforms": merged("partition_transforms"),
                 "dir_schemas": merged("dir_schemas"),
@@ -1790,6 +1942,11 @@ class SnapshotTable:
                 # a declared spec names CURRENT columns — follow the rename
                 manifest["declared_partition_by"] = [
                     _rename_spec_entry(e, old, new) for e in decl
+                ]
+            dso = manifest.get("declared_sort_order")
+            if dso:
+                manifest["declared_sort_order"] = [
+                    new if c == old else c for c in dso
                 ]
             manifest["version"] = parent + 1
             manifest["parent"] = parent
@@ -2280,6 +2437,51 @@ class SnapshotTable:
         if len(kept) == len(cur):
             raise ValueError(f"no such partition field: {entry!r}")
         return self.set_partition_spec(kept)
+
+    # ------------------------------------------------- declared sort order
+    #
+    # Iceberg's WRITE ORDERED BY: a table-level declaration that future
+    # writes range-partition + sort on the named columns, so each file
+    # covers a narrow slice and footer stats prune tightly. Metadata-only
+    # at ALTER time (existing files keep their layout; ``compact()``
+    # restores the clustered shape across old generations).
+
+    def set_sort_order(self, cols: list[str]) -> int:
+        """Declare the write sort order future commits adopt (empty list
+        = WRITE UNORDERED). Validates eagerly against the current
+        schema; duplicates refuse."""
+        schema = self.schema()
+        names = (
+            {f.name for f in schema.fields} if schema is not None else None
+        )
+        seen: set[str] = set()
+        for c in cols:
+            if c in seen:
+                raise ValueError(f"duplicate sort column: {c!r}")
+            seen.add(c)
+            if names is not None and c not in names:
+                raise ValueError(f"sort column '{c}' not in table schema")
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("sort-order change on an empty table")
+            manifest = dict(read_manifest(parent))
+            manifest["declared_sort_order"] = list(cols) or None
+            manifest["version"] = parent + 1
+            manifest["parent"] = parent
+            manifest["mode"] = "set_sort_order"
+            manifest["txn"] = None
+            manifest["txn_watermarks"] = self._txn_watermarks(parent)
+            manifest["committed_at_ms"] = int(time.time() * 1000)
+            return manifest
+
+        return self.protocol.commit(build)
+
+    def current_sort_order(self, version: int | None = None) -> list[str]:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return []
+        return list(self._manifest(v).get("declared_sort_order") or [])
 
     def show_partitions(self, version: int | None = None) -> list[str]:
         """``SHOW PARTITIONS``: the snapshot's distinct partition path
@@ -4422,6 +4624,14 @@ class SnapshotTable:
                 "txn_watermarks": self._txn_watermarks(parent),
                 "constraints": manifest.get("constraints", {}),
                 "properties": manifest.get("properties", {}),
+                # table-level operator decisions and (stale-until-
+                # re-analyzed) statistics survive row-level DML like any
+                # other commit kind
+                "declared_partition_by": manifest.get(
+                    "declared_partition_by"
+                ),
+                "declared_sort_order": manifest.get("declared_sort_order"),
+                "table_stats": manifest.get("table_stats"),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -4594,6 +4804,21 @@ class SnapshotTable:
                 stats_for=stats_for,
                 bloom_for=bloom_for,
                 tag="compact",
+            )
+        so = self.current_sort_order() if not partition_by else []
+        if so:
+            # a declared WRITE ORDERED BY makes compaction a REWRITE WITH
+            # SORT (Iceberg's rewrite_data_files strategy=sort): old
+            # unordered generations regain the clustered layout
+            keys = [F.col(c) for c in so]
+            return self.commit(
+                cur.repartitionByRange(target_partitions, *keys)
+                .sortWithinPartitions(*so),
+                mode="overwrite",
+                stats_for=list(dict.fromkeys((stats_for or []) + so)),
+                bloom_for=bloom_for,
+                tag="compact",
+                apply_sort_order=False,
             )
         return self.commit(
             cur.coalesce(target_partitions),
