@@ -80,11 +80,18 @@ class Engine:
     def register_snapshot_table(self, name: str, path: str):
         """Expose the SnapshotTable at ``path`` to ``sql`` under ``name``
         (plain references read the current snapshot; AS-OF clauses time
-        travel). Returns the table handle."""
+        travel). Existing BRANCHES register alongside under
+        ``<name>_branch_<branch>`` — a fresh engine sees the same branch
+        namespace the creating engine did. Returns the table handle."""
+        from oss_data_lake_spark.sources.dml_sql import branch_sql_name
         from oss_data_lake_spark.sources.snapshots import SnapshotTable
 
         t = SnapshotTable(self.spark, path)
         self._snapshot_tables[name] = t
+        for bname, bt in t._branch_tables():
+            self._snapshot_tables.setdefault(
+                branch_sql_name(name, bname), bt
+            )
         return t
 
     def snapshot_table_path(self, name: str) -> str:

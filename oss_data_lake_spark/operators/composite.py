@@ -45,6 +45,7 @@ from oss_data_lake_spark.operators import pipeline
 from oss_data_lake_spark.operators import relational as rel
 from oss_data_lake_spark.operators import relational_more as rel2
 from oss_data_lake_spark.operators import similarity as sim
+from oss_data_lake_spark.operators import text
 from oss_data_lake_spark.operators import tier_a
 from oss_data_lake_spark.operators import upsert
 
@@ -133,12 +134,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
     fine_q: dict[str, QueryFn] = {
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
         **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES, **upsert.QUERIES,
-        **pipeline.QUERIES,
+        **pipeline.QUERIES, **text.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
         **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES, **upsert.ORACLES,
-        **pipeline.ORACLES,
+        **pipeline.ORACLES, **text.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -228,6 +229,24 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "n_docs", "v2": "total_tokens",
               "v3": "n_blocks", "v4": "boundary_docs",
               "s1": _cw_sql("tail_waste")}),
+            # e46 (round 8): vocabulary induction — every (rank, word,
+            # count, cumulative-coverage) row rides the hash
+            ("e46", "e46_vocab_coverage",
+             {"k1": _cw("rank"), "k2": ("word"), "v1": ("n"),
+              "v2": ("cum_n")},
+             {"k1": _cw_sql("rank"), "k2": "word", "v1": "n",
+              "v2": "cum_n"}),
+            # e47 (round 8): rare-word quality signal — per-source
+            # total/rare/hapax token mass + flagged-doc counts, all
+            # exact integers
+            ("e47", "e47_rare_word_report",
+             {"k1": ("source"), "v1": ("total_tokens"),
+              "v2": ("rare_tokens"), "v3": ("hapax_tokens"),
+              "v4": ("flagged_docs"),
+              "s1": _cw("n_docs", "max_doc_rare")},
+             {"k1": "source", "v1": "total_tokens", "v2": "rare_tokens",
+              "v3": "hapax_tokens", "v4": "flagged_docs",
+              "s1": _cw_sql("n_docs", "max_doc_rare")}),
         ],
         # ---- time-travel composite ----------------------------------
         # m02 (API time travel) and m03 (SQL-text time travel) verify the

@@ -289,6 +289,102 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 50
+RARE_MAX_COUNT = 2  # corpus occurrences at or under this = "rare"
+# a document is flagged when rare tokens exceed 3/10 of its tokens —
+# compared as integers (n_rare*10 > n_tokens*3) so both engines agree
+# exactly, no float ratio in the verified output
+RARE_FRAC_NUM, RARE_FRAC_DEN = 3, 10
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e46: vocabulary induction — the first step of tokenizer training
+    (BPE/WordPiece start from exactly this table): corpus-wide word
+    counts, ranked, with the cumulative token mass the top-k prefix
+    covers. All integers — drift-free against the oracle.
+
+    Scale shape: one explode + ONE keyed aggregation on word (the only
+    wide exchange; partial aggregation collapses the heavy head words
+    map-side), then top-k via a global sort-limit — the window runs
+    over K rows, never the vocabulary."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("word")).filter(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("word")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_n",
+            F.sum("n")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select("rank", "word", "n", "cum_n")
+        .orderBy("rank")
+    )
+
+
+def rare_word_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e47: rare-word quality signal (the CCNet-family filter: documents
+    dominated by corpus-rare tokens are noise/garble candidates) — per
+    source: total/rare/hapax token mass and how many documents cross
+    the rare-fraction threshold. Exact integer comparisons throughout.
+
+    Scale shape: explode → per-(doc, word) pre-aggregation (shrinks the
+    join input to distinct doc-words), corpus counts re-derived from
+    that same table (one extra keyed agg, no second scan), then ONE
+    shuffle join on word — AQE's skew split handles the heavy-head
+    words — and two cheap aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens()).alias("word")
+    ).filter(F.col("word") != "")
+    dw = tok.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    counts = dw.groupBy("word").agg(F.sum("k").alias("cnt"))
+    per_doc = (
+        dw.join(counts, "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cnt") <= RARE_MAX_COUNT, F.col("k")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_rare"),
+            F.sum(
+                F.when(F.col("cnt") == 1, F.col("k")).otherwise(F.lit(0))
+            ).alias("n_hapax"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_rare").cast("long").alias("rare_tokens"),
+            F.sum("n_hapax").cast("long").alias("hapax_tokens"),
+            F.max("n_rare").cast("long").alias("max_doc_rare"),
+            F.sum(
+                F.when(
+                    F.col("n_rare") * RARE_FRAC_DEN
+                    > F.col("n_tokens") * RARE_FRAC_NUM,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("flagged_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e40_text_stats": text_stats,
     "e41_langid_confusion": langid_confusion,
@@ -296,6 +392,8 @@ QUERIES = {
     "e43_fingerprints": fingerprints,
     "e44_gopher_quality": gopher_quality_report,
     "e45_tfidf_top_terms": tfidf_top_terms,
+    "e46_vocab_coverage": vocab_coverage,
+    "e47_rare_word_report": rare_word_report,
 }
 
 
@@ -419,5 +517,50 @@ ORACLES = {
                {sql_davg("mean_wl")} AS avg_mean_word_len,
                {sql_davg("top_uni_ratio")} AS avg_top_unigram_ratio
         FROM scored GROUP BY source ORDER BY source
+    """,
+    "e46_vocab_coverage": f"""
+        WITH words AS (
+            SELECT t AS word
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        ranked AS (SELECT word, n,
+                          CAST(row_number() OVER (
+                              ORDER BY n DESC, word) AS BIGINT) AS rank
+                   FROM counts)
+        SELECT rank, word, n,
+               CAST(SUM(n) OVER (ORDER BY rank
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        FROM ranked WHERE rank <= {VOCAB_TOP_K} ORDER BY rank
+    """,
+    "e47_rare_word_report": f"""
+        WITH tok AS (
+            SELECT doc_id, source, t AS word
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        dw AS (SELECT doc_id, source, word, COUNT(*) AS k
+               FROM tok GROUP BY 1, 2, 3),
+        counts AS (SELECT word, SUM(k) AS cnt FROM dw GROUP BY word),
+        per_doc AS (
+            SELECT d.doc_id, d.source,
+                   SUM(d.k) AS n_tokens,
+                   SUM(CASE WHEN c.cnt <= {RARE_MAX_COUNT}
+                            THEN d.k ELSE 0 END) AS n_rare,
+                   SUM(CASE WHEN c.cnt = 1 THEN d.k ELSE 0 END) AS n_hapax
+            FROM dw d JOIN counts c USING (word)
+            GROUP BY 1, 2)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_rare) AS BIGINT) AS rare_tokens,
+               CAST(SUM(n_hapax) AS BIGINT) AS hapax_tokens,
+               CAST(MAX(n_rare) AS BIGINT) AS max_doc_rare,
+               CAST(SUM(CASE WHEN n_rare * {RARE_FRAC_DEN}
+                                  > n_tokens * {RARE_FRAC_NUM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+        FROM per_doc GROUP BY source ORDER BY source
     """,
 }

@@ -89,6 +89,9 @@ statement-shaped text here BEFORE the query path:
                                              widening (safe promotions
                                              only)
 - ``ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n``
+- ``ALTER TABLE t CREATE BRANCH b [AS OF VERSION v] | DROP BRANCH b``
+- ``ALTER TABLE t FAST FORWARD BRANCH b [KEEP]``; ``SHOW BRANCHES t``
+  (a created branch answers SQL as ``t_branch_<b>``)
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
@@ -767,12 +770,39 @@ _DROP_TAG_RE = re.compile(
     r"([A-Za-z_][\w.-]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_BRANCH_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+CREATE\s+BRANCH\s+"
+    r"([A-Za-z_][\w.-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_BRANCH_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+BRANCH\s+"
+    r"([A-Za-z_][\w.-]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_FAST_FORWARD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+FAST\s+FORWARD\s+BRANCH\s+"
+    r"([A-Za-z_][\w.-]*)(\s+KEEP)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_BRANCHES_RE = re.compile(
+    r"^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def branch_sql_name(table_name: str, branch: str) -> str:
+    """The registry name a branch answers SQL under: plain DML/SELECT
+    against ``<table>_branch_<name>`` runs on the branch exactly like
+    any registered snapshot table (Iceberg Spark's ``t.branch_<name>``
+    identifier, flattened to one token for the session namespace)."""
+    return f"{table_name}_branch_{re.sub(r'[^A-Za-z0-9_]', '_', branch)}"
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -1416,6 +1446,61 @@ def dispatch_statement(
             return None
         version = tables[name].drop_tag(m.group(2))
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _CREATE_BRANCH_RE.match(text)
+    if m:
+        name, bname = m.group(1), m.group(2)
+        if name not in tables:
+            return None
+        reg = branch_sql_name(name, bname)
+        if reg in tables:
+            raise ValueError(
+                f"CREATE BRANCH: registry name {reg!r} already taken"
+            )
+        bt = tables[name].create_branch(
+            bname, int(m.group(3)) if m.group(3) else None
+        )
+        # the branch answers SQL immediately: SELECT/DML/MERGE against
+        # <table>_branch_<name> run on the branch line
+        tables[reg] = bt
+        src = bt._manifest(1)["clone_source"]
+        return spark.createDataFrame(
+            [(bname, reg, src["version"])],
+            "branch string, sql_name string, from_version long",
+        )
+
+    m = _DROP_BRANCH_RE.match(text)
+    if m:
+        name, bname = m.group(1), m.group(2)
+        if name not in tables:
+            return None
+        tables[name].drop_branch(bname)
+        tables.pop(branch_sql_name(name, bname), None)
+        return spark.createDataFrame([(bname,)], "dropped string")
+
+    m = _FAST_FORWARD_RE.match(text)
+    if m:
+        name, bname = m.group(1), m.group(2)
+        if name not in tables:
+            return None
+        keep = bool(m.group(3))
+        version = tables[name].fast_forward(bname, drop=not keep)
+        if not keep:
+            tables.pop(branch_sql_name(name, bname), None)
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _SHOW_BRANCHES_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        rows = [
+            (b, info["head"], info["from_version"])
+            for b, info in sorted(tables[name].branches().items())
+        ]
+        return spark.createDataFrame(
+            rows, "branch string, head long, from_version long"
+        )
 
     m = _DELETE_RE.match(text)
     if m:

@@ -1311,6 +1311,37 @@ class SnapshotTable:
         src_root = srcinfo["path"]
         head = self._manifest(v)
         moved: dict[str, str] = {}
+        # fast-fail BEFORE the data copy below (a refused publish must
+        # not strew dirs under the source root — a later RETRY with
+        # rebase would see its own leftovers as collisions); the commit
+        # build re-checks against the claimed parent, so a race that
+        # slips past this pre-check still refuses atomically
+        if require_source_unchanged:
+            src_head = SnapshotTable(self.spark, src_root).current_version()
+            if (src_head or 0) != srcinfo["version"]:
+                raise CommitConflict(
+                    f"source advanced to v{src_head} since the clone was "
+                    f"taken at v{srcinfo['version']}; re-clone and "
+                    f"replay the changes, or publish("
+                    f"require_source_unchanged=False) to rebase "
+                    f"non-overlapping changes"
+                )
+
+        def _same_tree(a: str, b: str) -> bool:
+            """Identical file listing (names + sizes) — the cheap
+            idempotence check for a re-copy of OUR OWN earlier publish
+            attempt (commit-protocol dirs are immutable once written)."""
+            la = sorted(
+                (os.path.relpath(os.path.join(dp, f), a),
+                 os.path.getsize(os.path.join(dp, f)))
+                for dp, _dn, fs in os.walk(a) for f in fs
+            )
+            lb = sorted(
+                (os.path.relpath(os.path.join(dp, f), b),
+                 os.path.getsize(os.path.join(dp, f)))
+                for dp, _dn, fs in os.walk(b) for f in fs
+            )
+            return la == lb
 
         def localize(d: str) -> str:
             if d in moved:
@@ -1330,11 +1361,14 @@ class SnapshotTable:
                 # position-tombstone file coordinates stay valid
                 dst = os.path.join(src_root, d)
                 if os.path.exists(dst):
-                    raise ValueError(
-                        f"publish collision: {d!r} already exists under "
-                        f"the source root"
-                    )
-                shutil.copytree(os.path.join(self.path, d), dst)
+                    if not _same_tree(os.path.join(self.path, d), dst):
+                        raise ValueError(
+                            f"publish collision: {d!r} already exists "
+                            f"under the source root"
+                        )
+                    # our own earlier refused/crashed attempt: reuse
+                else:
+                    shutil.copytree(os.path.join(self.path, d), dst)
                 rel = d
             moved[d] = rel
             return rel
@@ -4918,6 +4952,25 @@ class SnapshotTable:
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
 
         manifests = self.versions()
+        # MANAGED BRANCHES reference this root's dirs absolutely; their
+        # live snapshots keep those files alive (normalized to rel-dir
+        # synthetic manifests so both the dir-level and file-level GC
+        # passes below see them) — retention on main never corrupts an
+        # open branch
+        for _bname, bt in self._branch_tables():
+            for bm in bt.versions():
+                norm: dict = {"data_dirs": [], "dir_files": {}}
+                for d in bm["data_dirs"]:
+                    if "://" not in d and os.path.isabs(d) and (
+                        d + os.sep
+                    ).startswith(self.path + os.sep):
+                        rel = os.path.relpath(d, self.path)
+                        norm["data_dirs"].append(rel)
+                        vis = bm.get("dir_files", {}).get(d)
+                        if vis is not None:
+                            norm["dir_files"][rel] = vis
+                if norm["data_dirs"]:
+                    manifests.append(norm)
         referenced = {
             d
             for m in manifests
@@ -5469,7 +5522,22 @@ def sql_with_time_travel(
                 f"time-travel clause references unregistered snapshot "
                 f"table '{name}' (registered: {sorted(tables)})"
             )
-        return _view(name, t.resolve_ref(m.group(2)))
+        ref = m.group(2)
+        try:
+            return _view(name, t.resolve_ref(ref))
+        except ValueError:
+            # Iceberg resolves BOTH ref kinds by name: a tag pins a
+            # version of THIS table; a branch is its own line of
+            # commits, so the view reads the branch table's head
+            if ref in t.branches():
+                view = "__tt_{}_br_{}".format(
+                    name.replace(".", "_"),
+                    re.sub(r"\W", "_", ref),
+                )
+                t.branch(ref).read().createOrReplaceTempView(view)
+                created.append(view)
+                return view
+            raise
 
     def sub_ts(m: "re.Match[str]") -> str:
         name = m.group(1)
