@@ -92,6 +92,7 @@ statement-shaped text here BEFORE the query path:
 - ``ALTER TABLE t CREATE BRANCH b [AS OF VERSION v] | DROP BRANCH b``
 - ``ALTER TABLE t FAST FORWARD BRANCH b [KEEP]``; ``SHOW BRANCHES t``
   (a created branch answers SQL as ``t_branch_<b>``)
+- ``ALTER TABLE t CHERRY PICK VERSION n`` (re-apply a pure-append commit)
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
@@ -787,6 +788,11 @@ _FAST_FORWARD_RE = re.compile(
 )
 _SHOW_BRANCHES_RE = re.compile(
     r"^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CHERRY_PICK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+CHERRY[\s-]?PICK\s+"
+    r"VERSION\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
@@ -1501,6 +1507,14 @@ def dispatch_statement(
         return spark.createDataFrame(
             rows, "branch string, head long, from_version long"
         )
+
+    m = _CHERRY_PICK_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].cherry_pick(int(m.group(2)))
+        return spark.createDataFrame([(version,)], "version long")
 
     m = _DELETE_RE.match(text)
     if m:

@@ -1113,6 +1113,144 @@ class SnapshotTable:
                     f" -> {nf.dataType.simpleString()} (not a safe widening)"
                 )
 
+    def cherry_pick(self, version: int) -> int:
+        """Re-apply commit ``version``'s delta onto the CURRENT head as a
+        new commit — Iceberg's ``cherrypick_snapshot``. The canonical
+        use: after ``rollback``, re-land one of the dropped commits
+        without replaying its write (zero data copy — the commit's dirs
+        are still on disk until vacuum).
+
+        Only PURE-APPEND commits cherry-pick (Iceberg's rule): the step
+        must add data dirs and change nothing else — no visibility
+        shrink, no tombstones/equality deletes, no schema change. The
+        added dirs must not already be visible at head, and their
+        write-time field ids must all still exist in the head schema
+        (a column dropped since would make the old data unlabelable)."""
+        m = self._manifest(version)
+        pv = m.get("parent")
+        try:
+            p = self._manifest(pv) if pv else {"data_dirs": []}
+        except Exception as e:
+            raise ValueError(
+                f"cherry_pick: v{version}'s parent manifest v{pv} is "
+                f"expired ({e}); the commit's delta cannot be verified"
+            ) from e
+        p_dirs = set(p.get("data_dirs", []))
+        added = [d for d in m["data_dirs"] if d not in p_dirs]
+        removed = [d for d in p.get("data_dirs", []) if d not in m["data_dirs"]]
+        pure_append = (
+            added
+            and not removed
+            and m.get("dir_files", {}) == p.get("dir_files", {})
+            and m.get("delete_dirs", []) == p.get("delete_dirs", [])
+            and m.get("eq_deletes", []) == p.get("eq_deletes", [])
+            and m.get("schema") == p.get("schema")
+        )
+        if not pure_append:
+            raise ValueError(
+                f"cherry_pick: v{version} is not a pure-append commit "
+                f"(mode={m.get('mode')!r}); only appends re-apply — "
+                "use rollback/RESTORE for state-shaped history surgery"
+            )
+        for d in added:
+            if "://" in d:
+                continue  # object-store ref: existence checked at scan
+            root = d if os.path.isabs(d) else os.path.join(self.path, d)
+            if not os.path.isdir(root):
+                raise ValueError(
+                    f"cherry_pick: v{version}'s dir {d!r} was vacuumed; "
+                    "the data is gone"
+                )
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent is None:
+                raise ValueError("cherry_pick onto an empty table")
+            head = dict(read_manifest(parent))
+            already = [d for d in added if d in head["data_dirs"]]
+            if already:
+                raise ValueError(
+                    f"cherry_pick: dirs already visible at head: {already}"
+                )
+            # duplication guard: if the PICKED dirs were ever consumed
+            # by a rewrite in head's lineage (CoW DML, compaction,
+            # overwrite), their rows live on in the rewrite's output —
+            # re-adding the dirs would silently duplicate them. A
+            # ROLLBACK drop is the safe case (the rows left the table;
+            # that's what cherry_pick exists to undo). Walk head's
+            # ancestor chain and classify the commit that dropped each
+            # picked dir — Iceberg refuses the same way when the picked
+            # snapshot's ancestry diverged.
+            chain = [head]
+            while chain[-1].get("parent"):
+                try:
+                    chain.append(read_manifest(chain[-1]["parent"]))
+                except Exception:
+                    break  # expired ancestry: judge by what remains
+            head_dirs = set(head["data_dirs"])
+
+            def _rows_live(d: str, depth: int = 0) -> tuple[bool, dict | None]:
+                """Are dir ``d``'s ROWS reachable at head? Directly (dir
+                visible), or transitively (a rewrite consumed it and the
+                rewrite's output is itself live). A rollback/cherry-pick
+                drop ends the trail — those move dirs, never rows."""
+                if d in head_dirs:
+                    return True, None
+                if depth > 64:
+                    return True, None  # pathological chain: be safe
+                for child, par in zip(chain, chain[1:]):
+                    if d in par["data_dirs"] and d not in child["data_dirs"]:
+                        mode = str(child.get("mode", ""))
+                        if mode.startswith(("rollback_to_", "cherry_pick_")):
+                            return False, None
+                        par_dirs = set(par["data_dirs"])
+                        for out in child["data_dirs"]:
+                            if out not in par_dirs:
+                                live, _ = _rows_live(out, depth + 1)
+                                if live:
+                                    return True, child
+                        return False, None
+                return False, None
+
+            for d in added:
+                live, via = _rows_live(d)
+                if live and via is not None:
+                    raise ValueError(
+                        f"cherry_pick: dir {d!r} was consumed by a "
+                        f"'{via.get('mode')}' rewrite at "
+                        f"v{via.get('version')} whose output is still "
+                        "visible — re-adding the dir would duplicate "
+                        "its rows; replay through MERGE instead"
+                    )
+            head_ids = set((head.get("field_ids") or {}).values())
+            for d in added:
+                used = set((m.get("dir_field_ids", {}).get(d) or {}).values())
+                if used and not used <= head_ids:
+                    raise ValueError(
+                        f"cherry_pick: dir {d!r} uses field ids the head "
+                        f"schema no longer carries ({sorted(used - head_ids)})"
+                    )
+            head["data_dirs"] = head["data_dirs"] + added
+            for key in (
+                "partition_specs",
+                "partition_transforms",
+                "dir_schemas",
+                "dir_field_ids",
+                "file_stats",
+            ):
+                src = m.get(key, {})
+                picked = {d: src[d] for d in added if d in src}
+                if picked:
+                    head[key] = {**head.get(key, {}), **picked}
+            head["version"] = parent + 1
+            head["parent"] = parent
+            head["mode"] = f"cherry_pick_{version}"
+            head["txn"] = None
+            head["txn_watermarks"] = self._txn_watermarks(parent)
+            head["committed_at_ms"] = int(time.time() * 1000)
+            return head
+
+        return self.protocol.commit(build)
+
     def rollback(self, version: int) -> int:
         """New snapshot exposing exactly the file set of ``version``.
         Serialized by the same commit protocol as ``commit``."""
