@@ -956,6 +956,20 @@ class SnapshotTable:
                     out.append((name, bt))
         return out
 
+    def _all_branch_tables(self) -> list["SnapshotTable"]:
+        """Every branch table under this root, RECURSIVELY: a branch of
+        a branch flattens its references to the ORIGINAL root (clone
+        semantics), so this table's retention must see nested branches'
+        refs too, even when the middle branch expired its own."""
+        out: list[SnapshotTable] = []
+        stack: list[SnapshotTable] = [self]
+        while stack:
+            t = stack.pop()
+            for _name, bt in t._branch_tables():
+                out.append(bt)
+                stack.append(bt)
+        return out
+
     def _commit_schema(self, update_fn, tag: str) -> int:
         def build(parent: int | None, read_manifest) -> dict:
             if parent is None:
@@ -5095,7 +5109,7 @@ class SnapshotTable:
         # synthetic manifests so both the dir-level and file-level GC
         # passes below see them) — retention on main never corrupts an
         # open branch
-        for _bname, bt in self._branch_tables():
+        for bt in self._all_branch_tables():
             for bm in bt.versions():
                 norm: dict = {"data_dirs": [], "dir_files": {}}
                 for d in bm["data_dirs"]:

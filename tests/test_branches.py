@@ -165,3 +165,21 @@ def test_branch_of_branch_and_mor_debt_refusal(spark, table):
     # further (tombstone coordinates are root-relative)
     with pytest.raises(ValueError, match="merge-on-read"):
         bt.create_branch("sub2")
+
+
+def test_nested_branch_refs_survive_middle_expiry(spark, table):
+    """A branch-of-branch flattens its refs to the ORIGINAL root: main's
+    vacuum must count the nested branch's refs even after the middle
+    branch expired its own history down to a state without them."""
+    dev = table.create_branch("dev")
+    dev.create_branch("sub")                     # refs flatten to main
+    # main rewrites + expires: old dirs are dead to main AND (after its
+    # own overwrite) to dev's head — only sub still reads them
+    dev.commit(spark.createDataFrame(_rows(0, 1)), mode="overwrite")
+    dev.expire_snapshots(keep_last=1)
+    table.commit(spark.createDataFrame(_rows(0, 5)), mode="overwrite")
+    table.expire_snapshots(keep_last=1)
+    assert table.branch("dev").branch("sub").read().count() == 120
+    table.drop_branch("dev")                     # releases sub too
+    table.vacuum()
+    assert table.read().count() == 5
