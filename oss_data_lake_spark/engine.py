@@ -88,10 +88,14 @@ class Engine:
 
         t = SnapshotTable(self.spark, path)
         self._snapshot_tables[name] = t
-        for bname, bt in t._branch_tables():
-            self._snapshot_tables.setdefault(
-                branch_sql_name(name, bname), bt
-            )
+
+        def _register_branches(base_name, base_table):
+            for bname, bt in base_table._branch_tables():
+                reg = branch_sql_name(base_name, bname)
+                self._snapshot_tables.setdefault(reg, bt)
+                _register_branches(reg, bt)  # branches of branches
+
+        _register_branches(name, t)
         return t
 
     def snapshot_table_path(self, name: str) -> str:
@@ -110,10 +114,20 @@ class Engine:
 
     def drop_snapshot_table(self, name: str, delete_data: bool = True):
         """Unregister (and by default delete) a managed snapshot table —
-        `DROP TABLE` semantics for the snapshot layer."""
+        `DROP TABLE` semantics for the snapshot layer. Registered
+        branches of the table (their roots live under it) unregister
+        with it."""
+        import os
         import shutil
 
         t = self._snapshot_tables.pop(name)
+        prefix = t.path + os.sep
+        for reg in [
+            n
+            for n, other in self._snapshot_tables.items()
+            if other.path.startswith(prefix)
+        ]:
+            self._snapshot_tables.pop(reg)
         if delete_data:
             shutil.rmtree(t.path, ignore_errors=True)
 

@@ -1480,8 +1480,14 @@ def dispatch_statement(
         name, bname = m.group(1), m.group(2)
         if name not in tables:
             return None
+        bpath = tables[name].branch(bname).path
         tables[name].drop_branch(bname)
-        tables.pop(branch_sql_name(name, bname), None)
+        # distinct branch names can sanitize to one registry name
+        # ('a.b' and 'a_b'): pop only the entry that actually points at
+        # the dropped branch's root
+        reg = branch_sql_name(name, bname)
+        if reg in tables and tables[reg].path == bpath:
+            tables.pop(reg)
         return spark.createDataFrame([(bname,)], "dropped string")
 
     m = _FAST_FORWARD_RE.match(text)
@@ -1490,9 +1496,12 @@ def dispatch_statement(
         if name not in tables:
             return None
         keep = bool(m.group(3))
+        bpath = tables[name].branch(bname).path
         version = tables[name].fast_forward(bname, drop=not keep)
         if not keep:
-            tables.pop(branch_sql_name(name, bname), None)
+            reg = branch_sql_name(name, bname)
+            if reg in tables and tables[reg].path == bpath:
+                tables.pop(reg)
         return spark.createDataFrame([(version,)], "version long")
 
     m = _SHOW_BRANCHES_RE.match(text)

@@ -909,7 +909,12 @@ class SnapshotTable:
         source snapshot it branched from}}``."""
         out: dict[str, dict] = {}
         for name, bt in self._branch_tables():
-            src = bt._manifest(1).get("clone_source") or {}
+            try:
+                src = bt._manifest(1).get("clone_source") or {}
+            except Exception:
+                # the branch expired its own v1 (clone manifest): still
+                # a live branch, just without a recorded fork point
+                src = {}
             out[name] = {
                 "head": bt.current_version(),
                 "from_version": src.get("version"),
@@ -1195,18 +1200,21 @@ class SnapshotTable:
             # picked dir — Iceberg refuses the same way when the picked
             # snapshot's ancestry diverged.
             chain = [head]
+            chain_complete = True
             while chain[-1].get("parent"):
                 try:
                     chain.append(read_manifest(chain[-1]["parent"]))
                 except Exception:
-                    break  # expired ancestry: judge by what remains
+                    chain_complete = False  # expired ancestry
+                    break
             head_dirs = set(head["data_dirs"])
 
             def _rows_live(d: str, depth: int = 0) -> tuple[bool, dict | None]:
                 """Are dir ``d``'s ROWS reachable at head? Directly (dir
-                visible), or transitively (a rewrite consumed it and the
-                rewrite's output is itself live). A rollback/cherry-pick
-                drop ends the trail — those move dirs, never rows."""
+                visible), or transitively: EVERY rewrite that ever
+                consumed it may have copied its rows forward, so all
+                drop transitions are checked — a rollback/cherry-pick
+                drop moves dirs, never rows, and contributes nothing."""
                 if d in head_dirs:
                     return True, None
                 if depth > 64:
@@ -1215,14 +1223,13 @@ class SnapshotTable:
                     if d in par["data_dirs"] and d not in child["data_dirs"]:
                         mode = str(child.get("mode", ""))
                         if mode.startswith(("rollback_to_", "cherry_pick_")):
-                            return False, None
+                            continue  # dir moved, rows didn't
                         par_dirs = set(par["data_dirs"])
                         for out in child["data_dirs"]:
                             if out not in par_dirs:
                                 live, _ = _rows_live(out, depth + 1)
                                 if live:
                                     return True, child
-                        return False, None
                 return False, None
 
             for d in added:
@@ -1234,6 +1241,14 @@ class SnapshotTable:
                         f"v{via.get('version')} whose output is still "
                         "visible — re-adding the dir would duplicate "
                         "its rows; replay through MERGE instead"
+                    )
+                if not live and not chain_complete:
+                    # fail CLOSED: an expired ancestor may hide the
+                    # rewrite that consumed this dir
+                    raise ValueError(
+                        f"cherry_pick: head's ancestry is partially "
+                        f"expired and dir {d!r}'s fate cannot be "
+                        "verified; replay through MERGE instead"
                     )
             head_ids = set((head.get("field_ids") or {}).values())
             for d in added:
@@ -1469,8 +1484,24 @@ class SnapshotTable:
         # build re-checks against the claimed parent, so a race that
         # slips past this pre-check still refuses atomically
         if require_source_unchanged:
+            if not (
+                "://" in src_root
+                or os.path.isdir(os.path.join(src_root, "_snapshots"))
+            ):
+                # don't construct a SnapshotTable here: its protocol
+                # would recreate _snapshots under the vanished path
+                raise ValueError(
+                    f"publish: source table at {src_root} is gone "
+                    "(moved or deleted); re-clone from its new "
+                    "location and replay the changes"
+                )
             src_head = SnapshotTable(self.spark, src_root).current_version()
-            if (src_head or 0) != srcinfo["version"]:
+            if src_head is None:
+                raise ValueError(
+                    f"publish: source table at {src_root} has no "
+                    "snapshots (moved or deleted); re-clone and replay"
+                )
+            if src_head != srcinfo["version"]:
                 raise CommitConflict(
                     f"source advanced to v{src_head} since the clone was "
                     f"taken at v{srcinfo['version']}; re-clone and "
@@ -4992,6 +5023,9 @@ class SnapshotTable:
                 tag="compact",
             )
         so = self.current_sort_order() if not partition_by else []
+        # same contract as commit(): a sort column the current schema
+        # lost must not brick the rewrite — sort on what survives
+        so = [c for c in so if c in cur.columns]
         if so:
             # a declared WRITE ORDERED BY makes compaction a REWRITE WITH
             # SORT (Iceberg's rewrite_data_files strategy=sort): old

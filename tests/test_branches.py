@@ -183,3 +183,31 @@ def test_nested_branch_refs_survive_middle_expiry(spark, table):
     table.drop_branch("dev")                     # releases sub too
     table.vacuum()
     assert table.read().count() == 5
+
+
+def test_branches_listing_survives_branch_side_expiry(spark, table):
+    """A branch that expired its own clone manifest still lists (fork
+    point unknown) instead of crashing SHOW BRANCHES / ref errors."""
+    dev = table.create_branch("dev")
+    dev.commit(spark.createDataFrame(_rows(0, 1)), mode="overwrite")
+    dev.expire_snapshots(keep_last=1)
+    assert table.branches()["dev"]["from_version"] is None
+    with pytest.raises(ValueError, match="unknown tag"):
+        table.resolve_ref("nope")  # error path walks branches() too
+
+
+def test_drop_table_unregisters_branch_handles(spark, tmp_path):
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.sql_script(
+        "CREATE TABLE t USING snapshot AS SELECT 1 AS k;"
+        "ALTER TABLE t CREATE BRANCH dev"
+    )
+    assert "t_branch_dev" in eng._snapshot_tables
+    eng.sql("DROP TABLE t")
+    assert "t_branch_dev" not in eng._snapshot_tables
+    # recreate cleanly: the registry name is free again
+    eng.sql_script(
+        "CREATE TABLE t USING snapshot AS SELECT 1 AS k;"
+        "ALTER TABLE t CREATE BRANCH dev"
+    )
+    assert "t_branch_dev" in eng._snapshot_tables

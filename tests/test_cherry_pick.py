@@ -103,3 +103,20 @@ def test_cherry_pick_field_id_guard(spark, tmp_path):
     t.commit(spark.createDataFrame(_rows(10, 12)), mode="overwrite")  # v5
     with pytest.raises(ValueError, match="field ids"):
         t.cherry_pick(2)
+
+
+def test_cherry_pick_refuses_when_rewrite_output_visible_via_rollback(
+    spark, tmp_path
+):
+    """Review finding r8: a rollback may DROP the picked dir while an
+    earlier rewrite's output (holding the same rows) is visible at head
+    — every consuming rewrite must be checked, not just the most
+    recent drop."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(_rows(0, 10)), mode="overwrite")   # v1
+    t.commit(spark.createDataFrame(_rows(10, 20)), mode="append")     # v2: dir d
+    t.compact()                                                       # v3: d -> o
+    t.rollback(2)                                                     # v4: d back
+    t.rollback(3)                                                     # v5: o back, d gone
+    with pytest.raises(ValueError, match="still\\s+visible|consumed"):
+        t.cherry_pick(2)

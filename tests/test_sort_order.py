@@ -193,3 +193,14 @@ def test_missing_sort_column_skips_quietly(spark, table):
     table.commit(spark.createDataFrame(_rows(30)), mode="overwrite")
     assert table.read().count() == 30
     assert table.current_sort_order() == ["extra", "k"]
+
+
+def test_compact_survives_dropped_sort_column(spark, table):
+    """Review finding r8: plain compact() must sort on the surviving
+    columns when the schema lost a declared sort column."""
+    table.add_columns({"extra": "double"})
+    table.set_sort_order(["extra", "k"])
+    table.commit(spark.createDataFrame(_rows(10)), mode="overwrite")
+    # the overwrite's schema has no 'extra'; compact must not raise
+    table.compact(target_partitions=2)
+    assert table.read().count() == 10
