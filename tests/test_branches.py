@@ -211,3 +211,31 @@ def test_drop_table_unregisters_branch_handles(spark, tmp_path):
         "ALTER TABLE t CREATE BRANCH dev"
     )
     assert "t_branch_dev" in eng._snapshot_tables
+
+
+def test_branch_streams_like_any_table(spark, table, tmp_path):
+    """A branch is a full SnapshotTable: the streaming source reads its
+    commits in isolation from main's."""
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        SnapshotStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotStreamSource)
+    bt = table.create_branch("dev")
+    bt.commit(spark.createDataFrame(_rows(200, 210)), mode="append")
+    table.commit(spark.createDataFrame(_rows(900, 999)), mode="append")
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", bt.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("branch_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM branch_stream").collect()
+    assert got[0]["n"] == 130  # 120 base + 10 branch rows; main's 99 absent

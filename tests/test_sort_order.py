@@ -204,3 +204,21 @@ def test_compact_survives_dropped_sort_column(spark, table):
     # the overwrite's schema has no 'extra'; compact must not raise
     table.compact(target_partitions=2)
     assert table.read().count() == 10
+
+
+def test_streaming_sink_adopts_sort_order(spark, tmp_path):
+    """Micro-batches committed through the sink's commit_batch ride the
+    declared order: accreted files carry auto-harvested sort-column
+    stats, so streaming accretion never erodes range skipping."""
+    from oss_data_lake_spark.streaming.snapshot_sink import commit_batch
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(_rows(50)), mode="overwrite")
+    t.set_sort_order(["k"])
+    for b in range(3):
+        commit_batch(
+            t, spark.createDataFrame(_rows(400)).repartition(4), b, "s1"
+        )
+    assert "k" in t.stats_columns()
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 10)
+    assert t.read().count() == 1250
