@@ -93,6 +93,7 @@ statement-shaped text here BEFORE the query path:
 - ``ALTER TABLE t FAST FORWARD BRANCH b [KEEP]``; ``SHOW BRANCHES t``
   (a created branch answers SQL as ``t_branch_<b>``)
 - ``ALTER TABLE t CHERRY PICK VERSION n`` (re-apply a pure-append commit)
+- ``SHOW TAGS t``
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
@@ -788,6 +789,10 @@ _FAST_FORWARD_RE = re.compile(
 )
 _SHOW_BRANCHES_RE = re.compile(
     r"^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TAGS_RE = re.compile(
+    r"^\s*SHOW\s+TAGS\s+(?:IN\s+|FROM\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _CHERRY_PICK_RE = re.compile(
@@ -1524,6 +1529,14 @@ def dispatch_statement(
             return None
         version = tables[name].cherry_pick(int(m.group(2)))
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _SHOW_TAGS_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        rows = sorted(tables[name].tags().items())
+        return spark.createDataFrame(rows, "tag string, version long")
 
     m = _DELETE_RE.match(text)
     if m:

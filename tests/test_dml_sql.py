@@ -504,6 +504,8 @@ def test_snapshot_tags_time_travel_and_retention(spark, eng):
     assert got == 100
     t = eng._snapshot_tables["t"]
     assert t.tags() == {"baseline": 1}
+    rows = eng.sql("SHOW TAGS t").collect()
+    assert [(r["tag"], r["version"]) for r in rows] == [("baseline", 1)]
     # tagged version SURVIVES expiry; untagged v2 goes
     expired = [
         r["expired_version"]
