@@ -4692,6 +4692,26 @@ class SnapshotTable:
                     write_df = write_df.withColumn(
                         pcol, self._transform_expr(tr)
                     )
+            # the replacement honors a declared sort order too (same
+            # contract as commit()): rewritten survivors come back out
+            # range-clustered with their stats, so CoW DML never erodes
+            # the WRITE ORDERED BY layout
+            so_cols = [
+                c
+                for c in self.current_sort_order(v)
+                if c in write_df.columns
+            ]
+            if so_cols:
+                so_keys = phys + [c for c in so_cols if c not in phys]
+                write_df = write_df.repartitionByRange(
+                    *[F.col(c) for c in so_keys]
+                ).sortWithinPartitions(*so_keys)
+                stats_for = list(
+                    dict.fromkeys(
+                        (stats_for or [])
+                        + [c for c in so_cols if c not in phys]
+                    )
+                )
             self._write_data_dir(write_df, new_dir, phys or None)
             own_stats = self._harvest_stats(
                 new_dir,

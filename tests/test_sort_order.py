@@ -222,3 +222,22 @@ def test_streaming_sink_adopts_sort_order(spark, tmp_path):
     assert "k" in t.stats_columns()
     _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 10)
     assert t.read().count() == 1250
+
+
+def test_cow_rewrite_honors_sort_order(spark, tmp_path):
+    """CoW DML's replacement dir comes back range-clustered with stats:
+    DML never erodes the WRITE ORDERED BY layout."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(_rows(400)).repartition(8),
+             mode="overwrite")
+    t.set_sort_order(["k"])
+    with _small_files(spark):
+        t.update_where("k >= 0", {"v": "v + 0.5"})  # rewrites every row
+    m = t._manifest(t.current_version())
+    new_dir = m["data_dirs"][-1]
+    stats = m.get("file_stats", {}).get(new_dir) or {}
+    assert stats, "rewritten dir must carry auto-harvested sort stats"
+    spans = sorted((s["k"]["min"], s["k"]["max"]) for s in stats.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"replacement files overlap: {spans}"
+    assert t.read().count() == 400
