@@ -120,9 +120,10 @@ _snapshot_ops = st.lists(
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
         st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
+        st.tuples(st.just("cherry_pick"), st.integers(0, 5)),
     ),
     min_size=1,
-    max_size=6,
+    max_size=8,
 )
 
 
@@ -139,6 +140,7 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
     t = SnapshotTable(spark, str(path))
     model: dict[int, list[int]] = {}  # version -> multiset of k values
 
+    added: dict[int, list[int]] = {}  # version -> rows that commit added
     for op, arg in ops:
         if op == "rollback":
             if not model:
@@ -147,12 +149,31 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
             target = versions[arg % len(versions)]
             v = t.rollback(target)
             model[v] = list(model[target])
+        elif op == "cherry_pick":
+            # round 8: re-applying a random historical commit either
+            # REFUSES (non-append, visible dirs, live rewrite output —
+            # state must be untouched) or lands exactly that commit's
+            # added rows on the head multiset
+            if not model:
+                continue
+            versions = sorted(model)
+            target = versions[arg % len(versions)]
+            head_before = t.current_version()
+            try:
+                v = t.cherry_pick(target)
+            except ValueError:
+                assert t.current_version() == head_before, (
+                    "a refused cherry_pick must not commit"
+                )
+                continue
+            model[v] = model[head_before] + added[target]
         else:
             rows = arg
             df = spark.createDataFrame([(k,) for k in rows], "k long")
             v = t.commit(df, mode=op)
             prev = model.get(v - 1, [])
             model[v] = (prev + rows) if (op == "append" and prev) else list(rows)
+            added[v] = list(rows)
 
     if not model:  # sequence was all no-op rollbacks on an empty table
         assert t.current_version() is None
