@@ -94,6 +94,8 @@ statement-shaped text here BEFORE the query path:
   (a created branch answers SQL as ``t_branch_<b>``)
 - ``ALTER TABLE t CHERRY PICK VERSION n`` (re-apply a pure-append commit)
 - ``SHOW TAGS t``
+- ``CONVERT TO SNAPSHOT PARQUET '<path>' AS t [PARTITIONED BY (c1, c2)]``
+  (adopt a foreign parquet dir zero-copy — Delta's CONVERT TO DELTA)
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
@@ -789,6 +791,11 @@ _FAST_FORWARD_RE = re.compile(
 )
 _SHOW_BRANCHES_RE = re.compile(
     r"^\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+SNAPSHOT\s+PARQUET\s+'([^']+)'\s+AS\s+"
+    r"([A-Za-z_]\w*)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _SHOW_TAGS_RE = re.compile(
@@ -1537,6 +1544,34 @@ def dispatch_statement(
             return None
         rows = sorted(tables[name].tags().items())
         return spark.createDataFrame(rows, "tag string, version long")
+
+    m = _CONVERT_RE.match(text)
+    if m:
+        from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+        src, name = m.group(1), m.group(2)
+        if name in tables:
+            raise ValueError(f"CONVERT: table {name!r} already registered")
+        if engine is None:
+            raise ValueError(
+                "CONVERT TO SNAPSHOT needs an engine (managed location)"
+            )
+        pb = (
+            [c.strip() for c in m.group(3).split(",") if c.strip()]
+            if m.group(3)
+            else None
+        )
+        t = SnapshotTable.convert_parquet(
+            spark, src, engine.snapshot_table_path(name), partition_by=pb
+        )
+        # register on the ENGINE (an engine with no snapshot tables yet
+        # dispatches with a throwaway empty dict, not its registry)
+        engine._snapshot_tables[name] = t
+        tables[name] = t
+        return spark.createDataFrame(
+            [(name, src, t.read().count())],
+            "table string, source string, rows long",
+        )
 
     m = _DELETE_RE.match(text)
     if m:

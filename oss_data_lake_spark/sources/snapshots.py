@@ -1437,6 +1437,79 @@ class SnapshotTable:
         clone.protocol.commit(build)
         return clone
 
+    @classmethod
+    def convert_parquet(
+        cls,
+        spark: SparkSession,
+        src_dir: str,
+        dest_root: str,
+        partition_by: list[str] | None = None,
+    ) -> "SnapshotTable":
+        """Adopt an existing plain-parquet directory as snapshot v1 —
+        Delta's ``CONVERT TO DELTA`` / Iceberg's migrate procedure,
+        expressed zero-copy: the new table's first manifest REFERENCES
+        ``src_dir`` absolutely (the shallow-clone mechanism over a
+        foreign dir), so conversion is O(1) in data size and the source
+        files are never touched. All external-reference rules apply
+        unchanged: CoW DML diverges into the new root, merge-on-read
+        refuses until ``compact()`` localizes, vacuum never crosses
+        into the foreign dir.
+
+        ``partition_by`` names the Hive-layout partition columns of a
+        ``col=value`` directory tree; the adopted schema (partition
+        value types included) is Spark's inferred read schema — pin it
+        by converting, checking ``schema()``, and widening if needed."""
+        src = (
+            src_dir.rstrip("/")
+            if "://" in src_dir
+            else os.path.normpath(os.path.abspath(src_dir))
+        )
+        df = spark.read.parquet(src)
+        schema = df.schema
+        missing = [
+            c for c in (partition_by or []) if c not in schema.fieldNames()
+        ]
+        if missing:
+            raise ValueError(
+                f"convert: partition columns {missing} not discovered "
+                f"in {src} (expected Hive col=value path segments)"
+            )
+        table = cls(spark, dest_root)
+        if table.current_version() is not None:
+            raise ValueError(f"convert destination {dest_root} already exists")
+        fids, last = cls._next_field_ids(None, schema.fieldNames())
+
+        def build(parent: int | None, read_manifest) -> dict:
+            if parent:
+                raise ValueError(
+                    f"convert destination {dest_root} already exists"
+                )
+            return {
+                "version": 1,
+                "parent": None,
+                "mode": "convert",
+                "data_dirs": [src],
+                "partition_specs": {src: list(partition_by or [])},
+                "partition_transforms": {},
+                "dir_schemas": {src: schema.jsonValue()},
+                "dir_files": {},
+                "delete_dirs": [],
+                "eq_deletes": [],
+                "schema": schema.jsonValue(),
+                "field_ids": fids,
+                "dir_field_ids": {src: fids},
+                "last_field_id": last,
+                "file_stats": {},
+                "txn": None,
+                "txn_watermarks": {},
+                "constraints": {},
+                "properties": {},
+                "committed_at_ms": int(time.time() * 1000),
+            }
+
+        table.protocol.commit(build)
+        return table
+
     def publish(self, require_source_unchanged: bool = True) -> int:
         """Complete the WRITE-AUDIT-PUBLISH loop for a shallow clone:
         push THIS clone's head state back to its source table as ONE
