@@ -27,7 +27,7 @@ statement-shaped text here BEFORE the query path:
   ``delete.mode = merge-on-read``)
 - ``OPTIMIZE t [ZORDER BY (a, b) | CLUSTER BY a] [INTO n FILES]``
                                            → ``SnapshotTable.compact``
-- ``VACUUM t``                             → ``SnapshotTable.vacuum``
+- ``VACUUM t [RETAIN n HOURS] [DRY RUN]``  → ``SnapshotTable.vacuum``
 - ``DESCRIBE HISTORY | DETAIL | FILES t``  → snapshot log / table summary
                                              / per-file manifest view
 - ``CREATE TABLE t USING snapshot AS <query>`` / ``DROP TABLE t``
@@ -177,7 +177,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(\s+DRY\s+RUN)?\s*;?\s*$",
+    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
@@ -1812,7 +1813,12 @@ def dispatch_statement(
     m = _VACUUM_RE.match(text)
     if m:
         t = _require(tables, m.group(1), "VACUUM")
-        removed = t.vacuum(dry_run=bool(m.group(2)))
+        removed = t.vacuum(
+            dry_run=bool(m.group(3)),
+            retain_ms=(
+                int(m.group(2)) * 3_600_000 if m.group(2) else None
+            ),
+        )
         return spark.createDataFrame(
             [(d,) for d in removed] or [], "removed_dir string"
         )

@@ -5208,7 +5208,9 @@ class SnapshotTable:
         self.vacuum()
         return expired
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self, dry_run: bool = False, retain_ms: int | None = None
+    ) -> list[str]:
         """Reclaim storage unreachable from ANY live snapshot:
 
         1. whole data DIRECTORIES no manifest references (crash
@@ -5225,10 +5227,33 @@ class SnapshotTable:
         source references are the source table's to manage). Returns
         the removed rel paths (dirs and files). ``dry_run=True``
         (Delta's ``VACUUM ... DRY RUN``) returns what WOULD be removed
-        without touching anything."""
+        without touching anything. ``retain_ms`` (Delta's ``RETAIN n
+        HOURS``) additionally keeps anything written within the window
+        — the in-flight-reader safety margin: a query planned against a
+        just-expired snapshot keeps its files until the window passes."""
         import shutil
 
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
+
+        cutoff = (
+            time.time() - retain_ms / 1000.0
+            if retain_ms is not None
+            else None
+        )
+
+        def past_retention(path: str) -> bool:
+            """True when every file under ``path`` (or the file itself)
+            is older than the retention cutoff — conservative: one
+            young file keeps a whole dir."""
+            if cutoff is None:
+                return True
+            if os.path.isfile(path):
+                return os.path.getmtime(path) <= cutoff
+            for dp, _dn, fs in os.walk(path):
+                for f in fs:
+                    if os.path.getmtime(os.path.join(dp, f)) > cutoff:
+                        return False
+            return True
 
         manifests = self.versions()
         # MANAGED BRANCHES reference this root's dirs absolutely; their
@@ -5261,7 +5286,9 @@ class SnapshotTable:
         if os.path.isdir(data_root):
             for name in os.listdir(data_root):
                 rel = f"data/{name}"
-                if rel not in referenced:
+                if rel not in referenced and past_retention(
+                    os.path.join(data_root, name)
+                ):
                     if not dry_run:
                         shutil.rmtree(os.path.join(data_root, name))
                     removed.append(rel)
@@ -5275,7 +5302,9 @@ class SnapshotTable:
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):
                 rel = f"deletes/{name}"
-                if rel not in dv_referenced:
+                if rel not in dv_referenced and past_retention(
+                    os.path.join(dv_root, name)
+                ):
                     if not dry_run:
                         shutil.rmtree(os.path.join(dv_root, name))
                     removed.append(rel)
@@ -5293,7 +5322,9 @@ class SnapshotTable:
         if os.path.isdir(led_root):
             for name in os.listdir(led_root):
                 rel = f"ledgers/{name}"
-                if rel not in led_referenced:
+                if rel not in led_referenced and past_retention(
+                    os.path.join(led_root, name)
+                ):
                     if not dry_run:
                         os.remove(os.path.join(led_root, name))
                     removed.append(rel)
@@ -5313,7 +5344,7 @@ class SnapshotTable:
             root = os.path.join(self.path, d)
             for p in list(_iter_parquet_files(root)):
                 rel_f = os.path.relpath(p, root)
-                if rel_f not in live:
+                if rel_f not in live and past_retention(p):
                     if not dry_run:
                         os.remove(p)
                     removed.append(f"{d}/{rel_f}")

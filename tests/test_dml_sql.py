@@ -747,7 +747,19 @@ def test_vacuum_dry_run_lists_without_deleting(spark, eng, tmp_path):
     # nothing actually removed: a second dry run sees the same set
     again = sorted(r["removed_dir"] for r in eng.sql("VACUUM vd DRY RUN").collect())
     assert would == again
-    did = sorted(r["removed_dir"] for r in eng.sql("VACUUM vd").collect())
+    # RETAIN window (Delta parity): everything here was written
+    # seconds ago, so a 1-hour window keeps it all — the in-flight
+    # reader safety margin
+    kept = eng.sql("VACUUM vd RETAIN 1 HOURS").collect()
+    assert kept == []
+    assert sorted(
+        r["removed_dir"] for r in eng.sql("VACUUM vd DRY RUN").collect()
+    ) == would, "RETAIN must not have removed anything this young"
+    # RETAIN 0 HOURS degenerates to a plain vacuum
+    did = sorted(
+        r["removed_dir"]
+        for r in eng.sql("VACUUM vd RETAIN 0 HOURS").collect()
+    )
     assert did == would
     assert eng.sql("VACUUM vd").count() == 0  # now clean
     assert t.read().count() == 30
