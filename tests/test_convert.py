@@ -104,3 +104,18 @@ def test_convert_refuses_existing_destination(spark, foreign, tmp_path):
     SnapshotTable.convert_parquet(spark, foreign, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="already exists"):
         SnapshotTable.convert_parquet(spark, foreign, str(tmp_path / "t"))
+
+
+def test_convert_then_order_then_branch_compose(spark, foreign, tmp_path):
+    """The round-8 surfaces compose: a converted table declares a sort
+    order (localizing compact comes back clustered), branches, and
+    fast-forwards — the full modernization path for a legacy dir."""
+    t = SnapshotTable.convert_parquet(spark, foreign, str(tmp_path / "t"))
+    t.set_sort_order(["k"])
+    t.compact(target_partitions=4)           # localize + cluster
+    assert "k" in t.stats_columns()
+    b = t.create_branch("fix")
+    b.delete_where("k >= 90")
+    t.fast_forward("fix")
+    assert t.read().count() == 90
+    assert t.current_sort_order() == ["k"]
