@@ -796,7 +796,8 @@ _SHOW_BRANCHES_RE = re.compile(
 )
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+SNAPSHOT\s+PARQUET\s+'([^']+)'\s+AS\s+"
-    r"([A-Za-z_]\w*)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    r"([A-Za-z_]\w*)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"(?:\s+STATS\s+FOR\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _SHOW_TAGS_RE = re.compile(
@@ -1562,16 +1563,32 @@ def dispatch_statement(
             if m.group(3)
             else None
         )
+        sf = (
+            [c.strip() for c in m.group(4).split(",") if c.strip()]
+            if m.group(4)
+            else None
+        )
         t = SnapshotTable.convert_parquet(
-            spark, src, engine.snapshot_table_path(name), partition_by=pb
+            spark,
+            src,
+            engine.snapshot_table_path(name),
+            partition_by=pb,
+            stats_for=sf,
         )
         # register on the ENGINE (an engine with no snapshot tables yet
         # dispatches with a throwaway empty dict, not its registry)
         engine._snapshot_tables[name] = t
         tables[name] = t
+        # metadata-only report (a row count would scan the adopted
+        # data — the one thing a zero-copy CONVERT must not do)
+        from oss_data_lake_spark.sources.skipping import (
+            _iter_parquet_files,
+        )
+
+        n_files = sum(1 for _ in _iter_parquet_files(src))
         return spark.createDataFrame(
-            [(name, src, t.read().count())],
-            "table string, source string, rows long",
+            [(name, src, n_files)],
+            "table string, source string, n_files long",
         )
 
     m = _DELETE_RE.match(text)

@@ -1444,6 +1444,7 @@ class SnapshotTable:
         src_dir: str,
         dest_root: str,
         partition_by: list[str] | None = None,
+        stats_for: list[str] | None = None,
     ) -> "SnapshotTable":
         """Adopt an existing plain-parquet directory as snapshot v1 —
         Delta's ``CONVERT TO DELTA`` / Iceberg's migrate procedure,
@@ -1458,7 +1459,11 @@ class SnapshotTable:
         ``partition_by`` names the Hive-layout partition columns of a
         ``col=value`` directory tree; the adopted schema (partition
         value types included) is Spark's inferred read schema — pin it
-        by converting, checking ``schema()``, and widening if needed."""
+        by converting, checking ``schema()``, and widening if needed.
+
+        ``stats_for`` harvests per-file footer bounds for the named
+        columns during the conversion (one parallel metadata pass, no
+        data read) so the adopted table file-skips from v1."""
         src = (
             src_dir.rstrip("/")
             if "://" in src_dir
@@ -1478,6 +1483,16 @@ class SnapshotTable:
         if table.current_version() is not None:
             raise ValueError(f"convert destination {dest_root} already exists")
         fids, last = cls._next_field_ids(None, schema.fieldNames())
+        own_stats: dict = {}
+        if stats_for:
+            from oss_data_lake_spark.sources.skipping import (
+                collect_file_stats,
+            )
+
+            pcols = set(partition_by or [])
+            own_stats = collect_file_stats(
+                spark, src, [c for c in stats_for if c not in pcols]
+            )
 
         def build(parent: int | None, read_manifest) -> dict:
             if parent:
@@ -1499,7 +1514,7 @@ class SnapshotTable:
                 "field_ids": fids,
                 "dir_field_ids": {src: fids},
                 "last_field_id": last,
-                "file_stats": {},
+                "file_stats": {src: own_stats} if own_stats else {},
                 "txn": None,
                 "txn_watermarks": {},
                 "constraints": {},

@@ -85,9 +85,14 @@ def test_convert_partitioned_dir_prunes(spark, tmp_path):
 def test_convert_sql_route(spark, foreign, tmp_path):
     eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
     r = eng.sql(
-        f"CONVERT TO SNAPSHOT PARQUET '{foreign}' AS legacy"
+        f"CONVERT TO SNAPSHOT PARQUET '{foreign}' AS legacy "
+        f"STATS FOR (k)"
     ).collect()[0]
-    assert (r["table"], r["rows"]) == ("legacy", 100)
+    assert (r["table"], r["n_files"]) == ("legacy", 4)
+    # STATS FOR harvested footer bounds: the adopted table file-skips
+    t = eng._snapshot_tables["legacy"]
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 0)
+    assert n_sel + n_skip == 4 and n_sel < 4
     assert eng.sql(
         "SELECT COUNT(*) AS n FROM legacy WHERE k < 10"
     ).collect()[0]["n"] == 10
