@@ -74,7 +74,8 @@ statement-shaped text here BEFORE the query path:
                                              preserved), plain CTAS
                                              otherwise
 - ``SHOW TBLPROPERTIES t [('key')]``       → property listing
-- ``ALTER TABLE t EXPIRE SNAPSHOTS [KEEP LAST n] [OLDER THAN 'ts']``
+- ``ALTER TABLE t EXPIRE SNAPSHOTS [KEEP LAST n] [OLDER THAN 'ts']
+  [RETAIN n HOURS]``
                                            → manifest retention
                                              (``expire_snapshots``;
                                              tagged and younger-than-
@@ -94,8 +95,9 @@ statement-shaped text here BEFORE the query path:
   (a created branch answers SQL as ``t_branch_<b>``)
 - ``ALTER TABLE t CHERRY PICK VERSION n`` (re-apply a pure-append commit)
 - ``SHOW TAGS t``
-- ``CONVERT TO SNAPSHOT PARQUET '<path>' AS t [PARTITIONED BY (c1, c2)]``
-  (adopt a foreign parquet dir zero-copy — Delta's CONVERT TO DELTA)
+- ``CONVERT TO SNAPSHOT PARQUET '<path>' AS t [PARTITIONED BY (c1, c2)]
+  [STATS FOR (c1, ...)]`` (adopt a foreign parquet dir zero-copy —
+  Delta's CONVERT TO DELTA; STATS FOR harvests footer bounds)
                                            → named snapshot refs;
                                              ``FOR VERSION AS OF '<n>'``
                                              time-travels by tag
@@ -206,7 +208,8 @@ _SHOW_PROPS_RE = re.compile(
 _EXPIRE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+EXPIRE\s+SNAPSHOTS\s+"
     r"(?:KEEP\s+LAST\s+(\d+))?"
-    r"(?:\s*(?:OLDER\s+THAN\s+(?:TIMESTAMP\s+)?'([^']+)'))?\s*;?\s*$",
+    r"(?:\s*(?:OLDER\s+THAN\s+(?:TIMESTAMP\s+)?'([^']+)'))?"
+    r"(?:\s*RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_RE = re.compile(
@@ -1805,6 +1808,9 @@ def dispatch_statement(
         expired = t.expire_snapshots(
             keep_last=int(m.group(2)) if m.group(2) else 1,
             older_than_ms=older,
+            retain_ms=(
+                int(m.group(4)) * 3_600_000 if m.group(4) else None
+            ),
         )
         return spark.createDataFrame(
             [(v,) for v in expired] or [], "expired_version long"

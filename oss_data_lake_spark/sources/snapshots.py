@@ -5189,7 +5189,10 @@ class SnapshotTable:
         )
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than_ms: int | None = None
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        retain_ms: int | None = None,
     ) -> list[int]:
         """Iceberg's ``expire_snapshots``: drop manifests older than the
         newest ``keep_last`` versions, then vacuum newly-unreferenced data
@@ -5199,7 +5202,15 @@ class SnapshotTable:
 
         ``older_than_ms`` adds Iceberg's TIME-based retention: only
         snapshots committed BEFORE the cutoff are eligible (a snapshot
-        younger than the cutoff survives even beyond ``keep_last``)."""
+        younger than the cutoff survives even beyond ``keep_last``).
+
+        Every expired manifest leaves a DEREFERENCE-STAMPED copy under
+        ``_snapshots/expired/``; a later ``vacuum(retain_ms=...)``
+        treats copies stamped within the window as still-live
+        references — so RETAIN's in-flight-reader guarantee keys on
+        when files became unreachable, not on their write mtime (the
+        Delta deletion-timestamp semantics). Pass ``retain_ms`` here to
+        apply the window to the expiry's own vacuum."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         manifests = self.versions()
@@ -5218,9 +5229,18 @@ class SnapshotTable:
         # is a promise that AS OF '<tag>' keeps resolving
         keep.update(self.tags().values())
         expired = [v for v in versions if v not in keep]
+        exp_root = os.path.join(self._meta, "expired")
+        by_version = {m["version"]: m for m in manifests}
         for v in expired:
+            os.makedirs(exp_root, exist_ok=True)
+            copy = dict(by_version[v])
+            copy["expired_at_ms"] = int(time.time() * 1000)
+            tmp = os.path.join(exp_root, f".v{v}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(copy, fh)
+            os.replace(tmp, os.path.join(exp_root, f"v{v}.json"))
             self.protocol.delete_manifest(v)
-        self.vacuum()
+        self.vacuum(retain_ms=retain_ms)
         return expired
 
     def vacuum(
@@ -5243,9 +5263,14 @@ class SnapshotTable:
         the removed rel paths (dirs and files). ``dry_run=True``
         (Delta's ``VACUUM ... DRY RUN``) returns what WOULD be removed
         without touching anything. ``retain_ms`` (Delta's ``RETAIN n
-        HOURS``) additionally keeps anything written within the window
-        — the in-flight-reader safety margin: a query planned against a
-        just-expired snapshot keeps its files until the window passes."""
+        HOURS``) keeps anything DEREFERENCED within the window — the
+        in-flight-reader safety margin: a query planned against a
+        just-expired snapshot keeps its files until the window passes.
+        Dereference time comes from the expiry-stamped manifest copies
+        ``expire_snapshots`` leaves under ``_snapshots/expired/``
+        (copies inside the window count as live references; copies past
+        it are cleaned up), with a write-mtime floor on top for files
+        that never had a manifest (crash leftovers)."""
         import shutil
 
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
@@ -5257,9 +5282,8 @@ class SnapshotTable:
         )
 
         def past_retention(path: str) -> bool:
-            """True when every file under ``path`` (or the file itself)
-            is older than the retention cutoff — conservative: one
-            young file keeps a whole dir."""
+            """mtime FLOOR: one young file keeps a whole dir. Covers
+            paths no manifest (live or expired-copy) ever referenced."""
             if cutoff is None:
                 return True
             if os.path.isfile(path):
@@ -5271,6 +5295,25 @@ class SnapshotTable:
             return True
 
         manifests = self.versions()
+        # expiry-stamped copies: within the retain window they are LIVE
+        # references (the Delta deletion-timestamp semantics); past it
+        # (or with no window) the copy itself is reclaimed
+        exp_root = os.path.join(self._meta, "expired")
+        if os.path.isdir(exp_root):
+            for name in sorted(os.listdir(exp_root)):
+                fp = os.path.join(exp_root, name)
+                try:
+                    with open(fp) as fh:
+                        em = json.load(fh)
+                except (OSError, ValueError):
+                    continue  # half-written tmp: leave for its writer
+                if (
+                    cutoff is not None
+                    and em.get("expired_at_ms", 0) / 1000.0 > cutoff
+                ):
+                    manifests.append(em)
+                elif not dry_run:
+                    os.remove(fp)
         # MANAGED BRANCHES reference this root's dirs absolutely; their
         # live snapshots keep those files alive (normalized to rel-dir
         # synthetic manifests so both the dir-level and file-level GC

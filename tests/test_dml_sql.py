@@ -763,3 +763,67 @@ def test_vacuum_dry_run_lists_without_deleting(spark, eng, tmp_path):
     assert did == would
     assert eng.sql("VACUUM vd").count() == 0  # now clean
     assert t.read().count() == 30
+
+
+def test_retain_keys_on_dereference_time_not_mtime(spark, tmp_path):
+    """Review finding r8 (Delta deletion-timestamp semantics): RETAIN
+    must protect files by WHEN THEY BECAME UNREACHABLE, not their write
+    mtime — a 3-hour-old file dereferenced seconds ago survives a
+    1-hour window; dropping the window reclaims it."""
+    import os
+    import time as _time
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "rt"))
+    t.commit(
+        spark.range(20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )                                                              # v1
+    # age v1's files 3 hours: mtime alone would say "reclaimable"
+    old = _time.time() - 3 * 3600
+    for dp, _dn, fs in os.walk(os.path.join(t.path, "data")):
+        for f in fs:
+            os.utime(os.path.join(dp, f), (old, old))
+    t.commit(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )                                                              # v2
+    hour = 3_600_000
+    # expiry dereferences v1 NOW; its vacuum honors the window
+    t.expire_snapshots(keep_last=1, retain_ms=hour)
+    v1_dirs = [
+        d
+        for d in os.listdir(os.path.join(t.path, "data"))
+        if d.startswith("c1-")
+    ]
+    assert v1_dirs, "RETAIN must keep the just-dereferenced old files"
+    # a second windowed vacuum still keeps them
+    assert t.vacuum(retain_ms=hour) == []
+    # no window -> the expired copy is past protection: reclaimed
+    removed = t.vacuum()
+    assert any(r.startswith("data/c1-") for r in removed)
+    assert t.read().count() == 5
+
+
+def test_expire_retain_sql_grammar(spark, eng, tmp_path):
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "er"))
+    t.commit(spark.range(10).selectExpr("id AS k"))
+    t.commit(spark.range(3).selectExpr("id AS k"), mode="overwrite")
+    eng._snapshot_tables["er"] = t
+    expired = eng.sql(
+        "ALTER TABLE er EXPIRE SNAPSHOTS KEEP LAST 1 RETAIN 1 HOURS"
+    ).collect()
+    assert [r["expired_version"] for r in expired] == [1]
+    import os
+
+    assert any(
+        d.startswith("c1-")
+        for d in os.listdir(os.path.join(t.path, "data"))
+    ), "the window kept v1's just-dereferenced dir"
+    eng.sql("VACUUM er")  # window dropped: reclaim
+    assert not any(
+        d.startswith("c1-")
+        for d in os.listdir(os.path.join(t.path, "data"))
+    )

@@ -140,7 +140,15 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
     t = SnapshotTable(spark, str(path))
     model: dict[int, list[int]] = {}  # version -> multiset of k values
 
-    added: dict[int, list[int]] = {}  # version -> rows that commit added
+    from collections import Counter
+
+    def commit_delta(target: int) -> list[int]:
+        # the rows a commit ADDED = its multiset minus its parent's;
+        # valid for every pure-append manifest regardless of HOW it was
+        # made (append, rollback re-exposing dirs, earlier cherry-pick)
+        prev = Counter(model.get(target - 1, []))
+        return list((Counter(model[target]) - prev).elements())
+
     for op, arg in ops:
         if op == "rollback":
             if not model:
@@ -166,14 +174,13 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
                     "a refused cherry_pick must not commit"
                 )
                 continue
-            model[v] = model[head_before] + added[target]
+            model[v] = model[head_before] + commit_delta(target)
         else:
             rows = arg
             df = spark.createDataFrame([(k,) for k in rows], "k long")
             v = t.commit(df, mode=op)
             prev = model.get(v - 1, [])
             model[v] = (prev + rows) if (op == "append" and prev) else list(rows)
-            added[v] = list(rows)
 
     if not model:  # sequence was all no-op rollbacks on an empty table
         assert t.current_version() is None

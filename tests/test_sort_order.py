@@ -215,12 +215,14 @@ def test_streaming_sink_adopts_sort_order(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.commit(spark.createDataFrame(_rows(50)), mode="overwrite")
     t.set_sort_order(["k"])
-    for b in range(3):
-        commit_batch(
-            t, spark.createDataFrame(_rows(400)).repartition(4), b, "s1"
-        )
+    with _small_files(spark):
+        for b in range(3):
+            commit_batch(
+                t, spark.createDataFrame(_rows(400)).repartition(4), b, "s1"
+            )
     assert "k" in t.stats_columns()
     _sel, n_sel, n_skip = t.plan_range_scan("k", 0, 10)
+    assert n_skip > 0, "accreted batches must keep range skipping alive"
     assert t.read().count() == 1250
 
 
