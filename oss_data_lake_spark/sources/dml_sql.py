@@ -1552,8 +1552,10 @@ def dispatch_statement(
 
     m = _CONVERT_RE.match(text)
     if m:
-        from oss_data_lake_spark.sources.snapshots import SnapshotTable
-
+        # NOTE: SnapshotTable is the MODULE-level import — a function-
+        # local re-import here would shadow it for the whole dispatch
+        # function and break the earlier REFRESH MATERIALIZED VIEW arm
+        # with UnboundLocalError (regression pinned by test_matview_sql)
         src, name = m.group(1), m.group(2)
         if name in tables:
             raise ValueError(f"CONVERT: table {name!r} already registered")
@@ -1878,7 +1880,7 @@ def dispatch_statement(
         n_files = n_visible = 0
         for d in manifest["data_dirs"]:
             universe = t._stats_universe(
-                d, manifest.get("file_stats", {}).get(d) or {}
+                d, t.dir_stats(manifest, d) or {}
             )
             vis = manifest.get("dir_files", {}).get(d)
             n_files += len(universe)
@@ -1932,7 +1934,7 @@ def dispatch_statement(
         manifest = t._manifest(v)
         rows = []
         for d in manifest["data_dirs"]:
-            stats = manifest.get("file_stats", {}).get(d) or {}
+            stats = t.dir_stats(manifest, d) or {}
             universe = t._stats_universe(d, stats)
             vis = manifest.get("dir_files", {}).get(d)
             vset = None if vis is None else set(vis)
