@@ -171,6 +171,30 @@ def _parse_size_bytes(s) -> int:
     return int(float(m.group(1)) * _SIZE_MULT[m.group(2) or ""])
 
 
+# --- per-file stats sidecar spill (the manifest's metadata-scale valve) ---
+# A manifest is dir-granular JSON, but ``file_stats`` carries PER-FILE
+# column bounds (and base64 blooms): at millions of files that map would
+# dominate the manifest — parsed, merged, and re-serialized on the driver
+# at EVERY commit. Iceberg keeps file-level metadata in avro manifest
+# FILES referenced from a manifest list; Delta checkpoints stats into
+# parquet sidecars. We do the same: past a threshold a dir's stats spill
+# to one immutable parquet sidecar under ``stats/`` and the manifest
+# carries an O(1) reference ``{"__sidecar__": rel, "files": n, "rows": r,
+# "cols": [...]}``. A dir's file set never changes after creation (CoW
+# shrinks VISIBILITY via ``dir_files``), so the sidecar is written once
+# and every later manifest copies only the tiny reference.
+_STATS_SIDECAR_KEY = "__sidecar__"
+_STATS_SPILL_FILES = 4096          # per-dir file count trigger
+_STATS_SPILL_BYTES = 1 << 20       # or serialized size (bloom-heavy dirs)
+_STATS_SPILL_PROP = "stats.spill.file-threshold"  # per-table override
+_STATS_CACHE: dict[str, dict] = {}  # abs sidecar path -> parsed stats
+_STATS_CACHE_CAP = 64               # sidecars are immutable (uuid names)
+
+
+def _is_stats_ref(entry) -> bool:
+    return isinstance(entry, dict) and _STATS_SIDECAR_KEY in entry
+
+
 def _rename_spec_entry(entry: str, old: str, new: str) -> str:
     """A ``partition_by`` entry with column ``old`` renamed to ``new``
     (identity entries and transform sources both follow)."""
@@ -607,12 +631,118 @@ class SnapshotTable:
             return {}
         from oss_data_lake_spark.sources.skipping import collect_file_stats
 
-        return collect_file_stats(
-            self.spark,
-            os.path.join(self.path, data_dir),
-            stats_for or [],
-            bloom_for=bloom_for or [],
+        return self._spill_stats(
+            collect_file_stats(
+                self.spark,
+                os.path.join(self.path, data_dir),
+                stats_for or [],
+                bloom_for=bloom_for or [],
+            )
         )
+
+    def _spill_stats(self, own_stats: dict) -> dict:
+        """Past the spill threshold, write a dir's per-file stats to one
+        immutable parquet sidecar under ``stats/`` and return the O(1)
+        manifest reference; below it, return the stats inline. The
+        reference keeps the aggregates cheap paths need without a read:
+        file count (scan sizing), known row total (read-amp ratio), and
+        the stat-bearing column names (``stats_columns``)."""
+        if not own_stats or _is_stats_ref(own_stats):
+            return own_stats
+        props = self.properties(self.current_version())
+        if _STATS_SPILL_PROP in props:
+            # explicit override: the file-count threshold alone decides
+            # (an operator pinning a huge value MEANS inline)
+            if len(own_stats) < int(props[_STATS_SPILL_PROP]):
+                return own_stats
+        elif (
+            len(own_stats) < _STATS_SPILL_FILES
+            and len(json.dumps(own_stats)) < _STATS_SPILL_BYTES
+        ):
+            return own_stats
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files, cols, payloads = [], [], []
+        for f in sorted(own_stats):
+            per_col = own_stats[f]
+            if not per_col:
+                files.append(f)
+                cols.append(None)
+                payloads.append(None)
+            for c in sorted(per_col):
+                files.append(f)
+                cols.append(c)
+                payloads.append(json.dumps(per_col[c]))
+        rows_known = 0
+        for per_col in own_stats.values():
+            for c, entry in per_col.items():
+                if not c.startswith("bloom:") and "rows" in entry:
+                    rows_known += entry["rows"]
+                    break
+        rel = f"stats/st-{uuid.uuid4().hex[:12]}.parquet"
+        os.makedirs(os.path.join(self.path, "stats"), exist_ok=True)
+        tmp = os.path.join(self.path, rel + f".tmp-{uuid.uuid4().hex[:6]}")
+        pq.write_table(
+            pa.table(
+                {
+                    "file": pa.array(files, pa.string()),
+                    "col": pa.array(cols, pa.string()),
+                    "payload": pa.array(payloads, pa.string()),
+                }
+            ),
+            tmp,
+        )
+        # atomic appear: a crash leaves an unreferenced tmp for vacuum,
+        # never a half-written sidecar behind a live reference
+        os.replace(tmp, os.path.join(self.path, rel))
+        return {
+            _STATS_SIDECAR_KEY: rel,
+            "files": len(own_stats),
+            "rows": rows_known,
+            "cols": sorted(
+                {
+                    c
+                    for per_col in own_stats.values()
+                    for c in per_col
+                    if not c.startswith("bloom:")
+                }
+            ),
+        }
+
+    def dir_stats(self, manifest: dict, d: str) -> dict | None:
+        """``manifest["file_stats"][d]`` with a spilled sidecar reference
+        read through (cached — sidecars are immutable once written)."""
+        return self._resolve_stats((manifest.get("file_stats") or {}).get(d))
+
+    def _resolve_stats(self, entry):
+        if not _is_stats_ref(entry):
+            return entry
+        p = entry[_STATS_SIDECAR_KEY]
+        absp = (
+            p
+            if os.path.isabs(p) or "://" in p
+            else os.path.join(self.path, p)
+        )
+        cached = _STATS_CACHE.get(absp)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(absp)
+        out: dict[str, dict] = {}
+        for f, c, payload in zip(
+            t.column("file").to_pylist(),
+            t.column("col").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            per_col = out.setdefault(f, {})
+            if c is not None:
+                per_col[c] = json.loads(payload)
+        if len(_STATS_CACHE) >= _STATS_CACHE_CAP:
+            _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+        _STATS_CACHE[absp] = out
+        return out
 
     def _txn_watermarks(self, version: int | None = None) -> dict:
         """Per-app ``{app: {"version": v, "snapshot": k}}`` high-water map
@@ -1386,6 +1516,17 @@ class SnapshotTable:
         def _abs_keys(mapping: dict) -> dict:
             return {_abs(k): val for k, val in mapping.items()}
 
+        def _abs_stats(mapping: dict) -> dict:
+            # spilled sidecar references are source-root-relative: the
+            # clone keeps them as external absolute refs, exactly like
+            # its data dirs (and with the same vacuum-lifetime coupling)
+            out = {}
+            for k, val in mapping.items():
+                if _is_stats_ref(val):
+                    val = {**val, _STATS_SIDECAR_KEY: _abs(val[_STATS_SIDECAR_KEY])}
+                out[_abs(k)] = val
+            return out
+
         clone = SnapshotTable(self.spark, dest_path)
         if clone.current_version() is not None:
             raise ValueError(f"clone destination {dest_path} already exists")
@@ -1415,7 +1556,7 @@ class SnapshotTable:
                 "field_ids": m.get("field_ids"),
                 "dir_field_ids": _abs_keys(m.get("dir_field_ids", {})),
                 "last_field_id": m.get("last_field_id"),
-                "file_stats": _abs_keys(m.get("file_stats", {})),
+                "file_stats": _abs_stats(m.get("file_stats", {})),
                 "txn": None,
                 # fresh writer ledger: the clone is a NEW table — source
                 # micro-batch identities must not suppress clone commits
@@ -1490,8 +1631,10 @@ class SnapshotTable:
             )
 
             pcols = set(partition_by or [])
-            own_stats = collect_file_stats(
-                spark, src, [c for c in stats_for if c not in pcols]
+            own_stats = table._spill_stats(
+                collect_file_stats(
+                    spark, src, [c for c in stats_for if c not in pcols]
+                )
             )
 
         def build(parent: int | None, read_manifest) -> dict:
@@ -1660,6 +1803,34 @@ class SnapshotTable:
         def remap(mapping: dict) -> dict:
             return {moved.get(k, k): s for k, s in mapping.items()}
 
+        def _localize_stats_ref(val):
+            """A spilled-stats sidecar reference, re-rooted for the
+            published manifest: absolute refs into the source become
+            relative again, clone-local sidecars copy once under their
+            own name (uuid-named, so an existing destination can only be
+            our own crashed attempt's copy), and refs into a third root
+            (clone-of-clone) stay external — mirroring ``localize``."""
+            if not _is_stats_ref(val):
+                return val
+            p = val[_STATS_SIDECAR_KEY]
+            if os.path.isabs(p) or "://" in p:
+                if (p + "/").startswith(src_root + "/"):
+                    return {
+                        **val,
+                        _STATS_SIDECAR_KEY: os.path.relpath(p, src_root),
+                    }
+                return val
+            dst = os.path.join(src_root, p)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(os.path.join(self.path, p), dst)
+            return val
+
+        pub_stats = {
+            moved.get(k, k): _localize_stats_ref(s)
+            for k, s in head.get("file_stats", {}).items()
+        }
+
         source = SnapshotTable(self.spark, src_root)
 
         def _owner_dirs(root: str, dirs: list[str]) -> set[str]:
@@ -1735,7 +1906,7 @@ class SnapshotTable:
                     "field_ids": head.get("field_ids"),
                     "dir_field_ids": remap(head.get("dir_field_ids", {})),
                     "last_field_id": head.get("last_field_id"),
-                    "file_stats": remap(head.get("file_stats", {})),
+                    "file_stats": pub_stats,
                     **common,
                 }
             # ---- rebase: re-parent the clone's diff onto the new head
@@ -1914,7 +2085,10 @@ class SnapshotTable:
                 "field_ids": head.get("field_ids"),
                 "dir_field_ids": merged("dir_field_ids"),
                 "last_field_id": head.get("last_field_id"),
-                "file_stats": merged("file_stats"),
+                "file_stats": {
+                    **dict(head_src.get("file_stats", {})),
+                    **pub_stats,
+                },
                 **common,
                 # after **common: the three-way merge REPLACES the
                 # strict path's clone-props-win rule on rebase
@@ -2904,7 +3078,7 @@ class SnapshotTable:
         """Per-dir partition-column plan: every (visible) file judged by
         its path-derived synthetic entry through ``admit``; returns
         ``(kept_files, universe_size)``."""
-        stats = manifest.get("file_stats", {}).get(d) or {}
+        stats = self.dir_stats(manifest, d) or {}
         vis = self._visible_files(manifest, d)
         universe = (
             self._stats_universe(d, stats) if vis is None else sorted(vis)
@@ -2993,7 +3167,7 @@ class SnapshotTable:
                         n_sel += len(keep)
                         n_skip += n_univ - len(keep)
                         continue
-            stats = manifest.get("file_stats", {}).get(d)
+            stats = self.dir_stats(manifest, d)
             if not stats or (lo is None and hi is None):
                 # no stats, or an unbounded scan (no predicate to prune
                 # with — the all-null skip rule must not fire): whole dir
@@ -3120,7 +3294,7 @@ class SnapshotTable:
                     n_sel += len(keep)
                     n_skip += n_univ - len(keep)
                     continue
-            stats = manifest.get("file_stats", {}).get(d)
+            stats = self.dir_stats(manifest, d)
             if not stats or enc is None:
                 selection[d] = None
                 continue
@@ -3163,6 +3337,11 @@ class SnapshotTable:
         out: set[str] = set()
         for d, stats in m.get("file_stats", {}).items():
             ren = self._dir_renames(m, d)
+            if _is_stats_ref(stats):
+                # spilled dirs answer from the reference's column list —
+                # no sidecar read for a pure metadata question
+                out.update(ren.get(c, c) for c in stats.get("cols", []))
+                continue
             for cols in stats.values():
                 out.update(
                     ren.get(c, c) for c in cols if not c.startswith("bloom:")
@@ -3232,7 +3411,7 @@ class SnapshotTable:
                 n_sel += len(keep)
                 n_skip += n_univ - len(keep)
                 continue
-            stats = manifest.get("file_stats", {}).get(d)
+            stats = self.dir_stats(manifest, d)
             if not stats:
                 selection[d] = None
                 continue
@@ -3328,7 +3507,7 @@ class SnapshotTable:
         for d, files in merged.items():
             if files is None:
                 continue
-            stats = manifest.get("file_stats", {}).get(d) or {}
+            stats = self.dir_stats(manifest, d) or {}
             vis = self._visible_files(manifest, d)
             universe = (
                 self._stats_universe(d, stats) if vis is None else sorted(vis)
@@ -4374,7 +4553,7 @@ class SnapshotTable:
             if vis is not None:
                 return list(vis)
             return self._stats_universe(
-                d, m.get("file_stats", {}).get(d) or {}
+                d, self.dir_stats(m, d) or {}
             )
 
         removed_sel: dict[str, list[str] | None] = {d: [] for d in p_dirs}
@@ -4857,7 +5036,7 @@ class SnapshotTable:
                         dir_files[d] = vis
                     continue
                 if vis is None:
-                    stats = manifest.get("file_stats", {}).get(d) or {}
+                    stats = self.dir_stats(manifest, d) or {}
                     vis = self._stats_universe(d, stats)
                 removed = set(sel)
                 new_vis = [f for f in vis if f not in removed]
@@ -5008,8 +5187,14 @@ class SnapshotTable:
             )
         rows = 0
         for d in m["data_dirs"]:
-            stats = m.get("file_stats", {}).get(d) or {}
             vis = self._visible_files(m, d)
+            raw = (m.get("file_stats") or {}).get(d)
+            if vis is None and _is_stats_ref(raw):
+                # whole dir visible: the reference carries the known row
+                # total — no sidecar read
+                rows += raw.get("rows", 0)
+                continue
+            stats = self._resolve_stats(raw) or {}
             files = stats.keys() if vis is None else vis
             for f in files:
                 for cname, entry in (stats.get(f) or {}).items():
@@ -5074,8 +5259,11 @@ class SnapshotTable:
                 if vis is not None:
                     n_files += len(vis)
                 else:
-                    stats = m.get("file_stats", {}).get(d) or {}
-                    n_files += max(len(stats), 1)
+                    raw = (m.get("file_stats") or {}).get(d)
+                    if _is_stats_ref(raw):
+                        n_files += raw.get("files", 1)
+                    else:
+                        n_files += max(len(raw or {}), 1)
             target_partitions = max(1, min(32, n_files))
         return self.compact(
             target_partitions=target_partitions, **compact_kwargs
@@ -5331,7 +5519,19 @@ class SnapshotTable:
                         vis = bm.get("dir_files", {}).get(d)
                         if vis is not None:
                             norm["dir_files"][rel] = vis
-                if norm["data_dirs"]:
+                # a branch's spilled-stats refs into this root keep the
+                # sidecars alive, same as its data dirs
+                norm["file_stats"] = {
+                    d: e
+                    for d, e in (bm.get("file_stats") or {}).items()
+                    if _is_stats_ref(e)
+                    and "://" not in e[_STATS_SIDECAR_KEY]
+                    and os.path.isabs(e[_STATS_SIDECAR_KEY])
+                    and (e[_STATS_SIDECAR_KEY] + os.sep).startswith(
+                        self.path + os.sep
+                    )
+                }
+                if norm["data_dirs"] or norm["file_stats"]:
                     manifests.append(norm)
         referenced = {
             d
@@ -5385,6 +5585,31 @@ class SnapshotTable:
                 ):
                     if not dry_run:
                         os.remove(os.path.join(led_root, name))
+                    removed.append(rel)
+        # spilled-stats sidecars no live (or retained-expired, or branch)
+        # manifest references — superseded spills, crash-leftover tmps
+        stats_referenced = set()
+        for m in manifests:
+            for e in (m.get("file_stats") or {}).values():
+                if not _is_stats_ref(e):
+                    continue
+                p = e[_STATS_SIDECAR_KEY]
+                if os.path.isabs(p) or "://" in p:
+                    if "://" not in p and (p + os.sep).startswith(
+                        self.path + os.sep
+                    ):
+                        stats_referenced.add(os.path.relpath(p, self.path))
+                else:
+                    stats_referenced.add(p)
+        stats_root = os.path.join(self.path, "stats")
+        if os.path.isdir(stats_root):
+            for name in os.listdir(stats_root):
+                rel = f"stats/{name}"
+                if rel not in stats_referenced and past_retention(
+                    os.path.join(stats_root, name)
+                ):
+                    if not dry_run:
+                        os.remove(os.path.join(stats_root, name))
                     removed.append(rel)
         for d in sorted(referenced):
             live: set[str] = set()
