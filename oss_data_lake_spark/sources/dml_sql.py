@@ -111,6 +111,12 @@ statement-shaped text here BEFORE the query path:
 - ``SHOW PARTITIONS t``                    → distinct partition tuples
                                              from file-path segments
                                              (no data scan)
+- ``SELECT ... FROM t$files|$history|$snapshots|$partitions``
+                                           → Trino-Iceberg metadata
+                                             tables as plain relations
+                                             (filter/join/aggregate
+                                             table metadata; answered
+                                             from manifests only)
 - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]``
                                            → footer/manifest-harvested
                                              live row count + size (and
@@ -1851,21 +1857,7 @@ def dispatch_statement(
     m = _HISTORY_RE.match(text)
     if m:
         t = _require(tables, m.group(1), "DESCRIBE HISTORY")
-        rows = [
-            (
-                mfest["version"],
-                mfest.get("parent"),
-                mfest.get("mode"),
-                len(mfest["data_dirs"]),
-                mfest.get("committed_at_ms"),
-            )
-            for mfest in t.versions()
-        ]
-        return spark.createDataFrame(
-            rows,
-            "version long, parent long, operation string, "
-            "n_data_dirs long, committed_at_ms long",
-        )
+        return t.metadata_df("history")
 
     m = _DETAIL_RE.match(text)
     if m:
@@ -1925,42 +1917,12 @@ def dispatch_statement(
     m = _FILES_RE.match(text)
     if m:
         t = _require(tables, m.group(1), "DESCRIBE FILES")
-        v = t.current_version()
-        if v is None:
+        if t.current_version() is None:
             raise ValueError(
                 f"DESCRIBE FILES: no snapshots at {t.path} "
                 "(table registered but never committed)"
             )
-        manifest = t._manifest(v)
-        rows = []
-        for d in manifest["data_dirs"]:
-            stats = t.dir_stats(manifest, d) or {}
-            universe = t._stats_universe(d, stats)
-            vis = manifest.get("dir_files", {}).get(d)
-            vset = None if vis is None else set(vis)
-            for f in universe:
-                cols = stats.get(f, {})
-                nrows = None
-                for c, entry in cols.items():
-                    if not c.startswith("bloom:") and "rows" in entry:
-                        nrows = entry["rows"]
-                        break
-                rows.append(
-                    (
-                        d,
-                        f,
-                        vset is None or f in vset,
-                        nrows,
-                        sorted(
-                            c for c in cols if not c.startswith("bloom:")
-                        ),
-                    )
-                )
-        return spark.createDataFrame(
-            rows,
-            "data_dir string, file string, visible boolean, "
-            "rows long, stat_columns array<string>",
-        )
+        return t.metadata_df("files")
 
     if _DML_SHAPE_RE.match(text):
         # DML-shaped but didn't parse: refuse with the real cause instead

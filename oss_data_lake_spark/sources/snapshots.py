@@ -2962,19 +2962,108 @@ class SnapshotTable:
             return []
         return list(self._manifest(v).get("declared_sort_order") or [])
 
-    def show_partitions(self, version: int | None = None) -> list[str]:
-        """``SHOW PARTITIONS``: the snapshot's distinct partition path
-        tuples, read from FILE PATH SEGMENTS only (the P20 coordinates —
-        no data scan). Each dir parses under its OWN spec, so
-        generations written before a spec evolution list alongside the
-        current layout. Hidden transform fields appear under their path
-        names (``_p_days_ts=2024-01-01``)."""
+    def metadata_df(
+        self, kind: str, version: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style metadata tables, SELECT-able in SQL as
+        ``<table>$files`` / ``$history`` / ``$snapshots`` /
+        ``$partitions`` (Trino's Iceberg connector spelling — the
+        reference's query engine exposes exactly these). Everything
+        answers from manifests, path segments, and the stats
+        references' aggregates — NO data-file reads, so a metadata
+        query costs the same on a 100-TB table as on a test fixture."""
+        spark = self.spark
+        if kind == "history":
+            rows = [
+                (
+                    m.get("version"),
+                    m.get("parent"),
+                    m.get("mode"),
+                    len(m["data_dirs"]),
+                    m.get("committed_at_ms"),
+                )
+                for m in self.versions()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version long, parent long, operation string, "
+                "n_data_dirs long, committed_at_ms long",
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    m.get("version"),
+                    m.get("parent"),
+                    m.get("mode"),
+                    m.get("committed_at_ms"),
+                    len(m["data_dirs"]),
+                    len(m.get("delete_dirs", [])),
+                    len(m.get("eq_deletes", [])),
+                    m.get("version") == self.current_version(),
+                )
+                for m in self.versions()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version long, parent long, operation string, "
+                "committed_at_ms long, n_data_dirs long, "
+                "n_delete_vector_dirs long, n_eq_deletes long, "
+                "is_current boolean",
+            )
         v = version if version is not None else self.current_version()
         if v is None:
             raise ValueError(f"no snapshots at {self.path}")
-        m = self._manifest(v)
+        manifest = self._manifest(v)
+        if kind == "files":
+            rows = []
+            for d in manifest["data_dirs"]:
+                stats = self.dir_stats(manifest, d) or {}
+                universe = self._stats_universe(d, stats)
+                vis = manifest.get("dir_files", {}).get(d)
+                vset = None if vis is None else set(vis)
+                for f in universe:
+                    cols = stats.get(f, {})
+                    nrows = None
+                    for c, entry in cols.items():
+                        if not c.startswith("bloom:") and "rows" in entry:
+                            nrows = entry["rows"]
+                            break
+                    rows.append(
+                        (
+                            d,
+                            f,
+                            vset is None or f in vset,
+                            nrows,
+                            sorted(
+                                c
+                                for c in cols
+                                if not c.startswith("bloom:")
+                            ),
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "data_dir string, file string, visible boolean, "
+                "rows long, stat_columns array<string>",
+            )
+        if kind == "partitions":
+            counts: dict[str, int] = {}
+            for tup in self._partition_tuples(v):
+                counts[tup] = counts.get(tup, 0) + 1
+            return spark.createDataFrame(
+                sorted(counts.items()), "partition string, n_files long"
+            )
+        raise ValueError(
+            f"unknown metadata table '${kind}' (supported: $files, "
+            f"$history, $snapshots, $partitions)"
+        )
+
+    def _partition_tuples(self, version: int) -> list[str]:
+        """One partition path tuple per VISIBLE file (duplicates kept —
+        the caller aggregates); each dir parses under its own spec."""
+        m = self._manifest(version)
         specs = m.get("partition_specs", {})
-        out: set[str] = set()
+        out: list[str] = []
         for d in m.get("data_dirs", []):
             spec = specs.get(d) or []
             if not spec:
@@ -2999,8 +3088,20 @@ class SnapshotTable:
                     if mm:
                         segs.append(f"{c}={mm.group(1)}")
                 if segs:
-                    out.add("/".join(segs))
-        return sorted(out)
+                    out.append("/".join(segs))
+        return out
+
+    def show_partitions(self, version: int | None = None) -> list[str]:
+        """``SHOW PARTITIONS``: the snapshot's distinct partition path
+        tuples, read from FILE PATH SEGMENTS only (the P20 coordinates —
+        no data scan). Each dir parses under its OWN spec, so
+        generations written before a spec evolution list alongside the
+        current layout. Hidden transform fields appear under their path
+        names (``_p_days_ts=2024-01-01``)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise ValueError(f"no snapshots at {self.path}")
+        return sorted(set(self._partition_tuples(v)))
 
     def _transform_for(
         self, manifest: dict, d: str, col_d: str
@@ -5672,6 +5773,14 @@ _TABLE_CHANGES_RE = re.compile(
     r"(\d+|'[^']+')(?:\s*,\s*(\d+|'[^']+'))?\s*\)",
     re.IGNORECASE,
 )
+# Trino-Iceberg metadata tables: SELECT ... FROM t$files / t$history /
+# t$snapshots / t$partitions (the reference's engine exposes exactly
+# these); rewritten to metadata-DataFrame temp views before Spark's
+# parser (which rejects '$' in identifiers) ever sees the text
+_META_TABLE_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\$(files|history|snapshots|partitions)\b",
+    re.IGNORECASE,
+)
 
 
 def _parse_ts_ms(literal: str) -> int:
@@ -6180,6 +6289,19 @@ def sql_with_time_travel(
         created.append(view)
         return view
 
+    def sub_meta(m: "re.Match[str]") -> str:
+        name, kind = m.group(1), m.group(2).lower()
+        t = tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"metadata table references unregistered snapshot "
+                f"table '{name}' (registered: {sorted(tables)})"
+            )
+        view = f"__meta_{name.replace('.', '_')}_{kind}"
+        t.metadata_df(kind).createOrReplaceTempView(view)
+        created.append(view)
+        return view
+
     rewritten = _sub_outside_literals(
         _TT_TS_RE,
         sub_ts,
@@ -6190,7 +6312,9 @@ def sql_with_time_travel(
                 _TT_VERSION_RE,
                 sub_version,
                 _sub_outside_literals(
-                    _TABLE_CHANGES_RE, sub_table_changes, text
+                    _TABLE_CHANGES_RE,
+                    sub_table_changes,
+                    _sub_outside_literals(_META_TABLE_RE, sub_meta, text),
                 ),
             ),
         ),
