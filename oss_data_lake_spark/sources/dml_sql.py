@@ -34,8 +34,15 @@ statement-shaped text here BEFORE the query path:
                                            → managed CTAS + lifecycle
 - ``ALTER TABLE t ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n``
                                            → commit-time quality gates
-- ``ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN c
+- ``ALTER TABLE t ADD COLUMNS (c T [DEFAULT e], ...) | DROP COLUMN c
                | RENAME COLUMN a TO b``    → metadata-only schema DDL
+- ``ALTER TABLE t ALTER COLUMN c SET DEFAULT e | DROP DEFAULT``
+                                           → column DEFAULTs (Iceberg
+                                             v3: add-time DEFAULT is
+                                             the INITIAL default old
+                                             files read; SET DEFAULT
+                                             changes what INSERTs
+                                             omitting the column fill)
                                              (rename resolves by field
                                              id — old files keep their
                                              written names)
@@ -769,6 +776,16 @@ _RENAME_COLUMN_RE = re.compile(
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SET_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+DROP\s+DEFAULT\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_TYPE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
     r"([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*$",
@@ -1017,24 +1034,38 @@ _COPY_INTO_RE = re.compile(
 )
 
 
-def _parse_column_defs(defs: str) -> dict[str, str]:
-    """``a INT, b DECIMAL(10,2)`` → {name: type_ddl}; commas inside type
-    parens are not separators."""
+def _parse_column_defs(
+    defs: str,
+) -> tuple[dict[str, str], dict[str, str]]:
+    """``a INT, b DECIMAL(10,2) DEFAULT 0.0`` → ({name: type_ddl},
+    {name: default_sql}); commas inside type/expression parens are not
+    separators, and ``DEFAULT`` inside a string literal stays data."""
     masked = _masked(defs)
     depths = _depths(masked)
     parts, start = [], 0
     for i, ch in enumerate(masked):
         if ch == "," and depths[i] == 0:
-            parts.append(defs[start:i])
+            parts.append((defs[start:i], masked[start:i]))
             start = i + 1
-    parts.append(defs[start:])
+    parts.append((defs[start:], masked[start:]))
     out: dict[str, str] = {}
-    for p in parts:
+    dflt: dict[str, str] = {}
+    for p, pm in parts:
         m = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)\s*$", p, re.DOTALL)
         if not m:
             raise ValueError(f"cannot parse column definition: {p.strip()!r}")
-        out[m.group(1)] = m.group(2)
-    return out
+        name, rest = m.group(1), m.group(2)
+        dm = re.search(r"\bDEFAULT\b", pm[m.start(2):], re.IGNORECASE)
+        if dm:
+            expr = rest[dm.end():].strip()
+            if not expr:
+                raise ValueError(
+                    f"empty DEFAULT expression for column '{name}'"
+                )
+            dflt[name] = expr
+            rest = rest[: dm.start()].strip()
+        out[name] = rest
+    return out, dflt
 
 
 def _prunable_columns(df: DataFrame) -> list[str]:
@@ -1178,8 +1209,10 @@ def dispatch_statement(
             )
         manifest = t._manifest(v)
         schema = t.schema(v)
+        wdef = t.write_defaults(v)
         cols = ",\n".join(
             f"  {f.name} {f.dataType.simpleString().upper()}"
+            + (f" DEFAULT {wdef[f.name]}" if f.name in wdef else "")
             for f in schema.fields
         )
         lines = [f"CREATE TABLE {m.group(1)} (\n{cols}\n)", "USING snapshot"]
@@ -1276,7 +1309,8 @@ def dispatch_statement(
         name = m.group(1)
         if name not in tables:
             return None  # session-catalog ALTER falls through
-        version = tables[name].add_columns(_parse_column_defs(m.group(2)))
+        cols, defaults = _parse_column_defs(m.group(2))
+        version = tables[name].add_columns(cols, defaults or None)
         return spark.createDataFrame([(version,)], "version long")
 
     m = _DROP_COLUMN_RE.match(text)
@@ -1294,6 +1328,22 @@ def dispatch_statement(
         if name not in tables:
             return None  # session-catalog ALTER falls through
         version = tables[name].rename_column(m.group(2), m.group(3))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _SET_DEFAULT_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None  # session-catalog ALTER falls through
+        version = tables[name].set_column_default(m.group(2), m.group(3))
+        return spark.createDataFrame([(version,)], "version long")
+
+    m = _DROP_DEFAULT_RE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in tables:
+            return None
+        version = tables[name].drop_column_default(m.group(2))
         return spark.createDataFrame([(version,)], "version long")
 
     m = _ALTER_TYPE_RE.match(text)
@@ -1713,7 +1763,11 @@ def dispatch_statement(
                 f"INSERT arity mismatch: query produces {len(src.columns)} "
                 f"columns, target list has {len(cols)}"
             )
-        aligned = t._align(src.toDF(*cols), target_schema)
+        # omitted columns fill their WRITE DEFAULT (NULL when none) —
+        # standard SQL DEFAULT semantics
+        aligned = t._align(
+            src.toDF(*cols), target_schema, fill=t.write_defaults()
+        )
         # the insert adopts the table's current partition layout
         # (identity or hidden transform) instead of accreting
         # unpartitioned dirs — Iceberg write-under-current-spec.

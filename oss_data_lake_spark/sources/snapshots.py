@@ -570,6 +570,16 @@ class SnapshotTable:
                     pm.get("declared_sort_order") if pm else None
                 ),
                 "table_stats": pm.get("table_stats") if pm else None,
+                # column DEFAULTs survive every commit kind for columns
+                # the new schema still carries (an overwrite reshaping a
+                # column away drops its default with it)
+                "column_defaults": {
+                    n: e
+                    for n, e in (
+                        ((pm or {}).get("column_defaults")) or {}
+                    ).items()
+                    if n in {f.name for f in df.schema.fields}
+                } or None,
                 "committed_at_ms": int(time.time() * 1000),
             }
 
@@ -868,7 +878,7 @@ class SnapshotTable:
             if parent is None:
                 raise ValueError(f"{tag} on an empty table")
             manifest = dict(read_manifest(parent))
-            manifest[key] = update_fn(dict(manifest.get(key, {})))
+            manifest[key] = update_fn(dict(manifest.get(key) or {}))
             manifest["version"] = parent + 1
             manifest["parent"] = parent
             manifest["mode"] = tag
@@ -890,9 +900,26 @@ class SnapshotTable:
     # name-based projection alone would silently lose the renamed
     # column's data in old files.
 
-    def add_columns(self, cols: dict[str, str]) -> int:
+    def add_columns(
+        self, cols: dict[str, str], defaults: dict[str, str] | None = None
+    ) -> int:
         """Append nullable columns (name → Spark type DDL string) to the
-        table schema; metadata-only commit."""
+        table schema; metadata-only commit. ``defaults`` maps a subset of
+        the new names to constant SQL expressions — Iceberg v3's
+        INITIAL DEFAULT: files written before the column existed read
+        the default (not NULL), and it doubles as the column's starting
+        WRITE default (what INSERTs omitting the column fill). The
+        initial default is fixed at add time; ``set_column_default``
+        changes only the write default afterward."""
+        defaults = defaults or {}
+        unknown = set(defaults) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"DEFAULT for columns not being added: {sorted(unknown)}"
+            )
+        for cname, lit in defaults.items():
+            self._validate_default(lit, _parse_type(cols[cname]))
+
         def update(schema: T.StructType) -> T.StructType:
             existing = {f.name for f in schema.fields}
             dup = existing & set(cols)
@@ -905,7 +932,16 @@ class SnapshotTable:
                 )
             return T.StructType(fields)
 
-        return self._commit_schema(update, f"add_columns_{'_'.join(cols)}")
+        def mutate(manifest: dict) -> None:
+            if defaults:
+                cur = dict(manifest.get("column_defaults") or {})
+                for cname, lit in defaults.items():
+                    cur[cname] = {"initial": lit, "write": lit}
+                manifest["column_defaults"] = cur
+
+        return self._commit_schema(
+            update, f"add_columns_{'_'.join(cols)}", mutate
+        )
 
     def drop_columns(self, names: list[str]) -> int:
         """Remove columns from the table schema; metadata-only commit
@@ -920,7 +956,18 @@ class SnapshotTable:
                 raise ValueError("cannot drop every column")
             return T.StructType(kept)
 
-        return self._commit_schema(update, f"drop_columns_{'_'.join(names)}")
+        def mutate(manifest: dict) -> None:
+            # a re-added same-name column must not inherit the dropped
+            # column's default (mirrors the fresh-field-id rule)
+            cur = manifest.get("column_defaults")
+            if cur:
+                manifest["column_defaults"] = {
+                    n: e for n, e in cur.items() if n not in set(names)
+                } or None
+
+        return self._commit_schema(
+            update, f"drop_columns_{'_'.join(names)}", mutate
+        )
 
     def widen_column(self, name: str, type_ddl: str) -> int:
         """Metadata-only TYPE WIDENING (Iceberg's safe promotions —
@@ -949,6 +996,99 @@ class SnapshotTable:
             return T.StructType(fields)
 
         return self._commit_schema(update, "widen_column")
+
+    # ------------------------------------------------- column DEFAULTs
+    #
+    # Two defaults per column, Iceberg-v3 style. INITIAL: what files
+    # written before the column existed read (fixed at ADD COLUMN time —
+    # appends must carry every schema column, so "dir lacks the column"
+    # is exactly "dir predates it"; a post-drop re-add gets a fresh
+    # field id, so pre-drop data stays invisible either way). WRITE:
+    # what an INSERT omitting the column fills — freely changeable, no
+    # effect on committed rows.
+
+    def column_defaults(self, version: int | None = None) -> dict:
+        """``{name: {"initial": sql|None, "write": sql|None}}``."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("column_defaults") or {})
+
+    def _validate_default(self, lit: str, dtype: T.DataType) -> None:
+        """A DEFAULT must be a constant expression the column's type can
+        represent: evaluate once, refuse errors and silent null-casts
+        (``DEFAULT 'abc'`` on an INT would write NULLs forever)."""
+        try:
+            raw, casted = self.spark.range(1).select(
+                F.expr(lit).alias("r"),
+                F.expr(lit).cast(dtype).alias("c"),
+            ).collect()[0]
+        except Exception as e:
+            raise ValueError(f"invalid DEFAULT expression {lit!r}: {e}")
+        if raw is not None and casted is None:
+            raise ValueError(
+                f"DEFAULT {lit!r} does not cast to "
+                f"{dtype.simpleString()} (would silently become NULL)"
+            )
+
+    def set_column_default(self, name: str, lit: str) -> int:
+        """Set the WRITE default for an existing column (``ALTER TABLE
+        ... ALTER COLUMN c SET DEFAULT e``). Future INSERTs omitting the
+        column fill it; committed rows and the initial default are
+        untouched."""
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("SET DEFAULT needs a schema-carrying snapshot")
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: '{name}'")
+        self._validate_default(lit, field.dataType)
+
+        def update(cur: dict) -> dict:
+            entry = dict(cur.get(name) or {})
+            entry["write"] = lit
+            return {**cur, name: entry}
+
+        return self._commit_meta(
+            "column_defaults", update, f"set_default_{name}"
+        )
+
+    def drop_column_default(self, name: str) -> int:
+        """Clear the WRITE default (``... DROP DEFAULT``); the initial
+        default — baked into already-committed history — stays."""
+        schema = self.schema()
+        if schema is None or all(f.name != name for f in schema.fields):
+            raise ValueError(f"no such column: '{name}'")
+
+        def update(cur: dict) -> dict:
+            entry = dict(cur.get(name) or {})
+            entry.pop("write", None)
+            out = dict(cur)
+            if entry:
+                out[name] = entry
+            else:
+                out.pop(name, None)
+            return out
+
+        return self._commit_meta(
+            "column_defaults", update, f"drop_default_{name}"
+        )
+
+    def write_defaults(self, version: int | None = None) -> dict[str, str]:
+        """``{name: sql}`` for columns with a WRITE default — what the
+        INSERT path fills for omitted columns."""
+        return {
+            n: e["write"]
+            for n, e in self.column_defaults(version).items()
+            if e.get("write") is not None
+        }
+
+    def _initial_defaults(self, manifest: dict) -> dict[str, str]:
+        return {
+            n: e["initial"]
+            for n, e in (manifest.get("column_defaults") or {}).items()
+            if e.get("initial") is not None
+        }
 
     # ------------------------------------------------------ snapshot tags
     #
@@ -1105,7 +1245,7 @@ class SnapshotTable:
                 stack.append(bt)
         return out
 
-    def _commit_schema(self, update_fn, tag: str) -> int:
+    def _commit_schema(self, update_fn, tag: str, mutate=None) -> int:
         def build(parent: int | None, read_manifest) -> dict:
             if parent is None:
                 raise ValueError("schema change on an empty table")
@@ -1115,6 +1255,8 @@ class SnapshotTable:
                 raise ValueError("schema change needs a schema-carrying snapshot")
             new_schema = update_fn(T.StructType.fromJson(s))
             manifest["schema"] = new_schema.jsonValue()
+            if mutate is not None:
+                mutate(manifest)
             # field-id bookkeeping: dropped names leave the map (their
             # ids stay burned — a re-added same-name column gets a FRESH
             # id, so pre-drop data does not resurface); added names get
@@ -1431,6 +1573,10 @@ class SnapshotTable:
                 "file_stats": old.get("file_stats", {}),
                 # rollback restores the rolled-to snapshot's schema too
                 "schema": old.get("schema"),
+                # ...and its column DEFAULTs (schema state, not operator
+                # decision: a column added-with-default after the rolled-
+                # to version leaves, its default must leave with it)
+                "column_defaults": old.get("column_defaults"),
                 "field_ids": old.get("field_ids"),
                 "dir_field_ids": old.get("dir_field_ids", {}),
                 # the id HIGH-WATER follows the head, not the rolled-to
@@ -1553,6 +1699,7 @@ class SnapshotTable:
                 "delete_dirs": [],
                 "eq_deletes": [],
                 "schema": m.get("schema"),
+                "column_defaults": m.get("column_defaults"),
                 "field_ids": m.get("field_ids"),
                 "dir_field_ids": _abs_keys(m.get("dir_field_ids", {})),
                 "last_field_id": m.get("last_field_id"),
@@ -1866,6 +2013,10 @@ class SnapshotTable:
                 "txn_watermarks": source._txn_watermarks(parent),
                 # audited quality contract travels with the publish...
                 "constraints": self.constraints(v),
+                # ...as do the clone's column DEFAULTs (schema state the
+                # audit validated; rebase refuses on schema divergence,
+                # so there is no source-side evolution to merge)
+                "column_defaults": head.get("column_defaults"),
                 # ...and so do the clone's properties, minus ITS tags
                 # (clone-version refs), while the SOURCE's tags survive
                 "properties": {
@@ -2396,10 +2547,12 @@ class SnapshotTable:
                 raise ValueError(f"column already exists: '{new}'")
             fid = fids[old]
             dir_ids = manifest.get("dir_field_ids", {})
+            # only dirs with NO field-id map are unsafe (legacy writers:
+            # their columns can't be relabeled by id). A dir whose map
+            # simply lacks THIS id predates the column — nothing in it
+            # needs relabeling, so the rename is trivially safe there.
             missing = [
-                d
-                for d in manifest["data_dirs"]
-                if fid not in set(dir_ids.get(d, {}).values())
+                d for d in manifest["data_dirs"] if not dir_ids.get(d)
             ]
             if missing:
                 raise ValueError(
@@ -2427,6 +2580,11 @@ class SnapshotTable:
                 manifest["declared_sort_order"] = [
                     new if c == old else c for c in dso
                 ]
+            cdef = manifest.get("column_defaults")
+            if cdef:
+                manifest["column_defaults"] = {
+                    (new if n == old else n): e for n, e in cdef.items()
+                }
             manifest["version"] = parent + 1
             manifest["parent"] = parent
             manifest["mode"] = f"rename_{old}_to_{new}"
@@ -2470,6 +2628,10 @@ class SnapshotTable:
         ``dir_files`` visibility subset is intersected on top."""
         specs = manifest.get("partition_specs", {})
         schemas = manifest.get("dir_schemas", {})
+        # a dir written without a column reads its INITIAL DEFAULT (the
+        # dir provably predates the column: appends must carry every
+        # schema column, and a re-add gets a fresh field id)
+        init_fill = self._initial_defaults(manifest)
         # entries: ("dir", rel_dir, files) for per-dir scans, or
         # ("group", schema_key, [abs paths]) for folded same-schema scans,
         # or ("pgroup", (schema, spec, proj), [(dir, files)]) for folded
@@ -2556,9 +2718,9 @@ class SnapshotTable:
                 # field-id projection: write-time names → current names
                 part = part.withColumnsRenamed(renames)
             parts.append(
-                self._align_with_meta(part, target)
+                self._align_with_meta(part, target, fill=init_fill)
                 if with_meta
-                else self._align(part, target)
+                else self._align(part, target, fill=init_fill)
             )
         return parts
 
@@ -3718,14 +3880,25 @@ class SnapshotTable:
         return T.StructType.fromJson(s) if s else None
 
     @staticmethod
-    def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    def _fill_expr(f: T.StructField, fill: dict | None) -> F.Column:
+        """What an ABSENT column reads as: its INITIAL DEFAULT when one
+        is declared (Iceberg v3 — the file predates the column), NULL
+        otherwise."""
+        lit = (fill or {}).get(f.name)
+        base = F.expr(lit) if lit is not None else F.lit(None)
+        return base.cast(f.dataType).alias(f.name)
+
+    @staticmethod
+    def _align(
+        df: DataFrame, target: T.StructType, fill: dict | None = None
+    ) -> DataFrame:
         cols = []
         present = set(df.columns)
         for f in target.fields:
             if f.name in present:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                cols.append(SnapshotTable._fill_expr(f, fill))
         return df.select(*cols)
 
     # ---------------------------------- merge-on-read delete vectors
@@ -3752,14 +3925,16 @@ class SnapshotTable:
             f"substring(_metadata.file_path, {len(self._file_uri_prefix()) + 2})"
         )
 
-    def _align_with_meta(self, df: DataFrame, target: T.StructType) -> DataFrame:
+    def _align_with_meta(
+        self, df: DataFrame, target: T.StructType, fill: dict | None = None
+    ) -> DataFrame:
         cols = []
         present = set(df.columns)
         for f in target.fields:
             if f.name in present:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                cols.append(self._fill_expr(f, fill))
         cols.append(self._rel_file_col().alias("__dv_file"))
         cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
         return df.select(*cols)
@@ -4440,7 +4615,11 @@ class SnapshotTable:
                 part = part.drop(*dead)
             if ren:
                 part = part.withColumnsRenamed(ren)
-            return self._align(part, target)
+            # incremental reads see the same values a full read would:
+            # absent columns fill their initial defaults
+            return self._align(
+                part, target, fill=self._initial_defaults(head)
+            )
 
         parts = [_one(d) for d in new_dirs]
         out = parts[0]
@@ -5237,6 +5416,7 @@ class SnapshotTable:
                 ),
                 "declared_sort_order": manifest.get("declared_sort_order"),
                 "table_stats": manifest.get("table_stats"),
+                "column_defaults": manifest.get("column_defaults"),
                 "committed_at_ms": int(time.time() * 1000),
             }
 
