@@ -9,6 +9,10 @@ statement-shaped text here BEFORE the query path:
 
 - ``DELETE FROM t WHERE cond``            → ``SnapshotTable.delete_where``
 - ``UPDATE t SET c = e, ... [WHERE cond]`` → ``SnapshotTable.update_where``
+  (both accept SUBQUERIES in the condition — ``IN (SELECT ...)``,
+  ``EXISTS (...)``, scalar comparisons, correlated on the target's
+  name, time-traveling inner SELECTs — routed through a temp-view SQL
+  pass so Catalyst plans a real semi/anti join; always copy-on-write)
 - ``INSERT INTO t [(cols)] SELECT ...|VALUES ...``
                                            → ``SnapshotTable.commit(append)``
   (the source query runs through the full SELECT surface, so it may read
@@ -759,6 +763,11 @@ _UNSET_PROPS_RE = re.compile(
     r"\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# a subquery inside a DML condition (IN (SELECT ...), EXISTS (...),
+# scalar comparison) — routes through the temp-view SQL path, since a
+# Spark Column expression cannot hold a subquery
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
 _PROP_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _PROP_KEY_RE = re.compile(r"'([^']*)'")
 _ADD_COLUMNS_RE = re.compile(
@@ -1656,6 +1665,21 @@ def dispatch_statement(
     if m:
         t = _require(tables, m.group(1), "DELETE FROM")
         cond = m.group(2) or "true"
+        if _SUBQUERY_RE.search(_masked(cond)):
+            # Trino accepts subqueries in DML conditions; always a
+            # copy-on-write rewrite (a tombstone write would still have
+            # to evaluate the subquery against a full scan)
+            from oss_data_lake_spark.sources.snapshots import (
+                sql_with_time_travel,
+            )
+
+            info = t.delete_where_subquery(
+                cond,
+                lambda q: sql_with_time_travel(spark, q, tables),
+                stats_for=sorted(t.stats_columns()),
+                alias=m.group(1),
+            )
+            return _metrics_df(spark, info)
         preds = conjunct_ranges(cond, t.stats_columns())
         if t.properties().get("delete.mode") == "merge-on-read":
             schema = t.schema()
@@ -1718,6 +1742,19 @@ def dispatch_statement(
         else:
             set_text, cond = body, "true"
         assigns = _split_assignments(set_text)
+        if _SUBQUERY_RE.search(_masked(cond)):
+            from oss_data_lake_spark.sources.snapshots import (
+                sql_with_time_travel,
+            )
+
+            info = t.update_where_subquery(
+                cond,
+                assigns,
+                lambda q: sql_with_time_travel(spark, q, tables),
+                stats_for=sorted(t.stats_columns()),
+                alias=m.group(1),
+            )
+            return _metrics_df(spark, info)
         preds = conjunct_ranges(cond, t.stats_columns())
         if t.properties().get("delete.mode") == "merge-on-read":
             info = t.update_where_mor(

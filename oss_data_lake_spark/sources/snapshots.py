@@ -5069,6 +5069,96 @@ class SnapshotTable:
             stats_for, bloom_for, prune_preds=prune_preds,
         )
 
+    # -------------------------------------------- subquery-condition DML
+    #
+    # Trino (the reference's engine) accepts subqueries in DML
+    # conditions — DELETE ... WHERE k IN (SELECT ...), EXISTS (...),
+    # scalar comparisons. A Spark Column expression cannot hold a
+    # subquery, so these route the candidate set through a TEMP VIEW and
+    # run the filter as a full SQL statement: Catalyst plans the
+    # subquery as a real (broadcast-able) semi/anti join — distributed,
+    # never a driver-side collect. The view is dropped as soon as the
+    # statement is analyzed (same contract as sql_with_time_travel).
+
+    def delete_where_subquery(
+        self,
+        condition: str,
+        run_sql,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+        alias: str | None = None,
+    ) -> dict:
+        """Copy-on-write DELETE whose WHERE contains subqueries.
+        ``run_sql(text) -> DataFrame`` executes statement text in the
+        session — the SQL layer passes ``sql_with_time_travel`` so inner
+        SELECTs see every registered snapshot table (and AS-OF clauses).
+        ``alias`` (the statement's target name) lets correlated
+        subqueries reference the candidate row as ``t.col``; an inner
+        ``FROM t`` still resolves to the table's pre-statement snapshot
+        (the alias is not in scope for an inner FROM — standard SQL).
+        NULL-condition rows survive, exactly like ``delete_where``."""
+
+        def transform(cand: DataFrame) -> DataFrame:
+            view = f"__dml_cand_{uuid.uuid4().hex[:8]}"
+            as_alias = f" AS {alias}" if alias and "." not in alias else ""
+            cand.createOrReplaceTempView(view)
+            try:
+                return run_sql(
+                    f"SELECT * FROM {view}{as_alias} "
+                    f"WHERE NOT coalesce(({condition}), false)"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+
+        return self._rewrite_where(
+            transform, "delete", None, None, None, stats_for, bloom_for
+        )
+
+    def update_where_subquery(
+        self,
+        condition: str,
+        assignments: dict[str, str],
+        run_sql,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+        alias: str | None = None,
+    ) -> dict:
+        """Copy-on-write UPDATE whose WHERE contains subqueries; the
+        assignments evaluate against the PRE-update row (standard SQL),
+        FALSE/NULL-condition rows pass through unchanged."""
+        schema = self.schema()
+        names = [f.name for f in schema.fields] if schema else []
+        unknown = set(assignments) - set(names)
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns unknown columns: {sorted(unknown)}"
+            )
+
+        def transform(cand: DataFrame) -> DataFrame:
+            view = f"__dml_cand_{uuid.uuid4().hex[:8]}"
+            projections = []
+            for c in cand.columns:
+                a = assignments.get(c)
+                if a is None:
+                    projections.append(f"`{c}`")
+                else:
+                    projections.append(
+                        f"CASE WHEN coalesce(({condition}), false) "
+                        f"THEN ({a}) ELSE `{c}` END AS `{c}`"
+                    )
+            as_alias = f" AS {alias}" if alias and "." not in alias else ""
+            cand.createOrReplaceTempView(view)
+            try:
+                return run_sql(
+                    f"SELECT {', '.join(projections)} FROM {view}{as_alias}"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+
+        return self._rewrite_where(
+            transform, "update", None, None, None, stats_for, bloom_for
+        )
+
     def merge_rows(
         self,
         source: DataFrame,
