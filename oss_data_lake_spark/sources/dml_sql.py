@@ -18,7 +18,8 @@ statement-shaped text here BEFORE the query path:
   (the source query runs through the full SELECT surface, so it may read
   other registered snapshot tables, including ``FOR VERSION AS OF``;
   positional column mapping, absent columns filled with NULL)
-- ``MERGE INTO t [AS a] USING (<query>)|<name> [AS] b ON a.k = b.k2 [AND ..]
+- ``MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING (<query>)|<name>
+     [AS] b ON a.k = b.k2 [AND ..]
      [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE]
      [WHEN NOT MATCHED [BY TARGET] THEN INSERT * | INSERT (cols) VALUES (exprs)]
      [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET c = expr, ...]``
@@ -236,6 +237,12 @@ _DESCRIBE_RE = re.compile(
 _MERGE_HEAD_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)"
     r"(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
+    re.IGNORECASE,
+)
+# Delta's MERGE WITH SCHEMA EVOLUTION: the prefix strips to a plain
+# MERGE INTO after the source-only columns evolve into the target
+_MERGE_EVOLVE_RE = re.compile(
+    r"^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+",
     re.IGNORECASE,
 )
 _ON_KEY_RE = re.compile(
@@ -475,6 +482,7 @@ def _run_merge(
     text: str,
     head: "re.Match[str]",
     tables: dict[str, SnapshotTable],
+    evolve: bool = False,
 ) -> DataFrame:
     """The restricted star-form MERGE grammar (module docstring). All
     structural splits (USING→ON→WHEN, AND conjuncts) happen on
@@ -524,6 +532,34 @@ def _run_merge(
         )
     if src_alias is None:
         raise ValueError("MERGE source subquery needs an alias")
+
+    if evolve:
+        # WITH SCHEMA EVOLUTION (Delta): source-only columns join the
+        # target schema (metadata-only add — existing rows read NULL),
+        # and a source column wider than its target counterpart widens
+        # it (safe promotions only; a NARROWER source is the normal
+        # case and just upcasts at align time, so refusals pass)
+        tschema = t.schema()
+        if tschema is None:
+            raise ValueError(
+                "MERGE WITH SCHEMA EVOLUTION needs a schema-carrying "
+                "snapshot"
+            )
+        ttypes = {f.name: f.dataType for f in tschema.fields}
+        new_cols = {
+            f.name: f.dataType.simpleString()
+            for f in src_df.schema.fields
+            if f.name not in ttypes
+        }
+        if new_cols:
+            t.add_columns(new_cols)
+        for f in src_df.schema.fields:
+            cur = ttypes.get(f.name)
+            if cur is not None and cur != f.dataType:
+                try:
+                    t.widen_column(f.name, f.dataType.simpleString())
+                except ValueError:
+                    pass  # narrower/cross-family source: align casts it
 
     # ---- ON: depth-0 AND conjuncts equating alias-qualified columns
     # (names may differ between the sides — `t.k = s.nk`)
@@ -1818,6 +1854,13 @@ def dispatch_statement(
             stats_for=sorted(t.stats_columns() - identity) or None,
         )
         return spark.createDataFrame([(version,)], "version long")
+
+    m = _MERGE_EVOLVE_RE.match(text)
+    if m:
+        stripped = _MERGE_EVOLVE_RE.sub("MERGE INTO ", text, count=1)
+        hm = _MERGE_HEAD_RE.match(stripped)
+        if hm:
+            return _run_merge(spark, stripped, hm, tables, evolve=True)
 
     m = _MERGE_HEAD_RE.match(text)
     if m:

@@ -106,3 +106,67 @@ def test_literal_containing_select_is_not_a_subquery(spark, eng):
     # and deleting by that literal value round-trips the plain path
     e.sql("DELETE FROM t WHERE g = '(select x)'")
     assert e.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 29
+
+
+def test_merge_with_schema_evolution(spark, eng):
+    e, t, _ref = eng
+    src = SnapshotTable(spark, t.path + "_src")
+    src.commit(
+        spark.createDataFrame(
+            [(0, 100.0, "x", 9), (99, 9.9, "y", 8)],
+            "k bigint, v double, g string, extra int",
+        )
+    )
+    e._snapshot_tables["src"] = src
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src "
+        "ON t.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    cols = [f.name for f in t.schema().fields]
+    assert cols == ["k", "v", "g", "extra"]
+    rows = {
+        r["k"]: (r["v"], r["extra"])
+        for r in e.sql("SELECT k, v, extra FROM t").collect()
+    }
+    assert rows[0] == (100.0, 9)       # matched: updated + evolved col
+    assert rows[99] == (9.9, 8)        # inserted with the new column
+    assert rows[1] == (1.0, None)      # untouched rows read NULL
+    assert e.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 31
+    # plain MERGE (no evolution clause) still refuses unknown columns
+    src2 = SnapshotTable(spark, t.path + "_src2")
+    src2.commit(
+        spark.createDataFrame(
+            [(1, 1.0, "z", 1, 2)],
+            "k bigint, v double, g string, extra int, extra2 int",
+        )
+    )
+    e._snapshot_tables["src2"] = src2
+    with pytest.raises(Exception):
+        e.sql(
+            "MERGE INTO t USING src2 ON t.k = src2.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_merge_schema_evolution_widens_types(spark, eng):
+    e, t, _ref = eng
+    src = SnapshotTable(spark, t.path + "_wide")
+    # v is double already; add an int column then merge a bigint source
+    e.sql("ALTER TABLE t ADD COLUMNS (n INT)")
+    src.commit(
+        spark.createDataFrame([(0, 5_000_000_000)], "k bigint, n bigint")
+    )
+    e._snapshot_tables["wsrc"] = src
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING wsrc "
+        "ON t.k = wsrc.k "
+        "WHEN MATCHED THEN UPDATE SET n = wsrc.n"
+    )
+    f = {x.name: x.dataType.simpleString() for x in t.schema().fields}
+    assert f["n"] == "bigint"
+    assert (
+        e.sql("SELECT n FROM t WHERE k = 0").collect()[0]["n"]
+        == 5_000_000_000
+    )
