@@ -296,6 +296,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v1": ("n"), "v2": ("sum_price")},
              {"k1": "surface", "k2": "o_orderstatus",
               "v1": "n", "v2": "sum_price"}),
+            # m11 (round 8): DML with SUBQUERY conditions — semi-join
+            # DELETE keyed by another relation + scalar-subquery UPDATE
+            # reading the pre-statement state; final per-status counts
+            # and sums value-verified
+            ("m11", "m11_subquery_dml_orders",
+             {"k1": ("o_orderstatus"), "v1": ("n"), "v2": ("sum_price")},
+             {"k1": "o_orderstatus", "v1": "n", "v2": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

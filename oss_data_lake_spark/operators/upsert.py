@@ -720,6 +720,62 @@ def lifecycle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+M11_MAX_MOD = 97
+
+
+def subquery_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m11: DML with SUBQUERY conditions (Trino parity, round 8 —
+    ``delete_where_subquery`` / ``update_where_subquery`` routed by the
+    SQL layer): against a snapshot of orders,
+
+    1. ``DELETE ... WHERE o_custkey IN (SELECT c_custkey FROM customers
+       WHERE c_acctbal < 0)`` — a semi-join delete keyed by another
+       relation,
+    2. ``UPDATE ... SET o_totalprice = o_totalprice * 0.9 WHERE
+       o_totalprice > (SELECT max(...) FROM t WHERE o_orderkey % 97 =
+       0)`` — a scalar subquery reading the target's own PRE-statement
+       state (max, not avg: exact under any summation order, so the
+       boundary comparison is oracle-stable).
+
+    The oracle replays both statements as a CTE chain over the raw
+    fixtures; a wrong subquery plan, NULL-semantics slip, or a scalar
+    read of the wrong snapshot breaks the value hash."""
+    import tempfile
+
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="m11_") + "/orders")
+    t.commit_clustered(
+        orders, cluster_by="o_orderkey", n_files=8,
+        stats_for=["o_orderkey"],
+    )
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).createOrReplaceTempView("cust_m11")
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["t_m11"] = t
+    eng.sql(
+        "DELETE FROM t_m11 WHERE o_custkey IN"
+        " (SELECT c_custkey FROM cust_m11 WHERE c_acctbal < 0)"
+    )
+    eng.sql(
+        f"UPDATE t_m11 SET o_totalprice = o_totalprice * {DML_DISCOUNT}"
+        f" WHERE o_totalprice > (SELECT max(o_totalprice) FROM t_m11"
+        f" WHERE o_orderkey % {M11_MAX_MOD} = 0)"
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
@@ -729,6 +785,7 @@ QUERIES = {
     "m06_sql_dml_orders": sql_dml_orders,
     "m07_change_feed_orders": change_feed_orders,
     "m08_lifecycle_orders": lifecycle_orders,
+    "m11_subquery_dml_orders": subquery_dml_orders,
 }
 
 _SRC_SQL = f"""
@@ -847,6 +904,35 @@ ORACLES = {
         FROM s4
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    # m11: the two subquery statements replayed as a CTE chain — s1
+    # drops orders of negative-balance customers, s2 discounts rows above
+    # the (exact) max of the surviving %97 keys, read from s1 = the
+    # UPDATE's pre-statement state
+    "m11_subquery_dml_orders": f"""
+        WITH s1 AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            )
+        ),
+        thr AS (
+            SELECT max(o_totalprice) AS m FROM s1
+            WHERE o_orderkey % {M11_MAX_MOD} = 0
+        ),
+        s2 AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_totalprice > (SELECT m FROM thr)
+                        THEN o_totalprice * {DML_DISCOUNT}
+                        ELSE o_totalprice END AS o_totalprice
+            FROM s1
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM s2
+        GROUP BY 1
+        ORDER BY 1
     """,
     "m01_merge_upsert_orders": _MERGE_ACCOUNTING_SQL,
     # m05 = the snapshot-native path under the IDENTICAL oracle: matching
