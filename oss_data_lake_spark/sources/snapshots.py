@@ -195,6 +195,14 @@ def _is_stats_ref(entry) -> bool:
     return isinstance(entry, dict) and _STATS_SIDECAR_KEY in entry
 
 
+class _CompleteStats(dict):
+    """Per-file stats resolved from a spilled sidecar. The sidecar was
+    written by THIS format's writer, whose harvest records every file it
+    discovers (empty column maps included) — so its key set IS the dir's
+    complete file universe and planners may skip the defensive
+    directory listing older inline manifests still get."""
+
+
 def _rename_spec_entry(entry: str, old: str, new: str) -> str:
     """A ``partition_by`` entry with column ``old`` renamed to ``new``
     (identity entries and transform sources both follow)."""
@@ -740,7 +748,7 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         t = pq.read_table(absp)
-        out: dict[str, dict] = {}
+        out: _CompleteStats = _CompleteStats()
         for f, c, payload in zip(
             t.column("file").to_pylist(),
             t.column("col").to_pylist(),
@@ -3461,9 +3469,13 @@ class SnapshotTable:
         stat rows — planning from stats alone would silently EXCLUDE such
         a file (wrong-skip data loss). A file found by the listing but
         absent from stats defaults to must-read. The listing is one
-        O(#files) metadata call per directory per plan; a catalog-backed
-        deployment would instead trust its manifests, which the current
-        writer makes complete."""
+        O(#files) metadata call per directory per plan — EXCEPT for
+        stats resolved from a spilled sidecar (`_CompleteStats`), whose
+        key set is the writer's complete universe by construction: big
+        dirs, exactly where the listing would hurt, plan from metadata
+        alone (the Iceberg trust-the-manifest behavior)."""
+        if isinstance(stats, _CompleteStats):
+            return sorted(stats)
         from oss_data_lake_spark.sources.skipping import _iter_parquet_files
 
         root = os.path.join(self.path, rel_dir)

@@ -260,3 +260,37 @@ def test_compact_localizes_and_orphans_old_sidecars(spark, spilled):
     } if os.path.isdir(os.path.join(t.path, "stats")) else set()
     assert on_disk == live
     assert t.read().count() == 40
+
+
+def test_spilled_dirs_plan_without_directory_listing(spark, spilled, monkeypatch):
+    """The sidecar's key set is the writer's complete file universe: a
+    pruned plan over a spilled dir must not pay the defensive O(#files)
+    directory listing (inline-stats dirs still get it)."""
+    from oss_data_lake_spark.sources import skipping as sk
+
+    t = spilled
+    t.commit(
+        _rows(spark, 30, 100).repartitionByRange(3, "k"),
+        mode="append", stats_for=["k"],
+    )
+    m = t._manifest(t.current_version())
+    spilled_dir = m["data_dirs"][-1]
+    inline_dir = m["data_dirs"][0]
+    real = sk._iter_parquet_files
+    listed: list[str] = []
+
+    def spy(root):
+        listed.append(root)
+        return real(root)
+
+    monkeypatch.setattr(sk, "_iter_parquet_files", spy)
+    _sel, n_sel, n_skip = t.plan_range_scan("k", 100, 105)
+    assert n_skip > 0
+    assert not any(spilled_dir in p for p in listed), (
+        "spilled dir planned from metadata alone"
+    )
+    assert any(inline_dir in p for p in listed), (
+        "inline dirs keep the defensive listing"
+    )
+    # and the plan is still row-exact
+    assert t.read_between("k", 100, 105).count() == 6
