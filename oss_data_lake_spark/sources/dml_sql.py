@@ -36,6 +36,10 @@ statement-shaped text here BEFORE the query path:
 - ``DESCRIBE HISTORY | DETAIL | FILES t``  → snapshot log / table summary
                                              / per-file manifest view
 - ``CREATE TABLE t USING snapshot AS <query>`` / ``DROP TABLE t``
+- ``CREATE TABLE t (c T [DEFAULT e], ...) USING snapshot
+  [PARTITIONED BY (c | days(ts) | bucket(n, c) | ...)]``
+                                           → EMPTY table with declared
+                                             schema/layout/defaults
                                            → managed CTAS + lifecycle
 - ``ALTER TABLE t ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n``
                                            → commit-time quality gates
@@ -775,6 +779,14 @@ _CREATE_RE = re.compile(
     r"USING\s+SNAPSHOT\s+AS\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# column-list CREATE TABLE (no AS): an EMPTY snapshot table with a
+# declared schema, optional partition layout, and column DEFAULTs
+_CREATE_COLS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    r"([A-Za-z_][\w.]*)\s*\((.*)\)\s*USING\s+SNAPSHOT"
+    r"(?:\s+PARTITIONED\s+BY\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -1138,6 +1150,43 @@ def dispatch_statement(
     ``DROP TABLE`` of a REGISTERED snapshot table (unregister + delete;
     unregistered names fall through to the session catalog's DROP)."""
     from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+    m = _CREATE_COLS_RE.match(text)
+    if m and engine is not None:
+        if_not_exists, name, defs, part = m.groups()
+        if name in tables:
+            if if_not_exists:
+                return spark.createDataFrame([(0,)], "version long").limit(0)
+            raise ValueError(
+                f"snapshot table '{name}' already exists; use CREATE "
+                f"TABLE IF NOT EXISTS or DROP TABLE first"
+            )
+        cols, defaults = _parse_column_defs(defs)
+        ddl = ", ".join(f"{n} {ty}" for n, ty in cols.items())
+        empty = spark.createDataFrame([], ddl)
+        entries = []
+        if part:
+            # depth-0 comma split: bucket(4, k) keeps its own comma
+            pmasked = _masked(part)
+            pdepths = _depths(pmasked)
+            start = 0
+            for i, ch in enumerate(pmasked):
+                if ch == "," and pdepths[i] == 0:
+                    entries.append(part[start:i].strip())
+                    start = i + 1
+            entries.append(part[start:].strip())
+            entries = [x for x in entries if x]
+        t = engine.register_snapshot_table(
+            name, engine.snapshot_table_path(name)
+        )
+        # v1 carries the schema AND the layout (commit validates the
+        # transform typing rules eagerly, even on zero rows); DEFAULTs
+        # follow as metadata commits — with no pre-existing files only
+        # the WRITE side is meaningful
+        version = t.commit(empty, partition_by=entries or None)
+        for cname, lit in defaults.items():
+            version = t.set_column_default(cname, lit)
+        return spark.createDataFrame([(version,)], "version long")
 
     m = _CREATE_RE.match(text)
     if m and engine is not None:

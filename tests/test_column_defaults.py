@@ -151,3 +151,54 @@ def test_incremental_read_sees_initial_defaults(spark, eng):
     # the delta contains only the new dir; its explicit NULL survives,
     # and the frame carries the evolved schema
     assert [(r["k"], r["n"]) for r in inc.collect()] == [(300, None)]
+
+
+def test_create_table_with_columns_partitioning_and_defaults(spark, tmp_path):
+    """Column-list CREATE TABLE: an EMPTY snapshot table with declared
+    schema, hidden-partition layout, and write defaults — the normal
+    create-then-INSERT flow every Delta/Iceberg user starts with."""
+    from oss_data_lake_spark.engine import Engine
+
+    import uuid
+
+    e = Engine(spark=spark)
+    name = f"fresh_{uuid.uuid4().hex[:8]}"
+    e.sql(
+        f"CREATE TABLE {name} (k BIGINT, ts TIMESTAMP, "
+        "src STRING DEFAULT 'api', v DOUBLE) "
+        "USING snapshot PARTITIONED BY (days(ts))"
+    )
+    t = e._snapshot_tables[name]
+    assert t.read().count() == 0
+    assert [f.name for f in t.schema().fields] == ["k", "ts", "src", "v"]
+    assert t.write_defaults() == {"src": "'api'"}
+    assert t.current_partition_by() == ["days(ts)"]
+    e.sql(
+        f"INSERT INTO {name} (k, ts, v) VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1.0), "
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 2.0)"
+    )
+    rows = {r["k"]: r["src"] for r in e.sql(f"SELECT k, src FROM {name}").collect()}
+    assert rows == {1: "api", 2: "api"}
+    # the declared hidden layout actually landed on disk
+    import os
+
+    m = t._manifest(t.current_version())
+    d = m["data_dirs"][-1]
+    assert any(
+        seg.startswith("_p_days_ts=")
+        for seg in os.listdir(os.path.join(t.path, d))
+        if not seg.startswith("_S") and "=" in seg
+    )
+    # IF NOT EXISTS no-ops; plain re-create refuses
+    e.sql(f"CREATE TABLE IF NOT EXISTS {name} (x INT) USING snapshot")
+    assert len(t.schema().fields) == 4
+    with pytest.raises(ValueError, match="already exists"):
+        e.sql(f"CREATE TABLE {name} (x INT) USING snapshot")
+    # eager transform-typing validation fires at CREATE time
+    with pytest.raises(ValueError, match="timestamp/date"):
+        e.sql(
+            f"CREATE TABLE bad_{name} (s STRING) USING snapshot "
+            "PARTITIONED BY (days(s))"
+        )
+    e.sql(f"DROP TABLE {name}")
