@@ -70,7 +70,8 @@ statement-shaped text here BEFORE the query path:
                                            → zero-copy clone referencing
                                              the source's files
                                              (``shallow_clone_to``)
-- ``COPY INTO t FROM '<path>' [PATTERN = '<glob>']``
+- ``COPY INTO t FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON]
+  [PATTERN = '<glob>']``
                                            → idempotent file-level bulk
                                              ingest (``copy_into``) —
                                              re-runs load only files not
@@ -1086,6 +1087,7 @@ _CLONE_RE = re.compile(
 )
 _COPY_INTO_RE = re.compile(
     r"^\s*COPY\s+INTO\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?"
     r"(?:\s+PATTERN\s*=\s*'([^']+)')?(\s+FORCE)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -1281,11 +1283,12 @@ def dispatch_statement(
         t = _require(tables, m.group(1), "COPY INTO")
         res = t.copy_into(
             m.group(2),
-            m.group(3) or "*.parquet",
+            m.group(4),  # None -> the format's own default pattern
             # harvest the same footer stats an INSERT would (copy_into
             # itself drops identity partition columns from the list)
             stats_for=sorted(t.stats_columns()) or None,
-            force=bool(m.group(4)),
+            force=bool(m.group(5)),
+            fileformat=(m.group(3) or "parquet"),
         )
         return spark.createDataFrame(
             [(res["version"], res["files_loaded"], res["rows_loaded"])],

@@ -2337,14 +2337,24 @@ class SnapshotTable:
     def copy_into(
         self,
         src: str,
-        pattern: str = "*.parquet",
+        pattern: str | None = None,
         stats_for: list[str] | None = None,
         force: bool = False,
+        fileformat: str = "parquet",
     ) -> dict:
         """Ingest files under ``src`` matching ``pattern`` (recursive)
         that no previous ``copy_into`` from this source loaded. Returns
         ``{"version", "files_loaded", "rows_loaded"}`` (version is the
         unchanged head on a no-op).
+
+        ``fileformat`` (Databricks ``FILEFORMAT =``): ``parquet``
+        (default), ``csv`` (headered), or ``json`` (lines). Non-parquet
+        sources read under the TABLE's schema — COPY INTO is the format
+        CONVERSION point, so the landed files are always parquet with
+        the table's types; this needs a schema-carrying table and pays
+        one real read of the new files (parquet stays footer-only).
+        The default pattern follows the format (``*.parquet`` /
+        ``*.csv`` / ``*.json``).
 
         The ledger is MONOTONE across ``rollback``/RESTORE (properties
         follow the head, not the restored snapshot) — files once loaded
@@ -2354,6 +2364,14 @@ class SnapshotTable:
         matching file regardless of the ledger (may duplicate rows)."""
         import fnmatch
 
+        fileformat = fileformat.lower()
+        if fileformat not in ("parquet", "csv", "json"):
+            raise ValueError(
+                f"COPY INTO: unsupported FILEFORMAT {fileformat!r} "
+                f"(parquet, csv, json)"
+            )
+        if pattern is None:
+            pattern = f"*.{fileformat}"
         src_abs = os.path.abspath(src)
         found: list[str] = []
         for root, _dirs, files in os.walk(src_abs):
@@ -2376,10 +2394,24 @@ class SnapshotTable:
                 "files_loaded": 0,
                 "rows_loaded": 0,
             }
-        df = self.spark.read.parquet(
-            *[os.path.join(src_abs, f) for f in new]
-        )
-        rows = df.count()  # parquet footer count — no data scan
+        paths = [os.path.join(src_abs, f) for f in new]
+        if fileformat == "parquet":
+            df = self.spark.read.parquet(*paths)
+        else:
+            target = self.schema()
+            if target is None:
+                raise ValueError(
+                    f"COPY INTO FILEFORMAT = {fileformat.upper()} needs "
+                    "a schema-carrying table (the source has no types "
+                    "of its own)"
+                )
+            reader = self.spark.read.schema(target)
+            df = (
+                reader.option("header", "true").csv(paths)
+                if fileformat == "csv"
+                else reader.json(paths)
+            )
+        rows = df.count()  # parquet: footer count — no data scan
         merged = sorted(seen | set(new))
         if len(merged) > self._COPY_LEDGER_SPILL:
             # spill: the manifest carries an O(1) sidecar reference; a

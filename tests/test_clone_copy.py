@@ -596,3 +596,72 @@ def test_rebase_preserves_source_side_property_updates(
     # the ledger survived the rebase: re-ingest is a no-op
     assert t.copy_into(str(land))["files_loaded"] == 0
     assert t.read().count() == 12
+
+
+def test_copy_into_fileformat_csv_and_json(spark, tmp_path):
+    """COPY INTO FILEFORMAT = CSV | JSON (Databricks grammar): non-
+    parquet landings read under the TABLE's schema — COPY INTO is the
+    format-conversion point, so landed files are parquet with the
+    table's types; idempotence ledgers work per format exactly like
+    parquet sources."""
+    import json as _json
+    import os
+
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(0, 0.0, "seed")], "k bigint, v double, s string")
+    )
+    eng = Engine(spark=spark)
+    eng._snapshot_tables["cfmt"] = t
+
+    csv_dir = tmp_path / "landing_csv"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("k,v,s\n1,1.5,x\n2,2.5,y\n")
+    res = eng.sql(
+        f"COPY INTO cfmt FROM '{csv_dir}' FILEFORMAT = CSV"
+    ).collect()[0]
+    assert (res["files_loaded"], res["rows_loaded"]) == (1, 2)
+    # idempotent: re-run loads nothing
+    res2 = eng.sql(
+        f"COPY INTO cfmt FROM '{csv_dir}' FILEFORMAT = CSV"
+    ).collect()[0]
+    assert res2["files_loaded"] == 0
+    # delta: only the new file loads
+    (csv_dir / "b.csv").write_text("k,v,s\n3,3.5,z\n")
+    res3 = eng.sql(
+        f"COPY INTO cfmt FROM '{csv_dir}' FILEFORMAT = CSV"
+    ).collect()[0]
+    assert (res3["files_loaded"], res3["rows_loaded"]) == (1, 1)
+
+    json_dir = tmp_path / "landing_json"
+    json_dir.mkdir()
+    with open(json_dir / "a.json", "w") as fh:
+        for rec in ({"k": 10, "v": 1.0, "s": "j"}, {"k": 11, "v": 2.0, "s": "j"}):
+            fh.write(_json.dumps(rec) + "\n")
+    res4 = eng.sql(
+        f"COPY INTO cfmt FROM '{json_dir}' FILEFORMAT = JSON"
+    ).collect()[0]
+    assert (res4["files_loaded"], res4["rows_loaded"]) == (1, 2)
+
+    got = {r["k"]: (r["v"], r["s"]) for r in t.read().collect()}
+    assert got == {
+        0: (0.0, "seed"), 1: (1.5, "x"), 2: (2.5, "y"), 3: (3.5, "z"),
+        10: (1.0, "j"), 11: (2.0, "j"),
+    }
+    # landed files are PARQUET under the table root regardless of source
+    m = t._manifest(t.current_version())
+    for d in m["data_dirs"]:
+        for dp, _dn, fs in os.walk(os.path.join(t.path, d)):
+            assert all(
+                f.endswith(".parquet")
+                for f in fs
+                if not f.startswith(("_", "."))  # _SUCCESS / .crc
+            )
+    # unsupported format refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported FILEFORMAT"):
+        t.copy_into(str(csv_dir), fileformat="orc")
