@@ -2019,9 +2019,18 @@ def dispatch_statement(
                 f"DESCRIBE: no snapshots at {t.path} "
                 "(table registered but never committed)"
             )
+        wdef = t.write_defaults()
         return spark.createDataFrame(
             [
-                (f.name, f.dataType.simpleString(), None)
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    (
+                        f"DEFAULT {wdef[f.name]}"
+                        if f.name in wdef
+                        else None
+                    ),
+                )
                 for f in schema.fields
             ],
             "col_name string, data_type string, comment string",

@@ -6092,7 +6092,8 @@ _TABLE_CHANGES_RE = re.compile(
 # these); rewritten to metadata-DataFrame temp views before Spark's
 # parser (which rejects '$' in identifiers) ever sees the text
 _META_TABLE_RE = re.compile(
-    r"\b([A-Za-z_][\w.]*)\$(files|history|snapshots|partitions)\b",
+    r"\b([A-Za-z_][\w.]*)\$(files|history|snapshots|partitions)\b"
+    r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+))?",
     re.IGNORECASE,
 )
 
@@ -6611,8 +6612,13 @@ def sql_with_time_travel(
                 f"metadata table references unregistered snapshot "
                 f"table '{name}' (registered: {sorted(tables)})"
             )
-        view = f"__meta_{name.replace('.', '_')}_{kind}"
-        t.metadata_df(kind).createOrReplaceTempView(view)
+        ver = int(m.group(3)) if m.group(3) else None
+        view = f"__meta_{name.replace('.', '_')}_{kind}" + (
+            f"_v{ver}" if ver is not None else ""
+        )
+        # $history/$snapshots span the whole log; AS OF scopes the
+        # per-snapshot kinds ($files/$partitions) to that version
+        t.metadata_df(kind, version=ver).createOrReplaceTempView(view)
         created.append(view)
         return view
 

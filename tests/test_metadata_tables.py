@@ -123,3 +123,23 @@ def test_files_table_reads_through_spilled_stats(spark, tmp_path):
         "SELECT sum(rows) AS s, count(*) AS n FROM sp$files"
     ).collect()[0]
     assert rows["n"] >= 5 and rows["s"] == 105
+
+
+def test_metadata_tables_time_travel(spark, eng):
+    e, t = eng
+    e.sql("DELETE FROM t WHERE d = '2024-01-04'")
+    now = e.sql(
+        "SELECT count(*) AS n FROM t$files WHERE visible"
+    ).collect()[0]["n"]
+    before = e.sql(
+        "SELECT count(*) AS n FROM t$files FOR VERSION AS OF 2 "
+        "WHERE visible"
+    ).collect()[0]["n"]
+    assert before > now
+    parts_v1 = [
+        r["partition"]
+        for r in e.sql(
+            "SELECT partition FROM t$partitions FOR VERSION AS OF 1"
+        ).collect()
+    ]
+    assert "d=2024-01-04" not in parts_v1  # the 01-04 rows arrived at v2
