@@ -13,6 +13,9 @@ plus the fixture/table plumbing the driver and tests use.
 
 from __future__ import annotations
 
+import re
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from oss_data_lake_spark.plans.audit import explain_str
@@ -30,6 +33,8 @@ class Engine:
         self.spark = spark or get_spark(warehouse_dir=warehouse_dir)
         self._warehouse_dir = warehouse_dir
         self._snapshot_tables: dict = {}
+        # open single-table transactions: table name -> staging branch
+        self._txns: dict[str, str] = {}
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -45,24 +50,125 @@ class Engine:
           ``VACUUM``, ``DESCRIBE HISTORY``),
         - and plain SELECTs whose WHERE conjuncts route the scan through
           manifest file skipping (``extract_prunable_predicates``)."""
+        handled = self._handle_txn_statement(text)
+        if handled is not None:
+            return handled
         if self._snapshot_tables:
             from oss_data_lake_spark.sources.dml_sql import dispatch_statement
             from oss_data_lake_spark.sources.snapshots import (
                 sql_with_time_travel,
             )
 
+            tables = self._sql_tables()
             dispatched = dispatch_statement(
-                self.spark, text, self._snapshot_tables, engine=self
+                self.spark, text, tables, engine=self
             )
             if dispatched is not None:
                 return dispatched
-            return sql_with_time_travel(self.spark, text, self._snapshot_tables)
+            return sql_with_time_travel(self.spark, text, tables)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
         dispatched = dispatch_statement(self.spark, text, {}, engine=self)
         if dispatched is not None:
             return dispatched
         return self.spark.sql(text)
+
+    # -- single-table transactions (WAP branches under SQL spelling) -----
+    #
+    # BEGIN TRANSACTION ON t stages every later statement naming t on a
+    # hidden branch (a zero-copy managed clone): inside the transaction
+    # you read your own writes; every OTHER reader keeps seeing the
+    # pre-transaction head. COMMIT lands the branch as ONE atomic commit
+    # (fast_forward — non-overlapping concurrent commits rebase, real
+    # conflicts refuse and leave the transaction open for ROLLBACK);
+    # ROLLBACK drops the branch and nothing ever happened. Single-table
+    # by design: cross-table atomicity would need a shared commit point
+    # the one-pointer-per-table protocol deliberately does not have.
+
+    _BEGIN_RE = re.compile(
+        r"^\s*BEGIN\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _COMMIT_RE = re.compile(
+        r"^\s*COMMIT\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _ROLLBACK_RE = re.compile(
+        r"^\s*ROLLBACK\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _DROP_GUARD_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
+        re.IGNORECASE,
+    )
+
+    def _sql_tables(self) -> dict:
+        """The registry ``sql`` dispatches against: names with an open
+        transaction remap to their staging branch."""
+        if not self._txns:
+            return self._snapshot_tables
+        out = dict(self._snapshot_tables)
+        for name, br in self._txns.items():
+            out[name] = self._snapshot_tables[name].branch(br)
+        return out
+
+    def _handle_txn_statement(self, text: str) -> DataFrame | None:
+        m = self._BEGIN_RE.match(text)
+        if m:
+            name = m.group(1)
+            t = self._snapshot_tables.get(name)
+            if t is None:
+                raise ValueError(
+                    f"BEGIN TRANSACTION: unregistered snapshot table "
+                    f"{name!r}"
+                )
+            if name in self._txns:
+                raise ValueError(
+                    f"a transaction is already open on {name!r}"
+                )
+            br = f"txn-{uuid.uuid4().hex[:10]}"
+            t.create_branch(br)
+            self._txns[name] = br
+            return self.spark.createDataFrame(
+                [(name, br)], "table string, branch string"
+            )
+        m = self._COMMIT_RE.match(text)
+        if m:
+            name = m.group(1)
+            br = self._txns.get(name)
+            if br is None:
+                raise ValueError(f"no open transaction on {name!r}")
+            t = self._snapshot_tables[name]
+            bt = t.branch(br)
+            bm = bt._manifest(bt.current_version())
+            if bm.get("delete_dirs") or bm.get("eq_deletes"):
+                # merge-on-read debt staged inside the transaction:
+                # localize it so the publish is clean (same rule as any
+                # clone publish)
+                bt.compact()
+            # rebase over non-overlapping concurrent commits; a real
+            # conflict raises CommitConflict and the transaction STAYS
+            # OPEN (retry COMMIT after inspection, or ROLLBACK)
+            version = t.fast_forward(br, require_source_unchanged=False)
+            del self._txns[name]
+            return self.spark.createDataFrame(
+                [(version,)], "version long"
+            )
+        m = self._ROLLBACK_RE.match(text)
+        if m:
+            name = m.group(1)
+            br = self._txns.pop(name, None)
+            if br is None:
+                raise ValueError(f"no open transaction on {name!r}")
+            self._snapshot_tables[name].drop_branch(br)
+            return self.spark.createDataFrame([(name,)], "table string")
+        m = self._DROP_GUARD_RE.match(text)
+        if m and m.group(1) in self._txns:
+            raise ValueError(
+                f"DROP TABLE {m.group(1)!r}: a transaction is open on "
+                f"it — COMMIT or ROLLBACK first"
+            )
+        return None
 
     def sql_script(self, script: str) -> DataFrame | None:
         """Run a multi-statement SQL script (statements split on
