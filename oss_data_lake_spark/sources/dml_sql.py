@@ -79,6 +79,14 @@ statement-shaped text here BEFORE the query path:
 - ``SHOW CREATE TABLE t``                  → reconstructed DDL (schema,
                                              layout, location,
                                              properties, constraints)
+- ``INSERT INTO t REPLACE WHERE cond SELECT ...|VALUES ...``
+                                           → Delta replaceWhere: ONE
+                                             atomic commit swaps exactly
+                                             the predicate's slice for
+                                             the query's rows (pruned to
+                                             admitting files; incoming
+                                             rows outside the predicate
+                                             refuse)
 - ``INSERT OVERWRITE [TABLE] t [(cols)] SELECT ...|VALUES ...``
                                            → overwrite commit under the
                                              existing table schema
@@ -218,6 +226,13 @@ _FILES_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)"
     r"(?:\s*\(([^)]*)\))?\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Delta's replaceWhere: INSERT INTO t REPLACE WHERE cond SELECT ... —
+# atomically swap exactly the predicate's slice for the query's rows
+_INSERT_REPLACE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+"
+    r"REPLACE\s+WHERE\s+(.*?)\s+(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(
@@ -1858,6 +1873,32 @@ def dispatch_statement(
         info = t.update_where(
             cond, assigns, prune_preds=preds,
             stats_for=sorted(t.stats_columns()),
+        )
+        return _metrics_df(spark, info)
+
+    m = _INSERT_REPLACE_RE.match(text)
+    if m:
+        from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
+
+        t = _require(tables, m.group(1), "INSERT INTO ... REPLACE WHERE")
+        cond, query = m.group(2).strip(), m.group(3)
+        target_schema = t.schema()
+        if target_schema is None:
+            raise ValueError("REPLACE WHERE needs a schema-carrying snapshot")
+        src = sql_with_time_travel(spark, query, tables)
+        if len(src.columns) != len(target_schema.fields):
+            raise ValueError(
+                f"REPLACE WHERE arity mismatch: query produces "
+                f"{len(src.columns)} columns, table has "
+                f"{len(target_schema.fields)}"
+            )
+        aligned = t._align(
+            src.toDF(*[f.name for f in target_schema.fields]), target_schema
+        )
+        info = t.replace_where(
+            aligned, cond,
+            prune_preds=conjunct_ranges(cond, t.stats_columns()) or None,
+            stats_for=sorted(t.stats_columns()) or None,
         )
         return _metrics_df(spark, info)
 

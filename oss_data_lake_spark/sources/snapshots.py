@@ -5113,6 +5113,51 @@ class SnapshotTable:
             stats_for, bloom_for, prune_preds=prune_preds,
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        condition: "str | F.Column",
+        prune_preds: list[tuple[str, object, object]] | None = None,
+        stats_for: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+        enforce: bool = True,
+    ) -> dict:
+        """Delta's ``replaceWhere``: atomically replace exactly the rows
+        matching ``condition`` with ``df`` — ONE commit carrying both
+        the deletion (as a visibility shrink of the pruned candidate
+        files) and the new data, so readers never observe the gap a
+        DELETE-then-INSERT pair would expose. ``enforce`` (Delta's
+        default) validates every incoming row satisfies the condition —
+        a replacement that silently leaks rows outside its declared
+        slice corrupts the other slices' ownership.
+
+        ``prune_preds`` scopes the rewrite to files whose manifest
+        bounds admit the condition (same contract as ``delete_where``);
+        at 100 TB a day-scoped replace rewrites one day's files, never
+        the table."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if enforce:
+            n_bad = df.filter(
+                ~F.coalesce(cond, F.lit(False))
+            ).limit(1).count()
+            if n_bad:
+                raise ValueError(
+                    "replaceWhere: incoming rows fall OUTSIDE the "
+                    "replaced predicate; fix the data or pass "
+                    "enforce=False to accept them"
+                )
+
+        def transform(cand: DataFrame) -> DataFrame:
+            survivors = cand.filter(~F.coalesce(cond, F.lit(False)))
+            return survivors.unionByName(
+                df, allowMissingColumns=True
+            )
+
+        return self._rewrite_where(
+            transform, "replace_where", None, None, None,
+            stats_for, bloom_for, prune_preds=prune_preds,
+        )
+
     # -------------------------------------------- subquery-condition DML
     #
     # Trino (the reference's engine) accepts subqueries in DML

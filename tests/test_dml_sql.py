@@ -827,3 +827,37 @@ def test_expire_retain_sql_grammar(spark, eng, tmp_path):
         d.startswith("c1-")
         for d in os.listdir(os.path.join(t.path, "data"))
     )
+
+
+def test_insert_replace_where(spark, eng):
+    """Delta's replaceWhere: ONE atomic commit swaps exactly the
+    predicate's slice; pruning scopes the rewrite, enforcement refuses
+    out-of-slice rows, readers never see the DELETE+INSERT gap."""
+    t = eng._snapshot_tables["t"]
+    v0 = t.current_version()
+    res = eng.sql(
+        "INSERT INTO t REPLACE WHERE k BETWEEN 20 AND 29 "
+        "SELECT id AS k, CAST(0.5 AS DOUBLE) AS v, 'fresh' AS s "
+        "FROM range(20, 25)"
+    ).collect()[0]
+    assert res["version"] == v0 + 1          # one commit, not two
+    assert res["files_skipped"] > 0          # pruned to admitting files
+    rows = {r["k"]: r["s"] for r in eng.sql("SELECT k, s FROM t").collect()}
+    assert all(rows[k] == "fresh" for k in range(20, 25))
+    assert all(k not in rows for k in range(25, 30))  # slice replaced
+    assert len(rows) == 95                   # 100 - 10 + 5
+    # incoming rows outside the predicate refuse (Delta's default)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="OUTSIDE the"):
+        eng.sql(
+            "INSERT INTO t REPLACE WHERE k BETWEEN 0 AND 4 "
+            "SELECT id AS k, CAST(1.0 AS DOUBLE) AS v, 'x' AS s "
+            "FROM range(90, 92)"
+        )
+    # time travel still shows the pre-replace slice
+    old = eng.sql(
+        "SELECT count(*) AS n FROM t FOR VERSION AS OF 1 "
+        "WHERE k BETWEEN 20 AND 29"
+    ).collect()[0]["n"]
+    assert old == 10
