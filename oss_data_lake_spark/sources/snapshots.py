@@ -5614,6 +5614,10 @@ class SnapshotTable:
     #       eq-delete keys) / known table rows ≥ 0.1
     #   compact.max-eq-deletes  = '8'    → compact when ≥ 8 equality
     #       deletes are outstanding (each is a read-time anti-join)
+    #   compact.max-files       = '1000' → compact when the LIVE file
+    #       count crosses the cap (streaming small-file accretion —
+    #       Delta's auto-compaction trigger); counted from reference
+    #       aggregates and visibility lists, no data read
 
     def maintenance_status(self) -> dict:
         """Tombstone accumulation vs table size and whether the
@@ -5662,6 +5666,35 @@ class SnapshotTable:
                         rows += entry["rows"]
                         break
         out["table_rows_known"] = rows
+        # FRAGMENTATION policy (compact.max-files): live file count from
+        # reference aggregates / visibility lists — streaming accretion
+        # that crosses the cap self-heals like delete debt does
+        n_files = 0
+        for d in m["data_dirs"]:
+            vis = self._visible_files(m, d)
+            if vis is not None:
+                n_files += len(vis)
+                continue
+            raw = (m.get("file_stats") or {}).get(d)
+            if _is_stats_ref(raw):
+                n_files += raw.get("files", 1)
+            elif raw:
+                n_files += len(raw)
+            else:
+                from oss_data_lake_spark.sources.skipping import (
+                    _iter_parquet_files,
+                )
+
+                n_files += sum(
+                    1
+                    for _ in _iter_parquet_files(
+                        d if os.path.isabs(d) or "://" in d
+                        else os.path.join(self.path, d)
+                    )
+                )
+        out["live_files"] = n_files
+        max_files = props.get("compact.max-files")
+        out["max_files"] = int(max_files) if max_files is not None else None
         dead = out["tombstone_rows"] + out["eq_delete_keys"]
         if dead:
             out["ratio"] = (
@@ -5673,6 +5706,8 @@ class SnapshotTable:
             out["max_eq_deletes"] is not None
             and out["n_eq_deletes"] >= out["max_eq_deletes"]
         ):
+            out["due"] = True
+        if out["max_files"] is not None and n_files > out["max_files"]:
             out["due"] = True
         return out
 

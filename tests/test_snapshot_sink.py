@@ -301,3 +301,27 @@ def test_txn_ledger_survives_compaction_and_expiry(spark, tmp_path):
     t.rollback(v)
     commit_batch(t, _batch(spark, 50, 80), 1, "sink")
     assert t.read().count() == 80
+
+
+def test_auto_compact_fires_on_file_count(spark, tmp_path):
+    """compact.max-files: streaming small-file accretion self-heals at
+    the cap, exactly like delete debt — and the count comes from
+    manifest aggregates, not a data read."""
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "frag"))
+    t.commit(spark.range(10).coalesce(1).selectExpr("id AS k"))
+    t.set_properties({"compact.max-files": "6"})
+    assert t.auto_compact() is None  # under the cap: no-op
+    for i in range(3):
+        t.commit(
+            spark.range(10).selectExpr(f"id + {100 * (i + 1)} AS k")
+            .repartition(3),
+            mode="append",
+        )
+    st = t.maintenance_status()
+    assert st["live_files"] > 6 and st["due"]
+    v = t.auto_compact()
+    assert v is not None
+    assert t.maintenance_status()["live_files"] <= 6
+    assert t.read().count() == 40
