@@ -33,8 +33,12 @@ class Engine:
         self.spark = spark or get_spark(warehouse_dir=warehouse_dir)
         self._warehouse_dir = warehouse_dir
         self._snapshot_tables: dict = {}
-        # open single-table transactions: table name -> staging branch
-        self._txns: dict[str, str] = {}
+        # open single-table transactions: name -> (original handle,
+        # staging branch name); while open, the REGISTRY ENTRY for the
+        # name is the branch table, so every dispatch arm (including
+        # ones that mutate the registry for other names) works on the
+        # real dict — no throwaway copies
+        self._txns: dict[str, tuple] = {}
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -59,13 +63,12 @@ class Engine:
                 sql_with_time_travel,
             )
 
-            tables = self._sql_tables()
             dispatched = dispatch_statement(
-                self.spark, text, tables, engine=self
+                self.spark, text, self._snapshot_tables, engine=self
             )
             if dispatched is not None:
                 return dispatched
-            return sql_with_time_travel(self.spark, text, tables)
+            return sql_with_time_travel(self.spark, text, self._snapshot_tables)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
         dispatched = dispatch_statement(self.spark, text, {}, engine=self)
@@ -102,16 +105,6 @@ class Engine:
         re.IGNORECASE,
     )
 
-    def _sql_tables(self) -> dict:
-        """The registry ``sql`` dispatches against: names with an open
-        transaction remap to their staging branch."""
-        if not self._txns:
-            return self._snapshot_tables
-        out = dict(self._snapshot_tables)
-        for name, br in self._txns.items():
-            out[name] = self._snapshot_tables[name].branch(br)
-        return out
-
     def _handle_txn_statement(self, text: str) -> DataFrame | None:
         m = self._BEGIN_RE.match(text)
         if m:
@@ -127,18 +120,18 @@ class Engine:
                     f"a transaction is already open on {name!r}"
                 )
             br = f"txn-{uuid.uuid4().hex[:10]}"
-            t.create_branch(br)
-            self._txns[name] = br
+            bt = t.create_branch(br)
+            self._txns[name] = (t, br)
+            self._snapshot_tables[name] = bt
             return self.spark.createDataFrame(
                 [(name, br)], "table string, branch string"
             )
         m = self._COMMIT_RE.match(text)
         if m:
             name = m.group(1)
-            br = self._txns.get(name)
-            if br is None:
+            if name not in self._txns:
                 raise ValueError(f"no open transaction on {name!r}")
-            t = self._snapshot_tables[name]
+            t, br = self._txns[name]
             bt = t.branch(br)
             bm = bt._manifest(bt.current_version())
             if bm.get("delete_dirs") or bm.get("eq_deletes"):
@@ -151,16 +144,18 @@ class Engine:
             # OPEN (retry COMMIT after inspection, or ROLLBACK)
             version = t.fast_forward(br, require_source_unchanged=False)
             del self._txns[name]
+            self._snapshot_tables[name] = t
             return self.spark.createDataFrame(
                 [(version,)], "version long"
             )
         m = self._ROLLBACK_RE.match(text)
         if m:
             name = m.group(1)
-            br = self._txns.pop(name, None)
-            if br is None:
+            if name not in self._txns:
                 raise ValueError(f"no open transaction on {name!r}")
-            self._snapshot_tables[name].drop_branch(br)
+            t, br = self._txns.pop(name)
+            self._snapshot_tables[name] = t
+            t.drop_branch(br)
             return self.spark.createDataFrame([(name,)], "table string")
         m = self._DROP_GUARD_RE.match(text)
         if m and m.group(1) in self._txns:

@@ -232,7 +232,7 @@ _INSERT_RE = re.compile(
 # atomically swap exactly the predicate's slice for the query's rows
 _INSERT_REPLACE_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+"
-    r"REPLACE\s+WHERE\s+(.*?)\s+(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
+    r"REPLACE\s+WHERE\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(
@@ -553,12 +553,14 @@ def _run_merge(
     if src_alias is None:
         raise ValueError("MERGE source subquery needs an alias")
 
-    if evolve:
+    def _apply_schema_evolution() -> None:
         # WITH SCHEMA EVOLUTION (Delta): source-only columns join the
         # target schema (metadata-only add — existing rows read NULL),
         # and a source column wider than its target counterpart widens
         # it (safe promotions only; a NARROWER source is the normal
-        # case and just upcasts at align time, so refusals pass)
+        # case and just upcasts at align time, so refusals pass).
+        # Deferred until the WHOLE statement parses: a MERGE that fails
+        # validation must not leave committed schema changes behind.
         tschema = t.schema()
         if tschema is None:
             raise ValueError(
@@ -751,6 +753,8 @@ def _run_merge(
                 matched_condition = re.sub(
                     rf"\b{re.escape(src_alias)}\.", "", cond
                 ).strip()
+    if evolve:
+        _apply_schema_evolution()
     if (
         t.properties().get("delete.mode") == "merge-on-read"
         and when_matched == "update"
@@ -1179,8 +1183,20 @@ def dispatch_statement(
                 f"TABLE IF NOT EXISTS or DROP TABLE first"
             )
         cols, defaults = _parse_column_defs(defs)
+        unknown = set(defaults) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"DEFAULT for columns not declared: {sorted(unknown)}"
+            )
         ddl = ", ".join(f"{n} {ty}" for n, ty in cols.items())
         empty = spark.createDataFrame([], ddl)
+        # validate DEFAULTs BEFORE the table exists: a failed CREATE
+        # must not leave a registered, committed table behind
+        from oss_data_lake_spark.sources.snapshots import validate_default
+
+        etypes = {f.name: f.dataType for f in empty.schema.fields}
+        for cname, lit in defaults.items():
+            validate_default(spark, lit, etypes[cname])
         entries = []
         if part:
             # depth-0 comma split: bucket(4, k) keeps its own comma
@@ -1881,7 +1897,31 @@ def dispatch_statement(
         from oss_data_lake_spark.sources.snapshots import sql_with_time_travel
 
         t = _require(tables, m.group(1), "INSERT INTO ... REPLACE WHERE")
-        cond, query = m.group(2).strip(), m.group(3)
+        # split condition from source query on the FIRST depth-0
+        # SELECT/VALUES of the masked text — a subquery or string
+        # literal inside the condition is not the boundary (the
+        # module's masked-scan contract)
+        body = m.group(2)
+        bmask = _masked(body)
+        bdepths = _depths(bmask)
+        split = next(
+            (
+                w.start()
+                for w in re.finditer(
+                    r"\b(?:SELECT|VALUES)\b", bmask, re.IGNORECASE
+                )
+                if bdepths[w.start()] == 0
+            ),
+            None,
+        )
+        if split is None:
+            raise ValueError(
+                "INSERT INTO ... REPLACE WHERE needs a SELECT or VALUES "
+                "source after the condition"
+            )
+        cond, query = body[:split].strip(), body[split:].strip()
+        if not cond:
+            raise ValueError("REPLACE WHERE needs a condition")
         target_schema = t.schema()
         if target_schema is None:
             raise ValueError("REPLACE WHERE needs a schema-carrying snapshot")

@@ -195,6 +195,24 @@ def _is_stats_ref(entry) -> bool:
     return isinstance(entry, dict) and _STATS_SIDECAR_KEY in entry
 
 
+def validate_default(spark: "SparkSession", lit: str, dtype) -> None:
+    """A DEFAULT must be a constant expression the column's type can
+    represent: evaluate once, refuse errors and silent null-casts
+    (``DEFAULT 'abc'`` on an INT would write NULLs forever)."""
+    try:
+        raw, casted = spark.range(1).select(
+            F.expr(lit).alias("r"),
+            F.expr(lit).cast(dtype).alias("c"),
+        ).collect()[0]
+    except Exception as e:
+        raise ValueError(f"invalid DEFAULT expression {lit!r}: {e}")
+    if raw is not None and casted is None:
+        raise ValueError(
+            f"DEFAULT {lit!r} does not cast to "
+            f"{dtype.simpleString()} (would silently become NULL)"
+        )
+
+
 class _CompleteStats(dict):
     """Per-file stats resolved from a spilled sidecar. The sidecar was
     written by THIS format's writer, whose harvest records every file it
@@ -1023,21 +1041,7 @@ class SnapshotTable:
         return dict(self._manifest(v).get("column_defaults") or {})
 
     def _validate_default(self, lit: str, dtype: T.DataType) -> None:
-        """A DEFAULT must be a constant expression the column's type can
-        represent: evaluate once, refuse errors and silent null-casts
-        (``DEFAULT 'abc'`` on an INT would write NULLs forever)."""
-        try:
-            raw, casted = self.spark.range(1).select(
-                F.expr(lit).alias("r"),
-                F.expr(lit).cast(dtype).alias("c"),
-            ).collect()[0]
-        except Exception as e:
-            raise ValueError(f"invalid DEFAULT expression {lit!r}: {e}")
-        if raw is not None and casted is None:
-            raise ValueError(
-                f"DEFAULT {lit!r} does not cast to "
-                f"{dtype.simpleString()} (would silently become NULL)"
-            )
+        validate_default(self.spark, lit, dtype)
 
     def set_column_default(self, name: str, lit: str) -> int:
         """Set the WRITE default for an existing column (``ALTER TABLE
@@ -2405,12 +2409,24 @@ class SnapshotTable:
                     "a schema-carrying table (the source has no types "
                     "of its own)"
                 )
-            reader = self.spark.read.schema(target)
-            df = (
-                reader.option("header", "true").csv(paths)
-                if fileformat == "csv"
-                else reader.json(paths)
-            )
+            if fileformat == "csv":
+                # map by HEADER NAME, not position (Databricks COPY
+                # INTO semantics): read headered strings, then project
+                # onto the table schema — a source whose column order
+                # differs still lands each value in the right column
+                raw = self.spark.read.option("header", "true").csv(paths)
+                if not any(
+                    f.name in set(raw.columns) for f in target.fields
+                ):
+                    raise ValueError(
+                        "COPY INTO FILEFORMAT = CSV: no header column "
+                        f"matches the table schema (headers: "
+                        f"{raw.columns}) — headerless/positional CSVs "
+                        "are not supported"
+                    )
+                df = self._align(raw, target)
+            else:
+                df = self.spark.read.schema(target).json(paths)
         rows = df.count()  # parquet: footer count — no data scan
         merged = sorted(seen | set(new))
         if len(merged) > self._COPY_LEDGER_SPILL:
@@ -3185,6 +3201,8 @@ class SnapshotTable:
                     m.get("committed_at_ms"),
                 )
                 for m in self.versions()
+                # AS OF scopes the log to commits up to that version
+                if version is None or m.get("version") <= version
             ]
             return spark.createDataFrame(
                 rows,
@@ -3192,6 +3210,9 @@ class SnapshotTable:
                 "n_data_dirs long, committed_at_ms long",
             )
         if kind == "snapshots":
+            head = (
+                version if version is not None else self.current_version()
+            )
             rows = [
                 (
                     m.get("version"),
@@ -3201,9 +3222,10 @@ class SnapshotTable:
                     len(m["data_dirs"]),
                     len(m.get("delete_dirs", [])),
                     len(m.get("eq_deletes", [])),
-                    m.get("version") == self.current_version(),
+                    m.get("version") == head,
                 )
                 for m in self.versions()
+                if version is None or m.get("version") <= version
             ]
             return spark.createDataFrame(
                 rows,
@@ -5225,21 +5247,26 @@ class SnapshotTable:
 
         def transform(cand: DataFrame) -> DataFrame:
             view = f"__dml_cand_{uuid.uuid4().hex[:8]}"
-            projections = []
-            for c in cand.columns:
-                a = assignments.get(c)
-                if a is None:
-                    projections.append(f"`{c}`")
-                else:
-                    projections.append(
-                        f"CASE WHEN coalesce(({condition}), false) "
-                        f"THEN ({a}) ELSE `{c}` END AS `{c}`"
-                    )
+            # ONE fire column carries the (possibly subquery-bearing)
+            # condition — N assignments must not plan N copies of the
+            # semi-join; a correlated alias stays valid because the
+            # subquery evaluates in the inner SELECT where it is bound
+            fire = "__dml_fire"
+            projections = [
+                (
+                    f"CASE WHEN {fire} THEN ({a}) ELSE `{c}` END AS `{c}`"
+                    if (a := assignments.get(c)) is not None
+                    else f"`{c}`"
+                )
+                for c in cand.columns
+            ]
             as_alias = f" AS {alias}" if alias and "." not in alias else ""
             cand.createOrReplaceTempView(view)
             try:
                 return run_sql(
-                    f"SELECT {', '.join(projections)} FROM {view}{as_alias}"
+                    f"SELECT {', '.join(projections)} FROM ("
+                    f"SELECT *, coalesce(({condition}), false) AS {fire} "
+                    f"FROM {view}{as_alias})"
                 )
             finally:
                 self.spark.catalog.dropTempView(view)
@@ -5667,8 +5694,37 @@ class SnapshotTable:
                         break
         out["table_rows_known"] = rows
         # FRAGMENTATION policy (compact.max-files): live file count from
-        # reference aggregates / visibility lists — streaming accretion
-        # that crosses the cap self-heals like delete debt does
+        # reference aggregates / visibility lists. Computed ONLY when
+        # the policy is set — the stats-less fallback lists directories,
+        # and the sink calls this per micro-batch
+        max_files = props.get("compact.max-files")
+        out["max_files"] = int(max_files) if max_files is not None else None
+        out["live_files"] = (
+            self._live_file_count(m) if max_files is not None else None
+        )
+        dead = out["tombstone_rows"] + out["eq_delete_keys"]
+        if dead:
+            out["ratio"] = (
+                dead / rows if rows else float("inf")
+            )
+        if out["threshold"] is not None and out["ratio"] >= out["threshold"]:
+            out["due"] = True
+        if (
+            out["max_eq_deletes"] is not None
+            and out["n_eq_deletes"] >= out["max_eq_deletes"]
+        ):
+            out["due"] = True
+        if (
+            out["max_files"] is not None
+            and out["live_files"] > out["max_files"]
+        ):
+            out["due"] = True
+        return out
+
+    def _live_file_count(self, m: dict) -> int:
+        """Visible-file count from visibility lists and stats aggregates
+        (spilled references answer O(1)); dirs with neither fall back to
+        one listing."""
         n_files = 0
         for d in m["data_dirs"]:
             vis = self._visible_files(m, d)
@@ -5692,24 +5748,7 @@ class SnapshotTable:
                         else os.path.join(self.path, d)
                     )
                 )
-        out["live_files"] = n_files
-        max_files = props.get("compact.max-files")
-        out["max_files"] = int(max_files) if max_files is not None else None
-        dead = out["tombstone_rows"] + out["eq_delete_keys"]
-        if dead:
-            out["ratio"] = (
-                dead / rows if rows else float("inf")
-            )
-        if out["threshold"] is not None and out["ratio"] >= out["threshold"]:
-            out["due"] = True
-        if (
-            out["max_eq_deletes"] is not None
-            and out["n_eq_deletes"] >= out["max_eq_deletes"]
-        ):
-            out["due"] = True
-        if out["max_files"] is not None and n_files > out["max_files"]:
-            out["due"] = True
-        return out
+        return n_files
 
     def auto_compact(
         self,
@@ -5747,18 +5786,7 @@ class SnapshotTable:
                     ] or None
         if target_partitions is None:
             v = self.current_version()
-            m = self._manifest(v)
-            n_files = 0
-            for d in m["data_dirs"]:
-                vis = self._visible_files(m, d)
-                if vis is not None:
-                    n_files += len(vis)
-                else:
-                    raw = (m.get("file_stats") or {}).get(d)
-                    if _is_stats_ref(raw):
-                        n_files += raw.get("files", 1)
-                    else:
-                        n_files += max(len(raw or {}), 1)
+            n_files = self._live_file_count(self._manifest(v))
             target_partitions = max(1, min(32, n_files))
         return self.compact(
             target_partitions=target_partitions, **compact_kwargs
@@ -6696,8 +6724,8 @@ def sql_with_time_travel(
         view = f"__meta_{name.replace('.', '_')}_{kind}" + (
             f"_v{ver}" if ver is not None else ""
         )
-        # $history/$snapshots span the whole log; AS OF scopes the
-        # per-snapshot kinds ($files/$partitions) to that version
+        # AS OF scopes every kind: per-snapshot ($files/$partitions)
+        # to that version's state, log kinds to commits up to it
         t.metadata_df(kind, version=ver).createOrReplaceTempView(view)
         created.append(view)
         return view

@@ -665,3 +665,28 @@ def test_copy_into_fileformat_csv_and_json(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported FILEFORMAT"):
         t.copy_into(str(csv_dir), fileformat="orc")
+
+
+def test_copy_into_csv_maps_by_header_name(spark, tmp_path):
+    """Review finding: a CSV whose header order differs from the table
+    schema must land each value in the RIGHT column (by-name mapping,
+    the Databricks semantics), and headerless junk refuses."""
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(0, "seed")], "a bigint, b string"))
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "swapped.csv").write_text("b,a\nx,1\ny,2\n")
+    res = t.copy_into(str(land), fileformat="csv")
+    assert res["rows_loaded"] == 2
+    got = {r["a"]: r["b"] for r in t.read().collect()}
+    assert got == {0: "seed", 1: "x", 2: "y"}
+    # a CSV whose header shares nothing with the schema refuses loudly
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "positional.csv").write_text("1,x\n2,y\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no header column"):
+        t.copy_into(str(bad), fileformat="csv")

@@ -202,3 +202,19 @@ def test_create_table_with_columns_partitioning_and_defaults(spark, tmp_path):
             "PARTITIONED BY (days(s))"
         )
     e.sql(f"DROP TABLE {name}")
+
+
+def test_failed_create_table_registers_nothing(spark):
+    """Review finding: a CREATE TABLE whose DEFAULT fails validation
+    must not leave a registered, committed table wedging the name."""
+    e = Engine(spark=spark)
+    with pytest.raises(ValueError, match="does not cast"):
+        e.sql("CREATE TABLE ghost (a INT DEFAULT 'abc') USING snapshot")
+    assert "ghost" not in e._snapshot_tables
+    # the corrected statement works first try
+    import uuid
+
+    name = f"ok_{uuid.uuid4().hex[:8]}"
+    e.sql(f"CREATE TABLE {name} (a INT DEFAULT 5) USING snapshot")
+    assert e._snapshot_tables[name].write_defaults() == {"a": "5"}
+    e.sql(f"DROP TABLE {name}")

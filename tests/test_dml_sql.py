@@ -861,3 +861,18 @@ def test_insert_replace_where(spark, eng):
         "WHERE k BETWEEN 20 AND 29"
     ).collect()[0]["n"]
     assert old == 10
+
+
+def test_replace_where_condition_with_subquery_and_literal(spark, eng):
+    """Review finding: the condition/source split is depth-0 masked —
+    a subquery (or a 'SELECT' inside a string literal) in the condition
+    is not the boundary."""
+    res = eng.sql(
+        "INSERT INTO t REPLACE WHERE k IN (SELECT id FROM range(10, 13)) "
+        "SELECT id AS k, CAST(0.0 AS DOUBLE) AS v, 'swap' AS s "
+        "FROM range(10, 12)"
+    ).collect()[0]
+    assert res["version"] == 2
+    rows = {r["k"]: r["s"] for r in eng.sql("SELECT k, s FROM t").collect()}
+    assert rows[10] == "swap" and rows[11] == "swap"
+    assert 12 not in rows and len(rows) == 99

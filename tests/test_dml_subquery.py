@@ -170,3 +170,24 @@ def test_merge_schema_evolution_widens_types(spark, eng):
         e.sql("SELECT n FROM t WHERE k = 0").collect()[0]["n"]
         == 5_000_000_000
     )
+
+
+def test_failed_merge_evolution_leaves_schema_untouched(spark, eng):
+    """Review finding: a MERGE WITH SCHEMA EVOLUTION that fails to
+    PARSE must not leave committed schema changes behind."""
+    e, t, _ref = eng
+    src = SnapshotTable(spark, t.path + "_bad")
+    src.commit(
+        spark.createDataFrame([(1, 5)], "k bigint, brand_new int")
+    )
+    e._snapshot_tables["badsrc"] = src
+    v0 = t.current_version()
+    cols0 = [f.name for f in t.schema().fields]
+    with pytest.raises(ValueError):
+        e.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO t USING badsrc "
+            "ON t.k = badsrc.k "  # no WHEN clause: parse error
+        )
+    assert t.current_version() == v0
+    assert [f.name for f in t.schema().fields] == cols0
+    assert "brand_new" not in cols0

@@ -143,3 +143,18 @@ def test_metadata_tables_time_travel(spark, eng):
         ).collect()
     ]
     assert "d=2024-01-04" not in parts_v1  # the 01-04 rows arrived at v2
+
+
+def test_log_metadata_tables_scope_to_as_of(spark, eng):
+    """Review finding: t$snapshots/t$history FOR VERSION AS OF n must
+    scope the log, not silently return everything."""
+    e, t = eng
+    rows = e.sql(
+        "SELECT version, is_current FROM t$snapshots "
+        "FOR VERSION AS OF 1 ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["is_current"]) for r in rows] == [(1, True)]
+    hist = e.sql(
+        "SELECT count(*) AS n FROM t$history FOR VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert hist == 1

@@ -122,3 +122,19 @@ def test_txn_script_pattern(spark, eng):
         """
     )
     assert out.collect()[0]["n"] == 11
+
+
+def test_registry_mutations_survive_open_txn(spark, eng, tmp_path):
+    """Review finding: while a transaction is open, statements that
+    register/deregister OTHER tables must hit the real registry, not a
+    throwaway copy."""
+    e, t = eng
+    other = SnapshotTable(spark, str(tmp_path / "other"))
+    other.commit(spark.range(5).selectExpr("id AS k"))
+    e._snapshot_tables["other"] = other
+    e.sql("BEGIN TRANSACTION ON t")
+    e.sql(f"CREATE TABLE oc SHALLOW CLONE other")
+    # the clone is queryable immediately, txn still open
+    assert e.sql("SELECT count(*) AS n FROM oc").collect()[0]["n"] == 5
+    e.sql("ROLLBACK TRANSACTION ON t")
+    assert e.sql("SELECT count(*) AS n FROM oc").collect()[0]["n"] == 5
