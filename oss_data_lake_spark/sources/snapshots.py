@@ -4445,9 +4445,38 @@ class SnapshotTable:
                 sel[d] = files
         return sel
 
+    def _clip_selection_to(
+        self, sel: dict, scanned: dict, other: dict
+    ) -> dict:
+        """Selection entries restricted to files ALSO visible in the
+        ``other`` manifest. Feed arms that re-derive rows from one side
+        of a commit step (delete-vector / equality-delete matches) must
+        not re-emit rows whose FILES changed visibility in the same
+        step — those rows ride the file-level diff, and counting them
+        here too double-books the change (caught by the randomized
+        differential: CoW-hide, eq-delete the same key, rollback)."""
+        other_dirs = set(other["data_dirs"])
+        out: dict[str, list[str] | None] = {}
+        for d, files in sel.items():
+            if d not in other_dirs:
+                out[d] = []
+                continue
+            ovis = self._visible_files(other, d)
+            if ovis is None:
+                out[d] = files
+                continue
+            oset = set(ovis)
+            if files is None:
+                files = self._stats_universe(
+                    d, self.dir_stats(scanned, d) or {}
+                )
+            out[d] = [f for f in files if f in oset]
+        return out
+
     def _eq_matched_rows(
         self, manifest: dict, entry: dict, target: T.StructType,
         pre_state: bool,
+        clip_to: dict | None = None,
     ) -> DataFrame:
         """Rows of ``manifest`` matched by ONE equality delete's keys
         within its ``applies_dirs`` — the change-feed primitive. The scan
@@ -4460,6 +4489,8 @@ class SnapshotTable:
         cost tracks the files the keys can live in, not the applies
         set."""
         sel = self._eq_arm_selection(manifest, entry)
+        if clip_to is not None:
+            sel = self._clip_selection_to(sel, manifest, clip_to)
         scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
         if not scan:
             return self.spark.createDataFrame([], target)
@@ -4975,7 +5006,7 @@ class SnapshotTable:
         if new_dvs:
             parts.append(
                 stamp(self._dv_matched_rows(c, new_dvs, target), "delete")
-            )
+            )  # arriving vectors target files visible on both sides
         # delete vectors that LEFT while their files stayed visible
         # (rollback past a MoR delete) → resurrected rows as inserts
         gone_dvs = [
@@ -4984,18 +5015,26 @@ class SnapshotTable:
         ]
         if gone_dvs:
             parts.append(
-                stamp(self._dv_matched_rows(c, gone_dvs, target), "insert")
+                stamp(
+                    self._dv_matched_rows(c, gone_dvs, target, clip_to=p),
+                    "insert",
+                )
             )
         # equality deletes that ARRIVED → deletes of the keys' matched
         # rows in the PARENT's visible state; ones that LEFT while their
         # dirs stayed (rollback) → resurrections from the CHILD's state
         p_eqs = {e["dir"]: e for e in p.get("eq_deletes", [])}
         c_eqs = {e["dir"]: e for e in c.get("eq_deletes", [])}
+        # an arm's rows must still be visible on the OTHER side of the
+        # step too — rows whose files changed visibility in this same
+        # step ride the file-level diff above, not the eq/dv arms
         for dirname, e in c_eqs.items():
             if dirname not in p_eqs:
                 parts.append(
                     stamp(
-                        self._eq_matched_rows(p, e, target, pre_state=True),
+                        self._eq_matched_rows(
+                            p, e, target, pre_state=True, clip_to=c
+                        ),
                         "delete",
                     )
                 )
@@ -5003,14 +5042,17 @@ class SnapshotTable:
             if dirname not in c_eqs:
                 parts.append(
                     stamp(
-                        self._eq_matched_rows(c, e, target, pre_state=True),
+                        self._eq_matched_rows(
+                            c, e, target, pre_state=True, clip_to=p
+                        ),
                         "insert",
                     )
                 )
         return parts
 
     def _dv_matched_rows(
-        self, manifest: dict, dv_dirs: list[str], target: T.StructType
+        self, manifest: dict, dv_dirs: list[str], target: T.StructType,
+        clip_to: dict | None = None,
     ) -> DataFrame:
         """Rows of ``manifest``'s VISIBLE files matched by the given
         delete vectors: the scan opens only the files the vectors name
@@ -5030,6 +5072,8 @@ class SnapshotTable:
                     if lst is not None:
                         lst.append(rel[len(d) + 1:])
                     break
+        if clip_to is not None:
+            sel = self._clip_selection_to(sel, manifest, clip_to)
         scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
         if not scan:
             return self.spark.createDataFrame([], target)

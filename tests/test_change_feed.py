@@ -436,3 +436,62 @@ def test_table_changes_sql_tvf(spark, tmp_path):
     # unregistered table refuses loudly
     with pytest.raises(ValueError, match="unregistered"):
         eng.sql("SELECT * FROM table_changes('nope', 1)")
+
+
+def test_feed_rollback_past_cow_hide_plus_eq_delete(spark, tmp_path):
+    """Differential-found double-count: CoW-hide a row's file, equality-
+    delete the SAME (already invisible) key, then roll back past both.
+    The restored file's rows ride the file-level diff; the departing
+    equality delete's resurrection arm must NOT re-emit rows whose file
+    was invisible on the parent side — each arm owns only rows visible
+    on BOTH sides of its step."""
+    from collections import Counter
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], "k long, v double"
+    )
+    t.commit(base, partition_by=["bucket(4, k)"], stats_for=["k"])
+    t.delete_where(
+        "k BETWEEN 0 AND 0", prune_column="k", prune_lower=0,
+        prune_upper=0, stats_for=["k"],
+    )
+    t.delete_where_eq("k", [0])
+    t.rollback(1)
+    net: Counter = Counter()
+    for r in t.read_change_feed(0).collect():
+        net[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert all(c in (0, 1) for c in net.values()), {
+        kv: c for kv, c in net.items() if c not in (0, 1)
+    }
+    assert {k: v for (k, v), c in net.items() if c == 1} == {
+        r.k: r.v for r in t.read().collect()
+    }
+    # the MoR-delete-vector twin of the same shape: hide the file via
+    # CoW, tombstone the same key, roll back past both
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.commit(base, partition_by=["bucket(4, k)"], stats_for=["k"])
+    t2.delete_where_mor(
+        "k BETWEEN 3 AND 3", prune_column="k", prune_lower=3,
+        prune_upper=3,
+    )
+    t2.delete_where(
+        "k BETWEEN 4 AND 4", prune_column="k", prune_lower=4,
+        prune_upper=4, stats_for=["k"],
+    )
+    t2.rollback(1)
+    net2: Counter = Counter()
+    for r in t2.read_change_feed(0).collect():
+        net2[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert all(c in (0, 1) for c in net2.values()), {
+        kv: c for kv, c in net2.items() if c not in (0, 1)
+    }
+    assert {k: v for (k, v), c in net2.items() if c == 1} == {
+        r.k: r.v for r in t2.read().collect()
+    }
