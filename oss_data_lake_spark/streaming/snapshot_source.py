@@ -466,8 +466,8 @@ def _build_source_class():
                         return d
                 return None
 
-            def visible_in_c(d, rel):
-                return rel[len(d) + 1:] in set(self._rel_files(c, d))
+            def visible_in(m, d, rel):
+                return rel[len(d) + 1:] in set(self._rel_files(m, d))
 
             new_dv = [dd for dd in c_dvd if dd not in set(p_dvd)]
             gone_dv = [dd for dd in p_dvd if dd not in set(c_dvd)]
@@ -476,7 +476,14 @@ def _build_source_class():
             ]:
                 for rel in sorted(self._dv_file_set(dd)):
                     d = owner(rel)
-                    if d is None or not visible_in_c(d, rel):
+                    if d is None or not visible_in(c, d, rel):
+                        continue
+                    if kind == "insert" and not (
+                        d in p_set and visible_in(p, d, rel)
+                    ):
+                        # mirror the batch feed's clip: a file hidden at
+                        # the parent re-enters via the file-level diff,
+                        # never via the departing vector's resurrection
                         continue
                     parts.append(_ChangePartition(
                         os.path.join(self.path, rel), rel,
@@ -495,9 +502,15 @@ def _build_source_class():
             ):
                 eq_abs = os.path.join(self.path, e["dir"])
                 for d in e.get("applies_dirs", []):
-                    if d not in c_set:
+                    if d not in c_set or d not in p_set:
                         continue
-                    for f in self._rel_files(c, d):
+                    # batch-feed clip: eq arms own only files visible on
+                    # BOTH sides of the step (visibility changes ride
+                    # the file-level diff)
+                    both = set(self._rel_files(c, d)) & set(
+                        self._rel_files(p, d)
+                    )
+                    for f in sorted(both):
                         rel = f"{d}/{f}"
                         parts.append(_ChangePartition(
                             os.path.join(self.path, rel), rel,

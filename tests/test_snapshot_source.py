@@ -659,3 +659,42 @@ def test_pacing_composes_with_change_feed(registered, spark, tmp_path):
     assert live == {(i, float(i)) for i in range(6) if i not in (1, 4)} | {
         (10, 1.0)
     }
+
+
+def test_change_feed_stream_matches_batch_after_rollback_past_hide_and_eq(
+    registered, spark, tmp_path
+):
+    """The streaming twin of the differential-found double-count: CoW-
+    hide a file, eq-delete the same key, roll back past both — the
+    streamed multiset must equal the batch feed exactly (both clip the
+    eq/dv arms to files visible on BOTH sides of each step)."""
+    from collections import Counter
+
+    t = SnapshotTable(spark, str(tmp_path / "rb"))
+    t.commit(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(100)], "k long, v double"
+        ),
+        partition_by=["bucket(4, k)"],
+        stats_for=["k"],
+    )
+    t.delete_where(
+        "k BETWEEN 0 AND 0", prune_column="k", prune_lower=0,
+        prune_upper=0, stats_for=["k"],
+    )
+    t.delete_where_eq("k", [0])
+    t.delete_where_mor(
+        "k BETWEEN 3 AND 3", prune_column="k", prune_lower=3,
+        prune_upper=3,
+    )
+    t.rollback(1)
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"), changeFeed="true"
+    )
+    want = Counter(tuple(r) for r in t.read_change_feed(0).collect())
+    assert Counter(got) == want
+    net: Counter = Counter()
+    for r in got:
+        net[r[:-2]] += 1 if r[-2] == "insert" else -1
+    assert all(c in (0, 1) for c in net.values())
+    assert sum(net.values()) == 100
