@@ -46,6 +46,7 @@ import os
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -659,7 +660,13 @@ def _build_source_class():
 
             if isinstance(partition, _ChangePartition):
                 rows = tbl.to_pylist()
-                extra = (partition.change_type, partition.commit_version)
+                # bare: batch reads reuse the change machinery (dv/eq
+                # filtering by reference) without the feed columns
+                extra = (
+                    ()
+                    if getattr(partition, "bare", False)
+                    else (partition.change_type, partition.commit_version)
+                )
                 rel = partition.rel_path
 
                 def dv_positions(refs):
@@ -712,6 +719,69 @@ def _build_source_class():
             for row in tbl.to_pylist():
                 yield project(row)
 
+    class _SnapshotBatchReader(DataSourceReader):
+        """BATCH reads through the same format —
+        ``spark.read.format("snapshot_stream").option("path", p)
+        [.option("versionAsOf", n)]`` — so a PLAIN Spark session (no
+        engine import on the executors, pickled-by-value classes only)
+        reads a snapshot table with full correctness: one snapshot's
+        visible files plan as partitions, and executors apply position
+        tombstones / equality deletes from file REFERENCES, exactly
+        like the stream. Clean dirs take the plain-file fast path."""
+
+        def __init__(self, path: str, version: int | None = None):
+            self._r = _SnapshotStreamReader(path, 0)
+            self._version = version
+
+        def partitions(self):
+            r = self._r
+            v = self._version if self._version is not None else r._current()
+            m = r._manifest(v)
+            s = m.get("schema")
+            if s is None:
+                raise ValueError(
+                    "snapshot_stream batch read needs a schema-carrying "
+                    "snapshot table"
+                )
+            columns = [f["name"] for f in s["fields"]]
+            head_fids = m.get("field_ids") or {}
+            dvd = m.get("delete_dirs", [])
+            eqs = m.get("eq_deletes", [])
+            parts = []
+            for d in m["data_dirs"]:
+                src_names = r._src_names_for(m, d, columns, head_fids)
+                eq_skip = [
+                    (
+                        r._entry_key_src(m, d, e),
+                        os.path.join(r.path, e["dir"]),
+                        list(e["cols"]),
+                    )
+                    for e in eqs
+                    if d in set(e.get("applies_dirs", []))
+                ]
+                for f in r._rel_files(m, d):
+                    rel = f"{d}/{f}"
+                    dv_refs = r._dv_refs_for(dvd, rel) if dvd else []
+                    if dv_refs or eq_skip:
+                        pt = _ChangePartition(
+                            os.path.join(r.path, rel), rel, src_names,
+                            "insert", v,
+                            skip_dv_refs=dv_refs,
+                            eq_skip=eq_skip,
+                            consts=r._path_consts(m, d, f),
+                        )
+                        pt.bare = True  # no feed columns on batch rows
+                    else:
+                        pt = _FilePartition(
+                            os.path.join(r.path, rel), columns,
+                            src_names, consts=r._path_consts(m, d, f),
+                        )
+                    parts.append(pt)
+            return parts
+
+        def read(self, partition):
+            return _SnapshotStreamReader.read(self._r, partition)
+
     class SnapshotStreamSource(DataSource):
         """``spark.readStream.format("snapshot_stream").option("path", p)``.
 
@@ -749,8 +819,12 @@ def _build_source_class():
 
         def schema(self):
             meta = os.path.join(self.options["path"], "_snapshots")
-            with open(os.path.join(meta, "CURRENT")) as fh:
-                cur = int(fh.read().strip())
+            v = self.options.get("versionAsOf")
+            if v is None:
+                with open(os.path.join(meta, "CURRENT")) as fh:
+                    cur = int(fh.read().strip())
+            else:
+                cur = int(v)
             with open(os.path.join(meta, f"v{cur}.json")) as fh:
                 manifest = json.load(fh)
             s = manifest.get("schema")
@@ -770,6 +844,20 @@ def _build_source_class():
                     ]
                 )
             return out
+
+        def reader(self, schema):
+            # batch path: spark.read.format(...) — one snapshot's state
+            if self._flag("changeFeed"):
+                raise ValueError(
+                    "changeFeed batch reads go through the "
+                    "table_changes() SQL TVF or "
+                    "SnapshotTable.read_change_feed, not the reader"
+                )
+            v = self.options.get("versionAsOf")
+            return _SnapshotBatchReader(
+                self.options["path"].rstrip("/"),
+                int(v) if v is not None else None,
+            )
 
         def streamReader(self, schema):
             if self._flag("changeFeed") and self._flag("skipChangeCommits"):

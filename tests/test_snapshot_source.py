@@ -698,3 +698,42 @@ def test_change_feed_stream_matches_batch_after_rollback_past_hide_and_eq(
         net[r[:-2]] += 1 if r[-2] == "insert" else -1
     assert all(c in (0, 1) for c in net.values())
     assert sum(net.values()) == 100
+
+
+def test_batch_read_through_datasource(registered, spark, tmp_path):
+    """spark.read.format('snapshot_stream') — BATCH reads for a plain
+    Spark session: visible files plan as partitions, executors apply
+    tombstones/equality deletes from file references, versionAsOf time-
+    travels, and the result matches SnapshotTable.read exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 3, v=float(i)) for i in range(30)]
+        ),
+        partition_by=["p"],
+        stats_for=["k"],
+    )
+    t.delete_where_mor("k BETWEEN 4 AND 6")    # position tombstones
+    t.delete_where_eq("k", [10, 11])           # equality deletes
+    t.commit(
+        spark.createDataFrame([Row(k=100, p=9, v=1.5)]),
+        mode="append", partition_by=["p"],
+    )
+
+    def batch(**opts):
+        r = spark.read.format("snapshot_stream").option("path", t.path)
+        for k, x in opts.items():
+            r = r.option(k, x)
+        return r.load()
+
+    got = {(r["k"], r["p"], r["v"]) for r in batch().collect()}
+    want = {(r["k"], r["p"], r["v"]) for r in t.read().collect()}
+    assert got == want and len(got) == 26
+    # no feed columns leak into batch rows
+    assert set(batch().columns) == {"k", "p", "v"}
+    # versionAsOf time-travels (pre-DML snapshot)
+    v1 = {(r["k"],) for r in batch(versionAsOf="1").collect()}
+    assert len(v1) == 30
+    # changeFeed batch reads route through the TVF, not the reader
+    with pytest.raises(Exception, match="table_changes"):
+        batch(changeFeed="true").collect()
