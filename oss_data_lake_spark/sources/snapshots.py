@@ -5080,6 +5080,12 @@ class SnapshotTable:
         out = scan[0]
         for q in scan[1:]:
             out = out.unionByName(q)
+        # the manifest's OWN equality deletes apply first: a row they
+        # suppress is not visible on this side, so a vector that targets
+        # it must not emit it (rollback to a version with outstanding
+        # equality deletes — differential-found)
+        if manifest.get("eq_deletes"):
+            out = self._apply_eq_deletes(out, manifest)
         hit = out.join(
             dv,
             (out["__dv_file"] == dv["file"]) & (out["__dv_pos"] == dv["pos"]),

@@ -491,6 +491,10 @@ def _build_source_class():
                         self._src_names_for(c, d, columns, head_fids),
                         kind, v,
                         only_dv_refs=[os.path.join(self.path, dd)],
+                        # the child's OWN equality deletes apply first: a
+                        # row they suppress is not visible, so a vector
+                        # targeting it must not emit it (batch-feed rule)
+                        eq_skip=eq_filters(c, c_eqs, d),
                         consts=self._path_consts(c, d, rel[len(d) + 1:]),
                     ))
             p_eq_dirs = {e["dir"] for e in p_eqs}
@@ -688,15 +692,27 @@ def _build_source_class():
                         zip(*[kt.column(c).to_pylist() for c in cols])
                     ) if kt.num_rows else set()
 
-                if partition.only_dv_refs:
-                    for i in dv_positions(partition.only_dv_refs):
-                        yield project(rows[i]) + extra
-                    return
-                skip = set(dv_positions(partition.skip_dv_refs))
                 eq_skip = [
                     (names, eq_keyset(ref, cols))
                     for names, ref, cols in partition.eq_skip
                 ]
+
+                def eq_hit(row):
+                    return any(
+                        tuple(keyval(row, n) for n in names) in ks
+                        for names, ks in eq_skip
+                    )
+
+                if partition.only_dv_refs:
+                    # position-targeted rows still pass through the
+                    # snapshot's equality deletes: a row they suppress
+                    # is not visible, so a vector targeting it emits
+                    # nothing (the batch feed's rule)
+                    for i in dv_positions(partition.only_dv_refs):
+                        if not eq_hit(rows[i]):
+                            yield project(rows[i]) + extra
+                    return
+                skip = set(dv_positions(partition.skip_dv_refs))
                 only = partition.eq_only
                 only_keys = (
                     eq_keyset(only[1], only[2]) if only else None
@@ -704,10 +720,7 @@ def _build_source_class():
                 for i, row in enumerate(rows):
                     if i in skip:
                         continue
-                    if any(
-                        tuple(keyval(row, n) for n in names) in ks
-                        for names, ks in eq_skip
-                    ):
+                    if eq_hit(row):
                         continue
                     if only_keys is not None and (
                         tuple(keyval(row, n) for n in only[0])

@@ -495,3 +495,44 @@ def test_feed_rollback_past_cow_hide_plus_eq_delete(spark, tmp_path):
     assert {k: v for (k, v), c in net2.items() if c == 1} == {
         r.k: r.v for r in t2.read().collect()
     }
+
+
+def test_feed_rollback_to_version_with_outstanding_eq_deletes(spark, tmp_path):
+    """Differential-found: roll back TO a version whose equality deletes
+    are outstanding, with tombstone vectors departing in the same step —
+    the dv-resurrection arm must apply the child's (resurrected) eq
+    state, or rows the eq suppresses re-enter the net."""
+    from collections import Counter
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_clustered(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(100)], "k long, v double"
+        ),
+        cluster_by="k", n_files=5, stats_for=["k"],
+    )
+    t.merge_rows_mor(
+        spark.createDataFrame(
+            [(k, -7.5) for k in (1, 64, 83, 97, 133)], "k long, v double"
+        ),
+        ["k"],
+    )                                          # v2: eq-delete + append
+    t.rollback(1)                              # v3: eq gone
+    t.delete_where_mor(
+        "k BETWEEN 0 AND 59", prune_column="k", prune_lower=0,
+        prune_upper=59,
+    )                                          # v4: tombstones
+    t.rollback(2)                              # v5: eq BACK, dvs gone
+    net: Counter = Counter()
+    for r in t.read_change_feed(0).collect():
+        net[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert all(c in (0, 1) for c in net.values()), {
+        kv: c for kv, c in net.items() if c not in (0, 1)
+    }
+    assert {k: v for (k, v), c in net.items() if c == 1} == {
+        r.k: r.v for r in t.read().collect()
+    }

@@ -737,3 +737,37 @@ def test_batch_read_through_datasource(registered, spark, tmp_path):
     # changeFeed batch reads route through the TVF, not the reader
     with pytest.raises(Exception, match="table_changes"):
         batch(changeFeed="true").collect()
+
+
+def test_change_feed_stream_rollback_to_eq_outstanding(
+    registered, spark, tmp_path
+):
+    """Streaming twin of the dv-resurrection-under-resurrected-eq shape:
+    stream == batch exactly when rolling back TO a version with
+    outstanding equality deletes while tombstone vectors depart."""
+    from collections import Counter
+
+    t = SnapshotTable(spark, str(tmp_path / "re"))
+    t.commit_clustered(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(100)], "k long, v double"
+        ),
+        cluster_by="k", n_files=5, stats_for=["k"],
+    )
+    t.merge_rows_mor(
+        spark.createDataFrame(
+            [(k, -7.5) for k in (1, 64, 83)], "k long, v double"
+        ),
+        ["k"],
+    )
+    t.rollback(1)
+    t.delete_where_mor(
+        "k BETWEEN 0 AND 59", prune_column="k", prune_lower=0,
+        prune_upper=59,
+    )
+    t.rollback(2)
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"), changeFeed="true"
+    )
+    want = Counter(tuple(r) for r in t.read_change_feed(0).collect())
+    assert Counter(got) == want

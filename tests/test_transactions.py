@@ -131,10 +131,14 @@ def test_registry_mutations_survive_open_txn(spark, eng, tmp_path):
     e, t = eng
     other = SnapshotTable(spark, str(tmp_path / "other"))
     other.commit(spark.range(5).selectExpr("id AS k"))
+    import uuid
+
     e._snapshot_tables["other"] = other
+    name = f"oc_{uuid.uuid4().hex[:8]}"  # managed path: unique per run
     e.sql("BEGIN TRANSACTION ON t")
-    e.sql(f"CREATE TABLE oc SHALLOW CLONE other")
+    e.sql(f"CREATE TABLE {name} SHALLOW CLONE other")
     # the clone is queryable immediately, txn still open
-    assert e.sql("SELECT count(*) AS n FROM oc").collect()[0]["n"] == 5
+    assert e.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"] == 5
     e.sql("ROLLBACK TRANSACTION ON t")
-    assert e.sql("SELECT count(*) AS n FROM oc").collect()[0]["n"] == 5
+    assert e.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"] == 5
+    e.sql(f"DROP TABLE {name}")
