@@ -4477,6 +4477,8 @@ class SnapshotTable:
         self, manifest: dict, entry: dict, target: T.StructType,
         pre_state: bool,
         clip_to: dict | None = None,
+        also_eqs: list | None = None,
+        also_dvs: list | None = None,
     ) -> DataFrame:
         """Rows of ``manifest`` matched by ONE equality delete's keys
         within its ``applies_dirs`` — the change-feed primitive. The scan
@@ -4497,15 +4499,21 @@ class SnapshotTable:
         out = scan[0]
         for q in scan[1:]:
             out = out.unionByName(q)
-        dv_dirs = manifest.get("delete_dirs", [])
+        dv_dirs = list(manifest.get("delete_dirs", [])) + list(
+            also_dvs or []
+        )
         if dv_dirs:
             out = self._apply_delete_vectors_keep_meta(out, dv_dirs)
         if pre_state:
             others = dict(manifest)
+            # ``also_eqs``/``also_dvs``: sibling entries changing in the
+            # SAME feed step, applied so each row resurrects/deletes
+            # through exactly ONE arm (single-ownership — dv arms and
+            # earlier eq arms outrank this one)
             others["eq_deletes"] = [
                 e for e in manifest.get("eq_deletes", [])
                 if e["dir"] != entry["dir"]
-            ]
+            ] + list(also_eqs or [])
             out = self._apply_eq_deletes(out, others)
         keys = self.spark.read.parquet(
             os.path.join(self.path, entry["dir"])
@@ -5027,27 +5035,37 @@ class SnapshotTable:
         c_eqs = {e["dir"]: e for e in c.get("eq_deletes", [])}
         # an arm's rows must still be visible on the OTHER side of the
         # step too — rows whose files changed visibility in this same
-        # step ride the file-level diff above, not the eq/dv arms
-        for dirname, e in c_eqs.items():
-            if dirname not in p_eqs:
-                parts.append(
-                    stamp(
-                        self._eq_matched_rows(
-                            p, e, target, pre_state=True, clip_to=c
-                        ),
-                        "delete",
-                    )
+        # step ride the file-level diff above, not the eq/dv arms.
+        # SINGLE OWNERSHIP across arms changing in one step: a row
+        # matched by several arriving/departing entries (the same key
+        # eq-deleted twice, or tombstoned AND eq-deleted) must count
+        # once — each eq arm also applies the earlier sibling entries,
+        # and departure arms apply the departing vectors (dv arms own
+        # their positions; arrival dv rows matching an arriving eq are
+        # owned by the eq arm, since _dv_matched_rows applies c's eqs)
+        arrived = [e for d2, e in c_eqs.items() if d2 not in p_eqs]
+        for i, e in enumerate(arrived):
+            parts.append(
+                stamp(
+                    self._eq_matched_rows(
+                        p, e, target, pre_state=True, clip_to=c,
+                        also_eqs=arrived[:i],
+                    ),
+                    "delete",
                 )
-        for dirname, e in p_eqs.items():
-            if dirname not in c_eqs:
-                parts.append(
-                    stamp(
-                        self._eq_matched_rows(
-                            c, e, target, pre_state=True, clip_to=p
-                        ),
-                        "insert",
-                    )
+            )
+        departed = [e for d2, e in p_eqs.items() if d2 not in c_eqs]
+        for i, e in enumerate(departed):
+            parts.append(
+                stamp(
+                    self._eq_matched_rows(
+                        c, e, target, pre_state=True, clip_to=p,
+                        also_eqs=departed[:i],
+                        also_dvs=gone_dvs,
+                    ),
+                    "insert",
                 )
+            )
         return parts
 
     def _dv_matched_rows(

@@ -499,11 +499,21 @@ def _build_source_class():
                     ))
             p_eq_dirs = {e["dir"] for e in p_eqs}
             c_eq_dirs = {e["dir"] for e in c_eqs}
-            for e, kind, m_state, eqs_state, dvd_state in (
-                [(e, "delete", p, p_eqs, p_dvd)
-                 for e in c_eqs if e["dir"] not in p_eq_dirs]
-                + [(e, "insert", c, c_eqs, c_dvd)
-                   for e in p_eqs if e["dir"] not in c_eq_dirs]
+            arrived_eq = [e for e in c_eqs if e["dir"] not in p_eq_dirs]
+            departed_eq = [e for e in p_eqs if e["dir"] not in c_eq_dirs]
+            # single ownership across same-step arms (the batch feed's
+            # rule): each eq arm also skips earlier sibling entries, and
+            # departure arms skip the departing vectors' positions
+            for e, kind, m_state, eqs_state, dvd_state, sibs, xtra_dv in (
+                [
+                    (e, "delete", p, p_eqs, p_dvd, arrived_eq[:i], [])
+                    for i, e in enumerate(arrived_eq)
+                ]
+                + [
+                    (e, "insert", c, c_eqs, c_dvd, departed_eq[:i],
+                     gone_dv)
+                    for i, e in enumerate(departed_eq)
+                ]
             ):
                 eq_abs = os.path.join(self.path, e["dir"])
                 for d in e.get("applies_dirs", []):
@@ -524,7 +534,7 @@ def _build_source_class():
                             ),
                             kind, v,
                             skip_dv_refs=self._dv_refs_for(
-                                dvd_state, rel
+                                list(dvd_state) + list(xtra_dv), rel
                             ),
                             eq_only=(
                                 self._entry_key_src(c, d, e),
@@ -532,8 +542,10 @@ def _build_source_class():
                                 list(e["cols"]),
                             ),
                             # the changed entry itself is never in the
-                            # filter state (p for arriving, c for gone)
-                            eq_skip=eq_filters(m_state, eqs_state, d),
+                            # filter state (p for arriving, c for gone);
+                            # earlier same-step siblings ARE
+                            eq_skip=eq_filters(m_state, eqs_state, d)
+                            + eq_filters(c, sibs, d),
                             consts=self._path_consts(c, d, f),
                         ))
             return parts

@@ -536,3 +536,49 @@ def test_feed_rollback_to_version_with_outstanding_eq_deletes(spark, tmp_path):
     assert {k: v for (k, v), c in net.items() if c == 1} == {
         r.k: r.v for r in t.read().collect()
     }
+
+
+def test_feed_single_ownership_across_same_step_arms(spark, tmp_path):
+    """Differential-audit shapes: the SAME key equality-deleted twice,
+    and a key both tombstoned AND equality-deleted, rolled back past in
+    one step — each resurrected row must be emitted by exactly ONE arm
+    (dv arms and earlier eq arms outrank later eq arms)."""
+    from collections import Counter
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(20)], "k long, v double"
+    )
+
+    def net_check(t):
+        net: Counter = Counter()
+        for r in t.read_change_feed(0).collect():
+            net[(r["k"], r["v"])] += (
+                1 if r["_change_type"] == "insert" else -1
+            )
+        assert all(c in (0, 1) for c in net.values()), {
+            kv: c for kv, c in net.items() if c not in (0, 1)
+        }
+        assert {k: v for (k, v), c in net.items() if c == 1} == {
+            r.k: r.v for r in t.read().collect()
+        }
+
+    t = SnapshotTable(spark, str(tmp_path / "ee"))
+    t.commit_clustered(base, cluster_by="k", n_files=2, stats_for=["k"])
+    t.delete_where_eq("k", [5])
+    t.delete_where_eq("k", [5, 6])   # same key again (scan-free, legal)
+    t.rollback(1)
+    net_check(t)
+    # forward direction too: rollback TO the version with both entries
+    t.rollback(3)
+    net_check(t)
+
+    t2 = SnapshotTable(spark, str(tmp_path / "de"))
+    t2.commit_clustered(base, cluster_by="k", n_files=2, stats_for=["k"])
+    t2.delete_where_mor("k = 5", prune_column="k", prune_lower=5, prune_upper=5)
+    t2.delete_where_eq("k", [5])     # key already tombstoned
+    t2.rollback(1)
+    net_check(t2)
+    t2.rollback(3)
+    net_check(t2)

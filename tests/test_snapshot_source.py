@@ -771,3 +771,32 @@ def test_change_feed_stream_rollback_to_eq_outstanding(
     )
     want = Counter(tuple(r) for r in t.read_change_feed(0).collect())
     assert Counter(got) == want
+
+
+def test_change_feed_stream_single_ownership(registered, spark, tmp_path):
+    """Streaming twin of the single-ownership shapes: same-key double
+    eq-delete and tombstone+eq on one key, rolled back past — stream ==
+    batch as an exact multiset in both rollback directions."""
+    from collections import Counter
+
+    t = SnapshotTable(spark, str(tmp_path / "so"))
+    t.commit_clustered(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k long, v double"
+        ),
+        cluster_by="k", n_files=2, stats_for=["k"],
+    )
+    t.delete_where_mor("k = 5", prune_column="k", prune_lower=5, prune_upper=5)
+    t.delete_where_eq("k", [5])
+    t.delete_where_eq("k", [5, 6])
+    t.rollback(1)
+    t.rollback(4)
+    got = _drain_opts(
+        spark, t.path, str(tmp_path / "ck"), changeFeed="true"
+    )
+    want = Counter(tuple(r) for r in t.read_change_feed(0).collect())
+    assert Counter(got) == want
+    net: Counter = Counter()
+    for r in got:
+        net[r[:-2]] += 1 if r[-2] == "insert" else -1
+    assert all(c in (0, 1) for c in net.values())
