@@ -5012,9 +5012,17 @@ class SnapshotTable:
             if d not in set(p.get("delete_dirs", []))
         ]
         if new_dvs:
+            # arriving vectors too are clipped to the parent: a rollback
+            # can bring a vector in alongside files the parent never had
+            # (mor-delete -> compact -> rollback) — those rows were never
+            # inserted (the file-insert arm applies the child's vectors),
+            # so no delete may be emitted for them
             parts.append(
-                stamp(self._dv_matched_rows(c, new_dvs, target), "delete")
-            )  # arriving vectors target files visible on both sides
+                stamp(
+                    self._dv_matched_rows(c, new_dvs, target, clip_to=p),
+                    "delete",
+                )
+            )
         # delete vectors that LEFT while their files stayed visible
         # (rollback past a MoR delete) → resurrected rows as inserts
         gone_dvs = [

@@ -479,12 +479,12 @@ def _build_source_class():
                     d = owner(rel)
                     if d is None or not visible_in(c, d, rel):
                         continue
-                    if kind == "insert" and not (
-                        d in p_set and visible_in(p, d, rel)
-                    ):
-                        # mirror the batch feed's clip: a file hidden at
-                        # the parent re-enters via the file-level diff,
-                        # never via the departing vector's resurrection
+                    if not (d in p_set and visible_in(p, d, rel)):
+                        # mirror the batch feed's clip for BOTH kinds: a
+                        # file not visible at the parent rides the file-
+                        # level diff (inserts already apply the child's
+                        # vectors; deletes of never-inserted rows must
+                        # not be emitted)
                         continue
                     parts.append(_ChangePartition(
                         os.path.join(self.path, rel), rel,

@@ -582,3 +582,36 @@ def test_feed_single_ownership_across_same_step_arms(spark, tmp_path):
     net_check(t2)
     t2.rollback(3)
     net_check(t2)
+
+
+def test_feed_rollback_brings_vector_with_unseen_files(spark, tmp_path):
+    """Differential-found: mor-delete, compact (clears the vector),
+    then roll back — the vector ARRIVES alongside files the compacted
+    parent never had. Its rows were never inserted (the file-insert arm
+    applies the child's vectors), so the arriving-vector arm must clip
+    to parent-visible files and emit nothing for them."""
+    from collections import Counter
+
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cv"))
+    t.commit_clustered(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k long, v double"
+        ),
+        cluster_by="k", n_files=2, stats_for=["k"],
+    )
+    t.delete_where_mor("k = 0", prune_column="k", prune_lower=0, prune_upper=0)
+    t.compact()
+    t.rollback(2)
+    net: Counter = Counter()
+    for r in t.read_change_feed(0).collect():
+        net[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert all(c in (0, 1) for c in net.values()), {
+        kv: c for kv, c in net.items() if c not in (0, 1)
+    }
+    assert {k: v for (k, v), c in net.items() if c == 1} == {
+        r.k: r.v for r in t.read().collect()
+    }
