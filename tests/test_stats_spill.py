@@ -294,3 +294,39 @@ def test_spilled_dirs_plan_without_directory_listing(spark, spilled, monkeypatch
     )
     # and the plan is still row-exact
     assert t.read_between("k", 100, 105).count() == 6
+
+
+def test_publish_rebase_carries_spilled_stats_both_sides(spark, tmp_path):
+    """Publish REBASE with spilled stats on BOTH sides: the source
+    advanced with its own spilled commit while the clone staged one —
+    the rebased manifest carries the source's refs (still source-
+    relative) and localizes the clone's, and pruning works through
+    both afterward."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.commit(_rows(spark, 10), stats_for=["k"])
+    src.set_properties({"stats.spill.file-threshold": "1"})
+    clone = src.shallow_clone_to(str(tmp_path / "clone"))
+    clone.set_properties({"stats.spill.file-threshold": "1"})
+    clone.commit(
+        _rows(spark, 20, 900).repartition(2), mode="append",
+        stats_for=["k"],
+    )
+    # concurrent DISJOINT source append (its own spilled sidecar)
+    src.commit(
+        _rows(spark, 20, 500).repartition(2), mode="append",
+        stats_for=["k"],
+    )
+    clone.publish(require_source_unchanged=False)
+    assert src.read().count() == 50
+    for lo, hi in ((900, 905), (500, 505)):
+        _sel, n_sel, n_skip = src.plan_range_scan("k", lo, hi)
+        assert n_skip > 0, f"pruning dead through rebase for {lo}-{hi}"
+    # every live ref resolves (no dangling sidecar paths)
+    m = src._manifest(src.current_version())
+    for d in m["data_dirs"]:
+        st = src.dir_stats(m, d)
+        assert st is None or len(st) >= 1
+    # vacuum keeps them all
+    src.vacuum()
+    for lo, hi in ((900, 905), (500, 505)):
+        assert src.read_between("k", lo, hi).count() == 6
