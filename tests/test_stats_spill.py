@@ -330,3 +330,34 @@ def test_publish_rebase_carries_spilled_stats_both_sides(spark, tmp_path):
     src.vacuum()
     for lo, hi in ((900, 905), (500, 505)):
         assert src.read_between("k", lo, hi).count() == 6
+
+
+def test_branch_refs_keep_main_sidecars_alive_through_vacuum(spark, tmp_path):
+    """A branch references main's spilled sidecars absolutely: main's
+    expire+vacuum must treat them as live (like its data dirs), and
+    dropping the branch releases them."""
+    t = SnapshotTable(spark, str(tmp_path / "m"))
+    t.commit(_rows(spark, 5), stats_for=["k"])
+    t.set_properties({"stats.spill.file-threshold": "1"})
+    v = t.commit(
+        _rows(spark, 30, 100).repartition(3), mode="append",
+        stats_for=["k"],
+    )
+    sidecar = t._manifest(v)["file_stats"][
+        t._manifest(v)["data_dirs"][-1]
+    ][_STATS_SIDECAR_KEY]
+    t.create_branch("keepme")
+    # main moves on: overwrite + expire everything but head
+    t.commit(_rows(spark, 3, 900), mode="overwrite", stats_for=["k"])
+    t.expire_snapshots(keep_last=1)
+    assert os.path.isfile(os.path.join(t.path, sidecar)), (
+        "branch-referenced sidecar must survive main's retention"
+    )
+    # the branch still prunes through it
+    bt = t.branch("keepme")
+    _sel, n_sel, n_skip = bt.plan_range_scan("k", 100, 105)
+    assert n_skip > 0
+    # releasing the branch releases the sidecar
+    t.drop_branch("keepme")
+    t.vacuum()
+    assert not os.path.exists(os.path.join(t.path, sidecar))
