@@ -142,3 +142,27 @@ def test_registry_mutations_survive_open_txn(spark, eng, tmp_path):
     e.sql("ROLLBACK TRANSACTION ON t")
     assert e.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"] == 5
     e.sql(f"DROP TABLE {name}")
+
+
+def test_txn_under_merge_on_read_mode(spark, eng):
+    """Inside a transaction the staging branch holds shallow-clone
+    references, so merge-on-read DELETEs refuse with the clone rule's
+    clear error (tombstone coordinates are table-relative) — and the
+    refusal names the copy-on-write escape, which works and commits
+    atomically like any staged statement."""
+    e, t = eng
+    t.set_properties({"delete.mode": "merge-on-read"})
+    e.sql("BEGIN TRANSACTION ON t")
+    with pytest.raises(ValueError, match="copy-on-write"):
+        e.sql("DELETE FROM t WHERE k BETWEEN 0 AND 4")
+    # the transaction is intact; CoW DML via the property escape works
+    e.sql(
+        "ALTER TABLE t SET TBLPROPERTIES ('delete.mode' = 'copy-on-write')"
+    )
+    e.sql("DELETE FROM t WHERE k BETWEEN 0 AND 4")
+    assert e.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 15
+    e.sql("COMMIT TRANSACTION ON t")
+    assert t.read().count() == 15
+    m = t._manifest(t.current_version())
+    assert not m.get("delete_dirs") and not m.get("eq_deletes")
+    assert t.branches() == {}
