@@ -298,6 +298,25 @@ def conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
     )
 
 
+def subquery_free_conjunct_ranges(cond: str, stats_cols: set[str]) -> list:
+    """Prunable predicates from the NON-subquery depth-0 conjuncts of a
+    condition that contains subqueries elsewhere. Each conjunct gates
+    the AND independently, so extraction is per-conjunct: a conjunct
+    containing a subquery (or a blocker like OR/NOT) contributes
+    nothing, the rest prune as usual — a file where any extracted
+    conjunct cannot hold has no row satisfying the whole conjunction.
+    Under-extraction only costs pruning, never soundness."""
+    masked = _masked(cond)
+    depths = _depths(masked)
+    spans = _conjunct_spans(masked, depths, 0, len(cond), 0)
+    preds: list = []
+    for lo, hi in spans:
+        if _SUBQUERY_RE.search(masked[lo:hi]):
+            continue
+        preds.extend(conjunct_ranges(cond[lo:hi], stats_cols))
+    return preds
+
+
 # multi-conjunct probes expand IN lists as a cross product; past this
 # many key tuples the position-delete scan is the better plan anyway
 _EQ_PROBE_MAX_ROWS = 1000
@@ -754,7 +773,24 @@ def _run_merge(
                     rf"\b{re.escape(src_alias)}\.", "", cond
                 ).strip()
     if evolve:
+        # Delta lands schema evolution in the SAME commit as the merge;
+        # here evolution is metadata commits that precede the merge
+        # body, so a runtime failure in the body (constraint violation,
+        # commit conflict) must roll the evolution back — the statement
+        # is atomic at the head either way.
+        pre_evolve_version = t.current_version()
         _apply_schema_evolution()
+        evolved = t.current_version() != pre_evolve_version
+    else:
+        pre_evolve_version, evolved = None, False
+
+    def _rollback_evolution() -> None:
+        if evolved and pre_evolve_version:
+            try:
+                t.rollback(pre_evolve_version)
+            except Exception:
+                pass  # best effort: the original error still raises
+
     if (
         t.properties().get("delete.mode") == "merge-on-read"
         and when_matched == "update"
@@ -770,26 +806,34 @@ def _run_merge(
         # (src_keys == keys gate: merge_rows_mor eq-deletes/appends on
         # the TARGET key names, so ON t.k = s.nk must fall through to
         # merge_rows and its source_keys-aware validation)
-        info = t.merge_rows_mor(
-            src_df, keys, stats_for=sorted(t.stats_columns()) or None
-        )
+        try:
+            info = t.merge_rows_mor(
+                src_df, keys, stats_for=sorted(t.stats_columns()) or None
+            )
+        except Exception:
+            _rollback_evolution()
+            raise
         return spark.createDataFrame(
             [(info["version"], info["mode"])], "version long, mode string"
         )
-    info = t.merge_rows(
-        src_df,
-        keys,
-        when_matched=when_matched,
-        matched_condition=matched_condition,
-        when_not_matched=when_not_matched,
-        stats_for=sorted(t.stats_columns()) or None,
-        matched_assignments=matched_assignments,
-        insert_values=insert_values,
-        source_keys=src_keys,
-        when_not_matched_by_source=when_nmbs,
-        not_matched_by_source_condition=nmbs_condition,
-        not_matched_by_source_assignments=nmbs_assignments,
-    )
+    try:
+        info = t.merge_rows(
+            src_df,
+            keys,
+            when_matched=when_matched,
+            matched_condition=matched_condition,
+            when_not_matched=when_not_matched,
+            stats_for=sorted(t.stats_columns()) or None,
+            matched_assignments=matched_assignments,
+            insert_values=insert_values,
+            source_keys=src_keys,
+            when_not_matched_by_source=when_nmbs,
+            not_matched_by_source_assignments=nmbs_assignments,
+            not_matched_by_source_condition=nmbs_condition,
+        )
+    except Exception:
+        _rollback_evolution()
+        raise
     return _metrics_df(spark, info)
 
 
@@ -1215,8 +1259,15 @@ def dispatch_statement(
         # v1 carries the schema AND the layout (commit validates the
         # transform typing rules eagerly, even on zero rows); DEFAULTs
         # follow as metadata commits — with no pre-existing files only
-        # the WRITE side is meaningful
-        version = t.commit(empty, partition_by=entries or None)
+        # the WRITE side is meaningful. A failed v1 (e.g. days() on a
+        # non-timestamp column) must not leave the name registered with
+        # zero snapshots — that would make the corrected retry raise
+        # 'already exists' and IF NOT EXISTS silently no-op.
+        try:
+            version = t.commit(empty, partition_by=entries or None)
+        except Exception:
+            engine.drop_snapshot_table(name, delete_data=True)
+            raise
         for cname, lit in defaults.items():
             version = t.set_column_default(cname, lit)
         return spark.createDataFrame([(version,)], "version long")
@@ -1265,7 +1316,13 @@ def dispatch_statement(
             return spark.createDataFrame([(version,)], "version long")
         df = sql_with_time_travel(spark, query, tables)
         t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
-        version = t.commit(df, stats_for=_prunable_columns(df) or None)
+        try:
+            version = t.commit(df, stats_for=_prunable_columns(df) or None)
+        except Exception:
+            # same guard as column-list CREATE: a failed v1 must not
+            # leave a registered zero-snapshot name behind
+            engine.drop_snapshot_table(name, delete_data=True)
+            raise
         return spark.createDataFrame([(version,)], "version long")
 
     m = _CLONE_RE.match(text)
@@ -1797,6 +1854,9 @@ def dispatch_statement(
                 lambda q: sql_with_time_travel(spark, q, tables),
                 stats_for=sorted(t.stats_columns()),
                 alias=m.group(1),
+                prune_preds=subquery_free_conjunct_ranges(
+                    cond, t.stats_columns()
+                ) or None,
             )
             return _metrics_df(spark, info)
         preds = conjunct_ranges(cond, t.stats_columns())
@@ -1872,6 +1932,9 @@ def dispatch_statement(
                 lambda q: sql_with_time_travel(spark, q, tables),
                 stats_for=sorted(t.stats_columns()),
                 alias=m.group(1),
+                prune_preds=subquery_free_conjunct_ranges(
+                    cond, t.stats_columns()
+                ) or None,
             )
             return _metrics_df(spark, info)
         preds = conjunct_ranges(cond, t.stats_columns())

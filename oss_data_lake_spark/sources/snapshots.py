@@ -195,10 +195,56 @@ def _is_stats_ref(entry) -> bool:
     return isinstance(entry, dict) and _STATS_SIDECAR_KEY in entry
 
 
+# Iceberg v3 restricts DEFAULTs to literals because an INITIAL default
+# is re-evaluated at every scan: a time/context-dependent expression
+# would give files predating the column a DIFFERENT value on each
+# query. These analyzed-plan node types are constant within one query
+# but not across queries, so they must be refused even though Catalyst
+# marks them foldable+deterministic.
+_QUERY_CONSTANT_NODES = frozenset({
+    "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
+    "CurrentTime", "CurrentTimeZone", "CurrentDatabase",
+    "CurrentCatalog", "CurrentUser", "SparkVersion",
+    "MonotonicallyIncreasingID", "SparkPartitionID", "InputFileName",
+    "InputFileBlockStart", "InputFileBlockLength",
+})
+
+
+def _default_expr_node_names(spark: "SparkSession", lit: str) -> list:
+    """Node names of the ANALYZED expression tree for ``lit`` (tiny —
+    defaults are scalar expressions), plus the root's foldable /
+    deterministic flags: ``[(name, foldable, deterministic), ...]``
+    with the root first. Returns [] when the JVM internals are
+    unavailable (Connect-mode guard) — callers then skip the
+    constancy check and keep the evaluate-once gate."""
+    try:
+        jdf = spark.range(1).select(F.expr(lit).alias("c"))._jdf
+        root = jdf.queryExecution().analyzed().expressions().apply(0)
+        if root.nodeName() == "Alias":
+            root = root.children().apply(0)
+
+        def walk(e):
+            out = [(e.nodeName(), bool(e.foldable()), bool(e.deterministic()))]
+            ch = e.children()
+            for i in range(ch.size()):
+                out.extend(walk(ch.apply(i)))
+            return out
+
+        return walk(root)
+    except Exception:
+        return []
+
+
 def validate_default(spark: "SparkSession", lit: str, dtype) -> None:
-    """A DEFAULT must be a constant expression the column's type can
-    represent: evaluate once, refuse errors and silent null-casts
-    (``DEFAULT 'abc'`` on an INT would write NULLs forever)."""
+    """A DEFAULT must be a CONSTANT expression the column's type can
+    represent. Three gates: (1) it evaluates without error and does not
+    silently null-cast (``DEFAULT 'abc'`` on an INT would write NULLs
+    forever); (2) it is foldable and deterministic — ``rand()`` /
+    ``uuid()`` would re-randomize on every scan of pre-existing files;
+    (3) it contains no query-constant node (``current_timestamp()``,
+    ``current_date()``…), which Catalyst calls deterministic but which
+    changes between queries — Iceberg v3 restricts defaults to
+    literals for exactly this reason."""
     try:
         raw, casted = spark.range(1).select(
             F.expr(lit).alias("r"),
@@ -211,6 +257,24 @@ def validate_default(spark: "SparkSession", lit: str, dtype) -> None:
             f"DEFAULT {lit!r} does not cast to "
             f"{dtype.simpleString()} (would silently become NULL)"
         )
+    nodes = _default_expr_node_names(spark, lit)
+    if nodes:
+        _root_name, foldable, deterministic = nodes[0]
+        if not (foldable and deterministic):
+            raise ValueError(
+                f"DEFAULT {lit!r} is not a constant expression "
+                f"(non-deterministic / non-foldable): pre-existing rows "
+                f"would read a different value on every scan"
+            )
+        hit = next(
+            (n for n, _f, _d in nodes if n in _QUERY_CONSTANT_NODES), None
+        )
+        if hit is not None:
+            raise ValueError(
+                f"DEFAULT {lit!r} depends on query time/context "
+                f"({hit}): use a literal instead — pre-existing rows "
+                f"would read a different value on every scan"
+            )
 
 
 class _CompleteStats(dict):
@@ -5274,8 +5338,14 @@ class SnapshotTable:
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
         alias: str | None = None,
+        prune_preds: list | None = None,
     ) -> dict:
         """Copy-on-write DELETE whose WHERE contains subqueries.
+        ``prune_preds`` carries range plans from the NON-subquery
+        depth-0 conjuncts (``ds = '2024-01-01' AND k IN (SELECT …)``
+        must not rewrite every partition): a file where a conjunct
+        cannot hold has no row satisfying the conjunction, so skipping
+        it is sound — pruning only narrows the rewrite set.
         ``run_sql(text) -> DataFrame`` executes statement text in the
         session — the SQL layer passes ``sql_with_time_travel`` so inner
         SELECTs see every registered snapshot table (and AS-OF clauses).
@@ -5298,7 +5368,8 @@ class SnapshotTable:
                 self.spark.catalog.dropTempView(view)
 
         return self._rewrite_where(
-            transform, "delete", None, None, None, stats_for, bloom_for
+            transform, "delete", None, None, None, stats_for, bloom_for,
+            prune_preds=prune_preds,
         )
 
     def update_where_subquery(
@@ -5309,10 +5380,14 @@ class SnapshotTable:
         stats_for: list[str] | None = None,
         bloom_for: list[str] | None = None,
         alias: str | None = None,
+        prune_preds: list | None = None,
     ) -> dict:
         """Copy-on-write UPDATE whose WHERE contains subqueries; the
         assignments evaluate against the PRE-update row (standard SQL),
-        FALSE/NULL-condition rows pass through unchanged."""
+        FALSE/NULL-condition rows pass through unchanged.
+        ``prune_preds``: see ``delete_where_subquery`` — sound because
+        a file where a non-subquery conjunct cannot hold has no row the
+        update can fire on."""
         schema = self.schema()
         names = [f.name for f in schema.fields] if schema else []
         unknown = set(assignments) - set(names)
@@ -5348,7 +5423,8 @@ class SnapshotTable:
                 self.spark.catalog.dropTempView(view)
 
         return self._rewrite_where(
-            transform, "update", None, None, None, stats_for, bloom_for
+            transform, "update", None, None, None, stats_for, bloom_for,
+            prune_preds=prune_preds,
         )
 
     def merge_rows(

@@ -180,17 +180,24 @@ def _build_source_class():
             self.skip_change_commits = skip_change_commits
             self.change_feed = change_feed
             # Delta's maxFilesPerTrigger-family admission control. The
-            # Python DataSource API's latestOffset takes no start/limit
-            # (and the engine may call it before initialOffset), so the
-            # budget applies relative to the best-known progress:
-            # start_version at construction, then every partitions()/
-            # commit() call advances it. A RESTARTED query's checkpoint
-            # can sit above that guess; the engine then plans one batch
-            # whose end < start — partitions() returns nothing for it,
-            # records the true position as a FLOOR, and the next batch
-            # clamps to it, so no version ever replays (pinned). A
-            # genuine failure-replay of an uncommitted batch has
-            # end > start and never sets the floor.
+            # Python DataSource API's latestOffset takes no start/limit,
+            # so the budget applies relative to the best-known progress:
+            # start_version at construction, then every initialOffset/
+            # partitions()/commit() call advances or confirms it.
+            # RESTART SAFETY (traced against Spark 4.1's
+            # MicroBatchExecution, pinned by
+            # test_restart_offer_never_below_restored_position): before
+            # the first latestOffset of a restarted run, the engine
+            # always replans the checkpointed batch — partitions(start,
+            # end) with the RESTORED offsets — for both a committed and
+            # an uncommitted last batch. That call advances _baseline to
+            # the restored position, so a capped offer can never sit
+            # below it and the offset log never regresses (the round-8
+            # advisor's double-restart replay hazard needs a
+            # latestOffset-before-reveal ordering that does not exist).
+            # The _floor is residual defense if a future engine ever
+            # reorders the calls: a backwards batch plans as empty, the
+            # true position is recorded, and later batches clamp to it.
             self.max_versions_per_trigger = max_versions_per_trigger
             self.max_files_per_trigger = max_files_per_trigger
             self._baseline: int = start_version
