@@ -39,6 +39,7 @@ class Engine:
         # ones that mutate the registry for other names) works on the
         # real dict — no throwaway copies
         self._txns: dict[str, tuple] = {}
+        self._view_catalog = None
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -57,24 +58,41 @@ class Engine:
         handled = self._handle_txn_statement(text)
         if handled is not None:
             return handled
-        if self._snapshot_tables:
-            from oss_data_lake_spark.sources.dml_sql import dispatch_statement
-            from oss_data_lake_spark.sources.snapshots import (
-                sql_with_time_travel,
-            )
-
-            dispatched = dispatch_statement(
-                self.spark, text, self._snapshot_tables, engine=self
-            )
-            if dispatched is not None:
-                return dispatched
-            return sql_with_time_travel(self.spark, text, self._snapshot_tables)
+        handled = self._handle_view_statement(text)
+        if handled is not None:
+            return handled
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
-        dispatched = dispatch_statement(self.spark, text, {}, engine=self)
-        if dispatched is not None:
-            return dispatched
-        return self.spark.sql(text)
+        # persistent views referenced by the statement (or by DML
+        # subqueries inside it) become session temp views for its
+        # duration — re-planned over the CURRENT base snapshots, then
+        # dropped (analysis is forced before the drop, so returned
+        # DataFrames stay valid)
+        expanded = self._expand_views(text)
+        try:
+            if self._snapshot_tables:
+                from oss_data_lake_spark.sources.snapshots import (
+                    sql_with_time_travel,
+                )
+
+                dispatched = dispatch_statement(
+                    self.spark, text, self._snapshot_tables, engine=self
+                )
+                if dispatched is not None:
+                    return dispatched
+                return sql_with_time_travel(
+                    self.spark, text, self._snapshot_tables
+                )
+            dispatched = dispatch_statement(self.spark, text, {}, engine=self)
+            if dispatched is not None:
+                return dispatched
+            df = self.spark.sql(text)
+            if expanded:
+                df.schema  # bind the plan before the views drop
+            return df
+        finally:
+            for v in expanded:
+                self.spark.catalog.dropTempView(v)
 
     # -- single-table transactions (WAP branches under SQL spelling) -----
     #
@@ -164,6 +182,162 @@ class Engine:
                 f"it — COMMIT or ROLLBACK first"
             )
         return None
+
+    # -- persistent SQL VIEWs (logical twin of MATERIALIZED VIEW) --------
+    #
+    # Reference parity: Trino-over-Iceberg view DDL — the saved-query
+    # artifact Metabase/CloudBeaver users create over the reference
+    # stack (RUNBOOK §3.3 fronts arbitrary BI SQL). A view binds a name
+    # to SELECT text in durable catalog metadata
+    # (<warehouse>/_views/<name>.json); reads re-plan the text over the
+    # CURRENT snapshot of every base table, so views always reflect the
+    # head and compose with the body's time travel / metadata tables /
+    # table_changes. Nothing is materialized and nothing is refreshed.
+
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+"
+        r"(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+    _SHOW_CREATE_VIEW_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _views(self):
+        from oss_data_lake_spark.sources.views import ViewCatalog
+
+        if getattr(self, "_view_catalog", None) is None:
+            import os
+
+            root = self._warehouse_dir
+            if root is None:
+                root = self.spark.conf.get("spark.sql.warehouse.dir")
+                if root.startswith("file:"):
+                    root = root[len("file:"):]
+            self._view_catalog = ViewCatalog(os.path.join(root, "_views"))
+        return self._view_catalog
+
+    def view_exists(self, name: str) -> bool:
+        return self._views().get(name) is not None
+
+    def _handle_view_statement(self, text: str) -> DataFrame | None:
+        vc = self._views()
+        m = self._CREATE_VIEW_RE.match(text)
+        if m:
+            or_replace, if_not_exists, name, body = m.groups()
+            if or_replace and if_not_exists:
+                raise ValueError(
+                    "CREATE OR REPLACE and IF NOT EXISTS are exclusive"
+                )
+            if name in self._snapshot_tables:
+                raise ValueError(
+                    f"a snapshot table named '{name}' exists; a view "
+                    f"cannot shadow it"
+                )
+            # validate NOW (Trino does): the body must plan over the
+            # current catalog — nested views expand first, a
+            # self-reference under OR REPLACE is a cycle at read time
+            # so it is refused here while the old definition still
+            # exists
+            if not (if_not_exists and vc.get(name) is not None):
+                expanded = self._expand_views(body, _stack=(name,))
+                try:
+                    self._plan_view_body(name, body)
+                finally:
+                    for v in expanded:
+                        self.spark.catalog.dropTempView(v)
+            vc.create(
+                name,
+                body,
+                or_replace=bool(or_replace),
+                if_not_exists=bool(if_not_exists),
+            )
+            return self.spark.createDataFrame([(name,)], "view string")
+        m = self._DROP_VIEW_RE.match(text)
+        if m:
+            if_exists, name = m.groups()
+            dropped = vc.drop(name, if_exists=bool(if_exists))
+            return self.spark.createDataFrame(
+                [(name, dropped)], "view string, dropped boolean"
+            )
+        if self._SHOW_VIEWS_RE.match(text):
+            rows = [(n, vc.get(n)) for n in vc.names()]
+            schema = "view string, definition string"
+            if rows:
+                return self.spark.createDataFrame(rows, schema)
+            return self.spark.createDataFrame([], schema)
+        m = self._SHOW_CREATE_VIEW_RE.match(text)
+        if m:
+            name = m.group(1)
+            body = vc.get(name)
+            if body is None:
+                raise ValueError(f"view '{name}' does not exist")
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {name} AS {body}",)], "stmt string"
+            )
+        return None
+
+    def _plan_view_body(self, name: str, body: str) -> "DataFrame":
+        """Plan (not execute) a view body over the current catalog;
+        failures name the VIEW — the user's saved query — not just the
+        missing column (Trino's reference-time validation)."""
+        from oss_data_lake_spark.sources.snapshots import (
+            sql_with_time_travel,
+        )
+
+        try:
+            df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
+            df.schema
+            return df
+        except Exception as e:
+            raise ValueError(
+                f"view '{name}' does not plan over the current base "
+                f"tables (dropped column or table?): {e}"
+            ) from e
+
+    def _expand_views(self, text: str, _stack: tuple = ()) -> list[str]:
+        """Session temp views for every persistent view ``text``
+        references (transitively — nested views expand depth-first);
+        returns the created names for the caller's cleanup. A name
+        already bound to a temp view is skipped: statement-local
+        expansion is idempotent, and a USER temp view deliberately
+        shadows the persistent one (session scope wins, the standard
+        resolution order)."""
+        vc = self._views()
+        names = vc.names()
+        if not names:
+            return []
+        from oss_data_lake_spark.sources.snapshots import _literal_spans
+        from oss_data_lake_spark.sources.views import referenced_views
+
+        created: list[str] = []
+        try:
+            existing = {
+                v.name
+                for v in self.spark.catalog.listTables()
+                if v.isTemporary
+            }
+        except Exception:
+            existing = set()
+        for name in referenced_views(text, names, _literal_spans):
+            if name in _stack:
+                raise ValueError(
+                    f"view cycle detected: {' -> '.join(_stack + (name,))}"
+                )
+            if name in existing:
+                continue
+            body = vc.get(name)
+            created.extend(self._expand_views(body, _stack + (name,)))
+            self._plan_view_body(name, body).createOrReplaceTempView(name)
+            created.append(name)
+            existing.add(name)
+        return created
 
     def sql_script(self, script: str) -> DataFrame | None:
         """Run a multi-statement SQL script (statements split on

@@ -303,6 +303,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("m11", "m11_subquery_dml_orders",
              {"k1": ("o_orderstatus"), "v1": ("n"), "v2": ("sum_price")},
              {"k1": "o_orderstatus", "v1": "n", "v2": "sum_price"}),
+            # m12 (round 9): persistent SQL VIEWs — head view re-plans
+            # over post-DELETE state, AS-OF-pinned view holds v1, nested
+            # view stacks on the head view; both surfaces value-verified
+            ("m12", "m12_views_orders",
+             {"k1": ("surface"), "k2": ("o_orderstatus"),
+              "v1": ("n"), "v2": ("sum_price")},
+             {"k1": "surface", "k2": "o_orderstatus",
+              "v1": "n", "v2": "sum_price"}),
         ],
         # ---- tier A composites --------------------------------------
         "a90_agg_coverage": [

@@ -776,6 +776,71 @@ def subquery_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
 
+M12_DEL_MOD = 7  # the head view must reflect this post-view DELETE
+
+
+def views_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m12: persistent SQL VIEWs (Trino-over-Iceberg view DDL — the
+    saved-query artifact the reference stack's BI users create;
+    reference RUNBOOK §3.3 fronts arbitrary BI SQL). Against a snapshot
+    of orders:
+
+    1. ``CREATE VIEW v_m12_head`` = per-status accounting over the
+       table (logical: SELECT text in durable catalog metadata, no
+       materialization),
+    2. ``CREATE VIEW v_m12_pin`` = the SAME accounting pinned with
+       ``FOR VERSION AS OF 1`` inside the body (AS-OF composes through
+       views),
+    3. DML AFTER both creates — ``DELETE WHERE o_orderkey % 7 = 0`` —
+       so the head view must re-plan over the new snapshot while the
+       pinned view still reads v1,
+    4. ``CREATE VIEW v_m12_top`` stacked ON v_m12_head (nested views
+       expand depth-first),
+
+    then reads both surfaces through the views in long format. A stale
+    (accidentally materialized) head view, a pin that follows the head,
+    or a nested expansion that resolves the wrong definition all break
+    the value hash."""
+    import tempfile
+
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    orders3 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="m12_")
+    t = SnapshotTable(spark, root + "/orders")
+    t.commit_clustered(
+        orders3, cluster_by="o_orderkey", n_files=8, stats_for=["o_orderkey"]
+    )
+    eng = Engine(spark=spark, warehouse_dir=root + "/wh")
+    eng._snapshot_tables["t_m12"] = t
+    eng.sql(f"""
+        CREATE VIEW v_m12_head AS
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {sql_dsum("o_totalprice")} AS sum_price
+        FROM t_m12 GROUP BY o_orderstatus
+    """)
+    eng.sql(f"""
+        CREATE VIEW v_m12_pin AS
+        SELECT COUNT(*) AS n, {sql_dsum("o_totalprice")} AS sum_price
+        FROM t_m12 FOR VERSION AS OF 1
+    """)
+    eng.sql(f"DELETE FROM t_m12 WHERE o_orderkey % {M12_DEL_MOD} = 0")
+    eng.sql(
+        "CREATE VIEW v_m12_top AS "
+        "SELECT 'head' AS surface, o_orderstatus, n, sum_price "
+        "FROM v_m12_head"
+    )
+    return eng.sql(
+        "SELECT surface, o_orderstatus, n, sum_price FROM v_m12_top "
+        "UNION ALL "
+        "SELECT 'pinned', 'ALL', n, sum_price FROM v_m12_pin "
+        "ORDER BY surface, o_orderstatus"
+    )
+
+
 QUERIES = {
     "m01_merge_upsert_orders": merge_upsert_orders,
     "m02_snapshot_time_travel": snapshot_time_travel_query,
@@ -786,6 +851,7 @@ QUERIES = {
     "m07_change_feed_orders": change_feed_orders,
     "m08_lifecycle_orders": lifecycle_orders,
     "m11_subquery_dml_orders": subquery_dml_orders,
+    "m12_views_orders": views_orders,
 }
 
 _SRC_SQL = f"""
@@ -933,6 +999,24 @@ ORACLES = {
         FROM s2
         GROUP BY 1
         ORDER BY 1
+    """,
+    # m12: both view surfaces restated as plain set algebra — the head
+    # view is the post-DELETE accounting, the pinned view is v1's
+    "m12_views_orders": f"""
+        WITH head AS (
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % {M12_DEL_MOD} <> 0
+        )
+        SELECT * FROM (
+            SELECT 'head' AS surface, o_orderstatus, COUNT(*) AS n,
+                   {sql_dsum("o_totalprice")} AS sum_price
+            FROM head GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'pinned', 'ALL', COUNT(*),
+                   {sql_dsum("o_totalprice")}
+            FROM orders
+        )
+        ORDER BY surface, o_orderstatus
     """,
     "m01_merge_upsert_orders": _MERGE_ACCOUNTING_SQL,
     # m05 = the snapshot-native path under the IDENTICAL oracle: matching

@@ -1219,6 +1219,10 @@ def dispatch_statement(
     m = _CREATE_COLS_RE.match(text)
     if m and engine is not None:
         if_not_exists, name, defs, part = m.groups()
+        if getattr(engine, "view_exists", lambda _n: False)(name):
+            raise ValueError(
+                f"a view named '{name}' exists; a table cannot shadow it"
+            )
         if name in tables:
             if if_not_exists:
                 return spark.createDataFrame([(0,)], "version long").limit(0)
@@ -1275,6 +1279,10 @@ def dispatch_statement(
     m = _CREATE_RE.match(text)
     if m and engine is not None:
         or_replace, if_not_exists, name, query = m.groups()
+        if getattr(engine, "view_exists", lambda _n: False)(name):
+            raise ValueError(
+                f"a view named '{name}' exists; a table cannot shadow it"
+            )
         if or_replace and if_not_exists:
             raise ValueError(
                 "CREATE OR REPLACE and IF NOT EXISTS are exclusive"
