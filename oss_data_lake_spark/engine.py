@@ -94,28 +94,54 @@ class Engine:
             for v in expanded:
                 self.spark.catalog.dropTempView(v)
 
-    # -- single-table transactions (WAP branches under SQL spelling) -----
+    # -- SQL transactions (WAP branches under SQL spelling) --------------
     #
-    # BEGIN TRANSACTION ON t stages every later statement naming t on a
-    # hidden branch (a zero-copy managed clone): inside the transaction
-    # you read your own writes; every OTHER reader keeps seeing the
-    # pre-transaction head. COMMIT lands the branch as ONE atomic commit
-    # (fast_forward — non-overlapping concurrent commits rebase, real
-    # conflicts refuse and leave the transaction open for ROLLBACK);
-    # ROLLBACK drops the branch and nothing ever happened. Single-table
-    # by design: cross-table atomicity would need a shared commit point
-    # the one-pointer-per-table protocol deliberately does not have.
+    # BEGIN TRANSACTION ON t1[, t2, ...] stages every later statement
+    # naming an enlisted table on a hidden branch (a zero-copy managed
+    # clone): inside the transaction you read your own writes; every
+    # OTHER reader keeps seeing the pre-transaction heads. COMMIT lands
+    # the branches; ROLLBACK drops them and nothing ever happened.
+    #
+    # SINGLE table: one fast_forward — atomic by the table's own commit
+    # protocol (non-overlapping concurrent commits rebase; real
+    # conflicts refuse and leave the transaction open).
+    #
+    # MULTIPLE tables (the Lakekeeper multi-table-commit capability —
+    # the reference's Iceberg REST catalog commits N tables in one
+    # request): COMMIT runs a three-phase protocol.
+    #   1. VALIDATE every member with a DRY-RUN publish (the full
+    #      rebase conflict analysis, read-only): one conflict aborts
+    #      the whole commit before anything lands — the transaction
+    #      stays open for inspection / ROLLBACK.
+    #   2. Write ONE durable transaction record
+    #      (<warehouse>/_txns/<id>.json, create-exclusive) naming every
+    #      (table path, branch, parent version) — the commit point.
+    #      Before the record exists the transaction can only roll BACK;
+    #      once it exists it can only roll FORWARD.
+    #   3. Land each branch via fast_forward; every landed manifest is
+    #      stamped with the record id. The record is deleted after the
+    #      last member lands.
+    # A crash anywhere in phase 3 self-heals: recover_transactions()
+    # (run automatically at every BEGIN, or explicitly) re-reads the
+    # record, skips members whose head chain already carries the stamp,
+    # lands the rest, then deletes the record — so the commit is atomic
+    # across the crash in either direction. Residual corner, surfaced
+    # loudly rather than half-applied: a CONFLICTING write that lands in
+    # the crash window can make a pending member unrebasable — recovery
+    # raises and keeps the record (operator resolution), it never drops
+    # a committed member silently.
 
+    _NAMES = r"[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*"
     _BEGIN_RE = re.compile(
-        r"^\s*BEGIN\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        rf"^\s*BEGIN\s+TRANSACTION\s+ON\s+({_NAMES})\s*;?\s*$",
         re.IGNORECASE,
     )
     _COMMIT_RE = re.compile(
-        r"^\s*COMMIT\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        rf"^\s*COMMIT\s+TRANSACTION\s+ON\s+({_NAMES})\s*;?\s*$",
         re.IGNORECASE,
     )
     _ROLLBACK_RE = re.compile(
-        r"^\s*ROLLBACK\s+TRANSACTION\s+ON\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        rf"^\s*ROLLBACK\s+TRANSACTION\s+ON\s+({_NAMES})\s*;?\s*$",
         re.IGNORECASE,
     )
     _DROP_GUARD_RE = re.compile(
@@ -123,58 +149,149 @@ class Engine:
         re.IGNORECASE,
     )
 
+    @staticmethod
+    def _txn_names(group: str) -> list[str]:
+        names = [n.strip() for n in group.split(",") if n.strip()]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate table in transaction: {names}")
+        return names
+
+    def _txns_dir(self) -> str:
+        import os
+
+        root = self._warehouse_dir
+        if root is None:
+            root = self.spark.conf.get("spark.sql.warehouse.dir")
+            if root.startswith("file:"):
+                root = root[len("file:"):]
+        return os.path.join(root, "_txns")
+
+    def _txn_record_write(self, gid: str, entries: list[dict]) -> str:
+        """The commit point: one create-exclusive JSON record naming
+        every member. ``os.link`` of a fully-written temp file — a
+        reader never observes a partial record, and a duplicate id
+        refuses instead of overwriting."""
+        import json
+        import os
+
+        d = self._txns_dir()
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{gid}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"id": gid, "tables": entries}, fh)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
+        return path
+
+    def recover_transactions(self) -> list[str]:
+        """Roll every pending multi-table transaction record FORWARD:
+        members whose head chain already carries the record's stamp are
+        done (crash after their pointer move); the rest land now. The
+        record is deleted only after every member is landed. Returns the
+        recovered record ids. Run automatically at every BEGIN
+        TRANSACTION; safe (and cheap — one listdir) when idle."""
+        import json
+        import os
+
+        from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+        d = self._txns_dir()
+        if not os.path.isdir(d):
+            return []
+        recovered = []
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".json"):
+                continue
+            path = os.path.join(d, fname)
+            with open(path) as fh:
+                rec = json.load(fh)
+            gid = rec["id"]
+            for ent in rec["tables"]:
+                t = SnapshotTable(self.spark, ent["path"])
+                head = t.current_version() or 0
+                landed = any(
+                    t._manifest(v).get("txn_record") == gid
+                    for v in range(ent["parent"] + 1, head + 1)
+                )
+                if landed:
+                    # crash after this member's pointer move but before
+                    # its branch drop: finish the cleanup
+                    if ent["branch"] in t.branches():
+                        t.drop_branch(ent["branch"])
+                    continue
+                if ent["branch"] not in t.branches():
+                    raise RuntimeError(
+                        f"transaction {gid}: member {ent['path']} has "
+                        f"neither landed nor kept its branch "
+                        f"{ent['branch']!r} — cannot roll forward"
+                    )
+                # CommitConflict here = a conflicting write landed in
+                # the crash window; surface it, keep the record
+                t.fast_forward(
+                    ent["branch"],
+                    require_source_unchanged=False,
+                    txn_record=gid,
+                )
+            os.remove(path)
+            recovered.append(gid)
+        return recovered
+
     def _handle_txn_statement(self, text: str) -> DataFrame | None:
         m = self._BEGIN_RE.match(text)
         if m:
-            name = m.group(1)
-            t = self._snapshot_tables.get(name)
-            if t is None:
-                raise ValueError(
-                    f"BEGIN TRANSACTION: unregistered snapshot table "
-                    f"{name!r}"
-                )
-            if name in self._txns:
-                raise ValueError(
-                    f"a transaction is already open on {name!r}"
-                )
-            br = f"txn-{uuid.uuid4().hex[:10]}"
-            bt = t.create_branch(br)
-            self._txns[name] = (t, br)
-            self._snapshot_tables[name] = bt
+            self.recover_transactions()
+            names = self._txn_names(m.group(1))
+            for name in names:
+                if self._snapshot_tables.get(name) is None:
+                    raise ValueError(
+                        f"BEGIN TRANSACTION: unregistered snapshot table "
+                        f"{name!r}"
+                    )
+                if name in self._txns:
+                    raise ValueError(
+                        f"a transaction is already open on {name!r}"
+                    )
+            gid = f"txn-{uuid.uuid4().hex[:10]}"
+            rows = []
+            for name in names:
+                t = self._snapshot_tables[name]
+                bt = t.create_branch(gid)
+                self._txns[name] = (t, gid, frozenset(names))
+                self._snapshot_tables[name] = bt
+                rows.append((name, gid))
             return self.spark.createDataFrame(
-                [(name, br)], "table string, branch string"
+                rows, "table string, branch string"
             )
         m = self._COMMIT_RE.match(text)
         if m:
-            name = m.group(1)
-            if name not in self._txns:
-                raise ValueError(f"no open transaction on {name!r}")
-            t, br = self._txns[name]
-            bt = t.branch(br)
-            bm = bt._manifest(bt.current_version())
-            if bm.get("delete_dirs") or bm.get("eq_deletes"):
-                # merge-on-read debt staged inside the transaction:
-                # localize it so the publish is clean (same rule as any
-                # clone publish)
-                bt.compact()
-            # rebase over non-overlapping concurrent commits; a real
-            # conflict raises CommitConflict and the transaction STAYS
-            # OPEN (retry COMMIT after inspection, or ROLLBACK)
-            version = t.fast_forward(br, require_source_unchanged=False)
-            del self._txns[name]
-            self._snapshot_tables[name] = t
-            return self.spark.createDataFrame(
-                [(version,)], "version long"
-            )
+            names = self._txn_names(m.group(1))
+            group = self._txn_group(names, "COMMIT")
+            if len(names) == 1:
+                # single table: the branch publish IS the atomic commit
+                name = names[0]
+                t, br, _members = self._txns[name]
+                self._compact_mor_debt(t, br)
+                version = t.fast_forward(br, require_source_unchanged=False)
+                del self._txns[name]
+                self._snapshot_tables[name] = t
+                return self.spark.createDataFrame(
+                    [(version,)], "version long"
+                )
+            return self._commit_multi(names, group)
         m = self._ROLLBACK_RE.match(text)
         if m:
-            name = m.group(1)
-            if name not in self._txns:
-                raise ValueError(f"no open transaction on {name!r}")
-            t, br = self._txns.pop(name)
-            self._snapshot_tables[name] = t
-            t.drop_branch(br)
-            return self.spark.createDataFrame([(name,)], "table string")
+            names = self._txn_names(m.group(1))
+            self._txn_group(names, "ROLLBACK")
+            rows = []
+            for name in names:
+                t, br, _members = self._txns.pop(name)
+                self._snapshot_tables[name] = t
+                t.drop_branch(br)
+                rows.append((name,))
+            return self.spark.createDataFrame(rows, "table string")
         m = self._DROP_GUARD_RE.match(text)
         if m and m.group(1) in self._txns:
             raise ValueError(
@@ -182,6 +299,72 @@ class Engine:
                 f"it — COMMIT or ROLLBACK first"
             )
         return None
+
+    def _txn_group(self, names: list[str], verb: str) -> frozenset:
+        """Validate that ``names`` is exactly one open transaction
+        group (the statement must name every enlisted table — partial
+        commits of a multi-table transaction are not a thing)."""
+        for name in names:
+            if name not in self._txns:
+                raise ValueError(f"no open transaction on {name!r}")
+        groups = {self._txns[n][2] for n in names}
+        if len(groups) != 1 or groups.pop() != frozenset(names):
+            raise ValueError(
+                f"{verb} TRANSACTION must name the exact table set of "
+                f"ONE open transaction; open groups: "
+                f"{sorted(set(self._txns[n][2] for n in names), key=sorted)}"
+            )
+        return frozenset(names)
+
+    @staticmethod
+    def _compact_mor_debt(t, br: str) -> None:
+        bt = t.branch(br)
+        bm = bt._manifest(bt.current_version())
+        if bm.get("delete_dirs") or bm.get("eq_deletes"):
+            # merge-on-read debt staged inside the transaction:
+            # localize it so the publish is clean (same rule as any
+            # clone publish)
+            bt.compact()
+
+    def _commit_multi(self, names: list[str], group: frozenset) -> DataFrame:
+        gid = self._txns[names[0]][1]
+        members = [(n, self._txns[n][0]) for n in names]
+        for _n, t in members:
+            self._compact_mor_debt(t, gid)
+        # phase 1: every member must be publishable NOW — one conflict
+        # aborts the whole commit with nothing landed and the
+        # transaction open (inspect, retry, or ROLLBACK)
+        for _n, t in members:
+            t.branch(gid).publish(
+                require_source_unchanged=False, dry_run=True
+            )
+        # phase 2: the commit point
+        self._txn_record_write(
+            gid,
+            [
+                {
+                    "name": n,
+                    "path": t.path,
+                    "branch": gid,
+                    "parent": t.current_version() or 0,
+                }
+                for n, t in members
+            ],
+        )
+        # phase 3: land every member (a crash from here rolls FORWARD
+        # via recover_transactions)
+        import os
+
+        rows = []
+        for n, t in members:
+            v = t.fast_forward(
+                gid, require_source_unchanged=False, txn_record=gid
+            )
+            del self._txns[n]
+            self._snapshot_tables[n] = t
+            rows.append((n, v))
+        os.remove(os.path.join(self._txns_dir(), f"{gid}.json"))
+        return self.spark.createDataFrame(rows, "table string, version long")
 
     # -- persistent SQL VIEWs (logical twin of MATERIALIZED VIEW) --------
     #

@@ -1283,15 +1283,20 @@ class SnapshotTable:
         name: str,
         require_source_unchanged: bool = True,
         drop: bool = True,
+        txn_record: str | None = None,
     ) -> int:
         """Land branch ``name``'s accumulated changes on this table as
         ONE atomic commit (Iceberg's fast_forward procedure; the
         publish/rebase machinery underneath, so
         ``require_source_unchanged=False`` rebases non-overlapping
         concurrent main-line commits). Drops the branch on success by
-        default — pass ``drop=False`` to keep developing on it."""
+        default — pass ``drop=False`` to keep developing on it.
+        ``txn_record`` stamps the landed manifest with a multi-table
+        transaction id so crash recovery can tell an already-applied
+        member from a pending one (see ``Engine.recover_transactions``)."""
         v = self.branch(name).publish(
-            require_source_unchanged=require_source_unchanged
+            require_source_unchanged=require_source_unchanged,
+            txn_record=txn_record,
         )
         if drop:
             self.drop_branch(name)
@@ -1891,7 +1896,12 @@ class SnapshotTable:
         table.protocol.commit(build)
         return table
 
-    def publish(self, require_source_unchanged: bool = True) -> int:
+    def publish(
+        self,
+        require_source_unchanged: bool = True,
+        dry_run: bool = False,
+        txn_record: str | None = None,
+    ) -> int:
         """Complete the WRITE-AUDIT-PUBLISH loop for a shallow clone:
         push THIS clone's head state back to its source table as ONE
         atomic commit (Iceberg's WAP pattern — stage on a branch, audit,
@@ -1917,7 +1927,15 @@ class SnapshotTable:
         still refuse with a CommitConflict. Iceberg's cherry-pick of
         non-conflicting commits, at manifest granularity. The source's
         OWN tags survive the publish; the clone's audited properties
-        and constraints are adopted."""
+        and constraints are adopted.
+
+        ``dry_run`` VALIDATES publishability without committing or
+        copying: the pure build closure runs once against the current
+        source head (conflict detection included — the rebase overlap
+        analysis is read-only) and its manifest is discarded. The
+        multi-table transaction commit uses this as its all-or-nothing
+        phase-1 check. ``txn_record`` stamps the published manifest
+        with a transaction id for crash-recovery idempotence."""
         import shutil
 
         v = self.current_version()
@@ -2004,7 +2022,7 @@ class SnapshotTable:
                             f"under the source root"
                         )
                     # our own earlier refused/crashed attempt: reuse
-                else:
+                elif not dry_run:
                     shutil.copytree(os.path.join(self.path, d), dst)
                 rel = d
             moved[d] = rel
@@ -2044,7 +2062,7 @@ class SnapshotTable:
                     }
                 return val
             dst = os.path.join(src_root, p)
-            if not os.path.exists(dst):
+            if not os.path.exists(dst) and not dry_run:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.copy2(os.path.join(self.path, p), dst)
             return val
@@ -2086,6 +2104,10 @@ class SnapshotTable:
             )
             common = {
                 "txn": None,
+                # multi-table transaction stamp: recovery's "did this
+                # member already land?" check reads it (crash between
+                # the txn record and the last pointer move)
+                **({"txn_record": txn_record} if txn_record else {}),
                 "txn_watermarks": source._txn_watermarks(parent),
                 # audited quality contract travels with the publish...
                 "constraints": self.constraints(v),
@@ -2322,6 +2344,13 @@ class SnapshotTable:
                 "properties": merged_props,
             }
 
+        if dry_run:
+            # phase-1 validation only: run the pure build once against
+            # the live head (no claim, no pointer move, no data copy —
+            # the copies above were skipped) and discard the manifest.
+            # CommitConflict / collision errors propagate to the caller.
+            build(source.current_version(), source._manifest)
+            return 0
         self._carry_ledger_sidecars(self.properties(v), src_root)
         return source.protocol.commit(build)
 

@@ -4,9 +4,9 @@ naming t on a hidden zero-copy branch: the transaction reads its own
 writes, every other reader keeps the pre-transaction head, COMMIT lands
 everything as ONE atomic commit (rebasing non-overlapping concurrent
 commits; real conflicts refuse and leave the transaction open), and
-ROLLBACK makes it never have happened. Single-table by design —
-cross-table atomicity would need a shared commit point the
-one-pointer-per-table protocol deliberately does not have."""
+ROLLBACK makes it never have happened. Round 9 extends the same
+spelling to MULTI-table transactions (tests/test_multi_txn.py); this
+file pins the single-table fast path."""
 
 from __future__ import annotations
 
