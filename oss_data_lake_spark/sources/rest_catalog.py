@@ -1,0 +1,264 @@
+"""Iceberg-REST-shaped catalog façade over HTTP — the Lakekeeper role.
+
+The reference stack's commit atomicity lives in a catalog SERVICE
+reached over HTTP: Trino's Iceberg connector points at
+``uri=http://lakekeeper:8181/catalog`` (reference
+etc/catalog/iceberg.properties:16, docker-compose.yaml:21-46). The CAS
+semantics of that role are already replicated in-process by
+``sources/catalog.py``; this module closes the remaining gap — the WIRE
+— so two independent Engine processes share one snapshot table through
+the same protocol SHAPE the reference uses: *load table* + *commit with
+requirements*.
+
+Server: :class:`RestCatalogServer` — a stdlib ``ThreadingHTTPServer``
+holding table metadata (version → manifest, CURRENT pointer) behind one
+lock. The commit endpoint checks Iceberg-REST-style requirements
+(``assert-current-version``) and appends the manifest ATOMICALLY under
+the lock: a stale requirement gets ``409 CommitFailedException`` and
+nothing changes — the lost update is structurally rejected server-side,
+exactly the Lakekeeper behavior Trino relies on.
+
+Client: :class:`RestCommitProtocol` — a ``CommitProtocol`` whose
+``commit(build)`` loops load → build → POST-with-requirement, rebuilding
+on 409 (optimistic concurrency, same loop as ``CasCommitProtocol``).
+Plug it into ``SnapshotTable(..., protocol=...)`` and the full statement
+surface (DML, branches, time travel) runs its metadata tail through
+HTTP while data files stay on the shared store.
+
+Endpoints (minimal Iceberg-REST subset):
+
+- ``GET    /v1/config``                         → defaults/overrides
+- ``GET    /v1/tables/{name}``                  → load: current version + list
+- ``GET    /v1/tables/{name}/manifests/{v}``    → manifest JSON
+- ``POST   /v1/tables/{name}/commit``           → requirements + manifest
+- ``DELETE /v1/tables/{name}/manifests/{v}``    → retention (expire)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from oss_data_lake_spark.sources.catalog import (
+    CommitConflict,
+    CommitProtocol,
+)
+
+_TABLE_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)$")
+_MANIFEST_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/manifests/(\d+)$")
+_COMMIT_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/commit$")
+
+
+class RestCatalogServer:
+    """In-process catalog service on ``127.0.0.1:<ephemeral>``. One
+    lock serializes commits (the catalog-service role: requirement
+    check + append are one atomic step); reads are lock-consistent.
+    Metadata only — manifests are KB-scale JSON, never data."""
+
+    def __init__(self):
+        self._tables: dict[str, dict] = {}  # name -> {versions, current}
+        self._mu = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/v1/config":
+                    return self._json(200, {"defaults": {}, "overrides": {}})
+                m = _TABLE_RE.match(self.path)
+                if m:
+                    with outer._mu:
+                        t = outer._tables.get(m.group(1))
+                        if t is None:
+                            return self._json(
+                                404, {"error": "NoSuchTableException"}
+                            )
+                        return self._json(200, {
+                            "metadata": {
+                                "current-version": t["current"],
+                                "versions": sorted(t["versions"]),
+                            }
+                        })
+                m = _MANIFEST_RE.match(self.path)
+                if m:
+                    with outer._mu:
+                        t = outer._tables.get(m.group(1))
+                        mf = (t or {"versions": {}})["versions"].get(
+                            int(m.group(2))
+                        )
+                    if mf is None:
+                        return self._json(
+                            404, {"error": "NoSuchManifestException"}
+                        )
+                    return self._json(200, mf)
+                return self._json(404, {"error": "NotFound"})
+
+            def do_POST(self):
+                m = _COMMIT_RE.match(self.path)
+                if not m:
+                    return self._json(404, {"error": "NotFound"})
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n).decode())
+                manifest = req["manifest"]
+                with outer._mu:
+                    t = outer._tables.setdefault(
+                        m.group(1), {"versions": {}, "current": None}
+                    )
+                    # Iceberg-REST commit requirements: every one must
+                    # hold against the CURRENT state or the whole commit
+                    # refuses — the lost-update rejection
+                    for r in req.get("requirements", []):
+                        if r.get("type") == "assert-current-version":
+                            if t["current"] != r.get("version"):
+                                return self._json(409, {
+                                    "error": "CommitFailedException",
+                                    "message": (
+                                        f"requirement failed: current "
+                                        f"version is {t['current']}, "
+                                        f"not {r.get('version')}"
+                                    ),
+                                })
+                        else:
+                            return self._json(400, {
+                                "error": "BadRequest",
+                                "message": f"unknown requirement {r!r}",
+                            })
+                    v = int(manifest["version"])
+                    if v in t["versions"]:
+                        return self._json(409, {
+                            "error": "CommitFailedException",
+                            "message": f"version {v} already committed",
+                        })
+                    t["versions"][v] = manifest
+                    if t["current"] is None or v > t["current"]:
+                        t["current"] = v
+                    return self._json(200, {"version": v})
+
+            def do_DELETE(self):
+                m = _MANIFEST_RE.match(self.path)
+                if not m:
+                    return self._json(404, {"error": "NotFound"})
+                with outer._mu:
+                    t = outer._tables.get(m.group(1))
+                    if t is None or int(m.group(2)) not in t["versions"]:
+                        return self._json(
+                            404, {"error": "NoSuchManifestException"}
+                        )
+                    del t["versions"][int(m.group(2))]
+                    return self._json(200, {})
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def start(self) -> "RestCatalogServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+class RestCommitProtocol(CommitProtocol):
+    """``CommitProtocol`` over the REST catalog: optimistic load →
+    build → commit-with-requirement, rebuilding on 409. The server's
+    atomic requirement check makes a lost update structurally
+    impossible — same guarantee as ``CasCommitProtocol``, through the
+    reference's wire shape."""
+
+    def __init__(self, base_url: str, table: str, retries: int = 20):
+        self.base = base_url.rstrip("/")
+        self.table = table
+        self.retries = retries
+
+    # ------------------------------------------------------------ wire
+    def _request(self, method: str, path: str, payload: dict | None = None):
+        data = None if payload is None else json.dumps(payload).encode()
+        req = urllib.request.Request(
+            self.base + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode() or "{}")
+
+    # ------------------------------------------------------- protocol
+    def read_current(self) -> int | None:
+        code, body = self._request("GET", f"/v1/tables/{self.table}")
+        if code == 404:
+            return None
+        return body["metadata"]["current-version"]
+
+    def read_manifest(self, version: int) -> dict:
+        code, body = self._request(
+            "GET", f"/v1/tables/{self.table}/manifests/{version}"
+        )
+        if code == 404:
+            raise FileNotFoundError(
+                f"{self.table} manifest v{version} not in catalog"
+            )
+        return body
+
+    def list_versions(self) -> list[int]:
+        code, body = self._request("GET", f"/v1/tables/{self.table}")
+        if code == 404:
+            return []
+        return list(body["metadata"]["versions"])
+
+    def delete_manifest(self, version: int) -> None:
+        self._request(
+            "DELETE", f"/v1/tables/{self.table}/manifests/{version}"
+        )
+
+    def commit(self, build) -> int:
+        for _attempt in range(self.retries):
+            parent = self.read_current()
+            result = build(parent, self.read_manifest)
+            if isinstance(result, int):
+                return result
+            code, body = self._request(
+                "POST",
+                f"/v1/tables/{self.table}/commit",
+                {
+                    "requirements": [
+                        {"type": "assert-current-version", "version": parent}
+                    ],
+                    "manifest": result,
+                },
+            )
+            if code == 200:
+                return body["version"]
+            if code == 409:
+                continue  # head moved: rebuild against the new parent
+            raise RuntimeError(
+                f"catalog commit failed ({code}): {body}"
+            )
+        raise CommitConflict(
+            f"commit lost {self.retries} requirement races on table "
+            f"'{self.table}'"
+        )
