@@ -97,6 +97,12 @@ HEADLINE = [
     # window self-join at sf0.1 would add ~half the current total for a
     # fine-grained-only operator; it is oracle-verified via e90.
     "e76_sequence_packing",
+    # round 9: the CCNet-shape fastText quality classifier (train = one
+    # bucket aggregation, score = broadcast-join scan) and DoReMi-shape
+    # token-budget domain mixing (per-domain running-total window) —
+    # the two data-mixing stages between cleaning and a release.
+    "e77_quality_classifier",
+    "e78_token_budget_mixing",
 ]
 
 

@@ -229,6 +229,26 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "n_docs", "v2": "total_tokens",
               "v3": "n_blocks", "v4": "boundary_docs",
               "s1": _cw_sql("tail_waste")}),
+            # e77 (round 9): fastText-style hashed-n-gram quality
+            # classifier (CCNet shape) — per-source doc/token counts,
+            # positive verdicts, and the integer score sum ride the
+            # hash (score_per_token = v4/v2 is derived, standalone
+            # oracle-parity checks it directly)
+            ("e77", "e77_quality_classifier",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("n_tokens"),
+              "v3": ("n_positive"), "v4": ("sum_score")},
+             {"k1": "source", "v1": "n_docs", "v2": "n_tokens",
+              "v3": "n_positive", "v4": "sum_score"}),
+            # e78 (round 9): DoReMi-shape token-budget domain mixing —
+            # per-source totals, budget, kept tokens, and the integer
+            # triple (weight, kept docs, overshoot) ride the hash
+            ("e78", "e78_token_budget_mixing",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("total_tokens"),
+              "v3": ("budget_tokens"), "v4": ("kept_tokens"),
+              "s1": _cw("weight", "n_kept", "overshoot_tokens")},
+             {"k1": "source", "v1": "n_docs", "v2": "total_tokens",
+              "v3": "budget_tokens", "v4": "kept_tokens",
+              "s1": _cw_sql("weight", "n_kept", "overshoot_tokens")}),
             # e46 (round 8): vocabulary induction — every (rank, word,
             # count, cumulative-coverage) row rides the hash
             ("e46", "e46_vocab_coverage",

@@ -398,6 +398,159 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- e77: fastText-style hashed-n-gram quality classifier -------------
+#
+# The CCNet recipe (the fastText quality filter every large-scale web
+# corpus uses): a LINEAR model over a bag of HASHED token n-grams,
+# trained to separate a curated reference domain from the rest, then
+# scoring every document. Here the fit is the one-pass closed form —
+# per-bucket class-count votes (positives rebalanced by the class
+# ratio) — so the "training" is ONE aggregation, the fitted model is a
+# tiny (≤ N_BUCKETS rows) weight table broadcast to the scorer, and the
+# scoring pass is a narrow hash + broadcast-join + sum: no per-row
+# Python anywhere, no transcendentals (integer votes, not log-odds), so
+# Spark and DuckDB agree bit-for-bit. At 100 TB: train = one shuffle on
+# a 2^K-key bucket column, score = scan + broadcast join + one
+# per-(doc, source) aggregation.
+N_BUCKETS = 32
+POS_SOURCE = "src0"   # the curated reference domain (CCNet's wikipedia)
+POS_SCALE = 19        # class rebalance: 19 negative domains vs 1 positive
+
+
+def _md5_bucket(col):
+    """First 32 bits of md5 → bucket id: the cross-engine feature hash
+    (DuckDB: CAST(concat('0x', substr(md5(w),1,8)) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % N_BUCKETS
+    )
+
+
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e77: train-then-score in one statement; per-source accounting of
+    the classifier verdicts (docs, tokens, positive-classified docs,
+    integer score sum, exact mean score per token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("bucket", _md5_bucket(F.col("w")))
+    weights = tok.groupBy("bucket").agg(
+        (
+            F.sum(
+                F.when(F.col("source") == POS_SOURCE, F.lit(POS_SCALE))
+                .otherwise(F.lit(0))
+            )
+            - F.sum(F.when(F.col("source") != POS_SOURCE, 1).otherwise(0))
+        ).cast("long").alias("wt")
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("wt").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum((F.col("score") > 0).cast("long")).alias("n_positive"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .withColumn(
+            "score_per_token",
+            F.col("sum_score").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- e78: token-budget domain mixing (DoReMi shape) --------------------
+#
+# DoReMi / data-mixing: each DOMAIN gets a target TOKEN budget (domain
+# weights × a global token target), and documents survive
+# deterministically until their domain's budget fills. Survivorship
+# order is md5(doc_id) — a reproducible pseudo-random permutation, so
+# the "sample" is unbiased but every engine and every run picks the
+# SAME documents (rand() would break replay and the oracle). The
+# running total is a per-domain window (shard-local sort — one bounded
+# shuffle, never global); a doc is kept iff the tokens BEFORE it in its
+# domain's order are under budget, so each domain overshoots by at most
+# one document — and the report accounts for that exactly.
+MIX_TOTAL_FRACTION_NUM = 1   # global target = total_tokens * 1/2
+MIX_TOTAL_FRACTION_DEN = 2
+MIX_WEIGHT_MOD = 7           # domain weight = 1 + md5(source) % 7
+
+
+def token_budget_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e78: per-domain mixing accounting — docs, tokens, the domain's
+    weight and token budget, kept docs/tokens under deterministic
+    survivorship, and the (bounded) overshoot."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("rnd"),
+    ).withColumn(
+        "weight", (_md5_bucket(F.col("source")) % MIX_WEIGHT_MOD + 1)
+    )
+    totals = toks.groupBy("source", "weight").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    grand = totals.agg(
+        F.sum("total_tokens").alias("grand_tokens"),
+        F.sum("weight").alias("weight_sum"),
+    )
+    budgets = totals.crossJoin(F.broadcast(grand)).withColumn(
+        "budget_tokens",
+        F.floor(
+            F.col("weight")
+            * F.col("grand_tokens")
+            * MIX_TOTAL_FRACTION_NUM
+            / (F.col("weight_sum") * MIX_TOTAL_FRACTION_DEN)
+        ).cast("long"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("rnd", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "before", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    )
+    kept = placed.join(
+        F.broadcast(budgets.select("source", "budget_tokens")), "source"
+    ).withColumn("keep", F.col("before") < F.col("budget_tokens"))
+    kept_agg = kept.groupBy("source").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    return (
+        budgets.select(
+            "source", "n_docs", "total_tokens",
+            F.col("weight").cast("long").alias("weight"),
+            "budget_tokens",
+        )
+        .join(kept_agg, "source")
+        .withColumn(
+            "overshoot_tokens",
+            F.greatest(
+                F.col("kept_tokens") - F.col("budget_tokens"), F.lit(0)
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
@@ -406,6 +559,8 @@ QUERIES = {
     "e74_pii_redaction": pii_redaction_report,
     "e75_decontamination": decontamination_report,
     "e76_sequence_packing": sequence_packing_report,
+    "e77_quality_classifier": quality_classifier_report,
+    "e78_token_budget_mixing": token_budget_mixing_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
@@ -418,6 +573,89 @@ _DECON_JOINS = " ".join(
 _DECON_CONCAT = " || ' ' || ".join(f"t{i}.w" for i in range(DECON_NGRAM))
 
 ORACLES = {
+    "e77_quality_classifier": f"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), b AS (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                       % {N_BUCKETS} AS bucket
+            FROM tok
+        ), wt AS (
+            SELECT bucket,
+                   SUM(CASE WHEN source = '{POS_SOURCE}'
+                            THEN {POS_SCALE} ELSE 0 END)
+                 - SUM(CASE WHEN source <> '{POS_SOURCE}'
+                            THEN 1 ELSE 0 END) AS wt
+            FROM b GROUP BY bucket
+        ), scored AS (
+            SELECT b.doc_id, b.source,
+                   CAST(SUM(wt.wt) AS BIGINT) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM b JOIN wt USING (bucket)
+            GROUP BY b.doc_id, b.source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(SUM(score) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+                   AS score_per_token
+        FROM scored GROUP BY source ORDER BY source
+    """,
+    "e78_token_budget_mixing": f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS rnd,
+                   CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+                       % {N_BUCKETS} % {MIX_WEIGHT_MOD} + 1 AS weight
+            FROM documents
+        ), totals AS (
+            SELECT source, weight,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM toks GROUP BY source, weight
+        ), grand AS (
+            SELECT SUM(total_tokens) AS grand_tokens,
+                   SUM(weight) AS weight_sum
+            FROM totals
+        ), budgets AS (
+            SELECT t.*,
+                   CAST(floor(t.weight * g.grand_tokens
+                              * {MIX_TOTAL_FRACTION_NUM}
+                              / (g.weight_sum * {MIX_TOTAL_FRACTION_DEN}))
+                        AS BIGINT) AS budget_tokens
+            FROM totals t CROSS JOIN grand g
+        ), placed AS (
+            SELECT source, doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY rnd, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS before
+            FROM toks
+        ), kept AS (
+            SELECT p.source,
+                   CAST(SUM(CASE WHEN p.before < b.budget_tokens
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN p.before < b.budget_tokens
+                                 THEN p.n_tok ELSE 0 END) AS BIGINT)
+                       AS kept_tokens
+            FROM placed p JOIN budgets b USING (source)
+            GROUP BY p.source
+        )
+        SELECT b.source, b.n_docs, b.total_tokens,
+               CAST(b.weight AS BIGINT) AS weight, b.budget_tokens,
+               k.n_kept, k.kept_tokens,
+               CAST(greatest(k.kept_tokens - b.budget_tokens, 0) AS BIGINT)
+                   AS overshoot_tokens
+        FROM budgets b JOIN kept k USING (source)
+        ORDER BY b.source
+    """,
     "e76_sequence_packing": f"""
         WITH toks AS (
             SELECT source, doc_id,
