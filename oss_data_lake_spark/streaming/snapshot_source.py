@@ -173,6 +173,8 @@ def _build_source_class():
             change_feed: bool = False,
             max_versions_per_trigger: int | None = None,
             max_files_per_trigger: int | None = None,
+            max_bytes_per_trigger: int | None = None,
+            end_version: int | None = None,
         ):
             self.path = path.rstrip("/")
             self.meta = os.path.join(self.path, "_snapshots")
@@ -200,6 +202,14 @@ def _build_source_class():
             # true position is recorded, and later batches clamp to it.
             self.max_versions_per_trigger = max_versions_per_trigger
             self.max_files_per_trigger = max_files_per_trigger
+            self.max_bytes_per_trigger = max_bytes_per_trigger
+            # endVersion: a hard offer CEILING — latestOffset never
+            # offers past it, so a drain is bounded to a snapshot point
+            # (the library-side Trigger.AvailableNow: drain_available_now
+            # pins this to the head AT ENTRY, paces to exactly there,
+            # and stops; commits landing during the drain wait for the
+            # next run — Delta's availableNow contract)
+            self.end_version = end_version
             self._baseline: int = start_version
             self._floor: int | None = None
 
@@ -223,38 +233,53 @@ def _build_source_class():
         def initialOffset(self) -> dict:
             return {"version": self.start_version}
 
-        def _new_file_count(self, prev: dict, cur: dict) -> int:
-            """Files a commit step added (metadata-scale: listings of
-            the NEW dirs only) — the admission-control unit."""
+        def _new_files(self, prev: dict, cur: dict) -> list[tuple[str, str]]:
+            """(dir, rel file) pairs a commit step added (metadata-scale:
+            listings of the NEW dirs only) — the admission-control unit."""
             prev_dirs = set(prev.get("data_dirs", []))
-            return sum(
-                len(self._rel_files(cur, d))
+            return [
+                (d, f)
                 for d in cur.get("data_dirs", [])
                 if d not in prev_dirs
-            )
+                for f in self._rel_files(cur, d)
+            ]
 
         def latestOffset(self) -> dict:
             cur = max(self._current(), self.start_version)
+            if self.end_version is not None:
+                cur = min(cur, self.end_version)
             base = self._baseline
             if cur <= base:
                 return {"version": cur}
             hi = cur
             if self.max_versions_per_trigger is not None:
                 hi = min(hi, base + max(self.max_versions_per_trigger, 1))
-            if self.max_files_per_trigger is not None:
-                budget = max(self.max_files_per_trigger, 1)
-                taken = 0
+            if (
+                self.max_files_per_trigger is not None
+                or self.max_bytes_per_trigger is not None
+            ):
+                fbudget = self.max_files_per_trigger
+                bbudget = self.max_bytes_per_trigger
+                taken_f, taken_b = 0, 0
                 prev = (
                     self._manifest(base) if base > 0 else {"data_dirs": []}
                 )
                 capped = base
                 for v in range(base + 1, hi + 1):
                     m = self._manifest(v)
-                    taken += self._new_file_count(prev, m)
+                    new = self._new_files(prev, m)
+                    taken_f += len(new)
+                    if bbudget is not None:
+                        taken_b += sum(
+                            os.path.getsize(os.path.join(self.path, d, f))
+                            for d, f in new
+                        )
                     prev = m
                     capped = v
                     # always admit >= 1 version, then stop at budget
-                    if taken >= budget:
+                    if (fbudget is not None and taken_f >= max(fbudget, 1)) or (
+                        bbudget is not None and taken_b >= max(bbudget, 1)
+                    ):
                         break
                 hi = capped
             return {"version": hi}
@@ -825,11 +850,18 @@ def _build_source_class():
         merge-on-read deletes) instead of erroring, Delta's
         ``skipChangeCommits`` semantics: the change commit contributes
         NOTHING to the stream, including any files it added.
-        ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` (ints ≥ 1)
+        ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` /
+        ``maxBytesPerTrigger`` (ints ≥ 1)
         — Delta's admission control: each micro-batch advances at most
         that many versions / admits versions until that many NEW files
-        accumulate (always ≥ 1 version per batch, so progress never
-        stalls). The cap is relative to the engine's known progress;
+        (or bytes of new files) accumulate (always ≥ 1 version per
+        batch, so progress never stalls). ``endVersion`` — a hard offer
+        ceiling; ``drain_available_now`` (module-level helper) pins it
+        to the entry-time head for real Trigger.AvailableNow semantics:
+        the engine's own ``availableNow=True`` falls back to
+        single-batch execution for Python sources, which under
+        admission control would strand the backlog after one capped
+        batch. The cap is relative to the engine's known progress;
         the first batch after a checkpoint restart is uncapped (a
         capped guess below the restored offset would plan a replaying
         batch under the API's equality-compared offsets).
@@ -942,9 +974,117 @@ def _build_source_class():
                 self._flag("changeFeed"),
                 max_versions_per_trigger=_int_opt("maxVersionsPerTrigger"),
                 max_files_per_trigger=_int_opt("maxFilesPerTrigger"),
+                max_bytes_per_trigger=_int_opt("maxBytesPerTrigger"),
+                end_version=_int_opt("endVersion"),
             )
 
     return SnapshotStreamSource
 
 
 SnapshotStreamSource = _build_source_class()
+
+
+def drain_available_now(
+    spark,
+    path: str,
+    checkpoint: str,
+    batch_fn,
+    poll_ms: int = 50,
+    timeout_sec: float = 300,
+    **options,
+) -> int:
+    """Delta's ``Trigger.AvailableNow`` over the paced snapshot source.
+
+    Spark 4.1's Python DataSource API has no
+    ``SupportsTriggerAvailableNow`` hook, so the ENGINE trigger
+    ``availableNow=True`` falls back to single-batch execution — one
+    ``latestOffset`` call — which under admission control
+    (``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger``) would drain only ONE capped batch and
+    terminate with backlog left behind. This helper supplies the real
+    contract library-side:
+
+    1. snapshot the table head AT ENTRY,
+    2. run a processing-time paced stream whose ``endVersion`` is
+       pinned to that snapshot (commits landing DURING the drain are
+       excluded — they wait for the next invocation, exactly Delta's
+       availableNow),
+    3. stop once the checkpoint has committed a batch reaching the
+       snapshot (or immediately when the checkpoint is already there).
+
+    Replay safety comes from the checkpoint itself: a crash mid-drain
+    re-enters at the committed offset and finishes the remaining
+    versions exactly once. Returns the snapshot head version the drain
+    is bounded to."""
+    import time as _time
+
+    meta = os.path.join(path.rstrip("/"), "_snapshots")
+    try:
+        with open(os.path.join(meta, "CURRENT")) as fh:
+            head = int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+    if head <= 0:
+        return 0
+    # already drained? peek at the checkpoint's last COMMITTED offset —
+    # starting a stream just to learn "nothing to do" would wait out the
+    # engine's 10 s no-data progress throttle
+    commits_dir = os.path.join(checkpoint, "commits")
+    offsets_dir = os.path.join(checkpoint, "offsets")
+    try:
+        done = max(
+            int(f) for f in os.listdir(commits_dir) if f.isdigit()
+        )
+        with open(os.path.join(offsets_dir, str(done))) as fh:
+            last = [
+                ln for ln in fh.read().splitlines() if ln.startswith("{")
+            ][-1]
+        if int(json.loads(last).get("version", 0)) >= head:
+            return head
+    except (FileNotFoundError, ValueError, IndexError):
+        pass  # no checkpoint yet / unreadable: run the stream
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("endVersion", str(head))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{poll_ms} milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout_sec
+        while _time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            p = q.lastProgress
+            if p:
+                srcs = p.get("sources") or []
+                end = srcs[0].get("endOffset") if srcs else None
+                if end is not None:
+                    if isinstance(end, str):
+                        try:
+                            end = json.loads(end)
+                        except json.JSONDecodeError:
+                            # the engine reports the Python source's
+                            # offset dict via repr (single quotes)
+                            import ast
+
+                            end = ast.literal_eval(end)
+                    if int(end.get("version", 0)) >= head:
+                        break
+            _time.sleep(poll_ms / 1000.0)
+        else:
+            raise TimeoutError(
+                f"drain_available_now: did not reach v{head} within "
+                f"{timeout_sec}s (checkpoint {checkpoint})"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return head

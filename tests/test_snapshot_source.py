@@ -800,3 +800,162 @@ def test_change_feed_stream_single_ownership(registered, spark, tmp_path):
     for r in got:
         net[r[:-2]] += 1 if r[-2] == "insert" else -1
     assert all(c in (0, 1) for c in net.values())
+
+
+# ------------------------- round 9: availableNow + byte-based admission
+
+
+def test_max_bytes_per_trigger_caps_by_size(registered, spark, tmp_path):
+    """maxBytesPerTrigger (Delta parity): versions admit until the NEW
+    data files' byte total crosses the budget — always >= 1 version.
+    Unit-driven for determinism (real parquet sizes vary per commit)."""
+    import os as _os
+
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        SnapshotStreamSource,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for w in range(3):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    # per-version byte sizes from disk
+    sizes = []
+    for v in (1, 2, 3):
+        m = t._manifest(v)
+        prev = t._manifest(v - 1) if v > 1 else {"data_dirs": []}
+        new = [d for d in m["data_dirs"] if d not in prev.get("data_dirs", [])]
+        sizes.append(sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for d in new
+            for dp, _dn, fs in _os.walk(_os.path.join(t.path, d))
+            for f in fs if f.endswith(".parquet")
+        ))
+
+    def reader(**opts):
+        src = SnapshotStreamSource(options={"path": t.path, **opts})
+        r = src.streamReader(None)
+        r.initialOffset()
+        return r
+
+    # budget = first file's size: stop right after v1
+    assert reader(maxBytesPerTrigger=str(sizes[0])).latestOffset() == {
+        "version": 1
+    }
+    # budget = v1+v2 bytes: v2 crosses it -> admit through v2
+    assert reader(
+        maxBytesPerTrigger=str(sizes[0] + sizes[1])
+    ).latestOffset() == {"version": 2}
+    # huge budget: uncapped
+    assert reader(maxBytesPerTrigger="1000000000").latestOffset() == {
+        "version": 3
+    }
+    # tiny budget still admits one version per batch (progress)
+    r = reader(maxBytesPerTrigger="1")
+    assert r.latestOffset() == {"version": 1}
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 2}
+
+
+def test_end_version_is_a_hard_offer_ceiling(registered, spark, tmp_path):
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        SnapshotStreamSource,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for w in range(5):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    src = SnapshotStreamSource(options={"path": t.path, "endVersion": "3"})
+    r = src.streamReader(None)
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 3}
+    r.commit({"version": 3})
+    assert r.latestOffset() == {"version": 3}  # never past the pin
+
+
+def test_drain_available_now_paced_and_bounded(registered, spark, tmp_path):
+    """The library-side Trigger.AvailableNow: drains the WHOLE backlog
+    in admission-controlled batches in ONE invocation, stops at the
+    entry head, and a later invocation picks up exactly the rest."""
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        drain_available_now,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+    for w in range(6):
+        t.commit(
+            spark.createDataFrame([Row(k=w * 10 + j) for j in range(3)]),
+            mode="append",
+        )
+    batches: list[list[tuple]] = []
+
+    def sink(b, _bid):
+        rows = [tuple(r) for r in b.collect()]
+        if rows:
+            batches.append(rows)
+
+    head = drain_available_now(
+        spark, t.path, ck, sink, maxVersionsPerTrigger="2"
+    )
+    assert head == 6
+    flat = sorted(r for b in batches for r in b)
+    assert flat == sorted((w * 10 + j,) for w in range(6) for j in range(3))
+    assert len(batches) == 3  # paced: 6 versions / 2 per trigger
+    # nothing new: the next drain is a fast no-op (checkpoint peek)
+    batches.clear()
+    assert drain_available_now(
+        spark, t.path, ck, sink, maxVersionsPerTrigger="2"
+    ) == 6
+    assert batches == []
+    # two more commits: the next invocation drains exactly those
+    for w in (100, 101):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    assert drain_available_now(
+        spark, t.path, ck, sink, maxVersionsPerTrigger="1"
+    ) == 8
+    assert sorted(r for b in batches for r in b) == [(100,), (101,)]
+    assert len(batches) == 2
+
+
+def test_drain_available_now_replay_safe_across_crash(
+    registered, spark, tmp_path
+):
+    """A drain that dies mid-backlog resumes from the checkpoint and
+    delivers the remaining versions exactly once."""
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        drain_available_now,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ck = str(tmp_path / "ck")
+    for w in range(4):
+        t.commit(spark.createDataFrame([Row(k=w)]), mode="append")
+    got: list[tuple] = []
+
+    def crashing(b, bid):
+        rows = [tuple(r) for r in b.collect()]
+        got.extend(rows)
+        if len(got) >= 2:
+            raise RuntimeError("simulated sink crash")
+
+    with pytest.raises(Exception, match="simulated sink crash"):
+        drain_available_now(
+            spark, t.path, ck, crashing, maxVersionsPerTrigger="1"
+        )
+    crashed_at = len(got)
+    assert 2 <= crashed_at < 4
+
+    def sink(b, _bid):
+        got.extend(tuple(r) for r in b.collect())
+
+    assert drain_available_now(
+        spark, t.path, ck, sink, maxVersionsPerTrigger="1"
+    ) == 4
+    # the crashed batch replays (its commit never landed); union exact
+    from collections import Counter
+
+    c = Counter(got)
+    assert set(c) == {(w,) for w in range(4)}
+    # every version delivered; only the crashed batch may appear twice
+    assert all(n <= 2 for n in c.values())
+    assert sum(1 for n in c.values() if n == 2) <= 1
