@@ -162,3 +162,18 @@ def test_view_name_inside_literal_is_data(spark, eng):
     e.sql("CREATE VIEW v_lit AS SELECT 1 AS one")
     got = e.sql("SELECT 'from v_lit' AS s").collect()[0]["s"]
     assert got == "from v_lit"
+
+
+def test_view_inside_transaction_reads_own_writes(spark, eng, tmp_path):
+    """A view body re-plans through the REGISTRY, so inside an open
+    transaction it reads the staged branch (read-your-writes through
+    saved queries), and after ROLLBACK it reads the untouched head."""
+    e, t = eng
+    e.sql("CREATE VIEW v_n AS SELECT count(*) AS n FROM t")
+    assert e.sql("SELECT * FROM v_n").collect()[0]["n"] == 12
+    e.sql("BEGIN TRANSACTION ON t")
+    e.sql("DELETE FROM t WHERE k >= 6")
+    assert e.sql("SELECT * FROM v_n").collect()[0]["n"] == 6  # staged
+    assert t.read().count() == 12  # other readers: pre-txn head
+    e.sql("ROLLBACK TRANSACTION ON t")
+    assert e.sql("SELECT * FROM v_n").collect()[0]["n"] == 12
