@@ -249,6 +249,18 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "n_docs", "v2": "total_tokens",
               "v3": "budget_tokens", "v4": "kept_tokens",
               "s1": _cw_sql("weight", "n_kept", "overshoot_tokens")}),
+            # e79 (round 9): Gopher repetition rules — per-source
+            # integer numerators/denominators and both flag counts
+            # ride the hash (top2gram_frac = v2/v3 is derived,
+            # standalone parity checks it directly)
+            ("e79", "e79_gopher_repetition",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("sum_max_2gram"),
+              "v3": ("sum_2grams"), "v4": ("sum_tokens"),
+              "s1": _cw("n_flag_2gram", "n_flag_duptok", "sum_distinct")},
+             {"k1": "source", "v1": "n_docs", "v2": "sum_max_2gram",
+              "v3": "sum_2grams", "v4": "sum_tokens",
+              "s1": _cw_sql("n_flag_2gram", "n_flag_duptok",
+                            "sum_distinct")}),
             # e46 (round 8): vocabulary induction — every (rank, word,
             # count, cumulative-coverage) row rides the hash
             ("e46", "e46_vocab_coverage",

@@ -551,6 +551,87 @@ def token_budget_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- e79: Gopher REPETITION rules ---------------------------------------
+#
+# The second half of the Gopher quality suite (e44 covers the
+# length/stopword gates): repetition filters — a document dominated by
+# one repeated n-gram, or with few distinct tokens, is boilerplate/spam.
+# Two Gopher-shape signals, both as EXACT integer counts so the
+# per-source ratios are integer divisions (bit-identical cross-engine,
+# no per-doc float averaging):
+#   top-2-gram fraction  — occurrences of the doc's most frequent
+#                          2-gram over all its 2-grams (flag > 20%),
+#   duplicate-token frac — 1 - distinct/total tokens (flag > 60%).
+# At 100 TB: tokens explode narrowly, the 2-gram count is one
+# (doc, gram) hash aggregate + one per-doc max — two bounded shuffles
+# keyed by doc_id (uniform), nothing global.
+REP_2GRAM_PCT = 20   # flag when max 2-gram count * 100 > pct * total
+REP_DUPTOK_PCT = 60  # flag when (total-distinct) * 100 > pct * total
+
+
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e79: per-source repetition accounting — docs, flags under both
+    rules, and the exact corpus-level numerators/denominators (the
+    ratios derive as integer divisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("gram"),
+    )
+    per_doc_gram = (
+        grams.groupBy("doc_id", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("c").cast("long").alias("max_2gram"),
+            F.sum("c").cast("long").alias("n_2grams"),
+        )
+    )
+    per_doc_tok = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    per_doc = per_doc_gram.join(per_doc_tok, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (
+                    F.col("max_2gram") * 100
+                    > F.col("n_2grams") * REP_2GRAM_PCT
+                ).cast("long")
+            ).alias("n_flag_2gram"),
+            F.sum(
+                (
+                    (F.col("n_tokens") - F.col("n_distinct")) * 100
+                    > F.col("n_tokens") * REP_DUPTOK_PCT
+                ).cast("long")
+            ).alias("n_flag_duptok"),
+            F.sum("max_2gram").cast("long").alias("sum_max_2gram"),
+            F.sum("n_2grams").cast("long").alias("sum_2grams"),
+            F.sum("n_distinct").cast("long").alias("sum_distinct"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "top2gram_frac",
+            F.col("sum_max_2gram").cast("double")
+            / F.col("sum_2grams").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
@@ -561,6 +642,7 @@ QUERIES = {
     "e76_sequence_packing": sequence_packing_report,
     "e77_quality_classifier": quality_classifier_report,
     "e78_token_budget_mixing": token_budget_mixing_report,
+    "e79_gopher_repetition": gopher_repetition_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
@@ -573,6 +655,45 @@ _DECON_JOINS = " ".join(
 _DECON_CONCAT = " || ' ' || ".join(f"t{i}.w" for i in range(DECON_NGRAM))
 
 ORACLES = {
+    "e79_gopher_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, source,
+                   t[i] || ' ' || t[i + 1] AS gram
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ), pdg AS (
+            SELECT doc_id, source,
+                   CAST(MAX(c) AS BIGINT) AS max_2gram,
+                   CAST(SUM(c) AS BIGINT) AS n_2grams
+            FROM (SELECT doc_id, source, gram, COUNT(*) AS c
+                  FROM grams GROUP BY doc_id, source, gram)
+            GROUP BY doc_id, source
+        ), pdt AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+            FROM toks
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN max_2gram * 100
+                                  > n_2grams * {REP_2GRAM_PCT}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_2gram,
+               CAST(SUM(CASE WHEN (n_tokens - n_distinct) * 100
+                                  > n_tokens * {REP_DUPTOK_PCT}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flag_duptok,
+               CAST(SUM(max_2gram) AS BIGINT) AS sum_max_2gram,
+               CAST(SUM(n_2grams) AS BIGINT) AS sum_2grams,
+               CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(max_2gram) AS DOUBLE) / CAST(SUM(n_2grams) AS DOUBLE)
+                   AS top2gram_frac
+        FROM pdg JOIN pdt USING (doc_id)
+        GROUP BY source ORDER BY source
+    """,
     "e77_quality_classifier": f"""
         WITH tok AS (
             SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
