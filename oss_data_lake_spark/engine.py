@@ -166,6 +166,52 @@ class Engine:
                 root = root[len("file:"):]
         return os.path.join(root, "_txns")
 
+    @staticmethod
+    def _protocol_descriptor(t) -> dict | None:
+        """A JSON-reconstructable description of the table's commit
+        protocol for the transaction record: crash recovery runs in a
+        FRESH process, so a member whose metadata tail lives behind a
+        catalog service must be re-attached to THAT service — landing
+        its branch through a default local protocol would fork the
+        table's history. None = the default local protocol."""
+        from oss_data_lake_spark.sources.catalog import (
+            LocalFsCommitProtocol,
+        )
+        from oss_data_lake_spark.sources.rest_catalog import (
+            RestCommitProtocol,
+        )
+
+        p = t.protocol
+        if isinstance(p, LocalFsCommitProtocol):
+            return None
+        if isinstance(p, RestCommitProtocol):
+            return {"kind": "rest", "url": p.base, "table": p.table}
+        raise ValueError(
+            "multi-table transactions need a crash-recoverable commit "
+            f"protocol (local filesystem or REST catalog); table at "
+            f"{t.path} uses {type(p).__name__}, which a fresh recovery "
+            f"process cannot reconstruct"
+        )
+
+    def _reattach(self, ent: dict):
+        """A member table from its transaction-record entry, on the
+        protocol it committed through."""
+        from oss_data_lake_spark.sources.rest_catalog import (
+            RestCommitProtocol,
+        )
+        from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+        desc = ent.get("protocol")
+        if desc is None:
+            return SnapshotTable(self.spark, ent["path"])
+        if desc.get("kind") == "rest":
+            return SnapshotTable(
+                self.spark,
+                ent["path"],
+                protocol=RestCommitProtocol(desc["url"], desc["table"]),
+            )
+        raise ValueError(f"unknown protocol descriptor: {desc!r}")
+
     def _txn_record_write(self, gid: str, entries: list[dict]) -> str:
         """The commit point: one create-exclusive JSON record naming
         every member. ``os.link`` of a fully-written temp file — a
@@ -196,8 +242,6 @@ class Engine:
         import json
         import os
 
-        from oss_data_lake_spark.sources.snapshots import SnapshotTable
-
         d = self._txns_dir()
         if not os.path.isdir(d):
             return []
@@ -210,7 +254,7 @@ class Engine:
                 rec = json.load(fh)
             gid = rec["id"]
             for ent in rec["tables"]:
-                t = SnapshotTable(self.spark, ent["path"])
+                t = self._reattach(ent)
                 head = t.current_version() or 0
                 landed = any(
                     t._manifest(v).get("txn_record") == gid
@@ -254,6 +298,12 @@ class Engine:
                     raise ValueError(
                         f"a transaction is already open on {name!r}"
                     )
+            if len(names) > 1:
+                # multi-table COMMIT needs every member's protocol to be
+                # reconstructable by a fresh recovery process — refuse at
+                # BEGIN, before anything is staged
+                for name in names:
+                    self._protocol_descriptor(self._snapshot_tables[name])
             gid = f"txn-{uuid.uuid4().hex[:10]}"
             rows = []
             for name in names:
@@ -336,7 +386,8 @@ class Engine:
         # transaction open (inspect, retry, or ROLLBACK)
         for _n, t in members:
             t.branch(gid).publish(
-                require_source_unchanged=False, dry_run=True
+                require_source_unchanged=False, dry_run=True,
+                source_protocol=t.protocol,
             )
         # phase 2: the commit point
         self._txn_record_write(
@@ -347,6 +398,7 @@ class Engine:
                     "path": t.path,
                     "branch": gid,
                     "parent": t.current_version() or 0,
+                    "protocol": self._protocol_descriptor(t),
                 }
                 for n, t in members
             ],

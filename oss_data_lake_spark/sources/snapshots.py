@@ -1293,10 +1293,14 @@ class SnapshotTable:
         default — pass ``drop=False`` to keep developing on it.
         ``txn_record`` stamps the landed manifest with a multi-table
         transaction id so crash recovery can tell an already-applied
-        member from a pending one (see ``Engine.recover_transactions``)."""
+        member from a pending one (see ``Engine.recover_transactions``).
+        The publish lands through THIS handle's commit protocol — a
+        table attached via a REST catalog fast-forwards through that
+        catalog, never through a default local tail."""
         v = self.branch(name).publish(
             require_source_unchanged=require_source_unchanged,
             txn_record=txn_record,
+            source_protocol=self.protocol,
         )
         if drop:
             self.drop_branch(name)
@@ -1901,6 +1905,7 @@ class SnapshotTable:
         require_source_unchanged: bool = True,
         dry_run: bool = False,
         txn_record: str | None = None,
+        source_protocol: "CommitProtocol | None" = None,
     ) -> int:
         """Complete the WRITE-AUDIT-PUBLISH loop for a shallow clone:
         push THIS clone's head state back to its source table as ONE
@@ -1956,10 +1961,13 @@ class SnapshotTable:
         # build re-checks against the claimed parent, so a race that
         # slips past this pre-check still refuses atomically
         if require_source_unchanged:
-            if not (
+            if source_protocol is None and not (
                 "://" in src_root
                 or os.path.isdir(os.path.join(src_root, "_snapshots"))
             ):
+                # (a caller-supplied protocol owns the metadata tail —
+                # e.g. a REST catalog — so a missing local _snapshots
+                # dir says nothing about the table's existence)
                 # don't construct a SnapshotTable here: its protocol
                 # would recreate _snapshots under the vanished path
                 raise ValueError(
@@ -1967,7 +1975,9 @@ class SnapshotTable:
                     "(moved or deleted); re-clone from its new "
                     "location and replay the changes"
                 )
-            src_head = SnapshotTable(self.spark, src_root).current_version()
+            src_head = SnapshotTable(
+                self.spark, src_root, protocol=source_protocol
+            ).current_version()
             if src_head is None:
                 raise ValueError(
                     f"publish: source table at {src_root} has no "
@@ -2072,7 +2082,10 @@ class SnapshotTable:
             for k, s in head.get("file_stats", {}).items()
         }
 
-        source = SnapshotTable(self.spark, src_root)
+        # ``source_protocol``: the caller's handle protocol (fast_forward
+        # passes it) — a REST-attached table's publish must land through
+        # its catalog service, not a default local tail
+        source = SnapshotTable(self.spark, src_root, protocol=source_protocol)
 
         def _owner_dirs(root: str, dirs: list[str]) -> set[str]:
             """The data dirs a set of delete-vector dirs tombstones —

@@ -244,3 +244,97 @@ def test_mor_inside_multi_txn_keeps_single_table_semantics(spark, eng2):
     assert t2.read().count() == 6
     m = t1._manifest(t1.current_version())
     assert not m.get("delete_dirs") and not m.get("eq_deletes")
+
+
+def test_multi_txn_over_rest_catalog_table(spark, tmp_path):
+    """A transaction spanning a LOCAL table and a REST-catalog table:
+    the REST member's branch fast-forwards through ITS catalog service
+    (never a default local tail), the record carries a protocol
+    descriptor, and crash recovery reattaches through it."""
+    from oss_data_lake_spark.sources.rest_catalog import (
+        RestCatalogServer,
+        RestCommitProtocol,
+    )
+
+    server = RestCatalogServer().start()
+    try:
+        e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+        tl = SnapshotTable(spark, str(tmp_path / "tl"))
+        tl.commit(spark.createDataFrame([Row(k=1, v=1.0)]))
+        tr = SnapshotTable(
+            spark,
+            str(tmp_path / "tr"),
+            protocol=RestCommitProtocol(server.url, "tr"),
+        )
+        tr.commit(spark.createDataFrame([Row(k=1, s="a")]))
+        e._snapshot_tables["tl"] = tl
+        e._snapshot_tables["tr"] = tr
+
+        e.sql("BEGIN TRANSACTION ON tl, tr")
+        e.sql("INSERT INTO tl VALUES (2, 2.0)")
+        e.sql("INSERT INTO tr VALUES (2, 'b')")
+        e.sql("COMMIT TRANSACTION ON tl, tr")
+        # the REST member's new head lives in the CATALOG SERVICE
+        fresh = SnapshotTable(
+            spark,
+            str(tmp_path / "tr"),
+            protocol=RestCommitProtocol(server.url, "tr"),
+        )
+        assert fresh.current_version() == 2
+        assert fresh.read().count() == 2
+        assert tl.read().count() == 2
+
+        # crash between the record and the pointer moves: recovery must
+        # reattach the REST member through the recorded descriptor
+        e.sql("BEGIN TRANSACTION ON tl, tr")
+        e.sql("INSERT INTO tl VALUES (3, 3.0)")
+        e.sql("INSERT INTO tr VALUES (3, 'c')")
+        gid = e._txns["tl"][1]
+        e._txn_record_write(gid, [
+            {"name": "tl", "path": tl.path, "branch": gid,
+             "parent": tl.current_version(), "protocol": None},
+            {"name": "tr", "path": tr.path, "branch": gid,
+             "parent": tr.current_version(),
+             "protocol": {"kind": "rest", "url": server.url,
+                          "table": "tr"}},
+        ])
+        e2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+        assert e2.recover_transactions() == [gid]
+        assert SnapshotTable(
+            spark, str(tmp_path / "tr"),
+            protocol=RestCommitProtocol(server.url, "tr"),
+        ).read().count() == 3
+        assert tl.read().count() == 3
+    finally:
+        server.stop()
+
+
+def test_single_table_txn_on_rest_table(spark, tmp_path):
+    """BEGIN/COMMIT on a REST-attached table alone: the fast-forward
+    lands through the catalog service."""
+    from oss_data_lake_spark.sources.rest_catalog import (
+        RestCatalogServer,
+        RestCommitProtocol,
+    )
+
+    server = RestCatalogServer().start()
+    try:
+        e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / "t"),
+            protocol=RestCommitProtocol(server.url, "t1"),
+        )
+        t.commit(spark.createDataFrame([Row(k=i) for i in range(6)]))
+        e._snapshot_tables["t"] = t
+        e.sql("BEGIN TRANSACTION ON t")
+        e.sql("DELETE FROM t WHERE k < 2")
+        e.sql("COMMIT TRANSACTION ON t")
+        fresh = SnapshotTable(
+            spark, str(tmp_path / "t"),
+            protocol=RestCommitProtocol(server.url, "t1"),
+        )
+        assert fresh.current_version() == 2
+        assert fresh.read().count() == 4
+    finally:
+        server.stop()
