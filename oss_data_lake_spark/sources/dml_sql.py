@@ -1158,10 +1158,11 @@ _COPY_INTO_RE = re.compile(
 
 def _parse_column_defs(
     defs: str,
-) -> tuple[dict[str, str], dict[str, str]]:
-    """``a INT, b DECIMAL(10,2) DEFAULT 0.0`` → ({name: type_ddl},
-    {name: default_sql}); commas inside type/expression parens are not
-    separators, and ``DEFAULT`` inside a string literal stays data."""
+) -> tuple[dict[str, str], dict[str, str], dict[str, str]]:
+    """``a INT, b DECIMAL(10,2) DEFAULT 0.0, c DATE GENERATED ALWAYS AS
+    (to_date(ts))`` → ({name: type_ddl}, {name: default_sql},
+    {name: generated_sql}); commas inside type/expression parens are not
+    separators, and keywords inside string literals stay data."""
     masked = _masked(defs)
     depths = _depths(masked)
     parts, start = [], 0
@@ -1172,22 +1173,56 @@ def _parse_column_defs(
     parts.append((defs[start:], masked[start:]))
     out: dict[str, str] = {}
     dflt: dict[str, str] = {}
+    gens: dict[str, str] = {}
     for p, pm in parts:
         m = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)\s*$", p, re.DOTALL)
         if not m:
             raise ValueError(f"cannot parse column definition: {p.strip()!r}")
         name, rest = m.group(1), m.group(2)
-        dm = re.search(r"\bDEFAULT\b", pm[m.start(2):], re.IGNORECASE)
+        gm = re.search(
+            r"\bGENERATED\s+ALWAYS\s+AS\s*\(", pm[m.start(2):], re.IGNORECASE
+        )
+        if gm:
+            # the expression is the balanced paren group after AS
+            tail = rest[gm.end() - 1:]
+            tmask = pm[m.start(2):][gm.end() - 1:]
+            td = _depths(tmask)
+            close = next(
+                (i for i, ch in enumerate(tmask) if ch == ")" and td[i] == 1),
+                None,
+            )
+            if close is None:
+                raise ValueError(
+                    f"unbalanced GENERATED ALWAYS AS parens for '{name}'"
+                )
+            expr = tail[1:close].strip()
+            if not expr:
+                raise ValueError(
+                    f"empty GENERATED expression for column '{name}'"
+                )
+            if tail[close + 1:].strip():
+                raise ValueError(
+                    f"unexpected text after GENERATED ALWAYS AS (...) "
+                    f"for '{name}': {tail[close + 1:].strip()!r}"
+                )
+            gens[name] = expr
+            rest = rest[: gm.start()].strip()
+        dm = re.search(r"\bDEFAULT\b", _masked(rest), re.IGNORECASE)
         if dm:
             expr = rest[dm.end():].strip()
             if not expr:
                 raise ValueError(
                     f"empty DEFAULT expression for column '{name}'"
                 )
+            if name in gens:
+                raise ValueError(
+                    f"column '{name}' cannot be both GENERATED and "
+                    f"DEFAULTed"
+                )
             dflt[name] = expr
             rest = rest[: dm.start()].strip()
         out[name] = rest
-    return out, dflt
+    return out, dflt, gens
 
 
 def _prunable_columns(df: DataFrame) -> list[str]:
@@ -1230,11 +1265,12 @@ def dispatch_statement(
                 f"snapshot table '{name}' already exists; use CREATE "
                 f"TABLE IF NOT EXISTS or DROP TABLE first"
             )
-        cols, defaults = _parse_column_defs(defs)
-        unknown = set(defaults) - set(cols)
+        cols, defaults, gens = _parse_column_defs(defs)
+        unknown = (set(defaults) | set(gens)) - set(cols)
         if unknown:
             raise ValueError(
-                f"DEFAULT for columns not declared: {sorted(unknown)}"
+                f"DEFAULT/GENERATED for columns not declared: "
+                f"{sorted(unknown)}"
             )
         ddl = ", ".join(f"{n} {ty}" for n, ty in cols.items())
         empty = spark.createDataFrame([], ddl)
@@ -1269,6 +1305,10 @@ def dispatch_statement(
         # 'already exists' and IF NOT EXISTS silently no-op.
         try:
             version = t.commit(empty, partition_by=entries or None)
+            for cname, expr in gens.items():
+                # validates planability/determinism over the v1 schema;
+                # a bad expression unwinds the CREATE entirely
+                version = t.set_generated_column(cname, expr)
         except Exception:
             engine.drop_snapshot_table(name, delete_data=True)
             raise
@@ -1403,9 +1443,15 @@ def dispatch_statement(
         manifest = t._manifest(v)
         schema = t.schema(v)
         wdef = t.write_defaults(v)
+        gens = t.generated_columns(v)
         cols = ",\n".join(
             f"  {f.name} {f.dataType.simpleString().upper()}"
             + (f" DEFAULT {wdef[f.name]}" if f.name in wdef else "")
+            + (
+                f" GENERATED ALWAYS AS ({gens[f.name]})"
+                if f.name in gens
+                else ""
+            )
             for f in schema.fields
         )
         lines = [f"CREATE TABLE {m.group(1)} (\n{cols}\n)", "USING snapshot"]
@@ -1502,7 +1548,13 @@ def dispatch_statement(
         name = m.group(1)
         if name not in tables:
             return None  # session-catalog ALTER falls through
-        cols, defaults = _parse_column_defs(m.group(2))
+        cols, defaults, gens = _parse_column_defs(m.group(2))
+        if gens:
+            raise ValueError(
+                "GENERATED columns are declared at CREATE TABLE "
+                "(Delta's rule: existing rows have no value to derive "
+                "retroactively)"
+            )
         version = tables[name].add_columns(cols, defaults or None)
         return spark.createDataFrame([(version,)], "version long")
 
@@ -2041,9 +2093,13 @@ def dispatch_statement(
                 f"columns, target list has {len(cols)}"
             )
         # omitted columns fill their WRITE DEFAULT (NULL when none) —
-        # standard SQL DEFAULT semantics
+        # standard SQL DEFAULT semantics; omitted GENERATED columns
+        # compute from the row (the fill projection resolves column
+        # references), and explicitly-provided ones validate at commit
         aligned = t._align(
-            src.toDF(*cols), target_schema, fill=t.write_defaults()
+            src.toDF(*cols),
+            target_schema,
+            fill={**t.write_defaults(), **t.generated_columns()},
         )
         # the insert adopts the table's current partition layout
         # (identity or hidden transform) instead of accreting
@@ -2172,13 +2228,16 @@ def dispatch_statement(
                 "(table registered but never committed)"
             )
         wdef = t.write_defaults()
+        gens = t.generated_columns()
         return spark.createDataFrame(
             [
                 (
                     f.name,
                     f.dataType.simpleString(),
                     (
-                        f"DEFAULT {wdef[f.name]}"
+                        f"GENERATED ALWAYS AS ({gens[f.name]})"
+                        if f.name in gens
+                        else f"DEFAULT {wdef[f.name]}"
                         if f.name in wdef
                         else None
                     ),

@@ -441,6 +441,11 @@ class SnapshotTable:
         already = applied_txn()
         if already is not None:
             return already  # idempotent no-op
+        # GENERATED ALWAYS AS columns: compute when absent, validate
+        # when present — BEFORE the partition/constraint/sort machinery
+        # so every later stage (including CHECK constraints over the
+        # generated value) sees the complete frame
+        df = self._apply_generated(df, self.current_version())
         # hidden partitioning: transform entries derive a hidden _p_*
         # column that exists only in the data directory — the snapshot
         # schema (below) stays the ORIGINAL df's, so readers never see it
@@ -1035,7 +1040,20 @@ class SnapshotTable:
 
     def drop_columns(self, names: list[str]) -> int:
         """Remove columns from the table schema; metadata-only commit
-        (data files keep the bytes — time travel still reads them)."""
+        (data files keep the bytes — time travel still reads them).
+        Dropping a GENERATED column drops its rule; dropping one of a
+        generated column's INPUTS refuses while the rule exists."""
+        dropping = set(names)
+        for g, inputs in self.generated_input_columns().items():
+            if g in dropping:
+                continue  # the rule leaves with its column
+            bad = sorted(inputs & dropping)
+            if bad:
+                raise ValueError(
+                    f"cannot drop {bad}: GENERATED column '{g}' derives "
+                    f"from them — drop '{g}' first"
+                )
+
         def update(schema: T.StructType) -> T.StructType:
             existing = {f.name for f in schema.fields}
             missing = set(names) - existing
@@ -1158,6 +1176,132 @@ class SnapshotTable:
             for n, e in self.column_defaults(version).items()
             if e.get("write") is not None
         }
+
+    # -------------------------------------------- GENERATED columns
+    #
+    # Delta's GENERATED ALWAYS AS (expr): a column whose value is a
+    # function of the row's OTHER columns. Stored as a third field of
+    # the ``column_defaults`` entry — the map that already rides every
+    # commit kind, follows RENAME, leaves with DROP COLUMN, and travels
+    # with clone/publish — so no new manifest key to carry. Contract:
+    #   - commit() (INSERT INTO / COPY INTO / API appends/overwrites):
+    #     an ABSENT generated column is computed; a PRESENT one is
+    #     VALIDATED row-wise (null-safe equality, one batched pass with
+    #     the CHECK constraints' cost shape) — an inconsistent write
+    #     refuses, never silently lands,
+    #   - copy-on-write UPDATE recomputes fired rows after assignments
+    #     (Delta's recompute); assigning a generated column directly
+    #     refuses,
+    #   - merge-on-read / subquery UPDATE and MERGE refuse assignments
+    #     to a generated column OR its input columns (conservative: the
+    #     recompute projection is a CoW-path feature; the error names
+    #     the copy-on-write escape),
+    #   - RENAME of the column or any input refuses (the stored
+    #     expression is text); DROP COLUMN of an input refuses while
+    #     the rule exists; dropping the generated column drops the
+    #     rule with it.
+
+    def generated_columns(self, version: int | None = None) -> dict[str, str]:
+        """``{name: sql_expr}`` for GENERATED ALWAYS AS columns."""
+        return {
+            n: e["generated"]
+            for n, e in self.column_defaults(version).items()
+            if e.get("generated") is not None
+        }
+
+    def generated_input_columns(
+        self, version: int | None = None
+    ) -> dict[str, set[str]]:
+        """``{generated_name: {input column names}}`` — schema columns
+        the stored expression references (masked word scan)."""
+        schema = self.schema(version)
+        names = {f.name for f in schema.fields} if schema else set()
+        out: dict[str, set[str]] = {}
+        for g, expr in self.generated_columns(version).items():
+            words = set(re.findall(r"[A-Za-z_]\w*", _masked(expr)))
+            out[g] = (words & names) - {g}
+        return out
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Attach GENERATED ALWAYS AS ``expr`` to column ``name``
+        (normally done by column-list CREATE TABLE). Validates that the
+        expression plans over the table schema, is deterministic, and
+        references only OTHER columns."""
+        schema = self.schema()
+        if schema is None:
+            raise ValueError(
+                "GENERATED column needs a schema-carrying snapshot"
+            )
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: '{name}'")
+        empty = self.spark.createDataFrame([], schema)
+        try:
+            probe = empty.select(F.expr(expr).cast(field.dataType))
+            probe.schema
+        except Exception as e:
+            raise ValueError(
+                f"GENERATED expression for '{name}' does not plan over "
+                f"the table schema: {e}"
+            )
+        try:
+            root = (
+                probe._jdf.queryExecution().analyzed().expressions().apply(0)
+            )
+            deterministic = bool(root.deterministic())
+        except Exception:
+            deterministic = True  # JVM internals unavailable: skip check
+        if not deterministic:
+            raise ValueError(
+                f"GENERATED expression for '{name}' is non-deterministic: "
+                f"recomputation would change committed values"
+            )
+        words = set(re.findall(r"[A-Za-z_]\w*", _masked(expr)))
+        if name in words:
+            raise ValueError(
+                f"GENERATED column '{name}' cannot reference itself"
+            )
+
+        def update(cur: dict) -> dict:
+            entry = dict(cur.get(name) or {})
+            entry["generated"] = expr
+            return {**cur, name: entry}
+
+        return self._commit_meta(
+            "column_defaults", update, f"set_generated_{name}"
+        )
+
+    def _apply_generated(self, df: DataFrame, parent: int | None) -> DataFrame:
+        """The commit()-side contract: compute absent generated columns,
+        batch-validate present ones (one pass, CHECK-constraint shape)."""
+        if not parent:
+            return df
+        gens = self.generated_columns(parent)
+        if not gens:
+            return df
+        schema = self.schema(parent)
+        ftypes = {f.name: f.dataType for f in schema.fields} if schema else {}
+        checks: dict[str, str] = {}
+        all_inputs = self.generated_input_columns(parent)
+        for name, expr in gens.items():
+            inputs = all_inputs.get(name, set())
+            missing = inputs - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"GENERATED column '{name}' needs input column(s) "
+                    f"{sorted(missing)} which the write is missing"
+                )
+            ty = ftypes.get(name)
+            if name not in df.columns:
+                df = df.withColumn(
+                    name, F.expr(expr).cast(ty) if ty else F.expr(expr)
+                )
+            else:
+                rhs = f"CAST(({expr}) AS {ty.simpleString()})" if ty else expr
+                checks[f"generated({name})"] = f"{name} <=> ({rhs})"
+        if checks:
+            self._enforce(checks, df, context="this commit")
+        return df
 
     def _initial_defaults(self, manifest: dict) -> dict[str, str]:
         return {
@@ -2689,7 +2833,20 @@ class SnapshotTable:
         (keyed by write-time names) keep pruning through the id
         translation. Refuses on legacy directories that predate field-id
         manifests (name-based projection there would silently NULL the
-        renamed column's old data — recommit/compact first)."""
+        renamed column's old data — recommit/compact first). Refuses on
+        a GENERATED column or any of its inputs: the stored expression
+        is text and would silently stop resolving."""
+        gin = self.generated_input_columns()
+        holders = sorted(
+            g for g, inputs in gin.items() if old in inputs or old == g
+        )
+        if holders:
+            raise ValueError(
+                f"cannot rename '{old}': GENERATED column rule(s) "
+                f"{holders} reference it — drop the generated column "
+                f"first"
+            )
+
         def build(parent: int | None, read_manifest) -> dict:
             if parent is None:
                 raise ValueError("rename on an empty table")
@@ -4240,6 +4397,9 @@ class SnapshotTable:
                 raise ValueError(
                     f"UPDATE assigns unknown columns: {sorted(unknown)}"
                 )
+        self._refuse_generated_assignments(
+            assignments, direct=True, inputs_too=True
+        )
         last_err: Exception | None = None
         for _attempt in range(self._DML_RETRIES):
             v = self.current_version()
@@ -4652,6 +4812,13 @@ class SnapshotTable:
         target_schema = self.schema()
         if target_schema is None:
             raise ValueError("merge_rows_mor needs a schema-carrying snapshot")
+        if self.generated_columns():
+            raise ValueError(
+                "merge-on-read upsert is not supported on a table with "
+                "GENERATED columns: the source rows would land "
+                "unvalidated — use copy-on-write MERGE with explicit "
+                "assignments, or INSERT INTO"
+            )
         if set(source.columns) != set(f.name for f in target_schema.fields):
             raise ValueError(
                 f"merge source schema mismatch: source={sorted(source.columns)}"
@@ -5293,8 +5460,17 @@ class SnapshotTable:
         Same pruning contract and return shape as ``delete_where``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         fire = F.coalesce(cond, F.lit(False))
+        gens = self.generated_columns()
+        self._refuse_generated_assignments(assignments, direct=True)
+        schema = self.schema() or T.StructType()
+        gtypes = {f.name: f.dataType for f in schema.fields}
 
         def transform(cand: DataFrame) -> DataFrame:
+            # the fire flag materializes FIRST: assignments and the
+            # generated-column recompute below must both key off the
+            # PRE-update condition, not post-assignment values
+            flag = "__upd_fire"
+            tagged = cand.select("*", fire.alias(flag))
             out_cols = []
             for c in cand.columns:
                 a = assignments.get(c)
@@ -5303,19 +5479,59 @@ class SnapshotTable:
                 else:
                     expr = F.expr(a) if isinstance(a, str) else a
                     out_cols.append(
-                        F.when(fire, expr).otherwise(F.col(c)).alias(c)
+                        F.when(F.col(flag), expr)
+                        .otherwise(F.col(c))
+                        .alias(c)
                     )
-            return cand.select(*out_cols)
+            out = tagged.select(*out_cols, F.col(flag))
+            # Delta's recompute: fired rows re-derive their GENERATED
+            # columns from the post-assignment values (one extra
+            # projection, collapsed by Catalyst); unfired rows keep
+            # their already-valid committed values
+            for g, gexpr in gens.items():
+                out = out.withColumn(
+                    g,
+                    F.when(
+                        F.col(flag), F.expr(gexpr).cast(gtypes.get(g))
+                    ).otherwise(F.col(g)),
+                )
+            return out.drop(flag)
 
-        unknown = set(assignments) - set(
-            f.name for f in (self.schema() or T.StructType()).fields
-        )
+        unknown = set(assignments) - set(f.name for f in schema.fields)
         if unknown:
             raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
         return self._rewrite_where(
             transform, "update", prune_column, prune_lower, prune_upper,
             stats_for, bloom_for, prune_preds=prune_preds,
         )
+
+    def _refuse_generated_assignments(
+        self, assignments: dict, direct: bool, inputs_too: bool = False
+    ) -> None:
+        """Shared guard: assigning a GENERATED column refuses everywhere;
+        paths without the recompute projection (merge-on-read / subquery
+        UPDATE, MERGE) also refuse assigning its INPUT columns."""
+        gens = self.generated_columns()
+        if not gens:
+            return
+        hit = sorted(set(assignments) & set(gens))
+        if hit:
+            raise ValueError(
+                f"cannot assign GENERATED column(s) {hit}: their values "
+                f"derive from other columns"
+            )
+        if inputs_too:
+            gin = self.generated_input_columns()
+            for g, inputs in gin.items():
+                bad = sorted(set(assignments) & inputs)
+                if bad:
+                    raise ValueError(
+                        f"this UPDATE path cannot assign {bad}: GENERATED "
+                        f"column '{g}' derives from them and only "
+                        f"copy-on-write UPDATE recomputes (set "
+                        f"delete.mode=copy-on-write, or avoid subquery "
+                        f"conditions on these columns)"
+                    )
 
     def replace_where(
         self,
@@ -5437,6 +5653,9 @@ class SnapshotTable:
             raise ValueError(
                 f"UPDATE assigns unknown columns: {sorted(unknown)}"
             )
+        self._refuse_generated_assignments(
+            assignments, direct=True, inputs_too=True
+        )
 
         def transform(cand: DataFrame) -> DataFrame:
             view = f"__dml_cand_{uuid.uuid4().hex[:8]}"
@@ -5503,6 +5722,28 @@ class SnapshotTable:
         target_schema = self.schema()
         if target_schema is None:
             raise ValueError("merge_rows needs a schema-carrying snapshot")
+        # MERGE has no recompute projection: refuse touching a GENERATED
+        # column or its inputs through SET/VALUES (star forms copy the
+        # source row wholesale — commit-side validation would not run on
+        # this path, so the guard covers explicit assignments; star
+        # merges on generated-column tables refuse below)
+        if self.generated_columns():
+            for m in (matched_assignments, insert_values,
+                      not_matched_by_source_assignments):
+                if m:
+                    self._refuse_generated_assignments(
+                        m, direct=True, inputs_too=True
+                    )
+            if (when_matched == "update" and not matched_assignments) or (
+                when_not_matched == "insert" and not insert_values
+            ):
+                raise ValueError(
+                    "star-form MERGE (UPDATE SET * / INSERT *) is not "
+                    "supported on a table with GENERATED columns: the "
+                    "source row would overwrite derived values "
+                    "unvalidated — name the columns explicitly, or use "
+                    "INSERT INTO / UPDATE"
+                )
         # only the STAR forms need the full table schema from the source
         # (non-star clauses and BY SOURCE-only merges reference just
         # their named columns plus the keys)
