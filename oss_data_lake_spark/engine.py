@@ -404,17 +404,44 @@ class Engine:
             ],
         )
         # phase 3: land every member (a crash from here rolls FORWARD
-        # via recover_transactions)
+        # via recover_transactions). A member failing HERE — a
+        # conflicting write squeezing into the tiny window after the
+        # record — triggers one immediate in-process recovery attempt;
+        # if the conflict persists, the record stays (the transaction is
+        # COMMITTED and must eventually roll forward) and the error says
+        # so. Either way the in-memory registry is restored for every
+        # member that landed.
         import os
 
         rows = []
-        for n, t in members:
-            v = t.fast_forward(
-                gid, require_source_unchanged=False, txn_record=gid
+        try:
+            for n, t in members:
+                v = t.fast_forward(
+                    gid, require_source_unchanged=False, txn_record=gid
+                )
+                del self._txns[n]
+                self._snapshot_tables[n] = t
+                rows.append((n, v))
+        except Exception as first:
+            try:
+                self.recover_transactions()
+            except Exception:
+                raise RuntimeError(
+                    f"transaction {gid} is COMMITTED (record written) "
+                    f"but a member failed to land and immediate "
+                    f"roll-forward also failed; the record is kept — "
+                    f"rerun recover_transactions() once the conflict "
+                    f"clears: {first}"
+                ) from first
+            # recovery landed the rest: finish the bookkeeping
+            for n, t in members:
+                if n in self._txns:
+                    del self._txns[n]
+                    self._snapshot_tables[n] = t
+            return self.spark.createDataFrame(
+                [(n, t.current_version()) for n, t in members],
+                "table string, version long",
             )
-            del self._txns[n]
-            self._snapshot_tables[n] = t
-            rows.append((n, v))
         os.remove(os.path.join(self._txns_dir(), f"{gid}.json"))
         return self.spark.createDataFrame(rows, "table string, version long")
 

@@ -5567,6 +5567,11 @@ class SnapshotTable:
                     "enforce=False to accept them"
                 )
 
+        # GENERATED columns hold on the replacement slice too: compute
+        # when absent, refuse inconsistent values (same contract as
+        # commit — replace_where writes through its own path)
+        df = self._apply_generated(df, self.current_version())
+
         def transform(cand: DataFrame) -> DataFrame:
             survivors = cand.filter(~F.coalesce(cond, F.lit(False)))
             return survivors.unionByName(

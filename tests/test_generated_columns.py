@@ -203,3 +203,22 @@ def test_generated_date_partitioning_use_case(spark, tmp_path):
         "SELECT count(*) AS n FROM ev WHERE d = DATE '2024-01-01'"
     ).collect()[0]["n"]
     assert n == 1
+
+
+def test_replace_where_computes_and_validates(spark, gen_eng):
+    """replace_where writes through its own path — the generated
+    contract must hold there too."""
+    e, t = gen_eng
+    e.sql("INSERT INTO t (a, b) VALUES (1, 2), (50, 50)")
+    # absent generated column in the replacement: computed
+    t.replace_where(
+        spark.createDataFrame([(1, 9)], "a int, b int"), "a < 10"
+    )
+    got = {r["a"]: r["s"] for r in t.read().collect()}
+    assert got == {1: 10, 50: 100}
+    # inconsistent replacement refuses
+    with pytest.raises(ValueError, match="generated"):
+        t.replace_where(
+            spark.createDataFrame([(1, 9, 999)], "a int, b int, s int"),
+            "a < 10",
+        )

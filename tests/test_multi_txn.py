@@ -338,3 +338,43 @@ def test_single_table_txn_on_rest_table(spark, tmp_path):
         assert fresh.read().count() == 4
     finally:
         server.stop()
+
+
+def test_phase3_conflict_recovers_in_process(spark, eng2):
+    """A conflicting write squeezing in AFTER the record (between
+    dry-run and fast_forward): the commit rolls forward in-process via
+    rebase when the conflict is disjoint — both members land, no record
+    remains, and the registry is restored."""
+    e, t1, t2 = eng2
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t1 VALUES (900, 9.0)")
+    e.sql("INSERT INTO t2 VALUES (900, 'nine')")
+    # sneak a DISJOINT append onto t2 after the dry-run would have
+    # validated: simulate by appending right now — the dry-run in
+    # COMMIT re-validates against this head and rebases, so instead
+    # patch fast_forward to inject the append between record and land
+    orig_ff = type(t2).fast_forward
+    state = {"fired": False}
+
+    def sneaky(self, name, **kw):
+        if self.path == t2.path and not state["fired"]:
+            state["fired"] = True
+            t2.commit(
+                spark.createDataFrame([Row(k=901, s="sneak")]),
+                mode="append",
+            )
+        return orig_ff(self, name, **kw)
+
+    type(t2).fast_forward = sneaky
+    try:
+        e.sql("COMMIT TRANSACTION ON t1, t2")
+    finally:
+        type(t2).fast_forward = orig_ff
+    assert {r["k"] for r in t2.read().collect()} == (
+        set(range(5)) | {900, 901}
+    )
+    assert {r["k"] for r in t1.read().collect()} == set(range(10)) | {900}
+    assert os.listdir(e._txns_dir()) == []
+    # the engine is fully usable afterwards
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("ROLLBACK TRANSACTION ON t1, t2")
