@@ -175,3 +175,31 @@ def test_full_dml_surface_over_rest(spark, server, tmp_path):
     t.expire_snapshots(keep_last=2)
     assert t.protocol.list_versions() == [3, 4]
     assert t.read().count() == 16
+
+
+def test_cross_process_commit_through_http(server):
+    """A literally separate OS process (no shared state but the URL)
+    commits through the catalog service and the parent observes it —
+    the two-independent-engine-processes claim, process-for-real."""
+    import subprocess
+    import sys
+
+    parent = RestCommitProtocol(server.url, "xproc")
+    parent.commit(lambda p, _r: {"version": (p or 0) + 1, "who": "parent"})
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from oss_data_lake_spark.sources.rest_catalog import "
+        "RestCommitProtocol\n"
+        "p = RestCommitProtocol(sys.argv[1], 'xproc')\n"
+        "v = p.commit(lambda parent, _r: "
+        "{'version': (parent or 0) + 1, 'who': 'child'})\n"
+        "print('LANDED', v)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, server.url],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "LANDED 2" in out.stdout
+    assert parent.read_current() == 2
+    assert parent.read_manifest(2)["who"] == "child"
