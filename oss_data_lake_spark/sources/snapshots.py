@@ -6615,15 +6615,23 @@ class SnapshotTable:
 # the normal Spark SQL path. BI/JDBC clients that cannot preprocess text
 # get the same capability as named views via ``snapshot_view``.
 
+# Both spellings resolve: Trino's ``t FOR VERSION AS OF n`` and
+# Delta's FOR-less ``t VERSION AS OF n`` (same for TIMESTAMP AS OF).
+# The captured name must be a real relation, not the keyword of a
+# SURROUNDING clause that happens to precede VERSION AS OF — FOR
+# (this clause's own marker) and TO (``RESTORE ... TO VERSION AS OF``,
+# handled by its own statement arm) are excluded.
+_TT_NAME = r"\b(?!FOR\b|TO\b)([A-Za-z_][\w.]*)"
 _TT_VERSION_RE = re.compile(
-    r"\b([A-Za-z_][\w.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+    rf"{_TT_NAME}\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+    re.IGNORECASE,
 )
 _TT_TAG_RE = re.compile(
-    r"\b([A-Za-z_][\w.]*)\s+FOR\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+    rf"{_TT_NAME}\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+'([^']+)'",
     re.IGNORECASE,
 )
 _TT_TS_RE = re.compile(
-    r"\b([A-Za-z_][\w.]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+"
+    rf"{_TT_NAME}\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+"
     r"(?:TIMESTAMP\s+)?'([^']+)'",
     re.IGNORECASE,
 )

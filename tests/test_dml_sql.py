@@ -876,3 +876,38 @@ def test_replace_where_condition_with_subquery_and_literal(spark, eng):
     rows = {r["k"]: r["s"] for r in eng.sql("SELECT k, s FROM t").collect()}
     assert rows[10] == "swap" and rows[11] == "swap"
     assert 12 not in rows and len(rows) == 99
+
+
+def test_delta_spelling_time_travel_without_for(spark, tmp_path):
+    """Round 9: Delta's FOR-less spelling — ``t VERSION AS OF n`` /
+    ``t TIMESTAMP AS OF 'ts'`` — resolves beside Trino's FOR form, and
+    RESTORE's own ``TO VERSION AS OF`` keeps routing to its arm."""
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.snapshots import SnapshotTable
+
+    e = Engine(spark=spark)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(i,) for i in range(5)], "k long"))
+    t.commit(spark.createDataFrame([(9,)], "k long"), mode="append")
+    e._snapshot_tables["tt9"] = t
+    assert e.sql(
+        "SELECT count(*) AS n FROM tt9 VERSION AS OF 1"
+    ).collect()[0]["n"] == 5
+    assert e.sql(
+        "SELECT count(*) AS n FROM tt9 FOR VERSION AS OF 1"
+    ).collect()[0]["n"] == 5
+    assert e.sql("SELECT count(*) AS n FROM tt9").collect()[0]["n"] == 6
+    # both spellings inside one statement
+    both = e.sql(
+        "SELECT (SELECT count(*) FROM tt9 VERSION AS OF 1) AS a, "
+        "(SELECT count(*) FROM tt9 FOR VERSION AS OF 2) AS b"
+    ).collect()[0]
+    assert (both["a"], both["b"]) == (5, 6)
+    # RESTORE's TO VERSION AS OF still dispatches to the restore arm
+    e.sql("RESTORE TABLE tt9 TO VERSION AS OF 1")
+    assert t.read().count() == 5
+    # and the spelling inside a literal stays data
+    got = e.sql(
+        "SELECT 'tt9 VERSION AS OF 1' AS s FROM tt9 LIMIT 1"
+    ).collect()[0]["s"]
+    assert got == "tt9 VERSION AS OF 1"
