@@ -29,7 +29,14 @@ class Engine:
         self,
         spark: SparkSession | None = None,
         warehouse_dir: str | None = None,
+        view_catalog=None,
     ):
+        """``view_catalog`` overrides WHERE persistent views live: the
+        default is the warehouse-local file catalog
+        (``sources/views.ViewCatalog``); pass a
+        ``rest_catalog.RestViewCatalog`` to share saved queries across
+        processes through the catalog service (the Lakekeeper view
+        role)."""
         self.spark = spark or get_spark(warehouse_dir=warehouse_dir)
         self._warehouse_dir = warehouse_dir
         self._snapshot_tables: dict = {}
@@ -39,7 +46,7 @@ class Engine:
         # ones that mutate the registry for other names) works on the
         # real dict — no throwaway copies
         self._txns: dict[str, tuple] = {}
-        self._view_catalog = None
+        self._view_catalog = view_catalog
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -51,6 +51,8 @@ from oss_data_lake_spark.sources.catalog import (
 _TABLE_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)$")
 _MANIFEST_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/manifests/(\d+)$")
 _COMMIT_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/commit$")
+_VIEWS_RE = re.compile(r"^/v1/views$")
+_VIEW_RE = re.compile(r"^/v1/views/([A-Za-z_][\w.]*)$")
 
 
 class RestCatalogServer:
@@ -61,6 +63,7 @@ class RestCatalogServer:
 
     def __init__(self):
         self._tables: dict[str, dict] = {}  # name -> {versions, current}
+        self._views: dict[str, str] = {}    # name -> SELECT text
         self._mu = threading.Lock()
         outer = self
 
@@ -105,9 +108,40 @@ class RestCatalogServer:
                             404, {"error": "NoSuchManifestException"}
                         )
                     return self._json(200, mf)
+                if _VIEWS_RE.match(self.path):
+                    with outer._mu:
+                        return self._json(
+                            200, {"views": sorted(outer._views)}
+                        )
+                m = _VIEW_RE.match(self.path)
+                if m:
+                    with outer._mu:
+                        text = outer._views.get(m.group(1))
+                    if text is None:
+                        return self._json(
+                            404, {"error": "NoSuchViewException"}
+                        )
+                    return self._json(
+                        200, {"name": m.group(1), "text": text}
+                    )
                 return self._json(404, {"error": "NotFound"})
 
             def do_POST(self):
+                m = _VIEW_RE.match(self.path)
+                if m:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n).decode())
+                    name = m.group(1)
+                    with outer._mu:
+                        exists = name in outer._views
+                        if exists and req.get("mode") == "create":
+                            return self._json(409, {
+                                "error": "ViewAlreadyExistsException",
+                            })
+                        if exists and req.get("mode") == "create_if_absent":
+                            return self._json(200, {"created": False})
+                        outer._views[name] = req["text"]
+                        return self._json(200, {"created": not exists})
                 m = _COMMIT_RE.match(self.path)
                 if not m:
                     return self._json(404, {"error": "NotFound"})
@@ -149,6 +183,15 @@ class RestCatalogServer:
                     return self._json(200, {"version": v})
 
             def do_DELETE(self):
+                m = _VIEW_RE.match(self.path)
+                if m:
+                    with outer._mu:
+                        if m.group(1) not in outer._views:
+                            return self._json(
+                                404, {"error": "NoSuchViewException"}
+                            )
+                        del outer._views[m.group(1)]
+                        return self._json(200, {})
                 m = _MANIFEST_RE.match(self.path)
                 if not m:
                     return self._json(404, {"error": "NotFound"})
@@ -178,6 +221,68 @@ class RestCatalogServer:
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+
+
+class RestViewCatalog:
+    """Persistent-VIEW bindings through the catalog service — the same
+    ``names/get/create/drop`` interface as ``views.ViewCatalog`` (the
+    file-based default), so ``Engine(view_catalog=...)`` shares saved
+    queries across processes the way Lakekeeper serves Iceberg views.
+    All operations are one HTTP round-trip over KB-scale text."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def _request(self, method: str, path: str, payload: dict | None = None):
+        data = None if payload is None else json.dumps(payload).encode()
+        req = urllib.request.Request(
+            self.base + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode() or "{}")
+
+    def names(self) -> list[str]:
+        _code, body = self._request("GET", "/v1/views")
+        return body["views"]
+
+    def get(self, name: str) -> str | None:
+        code, body = self._request("GET", f"/v1/views/{name}")
+        return None if code == 404 else body["text"]
+
+    def create(
+        self,
+        name: str,
+        text: str,
+        or_replace: bool = False,
+        if_not_exists: bool = False,
+    ) -> None:
+        mode = (
+            "replace"
+            if or_replace
+            else "create_if_absent" if if_not_exists else "create"
+        )
+        code, _body = self._request(
+            "POST", f"/v1/views/{name}", {"text": text, "mode": mode}
+        )
+        if code == 409:
+            raise ValueError(
+                f"view '{name}' already exists; use CREATE OR REPLACE "
+                f"VIEW or DROP VIEW first"
+            )
+
+    def drop(self, name: str, if_exists: bool = False) -> bool:
+        code, _body = self._request("DELETE", f"/v1/views/{name}")
+        if code == 404:
+            if if_exists:
+                return False
+            raise ValueError(f"view '{name}' does not exist")
+        return True
 
 
 class RestCommitProtocol(CommitProtocol):

@@ -203,3 +203,44 @@ def test_cross_process_commit_through_http(server):
     assert "LANDED 2" in out.stdout
     assert parent.read_current() == 2
     assert parent.read_manifest(2)["who"] == "child"
+
+
+def test_views_shared_through_the_catalog_service(spark, server, tmp_path):
+    """Persistent VIEWs through the REST catalog (the Lakekeeper view
+    role): two engines with independent warehouses share saved queries
+    via Engine(view_catalog=RestViewCatalog(url)) — full DDL grammar,
+    re-planned over each engine's registered base tables."""
+    from oss_data_lake_spark.engine import Engine
+    from oss_data_lake_spark.sources.rest_catalog import RestViewCatalog
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(6)]))
+    e1 = Engine(
+        spark=spark,
+        warehouse_dir=str(tmp_path / "wh1"),
+        view_catalog=RestViewCatalog(server.url),
+    )
+    e2 = Engine(
+        spark=spark,
+        warehouse_dir=str(tmp_path / "wh2"),
+        view_catalog=RestViewCatalog(server.url),
+    )
+    e1._snapshot_tables["t"] = t
+    e2._snapshot_tables["t"] = t
+    e1.sql("CREATE VIEW v_shared AS SELECT count(*) AS n FROM t")
+    # the OTHER engine sees and reads the view immediately
+    assert [r["view"] for r in e2.sql("SHOW VIEWS").collect()] == [
+        "v_shared"
+    ]
+    assert e2.sql("SELECT * FROM v_shared").collect()[0]["n"] == 6
+    # DDL semantics hold over the wire
+    with pytest.raises(ValueError, match="already exists"):
+        e2.sql("CREATE VIEW v_shared AS SELECT 1")
+    e2.sql("CREATE OR REPLACE VIEW v_shared AS SELECT count(*) + 100 AS n FROM t")
+    assert e1.sql("SELECT * FROM v_shared").collect()[0]["n"] == 106
+    stmt = e1.sql("SHOW CREATE VIEW v_shared").collect()[0]["stmt"]
+    assert "count(*) + 100" in stmt
+    e1.sql("DROP VIEW v_shared")
+    assert e2.sql("SHOW VIEWS").collect() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        e2.sql("DROP VIEW v_shared")
