@@ -177,3 +177,14 @@ def test_view_inside_transaction_reads_own_writes(spark, eng, tmp_path):
     assert t.read().count() == 12  # other readers: pre-txn head
     e.sql("ROLLBACK TRANSACTION ON t")
     assert e.sql("SELECT * FROM v_n").collect()[0]["n"] == 12
+
+
+def test_describe_and_explain_through_views(spark, eng):
+    """DESCRIBE and EXPLAIN work on a view via statement-time expansion
+    (the temp view exists for the statement's duration)."""
+    e, t = eng
+    e.sql("CREATE VIEW v_d AS SELECT k, v FROM t WHERE k < 3")
+    cols = {r["col_name"] for r in e.sql("DESCRIBE v_d").collect()}
+    assert {"k", "v"} <= cols
+    plan = e.explain("SELECT * FROM v_d", mode="simple")
+    assert "Scan" in plan or "FileScan" in plan
