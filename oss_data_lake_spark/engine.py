@@ -473,6 +473,12 @@ class Engine:
         re.IGNORECASE,
     )
     _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+    _SHOW_SNAPSHOT_TABLES_RE = re.compile(
+        r"^\s*SHOW\s+SNAPSHOT\s+TABLES\s*;?\s*$", re.IGNORECASE
+    )
+    _RECOVER_TXNS_RE = re.compile(
+        r"^\s*RECOVER\s+TRANSACTIONS\s*;?\s*$", re.IGNORECASE
+    )
     _SHOW_CREATE_VIEW_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
         re.IGNORECASE,
@@ -496,6 +502,25 @@ class Engine:
         return self._views().get(name) is not None
 
     def _handle_view_statement(self, text: str) -> DataFrame | None:
+        if self._SHOW_SNAPSHOT_TABLES_RE.match(text):
+            # the engine-registry counterpart of SHOW TABLES: every
+            # registered snapshot table with its root and head version
+            rows = sorted(
+                (n, t.path, t.current_version())
+                for n, t in self._snapshot_tables.items()
+            )
+            schema = "table string, location string, version long"
+            if rows:
+                return self.spark.createDataFrame(rows, schema)
+            return self.spark.createDataFrame([], schema)
+        if self._RECOVER_TXNS_RE.match(text):
+            recovered = self.recover_transactions()
+            schema = "txn string"
+            if recovered:
+                return self.spark.createDataFrame(
+                    [(g,) for g in recovered], schema
+                )
+            return self.spark.createDataFrame([], schema)
         vc = self._views()
         m = self._CREATE_VIEW_RE.match(text)
         if m:

@@ -378,3 +378,27 @@ def test_phase3_conflict_recovers_in_process(spark, eng2):
     # the engine is fully usable afterwards
     e.sql("BEGIN TRANSACTION ON t1, t2")
     e.sql("ROLLBACK TRANSACTION ON t1, t2")
+
+
+def test_show_snapshot_tables_and_recover_sql(spark, eng2, tmp_path):
+    """The SQL spellings of the engine registry and crash recovery:
+    SHOW SNAPSHOT TABLES lists name/location/version; RECOVER
+    TRANSACTIONS rolls a pending record forward."""
+    e, t1, t2 = eng2
+    rows = {r["table"]: r["version"]
+            for r in e.sql("SHOW SNAPSHOT TABLES").collect()}
+    assert rows == {"t1": 1, "t2": 1}
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t2 VALUES (990, 'r')")
+    gid = e._txns["t1"][1]
+    e._txn_record_write(gid, [
+        {"name": "t1", "path": t1.path, "branch": gid,
+         "parent": t1.current_version(), "protocol": None},
+        {"name": "t2", "path": t2.path, "branch": gid,
+         "parent": t2.current_version(), "protocol": None},
+    ])
+    e2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = [r["txn"] for r in e2.sql("RECOVER TRANSACTIONS").collect()]
+    assert got == [gid]
+    assert {r["k"] for r in t2.read().collect()} == set(range(5)) | {990}
+    assert e2.sql("RECOVER TRANSACTIONS").collect() == []
