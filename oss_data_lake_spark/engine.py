@@ -86,12 +86,19 @@ class Engine:
                     self.spark, text, self._snapshot_tables, engine=self
                 )
                 if dispatched is not None:
+                    if expanded:
+                        dispatched.schema  # bind before the views drop
                     return dispatched
-                return sql_with_time_travel(
+                df = sql_with_time_travel(
                     self.spark, text, self._snapshot_tables
                 )
+                if expanded:
+                    df.schema  # bind the plan before the views drop
+                return df
             dispatched = dispatch_statement(self.spark, text, {}, engine=self)
             if dispatched is not None:
+                if expanded:
+                    dispatched.schema  # bind before the views drop
                 return dispatched
             df = self.spark.sql(text)
             if expanded:
@@ -226,28 +233,56 @@ class Engine:
         refuses instead of overwriting."""
         import json
         import os
+        import time
 
         d = self._txns_dir()
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{gid}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"id": gid, "tables": entries}, fh)
+            json.dump(
+                {
+                    "id": gid,
+                    "tables": entries,
+                    # ownership lease: auto-recovery (the BEGIN hook in
+                    # OTHER processes) must not race the owner through
+                    # phase 3 — it skips records this young whose owner
+                    # process is still alive
+                    "owner": {"pid": os.getpid(), "ts": time.time()},
+                },
+                fh,
+            )
         try:
             os.link(tmp, path)
         finally:
             os.remove(tmp)
         return path
 
-    def recover_transactions(self) -> list[str]:
+    # how long a txn record stays the OWNER's to land before other
+    # processes' BEGIN hooks may roll it forward (explicit
+    # recover_transactions() calls ignore the lease)
+    _TXN_LEASE_S = 60.0
+
+    def recover_transactions(self, min_age_s: float = 0.0) -> list[str]:
         """Roll every pending multi-table transaction record FORWARD:
         members whose head chain already carries the record's stamp are
         done (crash after their pointer move); the rest land now. The
         record is deleted only after every member is landed. Returns the
         recovered record ids. Run automatically at every BEGIN
-        TRANSACTION; safe (and cheap — one listdir) when idle."""
+        TRANSACTION; safe (and cheap — one listdir) when idle.
+
+        ``min_age_s`` (the BEGIN hook passes ``_TXN_LEASE_S``) skips
+        records younger than the lease whose owner process is still
+        alive: a record is LIVE while its owner is mid-phase-3, and the
+        landed-stamp check plus fast_forward are not atomic — two
+        processes publishing the same branch concurrently would
+        duplicate application or raise spurious conflicts. A dead owner
+        forfeits the lease immediately; explicit calls (the RECOVER
+        TRANSACTIONS statement, the owner's own in-process retry)
+        recover everything."""
         import json
         import os
+        import time
 
         d = self._txns_dir()
         if not os.path.isdir(d):
@@ -257,14 +292,30 @@ class Engine:
             if not fname.endswith(".json"):
                 continue
             path = os.path.join(d, fname)
-            with open(path) as fh:
-                rec = json.load(fh)
+            try:
+                with open(path) as fh:
+                    rec = json.load(fh)
+            except FileNotFoundError:
+                continue  # a concurrent recovery finished it first
             gid = rec["id"]
+            owner = rec.get("owner") or {}
+            if min_age_s and (time.time() - owner.get("ts", 0)) < min_age_s:
+                pid = owner.get("pid")
+                if pid is not None and pid != os.getpid():
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True
+                    if alive:
+                        continue  # the owner is mid-commit: its record
             for ent in rec["tables"]:
                 t = self._reattach(ent)
                 head = t.current_version() or 0
                 landed = any(
-                    t._manifest(v).get("txn_record") == gid
+                    self._manifest_stamp(t, v) == gid
                     for v in range(ent["parent"] + 1, head + 1)
                 )
                 if landed:
@@ -286,14 +337,28 @@ class Engine:
                     require_source_unchanged=False,
                     txn_record=gid,
                 )
-            os.remove(path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # a concurrent recovery deleted it — same outcome
             recovered.append(gid)
         return recovered
+
+    @staticmethod
+    def _manifest_stamp(t, v: int):
+        """The txn-record stamp of version ``v``, or None when the
+        manifest is MISSING (expire_snapshots may delete intermediate
+        manifests; a vanished version cannot prove the stamp, and
+        raising here would make the record permanently unrecoverable)."""
+        try:
+            return t._manifest(v).get("txn_record")
+        except FileNotFoundError:
+            return None
 
     def _handle_txn_statement(self, text: str) -> DataFrame | None:
         m = self._BEGIN_RE.match(text)
         if m:
-            self.recover_transactions()
+            self.recover_transactions(min_age_s=self._TXN_LEASE_S)
             names = self._txn_names(m.group(1))
             for name in names:
                 if self._snapshot_tables.get(name) is None:
@@ -449,7 +514,13 @@ class Engine:
                 [(n, t.current_version()) for n, t in members],
                 "table string, version long",
             )
-        os.remove(os.path.join(self._txns_dir(), f"{gid}.json"))
+        try:
+            os.remove(os.path.join(self._txns_dir(), f"{gid}.json"))
+        except FileNotFoundError:
+            # an (over-eager or explicit) concurrent recovery observed
+            # every member landed and removed the record first — the
+            # commit is fully applied either way
+            pass
         return self.spark.createDataFrame(rows, "table string, version long")
 
     # -- persistent SQL VIEWs (logical twin of MATERIALIZED VIEW) --------

@@ -1235,6 +1235,27 @@ def _prunable_columns(df: DataFrame) -> list[str]:
     return [c for c, t in df.dtypes if t in ok or t.startswith("decimal")]
 
 
+def _adopt_on_disk(engine, tables: dict, name: str) -> None:
+    """A fresh process may face a table already ON DISK at the managed
+    path that it never registered. Adopt it into the registry so the
+    CREATE family's exists / IF NOT EXISTS / OR REPLACE semantics apply
+    to it exactly as to a registered table — and, critically, so a
+    FAILED create can never delete pre-existing data: the fresh-path
+    rollback (``drop_snapshot_table(delete_data=True)``) only ever runs
+    on a path that held ZERO snapshots before this statement."""
+    if name in tables or engine is None:
+        return
+    t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
+    if t.current_version() is None:
+        # nothing there: undo the probe registration (pure in-memory)
+        engine.drop_snapshot_table(name, delete_data=False)
+    else:
+        # ``tables`` may be the caller's throwaway dict (an engine with
+        # an EMPTY registry passes {}), so the exists-check below needs
+        # its own entry
+        tables[name] = t
+
+
 def dispatch_statement(
     spark: SparkSession,
     text: str,
@@ -1258,6 +1279,7 @@ def dispatch_statement(
             raise ValueError(
                 f"a view named '{name}' exists; a table cannot shadow it"
             )
+        _adopt_on_disk(engine, tables, name)
         if name in tables:
             if if_not_exists:
                 return spark.createDataFrame([(0,)], "version long").limit(0)
@@ -1310,6 +1332,9 @@ def dispatch_statement(
                 # a bad expression unwinds the CREATE entirely
                 version = t.set_generated_column(cname, expr)
         except Exception:
+            # safe to delete: _adopt_on_disk proved the path held zero
+            # snapshots before this statement, so every byte under it
+            # is this failed CREATE's own
             engine.drop_snapshot_table(name, delete_data=True)
             raise
         for cname, lit in defaults.items():
@@ -1323,6 +1348,7 @@ def dispatch_statement(
             raise ValueError(
                 f"a view named '{name}' exists; a table cannot shadow it"
             )
+        _adopt_on_disk(engine, tables, name)
         if or_replace and if_not_exists:
             raise ValueError(
                 "CREATE OR REPLACE and IF NOT EXISTS are exclusive"
@@ -1368,7 +1394,9 @@ def dispatch_statement(
             version = t.commit(df, stats_for=_prunable_columns(df) or None)
         except Exception:
             # same guard as column-list CREATE: a failed v1 must not
-            # leave a registered zero-snapshot name behind
+            # leave a registered zero-snapshot name behind — and
+            # _adopt_on_disk proved the path was empty of snapshots, so
+            # deleting it cannot destroy pre-existing data
             engine.drop_snapshot_table(name, delete_data=True)
             raise
         return spark.createDataFrame([(version,)], "version long")
@@ -1376,6 +1404,7 @@ def dispatch_statement(
     m = _CLONE_RE.match(text)
     if m and engine is not None:
         if_not_exists, name, src_name, as_of = m.groups()
+        _adopt_on_disk(engine, tables, name)
         if name in tables:
             if if_not_exists:
                 return spark.createDataFrame([(0,)], "version long").limit(0)
@@ -2093,14 +2122,23 @@ def dispatch_statement(
                 f"columns, target list has {len(cols)}"
             )
         # omitted columns fill their WRITE DEFAULT (NULL when none) —
-        # standard SQL DEFAULT semantics; omitted GENERATED columns
-        # compute from the row (the fill projection resolves column
-        # references), and explicitly-provided ones validate at commit
-        aligned = t._align(
-            src.toDF(*cols),
-            target_schema,
-            fill={**t.write_defaults(), **t.generated_columns()},
+        # standard SQL DEFAULT semantics — in a FIRST projection, so
+        # that a GENERATED expression referencing a DEFAULT-filled
+        # column sees the default VALUE, not an unresolvable name.
+        # Omitted GENERATED columns stay absent here; commit-side
+        # _apply_generated computes them over the default-filled row
+        # (and validates explicitly-provided ones)
+        from pyspark.sql import types as T
+
+        gens = t.generated_columns()
+        absent_gens = {g: e for g, e in gens.items() if g not in cols}
+        pre_schema = T.StructType(
+            [f for f in target_schema.fields if f.name not in absent_gens]
         )
+        base = t._align(src.toDF(*cols), pre_schema, fill=t.write_defaults())
+        # SECOND projection: the generated expressions, in target
+        # column order (commit re-validates them as present columns)
+        aligned = t._align(base, target_schema, fill=absent_gens)
         # the insert adopts the table's current partition layout
         # (identity or hidden transform) instead of accreting
         # unpartitioned dirs — Iceberg write-under-current-spec.

@@ -196,6 +196,15 @@ def test_begin_runs_recovery_automatically(spark, eng2, tmp_path):
              "parent": t2.current_version()},
         ],
     )
+    # the crash killed the owner: age the record past the ownership
+    # lease (BEGIN's auto-recovery leaves LIVE owners' records alone —
+    # pinned in test_r10_fixes.py)
+    rec_path = os.path.join(e._txns_dir(), f"{gid}.json")
+    with open(rec_path) as fh:
+        rec = json.load(fh)
+    rec["owner"]["ts"] -= 3600
+    with open(rec_path, "w") as fh:
+        json.dump(rec, fh)
     e2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
     e2._snapshot_tables["t1"] = SnapshotTable(spark, t1.path)
     e2._snapshot_tables["t2"] = SnapshotTable(spark, t2.path)
