@@ -344,6 +344,16 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffle, never a global sort; shards pack independently on
     their executors exactly as a dataloader consumes them.
 
+    SCALE CONTRACT (pinned in test_ext_operators.py): ``source`` must
+    be a dataloader SHARD whose size is bounded — shard count scales
+    with corpus size, so per-task sort stays flat. A caller feeding
+    DOMAIN-grained sources (cardinality fixed as data grows) inherits
+    the straggler e78 was restructured to avoid; use e78's two-level
+    md5-prefix prefix sum in that regime. The contract is the
+    difference: packing order here is the stream's own (doc_id), which
+    has no hash prefix to range-bucket on, so the exact two-level
+    decomposition does not apply.
+
     Reports per source: docs, tokens, blocks (integer ceil), documents
     that CROSS a block boundary (the attention-mask-contamination
     metric packing-aware trainers care about), and tail waste (unused
@@ -475,14 +485,33 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministically until their domain's budget fills. Survivorship
 # order is md5(doc_id) — a reproducible pseudo-random permutation, so
 # the "sample" is unbiased but every engine and every run picks the
-# SAME documents (rand() would break replay and the oracle). The
-# running total is a per-domain window (shard-local sort — one bounded
-# shuffle, never global); a doc is kept iff the tokens BEFORE it in its
-# domain's order are under budget, so each domain overshoots by at most
-# one document — and the report accounts for that exactly.
+# SAME documents (rand() would break replay and the oracle). A doc is
+# kept iff the tokens BEFORE it in its domain's order are under budget,
+# so each domain overshoots by at most one document — and the report
+# accounts for that exactly.
+#
+# 100-TB design (round-10 restructure): the running total is a
+# TWO-LEVEL prefix sum, never a per-domain window. Unlike e76's shards,
+# domain count does NOT grow with data (DoReMi mixes ~22 domains; a
+# web-crawl domain is most of a 100-TB corpus), so
+# Window.partitionBy("source") would sort a whole domain in ONE task.
+# Because the order key's head is md5 hex, its leading MIX_BUCKET_HEX
+# characters are simultaneously a uniform hash bucket AND a contiguous
+# RANGE of the (rnd, doc_id) sort order — which makes an exact
+# decomposition possible:
+#   1. per-(source, bucket) LOCAL running totals — the big window now
+#      sorts |domain| / 16^MIX_BUCKET_HEX rows per task,
+#   2. per-(source, bucket) token sums — a (domains × 4096)
+#      metadata-scale table,
+#   3. cumulative bucket offsets via a window over THAT tiny table,
+#   4. broadcast the offsets back: before = offset + local_before.
+# Identical values to the single window (the bucket is a prefix of the
+# order key), and no partition ever holds a whole domain. Raise
+# MIX_BUCKET_HEX by one to shrink per-task sorts another 16×.
 MIX_TOTAL_FRACTION_NUM = 1   # global target = total_tokens * 1/2
 MIX_TOTAL_FRACTION_DEN = 2
 MIX_WEIGHT_MOD = 7           # domain weight = 1 + md5(source) % 7
+MIX_BUCKET_HEX = 3           # md5-prefix length → 16^3 = 4096 buckets
 
 
 def token_budget_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,13 +546,38 @@ def token_budget_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("weight_sum") * MIX_TOTAL_FRACTION_DEN)
         ).cast("long"),
     )
-    win = (
-        Window.partitionBy("source")
+    # two-level prefix sum over (source, md5-prefix bucket) — see the
+    # block comment above; exact twin of the per-domain running total
+    bucketed = toks.withColumn(
+        "bkt", F.substring("rnd", 1, MIX_BUCKET_HEX)
+    )
+    local_win = (
+        Window.partitionBy("source", "bkt")
         .orderBy("rnd", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = toks.withColumn(
-        "before", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    off_win = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("source", "bkt")
+        .agg(F.sum("n_tok").cast("long").alias("bkt_tok"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("bkt_tok").over(off_win), F.lit(0))
+            .cast("long"),
+        )
+        .select("source", "bkt", "offset")
+    )
+    placed = (
+        bucketed.join(F.broadcast(offsets), ["source", "bkt"])
+        .withColumn(
+            "before",
+            F.col("offset")
+            + F.coalesce(F.sum("n_tok").over(local_win), F.lit(0)),
+        )
     )
     kept = placed.join(
         F.broadcast(budgets.select("source", "budget_tokens")), "source"
