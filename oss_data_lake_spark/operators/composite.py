@@ -158,6 +158,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("sum_qty"), "v3": ("sum_disc_price")},
              {"k1": "ship_month", "k2": "l_returnflag", "v1": "n",
               "v2": "sum_qty", "v3": "sum_disc_price"}),
+            # p04 (folded round 10 to free a standalone slot for b50):
+            # p03's year re-answered through the PURE SQL-TEXT path
+            # (Engine.sql predicate extraction → manifest prune) —
+            # every (month, n, sum) value still rides the hash; the
+            # plan-level prune evidence stays pinned in test_plans.py
+            ("p04", "p04_sql_fileskip_orders_year",
+             {"k1": ("order_month"), "v1": ("n"), "v2": ("sum_price")},
+             {"k1": "order_month", "v1": "n", "v2": "sum_price"}),
             # p05 (round 7): p01's week re-answered through TRUE hidden
             # partitioning (days(ts) transform) — every (day, type)
             # count and sum value-verified through the composite hash

@@ -341,7 +341,50 @@ def salted_hot_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_B50_SQL = """
+WITH RECURSIVE tree(user_id, depth) AS (
+    SELECT CAST(0 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS depth
+    UNION ALL
+    SELECT u.user_id, t.depth + CAST(1 AS BIGINT)
+    FROM (SELECT DISTINCT user_id FROM {events}) u
+    JOIN tree t
+      ON u.user_id = 2 * t.user_id + 1 OR u.user_id = 2 * t.user_id + 2
+)
+SELECT t.depth,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sum_value} AS sum_value
+FROM tree t JOIN {events} e ON e.user_id = t.user_id
+GROUP BY t.depth ORDER BY t.depth
+"""
+
+
+def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b50 (round 10): ANSI ``WITH RECURSIVE`` — the last Tier-B SQL
+    family the reference's declared query layer supports that the repo
+    lacked (Trino 467 evaluates recursive CTEs for BI hierarchy
+    queries; reference docker-compose.yaml:153, arbitrary BI SQL per
+    RUNBOOK.md:120-123). Spark 4.x evaluates recursive CTEs natively
+    (UnionLoop), so the query is pure declarative SQL — no driver-side
+    iteration.
+
+    Shape: an org-chart walk over the USER dimension (children of user
+    u are 2u+1 and 2u+2, rooted at 0 — the classic hierarchy
+    traversal), then ONE join of the resulting closure to the events
+    fact, aggregating per depth. 100-TB design: the recursion runs over
+    the DIMENSION (bounded, metadata-scale — DISTINCT user_id), each
+    iteration a dimension-sized join; the 100-TB fact table joins ONCE
+    against the final closure (broadcastable — closure is
+    dimension-sized), never inside the loop."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("b50_events")
+    return spark.sql(
+        _B50_SQL.format(events="b50_events", sum_value=sql_dsum("value"))
+    )
+
+
 QUERIES = {
+    "b50_recursive_user_tree": recursive_user_tree,
     "b33_multiset_setops": multiset_setops,
     "b38_salted_hot_user_agg": salted_hot_user_agg,
     "b34_epoch_conversions": epoch_conversions,
@@ -362,6 +405,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    # DuckDB evaluates the IDENTICAL recursive text natively — the
+    # cross-engine recursion (anchor, loop join, closure aggregation)
+    # is the correctness claim
+    "b50_recursive_user_tree": _B50_SQL.format(
+        events="events", sum_value=sql_dsum("value")
+    ),
     # the direct (unsalted) aggregation — value-identity of the salted
     # two-phase plan vs the plain form IS the correctness claim
     "b38_salted_hot_user_agg": f"""
