@@ -222,6 +222,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("cosine"), "v3": ("rank")},
              {"k1": _cw_sql("q_id", "c_id"), "v1": "approx_d2",
               "v2": "cosine", "v3": "rank"}),
+            # e80 (round 10): SemDeDup embedding-space dedup — every
+            # per-cluster (members, removed, kept, max-intra-cosine)
+            # value rides the hash
+            ("e80", "e80_semdedup_report",
+             {"k1": _cw("cluster"), "v1": ("n_members"),
+              "v2": ("n_removed"), "v3": ("n_kept"),
+              "v4": ("max_intra_cosine")},
+             {"k1": _cw_sql("cluster"), "v1": "n_members",
+              "v2": "n_removed", "v3": "n_kept",
+              "v4": "max_intra_cosine"}),
             # e15 (round 8): exact-substring duplicate pairs (the Lee
             # et al. span-level complement to MinHash) — every pair's
             # shared-window count rides the hash

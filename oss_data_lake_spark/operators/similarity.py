@@ -540,6 +540,90 @@ def ivf_neardup_pairs(
     return pairs.distinct().orderBy("vec_a", "vec_b")
 
 
+# SemDeDup operates in the same similarity regime as the e25/e26
+# near-dup family; -2.0 marks "no lower-id member" (cosine ∈ [-1, 1],
+# so the sentinel can never collide with a real similarity)
+SEMDEDUP_THRESHOLD = NEARDUP_COSINE_THRESHOLD
+_SEMDEDUP_NONE = -2.0
+
+
+def semdedup_report(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """e80 (round 10): SemDeDup — EMBEDDING-SPACE dedup (Abbas et al.
+    2023, arXiv:2303.09540), the semantic complement production LLM
+    pipelines run after lexical MinHash (e11): k-means-cluster the
+    corpus, then within each cluster remove every document with a
+    semantic near-twin, keeping one representative per duplicate
+    neighborhood.
+
+    Deterministic keep-one rule (so the DuckDB oracle replays it
+    exactly): members sweep in vec_id order; a member is REMOVED iff
+    some LOWER-id member of ITS cluster has cosine >= threshold — the
+    paper's greedy keep-first sweep, with 9-dp rounded cosines so both
+    engines agree bit-for-bit.
+
+    100-TB shape: the cluster model is the e22/e26 bounded fitted-model
+    collect (``_ivf_model`` — n/stride rows, ~16 MB at 100 TB);
+    assignment is one Arrow-batch × centroid-matrix BLAS matmul per
+    partition (``_ivf_assign``, nprobe=1 — each vector lands in exactly
+    ONE cluster, so the sweep never double-counts); the removal sweep is
+    one (members × dim) matmul per cluster block, bounded by the stride
+    contract — cosines among CLUSTER-mates only, never all-pairs across
+    clusters (O(sum of cluster-block matmuls), not O(n²)). Report:
+    per-cluster membership/removal accounting."""
+    thr = float(threshold if threshold is not None else SEMDEDUP_THRESHOLD)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_ids, cent_mat = _ivf_model(emb)
+    assigned = _ivf_assign(emb, cent_ids, cent_mat, 1)
+    none_mark = _SEMDEDUP_NONE
+
+    # nested: pickled by value for plain driver sessions (cwd-foreign)
+    def sweep_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        cluster = pdf["cluster"].to_numpy()
+        m = np.full(len(ids), none_mark, dtype=np.float64)
+        if len(ids) > 1:
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            norms = np.sqrt((E * E).sum(axis=1))
+            sims = np.round((E @ E.T) / np.outer(norms, norms), 9)
+            for i in range(1, len(ids)):
+                m[i] = sims[i, :i].max()
+        return pd.DataFrame(
+            {"cluster": cluster, "vec_id": ids, "max_sim_lower": m}
+        )
+
+    per_vec = assigned.groupBy("cluster").applyInPandas(
+        sweep_block, schema="cluster long, vec_id long, max_sim_lower double"
+    )
+    return (
+        per_vec.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("max_sim_lower") >= thr).cast("long"))
+            .cast("long")
+            .alias("n_removed"),
+            F.max("max_sim_lower").alias("max_intra_cosine"),
+        )
+        .withColumn(
+            "n_kept", (F.col("n_members") - F.col("n_removed")).cast("long")
+        )
+        .select(
+            "cluster", "n_members", "n_removed", "n_kept",
+            "max_intra_cosine",
+        )
+        .orderBy("cluster")
+    )
+
+
 # measured on the sf0.01 fixture (near-random embeddings — the hard case
 # for sign-bit selectivity): H=26 → recall 0.66 @ 9% survivors, H=28 →
 # 0.84 @ 19%, H=30 → 0.98 @ 36%. 28 balances pruning (5×) against recall;
@@ -903,6 +987,7 @@ QUERIES = {
     "e26_ivf_neardup_pairs": ivf_neardup_pairs,
     "e27_binary_quantized_topk": binary_quantized_topk,
     "e28_pq_topk": pq_topk,
+    "e80_semdedup_report": semdedup_report,
 }
 
 _ELEMS_SQL = """
@@ -1096,6 +1181,49 @@ ORACLES = {
                   FROM cand)
         SELECT q_id, c_id, cosine, rank FROM final
         WHERE rank <= {TOP_K} ORDER BY q_id, rank
+    """,
+    # identical cluster assignment as e22/e26 (rn = 1), then the greedy
+    # keep-first sweep as a per-cluster lower-id max — bounded by
+    # cluster-mate pairs, never all-pairs across clusters
+    "e80_semdedup_report": f"""
+        WITH {_NORMS_SQL},
+        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+        scored AS (SELECT n.vec_id, cent_id,
+                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
+                              AS cent_sim
+                   FROM n CROSS JOIN cent),
+        assigned AS (SELECT vec_id, cent_id AS cluster FROM (
+                         SELECT vec_id, cent_id,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY cent_sim DESC,
+                                                            cent_id ASC) AS rn
+                         FROM scored)
+                     WHERE rn = 1),
+        lower_sims AS (SELECT b.vec_id,
+                              MAX(round(list_inner_product(na.v, nb.v)
+                                        / (na.norm * nb.norm), 9))
+                                  AS max_sim_lower
+                       FROM assigned a
+                       JOIN assigned b
+                         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                       JOIN n na ON a.vec_id = na.vec_id
+                       JOIN n nb ON b.vec_id = nb.vec_id
+                       GROUP BY b.vec_id),
+        members AS (SELECT a.cluster, a.vec_id,
+                           COALESCE(l.max_sim_lower, {_SEMDEDUP_NONE})
+                               AS max_sim_lower
+                    FROM assigned a
+                    LEFT JOIN lower_sims l ON a.vec_id = l.vec_id)
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN max_sim_lower >= {SEMDEDUP_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(COUNT(*)
+                    - SUM(CASE WHEN max_sim_lower >= {SEMDEDUP_THRESHOLD}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               MAX(max_sim_lower) AS max_intra_cosine
+        FROM members GROUP BY cluster ORDER BY cluster
     """,
     "e26_ivf_neardup_pairs": f"""
         WITH {_NORMS_SQL},

@@ -834,3 +834,46 @@ def test_e76_scale_contract_is_documented(spark, sf_dir):
         if "doc_id" in s  # the packing window orders by doc_id
     ]
     assert specs and all("source" in s.split(",")[0] for s in specs)
+
+
+def test_e80_semdedup_sweep_matches_brute_force(spark, sf_dir):
+    """e80's per-cluster greedy keep-first sweep, re-derived by brute
+    force on the driver (small fixture): a member is removed iff SOME
+    lower-id cluster-mate sits at rounded-cosine >= threshold — and the
+    sweep never looks across clusters."""
+    import numpy as np
+
+    from oss_data_lake_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _ivf_assign,
+        _ivf_model,
+        semdedup_report,
+    )
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_ids, cent_mat = _ivf_model(emb)
+    assigned = _ivf_assign(emb, cent_ids, cent_mat, 1).collect()
+    by_cluster: dict = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    want = {}
+    for cl, members in by_cluster.items():
+        members.sort(key=lambda t: t[0])
+        E = np.asarray([m[1] for m in members])
+        norms = np.sqrt((E * E).sum(axis=1))
+        sims = np.round((E @ E.T) / np.outer(norms, norms), 9)
+        removed = sum(
+            1
+            for i in range(1, len(members))
+            if sims[i, :i].max() >= SEMDEDUP_THRESHOLD
+        )
+        want[cl] = (len(members), removed)
+    got = {
+        r["cluster"]: (r["n_members"], r["n_removed"])
+        for r in semdedup_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in want.values()) == emb.count()  # partition
