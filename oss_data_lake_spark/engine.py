@@ -461,6 +461,17 @@ class Engine:
                 require_source_unchanged=False, dry_run=True,
                 source_protocol=t.protocol,
             )
+        # pure-REST groups commit SERVER-SIDE: the catalog service is
+        # the commit point, so no local _txns record is needed (or
+        # possible — the members may share only the catalog)
+        from oss_data_lake_spark.sources.rest_catalog import (
+            RestCommitProtocol,
+        )
+
+        if all(
+            isinstance(t.protocol, RestCommitProtocol) for _n, t in members
+        ) and len({t.protocol.base for _n, t in members}) == 1:
+            return self._commit_multi_rest(members, gid)
         # phase 2: the commit point
         self._txn_record_write(
             gid,
@@ -522,6 +533,68 @@ class Engine:
             # commit is fully applied either way
             pass
         return self.spark.createDataFrame(rows, "table string, version long")
+
+    _REST_TXN_RETRIES = 20
+
+    def _commit_multi_rest(self, members: list[tuple], gid: str) -> DataFrame:
+        """SERVER-SIDE multi-table commit through the catalog service —
+        the Lakekeeper multi-table-commit shape the reference's Iceberg
+        REST catalog exposes (etc/catalog/iceberg.properties:16 points
+        Trino at it): every member's branch is PREPARED (data copies +
+        built manifest + its ``assert-current-version`` parent) and the
+        whole set lands in ONE ``POST /v1/transactions/commit`` the
+        service applies atomically under its lock.
+
+        Atomicity needs no local ``_txns`` record and has no crash
+        window: before the POST returns, nothing landed (the staged
+        branches survive — retry or ROLLBACK); after it, everything
+        landed exactly once (a crashed client cannot re-POST: the
+        staged state died with it, and a duplicate version would 409).
+        Engines that share ONLY the catalog — no POSIX filesystem —
+        get the same all-or-nothing guarantee. A 409 means some
+        member's head moved between prepare and POST: every member
+        re-prepares (the publish machinery rebases non-overlapping
+        concurrent commits; genuine overlap raises CommitConflict with
+        the transaction still open, nothing landed)."""
+        from oss_data_lake_spark.sources.catalog import CommitConflict
+        from oss_data_lake_spark.sources.rest_catalog import (
+            rest_commit_transaction,
+        )
+
+        base = members[0][1].protocol.base
+        for _attempt in range(self._REST_TXN_RETRIES):
+            changes = []
+            for _n, t in members:
+                parent, manifest = t.branch(gid).publish(
+                    require_source_unchanged=False,
+                    txn_record=gid,
+                    source_protocol=t.protocol,
+                    prepare=True,
+                )
+                changes.append({
+                    "table": t.protocol.table,
+                    "requirements": [
+                        {"type": "assert-current-version", "version": parent}
+                    ],
+                    "manifest": manifest,
+                })
+            try:
+                results = rest_commit_transaction(base, changes)
+            except CommitConflict:
+                continue  # a head moved: re-prepare every member
+            rows = []
+            for (n, t), res in zip(members, results):
+                t.drop_branch(gid)
+                del self._txns[n]
+                self._snapshot_tables[n] = t
+                rows.append((n, res["version"]))
+            return self.spark.createDataFrame(
+                rows, "table string, version long"
+            )
+        raise CommitConflict(
+            f"multi-table transaction {gid} lost "
+            f"{self._REST_TXN_RETRIES} requirement races — still open"
+        )
 
     # -- persistent SQL VIEWs (logical twin of MATERIALIZED VIEW) --------
     #

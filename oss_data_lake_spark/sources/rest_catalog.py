@@ -127,6 +127,69 @@ class RestCatalogServer:
                 return self._json(404, {"error": "NotFound"})
 
             def do_POST(self):
+                if self.path == "/v1/transactions/commit":
+                    # Lakekeeper's multi-table commit (the capability the
+                    # reference's Iceberg REST catalog exposes — one
+                    # request commits N tables): validate EVERY member's
+                    # requirements under the single service lock, then
+                    # apply EVERY manifest — all-or-nothing server-side,
+                    # for engines that share only the catalog, not a
+                    # filesystem
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n).decode())
+                    changes = req.get("table-changes", [])
+                    seen = [c.get("table") for c in changes]
+                    if len(set(seen)) != len(seen):
+                        return self._json(400, {
+                            "error": "BadRequest",
+                            "message": f"duplicate table in transaction: "
+                                       f"{seen}",
+                        })
+                    with outer._mu:
+                        staged = []
+                        for ch in changes:
+                            t = outer._tables.setdefault(
+                                ch["table"], {"versions": {}, "current": None}
+                            )
+                            for r in ch.get("requirements", []):
+                                if r.get("type") == "assert-current-version":
+                                    if t["current"] != r.get("version"):
+                                        return self._json(409, {
+                                            "error": "CommitFailedException",
+                                            "message": (
+                                                f"table {ch['table']}: "
+                                                f"current version is "
+                                                f"{t['current']}, not "
+                                                f"{r.get('version')} — "
+                                                f"NOTHING was applied"
+                                            ),
+                                        })
+                                else:
+                                    return self._json(400, {
+                                        "error": "BadRequest",
+                                        "message": f"unknown requirement "
+                                                   f"{r!r}",
+                                    })
+                            v = int(ch["manifest"]["version"])
+                            if v in t["versions"]:
+                                return self._json(409, {
+                                    "error": "CommitFailedException",
+                                    "message": (
+                                        f"table {ch['table']}: version {v} "
+                                        f"already committed — NOTHING was "
+                                        f"applied"
+                                    ),
+                                })
+                            staged.append((t, v, ch["manifest"], ch["table"]))
+                        # every requirement held: apply all — no step
+                        # below can fail, so the lock makes this atomic
+                        results = []
+                        for t, v, mf, name in staged:
+                            t["versions"][v] = mf
+                            if t["current"] is None or v > t["current"]:
+                                t["current"] = v
+                            results.append({"table": name, "version": v})
+                        return self._json(200, {"results": results})
                 m = _VIEW_RE.match(self.path)
                 if m:
                     n = int(self.headers.get("Content-Length", 0))
@@ -283,6 +346,37 @@ class RestViewCatalog:
                 return False
             raise ValueError(f"view '{name}' does not exist")
         return True
+
+
+def rest_commit_transaction(
+    base_url: str, changes: list[dict]
+) -> list[dict]:
+    """Submit one SERVER-SIDE multi-table commit:
+    ``POST /v1/transactions/commit`` with every member's
+    ``{"table", "requirements", "manifest"}``. The service validates all
+    requirements and applies all manifests under its single lock —
+    all-or-nothing with no client-side crash window. Returns the
+    per-table results on 200; raises :class:`CommitConflict` on 409
+    (NOTHING applied — re-prepare every member and retry)."""
+    data = json.dumps({"table-changes": changes}).encode()
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/v1/transactions/commit",
+        data=data,
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode())["results"]
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read().decode() or "{}")
+        if e.code == 409:
+            raise CommitConflict(
+                body.get("message", "transaction requirements failed")
+            ) from None
+        raise RuntimeError(
+            f"transaction commit failed ({e.code}): {body}"
+        ) from None
 
 
 class RestCommitProtocol(CommitProtocol):

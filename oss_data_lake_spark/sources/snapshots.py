@@ -2050,7 +2050,8 @@ class SnapshotTable:
         dry_run: bool = False,
         txn_record: str | None = None,
         source_protocol: "CommitProtocol | None" = None,
-    ) -> int:
+        prepare: bool = False,
+    ) -> "int | tuple[int | None, dict]":
         """Complete the WRITE-AUDIT-PUBLISH loop for a shallow clone:
         push THIS clone's head state back to its source table as ONE
         atomic commit (Iceberg's WAP pattern — stage on a branch, audit,
@@ -2084,7 +2085,17 @@ class SnapshotTable:
         analysis is read-only) and its manifest is discarded. The
         multi-table transaction commit uses this as its all-or-nothing
         phase-1 check. ``txn_record`` stamps the published manifest
-        with a transaction id for crash-recovery idempotence."""
+        with a transaction id for crash-recovery idempotence.
+
+        ``prepare`` runs the data/sidecar copies and the build ONCE
+        against the current source head, then returns ``(parent,
+        manifest)`` WITHOUT committing — the server-side multi-table
+        commit path: the caller bundles every member's pair into one
+        atomic catalog request (``POST /v1/transactions/commit``) whose
+        requirements pin each member to its prepared parent. The copies
+        are unreferenced until a manifest lands, so a lost requirement
+        race just re-prepares (the copy reuse check makes that
+        idempotent)."""
         import shutil
 
         v = self.current_version()
@@ -2509,6 +2520,9 @@ class SnapshotTable:
             build(source.current_version(), source._manifest)
             return 0
         self._carry_ledger_sidecars(self.properties(v), src_root)
+        if prepare:
+            parent = source.current_version()
+            return parent, build(parent, source._manifest)
         return source.protocol.commit(build)
 
     def _external_dirs(self, manifest: dict) -> list[str]:

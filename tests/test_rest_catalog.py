@@ -244,3 +244,185 @@ def test_views_shared_through_the_catalog_service(spark, server, tmp_path):
     assert e2.sql("SHOW VIEWS").collect() == []
     with pytest.raises(ValueError, match="does not exist"):
         e2.sql("DROP VIEW v_shared")
+
+
+# ---------------------------------------------------------------- round 10:
+# server-side multi-table commit (POST /v1/transactions/commit)
+
+
+def _rest_engine(spark, server, tmp_path, names=("t1", "t2")):
+    """An Engine whose members commit ONLY through the catalog service
+    (the engines share the data root and the URL — never a _txns dir)."""
+    from oss_data_lake_spark.engine import Engine
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    tables = []
+    for name in names:
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / name),
+            protocol=RestCommitProtocol(server.url, name),
+        )
+        if t.current_version() is None:
+            t.commit(
+                spark.createDataFrame(
+                    [Row(k=i, v=float(i)) for i in range(5)]
+                )
+            )
+        e._snapshot_tables[name] = t
+        tables.append(t)
+    return e, tables
+
+
+def test_multi_table_txn_commits_server_side(spark, server, tmp_path):
+    """A pure-REST transaction group commits through ONE
+    POST /v1/transactions/commit — atomically, with NO local _txns
+    record ever written (the catalog service is the commit point)."""
+    import os
+
+    e, (t1, t2) = _rest_engine(spark, server, tmp_path)
+    record_writes = []
+    orig = e._txn_record_write
+    e._txn_record_write = lambda *a, **k: record_writes.append(a) or orig(*a, **k)
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t1 VALUES (100, 10.0)")
+    e.sql("INSERT INTO t2 VALUES (200, 20.0)")
+    out = {r["table"]: r["version"] for r in
+           e.sql("COMMIT TRANSACTION ON t1, t2").collect()}
+    assert out == {"t1": 2, "t2": 2}
+    assert record_writes == []  # server-side path: no local record
+    assert not os.path.isdir(e._txns_dir()) or os.listdir(e._txns_dir()) == []
+    assert [r["k"] for r in t1.read().filter("k = 100").collect()] == [100]
+    assert [r["k"] for r in t2.read().filter("k = 200").collect()] == [200]
+    assert t1.branches() == {} and t2.branches() == {}
+    assert e._txns == {}
+
+
+def test_two_pure_rest_engines_commit_through_the_service(
+    spark, server, tmp_path
+):
+    """Two engines that share ONLY the catalog URL and the data root
+    (no warehouse, no _txns dir): each commits a cross-table
+    transaction through the service; both land, each exactly once."""
+    e1, _ = _rest_engine(spark, server, tmp_path)
+    e2, (t1, t2) = _rest_engine(spark, server, tmp_path)  # own handles
+    e1.sql("BEGIN TRANSACTION ON t1, t2")
+    e1.sql("INSERT INTO t1 VALUES (111, 1.0)")
+    e1.sql("INSERT INTO t2 VALUES (111, 1.0)")
+    e1.sql("COMMIT TRANSACTION ON t1, t2")
+    # engine 2 sees engine 1's committed state through the wire...
+    assert t1.current_version() == 2 and t2.current_version() == 2
+    e2.sql("BEGIN TRANSACTION ON t1, t2")
+    e2.sql("INSERT INTO t1 VALUES (222, 2.0)")
+    e2.sql("INSERT INTO t2 VALUES (222, 2.0)")
+    e2.sql("COMMIT TRANSACTION ON t1, t2")
+    ks1 = {r["k"] for r in t1.read().collect()}
+    ks2 = {r["k"] for r in t2.read().collect()}
+    assert {111, 222} <= ks1 and {111, 222} <= ks2
+    assert t1.read().filter("k = 111").count() == 1  # exactly once
+    assert t1.current_version() == 3 and t2.current_version() == 3
+
+
+def test_stale_member_409s_the_whole_transaction_on_the_wire(server):
+    """Wire-level all-or-nothing: a transaction whose SECOND member
+    carries a stale requirement applies NEITHER manifest."""
+    a = RestCommitProtocol(server.url, "wt1")
+    b = RestCommitProtocol(server.url, "wt2")
+    for p in (a, b):
+        code, _ = _post(
+            f"{server.url}/v1/tables/{p.table}/commit",
+            {"requirements": [{"type": "assert-current-version",
+                               "version": None}],
+             "manifest": {"version": 1}},
+        )
+        assert code == 200
+    code, body = _post(
+        f"{server.url}/v1/transactions/commit",
+        {"table-changes": [
+            {"table": "wt1",
+             "requirements": [{"type": "assert-current-version",
+                               "version": 1}],
+             "manifest": {"version": 2}},
+            {"table": "wt2",
+             "requirements": [{"type": "assert-current-version",
+                               "version": 99}],   # stale
+             "manifest": {"version": 100}},
+        ]},
+    )
+    assert code == 409 and "NOTHING was applied" in body["message"]
+    assert a.read_current() == 1 and b.read_current() == 1
+    # duplicate member names refuse outright
+    code, _ = _post(
+        f"{server.url}/v1/transactions/commit",
+        {"table-changes": [
+            {"table": "wt1", "requirements": [], "manifest": {"version": 2}},
+            {"table": "wt1", "requirements": [], "manifest": {"version": 3}},
+        ]},
+    )
+    assert code == 400
+
+
+def test_rest_txn_rebases_on_concurrent_commit(spark, server, tmp_path):
+    """A non-overlapping outside append lands between BEGIN and COMMIT:
+    the 409 retry re-prepares (publish rebases) and BOTH members land —
+    the outside write survives too."""
+    e, (t1, t2) = _rest_engine(spark, server, tmp_path, ("r1", "r2"))
+    e._snapshot_tables["t1"] = e._snapshot_tables.pop("r1")
+    e._snapshot_tables["t2"] = e._snapshot_tables.pop("r2")
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t1 VALUES (300, 3.0)")
+    e.sql("INSERT INTO t2 VALUES (300, 3.0)")
+    # outside writer advances t1 mid-transaction
+    t1.commit(spark.createDataFrame([Row(k=400, v=4.0)]), mode="append")
+    e.sql("COMMIT TRANSACTION ON t1, t2")
+    ks = {r["k"] for r in t1.read().collect()}
+    assert {300, 400} <= ks
+    assert t2.read().filter("k = 300").count() == 1
+
+
+def test_rest_txn_crash_after_post_is_exactly_once(spark, server, tmp_path):
+    """Crash window: the client dies right after the service applied
+    the transaction (before branch cleanup). The commit already landed
+    atomically server-side; a fresh engine sees it exactly once and
+    recovery has nothing to do (no record exists — the staged branches
+    are vacuum-able garbage, never re-appliable)."""
+    import oss_data_lake_spark.sources.rest_catalog as rc
+
+    e, (t1, t2) = _rest_engine(spark, server, tmp_path, ("c1", "c2"))
+    e._snapshot_tables["t1"] = e._snapshot_tables.pop("c1")
+    e._snapshot_tables["t2"] = e._snapshot_tables.pop("c2")
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t1 VALUES (500, 5.0)")
+    e.sql("INSERT INTO t2 VALUES (500, 5.0)")
+
+    orig = rc.rest_commit_transaction
+
+    def post_then_crash(base, changes):
+        orig(base, changes)
+        raise RuntimeError("simulated crash after the service applied")
+
+    import oss_data_lake_spark.engine as eng_mod
+
+    monkey_target = eng_mod.Engine._commit_multi_rest
+    rc_backup = rc.rest_commit_transaction
+    rc.rest_commit_transaction = post_then_crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            e.sql("COMMIT TRANSACTION ON t1, t2")
+    finally:
+        rc.rest_commit_transaction = rc_backup
+        assert monkey_target is eng_mod.Engine._commit_multi_rest
+    # the service applied it exactly once despite the client crash
+    fresh1 = SnapshotTable(
+        spark, t1.path, protocol=RestCommitProtocol(server.url, "c1")
+    )
+    fresh2 = SnapshotTable(
+        spark, t2.path, protocol=RestCommitProtocol(server.url, "c2")
+    )
+    assert fresh1.read().filter("k = 500").count() == 1
+    assert fresh2.read().filter("k = 500").count() == 1
+    # nothing pending: recovery is a no-op in a fresh engine
+    from oss_data_lake_spark.engine import Engine
+
+    e2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    assert e2.recover_transactions() == []
