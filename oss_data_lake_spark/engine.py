@@ -47,6 +47,8 @@ class Engine:
         # real dict — no throwaway copies
         self._txns: dict[str, tuple] = {}
         self._view_catalog = view_catalog
+        # PREPARE name FROM <stmt> registry (session-scoped, like Trino)
+        self._prepared: dict[str, str] = {}
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -62,6 +64,9 @@ class Engine:
           ``VACUUM``, ``DESCRIBE HISTORY``),
         - and plain SELECTs whose WHERE conjuncts route the scan through
           manifest file skipping (``extract_prunable_predicates``)."""
+        handled = self._handle_prepared_statement(text)
+        if handled is not None:
+            return handled
         handled = self._handle_txn_statement(text)
         if handled is not None:
             return handled
@@ -107,6 +112,95 @@ class Engine:
         finally:
             for v in expanded:
                 self.spark.catalog.dropTempView(v)
+
+    # -- PREPARE / EXECUTE (Trino prepared statements) --------------------
+    #
+    # Reference parity: Trino's JDBC/BI clients issue PREPARE name FROM
+    # <stmt> / EXECUTE name [USING expr, ...] / DEALLOCATE PREPARE name
+    # under the hood (every parameterized Metabase/CloudBeaver query).
+    # Substitution is CLIENT-side and literal-safe: `?` placeholders are
+    # located on the MASKED text (a `?` inside a string literal or
+    # comment is data, never a parameter), and USING arguments are split
+    # on depth-0 commas outside literals — a string argument carrying
+    # commas, quotes, or `?` splices through untouched. The substituted
+    # text re-enters ``sql()``, so the full statement surface (DML,
+    # time travel, views, maintenance) is parameterizable.
+
+    _PREPARE_RE = re.compile(
+        r"^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _EXECUTE_RE = re.compile(
+        r"^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DEALLOCATE_RE = re.compile(
+        r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _param_positions(text: str) -> list[int]:
+        """Offsets of the `?` parameter markers — found on the masked
+        text, so literal/comment bytes can never register as one."""
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        return [i for i, ch in enumerate(_masked(text)) if ch == "?"]
+
+    @staticmethod
+    def _split_using_args(args_text: str) -> list[str]:
+        """Depth-0 comma split outside literals — each piece is one
+        parameter EXPRESSION spliced verbatim (Trino evaluates these;
+        literals, the overwhelmingly common case, splice exactly)."""
+        from oss_data_lake_spark.sources.snapshots import _depths, _masked
+
+        masked = _masked(args_text)
+        depths = _depths(masked)
+        out, start = [], 0
+        for i, ch in enumerate(masked):
+            if ch == "," and depths[i] == 0:
+                out.append(args_text[start:i].strip())
+                start = i + 1
+        out.append(args_text[start:].strip())
+        return [a for a in out if a]
+
+    def _handle_prepared_statement(self, text: str) -> DataFrame | None:
+        m = self._PREPARE_RE.match(text)
+        if m:
+            name, body = m.group(1), m.group(2)
+            self._prepared[name] = body
+            return self.spark.createDataFrame(
+                [(name, len(self._param_positions(body)))],
+                "statement string, n_params long",
+            )
+        m = self._DEALLOCATE_RE.match(text)
+        if m:
+            name = m.group(1)
+            if name not in self._prepared:
+                raise ValueError(f"no prepared statement named {name!r}")
+            del self._prepared[name]
+            return self.spark.createDataFrame(
+                [(name,)], "statement string"
+            )
+        m = self._EXECUTE_RE.match(text)
+        if m:
+            name, args_text = m.group(1), m.group(2)
+            body = self._prepared.get(name)
+            if body is None:
+                raise ValueError(f"no prepared statement named {name!r}")
+            positions = self._param_positions(body)
+            args = self._split_using_args(args_text) if args_text else []
+            if len(args) != len(positions):
+                raise ValueError(
+                    f"EXECUTE {name}: statement has {len(positions)} "
+                    f"parameter(s), USING supplies {len(args)}"
+                )
+            # splice back-to-front so earlier offsets stay valid
+            out = body
+            for pos, arg in zip(reversed(positions), reversed(args)):
+                out = out[:pos] + arg + out[pos + 1:]
+            return self.sql(out)
+        return None
 
     # -- SQL transactions (WAP branches under SQL spelling) --------------
     #
