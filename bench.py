@@ -103,6 +103,11 @@ HEADLINE = [
     # the two data-mixing stages between cleaning and a release.
     "e77_quality_classifier",
     "e78_token_budget_mixing",
+    # round 10: ANSI recursive CTE (dimension-bounded hierarchy walk +
+    # one closure→fact join) and SemDeDup embedding-space dedup
+    # (IVF-clustered keep-first sweep — the semantic complement to e11).
+    "b50_recursive_user_tree",
+    "e80_semdedup_report",
 ]
 
 
@@ -160,17 +165,24 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-            }
-        )
+    doc = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    # Round-9 verdict #7: the raw single-process run above is hostage to
+    # ±40% host drift, so the COMPARISON unit — interleaved HEAD/old
+    # per-query medians from scripts/bench_interleaved.py — rides in the
+    # same artifact when the protocol has been run for this commit.
+    inter = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_INTERLEAVED.json"
     )
+    if os.path.exists(inter):
+        with open(inter) as fh:
+            doc["interleaved"] = json.load(fh)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""Interleaved HEAD/old bench protocol → BENCH_INTERLEAVED.json.
+
+This sandbox shows ±40% (occasionally ±3x) wall-clock drift between
+identical runs (BASELINE.md "Host variance"), so a single-process bench
+sum cannot adjudicate a round. The comparison unit is per-query MEDIANS
+from INTERLEAVED full-headline passes — HEAD, old, HEAD, old — so host
+drift lands on both sides symmetrically. bench.py embeds this file's
+content into its JSON line, putting the comparison unit in the
+BENCH_r{N}.json artifact itself (round-9 verdict #7).
+
+Usage:
+    python scripts/bench_interleaved.py [old_ref] [passes_per_side]
+
+``old_ref`` defaults to the previous round's final commit; each pass is
+one full-headline bench.py run (SPARK_GRAFT_BENCH_RUNS=1) in its own
+process, on its own checkout (git worktree), at the same sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import statistics
+import subprocess
+import sys
+import tempfile
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+DEFAULT_OLD_REF = "44b14e3"  # round-9 final
+
+
+def _run_pass(checkout: pathlib.Path) -> dict[str, float]:
+    env = {**os.environ, "SPARK_GRAFT_BENCH_RUNS": "1"}
+    out = subprocess.run(
+        [sys.executable, str(checkout / "bench.py")],
+        capture_output=True, text=True, env=env, cwd=str(checkout),
+        timeout=1800,
+    )
+    line = [
+        ln for ln in out.stdout.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> None:
+    old_ref = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OLD_REF
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    old_dir = pathlib.Path(tempfile.mkdtemp(prefix="bench_old_")) / "wt"
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", str(old_dir), old_ref],
+        cwd=str(ROOT), check=True, capture_output=True,
+    )
+    try:
+        head_runs: list[dict] = []
+        old_runs: list[dict] = []
+        for i in range(passes):
+            # strict interleave: HEAD, old, HEAD, old ...
+            print(f"pass {i + 1}/{passes}: HEAD", file=sys.stderr)
+            head_runs.append(_run_pass(ROOT))
+            print(f"pass {i + 1}/{passes}: {old_ref}", file=sys.stderr)
+            old_runs.append(_run_pass(old_dir))
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", str(old_dir)],
+            cwd=str(ROOT), capture_output=True,
+        )
+    shared = sorted(
+        set.intersection(*[set(r) for r in head_runs + old_runs])
+    )
+    head_med = {
+        q: round(statistics.median(r[q] for r in head_runs), 3)
+        for q in shared
+    }
+    old_med = {
+        q: round(statistics.median(r[q] for r in old_runs), 3)
+        for q in shared
+    }
+    doc = {
+        "protocol": f"interleaved HEAD/{old_ref} x{passes}, "
+                    "median per query per side, shared queries only",
+        "old_ref": old_ref,
+        "passes_per_side": passes,
+        "head_median": head_med,
+        "old_median": old_med,
+        "ratio": {
+            q: round(head_med[q] / old_med[q], 3) if old_med[q] else None
+            for q in shared
+        },
+        "head_total": round(sum(head_med.values()), 3),
+        "old_total": round(sum(old_med.values()), 3),
+        "total_ratio": round(
+            sum(head_med.values()) / sum(old_med.values()), 3
+        ),
+    }
+    with open(ROOT / "BENCH_INTERLEAVED.json", "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
