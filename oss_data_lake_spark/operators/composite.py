@@ -222,6 +222,22 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("cosine"), "v3": ("rank")},
              {"k1": _cw_sql("q_id", "c_id"), "v1": "approx_d2",
               "v2": "cosine", "v3": "rank"}),
+            # e81 (round 10): n-gram novelty scoring — per-source doc/
+            # gram/novel/fully-novel/derivative integers ride the hash
+            ("e81", "e81_ngram_novelty",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("total_grams"),
+              "v3": ("novel_grams"), "v4": ("fully_novel_docs"),
+              "s1": _cw("derivative_docs")},
+             {"k1": "source", "v1": "n_docs", "v2": "total_grams",
+              "v3": "novel_grams", "v4": "fully_novel_docs",
+              "s1": _cw_sql("derivative_docs")}),
+            # e82 (round 10): deterministic train/val/test split —
+            # every (source, split) doc/token count rides the hash
+            ("e82", "e82_split_assignment",
+             {"k1": ("source"), "k2": ("split"), "v1": ("n_docs"),
+              "v2": ("n_tokens")},
+             {"k1": "source", "k2": "split", "v1": "n_docs",
+              "v2": "n_tokens"}),
             # e80 (round 10): SemDeDup embedding-space dedup — every
             # per-cluster (members, removed, kept, max-intra-cosine)
             # value rides the hash

@@ -686,6 +686,110 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- e81: n-gram NOVELTY scoring ----------------------------------------
+#
+# The memorization/novelty lens of Lee et al. (ACL 2022) turned into a
+# per-document score: a document's n-gram is NOVEL iff no earlier
+# document (doc_id order — ingestion order in a real pipeline) contains
+# it. Mostly-non-novel documents are near-copies of earlier corpus
+# content that survived pairwise dedup (different enough to miss the
+# Jaccard bar, derivative enough to add little). Exact set semantics
+# over distinct per-doc n-grams, so the ratios are integer divisions.
+#
+# 100 TB: two n-gram-keyed hash shuffles — first-occurrence is ONE
+# groupBy(gram).min(doc_id) (map-side combinable), novelty is the join
+# back on gram. Same growth class as e75's overlap scan; no all-pairs,
+# no window.
+NOVELTY_NGRAM = 8   # same n as decontamination — phrase-level identity
+
+
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e81: per-source novelty accounting — docs, distinct n-grams,
+    FIRST-OCCURRENCE (novel) n-grams, and documents that are entirely
+    novel / entirely derivative. avg novelty = novel_grams/total_grams,
+    derived from the exact integers."""
+    from oss_data_lake_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(shingle_array("toks", NOVELTY_NGRAM)).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_novel").cast("long").alias("novel_grams"),
+            F.sum((F.col("n_novel") == F.col("n_grams")).cast("long"))
+            .cast("long")
+            .alias("fully_novel_docs"),
+            F.sum((F.col("n_novel") == 0).cast("long"))
+            .cast("long")
+            .alias("derivative_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- e82: deterministic train/val/test split ----------------------------
+#
+# The release-time split every pipeline runs: md5(doc_id) % 100 buckets
+# → train (< 98) / val (98) / test (99). Hash-deterministic, so the
+# assignment is reproducible across engines, runs, and re-shards — and
+# STABLE under corpus growth (a document's split never changes when
+# data is added, unlike rand() or modulo-on-row-number). One narrow
+# projection + one aggregation; no shuffle beyond the groupBy.
+SPLIT_MOD = 100
+SPLIT_VAL_BUCKET = 98
+SPLIT_TEST_BUCKET = 99
+
+
+def split_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e82: per-(source, split) accounting — docs and exact token sums
+    under the deterministic md5 split."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % SPLIT_MOD
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(bucket == SPLIT_TEST_BUCKET, F.lit("test"))
+            .when(bucket == SPLIT_VAL_BUCKET, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
@@ -697,6 +801,8 @@ QUERIES = {
     "e77_quality_classifier": quality_classifier_report,
     "e78_token_budget_mixing": token_budget_mixing_report,
     "e79_gopher_repetition": gopher_repetition_report,
+    "e81_ngram_novelty": ngram_novelty_report,
+    "e82_split_assignment": split_assignment_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
@@ -709,6 +815,53 @@ _DECON_JOINS = " ".join(
 _DECON_CONCAT = " || ' ' || ".join(f"t{i}.w" for i in range(DECON_NGRAM))
 
 ORACLES = {
+    # DISTINCT per-doc 8-gram shingles, first-occurrence by min doc_id —
+    # the identical set semantics as shingle_array + groupBy(gram).min
+    "e81_ngram_novelty": f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(t[i:i + {NOVELTY_NGRAM - 1}], ' ')
+                       AS gram
+            FROM toks,
+                 unnest(generate_series(1, len(t) - {NOVELTY_NGRAM - 1}))
+                     AS u(i)
+        ), first AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        ), per_doc AS (
+            SELECT g.doc_id, g.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM grams g JOIN first f USING (gram)
+            GROUP BY g.doc_id, g.source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+               CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+               CAST(SUM(CASE WHEN n_novel = n_grams THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fully_novel_docs,
+               CAST(SUM(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS derivative_docs
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "e82_split_assignment": f"""
+        SELECT source,
+               CASE CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SPLIT_MOD}
+                    WHEN {SPLIT_TEST_BUCKET} THEN 'test'
+                    WHEN {SPLIT_VAL_BUCKET} THEN 'val'
+                    ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source, split ORDER BY source, split
+    """,
     "e79_gopher_repetition": f"""
         WITH toks AS (
             SELECT doc_id, source, string_split(text, ' ') AS t
