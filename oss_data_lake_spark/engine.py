@@ -138,6 +138,13 @@ class Engine:
         r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
     )
+    _DESCRIBE_IO_RE = re.compile(
+        r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _QUERY_HEAD_RE = re.compile(
+        r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE
+    )
 
     @staticmethod
     def _param_positions(text: str) -> list[int]:
@@ -181,6 +188,48 @@ class Engine:
             del self._prepared[name]
             return self.spark.createDataFrame(
                 [(name,)], "statement string"
+            )
+        m = self._DESCRIBE_IO_RE.match(text)
+        if m:
+            kind, name = m.group(1).upper(), m.group(2)
+            body = self._prepared.get(name)
+            if body is None:
+                raise ValueError(f"no prepared statement named {name!r}")
+            if kind == "INPUT":
+                # Trino's DESCRIBE INPUT: one row per `?`, type unknown
+                # (parameters are untyped until EXECUTE)
+                rows = [
+                    (i, "unknown")
+                    for i in range(len(self._param_positions(body)))
+                ]
+                if rows:
+                    return self.spark.createDataFrame(
+                        rows, "position long, type string"
+                    )
+                return self.spark.createDataFrame(
+                    [], "position long, type string"
+                )
+            # DESCRIBE OUTPUT: plan (never execute) the body with NULL
+            # in each parameter slot. Only query-shaped bodies plan
+            # side-effect-free through sql() — statement bodies (DML,
+            # DDL) would EXECUTE on dispatch, so they refuse loudly.
+            if not self._QUERY_HEAD_RE.match(body):
+                raise ValueError(
+                    f"DESCRIBE OUTPUT {name}: only query-shaped "
+                    f"prepared statements (SELECT/WITH/VALUES) can be "
+                    f"described without executing; this body is a "
+                    f"statement"
+                )
+            probe = body
+            for pos in reversed(self._param_positions(body)):
+                probe = probe[:pos] + "NULL" + probe[pos + 1:]
+            schema = self.sql(probe).schema
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString())
+                    for f in schema.fields
+                ],
+                "column_name string, type string",
             )
         m = self._EXECUTE_RE.match(text)
         if m:

@@ -87,3 +87,28 @@ def test_deallocate_and_replace(eng):
         eng.sql("EXECUTE s")
     with pytest.raises(ValueError, match="no prepared statement"):
         eng.sql("DEALLOCATE PREPARE s")
+
+
+def test_describe_input_and_output(eng):
+    eng.sql("PREPARE d FROM SELECT k, name FROM items WHERE k = ? AND price > ?")
+    inp = eng.sql("DESCRIBE INPUT d").collect()
+    assert [(r["position"], r["type"]) for r in inp] == [
+        (0, "unknown"), (1, "unknown"),
+    ]
+    out = eng.sql("DESCRIBE OUTPUT d").collect()
+    assert [(r["column_name"], r["type"]) for r in out] == [
+        ("k", "int"), ("name", "string"),
+    ]
+    # zero-parameter statement: empty INPUT, OUTPUT still typed
+    eng.sql("PREPARE z FROM SELECT price FROM items")
+    assert eng.sql("DESCRIBE INPUT z").count() == 0
+    assert [tuple(r) for r in eng.sql("DESCRIBE OUTPUT z").collect()] == [
+        ("price", "double"),
+    ]
+    # DESCRIBE OUTPUT never executes a statement body
+    eng.sql("PREPARE dml FROM DELETE FROM items WHERE k = ?")
+    with pytest.raises(ValueError, match="without executing"):
+        eng.sql("DESCRIBE OUTPUT dml")
+    assert eng.sql("SELECT COUNT(*) AS n FROM items").collect()[0]["n"] == 3
+    with pytest.raises(ValueError, match="no prepared statement"):
+        eng.sql("DESCRIBE INPUT ghost")
