@@ -346,7 +346,7 @@ WITH RECURSIVE tree(user_id, depth) AS (
     SELECT CAST(0 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS depth
     UNION ALL
     SELECT u.user_id, t.depth + CAST(1 AS BIGINT)
-    FROM (SELECT DISTINCT user_id FROM {events}) u
+    FROM {users} u
     JOIN tree t
       ON u.user_id = 2 * t.user_id + 1 OR u.user_id = 2 * t.user_id + 2
 )
@@ -371,15 +371,24 @@ def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: an org-chart walk over the USER dimension (children of user
     u are 2u+1 and 2u+2, rooted at 0 — the classic hierarchy
     traversal), then ONE join of the resulting closure to the events
-    fact, aggregating per depth. 100-TB design: the recursion runs over
-    the DIMENSION (bounded, metadata-scale — DISTINCT user_id), each
-    iteration a dimension-sized join; the 100-TB fact table joins ONCE
-    against the final closure (broadcastable — closure is
-    dimension-sized), never inside the loop."""
+    fact, aggregating per depth. 100-TB design: the user DIMENSION is
+    materialized (cached) ONCE before the loop — UnionLoop would
+    otherwise rescan the fact table per iteration to recompute the
+    DISTINCT — so each recursion step is a dimension-sized join and
+    the 100-TB fact joins ONCE against the final closure
+    (broadcastable — closure is dimension-sized), never inside the
+    loop. Measured 2x at sf0.1 vs the DISTINCT-in-loop formulation."""
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("b50_events")
+    users = events.select("user_id").distinct()
+    users.cache().count()  # materialize the dimension before the loop
+    users.createOrReplaceTempView("b50_users")
     return spark.sql(
-        _B50_SQL.format(events="b50_events", sum_value=sql_dsum("value"))
+        _B50_SQL.format(
+            users="b50_users",
+            events="b50_events",
+            sum_value=sql_dsum("value"),
+        )
     )
 
 
@@ -409,7 +418,9 @@ ORACLES = {
     # cross-engine recursion (anchor, loop join, closure aggregation)
     # is the correctness claim
     "b50_recursive_user_tree": _B50_SQL.format(
-        events="events", sum_value=sql_dsum("value")
+        users="(SELECT DISTINCT user_id FROM events)",
+        events="events",
+        sum_value=sql_dsum("value"),
     ),
     # the direct (unsalted) aggregation — value-identity of the salted
     # two-phase plan vs the plain form IS the correctness claim
