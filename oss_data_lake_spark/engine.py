@@ -596,17 +596,14 @@ class Engine:
         members = [(n, self._txns[n][0]) for n in names]
         for _n, t in members:
             self._compact_mor_debt(t, gid)
-        # phase 1: every member must be publishable NOW — one conflict
-        # aborts the whole commit with nothing landed and the
-        # transaction open (inspect, retry, or ROLLBACK)
-        for _n, t in members:
-            t.branch(gid).publish(
-                require_source_unchanged=False, dry_run=True,
-                source_protocol=t.protocol,
-            )
         # pure-REST groups commit SERVER-SIDE: the catalog service is
         # the commit point, so no local _txns record is needed (or
-        # possible — the members may share only the catalog)
+        # possible — the members may share only the catalog). This
+        # branch runs BEFORE the dry-run loop: its prepare step IS the
+        # validation (nothing lands until the POST), and its
+        # landed-stamp idempotence check must see a re-issued COMMIT
+        # before any rebase analysis can trip over the already-landed
+        # head.
         from oss_data_lake_spark.sources.rest_catalog import (
             RestCommitProtocol,
         )
@@ -615,6 +612,14 @@ class Engine:
             isinstance(t.protocol, RestCommitProtocol) for _n, t in members
         ) and len({t.protocol.base for _n, t in members}) == 1:
             return self._commit_multi_rest(members, gid)
+        # phase 1: every member must be publishable NOW — one conflict
+        # aborts the whole commit with nothing landed and the
+        # transaction open (inspect, retry, or ROLLBACK)
+        for _n, t in members:
+            t.branch(gid).publish(
+                require_source_unchanged=False, dry_run=True,
+                source_protocol=t.protocol,
+            )
         # phase 2: the commit point
         self._txn_record_write(
             gid,
@@ -706,6 +711,38 @@ class Engine:
 
         base = members[0][1].protocol.base
         for _attempt in range(self._REST_TXN_RETRIES):
+            # idempotence vs our OWN lost response: a timeout/crash after
+            # the service already applied the POST re-enters here (retry
+            # or a re-issued COMMIT TRANSACTION) — if every member's head
+            # chain PAST ITS BRANCH FORK carries the gid stamp, the
+            # transaction IS committed; finish cleanup instead of landing
+            # a spurious rebased no-op version. Cost on the normal path:
+            # (head - fork) manifest reads per member — usually zero
+            def _landed(t) -> bool:
+                head = t.current_version() or 0
+                if gid in t.branches():
+                    fork = t.branch(gid)._manifest(1)["clone_source"][
+                        "version"
+                    ]
+                    lo = fork + 1
+                else:
+                    lo = 1  # branch already cleaned: scan the whole chain
+                return any(
+                    self._manifest_stamp(t, v) == gid
+                    for v in range(lo, head + 1)
+                )
+
+            if all(_landed(t) for _n, t in members):
+                rows = []
+                for n, t in members:
+                    if gid in t.branches():
+                        t.drop_branch(gid)
+                    del self._txns[n]
+                    self._snapshot_tables[n] = t
+                    rows.append((n, t.current_version()))
+                return self.spark.createDataFrame(
+                    rows, "table string, version long"
+                )
             changes = []
             for _n, t in members:
                 parent, manifest = t.branch(gid).publish(

@@ -426,3 +426,42 @@ def test_rest_txn_crash_after_post_is_exactly_once(spark, server, tmp_path):
 
     e2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
     assert e2.recover_transactions() == []
+
+
+def test_reissued_commit_after_lost_response_is_idempotent(
+    spark, server, tmp_path
+):
+    """The service applied the POST but the client lost the response
+    (timeout): the user re-issues COMMIT TRANSACTION. The landed-stamp
+    check recognizes the transaction as committed and finishes cleanup
+    — no spurious extra version, data exactly once."""
+    import oss_data_lake_spark.sources.rest_catalog as rc
+
+    e, (t1, t2) = _rest_engine(spark, server, tmp_path, ("l1", "l2"))
+    e._snapshot_tables["t1"] = e._snapshot_tables.pop("l1")
+    e._snapshot_tables["t2"] = e._snapshot_tables.pop("l2")
+    e.sql("BEGIN TRANSACTION ON t1, t2")
+    e.sql("INSERT INTO t1 VALUES (600, 6.0)")
+    e.sql("INSERT INTO t2 VALUES (600, 6.0)")
+
+    orig = rc.rest_commit_transaction
+
+    def post_then_lose_response(base, changes):
+        orig(base, changes)
+        raise RuntimeError("simulated response timeout")
+
+    rc.rest_commit_transaction = post_then_lose_response
+    try:
+        with pytest.raises(RuntimeError, match="response timeout"):
+            e.sql("COMMIT TRANSACTION ON t1, t2")
+    finally:
+        rc.rest_commit_transaction = orig
+    # transaction still open in-process; the user retries the COMMIT
+    out = {r["table"]: r["version"] for r in
+           e.sql("COMMIT TRANSACTION ON t1, t2").collect()}
+    assert out == {"t1": 2, "t2": 2}       # the ALREADY-landed versions
+    assert t1.current_version() == 2        # no spurious extra commit
+    assert t2.current_version() == 2
+    assert t1.read().filter("k = 600").count() == 1  # exactly once
+    assert t1.branches() == {} and t2.branches() == {}
+    assert e._txns == {}
