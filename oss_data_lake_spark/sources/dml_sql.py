@@ -1527,6 +1527,9 @@ def dispatch_statement(
     m = _DROP_RE.match(text)
     if m:
         if_exists, name = m.group(1), m.group(2)
+        # a fresh process can DROP a managed on-disk table it never
+        # registered — same adoption rule as the CREATE family
+        _adopt_on_disk(engine, tables, name)
         if name in tables and engine is not None:
             engine.drop_snapshot_table(name)
             return spark.createDataFrame([(name,)], "dropped string")

@@ -310,3 +310,23 @@ def test_view_backed_results_survive_view_drop(spark, eng):
     )  # the expansion was dropped before we collect
     assert [r["k"] for r in df.collect()] == [2, 3]
     assert [r["k"] for r in df.collect()] == [2, 3]  # re-executable
+
+
+def test_drop_table_works_across_processes(spark, tmp_path):
+    """A fresh process can DROP a managed on-disk table it never
+    registered — the same adoption rule that protects CREATE."""
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark=spark, warehouse_dir=wh)
+    e1.sql("CREATE TABLE dropme (k INT) USING snapshot")
+    e1.sql("INSERT INTO dropme VALUES (1)")
+    path = e1._snapshot_tables["dropme"].path
+
+    e2 = Engine(spark=spark, warehouse_dir=wh)
+    assert "dropme" not in e2._snapshot_tables
+    out = e2.sql("DROP TABLE dropme").collect()
+    assert out[0]["dropped"] == "dropme"
+    assert not os.path.isdir(path)
+    # and CREATE of the same name now succeeds in ANY process
+    e3 = Engine(spark=spark, warehouse_dir=wh)
+    e3.sql("CREATE TABLE dropme (k INT) USING snapshot")
+    assert e3.sql("SELECT * FROM dropme").count() == 0
