@@ -984,6 +984,9 @@ _DROP_PART_FIELD_RE = re.compile(
     r"([A-Za-z_]\w*\s*\([^)]*\)|[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
 _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -1655,6 +1658,89 @@ def dispatch_statement(
         parts = tables[name].show_partitions()
         return spark.createDataFrame(
             [(p,) for p in parts], "partition string"
+        )
+
+    m = _SHOW_STATS_RE.match(text)
+    if m:
+        # Trino's SHOW STATS FOR <table>: per-column summary from the
+        # MANIFEST's per-file footer stats (metadata only — no data
+        # scan, same source file skipping prunes with). One row per
+        # stats column + the NULL-column table row-count summary;
+        # values a file never harvested stay NULL (unknown), exactly
+        # Trino's unknown-stat convention.
+        t = _require(tables, m.group(1), "SHOW STATS FOR")
+        v = t.current_version()
+        if v is None:
+            raise ValueError(f"SHOW STATS: no snapshots at {t.path}")
+        man = t._manifest(v)
+        vis_map = man.get("dir_files") or {}
+        per_col: dict[str, dict] = {}
+        total_rows, rows_known = 0, True
+        for d in man.get("data_dirs", []):
+            st = t.dir_stats(man, d) or {}
+            vis = vis_map.get(d)
+            files = vis if vis is not None else sorted(st)
+            if not st:
+                rows_known = False  # a dir with no stats: unknown rows
+                continue
+            for f in files:
+                cols = st.get(f)
+                if not cols:
+                    rows_known = False
+                    continue
+                file_rows = None
+                for cname, payload in cols.items():
+                    if cname.startswith("bloom:"):
+                        continue
+                    a = per_col.setdefault(
+                        cname,
+                        {"files": 0, "rows": 0, "nulls": 0,
+                         "lo": None, "hi": None},
+                    )
+                    a["files"] += 1
+                    a["rows"] += payload.get("rows") or 0
+                    a["nulls"] += payload.get("nulls") or 0
+                    if file_rows is None:
+                        file_rows = payload.get("rows") or 0
+                    for key, side in (("min", "lo"), ("max", "hi")):
+                        e = payload.get(key)
+                        if e is None:
+                            continue
+                        kind, val = e
+                        cur = a[side]
+                        if cur is None:
+                            a[side] = (kind, val)
+                        elif key == "min":
+                            a[side] = min(cur, (kind, val), key=lambda x: x[1])
+                        else:
+                            a[side] = max(cur, (kind, val), key=lambda x: x[1])
+                if file_rows is None:
+                    rows_known = False
+                else:
+                    total_rows += file_rows
+        def _fmt(e):
+            return None if e is None else str(e[1])
+        rows = [
+            (
+                c,
+                a["files"],
+                a["rows"],
+                a["nulls"],
+                (float(a["nulls"]) / a["rows"]) if a["rows"] else None,
+                _fmt(a["lo"]),
+                _fmt(a["hi"]),
+            )
+            for c, a in sorted(per_col.items())
+        ]
+        rows.append(
+            (None, None, total_rows if rows_known else None,
+             None, None, None, None)
+        )
+        return spark.createDataFrame(
+            rows,
+            "column_name string, files_with_stats long, row_count long, "
+            "nulls_count long, nulls_fraction double, "
+            "low_value string, high_value string",
         )
 
     m = _WRITE_ORDERED_RE.match(text)

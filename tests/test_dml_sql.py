@@ -911,3 +911,34 @@ def test_delta_spelling_time_travel_without_for(spark, tmp_path):
         "SELECT 'tt9 VERSION AS OF 1' AS s FROM tt9 LIMIT 1"
     ).collect()[0]["s"]
     assert got == "tt9 VERSION AS OF 1"
+
+
+def test_show_stats_for_snapshot_table(spark, tmp_path):
+    """Trino's SHOW STATS FOR: per-column min/max/null summary from the
+    manifest's footer stats (no data scan), NULL-column row-count
+    summary row, DML-aware visibility (a CoW DELETE's rewrite updates
+    the numbers)."""
+    from oss_data_lake_spark.engine import Engine
+    from pyspark.sql import Row
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=i, s=("x" if i % 3 else None)) for i in range(12)]
+        ),
+        stats_for=["k", "s"],
+    )
+    e._snapshot_tables["t"] = t
+    rows = {r["column_name"]: r for r in e.sql("SHOW STATS FOR t").collect()}
+    assert rows["k"]["row_count"] == 12
+    assert rows["k"]["low_value"] == "0" and rows["k"]["high_value"] == "11"
+    assert rows["k"]["nulls_count"] == 0
+    assert rows["s"]["nulls_count"] == 4        # every i % 3 == 0
+    assert abs(rows["s"]["nulls_fraction"] - 4 / 12) < 1e-12
+    assert rows[None]["row_count"] == 12        # the table summary row
+    # stats follow DML: delete the upper half, numbers shrink
+    e.sql("DELETE FROM t WHERE k >= 6")
+    rows = {r["column_name"]: r for r in e.sql("SHOW STATS FOR t").collect()}
+    assert rows["k"]["high_value"] == "5"
+    assert rows[None]["row_count"] == 6
