@@ -64,6 +64,21 @@ class Engine:
           ``VACUUM``, ``DESCRIBE HISTORY``),
         - and plain SELECTs whose WHERE conjuncts route the scan through
           manifest file skipping (``extract_prunable_predicates``)."""
+        m = self._EXPLAIN_ANALYZE_RE.match(text)
+        if m:
+            # Trino's EXPLAIN ANALYZE: EXECUTE the statement, then show
+            # the plan with runtime evidence — here the AQE FINAL plan
+            # (isFinalPlan=true) whose ShuffleQueryStage nodes carry
+            # measured Statistics(sizeInBytes, rowCount). The result is
+            # drained through toLocalIterator (streamed, bounded driver
+            # memory) on the statement's OWN QueryExecution so the
+            # printed plan is the one that ran.
+            df = self.sql(m.group(1))
+            n = sum(1 for _ in df.toLocalIterator())
+            plan = explain_str(df, "formatted")
+            return self.spark.createDataFrame(
+                [(plan, n)], "plan string, rows long"
+            )
         handled = self._handle_prepared_statement(text)
         if handled is not None:
             return handled
@@ -126,6 +141,10 @@ class Engine:
     # text re-enters ``sql()``, so the full statement surface (DML,
     # time travel, views, maintenance) is parameterizable.
 
+    _EXPLAIN_ANALYZE_RE = re.compile(
+        r"^\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _PREPARE_RE = re.compile(
         r"^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,

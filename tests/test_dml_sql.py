@@ -942,3 +942,27 @@ def test_show_stats_for_snapshot_table(spark, tmp_path):
     rows = {r["column_name"]: r for r in e.sql("SHOW STATS FOR t").collect()}
     assert rows["k"]["high_value"] == "5"
     assert rows[None]["row_count"] == 6
+
+
+def test_explain_analyze_executes_and_shows_final_plan(spark, tmp_path):
+    """Trino's EXPLAIN ANALYZE: runs the statement and returns the AQE
+    FINAL plan with measured statistics, plus the row count it drained.
+    Composes with the snapshot statement surface (views, time travel)."""
+    from oss_data_lake_spark.engine import Engine
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE ea (k INT, v DOUBLE) USING snapshot")
+    e.sql("INSERT INTO ea VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    row = e.sql(
+        "EXPLAIN ANALYZE SELECT k, SUM(v) AS s FROM ea GROUP BY k"
+    ).collect()[0]
+    assert row["rows"] == 3
+    assert "Final Plan" in row["plan"] or "isFinalPlan=true" in row["plan"]
+    assert "Statistics(" in row["plan"]  # runtime-measured stage stats
+    # DML under EXPLAIN ANALYZE executes it (Trino semantics)
+    row = e.sql("EXPLAIN ANALYZE DELETE FROM ea WHERE k = 3").collect()[0]
+    assert e.sql("SELECT COUNT(*) AS n FROM ea").collect()[0]["n"] == 2
+    # and through a persistent view
+    e.sql("CREATE VIEW ea_v AS SELECT k FROM ea WHERE k > 1")
+    row = e.sql("EXPLAIN ANALYZE SELECT * FROM ea_v").collect()[0]
+    assert row["rows"] == 1
