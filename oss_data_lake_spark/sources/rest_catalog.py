@@ -49,6 +49,9 @@ from oss_data_lake_spark.sources.catalog import (
 )
 
 _TABLE_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)$")
+_NAMESPACES_RE = re.compile(r"^/v1/namespaces$")
+_NAMESPACE_RE = re.compile(r"^/v1/namespaces/([A-Za-z_][\w.-]*)$")
+_NS_TABLES_RE = re.compile(r"^/v1/namespaces/([A-Za-z_][\w.-]*)/tables$")
 _MANIFEST_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/manifests/(\d+)$")
 _COMMIT_RE = re.compile(r"^/v1/tables/([A-Za-z_][\w.-]*)/commit$")
 _VIEWS_RE = re.compile(r"^/v1/views$")
@@ -64,6 +67,7 @@ class RestCatalogServer:
     def __init__(self):
         self._tables: dict[str, dict] = {}  # name -> {versions, current}
         self._views: dict[str, str] = {}    # name -> SELECT text
+        self._namespaces: dict[str, dict] = {}  # dotted name -> properties
         self._mu = threading.Lock()
         outer = self
 
@@ -82,6 +86,40 @@ class RestCatalogServer:
             def do_GET(self):
                 if self.path == "/v1/config":
                     return self._json(200, {"defaults": {}, "overrides": {}})
+                if _NAMESPACES_RE.match(self.path):
+                    with outer._mu:
+                        return self._json(
+                            200,
+                            {"namespaces": sorted(outer._namespaces)},
+                        )
+                m = _NS_TABLES_RE.match(self.path)
+                if m:
+                    ns = m.group(1)
+                    with outer._mu:
+                        if ns not in outer._namespaces:
+                            return self._json(
+                                404, {"error": "NoSuchNamespaceException"}
+                            )
+                        # a table belongs to the DEEPEST namespace its
+                        # dotted name prefixes (Iceberg identifier rule)
+                        members = sorted(
+                            t for t in outer._tables
+                            if t.startswith(ns + ".")
+                            and "." not in t[len(ns) + 1:]
+                        )
+                    return self._json(200, {"identifiers": members})
+                m = _NAMESPACE_RE.match(self.path)
+                if m:
+                    with outer._mu:
+                        props = outer._namespaces.get(m.group(1))
+                    if props is None:
+                        return self._json(
+                            404, {"error": "NoSuchNamespaceException"}
+                        )
+                    return self._json(
+                        200,
+                        {"namespace": m.group(1), "properties": props},
+                    )
                 m = _TABLE_RE.match(self.path)
                 if m:
                     with outer._mu:
@@ -127,6 +165,30 @@ class RestCatalogServer:
                 return self._json(404, {"error": "NotFound"})
 
             def do_POST(self):
+                if _NAMESPACES_RE.match(self.path):
+                    # Lakekeeper's namespace role: nested namespaces are
+                    # dotted names; creating a child requires the parent
+                    # (Iceberg REST CreateNamespace semantics)
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n).decode())
+                    name = req["namespace"]
+                    if isinstance(name, list):
+                        name = ".".join(name)
+                    with outer._mu:
+                        if name in outer._namespaces:
+                            return self._json(409, {
+                                "error": "NamespaceAlreadyExistsException",
+                            })
+                        parent = name.rsplit(".", 1)[0] if "." in name else None
+                        if parent and parent not in outer._namespaces:
+                            return self._json(404, {
+                                "error": "NoSuchNamespaceException",
+                                "message": f"parent '{parent}' missing",
+                            })
+                        outer._namespaces[name] = dict(
+                            req.get("properties") or {}
+                        )
+                    return self._json(200, {"namespace": name})
                 if self.path == "/v1/transactions/commit":
                     # Lakekeeper's multi-table commit (the capability the
                     # reference's Iceberg REST catalog exposes — one
@@ -246,6 +308,27 @@ class RestCatalogServer:
                     return self._json(200, {"version": v})
 
             def do_DELETE(self):
+                m = _NAMESPACE_RE.match(self.path)
+                if m:
+                    ns = m.group(1)
+                    with outer._mu:
+                        if ns not in outer._namespaces:
+                            return self._json(
+                                404, {"error": "NoSuchNamespaceException"}
+                            )
+                        # Iceberg refuses dropping a non-empty namespace
+                        busy = any(
+                            t.startswith(ns + ".") for t in outer._tables
+                        ) or any(
+                            other.startswith(ns + ".")
+                            for other in outer._namespaces
+                        )
+                        if busy:
+                            return self._json(409, {
+                                "error": "NamespaceNotEmptyException",
+                            })
+                        del outer._namespaces[ns]
+                        return self._json(200, {})
                 m = _VIEW_RE.match(self.path)
                 if m:
                     with outer._mu:
@@ -345,6 +428,74 @@ class RestViewCatalog:
             if if_exists:
                 return False
             raise ValueError(f"view '{name}' does not exist")
+        return True
+
+
+class RestNamespaces:
+    """Namespace operations through the catalog service — the
+    Lakekeeper warehouse/namespace role (the reference creates
+    namespaces through Lakekeeper before Trino can CREATE SCHEMA;
+    ``sources/tables.Warehouse`` is the in-session analogue). Nested
+    namespaces are dotted names; a child needs its parent; a non-empty
+    namespace refuses to drop — Iceberg REST semantics."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def _request(self, method: str, path: str, payload: dict | None = None):
+        data = None if payload is None else json.dumps(payload).encode()
+        req = urllib.request.Request(
+            self.base + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode() or "{}")
+
+    def list(self) -> list[str]:
+        _code, body = self._request("GET", "/v1/namespaces")
+        return body["namespaces"]
+
+    def create(
+        self,
+        name: str,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> bool:
+        code, body = self._request(
+            "POST", "/v1/namespaces",
+            {"namespace": name, "properties": properties or {}},
+        )
+        if code == 409:
+            if if_not_exists:
+                return False
+            raise ValueError(f"namespace '{name}' already exists")
+        if code == 404:
+            raise ValueError(body.get("message", f"cannot create '{name}'"))
+        return True
+
+    def properties(self, name: str) -> dict | None:
+        code, body = self._request("GET", f"/v1/namespaces/{name}")
+        return None if code == 404 else body["properties"]
+
+    def tables(self, name: str) -> list[str]:
+        code, body = self._request("GET", f"/v1/namespaces/{name}/tables")
+        if code == 404:
+            raise ValueError(f"namespace '{name}' does not exist")
+        return body["identifiers"]
+
+    def drop(self, name: str, if_exists: bool = False) -> bool:
+        code, body = self._request("DELETE", f"/v1/namespaces/{name}")
+        if code == 404:
+            if if_exists:
+                return False
+            raise ValueError(f"namespace '{name}' does not exist")
+        if code == 409:
+            raise ValueError(f"namespace '{name}' is not empty")
         return True
 
 

@@ -465,3 +465,42 @@ def test_reissued_commit_after_lost_response_is_idempotent(
     assert t1.read().filter("k = 600").count() == 1  # exactly once
     assert t1.branches() == {} and t2.branches() == {}
     assert e._txns == {}
+
+
+def test_namespaces_over_the_wire(spark, server, tmp_path):
+    """The Lakekeeper namespace role: nested dotted namespaces shared
+    across clients, parent-required creation, non-empty drop refusal,
+    per-namespace table listing (tables land in a namespace by their
+    dotted identifier)."""
+    from oss_data_lake_spark.sources.rest_catalog import RestNamespaces
+
+    ns1 = RestNamespaces(server.url)
+    ns2 = RestNamespaces(server.url)  # an independent client
+    assert ns1.create("finance", {"owner": "etl"}) is True
+    assert ns1.create("finance.daily") is True
+    with pytest.raises(ValueError, match="already exists"):
+        ns2.create("finance")
+    assert ns2.create("finance", if_not_exists=True) is False
+    with pytest.raises(ValueError, match="parent"):
+        ns1.create("ghost.child")
+    assert ns2.list() == ["finance", "finance.daily"]
+    assert ns2.properties("finance") == {"owner": "etl"}
+
+    # a committed table joins its namespace by dotted identifier
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "prices"),
+        protocol=RestCommitProtocol(server.url, "finance.daily.prices"),
+    )
+    t.commit(spark.createDataFrame([Row(k=1, v=1.0)]))
+    assert ns1.tables("finance.daily") == ["finance.daily.prices"]
+    assert ns1.tables("finance") == []  # deepest-prefix rule
+
+    # non-empty namespaces refuse to drop; empty ones go
+    with pytest.raises(ValueError, match="not empty"):
+        ns1.drop("finance.daily")
+    with pytest.raises(ValueError, match="not empty"):
+        ns1.drop("finance")  # has a child namespace
+    with pytest.raises(ValueError, match="does not exist"):
+        ns1.drop("ghost")
+    assert ns1.drop("ghost", if_exists=True) is False
