@@ -175,9 +175,21 @@ def _build_source_class():
             max_files_per_trigger: int | None = None,
             max_bytes_per_trigger: int | None = None,
             end_version: int | None = None,
+            rest_url: str | None = None,
+            rest_table: str | None = None,
         ):
             self.path = path.rstrip("/")
             self.meta = os.path.join(self.path, "_snapshots")
+            # REST-attached tables keep their metadata tail in the
+            # catalog service, not under <path>/_snapshots: CURRENT and
+            # manifests read over the wire (the planner is driver-side;
+            # executors only ever see data-file lists, which stay on the
+            # shared store like every other table)
+            self._rest = (
+                (rest_url.rstrip("/"), rest_table)
+                if rest_url and rest_table
+                else None
+            )
             self.start_version = start_version
             self.skip_change_commits = skip_change_commits
             self.change_feed = change_feed
@@ -214,7 +226,16 @@ def _build_source_class():
             self._floor: int | None = None
 
         # -------------------------------------------------------- meta
+        def _rest_protocol(self):
+            from oss_data_lake_spark.sources.rest_catalog import (
+                RestCommitProtocol,
+            )
+
+            return RestCommitProtocol(self._rest[0], self._rest[1])
+
         def _current(self) -> int:
+            if self._rest is not None:
+                return self._rest_protocol().read_current() or 0
             try:
                 with open(os.path.join(self.meta, "CURRENT")) as fh:
                     return int(fh.read().strip())
@@ -222,6 +243,8 @@ def _build_source_class():
                 return 0
 
         def _manifest(self, v: int) -> dict:
+            if self._rest is not None:
+                return self._rest_protocol().read_manifest(v)
             with open(os.path.join(self.meta, f"v{v}.json")) as fh:
                 return json.load(fh)
 
@@ -865,7 +888,11 @@ def _build_source_class():
         the first batch after a checkpoint restart is uncapped (a
         capped guess below the restored offset would plan a replaying
         batch under the API's equality-compared offsets).
-        ``changeFeed`` ('true'/'false', default false) — Delta's
+        ``restUrl`` + ``restTable`` — stream a REST-attached table
+        (``RestCommitProtocol``): CURRENT and manifests read from the
+        catalog service instead of ``<path>/_snapshots`` (driver-side
+        planning only; executors still read data files from the shared
+        store). ``changeFeed`` ('true'/'false', default false) — Delta's
         streaming ``readChangeFeed``: every commit kind becomes a typed
         micro-batch of (table columns, ``_change_type`` insert/delete,
         ``_commit_version``) rows, matching the batch
@@ -881,16 +908,35 @@ def _build_source_class():
         def _flag(self, name: str) -> bool:
             return str(self.options.get(name, "false")).lower() == "true"
 
+        def _rest_protocol(self):
+            """REST-attached tables (options restUrl + restTable) keep
+            their metadata tail in the catalog service; None for the
+            local layout."""
+            url = self.options.get("restUrl")
+            tbl = self.options.get("restTable")
+            if not url or not tbl:
+                return None
+            from oss_data_lake_spark.sources.rest_catalog import (
+                RestCommitProtocol,
+            )
+
+            return RestCommitProtocol(url, tbl)
+
         def schema(self):
             meta = os.path.join(self.options["path"], "_snapshots")
             v = self.options.get("versionAsOf")
-            if v is None:
-                with open(os.path.join(meta, "CURRENT")) as fh:
-                    cur = int(fh.read().strip())
+            rest = self._rest_protocol()
+            if rest is not None:
+                cur = int(v) if v is not None else (rest.read_current() or 0)
+                manifest = rest.read_manifest(cur)
             else:
-                cur = int(v)
-            with open(os.path.join(meta, f"v{cur}.json")) as fh:
-                manifest = json.load(fh)
+                if v is None:
+                    with open(os.path.join(meta, "CURRENT")) as fh:
+                        cur = int(fh.read().strip())
+                else:
+                    cur = int(v)
+                with open(os.path.join(meta, f"v{cur}.json")) as fh:
+                    manifest = json.load(fh)
             s = manifest.get("schema")
             if s is None:
                 raise ValueError(
@@ -948,12 +994,21 @@ def _build_source_class():
                 ms = _parse_ts_ms(ts)
                 meta = os.path.join(self.options["path"], "_snapshots")
                 start = 0
-                with open(os.path.join(meta, "CURRENT")) as fh:
-                    cur = int(fh.read().strip())
+                rest = self._rest_protocol()
+                if rest is not None:
+                    cur = rest.read_current() or 0
+                else:
+                    with open(os.path.join(meta, "CURRENT")) as fh:
+                        cur = int(fh.read().strip())
                 for v in range(1, cur + 1):
                     try:
-                        with open(os.path.join(meta, f"v{v}.json")) as fh:
-                            m = json.load(fh)
+                        if rest is not None:
+                            m = rest.read_manifest(v)
+                        else:
+                            with open(
+                                os.path.join(meta, f"v{v}.json")
+                            ) as fh:
+                                m = json.load(fh)
                     except FileNotFoundError:
                         continue  # expired
                     if m.get("committed_at_ms", 0) < ms:
@@ -976,6 +1031,8 @@ def _build_source_class():
                 max_files_per_trigger=_int_opt("maxFilesPerTrigger"),
                 max_bytes_per_trigger=_int_opt("maxBytesPerTrigger"),
                 end_version=_int_opt("endVersion"),
+                rest_url=self.options.get("restUrl"),
+                rest_table=self.options.get("restTable"),
             )
 
     return SnapshotStreamSource

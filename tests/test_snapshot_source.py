@@ -959,3 +959,58 @@ def test_drain_available_now_replay_safe_across_crash(
     # every version delivered; only the crashed batch may appear twice
     assert all(n <= 2 for n in c.values())
     assert sum(1 for n in c.values() if n == 2) <= 1
+
+
+def test_stream_from_rest_attached_table(registered, spark, tmp_path):
+    """Round 10: a REST-attached table (metadata tail in the catalog
+    service, NO local _snapshots dir) streams through restUrl/restTable
+    — offsets from the service's CURRENT, manifests over the wire,
+    checkpoint-exact resume like the local layout."""
+    from oss_data_lake_spark.sources.rest_catalog import (
+        RestCatalogServer,
+        RestCommitProtocol,
+    )
+
+    server = RestCatalogServer().start()
+    try:
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / "rt"),
+            protocol=RestCommitProtocol(server.url, "rt"),
+        )
+        t.commit(spark.createDataFrame([Row(k=i) for i in range(4)]))
+        import os
+
+        assert not os.path.isdir(
+            os.path.join(t.path, "_snapshots")
+        )  # the premise: metadata lives ONLY in the service
+        ck = str(tmp_path / "ck")
+        got: list[tuple] = []
+
+        def sink(batch, _bid):
+            got.extend(tuple(r) for r in batch.collect())
+
+        def drain():
+            q = (
+                spark.readStream.format(FORMAT_NAME)
+                .option("path", t.path)
+                .option("restUrl", server.url)
+                .option("restTable", "rt")
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        assert sorted(got) == [(i,) for i in range(4)]
+        got.clear()
+        t.commit(
+            spark.createDataFrame([Row(k=9)]), mode="append"
+        )  # lands via HTTP
+        drain()
+        assert got == [(9,)]  # resume drains ONLY the new commit
+    finally:
+        server.stop()
