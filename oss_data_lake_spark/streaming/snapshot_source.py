@@ -1076,11 +1076,25 @@ def drain_available_now(
     import time as _time
 
     meta = os.path.join(path.rstrip("/"), "_snapshots")
-    try:
-        with open(os.path.join(meta, "CURRENT")) as fh:
-            head = int(fh.read().strip())
-    except FileNotFoundError:
-        return 0
+    if options.get("restUrl") and options.get("restTable"):
+        # REST-attached table: the head snapshot comes from the catalog
+        # service (the same wire the stream's own planner uses)
+        from oss_data_lake_spark.sources.rest_catalog import (
+            RestCommitProtocol,
+        )
+
+        head = (
+            RestCommitProtocol(
+                str(options["restUrl"]), str(options["restTable"])
+            ).read_current()
+            or 0
+        )
+    else:
+        try:
+            with open(os.path.join(meta, "CURRENT")) as fh:
+                head = int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
     if head <= 0:
         return 0
     # already drained? peek at the checkpoint's last COMMITTED offset —

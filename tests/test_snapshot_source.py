@@ -1014,3 +1014,39 @@ def test_stream_from_rest_attached_table(registered, spark, tmp_path):
         assert got == [(9,)]  # resume drains ONLY the new commit
     finally:
         server.stop()
+
+
+def test_drain_available_now_over_rest_table(registered, spark, tmp_path):
+    """drain_available_now on a REST-attached table: the entry-time head
+    comes from the catalog service; paced batches drain exactly to it."""
+    from oss_data_lake_spark.sources.rest_catalog import (
+        RestCatalogServer,
+        RestCommitProtocol,
+    )
+    from oss_data_lake_spark.streaming.snapshot_source import (
+        drain_available_now,
+    )
+
+    server = RestCatalogServer().start()
+    try:
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / "dr"),
+            protocol=RestCommitProtocol(server.url, "dr"),
+        )
+        for i in range(3):
+            t.commit(spark.createDataFrame([Row(k=i)]), mode="append")
+        got: list[int] = []
+
+        def sink(batch, _bid):
+            got.extend(r["k"] for r in batch.collect())
+
+        head = drain_available_now(
+            spark, t.path, str(tmp_path / "ck"), sink,
+            maxVersionsPerTrigger=1,
+            restUrl=server.url, restTable="dr",
+        )
+        assert head == 3
+        assert sorted(got) == [0, 1, 2]
+    finally:
+        server.stop()
