@@ -1041,6 +1041,12 @@ class Engine:
         ]:
             self._snapshot_tables.pop(reg)
         if delete_data:
+            # a catalog-managed metadata tail (REST) must go WITH the
+            # data — stale service metadata would make a recreated name
+            # append onto references to deleted files
+            drop = getattr(t.protocol, "drop_table", None)
+            if callable(drop):
+                drop()
             shutil.rmtree(t.path, ignore_errors=True)
 
     def snapshot_view(

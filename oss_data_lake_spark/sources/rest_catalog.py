@@ -308,6 +308,19 @@ class RestCatalogServer:
                     return self._json(200, {"version": v})
 
             def do_DELETE(self):
+                m = _TABLE_RE.match(self.path)
+                if m:
+                    # dropTable: the whole metadata tail goes — a later
+                    # CREATE of the same name starts at v1 again (without
+                    # this, a dropped-then-recreated table would append
+                    # onto stale metadata referencing deleted data)
+                    with outer._mu:
+                        if m.group(1) not in outer._tables:
+                            return self._json(
+                                404, {"error": "NoSuchTableException"}
+                            )
+                        del outer._tables[m.group(1)]
+                        return self._json(200, {})
                 m = _NAMESPACE_RE.match(self.path)
                 if m:
                     ns = m.group(1)
@@ -584,6 +597,14 @@ class RestCommitProtocol(CommitProtocol):
         self._request(
             "DELETE", f"/v1/tables/{self.table}/manifests/{version}"
         )
+
+    def drop_table(self) -> None:
+        """Remove the WHOLE metadata tail from the catalog (DROP TABLE
+        semantics): without this, a dropped-then-recreated name would
+        append onto stale service metadata referencing deleted data.
+        ``Engine.drop_snapshot_table`` calls it when the table's
+        protocol exposes it; missing tables are a no-op (idempotent)."""
+        self._request("DELETE", f"/v1/tables/{self.table}")
 
     def commit(self, build) -> int:
         for _attempt in range(self.retries):

@@ -504,3 +504,25 @@ def test_namespaces_over_the_wire(spark, server, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         ns1.drop("ghost")
     assert ns1.drop("ghost", if_exists=True) is False
+
+
+def test_drop_rest_table_clears_service_metadata(spark, server, tmp_path):
+    """DROP of a REST-attached table must remove the catalog's metadata
+    tail too — a recreated name starts at v1 over fresh data, never
+    appending onto stale references to deleted files."""
+    from oss_data_lake_spark.engine import Engine
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "d1")
+    t = SnapshotTable(spark, path, protocol=RestCommitProtocol(server.url, "d1"))
+    t.commit(spark.createDataFrame([Row(k=1)]))
+    t.commit(spark.createDataFrame([Row(k=2)]), mode="append")
+    e._snapshot_tables["d1"] = t
+    e.drop_snapshot_table("d1")
+    # service forgot the table entirely
+    assert RestCommitProtocol(server.url, "d1").read_current() is None
+    # a recreate starts a FRESH history at v1 with only the new data
+    t2 = SnapshotTable(spark, path, protocol=RestCommitProtocol(server.url, "d1"))
+    v = t2.commit(spark.createDataFrame([Row(k=9)]))
+    assert v == 1
+    assert [r["k"] for r in t2.read().collect()] == [9]
