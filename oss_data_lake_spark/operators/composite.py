@@ -517,6 +517,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v1": ("revenue")},
              {"k1": "c_custkey", "k2": _cw_sql("c_name", "n_name"),
               "v1": "revenue"}),
+            # b51 (round 10): ANSI LATERAL with correlated ORDER BY +
+            # LIMIT — the per-row top-n join family; every (order, line,
+            # price) value rides the hash
+            ("b51", "b51_lateral_topn_lineitems",
+             {"k1": _cw("o_orderkey", "l_linenumber"), "v1": ("price2")},
+             {"k1": _cw_sql("o_orderkey", "l_linenumber"),
+              "v1": "price2"}),
         ],
         "b45_series_windows": [
             ("b06", "b06_window_ma7_daily_value",

@@ -392,8 +392,40 @@ def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_B51_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.price2
+FROM (SELECT o_orderkey FROM {orders} WHERE o_orderkey % 97 = 0) o,
+LATERAL (
+  SELECT l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price2
+  FROM {lineitem}
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) l
+ORDER BY o.o_orderkey, l.price2 DESC, l.l_linenumber
+"""
+
+
+def lateral_topn_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b51 (round 10): ANSI LATERAL join with a correlated ORDER BY ...
+    LIMIT inner query — the per-row top-n idiom Trino BI users write
+    instead of a window (`FROM orders o, LATERAL (SELECT ... WHERE
+    l_orderkey = o.o_orderkey ORDER BY ... LIMIT 2)`). Spark 4.x plans
+    the correlated LIMIT natively (de-correlated to a ranked join);
+    DuckDB runs the identical text as the oracle. Decimal price keeps
+    the cross-engine values exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("b51_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "b51_lineitem"
+    )
+    return spark.sql(
+        _B51_SQL.format(orders="b51_orders", lineitem="b51_lineitem")
+    )
+
+
 QUERIES = {
     "b50_recursive_user_tree": recursive_user_tree,
+    "b51_lateral_topn_lineitems": lateral_topn_lineitems,
     "b33_multiset_setops": multiset_setops,
     "b38_salted_hot_user_agg": salted_hot_user_agg,
     "b34_epoch_conversions": epoch_conversions,
@@ -421,6 +453,10 @@ ORACLES = {
         users="(SELECT DISTINCT user_id FROM events)",
         events="events",
         sum_value=sql_dsum("value"),
+    ),
+    # DuckDB evaluates the IDENTICAL lateral text natively
+    "b51_lateral_topn_lineitems": _B51_SQL.format(
+        orders="orders", lineitem="lineitem"
     ),
     # the direct (unsalted) aggregation — value-identity of the salted
     # two-phase plan vs the plain form IS the correctness claim
