@@ -11,6 +11,8 @@ Runs at sf0.001 for speed in the default suite; the driver runs sf0.01 —
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -61,6 +63,10 @@ def test_cross_engine_column_types_match(spark, sf_dir):
         tbl = con.execute(ORACLES[name]).arrow()
         for f in tbl.schema:
             duck = _ARROW_TO_SPARK.get(str(f.type), str(f.type))
+            # arrow spells decimal(p, s) as decimal128(p, s)
+            duck = re.sub(
+                r"^decimal128\((\d+), (\d+)\)$", r"decimal(\1,\2)", duck
+            )
             if f.name in stypes and stypes[f.name] != duck:
                 mismatches.append((name, f.name, stypes[f.name], duck))
     assert not mismatches, mismatches
