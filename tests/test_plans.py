@@ -357,3 +357,20 @@ def test_e80_semdedup_single_cluster_exchange_no_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_b51_lateral_decorrelates_to_ranked_join(spark, sf_dir):
+    """b51 (LATERAL + correlated LIMIT): Catalyst must de-correlate to a
+    window-ranked join — row_number over the join key, filter rn <= 2,
+    one equi-join — never a per-row nested-loop re-execution of the
+    inner query (the naive lateral plan that dies at 100 TB)."""
+    from oss_data_lake_spark.operators.relational_more import (
+        lateral_topn_lineitems,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(lateral_topn_lineitems(spark, sf_dir), "simple")
+    assert "row_number()" in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt or "SortMergeJoin" in txt
