@@ -174,14 +174,18 @@ def main() -> None:
     }
     # Round-9 verdict #7: the raw single-process run above is hostage to
     # ±40% host drift, so the COMPARISON unit — interleaved HEAD/old
-    # per-query medians from scripts/bench_interleaved.py — rides in the
-    # same artifact when the protocol has been run for this commit.
+    # per-query medians from scripts/bench_interleaved.py — rides along
+    # when the protocol has been run for this commit. Round-10 verdict #2:
+    # embedding it in the FINAL line made that line overflow the driver's
+    # tail-parse buffer (BENCH_r10.json: parsed=null), so the interleaved
+    # blob prints as an EARLIER line and the compact headline doc is the
+    # last thing on stdout.
     inter = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_INTERLEAVED.json"
     )
     if os.path.exists(inter):
         with open(inter) as fh:
-            doc["interleaved"] = json.load(fh)
+            print(json.dumps({"interleaved": json.load(fh)}))
     print(json.dumps(doc))
 
 
