@@ -546,6 +546,12 @@ def ivf_neardup_pairs(
 SEMDEDUP_THRESHOLD = NEARDUP_COSINE_THRESHOLD
 _SEMDEDUP_NONE = -2.0
 
+# e80's removal sweep is tiled: block×block partial matmuls with a
+# running max, so task memory is O(block² + m·dim) instead of the full
+# m×m similarity matrix (round-10 verdict #1 — a skewed cluster holding
+# half the corpus must not OOM the executor). 2048²·8B = 32 MB/partial.
+SEMDEDUP_SWEEP_BLOCK = 2048
+
 
 def semdedup_report(
     spark: SparkSession,
@@ -579,6 +585,7 @@ def semdedup_report(
     cent_ids, cent_mat = _ivf_model(emb)
     assigned = _ivf_assign(emb, cent_ids, cent_mat, 1)
     none_mark = _SEMDEDUP_NONE
+    blk = SEMDEDUP_SWEEP_BLOCK
 
     # nested: pickled by value for plain driver sessions (cwd-foreign)
     def sweep_block(pdf):
@@ -588,15 +595,35 @@ def semdedup_report(
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         cluster = pdf["cluster"].to_numpy()
-        m = np.full(len(ids), none_mark, dtype=np.float64)
-        if len(ids) > 1:
+        n = len(ids)
+        m = np.full(n, none_mark, dtype=np.float64)
+        if n > 1:
             E = np.asarray(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
             norms = np.sqrt((E * E).sum(axis=1))
-            sims = np.round((E @ E.T) / np.outer(norms, norms), 9)
-            for i in range(1, len(ids)):
-                m[i] = sims[i, :i].max()
+            # Tiled lower-triangle sweep: for each row block, take the
+            # running max over block×block partials against every lower
+            # column block. Same arithmetic as the full-matrix form
+            # (dot / outer-norms, 9-dp round), never materializing more
+            # than a blk×blk tile — bounded memory for skewed clusters.
+            for r0 in range(0, n, blk):
+                r1 = min(r0 + blk, n)
+                best = np.full(r1 - r0, -np.inf)
+                for c0 in range(0, r1, blk):
+                    c1 = min(c0 + blk, r1)
+                    part = np.round(
+                        (E[r0:r1] @ E[c0:c1].T)
+                        / np.outer(norms[r0:r1], norms[c0:c1]),
+                        9,
+                    )
+                    if c1 > r0:  # tile touches the diagonal: lower ids only
+                        rows = np.arange(r0, r1)[:, None]
+                        cols = np.arange(c0, c1)[None, :]
+                        part = np.where(cols < rows, part, -np.inf)
+                    best = np.maximum(best, part.max(axis=1))
+                seen = best > -np.inf  # row 0 (global min id) has no lower
+                m[r0:r1][seen] = best[seen]
         return pd.DataFrame(
             {"cluster": cluster, "vec_id": ids, "max_sim_lower": m}
         )

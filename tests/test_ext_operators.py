@@ -877,3 +877,20 @@ def test_e80_semdedup_sweep_matches_brute_force(spark, sf_dir):
     }
     assert got == want
     assert sum(n for n, _ in want.values()) == emb.count()  # partition
+
+
+def test_e80_tiled_sweep_identical_to_full_matrix(spark, sf_dir, monkeypatch):
+    """Round-11: e80's removal sweep is tiled (block×block partials with
+    a running max, bounded memory for skewed clusters). With the default
+    2048 block the sf-fixture clusters fit in ONE tile, so this pin
+    forces block=7 — multi-tile rows, partial diagonal tiles, ragged
+    tails — and demands the report be value-identical (including
+    max_intra_cosine at full float precision) to the default run."""
+    from oss_data_lake_spark.operators import similarity as sim
+
+    baseline = [tuple(r) for r in sim.semdedup_report(spark, sf_dir).collect()]
+    monkeypatch.setattr(sim, "SEMDEDUP_SWEEP_BLOCK", 7)
+    tiled = [tuple(r) for r in sim.semdedup_report(spark, sf_dir).collect()]
+    assert tiled == baseline
+    # sanity: at least one cluster actually spanned multiple 7-row tiles
+    assert any(r[1] > 7 for r in baseline)
