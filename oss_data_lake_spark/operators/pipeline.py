@@ -521,80 +521,109 @@ def token_budget_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    bucketed = docs.select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("rnd"),
-    ).withColumn(
-        "weight", (_md5_bucket(F.col("source")) % MIX_WEIGHT_MOD + 1)
+    ).withColumn("bkt", F.substring("rnd", 1, MIX_BUCKET_HEX))
+    # Round-11 (verdict #3): the corpus is scanned exactly TWICE — once
+    # for the per-(source, bucket) aggregate every piece of metadata
+    # (totals, grand, budgets, offsets) derives from, once for the
+    # placement pass. The old DAG re-derived totals/grand/offsets/budgets
+    # each from the raw token projection (5 FileScans).
+    bkt_agg = bucketed.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bkt_docs"),
+        F.sum("n_tok").cast("long").alias("bkt_tok"),
     )
-    totals = toks.groupBy("source", "weight").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("total_tokens"),
+    src_win = Window.partitionBy("source")
+    off_win = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    grand = totals.agg(
-        F.sum("total_tokens").alias("grand_tokens"),
-        F.sum("weight").alias("weight_sum"),
+    all_win = Window.partitionBy()  # bkt_agg is metadata-scale: domains×4096
+    per_src = (
+        bkt_agg
+        .withColumn(
+            "weight", (_md5_bucket(F.col("source")) % MIX_WEIGHT_MOD + 1)
+        )
+        .withColumn(
+            "n_docs", F.sum("bkt_docs").over(src_win).cast("long")
+        )
+        .withColumn(
+            "total_tokens", F.sum("bkt_tok").over(src_win).cast("long")
+        )
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("bkt_tok").over(off_win), F.lit(0))
+            .cast("long"),
+        )
     )
-    budgets = totals.crossJoin(F.broadcast(grand)).withColumn(
-        "budget_tokens",
-        F.floor(
-            F.col("weight")
-            * F.col("grand_tokens")
-            * MIX_TOTAL_FRACTION_NUM
-            / (F.col("weight_sum") * MIX_TOTAL_FRACTION_DEN)
-        ).cast("long"),
-    )
-    # two-level prefix sum over (source, md5-prefix bucket) — see the
-    # block comment above; exact twin of the per-domain running total
-    bucketed = toks.withColumn(
-        "bkt", F.substring("rnd", 1, MIX_BUCKET_HEX)
+    # grand totals: sum each source's contribution ONCE (bucket rank 1
+    # carries it; other buckets contribute 0) — still window algebra over
+    # the tiny table, no extra corpus scan, no extra aggregation pass
+    first_bkt = F.row_number().over(
+        Window.partitionBy("source").orderBy("bkt")
+    ) == 1
+    meta = (
+        per_src
+        .withColumn(
+            "grand_tokens",
+            F.sum(
+                F.when(first_bkt, F.col("total_tokens")).otherwise(F.lit(0))
+            ).over(all_win),
+        )
+        .withColumn(
+            "weight_sum",
+            F.sum(
+                F.when(first_bkt, F.col("weight")).otherwise(F.lit(0))
+            ).over(all_win),
+        )
+        .withColumn(
+            "budget_tokens",
+            F.floor(
+                F.col("weight")
+                * F.col("grand_tokens")
+                * MIX_TOTAL_FRACTION_NUM
+                / (F.col("weight_sum") * MIX_TOTAL_FRACTION_DEN)
+            ).cast("long"),
+        )
+        .select(
+            "source", "bkt", "offset", "weight", "n_docs",
+            "total_tokens", "budget_tokens",
+        )
     )
     local_win = (
         Window.partitionBy("source", "bkt")
         .orderBy("rnd", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off_win = (
-        Window.partitionBy("source")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        bucketed.groupBy("source", "bkt")
-        .agg(F.sum("n_tok").cast("long").alias("bkt_tok"))
-        .withColumn(
-            "offset",
-            F.coalesce(F.sum("bkt_tok").over(off_win), F.lit(0))
-            .cast("long"),
-        )
-        .select("source", "bkt", "offset")
-    )
     placed = (
-        bucketed.join(F.broadcast(offsets), ["source", "bkt"])
+        bucketed.join(F.broadcast(meta), ["source", "bkt"])
         .withColumn(
             "before",
             F.col("offset")
             + F.coalesce(F.sum("n_tok").over(local_win), F.lit(0)),
         )
+        .withColumn("keep", F.col("before") < F.col("budget_tokens"))
     )
-    kept = placed.join(
-        F.broadcast(budgets.select("source", "budget_tokens")), "source"
-    ).withColumn("keep", F.col("before") < F.col("budget_tokens"))
-    kept_agg = kept.groupBy("source").agg(
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
-        .cast("long")
-        .alias("kept_tokens"),
-    )
+    # the per-source report columns ride the broadcast meta through the
+    # placement pass (constant within each group), so the final report is
+    # ONE aggregation — no re-join against a budgets lineage that would
+    # re-scan the corpus
     return (
-        budgets.select(
-            "source", "n_docs", "total_tokens",
-            F.col("weight").cast("long").alias("weight"),
-            "budget_tokens",
+        placed.groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min("total_tokens").alias("total_tokens"),
+            F.min("weight").cast("long").alias("weight"),
+            F.min("budget_tokens").alias("budget_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
         )
-        .join(kept_agg, "source")
         .withColumn(
             "overshoot_tokens",
             F.greatest(
