@@ -420,9 +420,11 @@ class Engine:
             os.remove(tmp)
         return path
 
-    # how long a txn record stays the OWNER's to land before other
-    # processes' BEGIN hooks may roll it forward (explicit
-    # recover_transactions() calls ignore the lease)
+    # passed by the BEGIN hook as recover_transactions(min_age_s=...) to
+    # mark BACKGROUND recovery: any non-zero value defers to a LIVE
+    # owner's record at any age (liveness, not age, is the ownership
+    # test — round-10 ADVICE closed the >lease-long phase-3 race);
+    # explicit recover_transactions() calls (min_age_s=0) override
     _TXN_LEASE_S = 60.0
 
     def recover_transactions(self, min_age_s: float = 0.0) -> list[str]:
@@ -433,18 +435,18 @@ class Engine:
         recovered record ids. Run automatically at every BEGIN
         TRANSACTION; safe (and cheap — one listdir) when idle.
 
-        ``min_age_s`` (the BEGIN hook passes ``_TXN_LEASE_S``) skips
-        records younger than the lease whose owner process is still
-        alive: a record is LIVE while its owner is mid-phase-3, and the
-        landed-stamp check plus fast_forward are not atomic — two
-        processes publishing the same branch concurrently would
-        duplicate application or raise spurious conflicts. A dead owner
-        forfeits the lease immediately; explicit calls (the RECOVER
-        TRANSACTIONS statement, the owner's own in-process retry)
-        recover everything."""
+        A non-zero ``min_age_s`` (the BEGIN hook passes ``_TXN_LEASE_S``)
+        marks this as a BACKGROUND recovery: records whose owner process
+        is still ALIVE are skipped at any age — a record is live while
+        its owner is mid-phase-3 (which can outlast any fixed lease on
+        large tables), and the landed-stamp check plus fast_forward are
+        not atomic, so two processes publishing the same branch
+        concurrently would duplicate application or raise spurious
+        conflicts. A dead owner forfeits immediately; explicit calls
+        (the RECOVER TRANSACTIONS statement, the owner's own in-process
+        retry) recover everything."""
         import json
         import os
-        import time
 
         d = self._txns_dir()
         if not os.path.isdir(d):
@@ -461,18 +463,24 @@ class Engine:
                 continue  # a concurrent recovery finished it first
             gid = rec["id"]
             owner = rec.get("owner") or {}
-            if min_age_s and (time.time() - owner.get("ts", 0)) < min_age_s:
-                pid = owner.get("pid")
-                if pid is not None and pid != os.getpid():
-                    try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True
-                    if alive:
-                        continue  # the owner is mid-commit: its record
+            pid = owner.get("pid")
+            if min_age_s and pid is not None and pid != os.getpid():
+                # liveness is checked at ANY record age (round-10 ADVICE:
+                # phase 3 can legitimately outlast the lease — e.g.
+                # fast_forward over several large tables — and racing a
+                # live owner re-opens the duplicate-application window
+                # the lease exists to close). A dead owner forfeits
+                # immediately, young or old; a live one keeps its record
+                # until an EXPLICIT recover (min_age_s=0) overrides.
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+                if alive:
+                    continue  # the owner is mid-commit: its record
             for ent in rec["tables"]:
                 t = self._reattach(ent)
                 head = t.current_version() or 0

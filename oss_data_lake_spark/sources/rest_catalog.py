@@ -210,18 +210,24 @@ class RestCatalogServer:
                     with outer._mu:
                         staged = []
                         for ch in changes:
-                            t = outer._tables.setdefault(
-                                ch["table"], {"versions": {}, "current": None}
-                            )
+                            # validation is READ-ONLY: a table unknown to
+                            # the catalog reads as current=None — creating
+                            # the entry here would leave phantom empty
+                            # tables behind when a LATER member 409s
+                            # (round-10 ADVICE: they showed up in
+                            # namespace listings and blocked drops)
+                            t = outer._tables.get(ch["table"])
+                            cur = t["current"] if t else None
+                            versions = t["versions"] if t else {}
                             for r in ch.get("requirements", []):
                                 if r.get("type") == "assert-current-version":
-                                    if t["current"] != r.get("version"):
+                                    if cur != r.get("version"):
                                         return self._json(409, {
                                             "error": "CommitFailedException",
                                             "message": (
                                                 f"table {ch['table']}: "
                                                 f"current version is "
-                                                f"{t['current']}, not "
+                                                f"{cur}, not "
                                                 f"{r.get('version')} — "
                                                 f"NOTHING was applied"
                                             ),
@@ -233,7 +239,7 @@ class RestCatalogServer:
                                                    f"{r!r}",
                                     })
                             v = int(ch["manifest"]["version"])
-                            if v in t["versions"]:
+                            if v in versions:
                                 return self._json(409, {
                                     "error": "CommitFailedException",
                                     "message": (
@@ -242,11 +248,15 @@ class RestCatalogServer:
                                         f"applied"
                                     ),
                                 })
-                            staged.append((t, v, ch["manifest"], ch["table"]))
-                        # every requirement held: apply all — no step
-                        # below can fail, so the lock makes this atomic
+                            staged.append((ch["table"], v, ch["manifest"]))
+                        # every requirement held: apply all — entries are
+                        # materialized only HERE, and no step below can
+                        # fail, so the lock makes this atomic
                         results = []
-                        for t, v, mf, name in staged:
+                        for name, v, mf in staged:
+                            t = outer._tables.setdefault(
+                                name, {"versions": {}, "current": None}
+                            )
                             t["versions"][v] = mf
                             if t["current"] is None or v > t["current"]:
                                 t["current"] = v

@@ -188,6 +188,37 @@ def test_begin_recovery_skips_young_live_owner_record(spark, two_tables):
     e._snapshot_tables["t2"] = t2
 
 
+def test_begin_recovery_defers_to_live_owner_beyond_lease(spark, two_tables):
+    """Round-11 (round-10 ADVICE medium): owner liveness is the
+    ownership test at ANY record age. A phase-3 landing can outlast the
+    60s lease (fast_forward over several large tables); another
+    process's BEGIN hook must still leave the live owner's record alone
+    — the old age-gated check re-exposed the duplicate-application race
+    exactly when commits were slowest."""
+    e, t1, t2 = two_tables
+    gid = _stage_pending_record(e, t1, t2)
+    rec_path = os.path.join(e._txns_dir(), f"{gid}.json")
+    with open(rec_path) as fh:
+        rec = json.load(fh)
+    rec["owner"]["pid"] = 1            # a different, always-alive owner
+    rec["owner"]["ts"] = 0.0           # stamped eons beyond the lease
+    with open(rec_path, "w") as fh:
+        json.dump(rec, fh)
+
+    e2 = Engine(spark=spark, warehouse_dir=e._warehouse_dir)
+    e2._snapshot_tables["t2"] = SnapshotTable(spark, t2.path)
+    e2.sql("BEGIN TRANSACTION ON t2")  # auto-recovery runs here
+    e2.sql("ROLLBACK TRANSACTION ON t2")
+    assert os.path.exists(rec_path)    # live owner kept it, however old
+    # the explicit statement still overrides (the operator's lever)
+    got = [r["txn"] for r in e2.sql("RECOVER TRANSACTIONS").collect()]
+    assert got == [gid]
+    assert not os.path.exists(rec_path)
+    e._txns.clear()
+    e._snapshot_tables["t1"] = t1
+    e._snapshot_tables["t2"] = t2
+
+
 def test_explicit_recovery_ignores_the_lease(spark, two_tables):
     """RECOVER TRANSACTIONS (and the owner's own in-process retry) must
     recover even YOUNG records — the statement is the operator's 'the

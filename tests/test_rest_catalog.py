@@ -362,6 +362,33 @@ def test_stale_member_409s_the_whole_transaction_on_the_wire(server):
     assert code == 400
 
 
+def test_failed_txn_leaves_no_phantom_tables(server):
+    """Round-10 ADVICE: requirement VALIDATION must be read-only. A
+    transaction whose members name previously-unknown tables and whose
+    LAST member 409s must not leave empty phantom entries behind — they
+    showed up in namespace table listings and blocked namespace drops."""
+    from oss_data_lake_spark.sources.rest_catalog import RestNamespaces
+
+    ns = RestNamespaces(server.url)
+    ns.create("ph")
+    code, body = _post(
+        f"{server.url}/v1/transactions/commit",
+        {"table-changes": [
+            {"table": "ph.a",
+             "requirements": [{"type": "assert-current-version",
+                               "version": None}],
+             "manifest": {"version": 1}},
+            {"table": "ph.b",
+             "requirements": [{"type": "assert-current-version",
+                               "version": 99}],   # unknown table: stale
+             "manifest": {"version": 100}},
+        ]},
+    )
+    assert code == 409 and "NOTHING was applied" in body["message"]
+    assert ns.tables("ph") == []          # no phantom ph.a / ph.b
+    assert ns.drop("ph") is True          # and the namespace can drop
+
+
 def test_rest_txn_rebases_on_concurrent_commit(spark, server, tmp_path):
     """A non-overlapping outside append lands between BEGIN and COMMIT:
     the 409 retry re-prepares (publish rebases) and BOTH members land —
