@@ -380,8 +380,15 @@ def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop. Measured 2x at sf0.1 vs the DISTINCT-in-loop formulation."""
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("b50_events")
-    users = events.select("user_id").distinct()
-    users.cache().count()  # materialize the dimension before the loop
+    # materialize the dimension before the loop as an eager
+    # localCheckpoint, NOT cache(): a cache() entry lives in the
+    # CacheManager until an explicit unpersist that a queries()-contract
+    # callable has no hook to issue (round-10 ADVICE: bench loops
+    # accumulated pinned storage); checkpoint blocks are released by the
+    # ContextCleaner once the returned DataFrame is unreachable
+    users = (
+        events.select("user_id").distinct().localCheckpoint(eager=True)
+    )
     users.createOrReplaceTempView("b50_users")
     return spark.sql(
         _B50_SQL.format(

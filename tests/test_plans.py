@@ -322,8 +322,8 @@ def test_b50_recursion_scans_fact_once_outside_the_loop(spark, sf_dir):
     """b50 (recursive CTE): the 100-TB contract is that the FACT table
     appears exactly once — joined to the final closure — never inside
     the UnionLoop (which would rescan it per depth level). The user
-    dimension feeding the loop is an InMemoryRelation (cached before
-    the recursion starts)."""
+    dimension feeding the loop is materialized once (eager
+    localCheckpoint) before the recursion starts."""
     from oss_data_lake_spark.operators.relational_more import (
         recursive_user_tree,
     )
@@ -331,10 +331,11 @@ def test_b50_recursion_scans_fact_once_outside_the_loop(spark, sf_dir):
 
     txt = explain_str(recursive_user_tree(spark, sf_dir), "simple")
     assert "UnionLoop" in txt  # native recursion, not driver iteration
-    # the loop's recursive term joins the CACHED dimension (the two
-    # extra FileScan lines are the InMemoryRelation's recorded build
-    # plan — executed once at cache time, never re-run per level)
-    assert "InMemoryRelation" in txt and "UnionLoopRef" in txt
+    # the loop's recursive term joins the MATERIALIZED dimension — a
+    # localCheckpoint (round-11: was cache(); checkpoint blocks are
+    # ContextCleaner-released, a CacheManager entry is not), so it
+    # appears as a lineage-truncated scan, never a per-level recompute
+    assert "LogicalRDD" in txt and "UnionLoopRef" in txt
     # the FACT payload (value column) is scanned in exactly ONE node —
     # the closure join outside the loop
     fact_scans = [
