@@ -1250,8 +1250,30 @@ def _adopt_on_disk(engine, tables: dict, name: str) -> None:
         return
     t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
     if t.current_version() is None:
-        # nothing there: undo the probe registration (pure in-memory)
+        # nothing readable locally: undo the probe registration (pure
+        # in-memory) — but a NON-EMPTY directory without a local
+        # snapshot tail is somebody's data we cannot adopt (round-10
+        # ADVICE low: a REST-attached table keeps its metadata tail in
+        # the catalog service, so the local probe reads None). Refuse
+        # here rather than fall through to the fresh-CREATE path, whose
+        # failure rollback rmtrees the directory.
         engine.drop_snapshot_table(name, delete_data=False)
+        import os
+
+        p = t.path
+        # ignore the probe's own `_snapshots` scaffolding (the protocol
+        # mkdirs it eagerly); any OTHER entry is data files
+        if (
+            "://" not in p
+            and os.path.isdir(p)
+            and any(ent != "_snapshots" for ent in os.listdir(p))
+        ):
+            raise ValueError(
+                f"managed path '{p}' holds data but no readable local "
+                f"snapshot tail (REST/foreign-attached table?) — "
+                f"refusing CREATE over it; register/ATTACH the table "
+                f"with its own protocol instead"
+            )
     else:
         # ``tables`` may be the caller's throwaway dict (an engine with
         # an EMPTY registry passes {}), so the exists-check below needs
@@ -1720,27 +1742,33 @@ def dispatch_statement(
                     total_rows += file_rows
         def _fmt(e):
             return None if e is None else str(e[1])
+        # Trino's exact SHOW STATS shape (round-10 ADVICE low: BI
+        # clients are written against it): data_size and
+        # distinct_values_count stay NULL (the footer stats don't
+        # harvest them — Trino's unknown-stat convention), row_count is
+        # NULL on per-column rows and set ONLY on the all-NULL summary
+        # row; every numeric stat is a double, as Trino emits.
         rows = [
             (
                 c,
-                a["files"],
-                a["rows"],
-                a["nulls"],
+                None,
+                None,
                 (float(a["nulls"]) / a["rows"]) if a["rows"] else None,
+                None,
                 _fmt(a["lo"]),
                 _fmt(a["hi"]),
             )
             for c, a in sorted(per_col.items())
         ]
         rows.append(
-            (None, None, total_rows if rows_known else None,
-             None, None, None, None)
+            (None, None, None, None,
+             float(total_rows) if rows_known else None, None, None)
         )
         return spark.createDataFrame(
             rows,
-            "column_name string, files_with_stats long, row_count long, "
-            "nulls_count long, nulls_fraction double, "
-            "low_value string, high_value string",
+            "column_name string, data_size double, "
+            "distinct_values_count double, nulls_fraction double, "
+            "row_count double, low_value string, high_value string",
         )
 
     m = _WRITE_ORDERED_RE.match(text)

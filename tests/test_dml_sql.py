@@ -914,10 +914,13 @@ def test_delta_spelling_time_travel_without_for(spark, tmp_path):
 
 
 def test_show_stats_for_snapshot_table(spark, tmp_path):
-    """Trino's SHOW STATS FOR: per-column min/max/null summary from the
-    manifest's footer stats (no data scan), NULL-column row-count
-    summary row, DML-aware visibility (a CoW DELETE's rewrite updates
-    the numbers)."""
+    """Trino's SHOW STATS FOR: per-column min/max/null-fraction summary
+    from the manifest's footer stats (no data scan) in Trino's EXACT
+    column shape — (column_name, data_size, distinct_values_count,
+    nulls_fraction, row_count, low_value, high_value), row_count NULL
+    on per-column rows and set only on the all-NULL summary row,
+    unharvested stats NULL — plus DML-aware visibility (a CoW DELETE's
+    rewrite updates the numbers)."""
     from oss_data_lake_spark.engine import Engine
     from pyspark.sql import Row
 
@@ -930,18 +933,30 @@ def test_show_stats_for_snapshot_table(spark, tmp_path):
         stats_for=["k", "s"],
     )
     e._snapshot_tables["t"] = t
-    rows = {r["column_name"]: r for r in e.sql("SHOW STATS FOR t").collect()}
-    assert rows["k"]["row_count"] == 12
+    df = e.sql("SHOW STATS FOR t")
+    assert df.columns == [
+        "column_name", "data_size", "distinct_values_count",
+        "nulls_fraction", "row_count", "low_value", "high_value",
+    ]
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert rows["k"]["row_count"] is None       # per-column rows: NULL
     assert rows["k"]["low_value"] == "0" and rows["k"]["high_value"] == "11"
-    assert rows["k"]["nulls_count"] == 0
-    assert rows["s"]["nulls_count"] == 4        # every i % 3 == 0
+    assert rows["k"]["nulls_fraction"] == 0.0
+    assert rows["k"]["data_size"] is None       # unharvested: unknown
+    assert rows["k"]["distinct_values_count"] is None
     assert abs(rows["s"]["nulls_fraction"] - 4 / 12) < 1e-12
-    assert rows[None]["row_count"] == 12        # the table summary row
+    summary = rows[None]                        # the table summary row
+    assert summary["row_count"] == 12.0
+    assert all(
+        summary[c] is None
+        for c in ("data_size", "distinct_values_count", "nulls_fraction",
+                  "low_value", "high_value")
+    )
     # stats follow DML: delete the upper half, numbers shrink
     e.sql("DELETE FROM t WHERE k >= 6")
     rows = {r["column_name"]: r for r in e.sql("SHOW STATS FOR t").collect()}
     assert rows["k"]["high_value"] == "5"
-    assert rows[None]["row_count"] == 6
+    assert rows[None]["row_count"] == 6.0
 
 
 def test_explain_analyze_executes_and_shows_final_plan(spark, tmp_path):

@@ -100,6 +100,32 @@ def test_ctas_in_fresh_process_never_deletes_existing_table(spark, tmp_path):
     assert [r["s"] for r in t.read(2).collect()] == ["a"]
 
 
+def test_create_refuses_tailless_nonempty_managed_path(spark, tmp_path):
+    """Round-11 (round-10 ADVICE low): a managed path that HOLDS DATA
+    but no readable local snapshot tail (a REST-attached table keeps
+    its metadata tail in the catalog service) must refuse CREATE — the
+    old probe read current_version()=None, treated the path as absent,
+    and a failed CREATE's rollback rmtree'd the table's data files."""
+    wh = str(tmp_path / "wh")
+    e = Engine(spark=spark, warehouse_dir=wh)
+    p = e.snapshot_table_path("restish")
+    os.makedirs(p)
+    spark.createDataFrame([Row(k=1, v=1.0)]).write.parquet(
+        os.path.join(p, "data-000.parquet")
+    )
+    # valid body, bad body: both refuse up front, neither deletes
+    for ddl in (
+        "CREATE TABLE restish (k INT, v DOUBLE) USING snapshot",
+        "CREATE TABLE restish (k INT, v DOUBLE) USING snapshot "
+        "PARTITIONED BY (days(k))",
+        "CREATE TABLE restish USING snapshot AS SELECT 1 AS k",
+    ):
+        with pytest.raises(ValueError, match="no readable local snapshot"):
+            Engine(spark=spark, warehouse_dir=wh).sql(ddl)
+    assert os.path.isdir(p)
+    assert spark.read.parquet(os.path.join(p, "data-000.parquet")).count() == 1
+
+
 def test_failed_create_on_fresh_name_still_cleans_up(spark, eng):
     """The legitimate rollback still works: a failing CREATE on a name
     with nothing on disk unregisters, deletes its partial dir, and a
