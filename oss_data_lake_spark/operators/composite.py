@@ -534,6 +534,19 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": ("user_id"), "v1": ("n_events"), "v2": ("n_up"),
               "v3": ("n_down")},
              {"k1": "user_id", "v1": "n_events", "v2": "n_up", "v3": "n_down"}),
+            # b52 (round 11): IGNORE NULLS navigation + the GROUPS-frame
+            # rewrite (dense_rank + RANGE), oracled by an independent
+            # peer-group join — two arms carry all 7 value columns
+            ("b52a", "b52_window_nulls_groups_frames",
+             {"k1": _cw("o_custkey", "o_orderkey"), "v1": ("prev_px"),
+              "v2": ("next_px"), "v3": ("first_px"), "v4": ("run_last_px")},
+             {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "prev_px",
+              "v2": "next_px", "v3": "first_px", "v4": "run_last_px"}),
+            ("b52b", "b52_window_nulls_groups_frames",
+             {"k1": _cw("o_custkey", "o_orderkey"), "v1": ("second_px"),
+              "v2": ("grp_sum"), "v3": ("grp_cnt")},
+             {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "second_px",
+              "v2": "grp_sum", "v3": "grp_cnt"}),
         ],
         "b46_rank_windows": [
             ("b08", "b08_topk_orders_per_customer",

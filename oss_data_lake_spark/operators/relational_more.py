@@ -430,9 +430,106 @@ def lateral_topn_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b52: SQL window completeness — IGNORE NULLS navigation + GROUPS frames.
+# The SELECT body is shared between engines ({ign} abstracts the two
+# IGNORE NULLS spellings: Spark takes the ANSI postfix `lag(px) IGNORE
+# NULLS`, DuckDB 1.0 only parses the inner `lag(px IGNORE NULLS)`); the
+# GROUPS-frame aggregate is pre-computed per engine ({groups_src}) since
+# DuckDB 1.0 has no GROUPS mode at all — Spark rewrites it to the exact
+# dense_rank + RANGE equivalent (a GROUPS frame of N peer groups IS a
+# RANGE of N over the dense_rank of the order key), and the oracle
+# re-derives it with an INDEPENDENT join-based formulation, so the
+# rewrite's semantics (not just its arithmetic) are what's verified.
+_B52_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         o_orderkey % 7 AS grp_key,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS px
+  FROM {orders} WHERE o_custkey % 97 = 0
+),
+ranked AS (
+  SELECT base.*, dense_rank()
+    OVER (PARTITION BY o_custkey ORDER BY grp_key) AS dr
+  FROM base
+),
+grp AS (
+{groups_src}
+)
+SELECT r.o_custkey, r.o_orderkey,
+  {lag_ign} OVER (PARTITION BY r.o_custkey ORDER BY r.o_orderkey)
+      AS prev_px,
+  {lead_ign} OVER (PARTITION BY r.o_custkey ORDER BY r.o_orderkey)
+      AS next_px,
+  {first_ign} OVER (PARTITION BY r.o_custkey ORDER BY r.o_orderkey)
+      AS first_px,
+  {last_ign} OVER (PARTITION BY r.o_custkey ORDER BY r.o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_last_px,
+  {nth_ign} OVER (PARTITION BY r.o_custkey ORDER BY r.o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_px,
+  g.grp_sum, g.grp_cnt
+FROM ranked r JOIN grp g
+  ON g.o_custkey = r.o_custkey AND g.o_orderkey = r.o_orderkey
+ORDER BY r.o_custkey, r.o_orderkey
+"""
+
+# Spark: the GROUPS frame, rewritten to RANGE over dense_rank (dr is a
+# dense integer, so RANGE 1 PRECEDING..1 FOLLOWING over dr covers
+# exactly the previous/current/next PEER GROUPS of grp_key)
+_B52_GROUPS_SPARK = """
+  SELECT o_custkey, o_orderkey,
+         CAST(sum(px) OVER (PARTITION BY o_custkey ORDER BY dr
+              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+              AS DECIMAL(18,2)) AS grp_sum,
+         CAST(count(px) OVER (PARTITION BY o_custkey ORDER BY dr
+              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+              AS BIGINT) AS grp_cnt
+  FROM ranked
+"""
+
+# DuckDB: GROUPS semantics from first principles — every cluster-mate
+# row whose peer-group index is within 1, via a join (independent of
+# both GROUPS mode and the RANGE rewrite)
+_B52_GROUPS_DUCK = """
+  SELECT a.o_custkey, a.o_orderkey,
+         CAST(sum(b.px) AS DECIMAL(18,2)) AS grp_sum,
+         CAST(count(b.px) AS BIGINT) AS grp_cnt
+  FROM ranked a JOIN ranked b
+    ON b.o_custkey = a.o_custkey AND abs(b.dr - a.dr) <= 1
+  GROUP BY a.o_custkey, a.o_orderkey
+"""
+
+
+def window_nulls_groups_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b52 (round 11): the last SQL-window corners from the reference's
+    arbitrary-BI-SQL surface (Trino 467 window spec,
+    docker-compose.yaml:153, RUNBOOK.md:120-123): IGNORE NULLS on
+    lag/lead/first_value/last_value/nth_value, and a GROUPS frame
+    (peer-group framing). Spark evaluates IGNORE NULLS natively; GROUPS
+    frames Spark lacks, so the query pins the exact rewrite every
+    Trino-to-Spark migration uses: dense_rank() the order key, then
+    RANGE over the rank. 100-TB shape: all windows are
+    partitionBy(o_custkey) — uniform keys, one exchange reused across
+    the window functions; no global sort until the final (bounded)
+    ORDER BY."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("b52_orders")
+    return spark.sql(
+        _B52_SQL.format(
+            orders="b52_orders",
+            groups_src=_B52_GROUPS_SPARK,
+            lag_ign="lag(r.px) IGNORE NULLS",
+            lead_ign="lead(r.px) IGNORE NULLS",
+            first_ign="first_value(r.px) IGNORE NULLS",
+            last_ign="last_value(r.px) IGNORE NULLS",
+            nth_ign="nth_value(r.px, 2) IGNORE NULLS",
+        )
+    )
+
+
 QUERIES = {
     "b50_recursive_user_tree": recursive_user_tree,
     "b51_lateral_topn_lineitems": lateral_topn_lineitems,
+    "b52_window_nulls_groups_frames": window_nulls_groups_frames,
     "b33_multiset_setops": multiset_setops,
     "b38_salted_hot_user_agg": salted_hot_user_agg,
     "b34_epoch_conversions": epoch_conversions,
@@ -464,6 +561,18 @@ ORACLES = {
     # DuckDB evaluates the IDENTICAL lateral text natively
     "b51_lateral_topn_lineitems": _B51_SQL.format(
         orders="orders", lineitem="lineitem"
+    ),
+    # same SELECT body; DuckDB's inner IGNORE NULLS spelling, and the
+    # GROUPS frame re-derived by a peer-group join (DuckDB 1.0 has no
+    # GROUPS mode) — an independent check of the Spark-side rewrite
+    "b52_window_nulls_groups_frames": _B52_SQL.format(
+        orders="orders",
+        groups_src=_B52_GROUPS_DUCK,
+        lag_ign="lag(r.px IGNORE NULLS)",
+        lead_ign="lead(r.px IGNORE NULLS)",
+        first_ign="first_value(r.px IGNORE NULLS)",
+        last_ign="last_value(r.px IGNORE NULLS)",
+        nth_ign="nth_value(r.px, 2 IGNORE NULLS)",
     ),
     # the direct (unsalted) aggregation — value-identity of the salted
     # two-phase plan vs the plain form IS the correctness claim
