@@ -49,6 +49,10 @@ class Engine:
         self._view_catalog = view_catalog
         # PREPARE name FROM <stmt> registry (session-scoped, like Trino)
         self._prepared: dict[str, str] = {}
+        # BI-handshake session state: SET SESSION properties and the
+        # USE-selected schema (Trino clients issue both on connect)
+        self._session_props: dict[str, str] = {}
+        self._current_schema: str | None = None
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -88,6 +92,12 @@ class Engine:
         handled = self._handle_view_statement(text)
         if handled is not None:
             return handled
+        handled = self._handle_session_statement(text)
+        if handled is not None:
+            return handled
+        # Trino sampling spellings (TABLESAMPLE BERNOULLI/SYSTEM (p))
+        # translate to Spark's TABLESAMPLE (p PERCENT) before routing
+        text = self._translate_tablesample(text)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
         # persistent views referenced by the statement (or by DML
@@ -851,6 +861,121 @@ class Engine:
 
     def view_exists(self, name: str) -> bool:
         return self._views().get(name) is not None
+
+    # -- BI handshake (USE / SET SESSION / RESET SESSION / SHOW SESSION) --
+    #
+    # Reference parity: Metabase/CloudBeaver issue this chatter against
+    # Trino on connect (reference RUNBOOK.md:120-123) before any real
+    # query. Semantics: accept-and-APPLY where a Spark equivalent exists
+    # (`USE <db>` switches the session catalog database when it exists;
+    # `SET SESSION spark.*` sets the Spark conf), accept-and-RECORD
+    # otherwise (the property/schema is remembered and echoed back with
+    # applied=false, never an error — a refused handshake statement
+    # aborts the whole client connection).
+
+    _USE_RE = re.compile(
+        r"^\s*USE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+    )
+    _SET_SESSION_RE = re.compile(
+        r"^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _RESET_SESSION_RE = re.compile(
+        r"^\s*RESET\s+SESSION\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+    )
+    _SHOW_SESSION_RE = re.compile(
+        r"^\s*SHOW\s+SESSION\s*;?\s*$", re.IGNORECASE
+    )
+
+    def _handle_session_statement(self, text: str) -> DataFrame | None:
+        m = self._USE_RE.match(text)
+        if m:
+            target = m.group(1)
+            # Trino spells `USE catalog.schema`; the schema leg maps to
+            # a Spark database when one exists
+            db = target.rsplit(".", 1)[-1]
+            try:
+                self.spark.catalog.setCurrentDatabase(db)
+                applied = True
+            except Exception:
+                applied = False  # recorded only — never a refusal
+            self._current_schema = target
+            return self.spark.createDataFrame(
+                [(target, applied)], "schema string, applied boolean"
+            )
+        m = self._SET_SESSION_RE.match(text)
+        if m:
+            key, raw = m.group(1), m.group(2).strip()
+            val = (
+                raw[1:-1].replace("''", "'")
+                if len(raw) >= 2 and raw[0] == raw[-1] == "'"
+                else raw
+            )
+            applied = False
+            if key.startswith("spark."):
+                self.spark.conf.set(key, val)
+                applied = True
+            self._session_props[key] = val
+            return self.spark.createDataFrame(
+                [(key, val, applied)],
+                "name string, value string, applied boolean",
+            )
+        m = self._RESET_SESSION_RE.match(text)
+        if m:
+            key = m.group(1)
+            existed = self._session_props.pop(key, None) is not None
+            if key.startswith("spark."):
+                try:
+                    self.spark.conf.unset(key)
+                    existed = True
+                except Exception:
+                    pass
+            return self.spark.createDataFrame(
+                [(key, existed)], "name string, reset boolean"
+            )
+        if self._SHOW_SESSION_RE.match(text):
+            schema = "name string, value string"
+            rows = sorted(self._session_props.items())
+            if rows:
+                return self.spark.createDataFrame(rows, schema)
+            return self.spark.createDataFrame([], schema)
+        return None
+
+    # Trino's sampling spellings: `TABLESAMPLE BERNOULLI (p)` is row-level
+    # Bernoulli sampling — exactly Spark's `TABLESAMPLE (p PERCENT)`;
+    # `TABLESAMPLE SYSTEM (p)` is page-level in Trino, mapped to the same
+    # row-level percent sample here (a documented approximation — Spark
+    # has no page-granular sampler; the row-level sample is statistically
+    # finer, never coarser). An optional REPEATABLE (seed) suffix passes
+    # through to Spark for deterministic replay. Matching runs on the
+    # MASKED text, so the keyword inside a string literal is data.
+    _TABLESAMPLE_RE = re.compile(
+        r"TABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(", re.IGNORECASE
+    )
+
+    def _translate_tablesample(self, text: str) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        out, pos = [], 0
+        for m in self._TABLESAMPLE_RE.finditer(masked):
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:  # unbalanced: leave the text for the parser to flag
+                continue
+            arg = text[m.end(): i - 1].strip()
+            out.append(text[pos: m.start()])
+            out.append(f"TABLESAMPLE ({arg} PERCENT)")
+            pos = i
+        if not out:
+            return text
+        out.append(text[pos:])
+        return "".join(out)
 
     def _handle_view_statement(self, text: str) -> DataFrame | None:
         if self._SHOW_SNAPSHOT_TABLES_RE.match(text):

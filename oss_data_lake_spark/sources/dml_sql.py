@@ -987,6 +987,10 @@ _DROP_PART_FIELD_RE = re.compile(
 _SHOW_STATS_RE = re.compile(
     r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_COLUMNS_RE = re.compile(
+    r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -1236,6 +1240,40 @@ def _prunable_columns(df: DataFrame) -> list[str]:
         "string", "date", "timestamp", "timestamp_ntz",
     }
     return [c for c, t in df.dtypes if t in ok or t.startswith("decimal")]
+
+
+_TRINO_SCALARS = {
+    "string": "varchar",
+    "bigint": "bigint",
+    "int": "integer",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "double": "double",
+    "float": "real",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp(6)",
+    "timestamp_ntz": "timestamp(6)",
+    "binary": "varbinary",
+}
+
+
+def _trino_type_name(spark_type: str) -> str:
+    """Spark dtype string → Trino spelling (SHOW COLUMNS parity): the
+    scalar map above, decimals verbatim, one-level arrays/maps
+    recursively; deeper nesting keeps the Spark spelling (documented
+    delta — no BI handshake in the reference stack reads nested rows)."""
+    st = spark_type.strip()
+    if st in _TRINO_SCALARS:
+        return _TRINO_SCALARS[st]
+    if st.startswith("decimal"):
+        return st
+    if st.startswith("array<") and st.endswith(">"):
+        return f"array({_trino_type_name(st[6:-1])})"
+    if st.startswith("map<") and st.endswith(">"):
+        k, _, v = st[4:-1].partition(",")
+        return f"map({_trino_type_name(k)}, {_trino_type_name(v)})"
+    return st
 
 
 def _adopt_on_disk(engine, tables: dict, name: str) -> None:
@@ -1680,6 +1718,22 @@ def dispatch_statement(
         parts = tables[name].show_partitions()
         return spark.createDataFrame(
             [(p,) for p in parts], "partition string"
+        )
+
+    m = _SHOW_COLUMNS_RE.match(text)
+    if m and m.group(1) in tables:
+        # Trino's SHOW COLUMNS handshake (Metabase/CloudBeaver issue it
+        # per table on connect; reference RUNBOOK.md:120-123): Trino's
+        # exact 4-column shape with Trino type spellings. Names NOT in
+        # the snapshot registry fall through (return None) to the Spark
+        # session catalog's own SHOW COLUMNS.
+        t = tables[m.group(1)]
+        rows = [
+            (c, _trino_type_name(dt), "", "")
+            for c, dt in t.read().dtypes
+        ]
+        return spark.createDataFrame(
+            rows, "Column string, Type string, Extra string, Comment string"
         )
 
     m = _SHOW_STATS_RE.match(text)

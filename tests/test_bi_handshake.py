@@ -1,0 +1,149 @@
+"""Round-11 BI-handshake surface (VERDICT r10 next #4/#5): the chatter
+Metabase/CloudBeaver issue against Trino on connect — SHOW COLUMNS
+(Trino's exact 4-column shape with Trino type spellings), USE,
+SET SESSION / RESET SESSION / SHOW SESSION (accept-and-apply for
+spark.* keys, accept-and-record otherwise — never a refusal) — plus
+the Trino TABLESAMPLE spellings (BERNOULLI/SYSTEM → Spark percent
+sampling, REPEATABLE passthrough, literal-safe translation) routed
+over registered snapshot tables AND persistent views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oss_data_lake_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE bi (k INT, v DOUBLE, s STRING, emb ARRAY<FLOAT>, "
+        "d DECIMAL(18,2), ts TIMESTAMP) USING snapshot"
+    )
+    rows = ", ".join(
+        f"({i}, {i}.5, 's{i}', array(CAST(0.{i} AS FLOAT)), "
+        f"{i}.25, TIMESTAMP '2024-01-0{i % 9 + 1} 00:00:00')"
+        for i in range(40)
+    )
+    e.sql(f"INSERT INTO bi VALUES {rows}")
+    return e
+
+
+def test_show_columns_trino_shape(eng):
+    df = eng.sql("SHOW COLUMNS FROM bi")
+    assert df.columns == ["Column", "Type", "Extra", "Comment"]
+    types = {r["Column"]: r["Type"] for r in df.collect()}
+    assert types == {
+        "k": "integer",
+        "v": "double",
+        "s": "varchar",
+        "emb": "array(real)",
+        "d": "decimal(18,2)",
+        "ts": "timestamp(6)",
+    }
+    assert all(
+        r["Extra"] == "" and r["Comment"] == "" for r in df.collect()
+    )
+    # the IN spelling too
+    assert eng.sql("SHOW COLUMNS IN bi").count() == 6
+
+
+def test_show_columns_falls_through_for_catalog_names(eng, spark):
+    spark.createDataFrame([Row(x=1)]).createOrReplaceTempView("plainv")
+    # not a snapshot table: Spark's own SHOW COLUMNS shape answers
+    assert eng.sql("SHOW COLUMNS FROM plainv").columns == ["col_name"]
+
+
+def test_use_applies_or_records(eng, spark):
+    r = eng.sql("USE default").collect()[0]
+    assert r["schema"] == "default" and r["applied"] is True
+    # Trino's catalog.schema form over a schema Spark doesn't have:
+    # accepted and recorded, never an error (a refusal aborts the
+    # client's whole connection)
+    r = eng.sql("USE hive.analytics").collect()[0]
+    assert r["schema"] == "hive.analytics" and r["applied"] is False
+    assert eng._current_schema == "hive.analytics"
+
+
+def test_set_session_apply_record_reset(eng, spark):
+    # a Trino-only property: recorded, echoed, resettable
+    r = eng.sql("SET SESSION query_max_run_time = '2h'").collect()[0]
+    assert (r["name"], r["value"], r["applied"]) == (
+        "query_max_run_time", "2h", False,
+    )
+    listed = {
+        (row["name"], row["value"])
+        for row in eng.sql("SHOW SESSION").collect()
+    }
+    assert ("query_max_run_time", "2h") in listed
+    assert eng.sql("RESET SESSION query_max_run_time").collect()[0][
+        "reset"
+    ] is True
+    assert eng.sql("SHOW SESSION").count() == 0
+    # a spark.* property: APPLIED to the live conf
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        r = eng.sql(
+            "SET SESSION spark.sql.shuffle.partitions = 7"
+        ).collect()[0]
+        assert r["applied"] is True
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    # quoted values unescape Trino-style ('' -> ')
+    r = eng.sql("SET SESSION note = 'O''Brien'").collect()[0]
+    assert r["value"] == "O'Brien"
+
+
+def test_tablesample_bernoulli_system_bounds(eng):
+    n = eng.sql("SELECT COUNT(*) AS n FROM bi").collect()[0]["n"]
+    assert n == 40
+    assert eng.sql(
+        "SELECT k FROM bi TABLESAMPLE BERNOULLI (100)"
+    ).count() == 40
+    assert eng.sql("SELECT k FROM bi TABLESAMPLE SYSTEM (0)").count() == 0
+    # a 50% sample is a strict subset with plausible mass
+    got = eng.sql(
+        "SELECT k FROM bi TABLESAMPLE BERNOULLI (50) REPEATABLE (7)"
+    ).collect()
+    assert 0 < len(got) < 40
+    assert {r["k"] for r in got} <= set(range(40))
+
+
+def test_tablesample_repeatable_is_deterministic(eng):
+    q = "SELECT k FROM bi TABLESAMPLE BERNOULLI (50) REPEATABLE (42)"
+    a = [r["k"] for r in eng.sql(q).orderBy("k").collect()]
+    b = [r["k"] for r in eng.sql(q).orderBy("k").collect()]
+    assert a == b
+
+
+def test_tablesample_inside_literal_stays_data(eng):
+    lit = "x TABLESAMPLE BERNOULLI (10) y"
+    got = eng.sql(
+        f"SELECT 'x TABLESAMPLE BERNOULLI (10) y' AS s FROM bi LIMIT 1"
+    ).collect()[0]["s"]
+    assert got == lit
+
+
+def test_tablesample_over_persistent_view(eng):
+    eng.sql("CREATE VIEW bi_big AS SELECT k, v FROM bi WHERE k >= 10")
+    assert eng.sql(
+        "SELECT k FROM bi_big TABLESAMPLE BERNOULLI (100)"
+    ).count() == 30
+    got = eng.sql(
+        "SELECT k FROM bi_big TABLESAMPLE SYSTEM (50) REPEATABLE (3)"
+    ).collect()
+    assert {r["k"] for r in got} <= set(range(10, 40))
+
+
+def test_tablesample_composes_with_time_travel(eng):
+    eng.sql("DELETE FROM bi WHERE k >= 20")
+    assert eng.sql(
+        "SELECT k FROM bi TABLESAMPLE BERNOULLI (100)"
+    ).count() == 20
+    assert eng.sql(
+        "SELECT k FROM bi FOR VERSION AS OF 2 "
+        "TABLESAMPLE BERNOULLI (100)"
+    ).count() == 40
