@@ -108,6 +108,9 @@ HEADLINE = [
     # (IVF-clustered keep-first sweep — the semantic complement to e11).
     "b50_recursive_user_tree",
     "e80_semdedup_report",
+    # round 11: DSIR importance resampling (fixed-point log-ratio
+    # weights + Gumbel-top-k fixed-budget selection)
+    "e83_dsir_resampling",
 ]
 
 

@@ -231,6 +231,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "n_docs", "v2": "total_grams",
               "v3": "novel_grams", "v4": "fully_novel_docs",
               "s1": _cw_sql("derivative_docs")}),
+            # e83 (round 11): DSIR importance resampling — per-source
+            # corpus totals, fixed-point log-weights, and the
+            # Gumbel-top-k selection accounting all ride the hash
+            ("e83", "e83_dsir_resampling",
+             {"k1": ("source"), "v1": ("n_docs"), "v2": ("n_tokens"),
+              "v3": ("sum_logweight_1e9"), "v4": ("n_selected"),
+              "s1": _cw("selected_tokens", "selected_logweight_1e9")},
+             {"k1": "source", "v1": "n_docs", "v2": "n_tokens",
+              "v3": "sum_logweight_1e9", "v4": "n_selected",
+              "s1": _cw_sql("selected_tokens", "selected_logweight_1e9")}),
             # e82 (round 10): deterministic train/val/test split —
             # every (source, split) doc/token count rides the hash
             ("e82", "e82_split_assignment",

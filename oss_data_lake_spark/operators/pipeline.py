@@ -819,6 +819,138 @@ def split_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- e83: DSIR-shape importance resampling ------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) — the data-SELECTION complement to e77's quality
+# classifier: estimate target (curated domain) and raw feature
+# distributions over HASHED n-gram buckets, weight every document by
+# the log-likelihood ratio of its features, then resample a fixed
+# budget via Gumbel-top-k. Determinism contract (so DuckDB replays it
+# bit-for-bit): every log-ratio is a 9-dp FIXED-POINT BIGINT
+# (round(x·1e9)) — per-doc weights are INTEGER sums, so aggregation
+# order can never drift the values — and the Gumbel noise is derived
+# from md5(doc_id) (replayable, unbiased), also as a 1e9-scaled bigint.
+# At 100 TB: the fitted model is the 32-row bucket table (broadcast),
+# per-doc weights are one narrow hash-aggregate, and the fixed-budget
+# selection is a distributed TakeOrdered (per-partition top-K, driver
+# merges K rows) — never a global sort.
+DSIR_SELECT_K = 125     # the fixed selection budget (paper: fixed tokens)
+_DSIR_U_MOD = 1_000_000_000
+
+
+def dsir_resampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e83: per-source DSIR accounting — corpus docs/tokens/total
+    log-weight, selected docs/tokens/log-weight under the fixed
+    Gumbel-top-k budget, and the selection rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("bucket", _md5_bucket(F.col("w")))
+    counts = tok.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == POS_SOURCE, 1).otherwise(0)
+        ).cast("long").alias("n_t"),
+        F.sum(
+            F.when(F.col("source") != POS_SOURCE, 1).otherwise(0)
+        ).cast("long").alias("n_r"),
+    )
+    # add-one-smoothed per-bucket log ratio ln(p_target/p_raw), with the
+    # normalizers folded in, as a 9-dp fixed-point bigint; the window
+    # runs over the 32-row model table (metadata scale)
+    from pyspark.sql.window import Window
+
+    allw = Window.partitionBy()
+    lw = (
+        counts
+        .withColumn("t_tot", F.sum(F.col("n_t") + 1).over(allw))
+        .withColumn("r_tot", F.sum(F.col("n_r") + 1).over(allw))
+        .withColumn(
+            "lw",
+            F.round(
+                (
+                    F.log((F.col("n_t") + 1).cast("double"))
+                    - F.log(F.col("t_tot").cast("double"))
+                    - F.log((F.col("n_r") + 1).cast("double"))
+                    + F.log(F.col("r_tot").cast("double"))
+                )
+                * 1e9
+            ).cast("long"),
+        )
+        .select("bucket", "lw")
+    )
+    # the fitted model is 32 rows: collect it ONCE (the e22/e26
+    # bounded fitted-model precedent) so the two downstream passes
+    # (selection, totals) don't each re-derive it — keeps the corpus
+    # at exactly 2 FileScans (model fit + the per-doc pass's two
+    # consumers share this literal table)
+    lw = spark.createDataFrame(
+        [(r["bucket"], r["lw"]) for r in lw.collect()],
+        "bucket long, lw long",
+    )
+    per_doc = (
+        tok.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("lw").cast("long").alias("lw_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    # Gumbel-top-k with replayable noise: u from md5(doc_id), the
+    # gumbel -ln(-ln(u)) scaled to the same 1e9 fixed point, so the
+    # selection key is a plain bigint sum
+    u9 = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % _DSIR_U_MOD
+    )
+    keyed = per_doc.withColumn(
+        "skey",
+        F.col("lw_sum")
+        + F.round(
+            -F.log(
+                -F.log((u9.cast("double") + 0.5) / float(_DSIR_U_MOD))
+            )
+            * 1e9
+        ).cast("long"),
+    )
+    sel_agg = (
+        keyed.orderBy(F.desc("skey"), "doc_id").limit(DSIR_SELECT_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tok").cast("long").alias("selected_tokens"),
+            F.sum("lw_sum").cast("long").alias("selected_logweight_1e9"),
+        )
+    )
+    tot = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("lw_sum").cast("long").alias("sum_logweight_1e9"),
+    )
+    return (
+        tot.join(F.broadcast(sel_agg), "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens", "sum_logweight_1e9",
+            F.coalesce("n_selected", F.lit(0)).cast("long")
+            .alias("n_selected"),
+            F.coalesce("selected_tokens", F.lit(0)).cast("long")
+            .alias("selected_tokens"),
+            F.coalesce("selected_logweight_1e9", F.lit(0)).cast("long")
+            .alias("selected_logweight_1e9"),
+            (
+                F.coalesce("n_selected", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("selection_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e70_clean_corpus_report": clean_corpus_report,
     "e71_chunk_documents": chunk_documents,
@@ -832,6 +964,7 @@ QUERIES = {
     "e79_gopher_repetition": gopher_repetition_report,
     "e81_ngram_novelty": ngram_novelty_report,
     "e82_split_assignment": split_assignment_report,
+    "e83_dsir_resampling": dsir_resampling_report,
 }
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
@@ -929,6 +1062,72 @@ ORACLES = {
                    AS top2gram_frac
         FROM pdg JOIN pdt USING (doc_id)
         GROUP BY source ORDER BY source
+    """,
+    # e83: the IDENTICAL fixed-point arithmetic — 9-dp bigint log
+    # ratios, integer per-doc sums, md5-derived Gumbel keys, the same
+    # ORDER BY skey DESC, doc_id LIMIT K selection — re-derived from
+    # DuckDB's own ln/md5/round
+    "e83_dsir_resampling": f"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), b AS (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                       % {N_BUCKETS} AS bucket
+            FROM tok
+        ), counts AS (
+            SELECT bucket,
+                   SUM(CASE WHEN source = '{POS_SOURCE}'
+                            THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN source <> '{POS_SOURCE}'
+                            THEN 1 ELSE 0 END) AS n_r
+            FROM b GROUP BY bucket
+        ), lw AS (
+            SELECT bucket,
+                   CAST(round((ln(n_t + 1) - ln(SUM(n_t + 1) OVER ())
+                             - ln(n_r + 1) + ln(SUM(n_r + 1) OVER ()))
+                             * 1e9) AS BIGINT) AS lw
+            FROM counts
+        ), per_doc AS (
+            SELECT b.doc_id, b.source,
+                   CAST(SUM(lw.lw) AS BIGINT) AS lw_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM b JOIN lw USING (bucket)
+            GROUP BY b.doc_id, b.source
+        ), keyed AS (
+            SELECT *,
+                   lw_sum + CAST(round(-ln(-ln(
+                       ((CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % {_DSIR_U_MOD}) + 0.5)
+                       / {_DSIR_U_MOD})) * 1e9) AS BIGINT) AS skey
+            FROM per_doc
+        ), sel_agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_selected,
+                   CAST(SUM(n_tok) AS BIGINT) AS selected_tokens,
+                   CAST(SUM(lw_sum) AS BIGINT) AS selected_logweight_1e9
+            FROM (SELECT * FROM keyed
+                  ORDER BY skey DESC, doc_id LIMIT {DSIR_SELECT_K})
+            GROUP BY source
+        ), tot AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lw_sum) AS BIGINT) AS sum_logweight_1e9
+            FROM keyed GROUP BY source
+        )
+        SELECT t.source, t.n_docs, t.n_tokens, t.sum_logweight_1e9,
+               CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+               CAST(COALESCE(s.selected_tokens, 0) AS BIGINT)
+                   AS selected_tokens,
+               CAST(COALESCE(s.selected_logweight_1e9, 0) AS BIGINT)
+                   AS selected_logweight_1e9,
+               CAST(COALESCE(s.n_selected, 0) AS DOUBLE)
+                   / CAST(t.n_docs AS DOUBLE) AS selection_rate
+        FROM tot t LEFT JOIN sel_agg s USING (source)
+        ORDER BY t.source
     """,
     "e77_quality_classifier": f"""
         WITH tok AS (

@@ -894,6 +894,40 @@ def test_e80_semdedup_sweep_matches_brute_force(spark, sf_dir):
     assert sum(n for n, _ in want.values()) == emb.count()  # partition
 
 
+def test_e83_dsir_selection_budget_and_target_tilt(spark, sf_dir):
+    """e83 (DSIR importance resampling): the Gumbel-top-k selection
+    spends EXACTLY the fixed budget, and the importance weights do
+    their job — the curated target domain is selected at a higher rate
+    than the raw average (the whole point of the log-ratio weights)."""
+    from oss_data_lake_spark.operators.pipeline import (
+        DSIR_SELECT_K,
+        POS_SOURCE,
+        dsir_resampling_report,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    df = dsir_resampling_report(spark, sf_dir)
+    # pin the PRE-EXECUTION plan: after collect, AQE's final-plan text
+    # re-prints the reused per-doc subtree once per consumer
+    txt = explain_str(df, "simple")
+    rows = {r["source"]: r for r in df.collect()}
+    assert sum(r["n_selected"] for r in rows.values()) == DSIR_SELECT_K
+    assert sum(r["selected_tokens"] for r in rows.values()) > 0
+    rates = {s: r["selection_rate"] for s, r in rows.items()}
+    mean_rate = sum(rates.values()) / len(rates)
+    assert rates[POS_SOURCE] > mean_rate
+    # scale pins: the fixed-budget selection is a distributed
+    # TakeOrdered (never a global sort of the corpus), and the corpus
+    # is scanned exactly twice (model fit + the per-doc pass)
+    assert "TakeOrderedAndProject" in txt
+    doc_scans = sum(
+        1
+        for line in txt.splitlines()
+        if "FileScan" in line and "documents" in line
+    )
+    assert doc_scans <= 2, f"{doc_scans} documents scans in the e83 plan"
+
+
 def test_e80_tiled_sweep_identical_to_full_matrix(spark, sf_dir, monkeypatch):
     """Round-11: e80's removal sweep is tiled (block×block partials with
     a running max, bounded memory for skewed clusters). With the default
