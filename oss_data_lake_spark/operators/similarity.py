@@ -504,6 +504,8 @@ def ivf_neardup_pairs(
     thr = float(threshold)
     assigned = _ivf_assign(emb, cent_ids, cent_mat, nprobe)
 
+    blk = SEMDEDUP_SWEEP_BLOCK
+
     def verify_block(pdf):
         import numpy as np
         import pandas as pd
@@ -521,16 +523,39 @@ def ivf_neardup_pairs(
         ids = pdf["vec_id"].to_numpy()
         E = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
         norms = np.sqrt((E * E).sum(axis=1))
-        sims = np.round((E @ E.T) / np.outer(norms, norms), 9)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= thr
-        if not keep.any():
+        # tiled upper-triangle sweep (round 11, same bound as e80's
+        # sweep_block): one blk×blk partial per tile pair instead of the
+        # full m×m similarity matrix, so a skewed cluster costs
+        # O(blk² + m·dim + matches) task memory — the stride contract
+        # bounds the EXPECTED cluster, the tiles bound the worst one
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for r0 in range(0, n, blk):
+            r1 = min(r0 + blk, n)
+            for c0 in range(r0, n, blk):
+                c1 = min(c0 + blk, n)
+                part = np.round(
+                    (E[r0:r1] @ E[c0:c1].T)
+                    / np.outer(norms[r0:r1], norms[c0:c1]),
+                    9,
+                )
+                if c0 == r0:  # diagonal tile: strict upper triangle only
+                    ii, jj = np.nonzero(
+                        np.triu(part >= thr, k=1)
+                    )
+                else:
+                    ii, jj = np.nonzero(part >= thr)
+                if len(ii):
+                    out_a.append(ids[r0 + ii])
+                    out_b.append(ids[c0 + jj])
+                    out_c.append(part[ii, jj])
+        if not out_a:
             return empty
         return pd.DataFrame(
             {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cosine": sims[iu[keep], ju[keep]],
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 

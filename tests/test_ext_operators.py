@@ -943,3 +943,19 @@ def test_e80_tiled_sweep_identical_to_full_matrix(spark, sf_dir, monkeypatch):
     assert tiled == baseline
     # sanity: at least one cluster actually spanned multiple 7-row tiles
     assert any(r[1] > 7 for r in baseline)
+
+
+def test_e26_tiled_verify_identical_to_full_matrix(spark, sf_dir, monkeypatch):
+    """Round-11: e26's per-cluster verify sweep shares e80's tile bound
+    (blk×blk partials, O(blk² + m·dim + matches) memory). Forced tiny
+    tiles must emit the exact same (pair, cosine) set as the default
+    single-tile run — including values at full float precision."""
+    from oss_data_lake_spark.operators import similarity as sim
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = rows(sim.ivf_neardup_pairs(spark, sf_dir))
+    assert baseline  # the fixture produces matches — a vacuous pin is no pin
+    monkeypatch.setattr(sim, "SEMDEDUP_SWEEP_BLOCK", 5)
+    assert rows(sim.ivf_neardup_pairs(spark, sf_dir)) == baseline
