@@ -85,17 +85,30 @@ CAPTURE: dict[str, str] = {
         "plan's arm count tracks DML steps, never history length",
     # round 10 additions
     "b50_recursive_user_tree":
-        "native recursive CTE (UnionLoop) over the CACHED user dimension "
-        "— the fact table appears ONCE, joined to the final closure, "
-        "never inside the loop",
+        "native recursive CTE (UnionLoop) over the localCheckpointed "
+        "user dimension — the fact table appears ONCE, joined to the "
+        "final closure, never inside the loop",
     "e80_semdedup_report":
         "IVF assignment (ArrowEvalPython batch) -> ONE group-by-cluster "
-        "exchange -> FlatMapGroupsInPandas sweep -> per-cluster "
+        "exchange -> FlatMapGroupsInPandas sweep (round 11: tiled "
+        "blk*blk partials, bounded task memory) -> per-cluster "
         "aggregation; no all-pairs join anywhere",
     "e78_token_budget_mixing":
-        "two-level prefix sum: document-scale window partitioned by "
-        "(source, bkt); the source-only window runs over the "
-        "(domains x 4096) per-bucket sums; offsets broadcast back",
+        "round 11: corpus scanned exactly TWICE — one per-(source,bkt) "
+        "aggregate all metadata (totals/grand/budgets/offsets) derives "
+        "from via windows over the tiny table, one placement pass with "
+        "the metadata broadcast back; document-scale window still "
+        "partitioned by (source, bkt)",
+    # round 11 additions
+    "b52_window_nulls_groups_frames":
+        "IGNORE NULLS navigation family over ONE reused "
+        "partitionBy(o_custkey) exchange; the GROUPS frame runs as the "
+        "dense_rank + RANGE rewrite (Spark has no GROUPS mode)",
+    "e83_dsir_resampling":
+        "hashed-bucket model fit (one 32-key aggregate, collected as "
+        "the fitted model) -> per-doc integer log-weight aggregate -> "
+        "fixed-budget selection as TakeOrderedAndProject (distributed "
+        "top-K, never a global sort); corpus at exactly 2 FileScans",
 }
 
 
