@@ -56,11 +56,22 @@ def main() -> None:
         head_runs: list[dict] = []
         old_runs: list[dict] = []
         for i in range(passes):
-            # strict interleave: HEAD, old, HEAD, old ...
-            print(f"pass {i + 1}/{passes}: HEAD", file=sys.stderr)
-            head_runs.append(_run_pass(ROOT))
-            print(f"pass {i + 1}/{passes}: {old_ref}", file=sys.stderr)
-            old_runs.append(_run_pass(old_dir))
+            # ABBA interleave (round 11): strict HEAD-first alternation
+            # gave OLD the warmer slot every pair (positions 2,4,6 ride
+            # the page cache + thermal state the position-1 pass paid
+            # for), showing up as a reproducible ~1.25x on I/O-heavy
+            # queries whose files were byte-identical across the trees
+            # (e14/m04/m08 — adjudicated by a solo A/B at 1.05x).
+            # Alternating the STARTING side each pair cancels the
+            # position bias in the per-side medians.
+            first, second = (
+                (("HEAD", ROOT, head_runs), (old_ref, old_dir, old_runs))
+                if i % 2 == 0
+                else ((old_ref, old_dir, old_runs), ("HEAD", ROOT, head_runs))
+            )
+            for label, checkout, sink in (first, second):
+                print(f"pass {i + 1}/{passes}: {label}", file=sys.stderr)
+                sink.append(_run_pass(checkout))
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", str(old_dir)],
