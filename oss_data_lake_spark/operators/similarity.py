@@ -676,6 +676,140 @@ def semdedup_report(
     )
 
 
+# --- e84: semantic decontamination (eval-vs-train embedding overlap) ----
+#
+# The SEMANTIC complement to e75's n-gram decontamination: before a data
+# release, every EVAL document is checked for training documents that
+# are near-identical in embedding space (paraphrases and translations
+# that lexical n-grams miss — the contamination audit GPT-4-class
+# reports run). The eval set is a deterministic held-out slice
+# (vec_id ≡ 7 mod 89, ~1.1%); train vectors take their single IVF home
+# (nprobe=1), eval vectors probe NEARDUP_NPROBE clusters, and each
+# probed cluster's eval×train cosines run as tiled Arrow matmuls
+# (bounded task memory, same tile budget as e80/e26). Train vectors
+# live in exactly ONE cluster, so multi-probe never double-counts a
+# candidate. Per-eval report: candidates examined, near-duplicates at
+# the e26 threshold, max cosine (sentinel -2.0 when no candidate), and
+# the contaminated verdict.
+SEMDECON_EVAL_MOD = 89
+SEMDECON_EVAL_RES = 7
+SEMDECON_THRESHOLD = NEARDUP_COSINE_THRESHOLD
+_SEMDECON_NONE = -2.0
+
+
+def semantic_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """e84: per-eval-vector semantic contamination report — see the
+    block comment above. Fully deterministic (9-dp cosines, the
+    e22/e26 assignment tiebreaks), so it carries a complete DuckDB
+    oracle."""
+    thr = float(threshold if threshold is not None else SEMDECON_THRESHOLD)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_ids, cent_mat = _ivf_model(emb)
+    is_eval = (
+        F.col("vec_id") % SEMDECON_EVAL_MOD == F.lit(SEMDECON_EVAL_RES)
+    )
+    train = _ivf_assign(emb.filter(~is_eval), cent_ids, cent_mat, 1)
+    probes = _ivf_assign(
+        emb.filter(is_eval), cent_ids, cent_mat, NEARDUP_NPROBE
+    )
+    both = train.withColumn("is_eval", F.lit(False)).unionByName(
+        probes.withColumn("is_eval", F.lit(True))
+    )
+    none_mark = _SEMDECON_NONE
+    blk = SEMDEDUP_SWEEP_BLOCK
+
+    # nested: pickled by value for plain driver sessions (cwd-foreign)
+    def scan_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ev = pdf[pdf["is_eval"]].sort_values("vec_id")
+        tr = pdf[~pdf["is_eval"]].sort_values("vec_id")
+        empty = pd.DataFrame(
+            {
+                "eval_id": pd.Series(dtype="int64"),
+                "n_candidates": pd.Series(dtype="int64"),
+                "n_close": pd.Series(dtype="int64"),
+                "max_cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(ev) == 0:
+            return empty
+        e_ids = ev["vec_id"].to_numpy()
+        n_t = len(tr)
+        if n_t == 0:
+            return pd.DataFrame(
+                {
+                    "eval_id": e_ids,
+                    "n_candidates": np.zeros(len(e_ids), dtype=np.int64),
+                    "n_close": np.zeros(len(e_ids), dtype=np.int64),
+                    "max_cos": np.full(len(e_ids), none_mark),
+                }
+            )
+        Ee = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in ev["embedding"]]
+        )
+        Et = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in tr["embedding"]]
+        )
+        en = np.sqrt((Ee * Ee).sum(axis=1))
+        tn = np.sqrt((Et * Et).sum(axis=1))
+        n_e = len(e_ids)
+        close = np.zeros(n_e, dtype=np.int64)
+        best = np.full(n_e, -np.inf)
+        # tiled eval-block × train-block sweep — bounded task memory,
+        # the e80 tile budget
+        for r0 in range(0, n_e, blk):
+            r1 = min(r0 + blk, n_e)
+            for c0 in range(0, n_t, blk):
+                c1 = min(c0 + blk, n_t)
+                part = np.round(
+                    (Ee[r0:r1] @ Et[c0:c1].T)
+                    / np.outer(en[r0:r1], tn[c0:c1]),
+                    9,
+                )
+                close[r0:r1] += (part >= thr).sum(axis=1)
+                best[r0:r1] = np.maximum(best[r0:r1], part.max(axis=1))
+        return pd.DataFrame(
+            {
+                "eval_id": e_ids,
+                "n_candidates": np.full(n_e, n_t, dtype=np.int64),
+                "n_close": close,
+                "max_cos": best,
+            }
+        )
+
+    per_probe = both.groupBy("cluster").applyInPandas(
+        scan_cluster,
+        schema="eval_id long, n_candidates long, n_close long, "
+               "max_cos double",
+    )
+    return (
+        per_probe.groupBy("eval_id")
+        .agg(
+            F.sum("n_candidates").cast("long").alias("n_candidates"),
+            F.sum("n_close").cast("long").alias("n_close"),
+            F.max("max_cos").alias("mc"),
+        )
+        .select(
+            "eval_id", "n_candidates", "n_close",
+            F.when(F.col("n_candidates") > 0, F.col("mc"))
+            .otherwise(F.lit(none_mark))
+            .alias("max_cosine"),
+            (
+                F.when(F.col("n_candidates") > 0, F.col("mc"))
+                .otherwise(F.lit(none_mark))
+                >= thr
+            ).cast("long").alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
 # measured on the sf0.01 fixture (near-random embeddings — the hard case
 # for sign-bit selectivity): H=26 → recall 0.66 @ 9% survivors, H=28 →
 # 0.84 @ 19%, H=30 → 0.98 @ 36%. 28 balances pruning (5×) against recall;
