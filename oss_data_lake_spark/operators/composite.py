@@ -258,6 +258,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": _cw_sql("cluster"), "v1": "n_members",
               "v2": "n_removed", "v3": "n_kept",
               "v4": "max_intra_cosine"}),
+            # e84 (round 11): semantic decontamination — per-eval-vector
+            # candidate/close counts, max train cosine, and the
+            # contaminated verdict all ride the hash
+            ("e84", "e84_semantic_decontamination",
+             {"k1": _cw("eval_id"), "v1": ("n_candidates"),
+              "v2": ("n_close"), "v3": ("max_cosine"),
+              "v4": ("contaminated")},
+             {"k1": _cw_sql("eval_id"), "v1": "n_candidates",
+              "v2": "n_close", "v3": "max_cosine",
+              "v4": "contaminated"}),
             # e15 (round 8): exact-substring duplicate pairs (the Lee
             # et al. span-level complement to MinHash) — every pair's
             # shared-window count rides the hash

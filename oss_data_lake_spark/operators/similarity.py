@@ -1174,6 +1174,7 @@ QUERIES = {
     "e27_binary_quantized_topk": binary_quantized_topk,
     "e28_pq_topk": pq_topk,
     "e80_semdedup_report": semdedup_report,
+    "e84_semantic_decontamination": semantic_decontamination,
 }
 
 _ELEMS_SQL = """
@@ -1410,6 +1411,53 @@ ORACLES = {
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                MAX(max_sim_lower) AS max_intra_cosine
         FROM members GROUP BY cluster ORDER BY cluster
+    """,
+    # identical centroid set / assignment ordering as e22/e26/e80; train
+    # takes rn = 1 (its single IVF home), eval probes rn <= NEARDUP_NPROBE;
+    # candidates are cluster-mates only, so COUNT(*) over the probe join
+    # equals the Spark per-probe n_t sum (train lives in exactly one
+    # cluster — multi-probe never double-counts)
+    "e84_semantic_decontamination": f"""
+        WITH {_NORMS_SQL},
+        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+        scored AS (SELECT n.vec_id, cent_id,
+                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
+                              AS cent_sim
+                   FROM n CROSS JOIN cent),
+        ranked AS (SELECT vec_id, cent_id AS cluster,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY cent_sim DESC,
+                                                      cent_id ASC) AS rn
+                   FROM scored),
+        train AS (SELECT vec_id, cluster FROM ranked
+                  WHERE rn = 1
+                    AND vec_id % {SEMDECON_EVAL_MOD} <> {SEMDECON_EVAL_RES}),
+        probes AS (SELECT vec_id AS eval_id, cluster FROM ranked
+                   WHERE rn <= {NEARDUP_NPROBE}
+                     AND vec_id % {SEMDECON_EVAL_MOD} = {SEMDECON_EVAL_RES}),
+        evals AS (SELECT DISTINCT eval_id FROM probes),
+        cand AS (SELECT p.eval_id,
+                        round(list_inner_product(ne.v, nt.v)
+                              / (ne.norm * nt.norm), 9) AS cosine
+                 FROM probes p
+                 JOIN train t ON p.cluster = t.cluster
+                 JOIN n ne ON p.eval_id = ne.vec_id
+                 JOIN n nt ON t.vec_id = nt.vec_id),
+        agg AS (SELECT eval_id, COUNT(*) AS n_candidates,
+                       SUM(CASE WHEN cosine >= {SEMDECON_THRESHOLD}
+                                THEN 1 ELSE 0 END) AS n_close,
+                       MAX(cosine) AS mc
+                FROM cand GROUP BY eval_id)
+        SELECT e.eval_id,
+               CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(a.n_close, 0) AS BIGINT) AS n_close,
+               COALESCE(a.mc, {_SEMDECON_NONE}) AS max_cosine,
+               CAST(CASE WHEN COALESCE(a.mc, {_SEMDECON_NONE})
+                              >= {SEMDECON_THRESHOLD}
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM evals e LEFT JOIN agg a ON e.eval_id = a.eval_id
+        ORDER BY e.eval_id
     """,
     "e26_ivf_neardup_pairs": f"""
         WITH {_NORMS_SQL},

@@ -959,3 +959,90 @@ def test_e26_tiled_verify_identical_to_full_matrix(spark, sf_dir, monkeypatch):
     assert baseline  # the fixture produces matches — a vacuous pin is no pin
     monkeypatch.setattr(sim, "SEMDEDUP_SWEEP_BLOCK", 5)
     assert rows(sim.ivf_neardup_pairs(spark, sf_dir)) == baseline
+
+
+def test_e84_semantic_decontamination_matches_brute_force(spark, sf_dir):
+    """e84 (semantic decontamination), re-derived by brute force on the
+    driver: train vectors take their single IVF home (nprobe=1), eval
+    vectors probe NEARDUP_NPROBE clusters, candidates are the union of
+    the probed clusters' train members (disjoint by construction), and
+    the report carries exact candidate/close counts + 9-dp max cosine
+    with the -2.0 no-candidate sentinel."""
+    import numpy as np
+
+    from oss_data_lake_spark.operators.similarity import (
+        NEARDUP_NPROBE,
+        SEMDECON_EVAL_MOD,
+        SEMDECON_EVAL_RES,
+        SEMDECON_THRESHOLD,
+        _SEMDECON_NONE,
+        _ivf_assign,
+        _ivf_model,
+        semantic_decontamination,
+    )
+    from pyspark.sql import functions as F
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_ids, cent_mat = _ivf_model(emb)
+    is_eval = F.col("vec_id") % SEMDECON_EVAL_MOD == SEMDECON_EVAL_RES
+    train_rows = _ivf_assign(emb.filter(~is_eval), cent_ids, cent_mat, 1).collect()
+    probe_rows = _ivf_assign(
+        emb.filter(is_eval), cent_ids, cent_mat, NEARDUP_NPROBE
+    ).collect()
+    train_by_cluster: dict = {}
+    for r in train_rows:
+        train_by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    probes_by_eval: dict = {}
+    evecs: dict = {}
+    for r in probe_rows:
+        probes_by_eval.setdefault(r["vec_id"], []).append(r["cluster"])
+        evecs[r["vec_id"]] = np.asarray(r["embedding"], dtype=np.float64)
+    want = {}
+    for eid, clusters in probes_by_eval.items():
+        ev = evecs[eid]
+        en = np.sqrt((ev * ev).sum())
+        n_cand = n_close = 0
+        best = -np.inf
+        for cl in clusters:
+            for _tid, tv in train_by_cluster.get(cl, []):
+                cos = round(float(ev @ tv) / (en * np.sqrt((tv * tv).sum())), 9)
+                n_cand += 1
+                n_close += cos >= SEMDECON_THRESHOLD
+                best = max(best, cos)
+        mx = best if n_cand else _SEMDECON_NONE
+        want[eid] = (n_cand, n_close, mx, int(mx >= SEMDECON_THRESHOLD))
+    out = semantic_decontamination(spark, sf_dir).collect()
+    got = {
+        r["eval_id"]: (
+            r["n_candidates"], r["n_close"], r["max_cosine"], r["contaminated"]
+        )
+        for r in out
+    }
+    assert got == want
+    # one row per eval vector, exactly — the audit covers the whole slice
+    n_eval = emb.filter(is_eval).count()
+    assert len(out) == n_eval == len(want)
+    # internal consistency: contaminated iff some candidate cleared thr
+    for n_cand, n_close, mx, flag in got.values():
+        assert flag == (n_close >= 1)
+        assert (mx == _SEMDECON_NONE) == (n_cand == 0)
+
+
+def test_e84_tiled_scan_identical_to_full_matrix(spark, sf_dir, monkeypatch):
+    """e84's eval-block x train-block scan shares e80's tile bound. Forced
+    tiny tiles (multi-tile rows AND columns, ragged tails) must emit the
+    exact same per-eval report — counts and full-precision max cosine —
+    as the default single-tile run."""
+    from oss_data_lake_spark.operators import similarity as sim
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = rows(sim.semantic_decontamination(spark, sf_dir))
+    assert baseline  # the fixture has eval vectors — a vacuous pin is no pin
+    assert any(r[1] > 7 for r in baseline)  # some eval sees >7 candidates
+    monkeypatch.setattr(sim, "SEMDEDUP_SWEEP_BLOCK", 7)
+    assert rows(sim.semantic_decontamination(spark, sf_dir)) == baseline

@@ -375,3 +375,24 @@ def test_b51_lateral_decorrelates_to_ranked_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt or "SortMergeJoin" in txt
+
+
+def test_e84_semdecon_grouped_scan_no_all_pairs(spark, sf_dir):
+    """e84 (semantic decontamination): the eval-vs-train scan runs as
+    FlatMapGroupsInPandas behind ONE group-by-cluster exchange over the
+    train(nprobe=1) UNION eval(nprobe=3) assignment; no join of the
+    corpus against itself (no SortMergeJoin / BroadcastNestedLoopJoin /
+    CartesianProduct over embeddings) anywhere in the plan."""
+    from oss_data_lake_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(semantic_decontamination(spark, sf_dir), "simple")
+    assert "FlatMapGroupsInPandas" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "SortMergeJoin" not in txt
+    # exactly one grouping exchange feeds the pandas scan: hashpartitioning
+    # on cluster appears, and nothing shuffles the raw corpus twice
+    assert txt.count("FlatMapGroupsInPandas") == 1
