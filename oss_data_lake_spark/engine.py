@@ -95,6 +95,9 @@ class Engine:
         handled = self._handle_session_statement(text)
         if handled is not None:
             return handled
+        handled = self._handle_match_recognize(text)
+        if handled is not None:
+            return handled
         # Trino sampling spellings (TABLESAMPLE BERNOULLI/SYSTEM (p))
         # translate to Spark's TABLESAMPLE (p PERCENT) before routing
         text = self._translate_tablesample(text)
@@ -940,6 +943,186 @@ class Engine:
                 return self.spark.createDataFrame(rows, schema)
             return self.spark.createDataFrame([], schema)
         return None
+
+    # Trino's MATCH_RECOGNIZE (SQL:2016 row-pattern recognition), routed to
+    # the restricted runs-and-windows rewrite in operators/match_recognize
+    # (see that module's docstring for the exact supported class and its
+    # exactness proof). Statement shape:
+    #   SELECT [alias.]* FROM <source> MATCH_RECOGNIZE (
+    #     PARTITION BY c [, c...]  ORDER BY c [ASC]
+    #     MEASURES expr AS alias [, ...]
+    #     [ONE ROW PER MATCH] [AFTER MATCH SKIP PAST LAST ROW]
+    #     PATTERN ( ... )  DEFINE V AS pred [, ...]
+    #   ) [AS alias] [ORDER BY ...] [LIMIT n]
+    # <source> is evaluated through sql() itself, so snapshot tables,
+    # persistent views, time travel, and TABLESAMPLE all compose.
+    _MR_HEAD_RE = re.compile(
+        r"^\s*SELECT\s+(?:\w+\s*\.\s*)?\*\s+FROM\s+(.+?)\s+"
+        r"MATCH_RECOGNIZE\s*\(",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _handle_match_recognize(self, text: str) -> DataFrame | None:
+        from oss_data_lake_spark.operators.match_recognize import (
+            match_recognize,
+        )
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._MR_HEAD_RE.match(masked)
+        if m is None:
+            return None
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("MATCH_RECOGNIZE: unbalanced parentheses")
+        src = text[m.start(1): m.end(1)].strip()
+        body, bmask = text[m.end(): i - 1], masked[m.end(): i - 1]
+        tail = text[i:]
+        tm = re.match(r"\s*AS\s+\w+", tail, re.IGNORECASE)
+        if tm:
+            tail = tail[tm.end():]
+        tail = tail.strip().rstrip(";").strip()
+        if tail and not re.match(
+            r"^(ORDER\s+BY|LIMIT)\b", tail, re.IGNORECASE
+        ):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: unsupported trailing clause {tail!r}"
+            )
+
+        def _sect(kw: str) -> int:
+            s = re.search(kw, bmask, re.IGNORECASE)
+            return s.start() if s else -1
+
+        marks = {
+            "partition": _sect(r"\bPARTITION\s+BY\b"),
+            "order": _sect(r"\bORDER\s+BY\b"),
+            "measures": _sect(r"\bMEASURES\b"),
+            "one_row": _sect(r"\bONE\s+ROW\s+PER\s+MATCH\b"),
+            "all_rows": _sect(r"\bALL\s+ROWS\s+PER\s+MATCH\b"),
+            "after": _sect(r"\bAFTER\s+MATCH\b"),
+            "pattern": _sect(r"\bPATTERN\s*\("),
+            "subset": _sect(r"\bSUBSET\b"),
+            "define": _sect(r"\bDEFINE\b"),
+        }
+        if marks["all_rows"] >= 0:
+            raise ValueError(
+                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported"
+            )
+        if marks["subset"] >= 0:
+            raise ValueError("MATCH_RECOGNIZE: SUBSET is not supported")
+        if marks["after"] >= 0 and not re.match(
+            r"AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW\b",
+            bmask[marks["after"]:],
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW"
+            )
+        for req in ("partition", "order", "measures", "pattern", "define"):
+            if marks[req] < 0:
+                raise ValueError(f"MATCH_RECOGNIZE: missing {req} clause")
+        if not (
+            marks["partition"] < marks["order"] < marks["measures"]
+            < marks["pattern"] < marks["define"]
+        ):
+            raise ValueError("MATCH_RECOGNIZE: clauses out of order")
+
+        def _slice(start_kw: str, start: int) -> tuple[str, str]:
+            nxt = min(
+                (v for v in marks.values() if v > start), default=len(body)
+            )
+            seg = body[start:nxt]
+            segm = bmask[start:nxt]
+            cut = re.match(start_kw, segm, re.IGNORECASE)
+            return seg[cut.end():], segm[cut.end():]
+
+        pb_txt, _ = _slice(r"PARTITION\s+BY", marks["partition"])
+        partition_by = [c.strip() for c in pb_txt.split(",") if c.strip()]
+        ob_txt, _ = _slice(r"ORDER\s+BY", marks["order"])
+        ob = ob_txt.strip()
+        om = re.fullmatch(r"(\w+)(?:\s+ASC)?", ob, re.IGNORECASE)
+        if not om:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: ORDER BY must be one ascending "
+                f"column, got {ob!r}"
+            )
+        order_by = om.group(1)
+
+        def _depth0_commas(segm: str) -> list[int]:
+            d, out = 0, []
+            for j, ch in enumerate(segm):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    out.append(j)
+            return out
+
+        def _split(seg: str, segm: str) -> list[str]:
+            cuts = [-1] + _depth0_commas(segm) + [len(seg)]
+            return [
+                seg[a + 1: b].strip()
+                for a, b in zip(cuts, cuts[1:])
+                if seg[a + 1: b].strip()
+            ]
+
+        ms_txt, ms_mask = _slice(r"MEASURES", marks["measures"])
+        measures: dict[str, str] = {}
+        for item in _split(ms_txt, ms_mask):
+            am = re.match(
+                r"^(.+?)\s+AS\s+(\w+)$", item, re.IGNORECASE | re.DOTALL
+            )
+            if not am:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: measure needs AS alias: {item!r}"
+                )
+            measures[am.group(2)] = am.group(1).strip()
+
+        # PATTERN ( ... ): balanced slice of the body
+        pstart = marks["pattern"]
+        popen = bmask.index("(", pstart)
+        d, j = 1, popen + 1
+        while j < len(bmask) and d:
+            if bmask[j] == "(":
+                d += 1
+            elif bmask[j] == ")":
+                d -= 1
+            j += 1
+        pattern = body[popen + 1: j - 1].strip()
+
+        df_txt, df_mask = _slice(r"DEFINE", marks["define"])
+        defines: dict[str, str] = {}
+        for item in _split(df_txt, df_mask):
+            dm = re.match(
+                r"^(\w+)\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL
+            )
+            if not dm:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: DEFINE needs VAR AS pred: {item!r}"
+                )
+            defines[dm.group(1).upper()] = dm.group(2).strip()
+
+        source = self.sql(f"SELECT * FROM {src}")
+        res = match_recognize(
+            source, partition_by, order_by, pattern, defines, measures
+        )
+        if tail:
+            name = f"__mr_out_{abs(hash(text)) % 10**8}"
+            res.createOrReplaceTempView(name)
+            try:
+                out = self.spark.sql(f"SELECT * FROM {name} {tail}")
+                out.schema  # bind before the view drops
+                return out
+            finally:
+                self.spark.catalog.dropTempView(name)
+        return res
 
     # Trino's sampling spellings: `TABLESAMPLE BERNOULLI (p)` is row-level
     # Bernoulli sampling — exactly Spark's `TABLESAMPLE (p PERCENT)`;

@@ -77,6 +77,7 @@ def _modules():
         asof,
         dedup,
         lake,
+        match_recognize,
         multimodal,
         pipeline,
         relational,
@@ -106,4 +107,5 @@ def _modules():
         tier_a,
         relational,
         relational_more,
+        match_recognize,
     ]

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from oss_data_lake_spark.operators import asof
 from oss_data_lake_spark.operators import dedup
 from oss_data_lake_spark.operators import lake
+from oss_data_lake_spark.operators import match_recognize as mrec
 from oss_data_lake_spark.operators import pipeline
 from oss_data_lake_spark.operators import relational as rel
 from oss_data_lake_spark.operators import relational_more as rel2
@@ -134,12 +135,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
     fine_q: dict[str, QueryFn] = {
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
         **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES, **upsert.QUERIES,
-        **pipeline.QUERIES, **text.QUERIES,
+        **pipeline.QUERIES, **text.QUERIES, **mrec.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
         **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES, **upsert.ORACLES,
-        **pipeline.ORACLES, **text.ORACLES,
+        **pipeline.ORACLES, **text.ORACLES, **mrec.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -567,6 +568,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("grp_sum"), "v3": ("grp_cnt")},
              {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "second_px",
               "v2": "grp_sum", "v3": "grp_cnt"}),
+            # b53 (round 11): restricted MATCH_RECOGNIZE (the Trino
+            # V-shape, STRT DOWN+ UP+, rewritten exactly to runs +
+            # windows) — two arms carry all 8 measure columns
+            ("b53a", "b53_match_recognize_vshape",
+             {"k1": _cw("user_id", "match_no"), "v1": ("start_value"),
+              "v2": ("bottom_value"), "v3": ("end_value"),
+              "s1": _cw("start_event", "end_event")},
+             {"k1": _cw_sql("user_id", "match_no"), "v1": "start_value",
+              "v2": "bottom_value", "v3": "end_value",
+              "s1": _cw_sql("start_event", "end_event")}),
+            ("b53b", "b53_match_recognize_vshape",
+             {"k1": _cw("user_id", "match_no"), "v1": ("down_steps"),
+              "v2": ("match_len")},
+             {"k1": _cw_sql("user_id", "match_no"), "v1": "down_steps",
+              "v2": "match_len"}),
         ],
         "b46_rank_windows": [
             ("b08", "b08_topk_orders_per_customer",
