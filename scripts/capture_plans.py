@@ -109,6 +109,16 @@ CAPTURE: dict[str, str] = {
         "the fitted model) -> per-doc integer log-weight aggregate -> "
         "fixed-budget selection as TakeOrderedAndProject (distributed "
         "top-K, never a global sort); corpus at exactly 2 FileScans",
+    "b53_match_recognize_vshape":
+        "restricted MATCH_RECOGNIZE as pure window arithmetic: one "
+        "partitionBy(user_id) exchange, then runs/candidates/parity as "
+        "stacked Window nodes over shrinking relations — zero Python, "
+        "zero joins, no CartesianProduct",
+    "e84_semantic_decontamination":
+        "train(nprobe=1) UNION eval(nprobe=3) Arrow assignment -> ONE "
+        "group-by-cluster exchange -> FlatMapGroupsInPandas tiled "
+        "eval x train cosine scan (e80 block bound) -> per-eval "
+        "aggregate; no corpus self-join",
 }
 
 
