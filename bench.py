@@ -111,6 +111,12 @@ HEADLINE = [
     # round 11: DSIR importance resampling (fixed-point log-ratio
     # weights + Gumbel-top-k fixed-budget selection)
     "e83_dsir_resampling",
+    # round 11 (cont.): restricted MATCH_RECOGNIZE (the Trino V-shape as
+    # stacked per-user windows — one exchange, zero Python) and semantic
+    # decontamination (eval-vs-train tiled cosine scan, the embedding
+    # complement to e75)
+    "b53_match_recognize_vshape",
+    "e84_semantic_decontamination",
 ]
 
 
