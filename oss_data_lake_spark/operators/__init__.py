@@ -85,6 +85,7 @@ def _modules():
         similarity,
         text,
         tier_a,
+        tokenizer,
         upsert,
         windows,
     )
@@ -108,4 +109,5 @@ def _modules():
         relational,
         relational_more,
         match_recognize,
+        tokenizer,
     ]

@@ -48,6 +48,7 @@ from oss_data_lake_spark.operators import relational_more as rel2
 from oss_data_lake_spark.operators import similarity as sim
 from oss_data_lake_spark.operators import text
 from oss_data_lake_spark.operators import tier_a
+from oss_data_lake_spark.operators import tokenizer
 from oss_data_lake_spark.operators import upsert
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -136,11 +137,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
         **tier_a.QUERIES, **rel.QUERIES, **rel2.QUERIES, **sim.QUERIES,
         **dedup.QUERIES, **lake.QUERIES, **asof.QUERIES, **upsert.QUERIES,
         **pipeline.QUERIES, **text.QUERIES, **mrec.QUERIES,
+        **tokenizer.QUERIES,
     }
     fine_o: dict[str, str] = {
         **tier_a.ORACLES, **rel.ORACLES, **rel2.ORACLES, **sim.ORACLES,
         **dedup.ORACLES, **lake.ORACLES, **asof.ORACLES, **upsert.ORACLES,
         **pipeline.ORACLES, **text.ORACLES, **mrec.ORACLES,
+        **tokenizer.ORACLES,
     }
 
     defs: dict[str, list[Arm]] = {
@@ -269,6 +272,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": _cw_sql("eval_id"), "v1": "n_candidates",
               "v2": "n_close", "v3": "max_cosine",
               "v4": "contaminated"}),
+            # e85 (round 11): distributed BPE tokenizer training — every
+            # learned merge (rank, pair, weighted count) rides the hash:
+            # the driver verifies the full training trajectory
+            ("e85", "e85_bpe_merge_table",
+             {"k1": _cw("rank"), "k2": _cw("left_sym", "right_sym"),
+              "v1": ("pair_count")},
+             {"k1": _cw_sql("rank"), "k2": _cw_sql("left_sym", "right_sym"),
+              "v1": "pair_count"}),
             # e15 (round 8): exact-substring duplicate pairs (the Lee
             # et al. span-level complement to MinHash) — every pair's
             # shared-window count rides the hash

@@ -1,0 +1,227 @@
+"""e85: distributed BPE tokenizer training (Sennrich et al. 2016) — the
+missing front of the LLM data pipeline: before token counting (e42),
+packing (e76), or budget mixing (e78) you must LEARN the tokenizer, and at
+100 TB that learning has to be a distributed aggregation, not a single-node
+script.
+
+Reference scope: the reference stack ships Jupyter for arbitrary
+pandas-side analytics (reference `docker-compose.yaml` jupyter service,
+`README.md` notebook workflow); training a subword vocabulary over the lake
+is exactly the kind of notebook job this engine must absorb. The algorithm
+is the classic iterative pair merge:
+
+1. ONE corpus scan builds the WORD-TYPE table: distinct whitespace words
+   with occurrence counts. Everything after runs on this table, whose size
+   is the vocabulary of word types — bounded (~10M rows at 100 TB, Heaps'
+   law), not corpus-sized. This is the map-reduce BPE layout (the
+   Sennrich reference implementation's `get_vocabulary`).
+2. Each of BPE_ROUNDS rounds:
+   a. count adjacent symbol pairs weighted by word count — OVERLAPPING
+      occurrences included ([a,a,a] counts (a,a) twice), matching the
+      reference `get_stats`;
+   b. pick the argmax pair, tiebreak (count DESC, left ASC, right ASC) —
+      a bounded ONE-ROW driver collect (the fitted model, same contract
+      as the IVF/PQ centroid collects in similarity.py);
+   c. apply the merge to every word: GREEDY LEFTMOST non-overlapping
+      ([a,a,a] -> [aa, a]), the reference `replace_pair` semantics.
+3. Output the learned merge table: (rank, left_sym, right_sym, pair_count).
+
+The merge application is a pure-Catalyst ``aggregate`` fold over the
+symbol array (zero Python); the DuckDB oracle re-derives ALL rounds from
+scratch with an INDEPENDENT formulation (positional windows: candidate
+marks -> run parity for the a==b overlap case -> rebuild), so the two
+engines agree only if both the pair statistics and the greedy merge
+semantics are exactly right. Lineage is bounded by a localCheckpoint per
+round (the connected-components cadence, operators/dedup.py).
+
+Scale shape: per round = one explode + one aggregate over the word-type
+table + one O(1) collect + one narrow fold projection. Rounds are a fixed
+hyperparameter. Nothing is ever corpus-sized after step 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oss_data_lake_spark.sources.loaders import load_table
+
+BPE_ROUNDS = 24
+
+
+def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ),
+        )
+    )
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word count, overlapping included
+    (zip of syms with its own tail — the reference get_stats)."""
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+    )
+    return (
+        wt.filter(F.size("syms") >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def _apply_merge(wt: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy leftmost non-overlapping merge of (left, right) in every
+    word, as a Catalyst ``aggregate`` fold: append the symbol, or replace
+    the just-appended ``left`` when the current symbol is ``right``. A
+    just-merged token spells ``left || right`` and can never equal
+    ``left`` (it is strictly longer), so overlapping re-merge is
+    impossible — [a,a,a] folds to [aa, a] exactly like the reference."""
+    lft, rgt = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lft)
+            & (x == rgt)
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    folded = F.aggregate(
+        "syms", F.array().cast("array<string>"), step
+    )
+    return wt.withColumn("syms", folded)
+
+
+def bpe_merge_table(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """e85: the learned merge table — one row per round:
+    (rank, left_sym, right_sym, pair_count), rank 1-based in learning order."""
+    wt = _word_types(spark, sf_dir).localCheckpoint()
+    merges = []
+    for rank in range(1, rounds + 1):
+        best = (
+            _pair_counts(wt)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus exhausted below 2-symbol words
+            break
+        b = best[0]
+        merges.append((rank, b["l"], b["r"], int(b["c"])))
+        wt = _apply_merge(wt, b["l"], b["r"]).localCheckpoint()
+    out = spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+    return out.orderBy("rank")
+
+
+QUERIES = {
+    "e85_bpe_merge_table": bpe_merge_table,
+}
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the full training trajectory (the e28
+    PQ-Lloyd precedent): each round derives its own argmax pair and
+    applies the merge with a POSITIONAL formulation — candidate marks,
+    run parity for the a==b chain case, greedy keep/drop, list rebuild —
+    deliberately different from the Spark fold."""
+    parts = [
+        """
+        WITH wraw AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          ) WHERE length(w) > 0 GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+          SELECT w, cnt,
+                 list_transform(range(1, length(w) + 1),
+                                i -> w[CAST(i AS INT)]) AS syms
+          FROM wraw
+        )"""
+    ]
+    for t in range(rounds):
+        parts.append(f""",
+        p{t} AS (
+          SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+                 SUM(cnt) AS c
+          FROM w{t}, unnest(range(1, len(syms))) AS u(i)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2
+        ),
+        b{t} AS MATERIALIZED (
+          SELECT l, r, CAST(c AS BIGINT) AS c FROM p{t}
+          ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        e{t} AS (
+          SELECT w.w, w.cnt, b.l AS bl, b.r AS br,
+                 unnest(w.syms) AS sym,
+                 generate_subscripts(w.syms, 1) AS i
+          FROM w{t} w CROSS JOIN b{t} b
+        ),
+        c{t} AS (
+          SELECT *, COALESCE(sym = bl AND lead(sym) OVER
+                       (PARTITION BY w ORDER BY i) = br, FALSE) AS cand
+          FROM e{t}
+        ),
+        d{t} AS (
+          SELECT *, lag(cand) OVER (PARTITION BY w ORDER BY i) AS pcand
+          FROM c{t}
+        ),
+        g{t} AS (
+          SELECT *, SUM(CASE WHEN cand IS DISTINCT FROM pcand
+                             THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY w ORDER BY i) AS crun
+          FROM d{t}
+        ),
+        s{t} AS (
+          SELECT *, (cand AND row_number() OVER
+                       (PARTITION BY w, crun ORDER BY i) % 2 = 1) AS sel
+          FROM g{t}
+        ),
+        k{t} AS (
+          SELECT *, (NOT sel AND NOT COALESCE(
+                       lag(sel) OVER (PARTITION BY w ORDER BY i), FALSE))
+                     AS keep
+          FROM s{t}
+        ),
+        w{t + 1} AS MATERIALIZED (
+          SELECT w, cnt,
+                 list(CASE WHEN sel THEN bl || br ELSE sym END
+                      ORDER BY i)
+                   FILTER (WHERE sel OR keep) AS syms
+          FROM k{t} GROUP BY w, cnt
+        )""")
+    parts.append(
+        "\n        SELECT * FROM (\n"
+        + "\n          UNION ALL\n".join(
+            f"          SELECT CAST({t + 1} AS BIGINT) AS rank, "
+            f"l AS left_sym, r AS right_sym, c AS pair_count FROM b{t}"
+            for t in range(rounds)
+        )
+        + "\n        ) ORDER BY rank"
+    )
+    return "".join(parts)
+
+
+ORACLES = {
+    "e85_bpe_merge_table": _bpe_oracle(),
+}
