@@ -117,6 +117,10 @@ HEADLINE = [
     # complement to e75)
     "b53_match_recognize_vshape",
     "e84_semantic_decontamination",
+    # round 11 (cont. 2): distributed BPE training — wall is dominated by
+    # the 24 fixed rounds (word-type table is vocabulary-sized), so the
+    # timing tracks round orchestration cost, not data volume
+    "e85_bpe_merge_table",
 ]
 
 
