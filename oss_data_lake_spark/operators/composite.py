@@ -497,6 +497,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("n_dows"), "s1": ("month_start")},
              {"k1": _cw_sql("y", "q", "m"), "v1": "n", "v2": "sum_price",
               "v3": "n_dows", "s1": "month_start"}),
+            # b54 (round 11): the Trino lambda/array family — filter,
+            # reduce-fold, zip_with, UNNEST WITH ORDINALITY, TRY — all
+            # integer measures riding the hash
+            ("b54", "b54_array_lambda_funcs",
+             {"k1": ("label"), "v1": ("n"), "v2": ("sum_pos_elems"),
+              "v3": ("sum_fold16"), "v4": ("sum_zip_lt"),
+              "s1": _cw("n_try_null", "ord_neg8")},
+             {"k1": "label", "v1": "n", "v2": "sum_pos_elems",
+              "v3": "sum_fold16", "v4": "sum_zip_lt",
+              "s1": _cw_sql("n_try_null", "ord_neg8")}),
             ("b34", "b34_epoch_conversions",
              {"k1": ("event_type"), "v1": ("min_us"),
               "v2": ("max_us"), "v3": ("n"), "s1": ("min_day")},

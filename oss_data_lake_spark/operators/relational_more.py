@@ -526,8 +526,68 @@ def window_nulls_groups_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b54 (round 11): the Trino lambda / array-function family
+    (reference surface: arbitrary BI SQL, Trino 467 functions doc —
+    `transform`, `filter`, `reduce`, `zip_with`, `UNNEST WITH
+    ORDINALITY`, `TRY`/`try_*`; Spark spells them transform/filter/
+    aggregate/zip_with/posexplode/try_element_at). Every measure is an
+    INTEGER derivation (counts and 0/1 folds), so Spark and DuckDB agree
+    bit-for-bit with no float-fold ordering concerns. 100-TB shape: one
+    narrow codegen'd projection + one aggregate; the ordinality arm is
+    an explode bounded to 8 positions per row, aggregated pre-join, and
+    the label dimension is tiny (broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    per = emb.select(
+        "label",
+        # filter + cardinality (Trino filter(arr, x -> ...))
+        F.size(F.filter("v", lambda x: x > 0)).alias("npos"),
+        # reduce/fold (Trino reduce): 0/1 accumulator over the head slice
+        F.aggregate(
+            F.slice("v", 1, 16),
+            F.lit(0),
+            lambda acc, x: acc + F.when(x > 0, 1).otherwise(0),
+        ).alias("fold16"),
+        # zip_with over two disjoint slices (Trino zip_with)
+        F.aggregate(
+            F.zip_with(
+                F.slice("v", 1, 4),
+                F.slice("v", 33, 4),
+                lambda a, b: F.when(a < b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("ziplt"),
+        # TRY family: out-of-bounds element access yields NULL, not error
+        F.try_element_at("v", F.lit(999)).isNull().cast("int").alias("tnull"),
+    )
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("npos").cast("long").alias("sum_pos_elems"),
+        F.sum("fold16").cast("long").alias("sum_fold16"),
+        F.sum("ziplt").cast("long").alias("sum_zip_lt"),
+        F.sum("tnull").cast("long").alias("n_try_null"),
+    )
+    # UNNEST WITH ORDINALITY (posexplode): negatives in the first 8
+    # positions, counted per label (0-based pos < 8 == ordinality 1..8)
+    ords = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .filter((F.col("pos") < 8) & (F.col("x") < 0))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("ord_neg8"))
+    )
+    return (
+        agg.join(F.broadcast(ords), "label", "left")
+        .withColumn("ord_neg8", F.coalesce("ord_neg8", F.lit(0)).cast("long"))
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "b50_recursive_user_tree": recursive_user_tree,
+    "b54_array_lambda_funcs": array_lambda_funcs,
     "b51_lateral_topn_lineitems": lateral_topn_lineitems,
     "b52_window_nulls_groups_frames": window_nulls_groups_frames,
     "b33_multiset_setops": multiset_setops,
@@ -550,6 +610,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the lambda family re-expressed in DuckDB list functions
+    # (list_filter/list_transform/list_sum, generate_subscripts for the
+    # ordinality arm, index-OOB NULL for the TRY arm) — all-integer
+    # measures, bit-exact cross-engine
+    "b54_array_lambda_funcs": """
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        per AS (
+          SELECT label,
+                 len(list_filter(v, x -> x > 0)) AS npos,
+                 list_sum(list_transform(v[1:16],
+                     x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS fold16,
+                 list_sum(list_transform(range(1, 5),
+                     i -> CASE WHEN v[CAST(i AS INT)]
+                                    < v[CAST(i AS INT) + 32]
+                          THEN 1 ELSE 0 END)) AS ziplt,
+                 CASE WHEN v[999] IS NULL THEN 1 ELSE 0 END AS tnull
+          FROM e
+        ),
+        agg AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(npos) AS BIGINT) AS sum_pos_elems,
+                 CAST(SUM(fold16) AS BIGINT) AS sum_fold16,
+                 CAST(SUM(ziplt) AS BIGINT) AS sum_zip_lt,
+                 CAST(SUM(tnull) AS BIGINT) AS n_try_null
+          FROM per GROUP BY label
+        ),
+        ords AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS ord_neg8 FROM (
+            SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM e
+          ) WHERE pos <= 8 AND x < 0 GROUP BY label
+        )
+        SELECT a.label, a.n, a.sum_pos_elems, a.sum_fold16, a.sum_zip_lt,
+               a.n_try_null,
+               CAST(COALESCE(o.ord_neg8, 0) AS BIGINT) AS ord_neg8
+        FROM agg a LEFT JOIN ords o ON a.label = o.label
+        ORDER BY a.label
+    """,
     # DuckDB evaluates the IDENTICAL recursive text natively — the
     # cross-engine recursion (anchor, loop join, closure aggregation)
     # is the correctness claim
