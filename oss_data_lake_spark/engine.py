@@ -1010,10 +1010,7 @@ class Engine:
             "subset": _sect(r"\bSUBSET\b"),
             "define": _sect(r"\bDEFINE\b"),
         }
-        if marks["all_rows"] >= 0:
-            raise ValueError(
-                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported"
-            )
+        rows_per_match = "all" if marks["all_rows"] >= 0 else "one"
         if marks["subset"] >= 0:
             raise ValueError("MATCH_RECOGNIZE: SUBSET is not supported")
         if marks["after"] >= 0 and not re.match(
@@ -1111,7 +1108,8 @@ class Engine:
 
         source = self.sql(f"SELECT * FROM {src}")
         res = match_recognize(
-            source, partition_by, order_by, pattern, defines, measures
+            source, partition_by, order_by, pattern, defines, measures,
+            rows_per_match=rows_per_match,
         )
         if tail:
             name = f"__mr_out_{abs(hash(text)) % 10**8}"

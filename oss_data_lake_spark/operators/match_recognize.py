@@ -107,6 +107,7 @@ def _rewrite_prev(expr: str) -> tuple[str, set[tuple[str, int]]]:
 
 _MEASURE_RES = [
     ("match_number", re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.I)),
+    ("classifier", re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.I)),
     ("count_star", re.compile(r"^COUNT\s*\(\s*\*\s*\)$", re.I)),
     ("count_var", re.compile(r"^COUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)$", re.I)),
     ("first", re.compile(r"^FIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)$", re.I)),
@@ -116,16 +117,25 @@ _MEASURE_RES = [
 
 
 def _parse_measure(expr: str) -> tuple[str, str | None, str | None]:
+    # FINAL is the one-row-per-match default and the only supported
+    # semantics in ALL ROWS mode; RUNNING is refused below
+    txt = re.sub(r"^\s*FINAL\s+", "", expr.strip(), flags=re.IGNORECASE)
+    if re.match(r"^\s*RUNNING\b", txt, re.IGNORECASE):
+        raise ValueError(
+            f"unsupported measure {expr!r}: only FINAL semantics are "
+            "supported (RUNNING measures are out of the restricted class)"
+        )
     for kind, rx in _MEASURE_RES:
-        m = rx.match(expr.strip())
+        m = rx.match(txt)
         if m:
             g = m.groups()
             var = g[0].upper() if g and g[0] else None
             col = g[1] if len(g) > 1 else None
             return kind, var, col
     raise ValueError(
-        f"unsupported measure {expr!r}: MATCH_NUMBER(), COUNT(*), "
-        "COUNT(V.*), FIRST(V.col), LAST(V.col), V.col"
+        f"unsupported measure {expr!r}: MATCH_NUMBER(), CLASSIFIER(), "
+        "COUNT(*), COUNT(V.*), [FINAL] FIRST(V.col), [FINAL] LAST(V.col), "
+        "V.col"
     )
 
 
@@ -136,6 +146,7 @@ def match_recognize(
     pattern: str,
     defines: dict[str, str],
     measures: dict[str, str],
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """Evaluate the restricted MATCH_RECOGNIZE described in the module
     docstring. ``defines`` maps variable → Spark-SQL boolean text over
@@ -143,7 +154,18 @@ def match_recognize(
     measure text. ``order_by`` must be a total order within partitions
     (ties would make SQL:2016 itself nondeterministic). Returns one row per
     match: partition columns + measures, plus ``__start_pos``/``__end_pos``
-    dropped before return."""
+    dropped before return.
+
+    ``rows_per_match``: "one" (the default, ONE ROW PER MATCH) or "all"
+    (ALL ROWS PER MATCH with FINAL measure semantics): every matched input
+    row is emitted with its original columns plus the measures, a
+    ``classifier`` column naming the pattern variable the row mapped to,
+    and unmatched rows omitted (the SQL:2016 default). The expansion is an
+    EQUI-join: each match explodes into (k+1) per-variable row spans keyed
+    by run id (run ids are consecutive within a partition), so no range
+    join ever appears in the plan."""
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"rows_per_match must be one|all: {rows_per_match}")
     pvars = _parse_pattern(pattern)
     defmap = {k.upper(): v for k, v in defines.items()}
     undefined = [v.name for v in pvars if v.name not in defmap]
@@ -183,11 +205,20 @@ def match_recognize(
         rows = rows.filter(F.expr(txt)).withColumn(
             "__mn", F.row_number().over(w)
         )
-        out: list[Column] = [F.col(c) for c in parts]
+        lead_cols = (
+            list(df.columns) if rows_per_match == "all" else list(parts)
+        )
+        out: list[Column] = [F.col(c) for c in lead_cols]
         for alias, mtxt in measures.items():
             kind, _var, col = _parse_measure(mtxt)
             if kind == "match_number":
                 out.append(F.col("__mn").cast("long").alias(alias))
+            elif kind == "classifier":
+                if rows_per_match != "all":
+                    raise ValueError(
+                        "CLASSIFIER() requires ALL ROWS PER MATCH"
+                    )
+                out.append(F.lit(core[0].name).alias(alias))
             elif kind in ("count_star", "count_var"):
                 out.append(F.lit(1).cast("long").alias(alias))
             else:
@@ -376,34 +407,111 @@ def match_recognize(
             ).otherwise(F.col(f"s2_{col}"))
         return F.col(f"{'f' if want == 'first' else 'l'}_{col}{sfx}")
 
-    out_cols: list[Column] = [F.col(c) for c in parts]
+    def _measure_col(kind: str, var: str | None, col: str | None) -> Column:
+        if kind == "match_number":
+            return F.col("match_no").cast("long")
+        if kind == "classifier":
+            if rows_per_match != "all":
+                raise ValueError("CLASSIFIER() requires ALL ROWS PER MATCH")
+            return F.col("__cls")
+        if kind == "count_star":
+            return (F.col("cand_end") - F.col("start_pos") + 1).cast("long")
+        if kind == "count_var":
+            if has_start and var == pvars[0].name:
+                return F.lit(1).cast("long")
+            j = next(i for i, v in enumerate(core) if v.name == var)
+            sfx = f"_{j}" if j else ""
+            if core[j].quant == "1":
+                return F.lit(1).cast("long")
+            if j == 0 and has_start:
+                return F.when(
+                    F.col("start_case") == "SPREF", F.col("rlen")
+                ).otherwise(F.col("rlen") - 1).cast("long")
+            return F.col(f"rlen{sfx}").cast("long")
+        if kind == "first":
+            return _var_field(var, col, "first")
+        if kind in ("last", "var_col"):
+            return _var_field(var, col, "last")
+        raise AssertionError(kind)  # pragma: no cover
+
+    if rows_per_match == "one":
+        out_cols: list[Column] = [F.col(c) for c in parts]
+        for alias, (kind, var, col) in mspecs.items():
+            out_cols.append(_measure_col(kind, var, col).alias(alias))
+        return cand.select(*out_cols)
+
+    # --- 5. ALL ROWS PER MATCH: explode matches into per-variable row
+    # spans keyed by (consecutive) run id, then ONE equi-join back to the
+    # input rows — no range join, no re-scan of the corpus beyond the
+    # already-computed row layer.
+    spans: list[Column] = []
+    if has_start:
+        start_rid = F.when(
+            F.col("start_case") == "SPREF", F.col("__run") - 1
+        ).otherwise(F.col("__run"))
+        spans.append(
+            F.struct(
+                start_rid.alias("rid"),
+                F.col("start_pos").alias("lo"),
+                F.col("start_pos").alias("hi"),
+                F.lit(pvars[0].name).alias("cls"),
+            )
+        )
+    for j, v in enumerate(core):
+        sfx = f"_{j}" if j else ""
+        if v.quant == "+":
+            if j == 0 and has_start:
+                lo = F.when(
+                    F.col("start_case") == "SPREF", F.col("pos_first")
+                ).otherwise(F.col("pos_first") + 1)
+            else:
+                lo = F.col(f"pos_first{sfx}")
+            hi = F.col(f"pos_last{sfx}")
+        elif j == 0:
+            lo = hi = F.col("pos_last")  # leading single: run LAST row
+        else:
+            lo = hi = F.col(f"pos_first{sfx}")  # middle len-1 / trailing
+        spans.append(
+            F.struct(
+                (F.col("__run") + j).alias("rid"),
+                lo.alias("lo"),
+                hi.alias("hi"),
+                F.lit(v.name).alias("cls"),
+            )
+        )
+    mcols = []
+    for alias, (kind, var, col) in mspecs.items():
+        if kind in ("classifier", "match_number"):
+            continue  # resolved per-row below / carried as __mno
+        mcols.append(_measure_col(kind, var, col).alias(f"__m_{alias}"))
+    exploded = cand.select(
+        *[F.col(c).alias(f"__p_{c}") for c in parts],
+        F.col("match_no").alias("__mno"),
+        *mcols,
+        F.explode(F.array(*spans)).alias("sp"),
+    ).select(
+        "*",
+        F.col("sp.rid").alias("__rid"),
+        F.col("sp.lo").alias("__lo"),
+        F.col("sp.hi").alias("__hi"),
+        F.col("sp.cls").alias("__cls"),
+    ).drop("sp")
+    base = rows.select(*df.columns, "__run", "__pos")
+    cond = (F.col("__run") == F.col("__rid")) & (
+        F.col("__pos") >= F.col("__lo")
+    ) & (F.col("__pos") <= F.col("__hi"))
+    for p in parts:
+        cond &= F.col(p) == F.col(f"__p_{p}")
+    joined = base.join(exploded, on=cond, how="inner")
+    out_cols = [F.col(c) for c in df.columns]
     for alias, (kind, var, col) in mspecs.items():
         if kind == "match_number":
-            c = F.col("match_no").cast("long")
-        elif kind == "count_star":
-            c = (F.col("cand_end") - F.col("start_pos") + 1).cast("long")
-        elif kind == "count_var":
-            if has_start and var == pvars[0].name:
-                c = F.lit(1).cast("long")
-            else:
-                j = next(i for i, v in enumerate(core) if v.name == var)
-                sfx = f"_{j}" if j else ""
-                if core[j].quant == "1":
-                    c = F.lit(1).cast("long")
-                elif j == 0 and has_start:
-                    c = F.when(
-                        F.col("start_case") == "SPREF", F.col("rlen")
-                    ).otherwise(F.col("rlen") - 1).cast("long")
-                else:
-                    c = F.col(f"rlen{sfx}").cast("long")
-        elif kind == "first":
-            c = _var_field(var, col, "first")
-        elif kind in ("last", "var_col"):
-            c = _var_field(var, col, "last")
-        else:  # pragma: no cover
-            raise AssertionError(kind)
-        out_cols.append(c.alias(alias))
-    return cand.select(*out_cols)
+            out_cols.append(F.col("__mno").cast("long").alias(alias))
+        elif kind == "classifier":
+            out_cols.append(F.col("__cls").alias(alias))
+        else:
+            out_cols.append(F.col(f"__m_{alias}").alias(alias))
+    return joined.select(*out_cols)
 
 
 def vshape_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -379,7 +379,8 @@ def test_sql_match_recognize_composes_with_time_travel(mr_eng):
 def test_sql_match_recognize_grammar_errors(mr_eng):
     base = MR_SQL.format(src="ticks", tail="")
     for frag, repl, msg in [
-        ("ONE ROW PER MATCH", "ALL ROWS PER MATCH", "ONE ROW PER MATCH"),
+        ("MATCH_NUMBER() AS match_no", "RUNNING LAST(UP.value) AS match_no",
+         "FINAL semantics"),
         ("AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW",
          "SKIP PAST LAST ROW"),
         ("PATTERN (STRT DOWN+ UP+)", "PATTERN (STRT DOWN* UP+)",
@@ -390,3 +391,120 @@ def test_sql_match_recognize_grammar_errors(mr_eng):
     # keyword inside a string literal is data, not a trigger
     df = mr_eng.sql("SELECT 'MATCH_RECOGNIZE (' AS s")
     assert df.collect()[0]["s"] == "MATCH_RECOGNIZE ("
+
+
+# --------------------------- ALL ROWS PER MATCH --------------------------
+def _nfa_all_rows(rows_by_part, pattern, defines, spec):
+    """Expected ALL ROWS output: one row per matched input row, carrying
+    (pk, event_id, value, match_no, classifier) + the FINAL measures."""
+    want = []
+    for pk in sorted(rows_by_part):
+        vals = rows_by_part[pk]
+        for mn, m in enumerate(nfa_matches(vals, pattern, defines), 1):
+            meas = nfa_measure(m, vals, spec)
+            for var, i in m:
+                want.append(
+                    (pk, vals[i]["event_id"], vals[i]["value"], mn, var)
+                    + meas
+                )
+    return sorted(want)
+
+
+def test_all_rows_per_match_equals_nfa_zigzag(spark):
+    """ALL ROWS PER MATCH (FINAL semantics): every matched row emitted
+    with original columns, MATCH_NUMBER, CLASSIFIER, and final measures —
+    against the NFA's row assignments on the contention zigzag."""
+    vals = [10.0, 9.0, 11.0, 8.0, 12.0, 7.0, 13.0, 6.0, 14.0, 5.0, 15.0]
+    rows_by_part = {
+        1: [{"event_id": i, "value": v} for i, v in enumerate(vals)],
+        2: [{"event_id": i, "value": v}
+            for i, v in enumerate([5.0, 4.0, 6.0, 5.5, 4.5, 7.0, 8.0])],
+    }
+    spec = [("last", "DOWN", "value"), ("count_star", None, None)]
+    want = _nfa_all_rows(rows_by_part, V_PATTERN, V_DEFINES, spec)
+    df = match_recognize(
+        _mk_df(spark, rows_by_part),
+        partition_by=["user_id"],
+        order_by="event_id",
+        pattern="(STRT DOWN+ UP+)",
+        defines={"DOWN": "value < PREV(value)", "UP": "value > PREV(value)"},
+        measures={
+            "match_no": "MATCH_NUMBER()",
+            "cls": "CLASSIFIER()",
+            "bottom": "FINAL LAST(DOWN.value)",
+            "mlen": "COUNT(*)",
+        },
+        rows_per_match="all",
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], r["value"], r["match_no"], r["cls"],
+         r["bottom"], r["mlen"])
+        for r in df.collect()
+    )
+    assert got == want
+    assert want  # non-vacuous
+
+
+@pytest.mark.parametrize("case", [0, 1, 3, 4, 6])
+def test_all_rows_random_differential_vs_nfa(spark, case):
+    """ALL ROWS over the seeded random series for the pattern shapes with
+    multi-row matches — row membership, classifier, and final measures."""
+    pattern_str, pattern, def_sql, def_nfa = PATTERN_CASES[case]
+    rng = random.Random(77 + case)
+    rows_by_part = {
+        pk: [
+            {"event_id": i, "value": float(rng.randint(0, 3))}
+            for i in range(rng.randint(20, 80))
+        ]
+        for pk in range(6)
+    }
+    spec = [("count_star", None, None)]
+    want = _nfa_all_rows(rows_by_part, pattern, def_nfa, spec)
+    df = match_recognize(
+        _mk_df(spark, rows_by_part),
+        partition_by=["user_id"],
+        order_by="event_id",
+        pattern=pattern_str,
+        defines=def_sql,
+        measures={
+            "match_no": "MATCH_NUMBER()",
+            "cls": "CLASSIFIER()",
+            "mlen": "COUNT(*)",
+        },
+        rows_per_match="all",
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], r["value"], r["match_no"], r["cls"],
+         r["mlen"])
+        for r in df.collect()
+    )
+    assert got == want
+    assert want, f"case {case} vacuous"
+
+
+def test_sql_all_rows_per_match(mr_eng):
+    """The Trino textual ALL ROWS PER MATCH form: original columns +
+    measures, unmatched rows omitted, no range join in the plan."""
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    df = mr_eng.sql("""
+        SELECT * FROM ticks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY event_id
+          MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls,
+                   FINAL LAST(UP.value) AS top_v
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )""")
+    txt = explain_str(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rows = df.collect()
+    assert rows and {"user_id", "event_id", "value", "mno", "cls", "top_v"} \
+        <= set(df.columns)
+    one = mr_eng.sql(MR_SQL.format(src="ticks", tail="")).collect()
+    # row counts reconcile: sum of match_len over ONE ROW == ALL ROWS rows
+    assert sum(r["match_len"] for r in one) == len(rows)
+    assert {r["cls"] for r in rows} == {"STRT", "DOWN", "UP"}
