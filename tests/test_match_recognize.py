@@ -508,3 +508,48 @@ def test_sql_all_rows_per_match(mr_eng):
     # row counts reconcile: sum of match_len over ONE ROW == ALL ROWS rows
     assert sum(r["match_len"] for r in one) == len(rows)
     assert {r["cls"] for r in rows} == {"STRT", "DOWN", "UP"}
+
+
+# ------------------ hypothesis property differential ---------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_series = st.lists(
+    st.integers(min_value=0, max_value=2).map(float),
+    min_size=2, max_size=40,
+)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(series=st.lists(_series, min_size=1, max_size=3))
+def test_property_vshape_equals_nfa(spark, series):
+    """Property form of the differential: ARBITRARY small series (dense
+    ties from the 3-value alphabet — worst case for run boundaries and
+    contention chains) must match the NFA exactly for the full V-shape
+    measure set, one partition per generated list."""
+    rows_by_part = {
+        pk: [{"event_id": i, "value": v} for i, v in enumerate(vals)]
+        for pk, vals in enumerate(series)
+    }
+    want = _run_nfa(rows_by_part, V_PATTERN, V_DEFINES, V_SPEC)
+    got = sorted(
+        tuple(r)
+        for r in _mr(
+            spark, _mk_df(spark, rows_by_part), "(STRT DOWN+ UP+)",
+            {"DOWN": "value < PREV(value)", "UP": "value > PREV(value)"},
+            {
+                "match_no": "MATCH_NUMBER()",
+                "m1": "FIRST(STRT.event_id)",
+                "m2": "LAST(STRT.value)",
+                "m3": "LAST(DOWN.value)",
+                "m4": "LAST(UP.value)",
+                "m5": "LAST(UP.event_id)",
+                "m6": "COUNT(DOWN.*)",
+                "m7": "COUNT(*)",
+            },
+        ).collect()
+    )
+    assert got == want
