@@ -280,6 +280,15 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v1": ("pair_count")},
              {"k1": _cw_sql("rank"), "k2": _cw_sql("left_sym", "right_sym"),
               "v1": "pair_count"}),
+            # e86 (round 11): corpus encoding under the learned tokenizer
+            # — per-source word/distinct/char/BPE-token totals ride the
+            # hash (compression ratio = v4/v1 is derived)
+            ("e86", "e86_bpe_encode_report",
+             {"k1": ("source"), "v1": ("n_words"),
+              "v2": ("n_distinct_words"), "v3": ("n_chars"),
+              "v4": ("bpe_tokens")},
+             {"k1": "source", "v1": "n_words", "v2": "n_distinct_words",
+              "v3": "n_chars", "v4": "bpe_tokens"}),
             # e15 (round 8): exact-substring duplicate pairs (the Lee
             # et al. span-level complement to MinHash) — every pair's
             # shared-window count rides the hash

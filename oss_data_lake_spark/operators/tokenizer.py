@@ -108,11 +108,19 @@ def _apply_merge(wt: DataFrame, left: str, right: str) -> DataFrame:
     return wt.withColumn("syms", folded)
 
 
-def bpe_merge_table(
-    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
-) -> DataFrame:
-    """e85: the learned merge table — one row per round:
-    (rank, left_sym, right_sym, pair_count), rank 1-based in learning order."""
+# TRAIN-ONCE cache (the _pq_codebook protocol, in-session form): training
+# is deterministic, e85 (the merge table) and e86 (corpus encoding) share
+# one trajectory, and the checkpointed word-type table stays valid for the
+# session's lifetime.
+_TRAIN_CACHE: dict[tuple[int, str, int], tuple[list, DataFrame]] = {}
+
+
+def _train(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list, DataFrame]:
+    key = (id(spark), sf_dir, rounds)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     wt = _word_types(spark, sf_dir).localCheckpoint()
     merges = []
     for rank in range(1, rounds + 1):
@@ -127,23 +135,70 @@ def bpe_merge_table(
         b = best[0]
         merges.append((rank, b["l"], b["r"], int(b["c"])))
         wt = _apply_merge(wt, b["l"], b["r"]).localCheckpoint()
+    _TRAIN_CACHE[key] = (merges, wt)
+    return merges, wt
+
+
+def bpe_merge_table(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """e85: the learned merge table — one row per round:
+    (rank, left_sym, right_sym, pair_count), rank 1-based in learning order."""
+    merges, _ = _train(spark, sf_dir, rounds)
     out = spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
     )
     return out.orderBy("rank")
 
 
+def bpe_encode_report(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """e86: ENCODE the corpus with the learned tokenizer — the serving
+    half of e85, and the 100-TB encode shape: tokenization is word-level,
+    so encode the (bounded) word-TYPE table once during training, then
+    BROADCAST the word -> subword-count lookup and join it to per-(source,
+    word) counts — zero per-token work on the corpus side, no Python
+    anywhere. Per source: exact word/distinct-word/char totals and the
+    BPE token total (whitespace token count == n_words, so the
+    compression ratio bpe_tokens/n_words is derivable)."""
+    _, wt = _train(spark, sf_dir, rounds)
+    wl = wt.select("w", F.size("syms").cast("long").alias("toks"))
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cw = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        cw.join(F.broadcast(wl), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("toks")).cast("long").alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "e85_bpe_merge_table": bpe_merge_table,
+    "e86_bpe_encode_report": bpe_encode_report,
 }
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> str:
     """Unrolled DuckDB replay of the full training trajectory (the e28
     PQ-Lloyd precedent): each round derives its own argmax pair and
     applies the merge with a POSITIONAL formulation — candidate marks,
     run parity for the a==b chain case, greedy keep/drop, list rebuild —
-    deliberately different from the Spark fold."""
+    deliberately different from the Spark fold. Ends at w{rounds}, the
+    fully-merged word-type table."""
     parts = [
         """
         WITH wraw AS MATERIALIZED (
@@ -210,8 +265,13 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
                    FILTER (WHERE sel OR keep) AS syms
           FROM k{t} GROUP BY w, cnt
         )""")
-    parts.append(
-        "\n        SELECT * FROM (\n"
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    return (
+        _bpe_cte_chain(rounds)
+        + "\n        SELECT * FROM (\n"
         + "\n          UNION ALL\n".join(
             f"          SELECT CAST({t + 1} AS BIGINT) AS rank, "
             f"l AS left_sym, r AS right_sym, c AS pair_count FROM b{t}"
@@ -219,9 +279,32 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
         )
         + "\n        ) ORDER BY rank"
     )
-    return "".join(parts)
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """e86 oracle: the SAME replayed trajectory, then the word-level
+    encode join — word type -> final subword count — against per-(source,
+    word) corpus counts."""
+    return (
+        _bpe_cte_chain(rounds)
+        + f""",
+        wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS toks
+               FROM w{rounds}),
+        cw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                 SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents
+               ) WHERE length(w) > 0 GROUP BY source, w)
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(c * toks) AS BIGINT) AS bpe_tokens
+        FROM cw JOIN wl USING (w)
+        GROUP BY source ORDER BY source"""
+    )
 
 
 ORACLES = {
     "e85_bpe_merge_table": _bpe_oracle(),
+    "e86_bpe_encode_report": _bpe_encode_oracle(),
 }

@@ -109,3 +109,62 @@ def test_e85_merge_counts_monotone_within_ties(spark, sf_dir):
     rows = bpe_merge_table(spark, sf_dir).collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_e86_encode_reconciles_with_reference(spark, sf_dir):
+    """e86: per-source BPE token totals equal re-encoding every word with
+    the reference merge list; whitespace totals and char totals reconcile
+    with raw corpus arithmetic; training runs ONCE for e85+e86 (the
+    train-once cache)."""
+    import duckdb
+
+    from oss_data_lake_spark.operators.tokenizer import (
+        _TRAIN_CACHE,
+        bpe_encode_report,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    texts = [t for _, t in rows]
+    merges = [(l, r) for _, l, r, _ in ref_bpe(_counts(texts), BPE_ROUNDS)]
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for l, r in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    want: dict = {}
+    for src, text in rows:
+        for w in text.split(" "):
+            if not w:
+                continue
+            e = want.setdefault(src, [0, set(), 0, 0])
+            e[0] += 1
+            e[1].add(w)
+            e[2] += len(w)
+            e[3] += encode_len(w)
+    got = {
+        r["source"]: (
+            r["n_words"], r["n_distinct_words"], r["n_chars"],
+            r["bpe_tokens"],
+        )
+        for r in bpe_encode_report(spark, sf_dir).collect()
+    }
+    assert got == {
+        s: (n, len(d), ch, bt) for s, (n, d, ch, bt) in want.items()
+    }
+    # BPE compresses: strictly fewer tokens than characters, and no more
+    # tokens than whitespace words * max word length
+    for n, nd, ch, bt in got.values():
+        assert n <= bt < ch
+    # the train-once cache holds exactly one trajectory for this session
+    keys = [k for k in _TRAIN_CACHE if k[1] == sf_dir]
+    assert len(keys) == 1
