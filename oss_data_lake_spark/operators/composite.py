@@ -613,6 +613,16 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("match_len")},
              {"k1": _cw_sql("user_id", "match_no"), "v1": "down_steps",
               "v2": "match_len"}),
+            # b55 (round 11): the ALL ROWS PER MATCH form — every matched
+            # row's membership, classifier, and final measures ride the
+            # hash
+            ("b55", "b55_match_recognize_all_rows",
+             {"k1": _cw("user_id", "event_id"), "k2": ("classifier"),
+              "v1": ("value"), "v2": ("match_no"), "v3": ("bottom_value"),
+              "v4": ("end_value"), "s1": _cw("match_len")},
+             {"k1": _cw_sql("user_id", "event_id"), "k2": "classifier",
+              "v1": "value", "v2": "match_no", "v3": "bottom_value",
+              "v4": "end_value", "s1": _cw_sql("match_len")}),
         ],
         "b46_rank_windows": [
             ("b08", "b08_topk_orders_per_customer",

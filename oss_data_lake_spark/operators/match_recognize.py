@@ -546,8 +546,39 @@ def vshape_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "match_no")
 
 
+def vshape_events_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b55: the same V-shape pattern in ALL ROWS PER MATCH form — every
+    matched row with its original columns, MATCH_NUMBER, CLASSIFIER, and
+    the FINAL measures (the per-row drill-down a BI user toggles to after
+    the one-row summary)."""
+    from oss_data_lake_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by="event_id",
+        pattern="(STRT DOWN+ UP+)",
+        defines={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        measures={
+            "match_no": "MATCH_NUMBER()",
+            "classifier": "CLASSIFIER()",
+            "bottom_value": "FINAL LAST(DOWN.value)",
+            "end_value": "FINAL LAST(UP.value)",
+            "match_len": "COUNT(*)",
+        },
+        rows_per_match="all",
+    ).orderBy("user_id", "match_no", "event_id")
+
+
 QUERIES = {
     "b53_match_recognize_vshape": vshape_events,
+    "b55_match_recognize_all_rows": vshape_events_all_rows,
 }
 
 # The identical restricted rewrite, expressed directly in DuckDB SQL (DuckDB
@@ -556,8 +587,9 @@ QUERIES = {
 # (that the rewrite equals true SQL:2016 scan semantics) is the NFA
 # differential in tests/test_match_recognize.py; this oracle anchors
 # cross-engine value parity of the shipped rewrite.
-ORACLES = {
-    "b53_match_recognize_vshape": """
+# shared oracle prefix: labels -> runs -> candidates -> contention parity
+# -> matched candidates (m)
+_VSHAPE_CTE = """
         WITH base AS (
           SELECT user_id, event_id, value,
                  lag(value) OVER w AS pv,
@@ -624,7 +656,10 @@ ORACLES = {
           WINDOW cw AS (PARTITION BY user_id ORDER BY pos_first)),
         m AS (
           SELECT *, (spref_exists AND NOT contended) AS spref
-          FROM cand6 WHERE matched)
+          FROM cand6 WHERE matched)"""
+
+ORACLES = {
+    "b53_match_recognize_vshape": _VSHAPE_CTE + """
         SELECT user_id,
                row_number() OVER (PARTITION BY user_id ORDER BY pos_first)
                    AS match_no,
@@ -641,5 +676,42 @@ ORACLES = {
                     - (CASE WHEN spref THEN pos_first - 1 ELSE pos_first END)
                     + 1 AS BIGINT) AS match_len
         FROM m ORDER BY user_id, match_no
+    """,
+    # b55: the ALL ROWS PER MATCH form — the same matched candidates
+    # expanded to their member rows via per-variable position spans
+    # (START = the resolved start row; DOWN = the anchor run minus the
+    # row START consumed in-run; UP = the following run), joined back to
+    # the positioned row layer
+    "b55_match_recognize_all_rows": _VSHAPE_CTE + """,
+        mm AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY pos_first) AS match_no,
+                 CASE WHEN spref THEN pos_first - 1 ELSE pos_first END
+                     AS start_pos
+          FROM m),
+        spans AS (
+          SELECT user_id, match_no, 'STRT' AS cls,
+                 start_pos AS lo, start_pos AS hi,
+                 l_value AS bottom, l_value_1 AS end_v,
+                 CAST(cand_end - start_pos + 1 AS BIGINT) AS mlen
+          FROM mm
+          UNION ALL
+          SELECT user_id, match_no, 'DOWN',
+                 CASE WHEN spref THEN pos_first ELSE pos_first + 1 END,
+                 pos_last, l_value, l_value_1,
+                 CAST(cand_end - start_pos + 1 AS BIGINT)
+          FROM mm
+          UNION ALL
+          SELECT user_id, match_no, 'UP', pos_last + 1, cand_end,
+                 l_value, l_value_1,
+                 CAST(cand_end - start_pos + 1 AS BIGINT)
+          FROM mm)
+        SELECT r.user_id, r.event_id, r.value,
+               CAST(s.match_no AS BIGINT) AS match_no,
+               s.cls AS classifier, s.bottom AS bottom_value,
+               s.end_v AS end_value, s.mlen AS match_len
+        FROM rr r JOIN spans s
+          ON r.user_id = s.user_id AND r.pos BETWEEN s.lo AND s.hi
+        ORDER BY r.user_id, s.match_no, r.pos
     """,
 }
