@@ -119,6 +119,14 @@ CAPTURE: dict[str, str] = {
         "group-by-cluster exchange -> FlatMapGroupsInPandas tiled "
         "eval x train cosine scan (e80 block bound) -> per-eval "
         "aggregate; no corpus self-join",
+    "e86_bpe_encode_report":
+        "word-level encode: the trained word-type lookup BROADCAST to "
+        "a per-(source, word) aggregate join — zero per-token corpus "
+        "work, zero Python; one corpus scan + one BHJ + one aggregate",
+    "b55_match_recognize_all_rows":
+        "ALL ROWS PER MATCH as an EQUI-join: matches explode into "
+        "(k+1) run-id-keyed spans, joined back to the positioned row "
+        "layer — no range join, no BroadcastNestedLoopJoin",
 }
 
 
