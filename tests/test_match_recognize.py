@@ -553,3 +553,16 @@ def test_property_vshape_equals_nfa(spark, series):
         ).collect()
     )
     assert got == want
+
+
+def test_sql_match_recognize_over_persistent_view(mr_eng):
+    """The source clause resolves through sql(), so persistent SQL views
+    compose: a filtered view of the snapshot table feeds the pattern."""
+    mr_eng.sql("CREATE VIEW t1 AS SELECT * FROM ticks WHERE user_id = 1")
+    got = mr_eng.sql(MR_SQL.format(src="t1", tail="")).collect()
+    want = [
+        r for r in mr_eng.sql(MR_SQL.format(src="ticks", tail="")).collect()
+        if r["user_id"] == 1
+    ]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got
