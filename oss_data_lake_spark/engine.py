@@ -995,21 +995,47 @@ class Engine:
                 f"MATCH_RECOGNIZE: unsupported trailing clause {tail!r}"
             )
 
-        def _sect(kw: str) -> int:
-            s = re.search(kw, bmask, re.IGNORECASE)
+        # ORDERED keyword search: each clause is located AFTER the
+        # previous one, so identifiers that merely look like clause
+        # keywords (a column named `subset` in a DEFINE predicate, a
+        # measure alias named `define`) can't misfire the parser —
+        # SQL:2016 fixes the clause order, so the positions are known
+        def _sect(kw: str, start: int = 0, end: int | None = None) -> int:
+            s = re.compile(kw, re.IGNORECASE).search(
+                bmask, start, end if end is not None else len(bmask)
+            )
             return s.start() if s else -1
 
-        marks = {
-            "partition": _sect(r"\bPARTITION\s+BY\b"),
-            "order": _sect(r"\bORDER\s+BY\b"),
-            "measures": _sect(r"\bMEASURES\b"),
-            "one_row": _sect(r"\bONE\s+ROW\s+PER\s+MATCH\b"),
-            "all_rows": _sect(r"\bALL\s+ROWS\s+PER\s+MATCH\b"),
-            "after": _sect(r"\bAFTER\s+MATCH\b"),
-            "pattern": _sect(r"\bPATTERN\s*\("),
-            "subset": _sect(r"\bSUBSET\b"),
-            "define": _sect(r"\bDEFINE\b"),
-        }
+        marks = {"partition": _sect(r"\bPARTITION\s+BY\b")}
+        marks["order"] = _sect(
+            r"\bORDER\s+BY\b", max(marks["partition"], 0)
+        )
+        marks["measures"] = _sect(r"\bMEASURES\b", max(marks["order"], 0))
+        after_meas = max(marks["measures"], 0)
+        marks["one_row"] = _sect(r"\bONE\s+ROW\s+PER\s+MATCH\b", after_meas)
+        marks["all_rows"] = _sect(
+            r"\bALL\s+ROWS\s+PER\s+MATCH\b", after_meas
+        )
+        marks["after"] = _sect(r"\bAFTER\s+MATCH\b", after_meas)
+        marks["pattern"] = _sect(r"\bPATTERN\s*\(", after_meas)
+        # SUBSET's only legal home is between PATTERN's closing paren and
+        # DEFINE — search just that gap
+        pclose = len(bmask)
+        if marks["pattern"] >= 0:
+            d0, i0 = 0, bmask.index("(", marks["pattern"])
+            for i0 in range(i0, len(bmask)):
+                if bmask[i0] == "(":
+                    d0 += 1
+                elif bmask[i0] == ")":
+                    d0 -= 1
+                    if d0 == 0:
+                        pclose = i0 + 1
+                        break
+        marks["define"] = _sect(r"\bDEFINE\b", pclose)
+        marks["subset"] = _sect(
+            r"\bSUBSET\b", pclose,
+            marks["define"] if marks["define"] >= 0 else None,
+        )
         rows_per_match = "all" if marks["all_rows"] >= 0 else "one"
         if marks["subset"] >= 0:
             raise ValueError("MATCH_RECOGNIZE: SUBSET is not supported")
@@ -1023,6 +1049,17 @@ class Engine:
             )
         for req in ("partition", "order", "measures", "pattern", "define"):
             if marks[req] < 0:
+                # present somewhere but not at its ordered position →
+                # the clauses are out of order; absent entirely → missing
+                kw = {
+                    "partition": r"\bPARTITION\s+BY\b",
+                    "order": r"\bORDER\s+BY\b",
+                    "measures": r"\bMEASURES\b",
+                    "pattern": r"\bPATTERN\s*\(",
+                    "define": r"\bDEFINE\b",
+                }[req]
+                if re.search(kw, bmask, re.IGNORECASE):
+                    raise ValueError("MATCH_RECOGNIZE: clauses out of order")
                 raise ValueError(f"MATCH_RECOGNIZE: missing {req} clause")
         if not (
             marks["partition"] < marks["order"] < marks["measures"]

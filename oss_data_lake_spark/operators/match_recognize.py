@@ -153,8 +153,7 @@ def match_recognize(
     current-row columns and PREV(col[, n]); ``measures`` maps output alias →
     measure text. ``order_by`` must be a total order within partitions
     (ties would make SQL:2016 itself nondeterministic). Returns one row per
-    match: partition columns + measures, plus ``__start_pos``/``__end_pos``
-    dropped before return.
+    match: partition columns + measures.
 
     ``rows_per_match``: "one" (the default, ONE ROW PER MATCH) or "all"
     (ALL ROWS PER MATCH with FINAL measure semantics): every matched input
@@ -167,6 +166,14 @@ def match_recognize(
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"rows_per_match must be one|all: {rows_per_match}")
     pvars = _parse_pattern(pattern)
+    known = {v.name for v in pvars}
+    for alias, mtxt in measures.items():
+        _kind, mvar, _col = _parse_measure(mtxt)
+        if mvar is not None and mvar not in known:
+            raise ValueError(
+                f"measure {mtxt!r} references {mvar}, which is not a "
+                f"pattern variable ({sorted(known)})"
+            )
     defmap = {k.upper(): v for k, v in defines.items()}
     undefined = [v.name for v in pvars if v.name not in defmap]
     if undefined and (
@@ -276,8 +283,9 @@ def match_recognize(
     sw = Window.partitionBy(*parts).orderBy("__run")
     k = len(core)
     cand = runs
-    for c in sorted(need_cols):  # START's s_pref row = previous run's last
-        cand = cand.withColumn(f"prev_l_{c}", F.lag(f"l_{c}").over(sw))
+    if has_start:  # START's s_pref row = previous run's last
+        for c in sorted(need_cols):
+            cand = cand.withColumn(f"prev_l_{c}", F.lag(f"l_{c}").over(sw))
     for j in range(1, k):
         for fld in ["lbl", "rlen", "pos_first", "pos_last"] + [
             x for c in sorted(need_cols) for x in (f"f_{c}", f"l_{c}")
@@ -396,9 +404,9 @@ def match_recognize(
             # the single row; trailing → run FIRST row
             if j == 0:
                 return F.col(f"l_{col}")
-            if j == k - 1:
-                return F.col(f"f_{col}{sfx}")
-            return F.col(f"f_{col}{sfx}")  # rlen == 1: first == last
+            # trailing var takes its run's FIRST row; a middle var's
+            # run has rlen == 1, so first == last — one expression
+            return F.col(f"f_{col}{sfx}")
         if j == 0 and has_start and want == "first":
             # anchor run's first row went to START when the start shifted
             # in-run (q+): FIRST(V2.col) is then the run's SECOND row

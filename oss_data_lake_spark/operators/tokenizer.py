@@ -112,15 +112,21 @@ def _apply_merge(wt: DataFrame, left: str, right: str) -> DataFrame:
 # is deterministic, e85 (the merge table) and e86 (corpus encoding) share
 # one trajectory, and the checkpointed word-type table stays valid for the
 # session's lifetime.
-_TRAIN_CACHE: dict[tuple[int, str, int], tuple[list, DataFrame]] = {}
+_TRAIN_CACHE: dict[tuple[str, int], tuple[object, list, DataFrame]] = {}
 
 
 def _train(
     spark: SparkSession, sf_dir: str, rounds: int
 ) -> tuple[list, DataFrame]:
-    key = (id(spark), sf_dir, rounds)
-    if key in _TRAIN_CACHE:
-        return _TRAIN_CACHE[key]
+    import weakref
+
+    key = (sf_dir, rounds)
+    hit = _TRAIN_CACHE.get(key)
+    if hit is not None:
+        ref, merges, wt = hit
+        if ref() is spark:  # same LIVE session — not an id() alias
+            return merges, wt
+        del _TRAIN_CACHE[key]  # stale session: evict, retrain
     wt = _word_types(spark, sf_dir).localCheckpoint()
     merges = []
     for rank in range(1, rounds + 1):
@@ -135,7 +141,7 @@ def _train(
         b = best[0]
         merges.append((rank, b["l"], b["r"], int(b["c"])))
         wt = _apply_merge(wt, b["l"], b["r"]).localCheckpoint()
-    _TRAIN_CACHE[key] = (merges, wt)
+    _TRAIN_CACHE[key] = (weakref.ref(spark), merges, wt)
     return merges, wt
 
 
@@ -227,10 +233,15 @@ def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> str:
           ORDER BY c DESC, l ASC, r ASC LIMIT 1
         ),
         e{t} AS (
+          -- LEFT JOIN ON TRUE (not CROSS JOIN): when training exhausts
+          -- early b{{t}} is EMPTY, and the round must be a no-op
+          -- (w{{t+1}} == w{{t}}, every cand false via NULL bl) rather
+          -- than emptying the whole chain — mirrors the Spark loop's
+          -- break on an empty argmax
           SELECT w.w, w.cnt, b.l AS bl, b.r AS br,
                  unnest(w.syms) AS sym,
                  generate_subscripts(w.syms, 1) AS i
-          FROM w{t} w CROSS JOIN b{t} b
+          FROM w{t} w LEFT JOIN b{t} b ON TRUE
         ),
         c{t} AS (
           SELECT *, COALESCE(sym = bl AND lead(sym) OVER

@@ -566,3 +566,40 @@ def test_sql_match_recognize_over_persistent_view(mr_eng):
     ]
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert got
+
+
+def test_measure_variable_typos_are_refused(spark):
+    """A measure referencing a variable not in the pattern must raise a
+    clean ValueError — in the general path AND the trivial PATTERN (A)
+    path (which previously bound the raw column silently)."""
+    df = _mk_df(spark, {1: [{"event_id": 0, "value": 1.0}]})
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        _mr(spark, df, "(A+ B+)",
+            {"A": "value > 0", "B": "value < 0"},
+            {"x": "LAST(TYPO.value)"})
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        _mr(spark, df, "(A)", {"A": "value > 0"}, {"x": "FIRST(TYPO.value)"})
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        _mr(spark, df, "(A)", {"A": "value > 0"}, {"x": "COUNT(TYPO.*)"})
+
+
+def test_clause_keywords_as_identifiers_do_not_misfire(mr_eng):
+    """A column literally named `subset` in a DEFINE predicate (and a
+    measure alias named `define`) must not trip the clause detector —
+    keywords are located at their ORDERED SQL:2016 positions only."""
+    mr_eng.sql(
+        "CREATE TABLE kwtab (u BIGINT, i BIGINT, subset DOUBLE) "
+        "USING snapshot"
+    )
+    mr_eng.sql(
+        "INSERT INTO kwtab VALUES (1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0), "
+        "(1, 3, 1.0)"
+    )
+    out = mr_eng.sql("""
+        SELECT * FROM kwtab MATCH_RECOGNIZE (
+          PARTITION BY u ORDER BY i
+          MEASURES MATCH_NUMBER() AS define, COUNT(UPP.*) AS n_up
+          PATTERN (UPP+)
+          DEFINE UPP AS subset > PREV(subset)
+        )""").collect()
+    assert len(out) == 1 and out[0]["n_up"] == 2

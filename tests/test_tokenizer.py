@@ -166,5 +166,36 @@ def test_e86_encode_reconciles_with_reference(spark, sf_dir):
     for n, nd, ch, bt in got.values():
         assert n <= bt < ch
     # the train-once cache holds exactly one trajectory for this session
-    keys = [k for k in _TRAIN_CACHE if k[1] == sf_dir]
+    keys = [k for k in _TRAIN_CACHE if k[0] == sf_dir]
     assert len(keys) == 1
+
+
+def test_e86_oracle_survives_training_exhaustion(spark, tmp_path):
+    """A corpus whose words fully merge in fewer than BPE_ROUNDS rounds:
+    the Spark loop breaks on the empty argmax and keeps the last word
+    table; the DuckDB oracle's remaining rounds must be NO-OPS (LEFT
+    JOIN ON TRUE), not empty out the chain — both engines must agree."""
+    import duckdb
+
+    from oss_data_lake_spark.operators.tokenizer import (
+        _bpe_encode_oracle,
+        _bpe_oracle,
+        bpe_encode_report,
+        bpe_merge_table,
+    )
+
+    texts = ["ab ab ab b a", "ab a b", ""]  # exhausts after 1 merge
+    sf = _write_docs(spark, tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    got_m = [tuple(r) for r in bpe_merge_table(spark, sf).collect()]
+    want_m = [tuple(r) for r in con.execute(_bpe_oracle()).fetchall()]
+    assert got_m == want_m
+    assert len(got_m) < 24  # training really exhausted early
+    got_e = [tuple(r) for r in bpe_encode_report(spark, sf).collect()]
+    want_e = [tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall()]
+    assert got_e == want_e
+    assert got_e and all(r[1] > 0 for r in got_e)  # non-empty totals
