@@ -96,3 +96,70 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def attribution_join_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join with a time-range condition (the canonical
+    Structured Streaming attribution shape): every purchase joined to the
+    same user's clicks in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds click_ts to
+    a window ending at purchase_ts, so Spark derives state-eviction
+    bounds for BOTH buffers: each side's state holds only horizon-deep
+    rows per user — bounded by horizon x arrival rate, independent of
+    stream length. Without the time bound a stream-stream join must
+    buffer one side forever; this formulation is the scale-safe one.
+
+    Output (append-mode): one row per (purchase, attributed click)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def _side(path: str, etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .parquet(path)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks = _side(clicks_dir, "click", "click")
+    purchases = _side(purchases_dir, "purchase", "purchase")
+    cond = (
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return purchases.join(clicks, on=cond, how="inner").select(
+        "purchase_id", "purchase_user", "purchase_ts", "purchase_value",
+        "click_id", "click_ts", "click_value",
+    )
+
+
+def run_to_completion_append(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Append-mode twin of ``run_to_completion`` (stream-stream joins and
+    per-row stages emit in append mode, never complete)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -111,3 +111,60 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_sink").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join (watermarked, time-range-bounded): the
+    streaming attribution result must equal the identical BATCH join on
+    the same landed files — inner joins emit exactly the matched rows
+    once both sides have arrived."""
+    from pyspark.sql import functions as F
+
+    from oss_data_lake_spark.streaming.event_stream import (
+        attribution_join_stream,
+        run_to_completion_append,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks_dir = str(tmp_path / "clicks")
+    purchases_dir = str(tmp_path / "purchases")
+    # land each side in two files to exercise multi-batch arrival
+    events.filter("event_type = 'click'").repartition(2).write.parquet(
+        clicks_dir
+    )
+    events.filter("event_type = 'purchase'").repartition(2).write.parquet(
+        purchases_dir
+    )
+    got = run_to_completion_append(
+        attribution_join_stream(spark, clicks_dir, purchases_dir),
+        "attrib_join",
+    )
+    c = (
+        spark.read.parquet(clicks_dir)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    p = (
+        spark.read.parquet(purchases_dir)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    want = p.join(
+        c,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 30 minutes")),
+    ).select(*got.columns)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert g  # the fixture produces attributed purchases
