@@ -101,6 +101,9 @@ class Engine:
         # Trino sampling spellings (TABLESAMPLE BERNOULLI/SYSTEM (p))
         # translate to Spark's TABLESAMPLE (p PERCENT) before routing
         text = self._translate_tablesample(text)
+        # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
+        # verbatim DDL) translate to the engine's snapshot CREATE grammar
+        text = self._translate_trino_create(text)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
         # persistent views referenced by the statement (or by DML
@@ -1158,6 +1161,108 @@ class Engine:
             finally:
                 self.spark.catalog.dropTempView(name)
         return res
+
+    # Trino/Iceberg CREATE TABLE DDL, verbatim (reference notebook
+    # `notebooks/test_airflow_yfinance.ipynb` cell 3 and RUNBOOK step 7):
+    #
+    #   CREATE TABLE [IF NOT EXISTS] t (
+    #     ticker VARCHAR, ts TIMESTAMP(3) WITH TIME ZONE, ... )
+    #   WITH (partitioning = ARRAY['day(ts)'])
+    #
+    # translates to the engine's snapshot grammar: Trino type spellings
+    # (TIMESTAMP(p) [WITH TIME ZONE] → TIMESTAMP, bare VARCHAR → STRING,
+    # VARBINARY → BINARY, REAL → FLOAT) and the Iceberg partitioning
+    # property (singular day/month/year/hour transforms → the engine's
+    # plural spellings; bucket(n, c) and plain columns pass through).
+    # The translation fires ONLY on Trino markers (a WITH(partitioning)
+    # clause or a Trino-only type) so Spark-native DDL is untouched, and
+    # all matching runs on the MASKED text (keywords inside literals are
+    # data). Other WITH properties (format, location hints) are accepted
+    # and dropped — storage here is always parquet under the table root.
+    _TRINO_CREATE_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)"
+        r"\s*\(",
+        re.IGNORECASE,
+    )
+    _TRINO_TYPE_SUBS = [
+        (re.compile(r"\bTIMESTAMP\s*\(\s*\d+\s*\)\s+WITH\s+TIME\s+ZONE",
+                    re.IGNORECASE), "TIMESTAMP"),
+        (re.compile(r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE", re.IGNORECASE),
+         "TIMESTAMP"),
+        (re.compile(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", re.IGNORECASE),
+         "TIMESTAMP"),
+        (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
+        (re.compile(r"\bVARBINARY\b", re.IGNORECASE), "BINARY"),
+        (re.compile(r"\bREAL\b", re.IGNORECASE), "FLOAT"),
+    ]
+    _TRINO_PART_RE = re.compile(
+        r"partitioning\s*=\s*ARRAY\s*\[([^\]]*)\]", re.IGNORECASE
+    )
+    _TRINO_XFORM_RE = re.compile(
+        r"^(day|month|year|hour)\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
+    )
+
+    def _translate_trino_create(self, text: str) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._TRINO_CREATE_RE.match(masked)
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text
+        cols, tail = text[m.end(): i - 1], text[i:].strip().rstrip(";")
+        tail_masked = masked[i:].strip().rstrip(";")
+        wm = re.match(r"^\s*WITH\s*\((.*)\)\s*$", tail_masked,
+                      re.IGNORECASE | re.DOTALL)
+        has_trino_type = any(
+            rx.search(masked[m.end(): i - 1])
+            for rx, _ in self._TRINO_TYPE_SUBS
+        )
+        if not (wm or (has_trino_type and not tail)):
+            return text  # not the Trino form (e.g. USING snapshot already)
+        # type spellings — substitute on spans found in the MASKED cols
+        cols_masked = masked[m.end(): i - 1]
+        for rx, repl in self._TRINO_TYPE_SUBS:
+            out, pos = [], 0
+            for tm in rx.finditer(cols_masked):
+                out.append(cols[pos: tm.start()])
+                out.append(repl)
+                pos = tm.end()
+            if out:
+                out.append(cols[pos:])
+                cols = "".join(out)
+                # same-offset substitution keeps cols/cols_masked aligned
+                cols_masked = rx.sub(repl, cols_masked)
+        part = ""
+        if wm:
+            # the props text at the same offsets in the ORIGINAL tail
+            props = tail[tail.upper().index("WITH") + 4:].strip()
+            props = props[1:-1] if props.startswith("(") else props
+            pm = self._TRINO_PART_RE.search(props)
+            if pm:
+                entries = []
+                for ent in pm.group(1).split(","):
+                    ent = ent.strip().strip("'\"")
+                    if not ent:
+                        continue
+                    xm = self._TRINO_XFORM_RE.match(ent)
+                    if xm:
+                        ent = f"{xm.group(1).lower()}s({xm.group(2)})"
+                    entries.append(ent)
+                if entries:
+                    part = f" PARTITIONED BY ({', '.join(entries)})"
+        ine = m.group(1) or ""
+        return (
+            f"CREATE TABLE {ine}{m.group(2)} ({cols}) USING snapshot{part}"
+        )
 
     # Trino's sampling spellings: `TABLESAMPLE BERNOULLI (p)` is row-level
     # Bernoulli sampling — exactly Spark's `TABLESAMPLE (p PERCENT)`;

@@ -147,3 +147,64 @@ def test_tablesample_composes_with_time_travel(eng):
         "SELECT k FROM bi FOR VERSION AS OF 2 "
         "TABLESAMPLE BERNOULLI (100)"
     ).count() == 40
+
+
+# ---------------- Trino CREATE TABLE DDL, verbatim (round 11) ------------
+def test_reference_notebook_ddl_verbatim(spark, tmp_path):
+    """The reference notebook's cell-3 DDL (test_airflow_yfinance.ipynb:
+    Trino types incl. TIMESTAMP(3) WITH TIME ZONE and the Iceberg
+    partitioning=ARRAY['day(ts)'] property) must run VERBATIM (modulo
+    catalog prefix, per README) and produce a hidden-day-partitioned
+    snapshot table the rest of the notebook's trace works against."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "nb"))
+    e.sql("CREATE SCHEMA IF NOT EXISTS yfinance")
+    e.sql("""CREATE TABLE IF NOT EXISTS fact_price (
+      ticker VARCHAR,
+      ts TIMESTAMP(3) WITH TIME ZONE,
+      open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE,
+      volume BIGINT,
+      ingest_date VARCHAR
+    ) WITH (partitioning = ARRAY['day(ts)'])""")
+    e.sql(
+        "INSERT INTO fact_price VALUES "
+        "('AAPL', TIMESTAMP '2024-01-02 10:00:00', 1, 2, 0.5, 1.0, 10, 'd'),"
+        "('AAPL', TIMESTAMP '2024-01-03 10:00:00', 1, 2, 0.5, 2.0, 10, 'd'),"
+        "('MSFT', TIMESTAMP '2024-01-02 11:00:00', 1, 2, 0.5, 5.0, 10, 'd')"
+    )
+    rows = e.sql(
+        "SELECT ticker, AVG(close) AS avg_close FROM fact_price "
+        "GROUP BY ticker ORDER BY ticker"
+    ).collect()
+    assert [(r["ticker"], r["avg_close"]) for r in rows] == [
+        ("AAPL", 1.5), ("MSFT", 5.0),
+    ]
+    # true hidden partitioning: one day directory per distinct day(ts)
+    parts = {r["partition"] for r in e.sql("SHOW PARTITIONS fact_price").collect()}
+    assert parts == {"_p_days_ts=2024-01-02", "_p_days_ts=2024-01-03"}
+    # Trino type spellings round-trip through SHOW COLUMNS
+    types = {r["Column"]: r["Type"]
+             for r in e.sql("SHOW COLUMNS FROM fact_price").collect()}
+    assert types["ticker"] == "varchar"
+    assert types["ts"] == "timestamp(6)"
+    # IF NOT EXISTS: re-running the verbatim DDL is a no-op
+    e.sql("""CREATE TABLE IF NOT EXISTS fact_price (
+      ticker VARCHAR, ts TIMESTAMP(3) WITH TIME ZONE, open DOUBLE,
+      high DOUBLE, low DOUBLE, close DOUBLE, volume BIGINT,
+      ingest_date VARCHAR) WITH (partitioning = ARRAY['day(ts)'])""")
+    assert e.sql("SELECT COUNT(*) AS n FROM fact_price").collect()[0]["n"] == 3
+
+
+def test_trino_create_translation_scope(spark, tmp_path):
+    """The translator fires ONLY on Trino markers: Spark-native DDL and
+    CREATE-TABLE-looking text inside literals stay untouched."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "scope"))
+    e.sql("CREATE TABLE plainspark (k INT, v STRING) USING parquet")
+    assert spark.catalog.tableExists("plainspark")  # session catalog, not snapshot
+    got = e.sql("SELECT 'CREATE TABLE x (a VARCHAR)' AS s").collect()[0]["s"]
+    assert got == "CREATE TABLE x (a VARCHAR)"
+    # bare-VARCHAR Trino DDL with NO partitioning property also routes
+    # to a snapshot table (Trino CREATEs carry no USING clause)
+    e.sql("CREATE TABLE tri (a VARCHAR, b TIMESTAMP(6))")
+    e.sql("INSERT INTO tri VALUES ('x', TIMESTAMP '2024-01-01 00:00:00')")
+    assert e.sql("SELECT COUNT(*) AS n FROM tri").collect()[0]["n"] == 1
+    spark.sql("DROP TABLE IF EXISTS plainspark")
