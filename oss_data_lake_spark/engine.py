@@ -843,6 +843,14 @@ class Engine:
     _SHOW_SNAPSHOT_TABLES_RE = re.compile(
         r"^\s*SHOW\s+SNAPSHOT\s+TABLES\s*;?\s*$", re.IGNORECASE
     )
+    # the reference smoke test's `SHOW TABLES FROM iceberg.yfinance`
+    # (RUNBOOK.md step 7): a dotted namespace that has no Spark database
+    # answers from the snapshot registry by name prefix, in Trino's
+    # single-`Table`-column shape; real Spark databases fall through
+    _SHOW_TABLES_NS_RE = re.compile(
+        r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _RECOVER_TXNS_RE = re.compile(
         r"^\s*RECOVER\s+TRANSACTIONS\s*;?\s*$", re.IGNORECASE
     )
@@ -1301,6 +1309,25 @@ class Engine:
         return "".join(out)
 
     def _handle_view_statement(self, text: str) -> DataFrame | None:
+        ns_m = self._SHOW_TABLES_NS_RE.match(text)
+        if ns_m:
+            ns = ns_m.group(1)
+            try:
+                if self.spark.catalog.databaseExists(ns):
+                    return None  # a real Spark database: Spark answers
+            except Exception:
+                pass
+            pref = ns + "."
+            names = sorted(
+                n[len(pref):]
+                for n in self._snapshot_tables
+                if n.startswith(pref)
+            )
+            if names:
+                return self.spark.createDataFrame(
+                    [(n,) for n in names], "Table string"
+                )
+            return None  # unknown either way: Spark raises its error
         if self._SHOW_SNAPSHOT_TABLES_RE.match(text):
             # the engine-registry counterpart of SHOW TABLES: every
             # registered snapshot table with its root and head version

@@ -208,3 +208,24 @@ def test_trino_create_translation_scope(spark, tmp_path):
     e.sql("INSERT INTO tri VALUES ('x', TIMESTAMP '2024-01-01 00:00:00')")
     assert e.sql("SELECT COUNT(*) AS n FROM tri").collect()[0]["n"] == 1
     spark.sql("DROP TABLE IF EXISTS plainspark")
+
+
+def test_show_tables_from_dotted_namespace(spark, tmp_path):
+    """RUNBOOK step 7's `SHOW TABLES FROM iceberg.yfinance`: a dotted
+    namespace with registered snapshot tables answers in Trino's
+    single-`Table`-column shape; real Spark databases still fall
+    through to Spark's own SHOW TABLES."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "st"))
+    e.sql("""CREATE TABLE iceberg.yfinance.fact_price (
+      ticker VARCHAR, ts TIMESTAMP(3) WITH TIME ZONE, close DOUBLE
+    ) WITH (partitioning = ARRAY['day(ts)'])""")
+    df = e.sql("SHOW TABLES FROM iceberg.yfinance")
+    assert df.columns == ["Table"]
+    assert [r["Table"] for r in df.collect()] == ["fact_price"]
+    # a real Spark database still routes to Spark
+    spark.sql("CREATE DATABASE IF NOT EXISTS showdb")
+    try:
+        out = e.sql("SHOW TABLES FROM showdb")
+        assert "tableName" in out.columns  # Spark's own shape
+    finally:
+        spark.sql("DROP DATABASE showdb")
