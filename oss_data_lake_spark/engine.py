@@ -851,6 +851,13 @@ class Engine:
         r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+([A-Za-z_][\w.]*)\s*;?\s*$",
         re.IGNORECASE,
     )
+    # `SHOW SCHEMAS FROM iceberg` (RUNBOOK troubleshooting): a catalog
+    # Spark doesn't know answers from the registry's dotted-name prefixes
+    # in Trino's single-`Schema`-column shape
+    _SHOW_SCHEMAS_CAT_RE = re.compile(
+        r"^\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _RECOVER_TXNS_RE = re.compile(
         r"^\s*RECOVER\s+TRANSACTIONS\s*;?\s*$", re.IGNORECASE
     )
@@ -1309,6 +1316,25 @@ class Engine:
         return "".join(out)
 
     def _handle_view_statement(self, text: str) -> DataFrame | None:
+        sc_m = self._SHOW_SCHEMAS_CAT_RE.match(text)
+        if sc_m:
+            cat = sc_m.group(1)
+            try:
+                if self.spark.catalog.databaseExists(cat):
+                    return None  # Spark resolves its own namespaces
+            except Exception:
+                pass
+            pref = cat + "."
+            schemas = sorted({
+                n[len(pref):].split(".", 1)[0]
+                for n in self._snapshot_tables
+                if n.startswith(pref) and "." in n[len(pref):]
+            })
+            if schemas:
+                return self.spark.createDataFrame(
+                    [(s,) for s in schemas], "Schema string"
+                )
+            return None
         ns_m = self._SHOW_TABLES_NS_RE.match(text)
         if ns_m:
             ns = ns_m.group(1)

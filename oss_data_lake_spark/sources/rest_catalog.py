@@ -68,6 +68,11 @@ class RestCatalogServer:
         self._tables: dict[str, dict] = {}  # name -> {versions, current}
         self._views: dict[str, str] = {}    # name -> SELECT text
         self._namespaces: dict[str, dict] = {}  # dotted name -> properties
+        # Lakekeeper's MANAGEMENT warehouse role (reference RUNBOOK step 4:
+        # GET/POST /management/v1/warehouse with the repo's JSON payloads):
+        # name -> {project-id, storage-profile} — credentials accepted but
+        # never echoed back (Lakekeeper redacts them too)
+        self._warehouses: dict[str, dict] = {}
         self._mu = threading.Lock()
         outer = self
 
@@ -86,6 +91,17 @@ class RestCatalogServer:
             def do_GET(self):
                 if self.path == "/v1/config":
                     return self._json(200, {"defaults": {}, "overrides": {}})
+                if self.path.rstrip("/") == "/management/v1/warehouse":
+                    with outer._mu:
+                        whs = [
+                            {"id": f"wh-{i}", "name": n,
+                             "project-id": w.get("project-id"),
+                             "storage-profile": w.get("storage-profile")}
+                            for i, (n, w) in enumerate(
+                                sorted(outer._warehouses.items())
+                            )
+                        ]
+                    return self._json(200, {"warehouses": whs})
                 if _NAMESPACES_RE.match(self.path):
                     with outer._mu:
                         return self._json(
@@ -165,6 +181,28 @@ class RestCatalogServer:
                 return self._json(404, {"error": "NotFound"})
 
             def do_POST(self):
+                if self.path.rstrip("/") == "/management/v1/warehouse":
+                    # the reference's create-yfinance-warehouse.json shape:
+                    # warehouse-name / project-id / storage-profile /
+                    # storage-credential (accepted, stored minus secrets)
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n).decode())
+                    name = req.get("warehouse-name") or req.get("name")
+                    if not name:
+                        return self._json(
+                            400, {"error": "warehouse-name required"}
+                        )
+                    with outer._mu:
+                        if name in outer._warehouses:
+                            return self._json(409, {
+                                "error": "WarehouseAlreadyExistsException",
+                            })
+                        outer._warehouses[name] = {
+                            "project-id": req.get("project-id"),
+                            "storage-profile": req.get("storage-profile"),
+                        }
+                        wid = f"wh-{len(outer._warehouses) - 1}"
+                    return self._json(201, {"warehouse-id": wid})
                 if _NAMESPACES_RE.match(self.path):
                     # Lakekeeper's namespace role: nested namespaces are
                     # dotted names; creating a child requires the parent

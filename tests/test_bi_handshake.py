@@ -229,3 +229,15 @@ def test_show_tables_from_dotted_namespace(spark, tmp_path):
         assert "tableName" in out.columns  # Spark's own shape
     finally:
         spark.sql("DROP DATABASE showdb")
+
+
+def test_show_schemas_from_unknown_catalog(spark, tmp_path):
+    """RUNBOOK troubleshooting's `SHOW SCHEMAS FROM iceberg`: a catalog
+    Spark doesn't know answers from registry dotted-name prefixes in
+    Trino's single-`Schema`-column shape."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "sc"))
+    e.sql("CREATE TABLE iceberg.yfinance.t1 (k INT) USING snapshot")
+    e.sql("CREATE TABLE iceberg.curated.t2 (k INT) USING snapshot")
+    df = e.sql("SHOW SCHEMAS FROM iceberg")
+    assert df.columns == ["Schema"]
+    assert [r["Schema"] for r in df.collect()] == ["curated", "yfinance"]

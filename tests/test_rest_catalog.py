@@ -553,3 +553,53 @@ def test_drop_rest_table_clears_service_metadata(spark, server, tmp_path):
     v = t2.commit(spark.createDataFrame([Row(k=9)]))
     assert v == 1
     assert [r["k"] for r in t2.read().collect()] == [9]
+
+
+def test_management_warehouse_endpoints(tmp_path):
+    """RUNBOOK step 4 verbatim: list warehouses, create from the repo's
+    JSON payload shape, grep-able name in the listing, 409 on duplicate,
+    credentials never echoed back."""
+    import json
+    import urllib.request
+
+    from oss_data_lake_spark.sources.rest_catalog import RestCatalogServer
+
+    srv = RestCatalogServer().start()
+    url = srv.url
+    try:
+        def _get():
+            with urllib.request.urlopen(f"{url}/management/v1/warehouse") as r:
+                return json.loads(r.read().decode())
+
+        assert _get() == {"warehouses": []}
+        payload = {
+            "warehouse-name": "yfinance",
+            "project-id": "00000000-0000-0000-0000-000000000000",
+            "storage-profile": {"type": "s3", "bucket": "demo-bucket",
+                                "key-prefix": "warehouse"},
+            "storage-credential": {"type": "s3",
+                                   "aws-access-key-id": "k",
+                                   "aws-secret-access-key": "s"},
+        }
+        req = urllib.request.Request(
+            f"{url}/management/v1/warehouse",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 201
+            assert "warehouse-id" in json.loads(r.read().decode())
+        listing = _get()
+        # the RUNBOOK greps for '"name":"yfinance"' in the listing
+        assert '"name": "yfinance"' in json.dumps(listing) \
+            or '"name":"yfinance"' in json.dumps(listing, separators=(",", ":"))
+        assert "aws-secret-access-key" not in json.dumps(listing)
+        # duplicate create → 409 (the RUNBOOK's grep-guard exists for this)
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("duplicate create must 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+    finally:
+        srv.stop()
