@@ -53,6 +53,9 @@ class Engine:
         # USE-selected schema (Trino clients issue both on connect)
         self._session_props: dict[str, str] = {}
         self._current_schema: str | None = None
+        # multi-part schemas (dotted CREATE SCHEMA — engine-level records,
+        # Spark's session catalog being single-part)
+        self._ns_schemas: set[str] = set()
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -858,6 +861,20 @@ class Engine:
         r"^\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+([A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
     )
+    # dotted CREATE/DROP SCHEMA (the reference smoke test's verbatim
+    # `CREATE SCHEMA IF NOT EXISTS iceberg.yfinance`): Spark's session
+    # catalog is single-part, so multi-part schemas are ENGINE-level
+    # records — visible in SHOW SCHEMAS FROM, non-empty DROP refused
+    _CREATE_SCHEMA_NS_RE = re.compile(
+        r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _DROP_SCHEMA_NS_RE = re.compile(
+        r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _RECOVER_TXNS_RE = re.compile(
         r"^\s*RECOVER\s+TRANSACTIONS\s*;?\s*$", re.IGNORECASE
     )
@@ -1316,6 +1333,24 @@ class Engine:
         return "".join(out)
 
     def _handle_view_statement(self, text: str) -> DataFrame | None:
+        cs_m = self._CREATE_SCHEMA_NS_RE.match(text)
+        if cs_m:
+            name = cs_m.group(2)
+            if name in self._ns_schemas and not cs_m.group(1):
+                raise ValueError(f"schema '{name}' already exists")
+            self._ns_schemas.add(name)
+            return self.spark.createDataFrame([], "result string")
+        ds_m = self._DROP_SCHEMA_NS_RE.match(text)
+        if ds_m:
+            name = ds_m.group(2)
+            if any(
+                t.startswith(name + ".") for t in self._snapshot_tables
+            ):
+                raise ValueError(f"schema '{name}' is not empty")
+            if name not in self._ns_schemas and not ds_m.group(1):
+                raise ValueError(f"schema '{name}' does not exist")
+            self._ns_schemas.discard(name)
+            return self.spark.createDataFrame([], "result string")
         sc_m = self._SHOW_SCHEMAS_CAT_RE.match(text)
         if sc_m:
             cat = sc_m.group(1)
@@ -1325,14 +1360,18 @@ class Engine:
             except Exception:
                 pass
             pref = cat + "."
-            schemas = sorted({
+            schemas = {
                 n[len(pref):].split(".", 1)[0]
                 for n in self._snapshot_tables
                 if n.startswith(pref) and "." in n[len(pref):]
-            })
+            } | {
+                s[len(pref):].split(".", 1)[0]
+                for s in self._ns_schemas
+                if s.startswith(pref)
+            }
             if schemas:
                 return self.spark.createDataFrame(
-                    [(s,) for s in schemas], "Schema string"
+                    [(s,) for s in sorted(schemas)], "Schema string"
                 )
             return None
         ns_m = self._SHOW_TABLES_NS_RE.match(text)

@@ -7218,30 +7218,46 @@ def sql_with_time_travel(
     # view is backed by a FILE-PRUNED scan (extract_prunable_predicates;
     # no row filter — the SQL's own WHERE applies on top), so BI-style
     # plain SQL gets the same manifest skipping as the read_between API.
-    spans = _literal_spans(rewritten)
     pruned = extract_prunable_predicates(rewritten, tables)
     try:
-        for name, t in tables.items():
-            if any(
+        # longest names first: with both "a.b" and "a.b.c" registered, the
+        # longer reference must not be clobbered by the shorter rewrite
+        for name in sorted(tables, key=len, reverse=True):
+            t = tables[name]
+            spans = _literal_spans(rewritten)
+            if not any(
                 not _starts_in_literal(m.start(), spans)
                 for m in re.finditer(rf"\b{re.escape(name)}\b", rewritten)
             ):
-                if any(
-                    v.name == name and v.isTemporary
-                    for v in spark.catalog.listTables()
-                ):
-                    raise ValueError(
-                        f"a temp view named '{name}' already exists in "
-                        f"this session; it would shadow (and be destroyed "
-                        f"by) the snapshot table of the same name — drop "
-                        f"it or register the table under another name"
-                    )
-                preds = pruned.get(name)
-                if preds:
-                    t.read_pruned(preds).createOrReplaceTempView(name)
-                else:
-                    snapshot_view(spark, name, t)
-                created.append(name)
+                continue
+            view = name
+            if "." in name:
+                # a DOTTED registry name (the reference's verbatim
+                # catalog.schema.table references) cannot be a temp-view
+                # name — substitute a sanitized single-part view into the
+                # statement text (outside literals) and register that
+                view = "__nsv_" + re.sub(r"\W", "_", name)
+                rewritten = _sub_outside_literals(
+                    re.compile(rf"\b{re.escape(name)}\b"),
+                    lambda _m, _v=view: _v,
+                    rewritten,
+                )
+            if any(
+                v.name == view and v.isTemporary
+                for v in spark.catalog.listTables()
+            ):
+                raise ValueError(
+                    f"a temp view named '{view}' already exists in "
+                    f"this session; it would shadow (and be destroyed "
+                    f"by) the snapshot table of the same name — drop "
+                    f"it or register the table under another name"
+                )
+            preds = pruned.get(name)
+            if preds:
+                t.read_pruned(preds).createOrReplaceTempView(view)
+            else:
+                snapshot_view(spark, view, t)
+            created.append(view)
         df = spark.sql(rewritten)
         # force analysis so dropping the views cannot unbind the plan
         df.schema

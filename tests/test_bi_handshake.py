@@ -241,3 +241,54 @@ def test_show_schemas_from_unknown_catalog(spark, tmp_path):
     df = e.sql("SHOW SCHEMAS FROM iceberg")
     assert df.columns == ["Schema"]
     assert [r["Schema"] for r in df.collect()] == ["curated", "yfinance"]
+
+
+def test_reference_smoke_test_trace_verbatim(spark, tmp_path):
+    """The reference README/RUNBOOK smoke-test statements, verbatim:
+    dotted CREATE SCHEMA, 3-part Trino DDL, INSERT, aggregates, SHOW
+    SCHEMAS/TABLES, row-level DELETE, and time travel — all against the
+    catalog.schema.table names the reference docs use."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "smoke"))
+    e.sql("CREATE SCHEMA IF NOT EXISTS iceberg.yfinance")
+    e.sql(
+        "CREATE TABLE IF NOT EXISTS iceberg.yfinance.fact_price "
+        "(ticker VARCHAR, ts TIMESTAMP(3) WITH TIME ZONE, open DOUBLE, "
+        "high DOUBLE, low DOUBLE, close DOUBLE, volume BIGINT, "
+        "ingest_date DATE) WITH (partitioning = ARRAY['day(ts)'])"
+    )
+    e.sql(
+        "INSERT INTO iceberg.yfinance.fact_price VALUES "
+        "('AAPL', TIMESTAMP '2024-01-02 10:00:00', 1,2,0.5,1.5,10, "
+        "DATE '2024-01-03'), "
+        "('MSFT', TIMESTAMP '2024-01-03 10:00:00', 1,2,0.5,2.5,10, "
+        "DATE '2024-01-04')"
+    )
+    n = e.sql(
+        "SELECT COUNT(*) FROM iceberg.yfinance.fact_price"
+    ).collect()[0][0]
+    assert n == 2
+    avg = e.sql(
+        "SELECT ticker, AVG(close) AS avg_close FROM "
+        "iceberg.yfinance.fact_price GROUP BY ticker ORDER BY ticker"
+    ).collect()
+    assert [(r[0], r[1]) for r in avg] == [("AAPL", 1.5), ("MSFT", 2.5)]
+    assert [r["Schema"] for r in
+            e.sql("SHOW SCHEMAS FROM iceberg").collect()] == ["yfinance"]
+    assert [r["Table"] for r in
+            e.sql("SHOW TABLES FROM iceberg.yfinance").collect()] == [
+        "fact_price"]
+    e.sql("DELETE FROM iceberg.yfinance.fact_price WHERE ticker = 'MSFT'")
+    assert e.sql(
+        "SELECT COUNT(*) FROM iceberg.yfinance.fact_price"
+    ).collect()[0][0] == 1
+    assert e.sql(
+        "SELECT COUNT(*) FROM iceberg.yfinance.fact_price "
+        "FOR VERSION AS OF 2"
+    ).collect()[0][0] == 2
+    # schema lifecycle: non-empty DROP refused; empty DROP works
+    with pytest.raises(ValueError, match="not empty"):
+        e.sql("DROP SCHEMA iceberg.yfinance")
+    e.sql("CREATE SCHEMA iceberg.empty")
+    e.sql("DROP SCHEMA iceberg.empty")
+    with pytest.raises(ValueError, match="does not exist"):
+        e.sql("DROP SCHEMA iceberg.empty")
