@@ -56,6 +56,9 @@ class Engine:
         # multi-part schemas (dotted CREATE SCHEMA — engine-level records,
         # Spark's session catalog being single-part)
         self._ns_schemas: set[str] = set()
+        # USE-schema aliases: bare name -> (dotted source, handle) — how a
+        # Trino client's unqualified names resolve after USE cat.schema
+        self._schema_aliases: dict[str, tuple[str, object]] = {}
 
     # -- §3.2 / §3.3: the SQL surface ------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -98,6 +101,7 @@ class Engine:
         handled = self._handle_session_statement(text)
         if handled is not None:
             return handled
+        self._sync_schema_aliases()
         handled = self._handle_match_recognize(text)
         if handled is not None:
             return handled
@@ -899,6 +903,49 @@ class Engine:
 
     def view_exists(self, name: str) -> bool:
         return self._views().get(name) is not None
+
+    def _sync_schema_aliases(self) -> None:
+        """USE-schema name resolution: Trino/BI clients connect with a
+        catalog+schema and then issue UNQUALIFIED table names (the
+        Metabase/CloudBeaver connection settings in the reference,
+        README.md step 7). While ``USE cat.schema`` is in effect, every
+        registered ``cat.schema.t`` ALSO answers to bare ``t`` — an alias
+        entry pointing at the SAME SnapshotTable handle, so reads, DML,
+        and time travel through either spelling see one table. Aliases
+        are re-derived before each statement: a schema switch retires
+        them, and a DROP through either name removes both entries (the
+        storage is gone — a dangling twin would reference deleted
+        files)."""
+        cur = self._current_schema
+        reg = self._snapshot_tables
+        for bare, (dotted, handle) in list(self._schema_aliases.items()):
+            if reg.get(bare) is not handle and bare in reg:
+                del self._schema_aliases[bare]  # user re-registered bare
+                continue
+            if bare not in reg and dotted in reg and reg[dotted] is handle:
+                # dropped VIA the alias: the dotted twin now references
+                # deleted storage — remove it too
+                del reg[dotted]
+                del self._schema_aliases[bare]
+                continue
+            if dotted not in reg or reg[dotted] is not handle:
+                reg.pop(bare, None)  # source dropped or replaced
+                del self._schema_aliases[bare]
+                continue
+            if not cur or not dotted.startswith(cur + "."):
+                del reg[bare]  # schema switched away
+                del self._schema_aliases[bare]
+        if not cur:
+            return
+        pref = cur + "."
+        for dotted in list(reg):
+            if not dotted.startswith(pref):
+                continue
+            bare = dotted[len(pref):]
+            if "." in bare or bare in reg:
+                continue  # deeper nesting, or a real bare table wins
+            reg[bare] = reg[dotted]
+            self._schema_aliases[bare] = (dotted, reg[dotted])
 
     # -- BI handshake (USE / SET SESSION / RESET SESSION / SHOW SESSION) --
     #

@@ -292,3 +292,52 @@ def test_reference_smoke_test_trace_verbatim(spark, tmp_path):
     e.sql("DROP SCHEMA iceberg.empty")
     with pytest.raises(ValueError, match="does not exist"):
         e.sql("DROP SCHEMA iceberg.empty")
+
+
+def test_use_schema_resolves_unqualified_names(spark, tmp_path):
+    """The Metabase connection pattern (README step 7: catalog=iceberg,
+    schema=yfinance): after USE, unqualified names resolve to the dotted
+    registrations — reads, DML, and time travel through EITHER spelling
+    see one table; switching schemas retires the aliases."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "use"))
+    e.sql("CREATE TABLE iceberg.yfinance.fact_price (ticker VARCHAR, "
+          "close DOUBLE) WITH (partitioning = ARRAY[])")
+    e.sql("INSERT INTO iceberg.yfinance.fact_price VALUES ('AAPL', 1.0)")
+    e.sql("USE iceberg.yfinance")
+    # unqualified read + DML, as a BI client issues them
+    assert e.sql("SELECT COUNT(*) AS n FROM fact_price").collect()[0]["n"] == 1
+    e.sql("INSERT INTO fact_price VALUES ('MSFT', 2.0)")
+    # both spellings see one table
+    assert e.sql(
+        "SELECT COUNT(*) AS n FROM iceberg.yfinance.fact_price"
+    ).collect()[0]["n"] == 2
+    assert e.sql(
+        "SELECT COUNT(*) AS n FROM fact_price FOR VERSION AS OF 2"
+    ).collect()[0]["n"] == 1
+    # schema switch retires the alias
+    e.sql("USE iceberg.other")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        e.sql("SELECT COUNT(*) FROM fact_price").collect()
+    # and switching back restores it
+    e.sql("USE iceberg.yfinance")
+    assert e.sql("SELECT COUNT(*) AS n FROM fact_price").collect()[0]["n"] == 2
+
+
+def test_drop_through_use_alias_removes_both_spellings(spark, tmp_path):
+    """DROP via the unqualified alias deletes the table's storage, so the
+    dotted twin must vanish too — a dangling registration would reference
+    deleted files."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "drop"))
+    e.sql("CREATE TABLE iceberg.yfinance.tmp (k INT) USING snapshot")
+    e.sql("USE iceberg.yfinance")
+    assert e.sql("SELECT COUNT(*) AS n FROM tmp").collect()[0]["n"] == 0
+    e.sql("DROP TABLE tmp")
+    import pytest as _pt
+    for spelling in ("tmp", "iceberg.yfinance.tmp"):
+        with _pt.raises(Exception):
+            e.sql(f"SELECT COUNT(*) FROM {spelling}").collect()
+    # the name is fully free again: recreate through either spelling
+    e.sql("CREATE TABLE iceberg.yfinance.tmp (k INT) USING snapshot")
+    e.sql("INSERT INTO tmp VALUES (1)")
+    assert e.sql("SELECT COUNT(*) AS n FROM tmp").collect()[0]["n"] == 1
