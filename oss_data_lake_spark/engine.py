@@ -74,6 +74,7 @@ class Engine:
           ``VACUUM``, ``DESCRIBE HISTORY``),
         - and plain SELECTs whose WHERE conjuncts route the scan through
           manifest file skipping (``extract_prunable_predicates``)."""
+        self._sync_schema_aliases()
         m = self._EXPLAIN_ANALYZE_RE.match(text)
         if m:
             # Trino's EXPLAIN ANALYZE: EXECUTE the statement, then show
@@ -101,7 +102,6 @@ class Engine:
         handled = self._handle_session_statement(text)
         if handled is not None:
             return handled
-        self._sync_schema_aliases()
         handled = self._handle_match_recognize(text)
         if handled is not None:
             return handled
