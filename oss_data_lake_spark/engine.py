@@ -1301,25 +1301,51 @@ class Engine:
         tail_masked = masked[i:].strip().rstrip(";")
         wm = re.match(r"^\s*WITH\s*\((.*)\)\s*$", tail_masked,
                       re.IGNORECASE | re.DOTALL)
+        # Split the column list at depth-0 commas so type substitutions
+        # apply ONLY in type position: the leading token of each entry is
+        # the column NAME, and a column literally named real / varchar /
+        # varbinary must never be rewritten into a type token (round-11
+        # ADVICE). cols and cols_masked are same-length aligned, so comma
+        # positions found in the masked text index both.
+        cols_masked = masked[m.end(): i - 1]
+        starts, depth = [0], 0
+        for j, ch in enumerate(cols_masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                starts.append(j + 1)
+        starts.append(len(cols_masked) + 1)
+        parts = []  # (name-prefix, type-body, masked type-body)
+        for a, b in zip(starts, starts[1:]):
+            ent, ent_m = cols[a: b - 1], cols_masked[a: b - 1]
+            idm = re.match(r'\s*(?:"[^"]*"|`[^`]*`|\w+)', ent_m)
+            cut = idm.end() if idm else 0
+            parts.append((ent[:cut], ent[cut:], ent_m[cut:]))
         has_trino_type = any(
-            rx.search(masked[m.end(): i - 1])
+            rx.search(body_m)
+            for _, _, body_m in parts
             for rx, _ in self._TRINO_TYPE_SUBS
         )
         if not (wm or (has_trino_type and not tail)):
             return text  # not the Trino form (e.g. USING snapshot already)
-        # type spellings — substitute on spans found in the MASKED cols
-        cols_masked = masked[m.end(): i - 1]
-        for rx, repl in self._TRINO_TYPE_SUBS:
-            out, pos = [], 0
-            for tm in rx.finditer(cols_masked):
-                out.append(cols[pos: tm.start()])
-                out.append(repl)
-                pos = tm.end()
-            if out:
-                out.append(cols[pos:])
-                cols = "".join(out)
-                # same-offset substitution keeps cols/cols_masked aligned
-                cols_masked = rx.sub(repl, cols_masked)
+        # type spellings — substitute on spans found in the MASKED body
+        entries = []
+        for head, body, body_m in parts:
+            for rx, repl in self._TRINO_TYPE_SUBS:
+                out, pos = [], 0
+                for tm in rx.finditer(body_m):
+                    out.append(body[pos: tm.start()])
+                    out.append(repl)
+                    pos = tm.end()
+                if out:
+                    out.append(body[pos:])
+                    body = "".join(out)
+                    # same-offset substitution keeps body/body_m aligned
+                    body_m = rx.sub(repl, body_m)
+            entries.append(head + body)
+        cols = ",".join(entries)
         part = ""
         if wm:
             # the props text at the same offsets in the ORIGINAL tail

@@ -245,6 +245,34 @@ def match_recognize(
     lbl: Column = F.lit(None).cast("string")
     for name, txt in reversed(label_cases):  # pattern order = preferment
         lbl = F.when(F.expr(txt), F.lit(name)).otherwise(lbl)
+    if len(label_cases) > 1:
+        # Runtime enforcement of the exclusivity contract (round-11
+        # ADVICE): the rewrite is exact ONLY when DEFINE predicates are
+        # pairwise mutually exclusive. A row satisfying >= 2 defines would
+        # be silently classified by pattern order here but by NFA position
+        # under true SQL:2016 preferment — so raise instead of returning
+        # non-Trino results. The guard is a branch INSIDE the label
+        # expression (never prunable, no extra pass): each define is
+        # re-evaluated once per row in the same codegen stage.
+        nlbl: Column = F.lit(0)
+        for _name, txt in label_cases:
+            nlbl = nlbl + F.coalesce(F.expr(txt).cast("int"), F.lit(0))
+        lbl = F.when(
+            nlbl >= 2,
+            F.raise_error(F.concat(
+                F.lit(
+                    "MATCH_RECOGNIZE: DEFINE predicates are not mutually "
+                    "exclusive — a row satisfies "
+                ),
+                nlbl.cast("string"),
+                F.lit(
+                    " pattern variables; the restricted rewrite requires "
+                    "pairwise exclusive DEFINEs (see "
+                    "operators/match_recognize.py), otherwise results "
+                    "would diverge from SQL:2016/Trino NFA preferment"
+                ),
+            )),
+        ).otherwise(lbl)
     rows = rows.withColumn("__lbl", lbl).withColumn(
         "__pos", F.row_number().over(w)
     )

@@ -93,13 +93,15 @@ class RestCatalogServer:
                     return self._json(200, {"defaults": {}, "overrides": {}})
                 if self.path.rstrip("/") == "/management/v1/warehouse":
                     with outer._mu:
+                        # the id echoed here is the one assigned at
+                        # creation and stored in the record — POST and GET
+                        # must agree (listing order is by name, but ids
+                        # are creation-stable)
                         whs = [
-                            {"id": f"wh-{i}", "name": n,
+                            {"id": w["id"], "name": n,
                              "project-id": w.get("project-id"),
                              "storage-profile": w.get("storage-profile")}
-                            for i, (n, w) in enumerate(
-                                sorted(outer._warehouses.items())
-                            )
+                            for n, w in sorted(outer._warehouses.items())
                         ]
                     return self._json(200, {"warehouses": whs})
                 if _NAMESPACES_RE.match(self.path):
@@ -197,11 +199,16 @@ class RestCatalogServer:
                             return self._json(409, {
                                 "error": "WarehouseAlreadyExistsException",
                             })
+                        # id is assigned ONCE here and stored with the
+                        # record; GET echoes the stored id, so creation
+                        # order and name-sorted listing order can't
+                        # disagree about which warehouse an id names
+                        wid = f"wh-{len(outer._warehouses)}"
                         outer._warehouses[name] = {
+                            "id": wid,
                             "project-id": req.get("project-id"),
                             "storage-profile": req.get("storage-profile"),
                         }
-                        wid = f"wh-{len(outer._warehouses) - 1}"
                     return self._json(201, {"warehouse-id": wid})
                 if _NAMESPACES_RE.match(self.path):
                     # Lakekeeper's namespace role: nested namespaces are
