@@ -113,12 +113,21 @@ class Engine:
         text = self._translate_trino_create(text)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
+        # ANSI information_schema relations (Trino's BI introspection
+        # surface) rewrite to statement-scoped metadata temp views —
+        # the t$files shape (sources/info_schema.py)
+        from oss_data_lake_spark.sources.info_schema import (
+            expand_information_schema,
+        )
+
+        text, is_views = expand_information_schema(self, text)
         # persistent views referenced by the statement (or by DML
         # subqueries inside it) become session temp views for its
         # duration — re-planned over the CURRENT base snapshots, then
         # dropped (analysis is forced before the drop, so returned
         # DataFrames stay valid)
         expanded = self._expand_views(text)
+        expanded += is_views
         try:
             if self._snapshot_tables:
                 from oss_data_lake_spark.sources.snapshots import (
@@ -1549,15 +1558,24 @@ class Engine:
             sql_with_time_travel,
         )
 
+        from oss_data_lake_spark.sources.info_schema import (
+            expand_information_schema,
+        )
+
+        is_views: list[str] = []
         try:
+            body, is_views = expand_information_schema(self, body)
             df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
-            df.schema
+            df.schema  # bind before the metadata views drop
             return df
         except Exception as e:
             raise ValueError(
                 f"view '{name}' does not plan over the current base "
                 f"tables (dropped column or table?): {e}"
             ) from e
+        finally:
+            for v in is_views:
+                self.spark.catalog.dropTempView(v)
 
     def _expand_views(self, text: str, _stack: tuple = ()) -> list[str]:
         """Session temp views for every persistent view ``text``

@@ -341,3 +341,47 @@ def test_drop_through_use_alias_removes_both_spellings(spark, tmp_path):
     e.sql("CREATE TABLE iceberg.yfinance.tmp (k INT) USING snapshot")
     e.sql("INSERT INTO tmp VALUES (1)")
     assert e.sql("SELECT COUNT(*) AS n FROM tmp").collect()[0]["n"] == 1
+
+
+def test_bi_connect_trace_with_information_schema(spark, tmp_path):
+    """The full connect-time trace a Trino BI client issues, extended
+    (round 12) with the information_schema leg Metabase/CloudBeaver use
+    alongside SHOW: USE → SET SESSION → schemata → tables → columns —
+    every statement answered, introspection rows consistent with the
+    SHOW surfaces."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql("CREATE SCHEMA iceberg.marts")
+    e.sql("CREATE TABLE iceberg.marts.fact (k BIGINT, v DOUBLE) "
+          "USING snapshot")
+    try:
+        e.sql("USE iceberg.marts")
+        e.sql("SET SESSION query_max_run_time = '2h'")
+        schemata = {r.schema_name for r in e.sql(
+            "SELECT schema_name FROM iceberg.information_schema.schemata"
+        ).collect()}
+        assert "marts" in schemata
+        show_schemas = {r[0] for r in
+                        e.sql("SHOW SCHEMAS FROM iceberg").collect()}
+        assert "marts" in show_schemas and schemata >= show_schemas
+        tables = e.sql(
+            "SELECT table_name FROM iceberg.information_schema.tables "
+            "WHERE table_schema = 'marts'"
+        ).collect()
+        assert [r.table_name for r in tables] == ["fact"]
+        assert [r[0] for r in
+                e.sql("SHOW TABLES FROM iceberg.marts").collect()] == [
+            "fact"
+        ]
+        cols = e.sql(
+            "SELECT column_name, data_type "
+            "FROM iceberg.information_schema.columns "
+            "WHERE table_schema = 'marts' AND table_name = 'fact' "
+            "ORDER BY ordinal_position"
+        ).collect()
+        show_cols = e.sql("SHOW COLUMNS FROM iceberg.marts.fact").collect()
+        assert [(c.column_name, c.data_type) for c in cols] == [
+            (r["Column"], r["Type"]) for r in show_cols
+        ]
+    finally:
+        e.sql("USE default")
+        e.drop_snapshot_table("iceberg.marts.fact", delete_data=True)
