@@ -108,6 +108,11 @@ class Engine:
         # Trino sampling spellings (TABLESAMPLE BERNOULLI/SYSTEM (p))
         # translate to Spark's TABLESAMPLE (p PERCENT) before routing
         text = self._translate_tablesample(text)
+        # ANSI quantified subquery comparisons (op ANY/SOME/ALL) rewrite
+        # to the exact 3VL aggregate encoding Spark's parser lacks
+        text = self._translate_quantified(text)
+        # SQL:2016 SQL/JSON functions map onto get_json_object
+        text = self._translate_sql_json(text)
         # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
         # verbatim DDL) translate to the engine's snapshot CREATE grammar
         text = self._translate_trino_create(text)
@@ -1390,6 +1395,212 @@ class Engine:
         r"TABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(", re.IGNORECASE
     )
 
+    # Quantified subquery comparisons (ANSI SQL §8.9; Trino 467 supports
+    # them, Spark's parser does not): `x op ANY|SOME|ALL (subquery)`
+    # rewrites to an EXACT three-valued-logic encoding over one aggregate
+    # pass of the subquery — a scalar struct (count(*), count(v), min(v),
+    # max(v)) probed by a CASE. The struct subquery appears textually per
+    # field but plans identically, so Spark's subquery reuse executes it
+    # ONCE; the subquery collapses to one row before the outer scan, the
+    # shape you want at scale. `= ANY` and `<> ALL` route to Spark's
+    # native IN / NOT IN (already exact ANSI). NULL semantics are
+    # preserved (empty→TRUE/FALSE per quantifier, NULL lhs or NULL
+    # elements → UNKNOWN where the standard says so), so the rewrite is
+    # valid in any boolean context, including under NOT.
+    #
+    # Supported LHS forms (matched on the MASKED text): an identifier
+    # chain, a one-level function call, or a parenthesized expression
+    # (≤2 paren levels). Deeper LHS nesting is left untranslated and
+    # surfaces as Spark's own parse error. The trailing `(` must open a
+    # SELECT/WITH/VALUES/TABLE body — `x = any(bool_col)`-style calls to
+    # Spark's any()/some() AGGREGATES never fire the rewrite.
+    # LHS call form requires the paren to FOLLOW the name directly and
+    # the name not to be a clause keyword — `WHERE (x+1) >= ALL (...)`
+    # must bind LHS to the parenthesized expression, not to a phantom
+    # function WHERE(x+1)
+    _QUANT_RE = re.compile(
+        r"((?!(?:WHERE|AND|OR|NOT|WHEN|THEN|ELSE|ON|SELECT|HAVING|CASE|"
+        r"BETWEEN|IN|EXISTS|LIKE|IS)\()"
+        r"[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?"
+        r"|\((?:[^()]|\([^()]*\))*\))"
+        r"\s*(<>|!=|<=|>=|=|<|>)\s*(ANY|SOME|ALL)\s*\(",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _quantified_case(lhs: str, op: str, quant: str, sub: str) -> str:
+        any_ = quant.upper() in ("ANY", "SOME")
+        if op == "!=":
+            op = "<>"
+        stats = (
+            "(SELECT named_struct('c', count(*), 'cy', count(__v), "
+            f"'mn', min(__v), 'mx', max(__v)) FROM ({sub}) __qq(__v))"
+        )
+        nb = "CAST(NULL AS BOOLEAN)"
+        if (op == "=" and any_) or (op == "<>" and not any_):
+            # the MEMBERSHIP pair (= ANY ≡ IN, <> ALL ≡ NOT IN). Spark's
+            # IN-subquery is used ONLY as the positive match witness —
+            # its TRUE is always a real match, but in projection context
+            # Spark's existence-join evaluation returns FALSE where ANSI
+            # says UNKNOWN (NULL lhs / NULL elements, verified in
+            # tests/test_quantified.py), so every other verdict comes
+            # from the aggregate guards.
+            empty = "FALSE" if any_ else "TRUE"
+            pos, neg = ("TRUE", "FALSE") if any_ else ("FALSE", "TRUE")
+            return (
+                f"(CASE WHEN {stats}.c = 0 THEN {empty} "
+                f"WHEN ({lhs}) IS NULL THEN {nb} "
+                f"WHEN (({lhs}) IN ({sub})) THEN {pos} "
+                f"WHEN {stats}.cy < {stats}.c THEN {nb} "
+                f"ELSE {neg} END)"
+            )
+        if op in ("=", "<>"):
+            # witness for "some non-null element differs": min/max probe
+            hit = (
+                f"{stats}.cy > 0 AND (({lhs}) <> {stats}.mn "
+                f"OR ({lhs}) <> {stats}.mx)"
+            )
+            empty, on_hit, tail = (
+                ("FALSE", "TRUE", "FALSE") if any_  # <> ANY
+                else ("TRUE", "FALSE", "TRUE")      # = ALL
+            )
+            return (
+                f"(CASE WHEN {stats}.c = 0 THEN {empty} "
+                f"WHEN ({lhs}) IS NULL THEN {nb} "
+                f"WHEN {hit} THEN {on_hit} "
+                f"WHEN {stats}.cy < {stats}.c THEN {nb} "
+                f"ELSE {tail} END)"
+            )
+        if any_:
+            bound = {"<": "mx", "<=": "mx", ">": "mn", ">=": "mn"}[op]
+            return (
+                f"(CASE WHEN {stats}.c = 0 THEN FALSE "
+                f"WHEN ({lhs}) IS NULL THEN {nb} "
+                f"WHEN ({lhs}) {op} {stats}.{bound} THEN TRUE "
+                f"WHEN {stats}.cy < {stats}.c THEN {nb} "
+                f"ELSE FALSE END)"
+            )
+        fail_op = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[op]
+        bound = {"<": "mn", "<=": "mn", ">": "mx", ">=": "mx"}[op]
+        return (
+            f"(CASE WHEN {stats}.c = 0 THEN TRUE "
+            f"WHEN ({lhs}) IS NULL THEN {nb} "
+            f"WHEN ({lhs}) {fail_op} {stats}.{bound} THEN FALSE "
+            f"WHEN {stats}.cy < {stats}.c THEN {nb} "
+            f"ELSE TRUE END)"
+        )
+
+    # SQL/JSON standard functions (SQL:2016 §6.27; Trino 467 ships
+    # json_value / json_query / json_exists) mapped onto Spark's JSON
+    # machinery (get_json_object). Supported class and documented
+    # deviations:
+    #   json_value(j, 'path' [RETURNING type]) → get_json_object (+CAST);
+    #     the default NULL ON EMPTY / NULL ON ERROR behavior is exactly
+    #     get_json_object's missing-path→NULL.
+    #   json_query(j, 'path')  → get_json_object; exact for object/array
+    #     targets (both engines emit compact JSON); a SCALAR target
+    #     returns the scalar text where strict SQL:2016 WITHOUT ARRAY
+    #     WRAPPER says empty→NULL (documented delta).
+    #   json_exists(j, 'path') → get_json_object(...) IS NOT NULL; a
+    #     JSON null at the path reads as not-existing (delta: the
+    #     standard's lax mode says TRUE).
+    # The leading lax/strict mode keyword inside the path literal is
+    # stripped (get_json_object is lax-like). ON EMPTY / ON ERROR /
+    # WRAPPER clauses are refused loudly — silently approximating them
+    # would change results.
+    _SQL_JSON_RE = re.compile(
+        r"\b(JSON_VALUE|JSON_QUERY|JSON_EXISTS)\s*\(", re.IGNORECASE
+    )
+    _JSON_PATH_RE = re.compile(
+        r"^\s*'\s*(?:lax\s+|strict\s+)?(.*?)\s*'\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _translate_sql_json(self, text: str, _from: int = 0) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._SQL_JSON_RE.search(masked, _from)
+        if m is None:
+            return text
+        fname = m.group(1).upper()
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced: the parser reports it
+        args = self._split_using_args(text[m.end(): i - 1])
+        if len(args) < 2:
+            raise ValueError(f"{fname}: needs (json_expr, 'path')")
+        jexpr = args[0].strip()
+        path_arg, ret_type = args[1].strip(), None
+        rm_ = re.match(
+            r"^(.*?)\s+RETURNING\s+([A-Za-z_][\w()\s,]*)$",
+            path_arg, re.IGNORECASE | re.DOTALL,
+        )
+        if rm_ and fname == "JSON_VALUE":
+            path_arg, ret_type = rm_.group(1).strip(), rm_.group(2).strip()
+        if len(args) > 2 or re.search(
+            r"\b(ON\s+(EMPTY|ERROR)|WRAPPER)\b", path_arg, re.IGNORECASE
+        ):
+            raise ValueError(
+                f"{fname}: ON EMPTY / ON ERROR / WRAPPER clauses are not "
+                f"supported (the default NULL-on-missing behavior is; "
+                f"see Engine SQL/JSON notes)"
+            )
+        pm = self._JSON_PATH_RE.match(path_arg)
+        if pm is None:
+            raise ValueError(
+                f"{fname}: the path must be a string literal "
+                f"('lax $.a.b' / '$.a.b'), got {path_arg!r}"
+            )
+        path = pm.group(1)  # kept in source form: '' escapes re-embed as-is
+        base = f"get_json_object({jexpr}, '{path}')"
+        if fname == "JSON_EXISTS":
+            repl = f"({base} IS NOT NULL)"
+        elif ret_type:
+            repl = f"CAST({base} AS {ret_type})"
+        else:
+            repl = base
+        return self._translate_sql_json(
+            text[: m.start()] + repl + text[i:], m.start()
+        )
+
+    def _translate_quantified(self, text: str, _from: int = 0) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._QUANT_RE.search(masked, _from)
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced: the parser reports it
+        sub = text[m.end(): i - 1]
+        if not re.match(
+            r"^\s*(SELECT|WITH|VALUES|TABLE)\b", _masked(sub), re.IGNORECASE
+        ):
+            # an any()/some() boolean-aggregate call, not a subquery —
+            # keep scanning to the right of this site
+            return self._translate_quantified(text, i)
+        lhs = text[m.start(1): m.end(1)].strip()
+        repl = self._quantified_case(lhs, m.group(2), m.group(3), sub)
+        # restart at the splice: the replacement embeds the subquery
+        # text, whose own quantified comparisons (if any) still match
+        return self._translate_quantified(
+            text[: m.start()] + repl + text[i:], m.start()
+        )
+
     def _translate_tablesample(self, text: str) -> str:
         from oss_data_lake_spark.sources.snapshots import _masked
 
@@ -1564,6 +1775,8 @@ class Engine:
 
         is_views: list[str] = []
         try:
+            body = self._translate_quantified(body)
+            body = self._translate_sql_json(body)
             body, is_views = expand_information_schema(self, body)
             df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
             df.schema  # bind before the metadata views drop

@@ -526,6 +526,19 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v1": ("n_star"), "v2": ("n_col")},
              {"k1": "status_np", "k2": "status_filled",
               "v1": "n_star", "v2": "n_col"}),
+            # b58 (round 12): SQL:2016 SQL/JSON functions in their Trino
+            # spellings through the statement layer, vs DuckDB's native
+            # JSON machinery — every extracted value rides the hash
+            ("b58a", "b58_sql_json_funcs",
+             {"k1": ("event_id"), "k2": ("tag"), "v1": ("u"),
+              "v2": ("prop_k"), "s1": ("obj_json")},
+             {"k1": "event_id", "k2": "tag", "v1": "u",
+              "v2": "prop_k", "s1": "obj_json"}),
+            ("b58b", "b58_sql_json_funcs",
+             {"k1": ("event_id"), "v1": ("has_t"), "v2": ("has_missing"),
+              "s1": ("arr_json")},
+             {"k1": "event_id", "v1": "has_t", "v2": "has_missing",
+              "s1": "arr_json"}),
         ],
         "b42_semi_anti_joins": [
             ("b04", "b04_semi_join_big_spenders",
@@ -553,6 +566,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
             ("b25", "b25_small_quantity_revenue",
              {"v1": ("n_items"), "v2": ("total_price")},
              {"v1": "n_items", "v2": "total_price"}),
+            # b56 (round 12): quantified subquery comparisons — the
+            # Spark aggregate/semi-join plans vs DuckDB's NATIVE ANSI
+            # `> ALL` / `< SOME` / `= ANY` evaluation
+            ("b56", "b56_quantified_comparisons",
+             {"v1": ("n_above_all"), "v2": ("n_lt_some"),
+              "v3": ("n_eq_any")},
+             {"v1": "n_above_all", "v2": "n_lt_some", "v3": "n_eq_any"}),
         ],
         "b44_topk_patterns": [
             ("b02", "b02_topk_revenue_orders",
@@ -598,6 +618,19 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v2": ("grp_sum"), "v3": ("grp_cnt")},
              {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "second_px",
               "v2": "grp_sum", "v3": "grp_cnt"}),
+            # b57 (round 12): SQL:2011 frame EXCLUDE modes as aggregate
+            # subtractions vs DuckDB's NATIVE EXCLUDE evaluation — two
+            # arms carry all six count/sum columns
+            ("b57a", "b57_window_frame_exclude",
+             {"k1": _cw("o_custkey", "o_orderkey"), "v1": ("cnt_x_cur"),
+              "v2": ("sum_x_cur"), "v3": ("cnt_x_grp")},
+             {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "cnt_x_cur",
+              "v2": "sum_x_cur", "v3": "cnt_x_grp"}),
+            ("b57b", "b57_window_frame_exclude",
+             {"k1": _cw("o_custkey", "o_orderkey"), "v1": ("sum_x_grp"),
+              "v2": ("cnt_x_ties"), "v3": ("sum_x_ties")},
+             {"k1": _cw_sql("o_custkey", "o_orderkey"), "v1": "sum_x_grp",
+              "v2": "cnt_x_ties", "v3": "sum_x_ties"}),
             # b53 (round 11): restricted MATCH_RECOGNIZE (the Trino
             # V-shape, STRT DOWN+ UP+, rewritten exactly to runs +
             # windows) — two arms carry all 8 measure columns

@@ -169,6 +169,230 @@ def top_suppliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window frame EXCLUDE (SQL:2011 <window frame exclusion>; Trino 467
+# supports EXCLUDE CURRENT ROW | GROUP | TIES | NO OTHERS). Spark has no
+# EXCLUDE mode, but over a RANGE frame with non-negative bounds the
+# excluded sets are always fully INSIDE the frame (the current row sits
+# at distance 0; its peers at distance 0), so each mode is an exact
+# subtraction of window aggregates:
+#   EXCLUDE CURRENT ROW:  frame_agg - current_row_contribution
+#   EXCLUDE GROUP:        frame_agg - peer_group_agg
+#                         (peer group = RANGE CURRENT ROW..CURRENT ROW)
+#   EXCLUDE TIES:         frame_agg - peer_group_agg + current_row
+# with ANSI empty-set semantics restored by a count guard (sum over an
+# emptied frame is NULL, not 0). All three stay single-pass Catalyst
+# window functions over ONE partition exchange — no self-join. The
+# DuckDB oracle evaluates the NATIVE EXCLUDE spellings, so the
+# subtraction identities themselves are what cross-engine parity
+# verifies. NULL measures are planted (m NULL on orderkey%5=0) so the
+# count-vs-sum distinction and the empty-frame guard are value-checked.
+_B57_BASE = """
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderkey % 11 AS BIGINT) AS od,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 97 AS BIGINT) END AS m
+  FROM {orders} WHERE o_custkey % 31 = 0
+"""
+
+_B57_SPARK_SQL = """
+WITH base AS ({base}),
+w AS (
+  SELECT o_custkey, o_orderkey, m,
+    CAST(sum(m) OVER (PARTITION BY o_custkey ORDER BY od
+         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS fsum,
+    CAST(count(m) OVER (PARTITION BY o_custkey ORDER BY od
+         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS fcnt,
+    CAST(sum(m) OVER (PARTITION BY o_custkey ORDER BY od
+         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS psum,
+    CAST(count(m) OVER (PARTITION BY o_custkey ORDER BY od
+         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS pcnt
+  FROM base
+)
+SELECT o_custkey, o_orderkey,
+  CAST(fcnt - CASE WHEN m IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS cnt_x_cur,
+  CAST(CASE WHEN fcnt - CASE WHEN m IS NULL THEN 0 ELSE 1 END = 0
+            THEN NULL
+            ELSE COALESCE(fsum, 0) - COALESCE(m, 0) END AS BIGINT)
+    AS sum_x_cur,
+  CAST(fcnt - pcnt AS BIGINT) AS cnt_x_grp,
+  CAST(CASE WHEN fcnt - pcnt = 0 THEN NULL
+            ELSE COALESCE(fsum, 0) - COALESCE(psum, 0) END AS BIGINT)
+    AS sum_x_grp,
+  CAST(fcnt - pcnt + CASE WHEN m IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS cnt_x_ties,
+  CAST(CASE WHEN fcnt - pcnt + CASE WHEN m IS NULL THEN 0 ELSE 1 END = 0
+            THEN NULL
+            ELSE COALESCE(fsum, 0) - COALESCE(psum, 0) + COALESCE(m, 0)
+       END AS BIGINT) AS sum_x_ties
+FROM w ORDER BY o_custkey, o_orderkey
+"""
+
+_B57_DUCK_SQL = """
+WITH base AS ({base})
+SELECT o_custkey, o_orderkey,
+  CAST(count(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE CURRENT ROW) AS BIGINT) AS cnt_x_cur,
+  CAST(sum(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE CURRENT ROW) AS BIGINT) AS sum_x_cur,
+  CAST(count(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE GROUP) AS BIGINT) AS cnt_x_grp,
+  CAST(sum(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE GROUP) AS BIGINT) AS sum_x_grp,
+  CAST(count(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE TIES) AS BIGINT) AS cnt_x_ties,
+  CAST(sum(m) OVER (PARTITION BY o_custkey ORDER BY od
+       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       EXCLUDE TIES) AS BIGINT) AS sum_x_ties
+FROM base ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 window frame EXCLUDE modes as exact aggregate
+    subtractions (derivation and scale notes in the block comment above
+    ``_B57_BASE``); the DuckDB oracle runs the native EXCLUDE text."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _B57_SPARK_SQL.format(base=_B57_BASE.format(orders="orders"))
+    )
+
+
+# SQL:2016 SQL/JSON functions (json_value / json_query / json_exists —
+# Trino 467). The Spark side issues the TRINO SPELLINGS through
+# Engine.sql (the statement layer maps them onto get_json_object,
+# `engine.py:_translate_sql_json`, deviations documented there); the
+# DuckDB oracle uses its native json_extract machinery. The document is
+# BUILT from columns (nested object + array + the real events.props
+# field), so path navigation, RETURNING casts, and exists/missing all
+# carry engine-computed values. All outputs are integers/strings —
+# bit-exact cross-engine.
+_B58_TRINO_SQL = """
+WITH j AS (
+  SELECT event_id,
+         concat('{{"u": ', CAST(user_id AS STRING),
+                ', "obj": {{"t": "', event_type, '"}}',
+                ', "arr": [', CAST(event_id % 5 AS STRING), ', ',
+                CAST(user_id % 7 AS STRING), ']}}') AS doc,
+         props
+  FROM {events} WHERE event_id % 199 = 0
+)
+SELECT event_id,
+  json_value(doc, 'lax $.u' RETURNING BIGINT) AS u,
+  json_value(doc, '$.obj.t') AS tag,
+  json_query(doc, '$.obj') AS obj_json,
+  json_query(doc, 'lax $.arr') AS arr_json,
+  CAST(CASE WHEN json_exists(doc, '$.obj.t') THEN 1 ELSE 0 END
+       AS BIGINT) AS has_t,
+  CAST(CASE WHEN json_exists(doc, '$.missing') THEN 1 ELSE 0 END
+       AS BIGINT) AS has_missing,
+  json_value(props, '$.k' RETURNING BIGINT) AS prop_k
+FROM j ORDER BY event_id
+"""
+
+_B58_DUCK_SQL = """
+WITH j AS (
+  SELECT event_id,
+         concat('{{"u": ', CAST(user_id AS VARCHAR),
+                ', "obj": {{"t": "', event_type, '"}}',
+                ', "arr": [', CAST(event_id % 5 AS VARCHAR), ', ',
+                CAST(user_id % 7 AS VARCHAR), ']}}') AS doc,
+         props
+  FROM {events} WHERE event_id % 199 = 0
+)
+SELECT event_id,
+  CAST(json_extract_string(doc, '$.u') AS BIGINT) AS u,
+  json_extract_string(doc, '$.obj.t') AS tag,
+  CAST(json_extract(doc, '$.obj') AS VARCHAR) AS obj_json,
+  CAST(json_extract(doc, '$.arr') AS VARCHAR) AS arr_json,
+  CAST(CASE WHEN json_extract(doc, '$.obj.t') IS NOT NULL
+       THEN 1 ELSE 0 END AS BIGINT) AS has_t,
+  CAST(CASE WHEN json_extract(doc, '$.missing') IS NOT NULL
+       THEN 1 ELSE 0 END AS BIGINT) AS has_missing,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM j ORDER BY event_id
+"""
+
+
+def sql_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 SQL/JSON functions issued in their TRINO spellings and
+    routed through the statement layer's mapping onto Spark's JSON
+    machinery (`Engine._translate_sql_json`)."""
+    from oss_data_lake_spark.engine import Engine
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return Engine(spark=spark).sql(_B58_TRINO_SQL.format(events="events"))
+
+
+def quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified subquery comparisons (ANSI §8.9 — Trino 467 supports
+    `op ANY/SOME/ALL (subquery)`, reference capability via arbitrary BI
+    SQL, `README.md:97-98`), expressed Spark-first:
+
+    - `s_acctbal > ALL (per-nation customer balances)` → the correlated
+      ALL collapses to a 25-row (max, seen) aggregate of customer,
+      BROADCAST left-joined to supplier (ALL over an empty set is TRUE →
+      unmatched nations count);
+    - `p_retailprice < SOME (Brand#13 prices)` → the uncorrelated SOME
+      collapses to one scalar max, broadcast as a literal-like 1-row
+      cross join;
+    - `s_nationkey = ANY (region-3 nations)` → a LEFT SEMI join.
+
+    Each family is the plan you'd want at 100 TB: the quantifier side is
+    always reduced to an aggregate before it meets the big side — never a
+    per-row subquery. All three measures are integer counts over
+    comparisons of byte-identical parquet doubles (bit-exact
+    cross-engine). The SQL-surface twin — the statement-layer
+    `op ANY/ALL` rewrite in ``Engine._translate_quantified`` — is
+    differentially checked against DuckDB's native ANSI evaluation
+    (incl. NULL semantics) in ``tests/test_quantified.py``."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    nat_max = cust.groupBy("c_nationkey").agg(
+        F.max("c_acctbal").alias("mx"), F.count(F.lit(1)).alias("ncust")
+    )
+    above_all = (
+        sup.join(
+            F.broadcast(nat_max),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+            "left",
+        )
+        .filter(F.col("ncust").isNull() | (F.col("s_acctbal") > F.col("mx")))
+        .agg(F.count(F.lit(1)).alias("n_above_all"))
+    )
+    brand_max = part.filter(F.col("p_brand") == "Brand#13").agg(
+        F.max("p_retailprice").alias("bmx")
+    )
+    lt_some = (
+        part.crossJoin(F.broadcast(brand_max))
+        .filter(F.col("p_retailprice") < F.col("bmx"))
+        .agg(F.count(F.lit(1)).alias("n_lt_some"))
+    )
+    eq_any = (
+        sup.join(
+            F.broadcast(
+                nation.filter(F.col("n_regionkey") == 3)
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_eq_any"))
+    )
+    return above_all.crossJoin(lt_some).crossJoin(eq_any).select(
+        F.col("n_above_all").cast("long").alias("n_above_all"),
+        F.col("n_lt_some").cast("long").alias("n_lt_some"),
+        F.col("n_eq_any").cast("long").alias("n_eq_any"),
+    )
+
+
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ranking-window family: ntile / percent_rank / cume_dist
     / first_value / last_value, fully deterministic via custkey tiebreak.
@@ -586,6 +810,9 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "b56_quantified_comparisons": quantified_comparisons,
+    "b57_window_frame_exclude": window_frame_exclude,
+    "b58_sql_json_funcs": sql_json_funcs,
     "b50_recursive_user_tree": recursive_user_tree,
     "b54_array_lambda_funcs": array_lambda_funcs,
     "b51_lateral_topn_lineitems": lateral_topn_lineitems,
@@ -610,6 +837,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # DuckDB evaluates the ANSI quantified text NATIVELY — the
+    # cross-engine claim is that the Spark-side aggregate/semi-join
+    # plans implement exactly `> ALL` / `< SOME` / `= ANY`
+    "b56_quantified_comparisons": """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+            WHERE s.s_acctbal > ALL
+              (SELECT c.c_acctbal FROM customer c
+                WHERE c.c_nationkey = s.s_nationkey)) AS n_above_all,
+          (SELECT CAST(count(*) AS BIGINT) FROM part
+            WHERE p_retailprice < SOME
+              (SELECT p_retailprice FROM part
+                WHERE p_brand = 'Brand#13')) AS n_lt_some,
+          (SELECT CAST(count(*) AS BIGINT) FROM supplier
+            WHERE s_nationkey = ANY
+              (SELECT n_nationkey FROM nation
+                WHERE n_regionkey = 3)) AS n_eq_any
+    """,
+    # DuckDB's native JSON machinery oracles the Trino SQL/JSON spellings
+    "b58_sql_json_funcs": _B58_DUCK_SQL.format(events="events"),
+    # DuckDB evaluates the NATIVE SQL:2011 EXCLUDE spellings — parity
+    # verifies the Spark-side subtraction identities
+    "b57_window_frame_exclude": _B57_DUCK_SQL.format(
+        base=_B57_BASE.format(orders="orders")
+    ),
     # the lambda family re-expressed in DuckDB list functions
     # (list_filter/list_transform/list_sum, generate_subscripts for the
     # ordinality arm, index-OOB NULL for the TRY arm) — all-integer

@@ -577,6 +577,23 @@ _SEMDEDUP_NONE = -2.0
 # half the corpus must not OOM the executor). 2048²·8B = 32 MB/partial.
 SEMDEDUP_SWEEP_BLOCK = 2048
 
+# Round 12 (r11 verdict #2): the tiled sweep still left ONE task holding
+# a hot cluster's whole m×dim embedding matrix (the greedy sweep needs
+# the ordered prefix). Clusters over this cap are re-split with a SECOND
+# deterministic IVF level before the sweep — sub-centroids are the
+# cluster's own members at vec_id-rank 0, cap/2, cap, ... (mirroring the
+# top level's stride-subset style), assignment is argmax cosine with the
+# same (sim desc, id asc) tiebreak — so sweep-task memory is
+# O(cap·dim + blk²) regardless of corpus duplication structure
+# (65536·1024·8B ≈ 0.5 GB at dim 1024). Near-twins (cosine ≥ 0.95 by
+# definition of the threshold) co-assign to the same sub-centroid, so
+# the dedup decisions survive the split (pinned split-vs-unsplit in
+# tests/test_semdedup_split.py); the DuckDB oracle replays the second
+# level exactly, so driver parity holds at ANY scale factor. e84 needs
+# no geometric split: its eval-vs-train scan is chunk-decomposable
+# EXACTLY (see semantic_decontamination).
+SEMDEDUP_MAX_CLUSTER = 65536
+
 
 def semdedup_report(
     spark: SparkSession,
@@ -611,6 +628,83 @@ def semdedup_report(
     assigned = _ivf_assign(emb, cent_ids, cent_mat, 1)
     none_mark = _SEMDEDUP_NONE
     blk = SEMDEDUP_SWEEP_BLOCK
+
+    # --- second-level re-split of oversized clusters (round 12) -------
+    # One extra assignment pass decides whether any cluster exceeds the
+    # cap (assignment is the cheap stage; the sweep matmuls dominate).
+    # The sub-centroid model is a bounded fitted-model collect:
+    # ≤ 2·m/cap rows — 40× smaller than the top-level _ivf_model set.
+    cap = int(SEMDEDUP_MAX_CLUSTER)
+    half = max(1, cap // 2)
+    big = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__csz"))
+        .filter(F.col("__csz") > cap)
+        .select("cluster")
+    )
+    wsub = Window.partitionBy("cluster").orderBy("vec_id")
+    sub_rows = (
+        assigned.join(F.broadcast(big), "cluster")
+        .withColumn("__r", F.row_number().over(wsub) - 1)
+        .filter(F.col("__r") % half == 0)
+        .select("cluster", "vec_id", "embedding")
+        .orderBy("cluster", "vec_id")
+        .collect()
+    )
+    sub_model: dict = {}
+    for r in sub_rows:
+        ids_mat = sub_model.setdefault(int(r["cluster"]), ([], []))
+        ids_mat[0].append(int(r["vec_id"]))
+        ids_mat[1].append(list(r["embedding"]))
+
+    if sub_model:
+        model = sub_model
+
+        # nested: pickled by value (same contract as assign_blocks)
+        def assign_sub(batches):
+            import numpy as np
+            import pandas as pd
+
+            cache = {
+                c: (np.asarray(ids, dtype=np.int64),
+                    np.asarray(mat, dtype=np.float64))
+                for c, (ids, mat) in model.items()
+            }
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sub = np.full(len(pdf), -1, dtype=np.int64)
+                cl = pdf["cluster"].to_numpy()
+                for c in np.unique(cl):
+                    got = cache.get(int(c))
+                    if got is None:
+                        continue
+                    scids, C = got
+                    sel = np.where(cl == c)[0]
+                    E = np.asarray([
+                        np.asarray(e, dtype=np.float64)
+                        for e in pdf["embedding"].iloc[sel]
+                    ])
+                    vn = np.sqrt((E * E).sum(axis=1))
+                    cn = np.sqrt((C * C).sum(axis=1))
+                    sims = np.round((E @ C.T) / np.outer(vn, cn), 9)
+                    # stable argsort on -sims: ties break toward the
+                    # lower sub-centroid id (ids ascending) — the
+                    # oracle's (ssim DESC, sc_id ASC) ordering
+                    sub[sel] = scids[
+                        np.argsort(-sims, axis=1, kind="stable")[:, 0]
+                    ]
+                out = pdf[["cluster", "vec_id", "embedding"]].copy()
+                out["sub"] = sub
+                yield out
+
+        assigned = assigned.mapInPandas(
+            assign_sub,
+            schema="cluster long, vec_id long, embedding array<float>, "
+                   "sub long",
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(-1).cast("long"))
 
     # nested: pickled by value for plain driver sessions (cwd-foreign)
     def sweep_block(pdf):
@@ -653,7 +747,7 @@ def semdedup_report(
             {"cluster": cluster, "vec_id": ids, "max_sim_lower": m}
         )
 
-    per_vec = assigned.groupBy("cluster").applyInPandas(
+    per_vec = assigned.groupBy("cluster", "sub").applyInPandas(
         sweep_block, schema="cluster long, vec_id long, max_sim_lower double"
     )
     return (
@@ -716,8 +810,51 @@ def semantic_decontamination(
     probes = _ivf_assign(
         emb.filter(is_eval), cent_ids, cent_mat, NEARDUP_NPROBE
     )
-    both = train.withColumn("is_eval", F.lit(False)).unionByName(
-        probes.withColumn("is_eval", F.lit(True))
+    # --- exact chunk split of oversized train clusters (round 12) -----
+    # Unlike e80's greedy sweep, this scan is EXACTLY decomposable: the
+    # final per-eval aggregation sums candidate/close counts and maxes
+    # cosines across groups, so carving a probed cluster's train side
+    # into sub-chunks (sub = vec_id mod nsubs — no window, no extra
+    # big-side shuffle) and replicating each eval probe to every chunk
+    # changes NOTHING about the result, only the task footprint:
+    # O(cap·dim + blk²) instead of the whole cluster. Eval replication
+    # is bounded (~1.1% of rows × nprobe × nsubs). Identity is pinned
+    # split-vs-unsplit on the real fixture in
+    # tests/test_semdedup_split.py; the DuckDB oracle is untouched.
+    chunk = int(SEMDEDUP_MAX_CLUSTER)
+    nsubs = (
+        train.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "cluster",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("__n") / chunk).cast("long"),
+            ).alias("__nsubs"),
+        )
+    )
+    train_s = (
+        train.join(F.broadcast(nsubs), "cluster")
+        .withColumn(
+            "sub", F.pmod(F.col("vec_id"), F.col("__nsubs")).cast("long")
+        )
+        .drop("__nsubs")
+    )
+    probes_s = (
+        probes.join(F.broadcast(nsubs), "cluster", "left")
+        .withColumn("__nsubs", F.coalesce(F.col("__nsubs"), F.lit(1)))
+        .withColumn(
+            "sub",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), (F.col("__nsubs") - 1).cast("long")
+                )
+            ),
+        )
+        .drop("__nsubs")
+    )
+    both = train_s.withColumn("is_eval", F.lit(False)).unionByName(
+        probes_s.withColumn("is_eval", F.lit(True))
     )
     none_mark = _SEMDECON_NONE
     blk = SEMDEDUP_SWEEP_BLOCK
@@ -783,7 +920,7 @@ def semantic_decontamination(
             }
         )
 
-    per_probe = both.groupBy("cluster").applyInPandas(
+    per_probe = both.groupBy("cluster", "sub").applyInPandas(
         scan_cluster,
         schema="eval_id long, n_candidates long, n_close long, "
                "max_cos double",
@@ -1369,9 +1506,13 @@ ORACLES = {
         SELECT q_id, c_id, cosine, rank FROM final
         WHERE rank <= {TOP_K} ORDER BY q_id, rank
     """,
-    # identical cluster assignment as e22/e26 (rn = 1), then the greedy
-    # keep-first sweep as a per-cluster lower-id max — bounded by
-    # cluster-mate pairs, never all-pairs across clusters
+    # identical cluster assignment as e22/e26 (rn = 1), then the round-12
+    # second-level re-split of clusters over SEMDEDUP_MAX_CLUSTER
+    # (sub-centroids at vec_id-rank 0, cap/2, cap, ...; argmax cosine,
+    # (ssim DESC, sc_id ASC) tiebreak — inert below the cap, replayed
+    # exactly above it), then the greedy keep-first sweep as a
+    # per-(cluster, sub) lower-id max — bounded by sub-cluster-mate
+    # pairs, never all-pairs across clusters
     "e80_semdedup_report": f"""
         WITH {_NORMS_SQL},
         cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
@@ -1387,20 +1528,45 @@ ORACLES = {
                                                             cent_id ASC) AS rn
                          FROM scored)
                      WHERE rn = 1),
+        csz AS (SELECT cluster, COUNT(*) AS csz FROM assigned
+                GROUP BY cluster),
+        rk AS (SELECT a.vec_id, a.cluster,
+                      ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                         ORDER BY a.vec_id) - 1 AS r
+               FROM assigned a JOIN csz USING (cluster)
+               WHERE csz.csz > {SEMDEDUP_MAX_CLUSTER}),
+        subcent AS (SELECT cluster, vec_id AS sc_id FROM rk
+                    WHERE r % {max(1, SEMDEDUP_MAX_CLUSTER // 2)} = 0),
+        subscored AS (SELECT rk.vec_id, rk.cluster, subcent.sc_id,
+                             round(list_inner_product(nv.v, nc.v)
+                                   / (nv.norm * nc.norm), 9) AS ssim
+                      FROM rk JOIN subcent USING (cluster)
+                      JOIN n nv ON rk.vec_id = nv.vec_id
+                      JOIN n nc ON subcent.sc_id = nc.vec_id),
+        subassigned AS (SELECT vec_id, sub FROM (
+                            SELECT vec_id, sc_id AS sub,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY ssim DESC, sc_id ASC)
+                                       AS srn
+                            FROM subscored) WHERE srn = 1),
+        fa AS (SELECT a.cluster, a.vec_id, COALESCE(s.sub, -1) AS sub
+               FROM assigned a
+               LEFT JOIN subassigned s ON a.vec_id = s.vec_id),
         lower_sims AS (SELECT b.vec_id,
                               MAX(round(list_inner_product(na.v, nb.v)
                                         / (na.norm * nb.norm), 9))
                                   AS max_sim_lower
-                       FROM assigned a
-                       JOIN assigned b
-                         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                       FROM fa a
+                       JOIN fa b
+                         ON a.cluster = b.cluster AND a.sub = b.sub
+                        AND a.vec_id < b.vec_id
                        JOIN n na ON a.vec_id = na.vec_id
                        JOIN n nb ON b.vec_id = nb.vec_id
                        GROUP BY b.vec_id),
         members AS (SELECT a.cluster, a.vec_id,
                            COALESCE(l.max_sim_lower, {_SEMDEDUP_NONE})
                                AS max_sim_lower
-                    FROM assigned a
+                    FROM fa a
                     LEFT JOIN lower_sims l ON a.vec_id = l.vec_id)
         SELECT cluster,
                CAST(COUNT(*) AS BIGINT) AS n_members,

@@ -62,6 +62,18 @@ _IS_REF_RE = re.compile(
     re.IGNORECASE,
 )
 
+# write-statement heads whose TARGET is an information_schema relation:
+# the standard schema is reserved and read-only, and silently rewriting
+# the target would create/drop a mangled temp-view-named table instead
+_IS_WRITE_TARGET_RE = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|ALTER\s+TABLE"
+    r"|INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|DELETE\s+FROM|UPDATE"
+    r"|TRUNCATE(?:\s+TABLE)?|MERGE\s+INTO|COPY\s+INTO)\s+"
+    r"(?:[A-Za-z_]\w*\s*\.\s*)?INFORMATION_SCHEMA\s*\.",
+    re.IGNORECASE,
+)
+
 _SHAPES = {
     "schemata": "catalog_name string, schema_name string",
     "tables": (
@@ -249,7 +261,16 @@ def expand_information_schema(engine, text: str) -> tuple[str, list[str]]:
     text, so the spelling inside a string literal or comment is data."""
     if "information_schema" not in text.lower():
         return text, []
-    from oss_data_lake_spark.sources.snapshots import _sub_outside_literals
+    from oss_data_lake_spark.sources.snapshots import (
+        _masked,
+        _sub_outside_literals,
+    )
+
+    if _IS_WRITE_TARGET_RE.match(_masked(text)):
+        raise ValueError(
+            "information_schema is reserved and read-only — it cannot be "
+            "the target of DDL or DML"
+        )
 
     created: list[str] = []
     made: dict[tuple[str | None, str], str] = {}
