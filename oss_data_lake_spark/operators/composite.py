@@ -289,6 +289,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v4": ("bpe_tokens")},
              {"k1": "source", "v1": "n_words", "v2": "n_distinct_words",
               "v3": "n_chars", "v4": "bpe_tokens"}),
+            # e87 (round 12): byte-level BPE — GPT-2-style regex
+            # pre-tokenization + byte-fallback alphabet over e85's merge
+            # loop; the full learned trajectory rides the hash
+            ("e87", "e87_bpe_bytelevel_merge_table",
+             {"k1": _cw("rank"), "k2": _cw("left_sym", "right_sym"),
+              "v1": ("pair_count")},
+             {"k1": _cw_sql("rank"), "k2": _cw_sql("left_sym", "right_sym"),
+              "v1": "pair_count"}),
             # e15 (round 8): exact-substring duplicate pairs (the Lee
             # et al. span-level complement to MinHash) — every pair's
             # shared-window count rides the hash

@@ -48,6 +48,26 @@ from oss_data_lake_spark.sources.loaders import load_table
 
 BPE_ROUNDS = 24
 
+# e87: GPT-2-style BYTE-LEVEL pre-tokenization (Radford et al. 2019) —
+# the shape real training pipelines use on top of plain BPE:
+# 1. a regex pre-tokenizer splits text into pre-tokens (contraction
+#    suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#    whitespace). The GPT-2 pattern's negative lookahead and \p{L}
+#    classes are narrowed to ASCII classes here because the DuckDB
+#    oracle's RE2 engine supports neither — the production swap is the
+#    full unicode pattern, the MACHINERY (regex pre-tok → byte alphabet
+#    → merge loop) is identical;
+# 2. a BYTE-FALLBACK alphabet: every pre-token is its UTF-8 bytes, each
+#    byte spelled as its 2-hex-digit symbol — a closed 256-symbol base
+#    alphabet, no OOV ever, identical spelling in both engines
+#    (hex(encode(w)) chunked in twos);
+# 3. e85's merge loop unchanged over the pre-token-TYPE table (still
+#    bounded by Heaps' law — pre-tokens are words with punctuation/space
+#    splits, not corpus-sized).
+BYTELEVEL_PRETOK_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
 
 def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
@@ -63,6 +83,31 @@ def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
             ),
         )
+    )
+
+
+def _word_types_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e87 step 1+2: regex pre-tokens → byte-fallback symbol arrays."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                "text", F.lit(BYTELEVEL_PRETOK_RE), F.lit(0)
+            )
+        ).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("__hx", F.hex(F.encode(F.col("w"), "UTF-8")))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(__hx) DIV 2), "
+                "i -> substring(__hx, 2*i - 1, 2))"
+            ),
+        )
+        .drop("__hx")
     )
 
 
@@ -116,18 +161,19 @@ _TRAIN_CACHE: dict[tuple[str, int], tuple[object, list, DataFrame]] = {}
 
 
 def _train(
-    spark: SparkSession, sf_dir: str, rounds: int
+    spark: SparkSession, sf_dir: str, rounds: int, bytelevel: bool = False
 ) -> tuple[list, DataFrame]:
     import weakref
 
-    key = (sf_dir, rounds)
+    key = (sf_dir, rounds, bytelevel)
     hit = _TRAIN_CACHE.get(key)
     if hit is not None:
         ref, merges, wt = hit
         if ref() is spark:  # same LIVE session — not an id() alias
             return merges, wt
         del _TRAIN_CACHE[key]  # stale session: evict, retrain
-    wt = _word_types(spark, sf_dir).localCheckpoint()
+    builder = _word_types_bytelevel if bytelevel else _word_types
+    wt = builder(spark, sf_dir).localCheckpoint()
     merges = []
     for rank in range(1, rounds + 1):
         best = (
@@ -192,21 +238,29 @@ def bpe_encode_report(
     )
 
 
+def bpe_bytelevel_merge_table(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """e87: the byte-level merge table — e85's loop over the regex
+    pre-token/byte-alphabet base (symbols are 2-hex-digit byte
+    spellings; a learned token's spelling is its byte sequence in hex).
+    Same full-trajectory DuckDB oracle style: every round's argmax pair
+    re-derived from scratch with the positional formulation."""
+    merges, _ = _train(spark, sf_dir, rounds, bytelevel=True)
+    out = spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+    return out.orderBy("rank")
+
+
 QUERIES = {
     "e85_bpe_merge_table": bpe_merge_table,
     "e86_bpe_encode_report": bpe_encode_report,
+    "e87_bpe_bytelevel_merge_table": bpe_bytelevel_merge_table,
 }
 
 
-def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled DuckDB replay of the full training trajectory (the e28
-    PQ-Lloyd precedent): each round derives its own argmax pair and
-    applies the merge with a POSITIONAL formulation — candidate marks,
-    run parity for the a==b chain case, greedy keep/drop, list rebuild —
-    deliberately different from the Spark fold. Ends at w{rounds}, the
-    fully-merged word-type table."""
-    parts = [
-        """
+_BPE_BASE_WS = """
         WITH wraw AS MATERIALIZED (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -218,7 +272,37 @@ def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> str:
                                 i -> w[CAST(i AS INT)]) AS syms
           FROM wraw
         )"""
-    ]
+
+# e87 base: the SAME pre-tokenizer regex (RE2-compatible by
+# construction) and the SAME byte-fallback spelling — hex(encode(w))
+# chunked in 2-hex-digit symbols — as the Spark side
+_BPE_BASE_BYTELEVEL = f"""
+        WITH wraw AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(text,
+                     '{BYTELEVEL_PRETOK_RE.replace("'", "''")}')) AS w
+            FROM documents
+          ) WHERE length(w) > 0 GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+          SELECT w, cnt,
+                 list_transform(range(1, length(hex(encode(w))) // 2 + 1),
+                     i -> substring(hex(encode(w)),
+                                    CAST(2 * i - 1 AS INT), 2)) AS syms
+          FROM wraw
+        )"""
+
+
+def _bpe_cte_chain(rounds: int = BPE_ROUNDS, base: str = _BPE_BASE_WS) -> str:
+    """Unrolled DuckDB replay of the full training trajectory (the e28
+    PQ-Lloyd precedent): each round derives its own argmax pair and
+    applies the merge with a POSITIONAL formulation — candidate marks,
+    run parity for the a==b chain case, greedy keep/drop, list rebuild —
+    deliberately different from the Spark fold. Ends at w{rounds}, the
+    fully-merged word-type table. ``base`` supplies the wraw/w0 CTEs
+    (whitespace+char alphabet for e85/e86; regex pre-tok + byte
+    alphabet for e87)."""
+    parts = [base]
     for t in range(rounds):
         parts.append(f""",
         p{t} AS (
@@ -279,9 +363,9 @@ def _bpe_cte_chain(rounds: int = BPE_ROUNDS) -> str:
     return "".join(parts)
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_oracle(rounds: int = BPE_ROUNDS, base: str = _BPE_BASE_WS) -> str:
     return (
-        _bpe_cte_chain(rounds)
+        _bpe_cte_chain(rounds, base)
         + "\n        SELECT * FROM (\n"
         + "\n          UNION ALL\n".join(
             f"          SELECT CAST({t + 1} AS BIGINT) AS rank, "
@@ -318,4 +402,7 @@ def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
 ORACLES = {
     "e85_bpe_merge_table": _bpe_oracle(),
     "e86_bpe_encode_report": _bpe_encode_oracle(),
+    "e87_bpe_bytelevel_merge_table": _bpe_oracle(
+        base=_BPE_BASE_BYTELEVEL
+    ),
 }

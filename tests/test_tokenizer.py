@@ -199,3 +199,101 @@ def test_e86_oracle_survives_training_exhaustion(spark, tmp_path):
     want_e = [tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall()]
     assert got_e == want_e
     assert got_e and all(r[1] > 0 for r in got_e)  # non-empty totals
+
+
+# ------------------------- e87: byte-level BPE ---------------------------
+import re as _re
+
+from oss_data_lake_spark.operators.tokenizer import (
+    BYTELEVEL_PRETOK_RE,
+    bpe_bytelevel_merge_table,
+)
+
+_PRETOK = _re.compile(BYTELEVEL_PRETOK_RE)
+
+
+def ref_bytelevel_bpe(texts, rounds):
+    """Reference byte-level trajectory: Python re pre-tokenization, the
+    byte-fallback hex alphabet, then the verbatim Sennrich loop."""
+    wc: Counter = Counter()
+    for t in texts:
+        for w in _PRETOK.findall(t):
+            if w:
+                wc[w] += 1
+    hx = {
+        w: [
+            w.encode("utf-8").hex().upper()[i: i + 2]
+            for i in range(0, 2 * len(w.encode("utf-8")), 2)
+        ]
+        for w in wc
+    }
+    vocab = {w: [list(hx[w]), c] for w, c in wc.items()}
+    merges = []
+    for rank in range(1, rounds + 1):
+        stats: Counter = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (l, r), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, c))
+        for entry in vocab.values():
+            out: list[str] = []
+            for s in entry[0]:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            entry[0] = out
+    return merges
+
+
+CRAFTED_BYTES = [
+    # contractions hit the suffix alternatives; digits and punctuation
+    # split into their own runs; multiple spaces become whitespace tokens
+    "it's  don't can't 1234 56x!! it's",
+    # multi-byte UTF-8: the byte-fallback alphabet must spell every byte
+    "héllo naïve héllo café éé",
+    # space-prefixed letter runs (the GPT-2 ' word' shape)
+    "the cat the bat the mat",
+    "",
+]
+
+
+def test_e87_crafted_equals_reference(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, CRAFTED_BYTES)
+    want = ref_bytelevel_bpe(CRAFTED_BYTES, 12)
+    got = [
+        tuple(r)
+        for r in bpe_bytelevel_merge_table(spark, sf, rounds=12).collect()
+    ]
+    assert got == want
+    # multi-byte fallback really fired: some merged symbol spells a
+    # UTF-8 continuation byte (hex >= 80)
+    flat = "".join(l + r for _, l, r, _ in want)
+    assert any(
+        int(flat[i: i + 2], 16) >= 0x80 for i in range(0, len(flat), 2)
+    )
+
+
+def test_e87_fixture_equals_reference(spark, sf_dir):
+    import duckdb
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    want = ref_bytelevel_bpe(texts, BPE_ROUNDS)
+    got = [
+        tuple(r) for r in bpe_bytelevel_merge_table(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert len(got) == BPE_ROUNDS
+    # the GPT-2 shape is present: some learned token starts with the
+    # space byte (0x20) — the ' word' pre-token family
+    assert any(l.startswith("20") for _, l, r, _ in got)
