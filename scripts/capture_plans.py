@@ -127,6 +127,23 @@ CAPTURE: dict[str, str] = {
         "ALL ROWS PER MATCH as an EQUI-join: matches explode into "
         "(k+1) run-id-keyed spans, joined back to the positioned row "
         "layer — no range join, no BroadcastNestedLoopJoin",
+    # round 12 additions
+    "b56_quantified_comparisons":
+        "quantified comparisons Spark-first: each quantifier side "
+        "collapses to an aggregate BEFORE meeting the big side — "
+        "per-nation max broadcast-joined to supplier (> ALL), one "
+        "scalar max cross-joined (< SOME), a broadcast LEFT SEMI "
+        "(= ANY); no per-row subquery anywhere",
+    "b57_window_frame_exclude":
+        "frame EXCLUDE modes as subtraction identities: ONE "
+        "partitionBy(o_custkey) exchange, frame and peer-group "
+        "aggregates as stacked Window nodes, CASE guards pure "
+        "projection — no self-join",
+    "e87_bpe_bytelevel_merge_table":
+        "byte-level BPE: regex pre-tokenizer + hex-pair byte alphabet "
+        "feed the same bounded pre-token-TYPE table loop as e85 — one "
+        "corpus scan, then per-round aggregate + 1-row collect + "
+        "Catalyst fold, zero Python",
 }
 
 

@@ -396,3 +396,38 @@ def test_e84_semdecon_grouped_scan_no_all_pairs(spark, sf_dir):
     # exactly one grouping exchange feeds the pandas scan: hashpartitioning
     # on cluster appears, and nothing shuffles the raw corpus twice
     assert txt.count("FlatMapGroupsInPandas") == 1
+
+
+def test_b56_quantified_sides_are_aggregates_then_broadcast(spark, sf_dir):
+    """b56 (quantified comparisons): every quantifier side collapses to
+    an aggregate BEFORE meeting the big side — per-nation max broadcast
+    to supplier, one scalar max, a broadcast LEFT SEMI — never a per-row
+    subquery, never a nested loop over data tables.
+
+    (The plan DOES contain one BroadcastNestedLoopJoin: the final
+    combine of the three 1-row aggregate results — a 1×1×1 cross join,
+    size-independent by construction.)"""
+    from oss_data_lake_spark.operators.relational_more import (
+        quantified_comparisons,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(quantified_comparisons(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert txt.count("LeftSemi") == 1
+    assert "BroadcastHashJoin" in txt  # the per-nation max side
+
+
+def test_b57_exclude_is_single_exchange_windows(spark, sf_dir):
+    """b57 (frame EXCLUDE): all four window aggregates (frame/peer ×
+    sum/count) ride ONE hashpartitioning(o_custkey) exchange; the
+    EXCLUDE arithmetic is pure projection — no join anywhere."""
+    from oss_data_lake_spark.operators.relational_more import (
+        window_frame_exclude,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(window_frame_exclude(spark, sf_dir), "simple")
+    assert txt.count("hashpartitioning(o_custkey") == 1
+    for tok in ("Join", "CartesianProduct"):
+        assert tok not in txt
