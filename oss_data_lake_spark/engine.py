@@ -879,6 +879,9 @@ class Engine:
         r"^\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+([A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
     )
+    _SHOW_CATALOGS_RE = re.compile(
+        r"^\s*SHOW\s+CATALOGS\s*;?\s*$", re.IGNORECASE
+    )
     # dotted CREATE/DROP SCHEMA (the reference smoke test's verbatim
     # `CREATE SCHEMA IF NOT EXISTS iceberg.yfinance`): Spark's session
     # catalog is single-part, so multi-part schemas are ENGINE-level
@@ -1644,6 +1647,20 @@ class Engine:
                 raise ValueError(f"schema '{name}' does not exist")
             self._ns_schemas.discard(name)
             return self.spark.createDataFrame([], "result string")
+        if self._SHOW_CATALOGS_RE.match(text):
+            # Trino's SHOW CATALOGS (the FIRST statement CloudBeaver
+            # issues on connect): catalog names from the same federated
+            # universe information_schema.schemata serves, in Trino's
+            # single-column shape
+            from oss_data_lake_spark.sources.info_schema import _universe
+
+            entries, extra = _universe(self)
+            cats = sorted(
+                {c for c, *_ in entries} | {c for c, _s in extra}
+            )
+            return self.spark.createDataFrame(
+                [(c,) for c in cats] or [], "Catalog string"
+            )
         sc_m = self._SHOW_SCHEMAS_CAT_RE.match(text)
         if sc_m:
             cat = sc_m.group(1)

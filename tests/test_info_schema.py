@@ -170,3 +170,18 @@ def test_persistent_view_over_information_schema(eng):
                                     delete_data=True)
     finally:
         eng.sql("DROP VIEW my_tables")
+
+
+def test_show_catalogs(eng):
+    """Trino's SHOW CATALOGS — CloudBeaver's first connect statement —
+    answered from the same universe information_schema.schemata serves,
+    in Trino's single-column shape."""
+    df = eng.sql("SHOW CATALOGS")
+    assert df.columns == ["Catalog"]
+    cats = {r["Catalog"] for r in df.collect()}
+    assert {"iceberg", "snapshot", "spark_catalog"} <= cats
+    # consistent with the schemata relation
+    is_cats = {r.catalog_name for r in eng.sql(
+        "SELECT DISTINCT catalog_name FROM information_schema.schemata"
+    ).collect()}
+    assert cats == is_cats
