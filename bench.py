@@ -121,6 +121,12 @@ HEADLINE = [
     # the 24 fixed rounds (word-type table is vocabulary-sized), so the
     # timing tracks round orchestration cost, not data volume
     "e85_bpe_merge_table",
+    # round 12: quantified comparisons (broadcast aggregate/semi-join
+    # plans), frame EXCLUDE (single-exchange window stack), byte-level
+    # BPE (same round-orchestration cost shape as e85)
+    "b56_quantified_comparisons",
+    "b57_window_frame_exclude",
+    "e87_bpe_bytelevel_merge_table",
 ]
 
 
