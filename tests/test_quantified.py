@@ -159,3 +159,38 @@ def test_quantified_over_snapshot_table_and_view(eng, spark, tmp_path):
             e.sql("DROP VIEW qv")
     finally:
         e.drop_snapshot_table("qt", delete_data=True)
+
+
+@pytest.mark.parametrize("op,quant", [
+    (">", "ALL"), ("<", "ALL"), (">=", "ANY"), ("=", "ALL"),
+    ("<>", "ANY"), ("=", "ANY"), ("<>", "ALL"),
+])
+def test_correlated_quantified_matches_duckdb(eng, duck, spark, op, quant):
+    """CORRELATED quantified subqueries (Trino supports them): the
+    aggregate encoding leaves the correlation inside the derived table
+    and Spark's decorrelation turns the scalar aggregates into outer
+    joins — checked against DuckDB's native correlated evaluation,
+    including groups with NULLs and an outer key with NO inner rows
+    (empty-set semantics per group)."""
+    data_s = [(1, 10), (1, 20), (1, None), (2, 5), (3, 7)]
+    data_c = [(1, 15), (1, 18), (2, None), (2, 99)]  # k=3 has no rows
+    spark.createDataFrame(data_s, "k int, v int")\
+        .createOrReplaceTempView("qs")
+    spark.createDataFrame(data_c, "k int, y int")\
+        .createOrReplaceTempView("qc")
+    duck.execute("CREATE OR REPLACE TABLE qs AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({k}, {'NULL' if v is None else v})"
+                             for k, v in data_s) + ") t(k, v)")
+    duck.execute("CREATE OR REPLACE TABLE qc AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({k}, {'NULL' if y is None else y})"
+                             for k, y in data_c) + ") t(k, y)")
+    sql = (f"SELECT k, v FROM qs WHERE v {op} {quant} "
+           f"(SELECT y FROM qc WHERE qc.k = qs.k) "
+           f"ORDER BY k, v NULLS FIRST")
+    try:
+        got = [(r.k, r.v) for r in eng.sql(sql).collect()]
+        want = list(duck.execute(sql).fetchall())
+        assert got == want, f"{sql}: spark={got} duckdb={want}"
+    finally:
+        spark.catalog.dropTempView("qs")
+        spark.catalog.dropTempView("qc")
