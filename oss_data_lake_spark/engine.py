@@ -113,6 +113,8 @@ class Engine:
         text = self._translate_quantified(text)
         # SQL:2016 SQL/JSON functions map onto get_json_object
         text = self._translate_sql_json(text)
+        # SQL:2011 window frame EXCLUDE rewrites to subtraction identities
+        text = self._translate_window_exclude(text)
         # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
         # verbatim DDL) translate to the engine's snapshot CREATE grammar
         text = self._translate_trino_create(text)
@@ -1493,6 +1495,162 @@ class Engine:
             f"ELSE TRUE END)"
         )
 
+    # Window frame EXCLUDE (SQL:2011 <window frame exclusion>; Trino 467
+    # supports EXCLUDE CURRENT ROW | GROUP | TIES | NO OTHERS — Spark's
+    # parser rejects the clause). Translated to the exact subtraction
+    # identities the b57 operator derives (operators/relational_more.py):
+    # over a frame that provably CONTAINS the excluded set, the excluded
+    # aggregate is frame_agg minus the excluded terms, with a count
+    # guard restoring ANSI empty-set NULLs.
+    #
+    # Supported class (everything else refuses loudly — silently
+    # approximating a frame would change results):
+    #   - aggregates SUM / COUNT / COUNT(*) / AVG (min/max are not
+    #     subtraction-decomposable);
+    #   - an explicit ORDER BY in the window;
+    #   - EXCLUDE GROUP|TIES: a RANGE frame (or the default frame) whose
+    #     bounds reach the current row from both sides — the peer group
+    #     is then always inside the frame;
+    #   - EXCLUDE CURRENT ROW: any RANGE or ROWS frame reaching offset 0;
+    #   - EXCLUDE NO OTHERS: the default — clause dropped verbatim.
+    _WIN_EXCLUDE_RE = re.compile(
+        r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
+        r"((?:[^()]|\([^()]*\))*)\)\s*OVER\s*\(",
+        re.IGNORECASE,
+    )
+    _EXCLUDE_TAIL_RE = re.compile(
+        r"^(.*?)\s*EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _FRAME_RE = re.compile(
+        r"\b(ROWS|RANGE|GROUPS)\s+(BETWEEN\s+.+|UNBOUNDED\s+PRECEDING"
+        r"|CURRENT\s+ROW|\d+\s+PRECEDING)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _BOUND_OK = re.compile(
+        r"^\s*(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW"
+        r"|\d+\s+FOLLOWING|UNBOUNDED\s+FOLLOWING)\s*$",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _exclude_rewrite(
+        cls, func: str, expr: str, wbody: str, mode: str
+    ) -> str:
+        """The replacement text for ``func(expr) OVER (wbody EXCLUDE
+        mode)`` — validation raises ValueError with the precise reason."""
+        func, mode = func.lower(), re.sub(r"\s+", " ", mode.upper())
+        if func in ("min", "max"):
+            raise ValueError(
+                f"EXCLUDE {mode}: {func}() is not subtraction-decomposable"
+            )
+        if not re.search(r"\bORDER\s+BY\b", wbody, re.IGNORECASE):
+            raise ValueError(
+                f"EXCLUDE {mode}: the window needs an explicit ORDER BY"
+            )
+        fm = cls._FRAME_RE.search(wbody)
+        ppre = wbody[: fm.start()].rstrip() if fm else wbody.rstrip()
+        frame = wbody[fm.start():].strip() if fm else None
+        if frame is not None:
+            kind = fm.group(1).upper()
+            bm = re.match(
+                r"^\w+\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", frame,
+                re.IGNORECASE | re.DOTALL,
+            )
+            lo, hi = (
+                (bm.group(1), bm.group(2)) if bm
+                else (fm.group(2), "CURRENT ROW")
+            )
+            for b in (lo, hi):
+                if not cls._BOUND_OK.match(b):
+                    raise ValueError(
+                        f"EXCLUDE {mode}: unsupported frame bound {b!r}"
+                    )
+            lo_ok = "PRECEDING" in lo.upper() or "CURRENT" in lo.upper()
+            hi_ok = "FOLLOWING" in hi.upper() or "CURRENT" in hi.upper()
+            if not (lo_ok and hi_ok):
+                raise ValueError(
+                    f"EXCLUDE {mode}: the frame must reach the current "
+                    f"row from both sides (got {frame!r})"
+                )
+            if mode in ("GROUP", "TIES") and kind != "RANGE":
+                raise ValueError(
+                    f"EXCLUDE {mode}: only RANGE frames (where the peer "
+                    f"group is provably inside the frame) are supported; "
+                    f"got {kind}"
+                )
+        wf = wbody  # the full-frame window, EXCLUDE clause already gone
+        wp = f"{ppre} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        star = expr.strip() == "*"
+        e = expr.strip()
+        if star and func == "sum":
+            raise ValueError("sum(*) is not SQL")
+        fcnt = (
+            f"count(*) OVER ({wf})" if star else f"count({e}) OVER ({wf})"
+        )
+        pcnt = (
+            f"count(*) OVER ({wp})" if star else f"count({e}) OVER ({wp})"
+        )
+        curn = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
+        if mode == "CURRENT ROW":
+            cnt = f"({fcnt} - {curn})"
+        elif mode == "GROUP":
+            cnt = f"({fcnt} - {pcnt})"
+        else:  # TIES
+            cnt = f"({fcnt} - {pcnt} + {curn})"
+        if func == "count":
+            return cnt
+        fsum = f"coalesce(sum({e}) OVER ({wf}), 0)"
+        psum = f"coalesce(sum({e}) OVER ({wp}), 0)"
+        cur = f"coalesce(({e}), 0)"
+        if mode == "CURRENT ROW":
+            s = f"{fsum} - {cur}"
+        elif mode == "GROUP":
+            s = f"{fsum} - {psum}"
+        else:
+            s = f"{fsum} - {psum} + {cur}"
+        guarded = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {s} END)"
+        if func == "sum":
+            return guarded
+        return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE ({s}) / {cnt} END)"
+
+    def _translate_window_exclude(self, text: str, _from: int = 0) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._WIN_EXCLUDE_RE.search(masked, _from)
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced: the parser reports it
+        body, body_m = text[m.end(): i - 1], masked[m.end(): i - 1]
+        em = self._EXCLUDE_TAIL_RE.match(body_m)
+        if em is None:
+            return self._translate_window_exclude(text, i)
+        mode = re.sub(r"\s+", " ", em.group(2).upper())
+        wbody = body[: em.end(1)].strip()
+        if mode == "NO OTHERS":  # the default, spelled out
+            repl = f"{text[m.start(): m.end()]}{wbody})"
+        else:
+            if m.group(2):  # DISTINCT
+                raise ValueError(
+                    f"EXCLUDE {mode}: DISTINCT window aggregates are not "
+                    f"supported"
+                )
+            repl = self._exclude_rewrite(
+                m.group(1), text[m.start(3): m.end(3)], wbody, mode
+            )
+        return self._translate_window_exclude(
+            text[: m.start()] + repl + text[i:], m.start()
+        )
+
     # SQL/JSON standard functions (SQL:2016 §6.27; Trino 467 ships
     # json_value / json_query / json_exists) mapped onto Spark's JSON
     # machinery (get_json_object). Supported class and documented
@@ -1794,6 +1952,7 @@ class Engine:
         try:
             body = self._translate_quantified(body)
             body = self._translate_sql_json(body)
+            body = self._translate_window_exclude(body)
             body, is_views = expand_information_schema(self, body)
             df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
             df.schema  # bind before the metadata views drop
