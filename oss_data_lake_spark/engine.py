@@ -115,6 +115,8 @@ class Engine:
         text = self._translate_sql_json(text)
         # SQL:2011 window frame EXCLUDE rewrites to subtraction identities
         text = self._translate_window_exclude(text)
+        # ANSI OFFSET n ROWS / FETCH FIRST n ROWS ONLY → LIMIT/OFFSET
+        text = self._translate_fetch_offset(text)
         # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
         # verbatim DDL) translate to the engine's snapshot CREATE grammar
         text = self._translate_trino_create(text)
@@ -1495,6 +1497,49 @@ class Engine:
             f"ELSE TRUE END)"
         )
 
+    # ANSI row-limiting (SQL:2008 <fetch first clause>; Trino and
+    # DBeaver-class BI tools emit it for paging): `OFFSET n ROWS` /
+    # `FETCH FIRST|NEXT [n] ROWS ONLY` translate to Spark's
+    # LIMIT/OFFSET spellings (Spark wants LIMIT before OFFSET, ANSI
+    # puts OFFSET first — the combined form reorders). FETCH ... WITH
+    # TIES refuses loudly (it needs a rank filter, not a limit).
+    # Matching runs on the MASKED text; `n ROWS` is required on the
+    # bare OFFSET form so Spark's own `OFFSET n` is never touched.
+    _FETCH_RE = re.compile(
+        r"(?:OFFSET\s+(\d+)\s+ROWS?\s+)?"
+        r"FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+"
+        r"(ONLY|WITH\s+TIES)",
+        re.IGNORECASE,
+    )
+    _OFFSET_ROWS_RE = re.compile(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE
+    )
+
+    def _translate_fetch_offset(self, text: str) -> str:
+        from oss_data_lake_spark.sources.snapshots import (
+            _sub_outside_literals,
+        )
+
+        if not re.search(r"\b(FETCH|OFFSET)\b", text, re.IGNORECASE):
+            return text
+
+        def sub_fetch(m: "re.Match[str]") -> str:
+            if m.group(3).upper() != "ONLY":
+                raise ValueError(
+                    "FETCH ... WITH TIES is not supported (a limit "
+                    "cannot express it; use a rank() window filter)"
+                )
+            n = m.group(2) or "1"
+            off = f" OFFSET {m.group(1)}" if m.group(1) else ""
+            return f"LIMIT {n}{off}"
+
+        text = _sub_outside_literals(self._FETCH_RE, sub_fetch, text)
+        return _sub_outside_literals(
+            self._OFFSET_ROWS_RE,
+            lambda m: f"OFFSET {m.group(1)}",
+            text,
+        )
+
     # Window frame EXCLUDE (SQL:2011 <window frame exclusion>; Trino 467
     # supports EXCLUDE CURRENT ROW | GROUP | TIES | NO OTHERS — Spark's
     # parser rejects the clause). Translated to the exact subtraction
@@ -1953,6 +1998,7 @@ class Engine:
             body = self._translate_quantified(body)
             body = self._translate_sql_json(body)
             body = self._translate_window_exclude(body)
+            body = self._translate_fetch_offset(body)
             body, is_views = expand_information_schema(self, body)
             df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
             df.schema  # bind before the metadata views drop

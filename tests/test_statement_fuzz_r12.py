@@ -122,3 +122,29 @@ def test_information_schema_inside_ddl_name_is_refused_cleanly(fz_eng):
     with pytest.raises(Exception):
         fz_eng.sql("CREATE TABLE information_schema.tables (k INT) "
                    "USING snapshot")
+
+
+def test_fetch_first_offset_rows_translate(fz_eng):
+    """ANSI paging (DBeaver-class BI emits it): OFFSET n ROWS /
+    FETCH FIRST n ROWS ONLY / the combined ANSI ordering, vs the same
+    paging in Spark's native LIMIT/OFFSET spellings."""
+    base = "SELECT k FROM fz ORDER BY k "
+    want = [r.k for r in fz_eng.sql(base + "LIMIT 3 OFFSET 2").collect()]
+    assert want == [2, 3, 4]
+    for ansi in [
+        "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY",
+        "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY",
+    ]:
+        got = [r.k for r in fz_eng.sql(base + ansi).collect()]
+        assert got == want, ansi
+    assert [r.k for r in fz_eng.sql(
+        base + "FETCH FIRST ROW ONLY").collect()] == [0]  # default n=1
+    assert [r.k for r in fz_eng.sql(
+        base + "OFFSET 18 ROWS").collect()] == [18, 19]
+    with pytest.raises(ValueError, match="WITH TIES"):
+        fz_eng.sql(base + "FETCH FIRST 3 ROWS WITH TIES")
+    # the spelling inside a literal stays data
+    s = fz_eng.sql(
+        "SELECT 'OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY' AS s"
+    ).collect()[0]["s"]
+    assert s == "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY"
