@@ -630,32 +630,37 @@ def semdedup_report(
     blk = SEMDEDUP_SWEEP_BLOCK
 
     # --- second-level re-split of oversized clusters (round 12) -------
-    # One extra assignment pass decides whether any cluster exceeds the
-    # cap (assignment is the cheap stage; the sweep matmuls dominate).
-    # The sub-centroid model is a bounded fitted-model collect:
-    # ≤ 2·m/cap rows — 40× smaller than the top-level _ivf_model set.
+    # Gate: no cluster can exceed the cap unless the WHOLE corpus does —
+    # and that count is a parquet-metadata read, not a data pass. Below
+    # the gate the split machinery short-circuits entirely (zero extra
+    # work at small scale); above it, ONE extra assignment pass decides
+    # which clusters exceed the cap (assignment is the cheap stage; the
+    # sweep matmuls dominate). The sub-centroid model is a bounded
+    # fitted-model collect: ≤ 2·m/cap rows — 40× smaller than the
+    # top-level _ivf_model set.
     cap = int(SEMDEDUP_MAX_CLUSTER)
     half = max(1, cap // 2)
-    big = (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("__csz"))
-        .filter(F.col("__csz") > cap)
-        .select("cluster")
-    )
-    wsub = Window.partitionBy("cluster").orderBy("vec_id")
-    sub_rows = (
-        assigned.join(F.broadcast(big), "cluster")
-        .withColumn("__r", F.row_number().over(wsub) - 1)
-        .filter(F.col("__r") % half == 0)
-        .select("cluster", "vec_id", "embedding")
-        .orderBy("cluster", "vec_id")
-        .collect()
-    )
     sub_model: dict = {}
-    for r in sub_rows:
-        ids_mat = sub_model.setdefault(int(r["cluster"]), ([], []))
-        ids_mat[0].append(int(r["vec_id"]))
-        ids_mat[1].append(list(r["embedding"]))
+    if emb.count() > cap:  # corpus-count gate: metadata read, no pass
+        big = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") > cap)
+            .select("cluster")
+        )
+        wsub = Window.partitionBy("cluster").orderBy("vec_id")
+        sub_rows = (
+            assigned.join(F.broadcast(big), "cluster")
+            .withColumn("__r", F.row_number().over(wsub) - 1)
+            .filter(F.col("__r") % half == 0)
+            .select("cluster", "vec_id", "embedding")
+            .orderBy("cluster", "vec_id")
+            .collect()
+        )
+        for r in sub_rows:
+            ids_mat = sub_model.setdefault(int(r["cluster"]), ([], []))
+            ids_mat[0].append(int(r["vec_id"]))
+            ids_mat[1].append(list(r["embedding"]))
 
     if sub_model:
         model = sub_model
@@ -822,37 +827,46 @@ def semantic_decontamination(
     # split-vs-unsplit on the real fixture in
     # tests/test_semdedup_split.py; the DuckDB oracle is untouched.
     chunk = int(SEMDEDUP_MAX_CLUSTER)
-    nsubs = (
-        train.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .select(
-            "cluster",
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.col("__n") / chunk).cast("long"),
-            ).alias("__nsubs"),
+    if emb.count() <= chunk:
+        # corpus-count gate (metadata read): no cluster can exceed the
+        # cap, so the chunk machinery short-circuits to one chunk per
+        # cluster — zero extra passes at small scale
+        train_s = train.withColumn("sub", F.lit(0).cast("long"))
+        probes_s = probes.withColumn("sub", F.lit(0).cast("long"))
+    else:
+        nsubs = (
+            train.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(
+                "cluster",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("__n") / chunk).cast("long"),
+                ).alias("__nsubs"),
+            )
         )
-    )
-    train_s = (
-        train.join(F.broadcast(nsubs), "cluster")
-        .withColumn(
-            "sub", F.pmod(F.col("vec_id"), F.col("__nsubs")).cast("long")
+        train_s = (
+            train.join(F.broadcast(nsubs), "cluster")
+            .withColumn(
+                "sub",
+                F.pmod(F.col("vec_id"), F.col("__nsubs")).cast("long"),
+            )
+            .drop("__nsubs")
         )
-        .drop("__nsubs")
-    )
-    probes_s = (
-        probes.join(F.broadcast(nsubs), "cluster", "left")
-        .withColumn("__nsubs", F.coalesce(F.col("__nsubs"), F.lit(1)))
-        .withColumn(
-            "sub",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"), (F.col("__nsubs") - 1).cast("long")
-                )
-            ),
+        probes_s = (
+            probes.join(F.broadcast(nsubs), "cluster", "left")
+            .withColumn("__nsubs", F.coalesce(F.col("__nsubs"), F.lit(1)))
+            .withColumn(
+                "sub",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        (F.col("__nsubs") - 1).cast("long"),
+                    )
+                ),
+            )
+            .drop("__nsubs")
         )
-        .drop("__nsubs")
-    )
     both = train_s.withColumn("is_eval", F.lit(False)).unionByName(
         probes_s.withColumn("is_eval", F.lit(True))
     )
