@@ -194,3 +194,16 @@ def test_correlated_quantified_matches_duckdb(eng, duck, spark, op, quant):
     finally:
         spark.catalog.dropTempView("qs")
         spark.catalog.dropTempView("qc")
+
+
+def test_quantified_stats_subquery_executes_once(eng, spark):
+    """The 'one merged aggregate pass' claim: the stats struct appears
+    textually once per field, but Spark's subquery reuse executes ONE
+    physical subquery — the executed plan carries ReusedSubquery nodes
+    for every textual duplicate."""
+    df = eng.sql(
+        "SELECT x FROM qa WHERE x > ALL (SELECT y FROM qb_dense)"
+    )
+    df.collect()  # reuse is visible in the EXECUTED plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedSubquery" in plan
