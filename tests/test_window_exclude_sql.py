@@ -49,6 +49,11 @@ FRAMES = [
     "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING",
     "RANGE BETWEEN CURRENT ROW AND 3 FOLLOWING",
     "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    # the degenerate frame: frame == peer group, so EXCLUDE GROUP
+    # empties it (sum -> NULL, count -> 0) and TIES leaves only the
+    # current row — the empty-set guards under maximum stress
+    "RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING",
+    "RANGE BETWEEN 1 PRECEDING AND 0 FOLLOWING",
 ]
 AGGS = ["sum(m)", "count(m)", "count(*)", "avg(m)"]
 MODES = ["CURRENT ROW", "GROUP", "TIES"]
@@ -127,3 +132,19 @@ def test_literal_exclude_stays_data(eng):
     s = eng.sql("SELECT 'sum(x) OVER (ORDER BY y EXCLUDE TIES)' AS s")\
         .collect()[0]["s"]
     assert s == "sum(x) OVER (ORDER BY y EXCLUDE TIES)"
+
+
+def test_three_translators_compose_with_duckdb(eng, duck):
+    """Quantified comparison + frame EXCLUDE + ANSI FETCH in ONE
+    statement — the translator chain composes, differentially against
+    DuckDB evaluating all three natively."""
+    sql = (
+        "SELECT rid, CAST(sum(m) OVER (PARTITION BY g ORDER BY od "
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) "
+        "AS DOUBLE) AS v "
+        "FROM wx WHERE od <= ALL (SELECT od FROM wx w2 WHERE w2.g = 9) "
+        "ORDER BY rid OFFSET 1 ROWS FETCH FIRST 5 ROWS ONLY"
+    )
+    got = [(r.rid, r.v) for r in eng.sql(sql).collect()]
+    want = list(duck.execute(sql).fetchall())
+    assert got == want and len(got) == 5
