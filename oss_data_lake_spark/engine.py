@@ -117,6 +117,8 @@ class Engine:
         text = self._translate_window_exclude(text)
         # ANSI OFFSET n ROWS / FETCH FIRST n ROWS ONLY → LIMIT/OFFSET
         text = self._translate_fetch_offset(text)
+        # bare CURRENT_CATALOG / CURRENT_SCHEMA → session-state literals
+        text = self._translate_session_niladics(text)
         # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
         # verbatim DDL) translate to the engine's snapshot CREATE grammar
         text = self._translate_trino_create(text)
@@ -1495,6 +1497,48 @@ class Engine:
             f"WHEN ({lhs}) {fail_op} {stats}.{bound} THEN FALSE "
             f"WHEN {stats}.cy < {stats}.c THEN {nb} "
             f"ELSE TRUE END)"
+        )
+
+    # ANSI niladic session functions (SQL standard CURRENT_CATALOG /
+    # CURRENT_SCHEMA — Trino spells them WITHOUT parens; Spark's parser
+    # only accepts the function forms). The bare keywords substitute as
+    # string literals reflecting the ENGINE's session state: after
+    # `USE iceberg.yfinance` they read 'iceberg' / 'yfinance' (the
+    # engine-recorded schema wins over Spark's catalog, which cannot
+    # represent the dotted namespace); with no USE they fall back to
+    # Spark's current catalog/database. The function spellings
+    # current_catalog() / current_schema() stay Spark's own. ANSI makes
+    # these reserved words, so a bare identifier collision is not legal
+    # SQL to begin with; literals are masked as everywhere else.
+    _NILADIC_RE = re.compile(
+        r"\b(CURRENT_CATALOG|CURRENT_SCHEMA)\b(?!\s*\()", re.IGNORECASE
+    )
+
+    def _translate_session_niladics(self, text: str) -> str:
+        if not re.search(
+            r"current_(catalog|schema)", text, re.IGNORECASE
+        ):
+            return text
+        from oss_data_lake_spark.sources.snapshots import (
+            _sub_outside_literals,
+        )
+
+        cur = self._current_schema
+        if cur and "." in cur:
+            cat, sch = cur.split(".", 1)
+        else:
+            try:
+                cat = self.spark.catalog.currentCatalog()
+            except Exception:
+                cat = "spark_catalog"
+            sch = cur or self.spark.catalog.currentDatabase()
+
+        def q(v: str) -> str:
+            return "'" + v.replace("'", "''") + "'"
+
+        vals = {"CURRENT_CATALOG": q(cat), "CURRENT_SCHEMA": q(sch)}
+        return _sub_outside_literals(
+            self._NILADIC_RE, lambda m: vals[m.group(1).upper()], text
         )
 
     # ANSI row-limiting (SQL:2008 <fetch first clause>; Trino and

@@ -385,3 +385,34 @@ def test_bi_connect_trace_with_information_schema(spark, tmp_path):
     finally:
         e.sql("USE default")
         e.drop_snapshot_table("iceberg.marts.fact", delete_data=True)
+
+
+def test_bare_current_catalog_schema_niladics(spark, tmp_path):
+    """Trino spells CURRENT_CATALOG / CURRENT_SCHEMA without parens (ANSI
+    niladics; BI tools SELECT them on connect) — they reflect the
+    engine's USE state, while Spark's function spellings stay Spark's."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    r = e.sql(
+        "SELECT current_catalog AS c, current_schema AS s"
+    ).collect()[0]
+    assert (r.c, r.s) == ("spark_catalog", "default")
+    e.sql("USE iceberg.marts2")
+    try:
+        r = e.sql(
+            "SELECT current_catalog AS c, current_schema AS s"
+        ).collect()[0]
+        assert (r.c, r.s) == ("iceberg", "marts2")
+        # composes inside predicates against information_schema
+        n = e.sql(
+            "SELECT count(*) AS n FROM information_schema.schemata "
+            "WHERE catalog_name = current_catalog"
+        ).collect()[0]["n"]
+        assert n >= 0
+        # the function forms stay Spark's own
+        f = e.sql("SELECT current_catalog() AS c").collect()[0]["c"]
+        assert f == "spark_catalog"
+        # literal spelling is data
+        s = e.sql("SELECT 'current_schema' AS s").collect()[0]["s"]
+        assert s == "current_schema"
+    finally:
+        e.sql("USE default")
