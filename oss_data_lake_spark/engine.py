@@ -105,22 +105,14 @@ class Engine:
         handled = self._handle_match_recognize(text)
         if handled is not None:
             return handled
-        # Trino sampling spellings (TABLESAMPLE BERNOULLI/SYSTEM (p))
-        # translate to Spark's TABLESAMPLE (p PERCENT) before routing
-        text = self._translate_tablesample(text)
-        # ANSI quantified subquery comparisons (op ANY/SOME/ALL) rewrite
-        # to the exact 3VL aggregate encoding Spark's parser lacks
-        text = self._translate_quantified(text)
-        # SQL:2016 SQL/JSON functions map onto get_json_object
-        text = self._translate_sql_json(text)
-        # SQL:2011 window frame EXCLUDE rewrites to subtraction identities
-        text = self._translate_window_exclude(text)
-        # ANSI OFFSET n ROWS / FETCH FIRST n ROWS ONLY → LIMIT/OFFSET
-        text = self._translate_fetch_offset(text)
-        # bare CURRENT_CATALOG / CURRENT_SCHEMA → session-state literals
-        text = self._translate_session_niladics(text)
+        # the shared literal-safe translator chain (Trino/ANSI spellings
+        # Spark's parser lacks) — ONE helper so `sql()` and persistent
+        # view bodies (`_plan_view_body`) accept the identical dialect
+        text = self._translate_chain(text)
         # Trino/Iceberg CREATE TABLE spellings (the reference notebook's
         # verbatim DDL) translate to the engine's snapshot CREATE grammar
+        # (DDL-only: view bodies are queries, so this stays out of the
+        # shared chain)
         text = self._translate_trino_create(text)
         from oss_data_lake_spark.sources.dml_sql import dispatch_statement
 
@@ -132,14 +124,18 @@ class Engine:
         )
 
         text, is_views = expand_information_schema(self, text)
-        # persistent views referenced by the statement (or by DML
-        # subqueries inside it) become session temp views for its
-        # duration — re-planned over the CURRENT base snapshots, then
-        # dropped (analysis is forced before the drop, so returned
-        # DataFrames stay valid)
-        expanded = self._expand_views(text)
-        expanded += is_views
+        # the __is_* metadata views enter the cleanup list BEFORE view
+        # expansion runs: if _expand_views raises (broken or cyclic
+        # view), the finally below still drops them — they must not
+        # leak into the session and shadow later statements' relations
+        expanded = list(is_views)
         try:
+            # persistent views referenced by the statement (or by DML
+            # subqueries inside it) become session temp views for its
+            # duration — re-planned over the CURRENT base snapshots,
+            # then dropped (analysis is forced before the drop, so
+            # returned DataFrames stay valid)
+            expanded += self._expand_views(text)
             if self._snapshot_tables:
                 from oss_data_lake_spark.sources.snapshots import (
                     sql_with_time_travel,
@@ -888,6 +884,66 @@ class Engine:
     _SHOW_CATALOGS_RE = re.compile(
         r"^\s*SHOW\s+CATALOGS\s*;?\s*$", re.IGNORECASE
     )
+    # Trino's SHOW FUNCTIONS (the last SHOW spelling BI tools issue on
+    # connect, after SHOW CATALOGS/SCHEMAS/TABLES): answered from a
+    # static table of the TRANSLATED Trino surface — the honest
+    # dialect-coverage contract — unioned with Spark's own function
+    # registry (those names work verbatim through Engine.sql).
+    _SHOW_FUNCTIONS_RE = re.compile(
+        r"^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    # (function, function_type, description) — every Trino spelling the
+    # engine's translator chain accepts, with where it lands in Spark.
+    # Grown ONLY alongside the translators: this table is asserted
+    # against the chain in tests/test_trino_dialect.py.
+    _DIALECT_FUNCTIONS = (
+        ("approx_distinct", "trino dialect",
+         "translated to approx_count_distinct (HLL; optional max "
+         "standard error)"),
+        ("date_diff", "trino dialect",
+         "date_diff('unit', a, b) translated to timestampdiff(unit, a, "
+         "b); units millisecond..year"),
+        ("date_add", "trino dialect",
+         "date_add('unit', n, ts) translated to timestampadd(unit, n, "
+         "ts); Spark's 2-arg date_add(date, days) unchanged"),
+        ("strpos", "trino dialect",
+         "strpos(s, sub) translated to locate(sub, s) (1-based, 0 when "
+         "absent); 3-arg instance form refuses"),
+        ("format_datetime", "trino dialect",
+         "translated to date_format over the Joda/Spark shared pattern "
+         "subset; other pattern letters refuse"),
+        ("regexp_like", "trino dialect",
+         "Spark builtin of the same name and semantics; passes through"),
+        ("json_value", "trino dialect",
+         "SQL:2016; translated to get_json_object (+ CAST for "
+         "RETURNING)"),
+        ("json_query", "trino dialect",
+         "SQL:2016; translated to get_json_object"),
+        ("json_exists", "trino dialect",
+         "SQL:2016; translated to get_json_object IS NOT NULL"),
+        ("current_catalog", "sql clause (translated)",
+         "bare niladic; substituted from engine session state"),
+        ("current_schema", "sql clause (translated)",
+         "bare niladic; substituted from engine session state"),
+        ("at time zone", "sql clause (translated)",
+         "ANSI datetime factor; translated to "
+         "convert_timezone(current_timezone(), zone, ts)"),
+        ("tablesample bernoulli", "sql clause (translated)",
+         "translated to TABLESAMPLE (p PERCENT)"),
+        ("tablesample system", "sql clause (translated)",
+         "translated to TABLESAMPLE (p PERCENT) (row-level "
+         "approximation)"),
+        ("any/some/all (quantified comparison)", "sql clause (translated)",
+         "ANSI §8.9; exact 3VL aggregate rewrite"),
+        ("window frame exclude", "sql clause (translated)",
+         "SQL:2011; subtraction-identity rewrite for "
+         "SUM/COUNT/AVG"),
+        ("offset n rows / fetch first", "sql clause (translated)",
+         "SQL:2008 row-limiting; translated to LIMIT/OFFSET"),
+        ("match_recognize", "sql clause (translated)",
+         "row-pattern recognition; window-stack compilation"),
+    )
     # dotted CREATE/DROP SCHEMA (the reference smoke test's verbatim
     # `CREATE SCHEMA IF NOT EXISTS iceberg.yfinance`): Spark's session
     # catalog is single-part, so multi-part schemas are ENGINE-level
@@ -1541,6 +1597,256 @@ class Engine:
             self._NILADIC_RE, lambda m: vals[m.group(1).upper()], text
         )
 
+    # -- Trino scalar-function dialect (reference RUNBOOK.md:120-123:
+    # the BI tools emit Trino SQL — these are the spellings their saved
+    # queries and generated filters actually contain). Each rewrite is
+    # EXACT: the Spark builtin has the same semantics (verified by the
+    # differential matrix in tests/test_trino_dialect.py and the b59
+    # oracle arm), or the translation refuses loudly. Matching runs on
+    # the MASKED text — `strpos` inside a string literal is data.
+    #
+    #   approx_distinct(x[, e])      -> approx_count_distinct(x[, e])
+    #                                   (both HLL; e is the max standard
+    #                                   error in both engines)
+    #   date_diff('unit', a, b)      -> timestampdiff(unit, a, b)
+    #                                   (elapsed complete units, b - a;
+    #                                   month-end behavior matches Trino,
+    #                                   pinned in tests)
+    #   date_add('unit', n, ts)      -> timestampadd(unit, n, ts)
+    #                                   (3-arg literal-unit form ONLY —
+    #                                   Spark's own 2-arg date_add(d, n)
+    #                                   is untouched)
+    #   strpos(s, sub)               -> locate(sub, s)   (ARG ORDER SWAP;
+    #                                   both 1-based, 0 = not found. The
+    #                                   3-arg Trino instance form refuses:
+    #                                   locate's 3rd arg is a START
+    #                                   POSITION, not an instance count)
+    #   format_datetime(ts, 'pat')   -> date_format(ts, 'pat') scoped to
+    #                                   the Joda/Spark shared pattern
+    #                                   subset (allowlist below); any
+    #                                   other pattern letter refuses —
+    #                                   Joda 'Y'/'w'/'x'/'e' silently
+    #                                   mean different fields in Spark
+    #   regexp_like(s, p)            -> no rewrite (Spark builtin since
+    #                                   3.4, same RE semantics class;
+    #                                   pinned in tests)
+    #
+    # Trino units shared by Spark's timestampdiff/timestampadd:
+    _TRINO_TIME_UNITS = frozenset(
+        ("millisecond", "second", "minute", "hour",
+         "day", "week", "month", "quarter", "year")
+    )
+    # Joda-time pattern letters whose meaning is IDENTICAL in Spark's
+    # datetime pattern grammar (era, year, month, day, halfday hours,
+    # day hours, clockhours, minute, second, fraction, am/pm, weekday
+    # name, day-of-year, zone name). Everything else (Y weekyear, w/x
+    # week fields, e numeric weekday, C century, Z offset spelling
+    # differences, Q — Joda has no quarter) refuses.
+    _JODA_SHARED = frozenset("GyMdHhKkmsSaEDz")
+    _TRINO_FN_RE = re.compile(
+        r"\b(APPROX_DISTINCT|DATE_DIFF|DATE_ADD|STRPOS|FORMAT_DATETIME)"
+        r"\s*\(",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _split_top_args(s: str) -> list[str]:
+        """Split a function argument string on TOP-LEVEL commas (paren
+        depth 0 on the masked view — commas inside nested calls and
+        string literals stay put)."""
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(s)
+        args, depth, start = [], 0, 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(s[start:i])
+                start = i + 1
+        args.append(s[start:])
+        return args
+
+    _STR_LIT_RE = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
+
+    def _translate_trino_functions(self, text: str, _from: int = 0) -> str:
+        if not re.search(
+            r"approx_distinct|date_diff|date_add|strpos|format_datetime",
+            text, re.IGNORECASE,
+        ):
+            return text
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._TRINO_FN_RE.search(masked, _from)
+        if m is None:
+            return text
+        fname = m.group(1).upper()
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced: the parser reports it
+        argtext = text[m.end(): i - 1]
+        args = self._split_top_args(argtext)
+
+        def unit_of(a: str) -> str:
+            lm = self._STR_LIT_RE.match(a)
+            if lm is None:
+                raise ValueError(
+                    f"{fname.lower()}: the unit must be a string "
+                    f"literal ('day', 'hour', ...), got {a.strip()!r}"
+                )
+            u = lm.group(1).lower()
+            if u not in self._TRINO_TIME_UNITS:
+                raise ValueError(
+                    f"{fname.lower()}: unsupported unit {u!r} "
+                    f"(supported: {sorted(self._TRINO_TIME_UNITS)})"
+                )
+            return u.upper()
+
+        repl = None
+        if fname == "APPROX_DISTINCT":
+            repl = f"approx_count_distinct({argtext})"
+        elif fname == "DATE_DIFF":
+            if len(args) == 3 and self._STR_LIT_RE.match(args[0]):
+                u = unit_of(args[0])
+                repl = f"timestampdiff({u},{args[1]},{args[2]})"
+            # non-literal-unit 3-arg form: not Trino's spelling — leave
+            # it for Spark (which has no date_diff; parser reports it)
+        elif fname == "DATE_ADD":
+            # ONLY the Trino 3-arg ('unit', n, ts) form translates;
+            # Spark's own date_add(start_date, num_days) passes through
+            if len(args) == 3 and self._STR_LIT_RE.match(args[0]):
+                u = unit_of(args[0])
+                repl = f"timestampadd({u},{args[1]},{args[2]})"
+        elif fname == "STRPOS":
+            if len(args) == 3:
+                raise ValueError(
+                    "strpos(string, substring, instance): the 3-arg "
+                    "instance form has no exact Spark builtin (locate's "
+                    "3rd argument is a start position, not an instance "
+                    "count) — rewrite with regexp or nested locate"
+                )
+            if len(args) != 2:
+                raise ValueError(
+                    f"strpos expects 2 arguments, got {len(args)}"
+                )
+            repl = f"locate({args[1].strip()}, {args[0].strip()})"
+        elif fname == "FORMAT_DATETIME":
+            if len(args) != 2:
+                raise ValueError(
+                    f"format_datetime expects 2 arguments, got {len(args)}"
+                )
+            pm = self._STR_LIT_RE.match(args[1])
+            if pm is None:
+                raise ValueError(
+                    "format_datetime: the pattern must be a string literal"
+                )
+            # scan the PATTERN VALUE: undo SQL quote-doubling first so
+            # 'yyyy''T''HH' walks as yyyy'T'HH (T is a quoted literal)
+            pat, k = pm.group(1).replace("''", "'"), 0
+            while k < len(pat):
+                ch = pat[k]
+                if ch == "'":  # Joda quoted literal — same quoting in Spark
+                    k += 1
+                    while k < len(pat) and pat[k] != "'":
+                        k += 1
+                    k += 1
+                    continue
+                if ch.isalpha() and ch not in self._JODA_SHARED:
+                    raise ValueError(
+                        f"format_datetime: pattern letter {ch!r} is not "
+                        f"in the Joda/Spark shared subset "
+                        f"({''.join(sorted(self._JODA_SHARED))}) — its "
+                        f"meaning differs between the engines; refusing "
+                        f"rather than silently reformatting"
+                    )
+                k += 1
+            repl = f"date_format({args[0]}, {args[1].strip()})"
+        if repl is None:
+            # this call passes through untouched (e.g. Spark's own
+            # 2-arg date_add) — but its ARGUMENTS may still contain
+            # Trino spellings, so rescan from just after the name
+            return self._translate_trino_functions(text, m.end())
+        return self._translate_trino_functions(
+            text[: m.start()] + repl + text[i:], m.start()
+        )
+
+    # -- AT TIME ZONE (ANSI <datetime factor>; Trino evaluates it by
+    # coercing a zoneless timestamp with the SESSION zone, then
+    # re-rendering the same instant in the target zone). Spark's parser
+    # lacks the clause; the exact equivalent over Spark's session-zoned
+    # TIMESTAMP is convert_timezone(current_timezone(), <zone>, ts) —
+    # same instant, wall-clock rebased to <zone> (so DATE(ts AT TIME
+    # ZONE 'America/New_York') buckets by New-York-local day, the
+    # reference dashboards' semantics). The zone must be a string
+    # literal; the operand grammar is the quantified-LHS class
+    # (identifier chain / one-level call / parenthesized expression) —
+    # a compound operand tail refuses loudly like the quantified guard.
+    _AT_TZ_RE = re.compile(
+        r"((?!(?:WHERE|AND|OR|NOT|WHEN|THEN|ELSE|ON|SELECT|HAVING|CASE|"
+        r"BETWEEN|IN|EXISTS|LIKE|IS)\()"
+        r"[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?"
+        r"|\((?:[^()]|\([^()]*\))*\))"
+        r"(\s+AT\s+TIME\s+ZONE\b)",
+        re.IGNORECASE,
+    )
+
+    def _translate_at_time_zone(self, text: str, _from: int = 0) -> str:
+        if not re.search(r"\bTIME\s+ZONE\b", text, re.IGNORECASE):
+            return text
+        from oss_data_lake_spark.sources.snapshots import (
+            _literal_spans,
+            _masked,
+        )
+
+        masked = _masked(text)
+        m = self._AT_TZ_RE.search(masked, _from)
+        if m is None:
+            return text
+        # the operand is the RAW span up to the AT keyword: a typed
+        # literal (`timestamp'2020-01-01 00:00:00' AT TIME ZONE ...`)
+        # is blanked in the masked view, so the identifier group alone
+        # would silently drop the literal half of the operand
+        km = re.compile(r"AT\s+TIME\s+ZONE\b", re.IGNORECASE).search(
+            masked, m.start(2)
+        )
+        operand = text[m.start(1): km.start()].strip()
+        j = m.start(1) - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j >= 0 and masked[j] in "+-*/%|&^":
+            raise ValueError(
+                f"AT TIME ZONE: the operand binds only {operand!r}, the "
+                f"tail of a compound expression (preceding operator "
+                f"{masked[j]!r}) — parenthesize the full operand"
+            )
+        # the zone: the next token must be a string literal (it is
+        # BLANKED in the masked view, so locate it in the original text)
+        zstart = m.end()
+        while zstart < len(text) and text[zstart].isspace():
+            zstart += 1
+        span = next(
+            (s for s in _literal_spans(text) if s[0] == zstart), None
+        )
+        if span is None or zstart >= len(text) or text[zstart] != "'":
+            raise ValueError(
+                "AT TIME ZONE: the zone must be a string literal "
+                "('America/New_York', 'UTC', '+05:30', ...)"
+            )
+        zone = text[span[0]: span[1]]
+        repl = f"convert_timezone(current_timezone(), {zone}, {operand})"
+        return self._translate_at_time_zone(
+            text[: m.start()] + repl + text[span[1]:], m.start()
+        )
+
     # ANSI row-limiting (SQL:2008 <fetch first clause>; Trino and
     # DBeaver-class BI tools emit it for paging): `OFFSET n ROWS` /
     # `FETCH FIRST|NEXT [n] ROWS ONLY` translate to Spark's
@@ -1844,12 +2150,47 @@ class Engine:
             # keep scanning to the right of this site
             return self._translate_quantified(text, i)
         lhs = text[m.start(1): m.end(1)].strip()
+        # compound-LHS guard: if the char before the matched LHS is an
+        # expression-continuation token, the regex bound only the TAIL of
+        # a larger expression (`a || b = ANY (...)` matched `b`) and a
+        # splice would rewrite INSIDE the arithmetic/concat — for `||`
+        # Spark's implicit casts would even make it silently wrong.
+        # Refuse loudly (mirror of the clause-keyword lookahead guard);
+        # the fix on the user side is to parenthesize the full LHS.
+        j = m.start(1) - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j >= 0 and masked[j] in "+-*/%|&^":
+            raise ValueError(
+                f"quantified comparison: the left-hand side binds only "
+                f"{lhs!r}, the tail of a compound expression (preceding "
+                f"operator {masked[j]!r}) — parenthesize the full "
+                f"left-hand side, e.g. (a || b) = ANY (...)"
+            )
         repl = self._quantified_case(lhs, m.group(2), m.group(3), sub)
         # restart at the splice: the replacement embeds the subquery
         # text, whose own quantified comparisons (if any) still match
         return self._translate_quantified(
             text[: m.start()] + repl + text[i:], m.start()
         )
+
+    def _translate_chain(self, text: str) -> str:
+        """The full literal-safe dialect chain, in dependency order.
+
+        Used by BOTH ``sql()`` and ``_plan_view_body`` so a statement
+        that plans at the top level also plans when saved as a view —
+        the two paths must never diverge (a body using TABLESAMPLE or a
+        bare CURRENT_SCHEMA previously planned only at the top level).
+        """
+        text = self._translate_tablesample(text)
+        text = self._translate_quantified(text)
+        text = self._translate_sql_json(text)
+        text = self._translate_window_exclude(text)
+        text = self._translate_fetch_offset(text)
+        text = self._translate_session_niladics(text)
+        text = self._translate_trino_functions(text)
+        text = self._translate_at_time_zone(text)
+        return text
 
     def _translate_tablesample(self, text: str) -> str:
         from oss_data_lake_spark.sources.snapshots import _masked
@@ -1908,6 +2249,37 @@ class Engine:
             return self.spark.createDataFrame(
                 [(c,) for c in cats] or [], "Catalog string"
             )
+        sf_m = self._SHOW_FUNCTIONS_RE.match(text)
+        if sf_m:
+            rows = [
+                (f, t, d) for f, t, d in self._DIALECT_FUNCTIONS
+            ]
+            try:
+                rows += [
+                    (fn.name.lower(), "spark builtin", "")
+                    for fn in self.spark.catalog.listFunctions()
+                ]
+            except Exception:
+                pass
+            pat = sf_m.group(1)
+            if pat is not None:
+                # SQL LIKE over the function name (Trino's LIKE filter)
+                rx = re.compile(
+                    "^"
+                    + re.escape(pat.replace("''", "'"))
+                    .replace("%", ".*").replace("_", ".")
+                    + "$",
+                    re.IGNORECASE,
+                )
+                rows = [r for r in rows if rx.match(r[0])]
+            rows.sort(key=lambda r: (r[0], r[1]))
+            schema = (
+                "function string, function_type string, "
+                "description string"
+            )
+            if rows:
+                return self.spark.createDataFrame(rows, schema)
+            return self.spark.createDataFrame([], schema)
         sc_m = self._SHOW_SCHEMAS_CAT_RE.match(text)
         if sc_m:
             cat = sc_m.group(1)
@@ -2039,10 +2411,9 @@ class Engine:
 
         is_views: list[str] = []
         try:
-            body = self._translate_quantified(body)
-            body = self._translate_sql_json(body)
-            body = self._translate_window_exclude(body)
-            body = self._translate_fetch_offset(body)
+            # the SAME dialect chain as sql() — a body that used
+            # TABLESAMPLE or bare CURRENT_SCHEMA must plan here too
+            body = self._translate_chain(body)
             body, is_views = expand_information_schema(self, body)
             df = sql_with_time_travel(self.spark, body, self._snapshot_tables)
             df.schema  # bind before the metadata views drop

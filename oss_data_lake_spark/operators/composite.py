@@ -547,6 +547,22 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "s1": ("arr_json")},
              {"k1": "event_id", "v1": "has_t", "v2": "has_missing",
               "s1": "arr_json"}),
+            # b59 (round 13): the Trino scalar-function dialect —
+            # date_diff/date_add unit forms, strpos, regexp_like,
+            # format_datetime, AT TIME ZONE — issued verbatim through
+            # Engine.sql; every translated value rides the hash
+            ("b59a", "b59_trino_dialect_funcs",
+             {"k1": ("etype"), "v1": ("n"), "v2": ("sum_hours"),
+              "v3": ("sum_pos"), "v4": ("n_alpha"),
+              "s1": _cw("min_fmt", "min_ny_date")},
+             {"k1": "etype", "v1": "n", "v2": "sum_hours",
+              "v3": "sum_pos", "v4": "n_alpha",
+              "s1": _cw_sql("min_fmt", "min_ny_date")}),
+            ("b59b", "b59_trino_dialect_funcs",
+             {"k1": ("etype"), "v1": ("sum_days"), "v2": ("sum_min120"),
+              "v3": ("n_kolkata_days"), "s1": _cw("min_shift_us")},
+             {"k1": "etype", "v1": "sum_days", "v2": "sum_min120",
+              "v3": "n_kolkata_days", "s1": _cw_sql("min_shift_us")}),
         ],
         "b42_semi_anti_joins": [
             ("b04", "b04_semi_join_big_spenders",

@@ -319,6 +319,84 @@ FROM j ORDER BY event_id
 """
 
 
+# b59 (round 13): the Trino scalar-function DIALECT — the spellings
+# BI-generated Trino SQL actually contains (reference RUNBOOK.md:120-123)
+# — issued VERBATIM through Engine.sql and translated by
+# `Engine._translate_trino_functions` / `_translate_at_time_zone`:
+# date_diff/date_add unit forms → timestampdiff/timestampadd, strpos →
+# locate (argument order swap), format_datetime → date_format (shared
+# Joda/Spark pattern subset), regexp_like (native), AT TIME ZONE →
+# convert_timezone (the non-UTC day-bucketing the reference dashboards
+# group by). The nested `date_diff('minute', ts, date_add('hour', 2,
+# ts))` term pins translator composability. Only exact-elapsed units
+# (hour/day/minute) ride the oracle hash — DuckDB's `datesub` shares
+# their complete-intervals semantics bit-exactly; the month-end
+# unit semantics are pinned separately in tests/test_trino_dialect.py.
+# approx_distinct stays OUT of the hash (sketches differ across
+# engines); its accuracy bound is pinned in the same test file.
+_B59_TRINO_SQL = """
+SELECT event_type AS etype,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts))
+       AS BIGINT) AS sum_hours,
+  CAST(sum(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts))
+       AS BIGINT) AS sum_days,
+  CAST(sum(strpos(event_type, 'e')) AS BIGINT) AS sum_pos,
+  CAST(sum(CASE WHEN regexp_like(event_type, '^[a-z_]+$')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+  CAST(sum(date_diff('minute', ts, date_add('hour', 2, ts)))
+       AS BIGINT) AS sum_min120,
+  min(format_datetime(ts, 'yyyy-MM-dd HH')) AS min_fmt,
+  min(CAST(ts AT TIME ZONE 'America/New_York' AS DATE)) AS min_ny_date,
+  CAST(count(DISTINCT CAST(ts AT TIME ZONE 'Asia/Kolkata' AS DATE))
+       AS BIGINT) AS n_kolkata_days,
+  CAST(min(unix_micros(date_add('minute', 90, ts))) AS BIGINT)
+       AS min_shift_us
+FROM {events}
+GROUP BY event_type
+"""
+
+# DuckDB's exact twins: `datesub` = complete elapsed intervals (DuckDB's
+# `datediff` counts BOUNDARY crossings — the argument-semantics trap the
+# differential matrix in tests/test_trino_dialect.py pins); naive→zone
+# wall-clock rebasing is the (ts AT TIME ZONE 'UTC') AT TIME ZONE z
+# double application (Postgres/DuckDB direction rules).
+_B59_DUCK_SQL = """
+SELECT event_type AS etype,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(datesub('hour', TIMESTAMP '2024-01-01 00:00:00', ts))
+       AS BIGINT) AS sum_hours,
+  CAST(sum(datesub('day', TIMESTAMP '2024-01-01 00:00:00', ts))
+       AS BIGINT) AS sum_days,
+  CAST(sum(strpos(event_type, 'e')) AS BIGINT) AS sum_pos,
+  CAST(sum(CASE WHEN regexp_matches(event_type, '^[a-z_]+$')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+  CAST(sum(datesub('minute', ts, ts + INTERVAL 2 HOUR))
+       AS BIGINT) AS sum_min120,
+  min(strftime(ts, '%Y-%m-%d %H')) AS min_fmt,
+  min(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+       AS DATE)) AS min_ny_date,
+  CAST(count(DISTINCT CAST((ts AT TIME ZONE 'UTC')
+       AT TIME ZONE 'Asia/Kolkata' AS DATE)) AS BIGINT) AS n_kolkata_days,
+  CAST(min(epoch_us(ts + INTERVAL 90 MINUTE)) AS BIGINT) AS min_shift_us
+FROM {events}
+GROUP BY event_type
+"""
+
+
+def trino_dialect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Trino scalar-function dialect surface, issued verbatim as a
+    BI tool would (reference RUNBOOK.md:120-123) and translated by the
+    statement layer. One scan, one hash aggregate over 5 groups — every
+    translated function evaluates JVM-side inside the aggregate (no
+    Python, no extra exchange): the plan is a single
+    partial-agg/exchange/final-agg over the parquet scan."""
+    from oss_data_lake_spark.engine import Engine
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return Engine(spark=spark).sql(_B59_TRINO_SQL.format(events="events"))
+
+
 def sql_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2016 SQL/JSON functions issued in their TRINO spellings and
     routed through the statement layer's mapping onto Spark's JSON
@@ -813,6 +891,7 @@ QUERIES = {
     "b56_quantified_comparisons": quantified_comparisons,
     "b57_window_frame_exclude": window_frame_exclude,
     "b58_sql_json_funcs": sql_json_funcs,
+    "b59_trino_dialect_funcs": trino_dialect_funcs,
     "b50_recursive_user_tree": recursive_user_tree,
     "b54_array_lambda_funcs": array_lambda_funcs,
     "b51_lateral_topn_lineitems": lateral_topn_lineitems,
@@ -857,6 +936,9 @@ ORACLES = {
     """,
     # DuckDB's native JSON machinery oracles the Trino SQL/JSON spellings
     "b58_sql_json_funcs": _B58_DUCK_SQL.format(events="events"),
+    # DuckDB twins of the Trino dialect spellings (datesub = elapsed
+    # complete intervals; AT TIME ZONE double application)
+    "b59_trino_dialect_funcs": _B59_DUCK_SQL.format(events="events"),
     # DuckDB evaluates the NATIVE SQL:2011 EXCLUDE spellings — parity
     # verifies the Spark-side subtraction identities
     "b57_window_frame_exclude": _B57_DUCK_SQL.format(

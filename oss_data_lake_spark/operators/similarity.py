@@ -101,6 +101,39 @@ def brute_force_topk(
     )
 
 
+def _corpus_rows(sf_dir: str, name: str) -> int | None:
+    """Corpus row count from parquet FOOTER metadata — a driver-side
+    O(#files) header read, NOT a Spark count() job (round 13: the e80/
+    e84 size gates previously launched a real scan stage per query; at
+    100 TB that is a full-cluster pass just to pick a code path). On a
+    production lake the same number comes from the snapshot manifest /
+    ANALYZE stats; for the fixture layout it is the footers. Returns
+    None when the path is not plain parquet (caller falls back to a
+    Spark count — correctness never depends on this probe)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        total = 0
+        seen = False
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    seen = True
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total if seen else None
+    except Exception:
+        return None
+
+
 def _elems(emb: DataFrame) -> DataFrame:
     """(vec_id, pos, v double) exploded embedding elements."""
     return emb.select(
@@ -641,7 +674,10 @@ def semdedup_report(
     cap = int(SEMDEDUP_MAX_CLUSTER)
     half = max(1, cap // 2)
     sub_model: dict = {}
-    if emb.count() > cap:  # corpus-count gate: metadata read, no pass
+    n_corpus = _corpus_rows(sf_dir, "embeddings")
+    if n_corpus is None:
+        n_corpus = emb.count()  # non-parquet fallback only
+    if n_corpus > cap:  # corpus-count gate: footer metadata, no job
         big = (
             assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__csz"))
@@ -827,9 +863,13 @@ def semantic_decontamination(
     # split-vs-unsplit on the real fixture in
     # tests/test_semdedup_split.py; the DuckDB oracle is untouched.
     chunk = int(SEMDEDUP_MAX_CLUSTER)
-    if emb.count() <= chunk:
-        # corpus-count gate (metadata read): no cluster can exceed the
-        # cap, so the chunk machinery short-circuits to one chunk per
+    n_corpus = _corpus_rows(sf_dir, "embeddings")
+    if n_corpus is None:
+        n_corpus = emb.count()  # non-parquet fallback only
+    if n_corpus <= chunk:
+        # corpus-count gate (parquet footer metadata — a driver-side
+        # header read, no Spark job): no cluster can exceed the cap,
+        # so the chunk machinery short-circuits to one chunk per
         # cluster — zero extra passes at small scale
         train_s = train.withColumn("sub", F.lit(0).cast("long"))
         probes_s = probes.withColumn("sub", F.lit(0).cast("long"))

@@ -223,8 +223,11 @@ def build_relation(engine, relation: str, catalog: str | None) -> "DataFrame":
         raise ValueError(f"unknown information_schema relation: {relation}")
     entries, extra_schemas = _universe(engine)
     if catalog is not None:
-        entries = [e for e in entries if e[0] == catalog]
-        extra_schemas = [s for s in extra_schemas if s[0] == catalog]
+        # Trino folds unquoted identifiers to lowercase, so the qualifier
+        # in `ICEBERG.information_schema.tables` must scope like `iceberg`
+        catalog = catalog.lower()
+        entries = [e for e in entries if e[0].lower() == catalog]
+        extra_schemas = [s for s in extra_schemas if s[0].lower() == catalog]
     spark: "SparkSession" = engine.spark
     rows: list[tuple]
     if relation == "schemata":
@@ -242,8 +245,16 @@ def build_relation(engine, relation: str, catalog: str | None) -> "DataFrame":
     else:  # columns
         rows = []
         for c, s, n, _ty, cols_fn, _vd in entries:
+            # per-entry error surfacing (Trino's behavior): ONE view
+            # broken by a dropped base table contributes no rows but
+            # must not fail the whole relation — BI introspection reads
+            # information_schema.columns on every connect
+            try:
+                cols = cols_fn()
+            except Exception:
+                continue
             for pos, (cn, dt, nullable, default) in enumerate(
-                cols_fn(), start=1
+                cols, start=1
             ):
                 rows.append(
                     (c, s, n, cn, pos, default,

@@ -185,3 +185,65 @@ def test_show_catalogs(eng):
         "SELECT DISTINCT catalog_name FROM information_schema.schemata"
     ).collect()}
     assert cats == is_cats
+
+
+def test_uppercase_catalog_qualifier_folds(eng):
+    """Trino folds unquoted identifiers to lowercase:
+    `ICEBERG.information_schema.tables` must scope like `iceberg`
+    (round-13 ADVICE fix — previously a silent empty relation)."""
+    rows = eng.sql(
+        "SELECT table_name FROM ICEBERG.information_schema.tables "
+        "ORDER BY table_name"
+    ).collect()
+    assert {r.table_name for r in rows} == {"ohlcv", "dividends"}
+
+
+def test_broken_view_does_not_poison_columns(eng):
+    """Per-entry error surfacing (round-13 ADVICE fix): ONE view whose
+    base table was dropped must not fail the whole
+    information_schema.columns relation — it just contributes no rows."""
+    eng.sql("CREATE TABLE doomed (k BIGINT) USING snapshot")
+    eng.sql("CREATE VIEW v_doomed AS SELECT k FROM doomed")
+    try:
+        eng.drop_snapshot_table("doomed", delete_data=True)
+        rows = eng.sql(
+            "SELECT table_name, column_name "
+            "FROM information_schema.columns"
+        ).collect()
+        names = {r.table_name for r in rows}
+        assert "v_doomed" not in names          # no rows for the broken view
+        assert {"ohlcv", "scratch"} <= names    # everything else intact
+        # ...and the broken view still LISTS in tables (Trino behavior:
+        # existence is metadata; only column planning fails)
+        tabs = {r.table_name for r in eng.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()}
+        assert "v_doomed" in tabs
+    finally:
+        eng.sql("DROP VIEW v_doomed")
+
+
+def test_is_views_cleaned_up_when_expand_views_raises(eng, spark):
+    """Round-13 ADVICE fix: if persistent-view expansion raises (cyclic
+    view), the statement-scoped __is_* metadata temp views must NOT leak
+    into the session."""
+    import pytest as _pytest
+
+    before = {t.name for t in spark.catalog.listTables()
+              if t.isTemporary and t.name.startswith("__is_")}
+    # a self-cycle the expander must refuse: create v as valid, then
+    # repoint it at itself through the catalog's update path
+    eng.sql("CREATE VIEW v_cycle AS SELECT 1 AS x")
+    try:
+        vc = eng._views()
+        vc.create("v_cycle", "SELECT x FROM v_cycle", or_replace=True)
+        with _pytest.raises(Exception, match="cycle"):
+            eng.sql(
+                "SELECT * FROM v_cycle JOIN information_schema.tables "
+                "ON true"
+            )
+        after = {t.name for t in spark.catalog.listTables()
+                 if t.isTemporary and t.name.startswith("__is_")}
+        assert after == before, f"leaked metadata views: {after - before}"
+    finally:
+        eng.sql("DROP VIEW v_cycle")
