@@ -48,6 +48,38 @@ from oss_data_lake_spark.sources.loaders import load_table
 
 BPE_ROUNDS = 24
 
+# --- batched multi-merge rounds (round 13) ---------------------------
+# At a production vocab (32-96k merges) the one-collect-per-merge loop
+# is driver-latency-bound. Each batch round instead collects the TOP-M
+# pair counts once and applies up to BPE_BATCH_MAX merges from it —
+# provably the SAME trajectory as classic one-at-a-time BPE, so the
+# unbatched DuckDB replay oracle stays exact (and is now a differential
+# check of the batching rule itself). A batch p1..pk (a consecutive
+# PREFIX of the (count DESC, l, r) order) is accepted only when:
+#
+#   1. mutually symbol-disjoint, INCLUDING merged spellings: no l/r/
+#      (l||r) string repeats anywhere in the batch — so applying p_j
+#      cannot change any p_i's adjacencies or its recorded count;
+#   2. no merged spelling collides with an EXISTING symbol (tracked as
+#      a conservative superset: the initial alphabet ∪ all merged
+#      tokens): a collision would let an existing pair's count GROW
+#      (merging [x,a,b]→[x,s] adds to a live (x,s)), voiding bound 3;
+#   3. strict count drop at the boundary: c(p_k) > c(next candidate).
+#      Old non-batch pairs only ever lose occurrences (≤ c_next), and
+#      every NEW pair (x, merged) is bounded by the old count of the
+#      sharing pair (x, left) — also ≤ c_next since sharing pairs
+#      cannot be in the disjoint prefix. So nothing can reach c(p_i)
+#      before p_i's turn, and ties inside the prefix keep their static
+#      (l, r) tiebreak order — the classic loop picks exactly p1..pk.
+#
+# A batch that cannot be verified (all M collected rows consumed, or a
+# tie at the boundary) shrinks — down to k=1, which IS the classic
+# step. Identity is pinned batched-vs-unbatched on the real fixture in
+# tests/test_tokenizer_batch.py; the per-round scaling row lives in
+# SCALE.md.
+BPE_BATCH_MAX = 8
+BPE_BATCH_TOPM = 64
+
 # e87: GPT-2-style BYTE-LEVEL pre-tokenization (Radford et al. 2019) —
 # the shape real training pipelines use on top of plain BPE:
 # 1. a regex pre-tokenizer splits text into pre-tokens (contraction
@@ -160,12 +192,51 @@ def _apply_merge(wt: DataFrame, left: str, right: str) -> DataFrame:
 _TRAIN_CACHE: dict[tuple[str, int], tuple[object, list, DataFrame]] = {}
 
 
+def _select_batch(top: list, known: set, kmax: int) -> list:
+    """The exact-batch prefix of the sorted candidate list (module
+    docstring conditions 1-3). Always returns ≥1 row when ``top`` is
+    non-empty — k=1 is the classic step, valid unconditionally."""
+    acc, used = [], set()
+    for row in top:
+        l, r = row["l"], row["r"]
+        m = l + r
+        if acc and ({l, r, m} & used or m in known):
+            break  # condition 1/2 ends the prefix
+        acc.append(row)
+        used |= {l, r, m}
+        if m in known:
+            # the FIRST pair's merged spelling collides with a live
+            # symbol: its merge can grow other pairs' counts, so no
+            # further pair's collected count is trustworthy — classic
+            # single step only
+            acc = acc[:1]
+            break
+        if len(acc) >= kmax:
+            break
+    # condition 3: strict count drop past the batch. When the whole
+    # collected window was consumed the next count is UNKNOWN — shrink.
+    exhausted = len(top) < BPE_BATCH_TOPM  # pair table fully listed
+    while len(acc) > 1:
+        k = len(acc)
+        if k < len(top):
+            if acc[-1]["c"] > top[k]["c"]:
+                break
+        elif exhausted:
+            break  # no pairs exist beyond the list at all
+        acc.pop()
+    return acc
+
+
 def _train(
-    spark: SparkSession, sf_dir: str, rounds: int, bytelevel: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    bytelevel: bool = False,
+    batch_max: int = BPE_BATCH_MAX,
 ) -> tuple[list, DataFrame]:
     import weakref
 
-    key = (sf_dir, rounds, bytelevel)
+    key = (sf_dir, rounds, bytelevel, batch_max)
     hit = _TRAIN_CACHE.get(key)
     if hit is not None:
         ref, merges, wt = hit
@@ -174,19 +245,38 @@ def _train(
         del _TRAIN_CACHE[key]  # stale session: evict, retrain
     builder = _word_types_bytelevel if bytelevel else _word_types
     wt = builder(spark, sf_dir).localCheckpoint()
-    merges = []
-    for rank in range(1, rounds + 1):
-        best = (
+    # the collision superset (batch condition 2): initial alphabet —
+    # ONE bounded collect (distinct symbols, not words) — grown with
+    # every merged spelling; stale entries only make batching MORE
+    # conservative, never wrong
+    known = {
+        r["s"]
+        for r in wt.select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    }
+    merges: list = []
+    while len(merges) < rounds:
+        top = (
             _pair_counts(wt)
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(BPE_BATCH_TOPM)
             .collect()
         )
-        if not best:  # corpus exhausted below 2-symbol words
+        if not top:  # corpus exhausted below 2-symbol words
             break
-        b = best[0]
-        merges.append((rank, b["l"], b["r"], int(b["c"])))
-        wt = _apply_merge(wt, b["l"], b["r"]).localCheckpoint()
+        batch = _select_batch(
+            top, known, min(batch_max, rounds - len(merges))
+        )
+        for b in batch:
+            merges.append(
+                (len(merges) + 1, b["l"], b["r"], int(b["c"]))
+            )
+            # stacked folds — ONE projection round, one checkpoint,
+            # one pair-count job for the whole batch
+            wt = _apply_merge(wt, b["l"], b["r"])
+            known.add(b["l"] + b["r"])
+        wt = wt.localCheckpoint()
     _TRAIN_CACHE[key] = (weakref.ref(spark), merges, wt)
     return merges, wt
 
