@@ -245,6 +245,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "n_docs", "v2": "n_tokens",
               "v3": "sum_logweight_1e9", "v4": "n_selected",
               "s1": _cw_sql("selected_tokens", "selected_logweight_1e9")}),
+            # e92 (round 13): the end-to-end corpus pipeline — exact →
+            # MinHash → SemDeDup → split — every stage-ledger row
+            # (docs + tokens) rides the hash against the one-CTE-chain
+            # DuckDB replay; pins dedup-upstream-of-SemDeDup
+            ("e92", "e92_corpus_pipeline",
+             {"k1": ("stage"), "v1": ("n_docs"), "v2": ("n_tokens")},
+             {"k1": "stage", "v1": "n_docs", "v2": "n_tokens"}),
             # e82 (round 10): deterministic train/val/test split —
             # every (source, split) doc/token count rides the hash
             ("e82", "e82_split_assignment",

@@ -715,7 +715,8 @@ QUERIES = {
     "e15_exact_substring_pairs": exact_substring_pairs,
 }
 
-def _jaccard_pairs_sql(df_cap_frac: float | None) -> str:
+def _jaccard_pairs_sql(df_cap_frac: float | None,
+                       docs: str = "documents") -> str:
     """Shared e11/e12 oracle SQL; with a cap, shingles whose document
     frequency exceeds ceil(frac × n_docs) are removed before sizes and
     intersections — the exact mirror of ``doc_shingle_sets_capped``."""
@@ -727,13 +728,13 @@ def _jaccard_pairs_sql(df_cap_frac: float | None) -> str:
                FROM sh0 s
                JOIN (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle) st
                  ON s.shingle = st.shingle
-               CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) tot
+               CROSS JOIN (SELECT COUNT(*) AS n_docs FROM {docs}) tot
                WHERE st.df <= CAST(ceil({df_cap_frac} * tot.n_docs) AS BIGINT))"""
     return f"""
         WITH w AS (SELECT doc_id,
                           generate_subscripts(string_split(text, ' '), 1) AS pos,
                           unnest(string_split(text, ' ')) AS w
-                   FROM documents),
+                   FROM {docs}),
         sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
                FROM w a
                JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1

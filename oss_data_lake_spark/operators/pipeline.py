@@ -21,7 +21,7 @@ output on this corpus — pytest pins LSH == exhaustive).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oss_data_lake_spark.operators.dedup import (
@@ -788,6 +788,105 @@ SPLIT_VAL_BUCKET = 98
 SPLIT_TEST_BUCKET = 99
 
 
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e92 (round 13): the END-TO-END corpus pipeline in the documented
+    operator order — exact dedup (e10's keep-min-id rule) → MinHash
+    near-dup drop (e11's LSH-candidates + exact-verify pairs, drop the
+    higher id of every pair) → SemDeDup on the SURVIVORS' embeddings
+    (e80's greedy keep-first sweep via ``_semdedup_members``) → split
+    accounting over the final corpus (e82's md5 rule). This pins the
+    CROSS-operator contract the SCALE.md residual adjudication relies
+    on: lexical dedup runs UPSTREAM of SemDeDup, so mass duplication
+    never reaches the embedding sweep.
+
+    Output is a stage ledger — one row per pipeline stage plus one per
+    final (source, split) cell — with integer doc and whitespace-token
+    counts (bit-exact cross-engine). The DuckDB oracle replays the
+    whole chain as one CTE composition built from the SAME oracle
+    fragments the member queries use (``_jaccard_pairs_sql(docs=...)``,
+    ``_semdedup_members_sql(emb=...)``).
+
+    100-TB shape: each stage's survivor set is a narrow id column
+    (localCheckpoint bounds the multi-stage lineage, the CC cadence);
+    the stages themselves keep their own scale contracts — exact dedup
+    is one hash aggregate, MinHash verifies candidates only, SemDeDup
+    sweeps cluster blocks. Nothing here adds a corpus × corpus join."""
+    from oss_data_lake_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        normalize_text,
+    )
+    from oss_data_lake_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _semdedup_members,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # stage 1 — exact: keep the min doc_id per normalized text
+    keep1 = (
+        docs.groupBy(normalize_text().alias("__k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep1, "doc_id", "left_semi").localCheckpoint()
+    # stage 2 — MinHash near-dups among survivors: drop every doc that
+    # is the HIGHER id of a verified pair (pairs are emitted a < b)
+    pairs = minhash_dedup_pairs(
+        d1, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
+    )
+    drop2 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d2 = d1.join(drop2, "doc_id", "left_anti").localCheckpoint()
+    # stage 3 — SemDeDup over the survivors' embeddings (vec_id is the
+    # fixture's doc_id; the semi-join prunes the sweep's input)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb_f = emb.join(
+        d2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    members = _semdedup_members(spark, sf_dir, emb_f)
+    drop3 = (
+        members.filter(F.col("max_sim_lower") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    d3 = d2.join(drop3, "doc_id", "left_anti").localCheckpoint()
+
+    def ledger(df: DataFrame, stage) -> DataFrame:
+        return df.select(
+            (stage if isinstance(stage, Column) else F.lit(stage))
+            .alias("stage"),
+            F.size(F.split("text", " ")).cast("long").alias("__t"),
+        ).groupBy("stage").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % SPLIT_MOD
+    )
+    split_stage = F.concat(
+        F.lit("split:"), F.col("source"), F.lit(":"),
+        F.when(bucket == SPLIT_TEST_BUCKET, F.lit("test"))
+        .when(bucket == SPLIT_VAL_BUCKET, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+    return (
+        ledger(docs, "1_corpus")
+        .unionByName(ledger(d1, "2_exact"))
+        .unionByName(ledger(d2, "3_minhash"))
+        .unionByName(ledger(d3, "4_semdedup"))
+        .unionByName(ledger(d3, split_stage))
+        .orderBy("stage")
+    )
+
+
 def split_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e82: per-(source, split) accounting — docs and exact token sums
     under the deterministic md5 split."""
@@ -965,7 +1064,74 @@ QUERIES = {
     "e81_ngram_novelty": ngram_novelty_report,
     "e82_split_assignment": split_assignment_report,
     "e83_dsir_resampling": dsir_resampling_report,
+    "e92_corpus_pipeline": corpus_pipeline_report,
 }
+
+
+def _e92_oracle() -> str:
+    """The pipeline chain as ONE CTE composition, built from the member
+    queries' own oracle fragments (nested-WITH subqueries scope their
+    internal CTE names locally): exact keep-min-id → capped-Jaccard
+    pair drop (the e11 contract: LSH+verify ≡ thresholded exhaustive
+    pairs) → SemDeDup member sweep over the survivor embeddings → md5
+    split accounting."""
+    from oss_data_lake_spark.operators.dedup import _jaccard_pairs_sql
+    from oss_data_lake_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _semdedup_members_sql,
+    )
+
+    jac = _jaccard_pairs_sql(DF_CAP_FRAC, docs="d1")
+    mem = _semdedup_members_sql("emb_f")
+    count_cols = (
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) "
+        "AS BIGINT) AS n_tokens"
+    )
+    return rf"""
+        WITH nk AS (
+          SELECT doc_id,
+                 regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g') AS k
+          FROM documents
+        ),
+        keep1 AS (SELECT MIN(doc_id) AS doc_id FROM nk GROUP BY k),
+        d1 AS MATERIALIZED (
+          SELECT d.doc_id, d.source, d.text
+          FROM documents d JOIN keep1 USING (doc_id)
+        ),
+        pairs AS MATERIALIZED (SELECT * FROM ({jac})),
+        d2 AS MATERIALIZED (
+          SELECT * FROM d1
+          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        ),
+        emb_f AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN d2 ON e.vec_id = d2.doc_id
+        ),
+        mem AS MATERIALIZED (
+          SELECT * FROM (WITH {mem} SELECT * FROM members)
+        ),
+        d3 AS MATERIALIZED (
+          SELECT * FROM d2
+          WHERE doc_id NOT IN (SELECT vec_id FROM mem
+                               WHERE max_sim_lower >= {SEMDEDUP_THRESHOLD})
+        )
+        SELECT '1_corpus' AS stage, {count_cols} FROM documents
+        UNION ALL SELECT '2_exact', {count_cols} FROM d1
+        UNION ALL SELECT '3_minhash', {count_cols} FROM d2
+        UNION ALL SELECT '4_semdedup', {count_cols} FROM d3
+        UNION ALL
+        SELECT 'split:' || source || ':' ||
+               CASE CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SPLIT_MOD}
+                    WHEN {SPLIT_TEST_BUCKET} THEN 'test'
+                    WHEN {SPLIT_VAL_BUCKET} THEN 'val'
+                    ELSE 'train' END AS stage,
+               {count_cols}
+        FROM d3 GROUP BY 1
+        ORDER BY stage
+    """
 
 _STOP_LIST = ", ".join(repr(s) for s in STOPWORDS)
 
@@ -1010,6 +1176,7 @@ ORACLES = {
                     AS BIGINT) AS derivative_docs
         FROM per_doc GROUP BY source ORDER BY source
     """,
+    "e92_corpus_pipeline": _e92_oracle(),
     "e82_split_assignment": f"""
         SELECT source,
                CASE CAST(concat('0x',

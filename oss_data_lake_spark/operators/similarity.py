@@ -657,6 +657,38 @@ def semdedup_report(
     per-cluster membership/removal accounting."""
     thr = float(threshold if threshold is not None else SEMDEDUP_THRESHOLD)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    per_vec = _semdedup_members(spark, sf_dir, emb)
+    return (
+        per_vec.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("max_sim_lower") >= thr).cast("long"))
+            .cast("long")
+            .alias("n_removed"),
+            F.max("max_sim_lower").alias("max_intra_cosine"),
+        )
+        .withColumn(
+            "n_kept", (F.col("n_members") - F.col("n_removed")).cast("long")
+        )
+        .select(
+            "cluster", "n_members", "n_removed", "n_kept",
+            "max_intra_cosine",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _semdedup_members(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    """The e80 member sweep as a reusable core over ANY (vec_id,
+    embedding) frame — (cluster, vec_id, max_sim_lower) per member —
+    so e92's pipeline composition can run SemDeDup on the lexical-dedup
+    SURVIVORS. The oversized-cluster gate keeps reading the corpus
+    footer count from ``sf_dir``: for a filtered input that is an UPPER
+    bound, which at worst runs the big-cluster probe and finds nothing
+    (sub_model stays empty → identical sweep) — never a semantic
+    change."""
     cent_ids, cent_mat = _ivf_model(emb)
     assigned = _ivf_assign(emb, cent_ids, cent_mat, 1)
     none_mark = _SEMDEDUP_NONE
@@ -788,26 +820,8 @@ def semdedup_report(
             {"cluster": cluster, "vec_id": ids, "max_sim_lower": m}
         )
 
-    per_vec = assigned.groupBy("cluster", "sub").applyInPandas(
+    return assigned.groupBy("cluster", "sub").applyInPandas(
         sweep_block, schema="cluster long, vec_id long, max_sim_lower double"
-    )
-    return (
-        per_vec.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum((F.col("max_sim_lower") >= thr).cast("long"))
-            .cast("long")
-            .alias("n_removed"),
-            F.max("max_sim_lower").alias("max_intra_cosine"),
-        )
-        .withColumn(
-            "n_kept", (F.col("n_members") - F.col("n_removed")).cast("long")
-        )
-        .select(
-            "cluster", "n_members", "n_removed", "n_kept",
-            "max_intra_cosine",
-        )
-        .orderBy("cluster")
     )
 
 
@@ -1377,10 +1391,78 @@ _ELEMS_SQL = """
 # shared oracle scaffolding: per-vector double list + norm, mirroring the
 # Spark fast path (list_inner_product == the linear zip_with/aggregate fold;
 # every cosine is rounded to 9 dp before any ranking or thresholding)
-_NORMS_SQL = """
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+def _norms_sql(emb: str = "embeddings") -> str:
+    """The norms scaffolding over ANY (vec_id, embedding) relation —
+    parameterized so e92's pipeline oracle can run it over the
+    lexical-dedup survivor subset."""
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb}),
         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
 """
+
+
+_NORMS_SQL = _norms_sql()
+
+
+def _semdedup_members_sql(emb: str = "embeddings") -> str:
+    """The FULL e80 member chain (IVF centroids → assignment → oversized
+    sub-split → greedy lower-id sweep) ending at the ``members`` CTE —
+    shared verbatim by the e80 oracle and e92's pipeline-composition
+    oracle (which feeds it the survivor subset)."""
+    return f"""{_norms_sql(emb)},
+        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+        scored AS (SELECT n.vec_id, cent_id,
+                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
+                              AS cent_sim
+                   FROM n CROSS JOIN cent),
+        assigned AS (SELECT vec_id, cent_id AS cluster FROM (
+                         SELECT vec_id, cent_id,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY cent_sim DESC,
+                                                            cent_id ASC) AS rn
+                         FROM scored)
+                     WHERE rn = 1),
+        csz AS (SELECT cluster, COUNT(*) AS csz FROM assigned
+                GROUP BY cluster),
+        rk AS (SELECT a.vec_id, a.cluster,
+                      ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                         ORDER BY a.vec_id) - 1 AS r
+               FROM assigned a JOIN csz USING (cluster)
+               WHERE csz.csz > {SEMDEDUP_MAX_CLUSTER}),
+        subcent AS (SELECT cluster, vec_id AS sc_id FROM rk
+                    WHERE r % {max(1, SEMDEDUP_MAX_CLUSTER // 2)} = 0),
+        subscored AS (SELECT rk.vec_id, rk.cluster, subcent.sc_id,
+                             round(list_inner_product(nv.v, nc.v)
+                                   / (nv.norm * nc.norm), 9) AS ssim
+                      FROM rk JOIN subcent USING (cluster)
+                      JOIN n nv ON rk.vec_id = nv.vec_id
+                      JOIN n nc ON subcent.sc_id = nc.vec_id),
+        subassigned AS (SELECT vec_id, sub FROM (
+                            SELECT vec_id, sc_id AS sub,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY ssim DESC, sc_id ASC)
+                                       AS srn
+                            FROM subscored) WHERE srn = 1),
+        fa AS (SELECT a.cluster, a.vec_id, COALESCE(s.sub, -1) AS sub
+               FROM assigned a
+               LEFT JOIN subassigned s ON a.vec_id = s.vec_id),
+        lower_sims AS (SELECT b.vec_id,
+                              MAX(round(list_inner_product(na.v, nb.v)
+                                        / (na.norm * nb.norm), 9))
+                                  AS max_sim_lower
+                       FROM fa a
+                       JOIN fa b
+                         ON a.cluster = b.cluster AND a.sub = b.sub
+                        AND a.vec_id < b.vec_id
+                       JOIN n na ON a.vec_id = na.vec_id
+                       JOIN n nb ON b.vec_id = nb.vec_id
+                       GROUP BY b.vec_id),
+        members AS (SELECT a.cluster, a.vec_id,
+                           COALESCE(l.max_sim_lower, {_SEMDEDUP_NONE})
+                               AS max_sim_lower
+                    FROM fa a
+                    LEFT JOIN lower_sims l ON a.vec_id = l.vec_id)"""
 
 def _pq_subd_cte(tag: str, cbl: str) -> str:
     """Per-(vector, subspace, centroid) 9-dp-rounded squared L2 against
@@ -1568,60 +1650,7 @@ ORACLES = {
     # per-(cluster, sub) lower-id max — bounded by sub-cluster-mate
     # pairs, never all-pairs across clusters
     "e80_semdedup_report": f"""
-        WITH {_NORMS_SQL},
-        cent AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-                 FROM n WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
-        scored AS (SELECT n.vec_id, cent_id,
-                          round(list_inner_product(n.v, cv) / (n.norm * cnorm), 9)
-                              AS cent_sim
-                   FROM n CROSS JOIN cent),
-        assigned AS (SELECT vec_id, cent_id AS cluster FROM (
-                         SELECT vec_id, cent_id,
-                                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                                   ORDER BY cent_sim DESC,
-                                                            cent_id ASC) AS rn
-                         FROM scored)
-                     WHERE rn = 1),
-        csz AS (SELECT cluster, COUNT(*) AS csz FROM assigned
-                GROUP BY cluster),
-        rk AS (SELECT a.vec_id, a.cluster,
-                      ROW_NUMBER() OVER (PARTITION BY a.cluster
-                                         ORDER BY a.vec_id) - 1 AS r
-               FROM assigned a JOIN csz USING (cluster)
-               WHERE csz.csz > {SEMDEDUP_MAX_CLUSTER}),
-        subcent AS (SELECT cluster, vec_id AS sc_id FROM rk
-                    WHERE r % {max(1, SEMDEDUP_MAX_CLUSTER // 2)} = 0),
-        subscored AS (SELECT rk.vec_id, rk.cluster, subcent.sc_id,
-                             round(list_inner_product(nv.v, nc.v)
-                                   / (nv.norm * nc.norm), 9) AS ssim
-                      FROM rk JOIN subcent USING (cluster)
-                      JOIN n nv ON rk.vec_id = nv.vec_id
-                      JOIN n nc ON subcent.sc_id = nc.vec_id),
-        subassigned AS (SELECT vec_id, sub FROM (
-                            SELECT vec_id, sc_id AS sub,
-                                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                        ORDER BY ssim DESC, sc_id ASC)
-                                       AS srn
-                            FROM subscored) WHERE srn = 1),
-        fa AS (SELECT a.cluster, a.vec_id, COALESCE(s.sub, -1) AS sub
-               FROM assigned a
-               LEFT JOIN subassigned s ON a.vec_id = s.vec_id),
-        lower_sims AS (SELECT b.vec_id,
-                              MAX(round(list_inner_product(na.v, nb.v)
-                                        / (na.norm * nb.norm), 9))
-                                  AS max_sim_lower
-                       FROM fa a
-                       JOIN fa b
-                         ON a.cluster = b.cluster AND a.sub = b.sub
-                        AND a.vec_id < b.vec_id
-                       JOIN n na ON a.vec_id = na.vec_id
-                       JOIN n nb ON b.vec_id = nb.vec_id
-                       GROUP BY b.vec_id),
-        members AS (SELECT a.cluster, a.vec_id,
-                           COALESCE(l.max_sim_lower, {_SEMDEDUP_NONE})
-                               AS max_sim_lower
-                    FROM fa a
-                    LEFT JOIN lower_sims l ON a.vec_id = l.vec_id)
+        WITH {_semdedup_members_sql()}
         SELECT cluster,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(SUM(CASE WHEN max_sim_lower >= {SEMDEDUP_THRESHOLD}
