@@ -431,3 +431,28 @@ def test_b57_exclude_is_single_exchange_windows(spark, sf_dir):
     assert txt.count("hashpartitioning(o_custkey") == 1
     for tok in ("Join", "CartesianProduct"):
         assert tok not in txt
+
+
+def test_b59_dialect_stays_jvm_side_with_pruned_scan(spark, sf_dir):
+    """b59 (Trino dialect): every translated function (timestampdiff/
+    timestampadd/locate/date_format/convert_timezone) evaluates inside
+    the JVM aggregate — ZERO Python nodes — and the scan is pruned to
+    exactly the two referenced columns. Spark plans the mixed
+    distinct+plain aggregate as its standard distinct-split (two pruned
+    scan subtrees); no joins, no Python, no full-width read."""
+    from oss_data_lake_spark.operators.relational_more import (
+        trino_dialect_funcs,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(trino_dialect_funcs(spark, sf_dir), "simple")
+    assert "Python" not in txt and "BatchEval" not in txt
+    assert "Join" not in txt and "CartesianProduct" not in txt
+    # column pruning survives the dialect translation: only ts +
+    # event_type reach the parquet reader
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"ts", "event_type"}, cols
+    assert "ReadSchema" in txt
