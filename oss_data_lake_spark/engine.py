@@ -1609,9 +1609,17 @@ class Engine:
     #                                   (both HLL; e is the max standard
     #                                   error in both engines)
     #   date_diff('unit', a, b)      -> timestampdiff(unit, a, b)
-    #                                   (elapsed complete units, b - a;
-    #                                   month-end behavior matches Trino,
-    #                                   pinned in tests)
+    #                                   (elapsed complete units, b - a.
+    #                                   Clamped MONTH-END diffs are a
+    #                                   documented cross-engine
+    #                                   disagreement point — Spark's
+    #                                   day-comparison rule says
+    #                                   Jan31->Feb29 = 0 months, DuckDB's
+    #                                   datesub says 1; the dialect layer
+    #                                   inherits Spark's rule, pinned in
+    #                                   tests, and the b59 oracle hashes
+    #                                   only the unambiguous elapsed
+    #                                   units)
     #   date_add('unit', n, ts)      -> timestampadd(unit, n, ts)
     #                                   (3-arg literal-unit form ONLY —
     #                                   Spark's own 2-arg date_add(d, n)

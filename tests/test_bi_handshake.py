@@ -382,6 +382,14 @@ def test_bi_connect_trace_with_information_schema(spark, tmp_path):
         assert [(c.column_name, c.data_type) for c in cols] == [
             (r["Column"], r["Type"]) for r in show_cols
         ]
+        # round 13: SHOW FUNCTIONS — the last SHOW spelling BI tools
+        # issue on connect; the dialect rows double as the coverage
+        # contract, and a filtered probe works mid-handshake
+        fns = e.sql("SHOW FUNCTIONS").collect()
+        names = {r.function for r in fns}
+        assert {"approx_distinct", "date_diff", "strpos"} <= names
+        probe = e.sql("SHOW FUNCTIONS LIKE 'approx%'").collect()
+        assert any(r.function == "approx_distinct" for r in probe)
     finally:
         e.sql("USE default")
         e.drop_snapshot_table("iceberg.marts.fact", delete_data=True)
