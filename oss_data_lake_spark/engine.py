@@ -915,6 +915,29 @@ class Engine:
          "subset; other pattern letters refuse"),
         ("regexp_like", "trino dialect",
          "Spark builtin of the same name and semantics; passes through"),
+        ("day_of_week", "trino dialect",
+         "translated to weekday(x)+1 (ISO Mon=1..Sun=7); alias dow"),
+        ("dow", "trino dialect", "alias of day_of_week"),
+        ("day_of_year", "trino dialect",
+         "translated to dayofyear(x); alias doy"),
+        ("doy", "trino dialect", "alias of day_of_year"),
+        ("day_of_month", "trino dialect", "translated to day(x)"),
+        ("week", "trino dialect",
+         "translated to weekofyear(x) (ISO week); alias week_of_year"),
+        ("week_of_year", "trino dialect", "alias of week"),
+        ("year_of_week", "trino dialect",
+         "translated to extract(YEAROFWEEK FROM x); alias yow"),
+        ("yow", "trino dialect", "alias of year_of_week"),
+        ("to_unixtime", "trino dialect",
+         "translated to unix_micros(x)/1e6 (DOUBLE epoch seconds)"),
+        ("date_parse", "trino dialect",
+         "date_parse(s, '%-fmt') translated to to_timestamp over the "
+         "shared MySQL-directive subset; unsupported directives refuse; "
+         "unparseable input yields NULL (Trino raises)"),
+        ("arbitrary", "trino dialect",
+         "translated to any_value (same any-row contract)"),
+        ("format", "trino dialect",
+         "translated to format_string (both are Java Formatter)"),
         ("json_value", "trino dialect",
          "SQL:2016; translated to get_json_object (+ CAST for "
          "RETURNING)"),
@@ -1644,6 +1667,51 @@ class Engine:
         ("millisecond", "second", "minute", "hour",
          "day", "week", "month", "quarter", "year")
     )
+    # -- phase 2 (same round): the date-part/epoch/convenience family.
+    # Simple-substitution names (argument list passes through verbatim;
+    # the Spark expression template wraps it):
+    #   day_of_week/dow   -> weekday(x)+1      (ISO Mon=1..Sun=7 — Spark's
+    #                                           dayofweek is Sun=1, the trap)
+    #   day_of_year/doy   -> dayofyear(x)
+    #   day_of_month      -> day(x)
+    #   week/week_of_year -> weekofyear(x)     (ISO week in both engines)
+    #   year_of_week/yow  -> extract(YEAROFWEEK FROM x)
+    #   to_unixtime       -> unix_micros(x)/1e6 (Trino returns DOUBLE
+    #                                           epoch seconds)
+    #   arbitrary         -> any_value(x)      (same any-row contract;
+    #                                           nondeterministic, so
+    #                                           pytest-pinned, never
+    #                                           oracle-hashed)
+    #   format            -> format_string(...) (both are Java Formatter)
+    # NOT translated (documented):
+    #   from_unixtime — the 1-arg spelling exists in BOTH dialects with
+    #   CONFLICTING return types (Trino: timestamp; Spark: string);
+    #   silently re-typing Spark-SQL users' results is worse than the
+    #   gap, so the spelling keeps Spark semantics. Trino text can use
+    #   timestamp_seconds(x) directly.
+    _TRINO_SUBST = {
+        "DAY_OF_WEEK": "(weekday({a}) + 1)",
+        "DOW": "(weekday({a}) + 1)",
+        "DAY_OF_YEAR": "dayofyear({a})",
+        "DOY": "dayofyear({a})",
+        "DAY_OF_MONTH": "day({a})",
+        "WEEK": "weekofyear({a})",
+        "WEEK_OF_YEAR": "weekofyear({a})",
+        "YEAR_OF_WEEK": "extract(YEAROFWEEK FROM {a})",
+        "YOW": "extract(YEAROFWEEK FROM {a})",
+        "TO_UNIXTIME": "(CAST(unix_micros({a}) AS DOUBLE) / 1000000.0)",
+        "ARBITRARY": "any_value({a})",
+        "FORMAT": "format_string({a})",
+    }
+    # date_parse('s', '%-fmt') — Trino/MySQL %-directives shared (same
+    # field meaning) with Spark's to_timestamp pattern letters. Any
+    # directive outside the map refuses loudly; DuckDB's strptime shares
+    # the %-format natively, so the oracle runs the original spellings.
+    _MYSQL_FMT = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+        "%h": "hh", "%i": "mm", "%s": "ss", "%T": "HH:mm:ss",
+        "%p": "a", "%%": "%",
+    }
     # Joda-time pattern letters whose meaning is IDENTICAL in Spark's
     # datetime pattern grammar (era, year, month, day, halfday hours,
     # day hours, clockhours, minute, second, fraction, am/pm, weekday
@@ -1652,10 +1720,41 @@ class Engine:
     # differences, Q — Joda has no quarter) refuses.
     _JODA_SHARED = frozenset("GyMdHhKkmsSaEDz")
     _TRINO_FN_RE = re.compile(
-        r"\b(APPROX_DISTINCT|DATE_DIFF|DATE_ADD|STRPOS|FORMAT_DATETIME)"
+        r"\b(APPROX_DISTINCT|DATE_DIFF|DATE_ADD|STRPOS|FORMAT_DATETIME"
+        r"|DATE_PARSE|DAY_OF_WEEK|DOW|DAY_OF_YEAR|DOY|DAY_OF_MONTH"
+        r"|WEEK_OF_YEAR|WEEK|YEAR_OF_WEEK|YOW|TO_UNIXTIME|ARBITRARY"
+        r"|FORMAT)"
         r"\s*\(",
         re.IGNORECASE,
     )
+
+    def _mysql_to_spark_pattern(self, fmt: str) -> str:
+        """Trino/MySQL %-directives → Spark datetime pattern letters,
+        scoped to the shared-meaning map; literal letter runs (and any
+        embedded quote) are pattern-quoted so they stay literals."""
+        out, k = [], 0
+        while k < len(fmt):
+            if fmt[k] == "%":
+                d = fmt[k: k + 2]
+                m = self._MYSQL_FMT.get(d)
+                if m is None:
+                    raise ValueError(
+                        f"date_parse: unsupported format directive {d!r} "
+                        f"(supported: {sorted(self._MYSQL_FMT)})"
+                    )
+                out.append(m)
+                k += 2
+            else:
+                j = k
+                while j < len(fmt) and fmt[j] != "%":
+                    j += 1
+                lit = fmt[k:j]
+                if any(c.isalpha() for c in lit) or "'" in lit:
+                    out.append("'" + lit.replace("'", "''") + "'")
+                else:
+                    out.append(lit)
+                k = j
+        return "".join(out)
 
     @staticmethod
     def _split_top_args(s: str) -> list[str]:
@@ -1681,7 +1780,9 @@ class Engine:
 
     def _translate_trino_functions(self, text: str, _from: int = 0) -> str:
         if not re.search(
-            r"approx_distinct|date_diff|date_add|strpos|format_datetime",
+            r"approx_distinct|date_diff|date_add|strpos|format"
+            r"|date_parse|day_of_|\bdow\b|\bdoy\b|week|\byow\b"
+            r"|to_unixtime|arbitrary",
             text, re.IGNORECASE,
         ):
             return text
@@ -1720,7 +1821,28 @@ class Engine:
             return u.upper()
 
         repl = None
-        if fname == "APPROX_DISTINCT":
+        if fname in self._TRINO_SUBST:
+            repl = self._TRINO_SUBST[fname].format(a=argtext)
+        elif fname == "DATE_PARSE":
+            if len(args) != 2:
+                raise ValueError(
+                    f"date_parse expects 2 arguments, got {len(args)}"
+                )
+            pm = self._STR_LIT_RE.match(args[1])
+            if pm is None:
+                raise ValueError(
+                    "date_parse: the format must be a string literal"
+                )
+            # unescape the SQL literal, convert, re-escape for embedding
+            spark_fmt = self._mysql_to_spark_pattern(
+                pm.group(1).replace("''", "'")
+            ).replace("'", "''")
+            # documented delta: Spark's to_timestamp is NULL-on-
+            # unparseable under the engine's non-ANSI session where
+            # Trino raises; the value semantics on parseable input are
+            # identical (DuckDB strptime oracles the original %-text)
+            repl = f"to_timestamp({args[0]}, '{spark_fmt}')"
+        elif fname == "APPROX_DISTINCT":
             repl = f"approx_count_distinct({argtext})"
         elif fname == "DATE_DIFF":
             if len(args) == 3 and self._STR_LIT_RE.match(args[0]):

@@ -570,6 +570,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("n_kolkata_days"), "s1": _cw("min_shift_us")},
              {"k1": "etype", "v1": "sum_days", "v2": "sum_min120",
               "v3": "n_kolkata_days", "s1": _cw_sql("min_shift_us")}),
+            # b60 (round 13 phase 2): the date-part/epoch/date_parse/
+            # format family — ISO day-of-week (not Spark's Sun=1),
+            # ISO week-year, epoch doubles, %-format parsing
+            ("b60a", "b60_trino_datepart_funcs",
+             {"k1": ("pri"), "v1": ("n"), "v2": ("sum_dow"),
+              "v3": ("sum_doy"), "v4": ("sum_week"),
+              "s1": _cw("sum_yow", "sum_dom")},
+             {"k1": "pri", "v1": "n", "v2": "sum_dow",
+              "v3": "sum_doy", "v4": "sum_week",
+              "s1": _cw_sql("sum_yow", "sum_dom")}),
+            ("b60b", "b60_trino_datepart_funcs",
+             {"k1": ("pri"), "v1": ("min_epoch"),
+              "s1": _cw("min_day_ts", "min_fmt")},
+             {"k1": "pri", "v1": "min_epoch",
+              "s1": _cw_sql("min_day_ts", "min_fmt")}),
         ],
         "b42_semi_anti_joins": [
             ("b04", "b04_semi_join_big_spenders",

@@ -384,6 +384,62 @@ GROUP BY event_type
 """
 
 
+# b60 (round 13, phase 2): the Trino date-part/epoch/convenience family
+# — day_of_week (ISO Mon=1, NOT Spark's Sun=1 dayofweek), day_of_year,
+# week, year_of_week (ISO week-year rollover), day_of_month,
+# to_unixtime (DOUBLE epoch seconds — both engines compute
+# micros/1000000.0, bit-identical IEEE), date_parse (%-directives,
+# DuckDB strptime shares them natively), format (printf; DuckDB twin is
+# printf()). All issued in Trino spellings through Engine.sql.
+_B60_TRINO_SQL = """
+SELECT o_orderpriority AS pri,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(day_of_week(o_orderdate)) AS BIGINT) AS sum_dow,
+  CAST(sum(day_of_year(o_orderdate)) AS BIGINT) AS sum_doy,
+  CAST(sum(week(o_orderdate)) AS BIGINT) AS sum_week,
+  CAST(sum(year_of_week(o_orderdate)) AS BIGINT) AS sum_yow,
+  CAST(sum(day_of_month(o_orderdate)) AS BIGINT) AS sum_dom,
+  min(to_unixtime(o_orderdate)) AS min_epoch,
+  min(date_parse(format_datetime(o_orderdate, 'yyyy-MM-dd'),
+                 '%Y-%m-%d')) AS min_day_ts,
+  min(format('%s|%d', o_orderpriority, day_of_month(o_orderdate)))
+      AS min_fmt
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+_B60_DUCK_SQL = """
+SELECT o_orderpriority AS pri,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_dow,
+  CAST(sum(dayofyear(o_orderdate)) AS BIGINT) AS sum_doy,
+  CAST(sum(weekofyear(o_orderdate)) AS BIGINT) AS sum_week,
+  CAST(sum(isoyear(o_orderdate)) AS BIGINT) AS sum_yow,
+  CAST(sum(day(o_orderdate)) AS BIGINT) AS sum_dom,
+  min(epoch_us(o_orderdate) / 1000000.0) AS min_epoch,
+  min(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'))
+      AS min_day_ts,
+  min(printf('%s|%d', o_orderpriority, day(o_orderdate))) AS min_fmt
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+
+def trino_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phase-2 Trino dialect family (date parts / epoch /
+    date_parse / format) issued verbatim through Engine.sql. Same scale
+    shape as b59: one pruned scan, one hash aggregate, all translated
+    functions JVM-side."""
+    from oss_data_lake_spark.engine import Engine
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b60_orders"
+    )
+    return Engine(spark=spark).sql(
+        _B60_TRINO_SQL.format(orders="b60_orders")
+    )
+
+
 def trino_dialect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Trino scalar-function dialect surface, issued verbatim as a
     BI tool would (reference RUNBOOK.md:120-123) and translated by the
@@ -892,6 +948,7 @@ QUERIES = {
     "b57_window_frame_exclude": window_frame_exclude,
     "b58_sql_json_funcs": sql_json_funcs,
     "b59_trino_dialect_funcs": trino_dialect_funcs,
+    "b60_trino_datepart_funcs": trino_datepart_funcs,
     "b50_recursive_user_tree": recursive_user_tree,
     "b54_array_lambda_funcs": array_lambda_funcs,
     "b51_lateral_topn_lineitems": lateral_topn_lineitems,
@@ -939,6 +996,7 @@ ORACLES = {
     # DuckDB twins of the Trino dialect spellings (datesub = elapsed
     # complete intervals; AT TIME ZONE double application)
     "b59_trino_dialect_funcs": _B59_DUCK_SQL.format(events="events"),
+    "b60_trino_datepart_funcs": _B60_DUCK_SQL.format(orders="orders"),
     # DuckDB evaluates the NATIVE SQL:2011 EXCLUDE spellings — parity
     # verifies the Spark-side subtraction identities
     "b57_window_frame_exclude": _B57_DUCK_SQL.format(

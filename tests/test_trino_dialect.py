@@ -394,20 +394,33 @@ class TestShowFunctions:
         """Every FUNCTION row advertised as 'trino dialect' must actually
         translate (or natively run) through Engine.sql — the table can
         never drift ahead of the chain."""
+        ts = "TIMESTAMP '2020-01-01 00:00:00'"
         samples = {
             "approx_distinct": "SELECT approx_distinct(1) AS v",
-            "date_diff": "SELECT date_diff('day', TIMESTAMP "
-                         "'2020-01-01 00:00:00', TIMESTAMP "
+            "date_diff": f"SELECT date_diff('day', {ts}, TIMESTAMP "
                          "'2020-01-02 00:00:00') AS v",
-            "date_add": "SELECT date_add('day', 1, TIMESTAMP "
-                        "'2020-01-01 00:00:00') AS v",
+            "date_add": f"SELECT date_add('day', 1, {ts}) AS v",
             "strpos": "SELECT strpos('ab', 'b') AS v",
-            "format_datetime": "SELECT format_datetime(TIMESTAMP "
-                               "'2020-01-01 00:00:00', 'yyyy') AS v",
+            "format_datetime": f"SELECT format_datetime({ts}, 'yyyy') "
+                               "AS v",
             "regexp_like": "SELECT regexp_like('a', 'a') AS v",
             "json_value": "SELECT json_value('{\"a\":1}', '$.a') AS v",
             "json_query": "SELECT json_query('{\"a\":[1]}', '$.a') AS v",
             "json_exists": "SELECT json_exists('{\"a\":1}', '$.a') AS v",
+            "day_of_week": f"SELECT day_of_week({ts}) AS v",
+            "dow": f"SELECT dow({ts}) AS v",
+            "day_of_year": f"SELECT day_of_year({ts}) AS v",
+            "doy": f"SELECT doy({ts}) AS v",
+            "day_of_month": f"SELECT day_of_month({ts}) AS v",
+            "week": f"SELECT week({ts}) AS v",
+            "week_of_year": f"SELECT week_of_year({ts}) AS v",
+            "year_of_week": f"SELECT year_of_week({ts}) AS v",
+            "yow": f"SELECT yow({ts}) AS v",
+            "to_unixtime": f"SELECT to_unixtime({ts}) AS v",
+            "date_parse": "SELECT date_parse('2020-01-02 03:04:05', "
+                          "'%Y-%m-%d %H:%i:%s') AS v",
+            "arbitrary": "SELECT arbitrary(x) AS v FROM VALUES (1) t(x)",
+            "format": "SELECT format('%d-%s', 7, 'x') AS v",
         }
         advertised = {
             f for f, t, _ in Engine._DIALECT_FUNCTIONS
@@ -418,6 +431,112 @@ class TestShowFunctions:
         )
         for name, q in samples.items():
             assert eng.sql(q).collect()[0].v is not None, name
+
+
+class TestDatePartFamily:
+    """Phase-2 dialect: Trino's date-part spellings vs DuckDB's native
+    twins over a spread of dates (ISO-week boundaries included — the
+    day_of_week Sun-vs-Mon trap and the year_of_week rollover)."""
+
+    DATES = [
+        "2019-12-29", "2019-12-30", "2020-01-01", "2020-02-29",
+        "2020-12-31", "2021-01-03", "2021-01-04", "2024-06-15",
+    ]
+
+    def test_matches_duckdb_parts(self, eng, duck):
+        pairs = [  # (trino spelling, duckdb twin)
+            ("day_of_week", "isodow"), ("dow", "isodow"),
+            ("day_of_year", "dayofyear"), ("doy", "dayofyear"),
+            ("day_of_month", "day"),
+            ("week", "weekofyear"), ("week_of_year", "weekofyear"),
+            ("year_of_week", "isoyear"), ("yow", "isoyear"),
+        ]
+        for d in self.DATES:
+            for trino, duckfn in pairs:
+                got = eng.sql(
+                    f"SELECT {trino}(TIMESTAMP '{d} 12:00:00') AS v"
+                ).collect()[0].v
+                want = duck.sql(
+                    f"SELECT {duckfn}(TIMESTAMP '{d} 12:00:00')"
+                ).fetchone()[0]
+                assert got == want, (trino, d, got, want)
+
+    def test_not_sparks_sunday_based_dayofweek(self, eng):
+        # 2020-01-01 was a Wednesday: ISO day_of_week = 3; Spark's own
+        # dayofweek says 4 (Sun=1) — the trap the translation avoids
+        assert eng.sql(
+            "SELECT day_of_week(TIMESTAMP '2020-01-01 00:00:00') AS v"
+        ).collect()[0].v == 3
+
+    def test_to_unixtime_fractional(self, eng, duck):
+        ts = "2020-06-15 01:02:03.250000"
+        got = eng.sql(
+            f"SELECT to_unixtime(TIMESTAMP '{ts}') AS v"
+        ).collect()[0].v
+        want = duck.sql(
+            f"SELECT epoch_us(TIMESTAMP '{ts}') / 1000000.0"
+        ).fetchone()[0]
+        assert abs(got - want) < 1e-9 and abs(got % 1 - 0.25) < 1e-9
+
+
+class TestDateParse:
+    def test_matches_duckdb_strptime(self, eng, duck):
+        # the engine accepts Trino/MySQL directives (%i minute, %s
+        # second); DuckDB's strptime is C-style (%M minute, %S second)
+        # — each case carries both spellings, values must agree
+        cases = [
+            ("2020-01-02 03:04:05", "%Y-%m-%d %H:%i:%s",
+             "%Y-%m-%d %H:%M:%S"),
+            ("02/01/2020", "%d/%m/%Y", "%d/%m/%Y"),
+            ("2020-01-02T03:04:05", "%Y-%m-%dT%H:%i:%s",
+             "%Y-%m-%dT%H:%M:%S"),  # literal T quoted in the rewrite
+            ("03:04:05 2020-01-02", "%T %Y-%m-%d", "%H:%M:%S %Y-%m-%d"),
+        ]
+        for s, trino_fmt, c_fmt in cases:
+            got = eng.sql(
+                f"SELECT date_parse('{s}', '{trino_fmt}') AS v"
+            ).collect()[0].v
+            want = duck.sql(
+                f"SELECT strptime('{s}', '{c_fmt}')"
+            ).fetchone()[0]
+            assert got == want, (s, trino_fmt, got, want)
+
+    def test_unsupported_directive_refuses(self, eng):
+        with pytest.raises(Exception, match="directive"):
+            eng.sql("SELECT date_parse('2020 Mon', '%Y %W')")
+
+    def test_non_literal_format_refuses(self, eng):
+        with pytest.raises(Exception, match="string literal"):
+            eng.sql(
+                "SELECT date_parse(s, f) FROM "
+                "(SELECT '2020' s, '%Y' f)"
+            )
+
+
+class TestConvenienceFunctions:
+    def test_format_is_format_string(self, eng):
+        # documented delta: Spark parses 1.5 as a DECIMAL literal and
+        # Java's %f conversion rejects Spark Decimal — cast to DOUBLE
+        # (Trino parses 1.5 as DOUBLE natively, so real Trino text over
+        # double COLUMNS works unchanged)
+        got = eng.sql(
+            "SELECT format('%02d/%s=%.2f', 7, 'x', "
+            "CAST(1.5 AS DOUBLE)) AS v"
+        ).collect()[0].v
+        assert got == "07/x=1.50"
+
+    def test_arbitrary_returns_a_member(self, eng):
+        got = eng.sql(
+            "SELECT arbitrary(x) AS v FROM VALUES (3), (3), (3) t(x)"
+        ).collect()[0].v
+        assert got == 3
+
+    def test_from_unixtime_keeps_spark_semantics(self, eng):
+        # the DOCUMENTED delta: the 1-arg spelling conflicts between
+        # dialects (Trino: timestamp, Spark: string) — the engine keeps
+        # Spark's, never silently re-types
+        got = eng.sql("SELECT from_unixtime(0) AS v").collect()[0].v
+        assert isinstance(got, str) and got.startswith("1970-01-01")
 
 
 class TestViewBodyChainParity:
