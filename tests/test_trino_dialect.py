@@ -580,3 +580,45 @@ class TestViewBodyChainParity:
         finally:
             eng.sql("DROP VIEW v_r13_ts")
             eng.sql("DROP VIEW v_r13_nil")
+
+
+class TestSharedSpellingsPassThrough:
+    """Spellings the two dialects already share must keep working
+    untranslated — the translator's no-false-positive surface."""
+
+    def test_ansi_interval_literals(self, eng):
+        row = eng.sql(
+            "SELECT TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '3' DAY "
+            "AS d, TIMESTAMP '2020-01-01 00:00:00' - INTERVAL '90' "
+            "MINUTE AS m"
+        ).collect()[0]
+        assert str(row.d) == "2020-01-04 00:00:00"
+        assert str(row.m) == "2019-12-31 22:30:00"
+
+    def test_approx_percentile_shared(self, eng):
+        got = eng.sql(
+            "SELECT approx_percentile(x, 0.5) AS v "
+            "FROM (SELECT explode(sequence(1, 101)) AS x)"
+        ).collect()[0].v
+        assert got == 51
+
+    def test_element_at_cardinality_shared(self, eng):
+        row = eng.sql(
+            "SELECT element_at(array(10, 20), 2) AS e, "
+            "cardinality(array(1, 2, 3)) AS c, "
+            "array(1, 2) || array(3) AS cat"
+        ).collect()[0]
+        assert (row.e, row.c, list(row.cat)) == (20, 3, [1, 2, 3])
+
+    def test_date_trunc_shared(self, eng, duck):
+        # same instant both engines (Spark keeps TIMESTAMP, DuckDB
+        # narrows to DATE — compare at day grain)
+        got = eng.sql(
+            "SELECT CAST(date_trunc('week', TIMESTAMP "
+            "'2020-06-18 13:14:15') AS DATE) AS w"
+        ).collect()[0].w
+        want = duck.sql(
+            "SELECT CAST(date_trunc('week', TIMESTAMP "
+            "'2020-06-18 13:14:15') AS DATE)"
+        ).fetchone()[0]
+        assert got == want
