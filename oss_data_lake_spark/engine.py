@@ -1822,7 +1822,9 @@ class Engine:
 
         repl = None
         if fname in self._TRINO_SUBST:
-            repl = self._TRINO_SUBST[fname].format(a=argtext)
+            # plain replace, NOT str.format: the argument text is user
+            # SQL and may contain literal braces (format('{x}', ...))
+            repl = self._TRINO_SUBST[fname].replace("{a}", argtext)
         elif fname == "DATE_PARSE":
             if len(args) != 2:
                 raise ValueError(

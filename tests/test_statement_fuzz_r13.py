@@ -109,3 +109,17 @@ def test_composed_dialect_statement_with_every_seam(fz_eng):
     assert row.h == 1            # 90 min, elapsed whole hours
     assert row.k == "05:30"      # the half-hour zone through both layers
     assert row.a == 1
+
+
+def test_braces_in_literal_arguments_survive(fz_eng):
+    """str.format-style braces inside a literal argument of a translated
+    call must pass through verbatim (the substitution templates use
+    plain text replacement, never str.format over user SQL)."""
+    row = fz_eng.sql(
+        "SELECT format('%s={x}{unbalanced', 'v') AS f, "
+        "strpos('{a}{b}', '{b}') AS p, "
+        "day_of_week(TIMESTAMP '2020-01-01 00:00:00') AS d"
+    ).collect()[0]
+    assert row.f == "v={x}{unbalanced"
+    assert row.p == 4
+    assert row.d == 3
