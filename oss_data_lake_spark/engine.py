@@ -1960,6 +1960,20 @@ class Engine:
                 f"tail of a compound expression (preceding operator "
                 f"{masked[j]!r}) — parenthesize the full operand"
             )
+        # chained application guard: the rewrite's result is a
+        # WALL-CLOCK (timestamp_ntz in the target zone), so a second
+        # AT TIME ZONE would re-interpret that wall in the session zone
+        # and land on the wrong instant — refuse rather than be
+        # silently un-Trino (Trino's chain preserves the instant)
+        if re.match(
+            r"convert_timezone\s*\(\s*current_timezone\s*\(", operand,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "AT TIME ZONE: chained zone rebasing is not supported — "
+                "the first application already yields the target-zone "
+                "wall-clock; apply AT TIME ZONE once with the final zone"
+            )
         # the zone: the next token must be a string literal (it is
         # BLANKED in the masked view, so locate it in the original text)
         zstart = m.end()

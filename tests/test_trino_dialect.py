@@ -294,6 +294,16 @@ class TestAtTimeZone:
         assert rows.a == rows.b
         assert str(rows.c) == "2020-01-01 05:00:00"
 
+    def test_chained_at_time_zone_refuses(self, eng):
+        # the rewrite yields the target-zone WALL-CLOCK; a second
+        # application would re-interpret it in the session zone and
+        # silently land on the wrong instant — must refuse
+        with pytest.raises(Exception, match="chained"):
+            eng.sql(
+                "SELECT TIMESTAMP '2020-01-01 00:00:00' "
+                "AT TIME ZONE 'Asia/Tokyo' AT TIME ZONE 'UTC'"
+            )
+
     def test_non_literal_zone_refuses(self, eng):
         with pytest.raises(Exception, match="string literal"):
             eng.sql(
