@@ -127,6 +127,11 @@ HEADLINE = [
     "b56_quantified_comparisons",
     "b57_window_frame_exclude",
     "e87_bpe_bytelevel_merge_table",
+    # round 13: the Trino function dialect (one pruned-scan aggregate,
+    # all translated calls JVM-side) and the end-to-end corpus pipeline
+    "b59_trino_dialect_funcs",
+    "b60_trino_datepart_funcs",
+    "e92_corpus_pipeline",
 ]
 
 
