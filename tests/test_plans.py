@@ -456,3 +456,20 @@ def test_b59_dialect_stays_jvm_side_with_pruned_scan(spark, sf_dir):
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert cols == {"ts", "event_type"}, cols
     assert "ReadSchema" in txt
+
+
+def test_e92_pipeline_composes_without_corpus_squared_joins(spark, sf_dir):
+    """e92 (corpus pipeline): the composition must inherit its members'
+    scale contracts — MinHash verifies candidate pairs only and SemDeDup
+    sweeps cluster blocks, so the composed plan may contain NO
+    cartesian/nested-loop join over data tables and NO sort-merge join
+    of the corpus against itself; the embedding sweep stays the single
+    grouped FlatMapGroupsInPandas per stage."""
+    from oss_data_lake_spark.operators.pipeline import (
+        corpus_pipeline_report,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(corpus_pipeline_report(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
