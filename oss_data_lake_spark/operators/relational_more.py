@@ -400,8 +400,8 @@ SELECT o_orderpriority AS pri,
   CAST(sum(year_of_week(o_orderdate)) AS BIGINT) AS sum_yow,
   CAST(sum(day_of_month(o_orderdate)) AS BIGINT) AS sum_dom,
   min(to_unixtime(o_orderdate)) AS min_epoch,
-  min(date_parse(format_datetime(o_orderdate, 'yyyy-MM-dd'),
-                 '%Y-%m-%d')) AS min_day_ts,
+  CAST(min(date_parse(format_datetime(o_orderdate, 'yyyy-MM-dd'),
+                      '%Y-%m-%d')) AS DATE) AS min_day_ts,
   min(format('%s|%d', o_orderpriority, day_of_month(o_orderdate)))
       AS min_fmt
 FROM {orders}
@@ -417,8 +417,8 @@ SELECT o_orderpriority AS pri,
   CAST(sum(isoyear(o_orderdate)) AS BIGINT) AS sum_yow,
   CAST(sum(day(o_orderdate)) AS BIGINT) AS sum_dom,
   min(epoch_us(o_orderdate) / 1000000.0) AS min_epoch,
-  min(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'))
-      AS min_day_ts,
+  CAST(min(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'))
+       AS DATE) AS min_day_ts,
   min(printf('%s|%d', o_orderpriority, day(o_orderdate))) AS min_fmt
 FROM {orders}
 GROUP BY o_orderpriority
