@@ -250,6 +250,54 @@ _EXPIRE_RE = re.compile(
     r"(?:\s*RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Trino-Iceberg's maintenance spelling (Trino 467 `ALTER TABLE ...
+# EXECUTE <procedure>(name => 'value', ...)` — the way the reference
+# stack's users actually run compaction/expiry from Trino):
+#   optimize [(file_size_threshold => '128MB')] → full-table compaction
+#       (the threshold is a LAYOUT hint — which files are merge
+#       candidates — never a result-semantics knob: the table content
+#       is identical either way, so it is accepted and the compaction
+#       runs whole-table, same as `OPTIMIZE t`)
+#   expire_snapshots(retention_threshold => '7d') → expire versions
+#       older than the threshold (keep_last=1 floor, Trino's contract)
+#   remove_orphan_files(retention_threshold => '7d') → vacuum
+#       unreferenced files older than the threshold
+# Any other procedure or argument refuses loudly.
+_ALTER_EXECUTE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+EXECUTE\s+"
+    r"([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXEC_ARG_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=>\s*'((?:[^']|'')*)'\s*$"
+)
+_DURATION_RE = re.compile(r"^\s*(\d+)\s*(s|m|h|d)\s*$", re.IGNORECASE)
+
+
+def _parse_duration_ms(v: str, where: str) -> int:
+    dm = _DURATION_RE.match(v)
+    if dm is None:
+        raise ValueError(
+            f"{where}: retention_threshold must be <n><unit> with unit "
+            f"in s/m/h/d (Trino duration form), got {v!r}"
+        )
+    mult = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+    return int(dm.group(1)) * mult[dm.group(2).lower()]
+
+
+def _parse_exec_args(argtext: str | None, where: str) -> dict[str, str]:
+    if not argtext or not argtext.strip():
+        return {}
+    out: dict[str, str] = {}
+    for part in argtext.split(","):
+        am = _EXEC_ARG_RE.match(part)
+        if am is None:
+            raise ValueError(
+                f"{where}: arguments must be name => 'value' pairs, "
+                f"got {part.strip()!r}"
+            )
+        out[am.group(1).lower()] = am.group(2).replace("''", "'")
+    return out
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -2406,6 +2454,63 @@ def dispatch_statement(
             }
         return spark.createDataFrame(
             sorted(props.items()) or [], "key string, value string"
+        )
+
+    m = _ALTER_EXECUTE_RE.match(text)
+    if m:
+        t = _require(tables, m.group(1), "ALTER TABLE ... EXECUTE")
+        proc = m.group(2).lower()
+        args = _parse_exec_args(m.group(3), f"EXECUTE {proc}")
+        if proc == "optimize":
+            extra = set(args) - {"file_size_threshold"}
+            if extra:
+                raise ValueError(
+                    f"EXECUTE optimize: unsupported arguments {sorted(extra)}"
+                    " (supported: file_size_threshold)"
+                )
+            version = t.compact(
+                target_partitions=1,
+                stats_for=sorted(t.stats_columns()) or None,
+            )
+            return spark.createDataFrame([(version,)], "version long")
+        if proc == "expire_snapshots":
+            extra = set(args) - {"retention_threshold"}
+            if extra or "retention_threshold" not in args:
+                raise ValueError(
+                    "EXECUTE expire_snapshots takes exactly "
+                    "retention_threshold => '<n><s|m|h|d>' "
+                    f"(got {sorted(args) or 'no arguments'})"
+                )
+            ms = _parse_duration_ms(
+                args["retention_threshold"], "EXECUTE expire_snapshots"
+            )
+            expired = t.expire_snapshots(keep_last=1, retain_ms=ms)
+            return spark.createDataFrame(
+                [(v,) for v in expired] or [], "expired_version long"
+            )
+        if proc == "remove_orphan_files":
+            extra = set(args) - {"retention_threshold"}
+            if extra:
+                raise ValueError(
+                    "EXECUTE remove_orphan_files takes only "
+                    f"retention_threshold (got {sorted(extra)})"
+                )
+            ms = (
+                _parse_duration_ms(
+                    args["retention_threshold"],
+                    "EXECUTE remove_orphan_files",
+                )
+                if "retention_threshold" in args
+                else None
+            )
+            removed = t.vacuum(dry_run=False, retain_ms=ms)
+            return spark.createDataFrame(
+                [(d,) for d in removed] or [], "removed_dir string"
+            )
+        raise ValueError(
+            f"ALTER TABLE ... EXECUTE {proc!r} is not supported "
+            "(supported procedures: optimize, expire_snapshots, "
+            "remove_orphan_files)"
         )
 
     m = _EXPIRE_RE.match(text)

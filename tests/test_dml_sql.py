@@ -981,3 +981,48 @@ def test_explain_analyze_executes_and_shows_final_plan(spark, tmp_path):
     e.sql("CREATE VIEW ea_v AS SELECT k FROM ea WHERE k > 1")
     row = e.sql("EXPLAIN ANALYZE SELECT * FROM ea_v").collect()[0]
     assert row["rows"] == 1
+
+
+def test_alter_table_execute_trino_procedures(spark, tmp_path):
+    """Trino-Iceberg's maintenance spelling (round 13): `ALTER TABLE t
+    EXECUTE optimize/expire_snapshots/remove_orphan_files(name =>
+    'value')` — the way the reference stack's users run maintenance
+    from Trino. optimize's file_size_threshold is a layout hint (data
+    identical either way); expire_snapshots takes a Trino duration;
+    remove_orphan_files maps to vacuum. Unknown procedures/arguments
+    refuse loudly."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE mx (k BIGINT, v DOUBLE) USING snapshot")
+    for i in range(3):
+        e.sql(f"INSERT INTO mx VALUES ({i}, {i}.5)")
+    v = e.sql(
+        "ALTER TABLE mx EXECUTE optimize(file_size_threshold => '128MB')"
+    ).collect()[0]["version"]
+    assert v == 5  # create(1) + 3 inserts + compact
+    hist = e.sql("DESCRIBE HISTORY mx").collect()
+    assert hist[-1]["operation"] == "compact"
+    assert e.sql("SELECT count(*) AS n FROM mx").collect()[0]["n"] == 3
+    expired = {
+        r["expired_version"]
+        for r in e.sql(
+            "ALTER TABLE mx EXECUTE expire_snapshots("
+            "retention_threshold => '0s')"
+        ).collect()
+    }
+    assert expired and max(expired) < 5  # the live head always survives
+    removed = e.sql(
+        "ALTER TABLE mx EXECUTE remove_orphan_files("
+        "retention_threshold => '0s')"
+    ).collect()
+    assert isinstance(removed, list)
+    assert e.sql("SELECT count(*) AS n FROM mx").collect()[0]["n"] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not supported"):
+        e.sql("ALTER TABLE mx EXECUTE drop_extended_stats")
+    with _pytest.raises(Exception, match="retention_threshold"):
+        e.sql("ALTER TABLE mx EXECUTE expire_snapshots(keep => '2')")
+    with _pytest.raises(Exception, match="s/m/h/d"):
+        e.sql("ALTER TABLE mx EXECUTE expire_snapshots("
+              "retention_threshold => 'weekly')")
+    e.drop_snapshot_table("mx", delete_data=True)
