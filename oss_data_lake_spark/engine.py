@@ -1383,9 +1383,91 @@ class Engine:
         r"^(day|month|year|hour)\s*\(\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
     )
 
+    # Trino CTAS: `CREATE TABLE [IF NOT EXISTS] name [WITH (props)]
+    # AS <query>` (round 13 — dashboard rollups saved as Iceberg tables
+    # are created exactly this way). Fires only when the statement
+    # carries a Trino marker — a WITH (...) properties clause or a
+    # DOTTED name Spark's single-part session catalog cannot host — so
+    # a plain single-part Spark CTAS keeps Spark semantics. Recognized
+    # properties: partitioning (ARRAY of columns/transforms, same
+    # day()->days() mapping as the column-list form) and format
+    # ('PARQUET' — the engine's native layout; anything else refuses).
+    _TRINO_CTAS_HEAD_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w.]*)",
+        re.IGNORECASE,
+    )
+
+    def _translate_trino_ctas(self, text: str) -> str:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._TRINO_CTAS_HEAD_RE.match(masked)
+        if m is None:
+            return text
+        i = m.end()
+        props = None
+        wm = re.compile(r"\s*WITH\s*\(", re.IGNORECASE).match(masked, i)
+        if wm:
+            depth, j = 1, wm.end()
+            while j < len(masked) and depth:
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return text  # unbalanced: the parser reports it
+            props = text[wm.end(): j - 1]
+            i = j
+        am = re.compile(
+            r"\s*AS\s+(?=SELECT|WITH|VALUES|TABLE|\()", re.IGNORECASE
+        ).match(masked, i)
+        if am is None:
+            return text  # not a CTAS (column-list form handles the rest)
+        name = m.group(2)
+        if props is None and "." not in name:
+            return text  # plain Spark CTAS keeps Spark semantics
+        part = ""
+        if props:
+            known = {"partitioning", "format"}
+            for key in re.findall(r"([A-Za-z_]\w*)\s*=", props):
+                if key.lower() not in known:
+                    raise ValueError(
+                        f"CREATE TABLE ... WITH: unsupported property "
+                        f"{key!r} (supported: {sorted(known)})"
+                    )
+            fm = re.search(
+                r"format\s*=\s*'([^']*)'", props, re.IGNORECASE
+            )
+            if fm and fm.group(1).upper() != "PARQUET":
+                raise ValueError(
+                    f"CREATE TABLE ... WITH (format = {fm.group(1)!r}): "
+                    f"only PARQUET is supported"
+                )
+            pm = self._TRINO_PART_RE.search(props)
+            if pm:
+                entries = []
+                for ent in pm.group(1).split(","):
+                    ent = ent.strip().strip("'\"")
+                    if not ent:
+                        continue
+                    xm = self._TRINO_XFORM_RE.match(ent)
+                    if xm:
+                        ent = f"{xm.group(1).lower()}s({xm.group(2)})"
+                    entries.append(ent)
+                if entries:
+                    part = f" PARTITIONED BY ({', '.join(entries)})"
+        ine = m.group(1) or ""
+        body = text[am.end():]
+        return (
+            f"CREATE TABLE {ine}{name} USING snapshot{part} AS {body}"
+        )
+
     def _translate_trino_create(self, text: str) -> str:
         from oss_data_lake_spark.sources.snapshots import _masked
 
+        text = self._translate_trino_ctas(text)
         masked = _masked(text)
         m = self._TRINO_CREATE_RE.match(masked)
         if m is None:

@@ -888,9 +888,30 @@ def _run_merge(
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
     r"(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][\w.]*)\s+"
-    r"USING\s+SNAPSHOT\s+AS\s+(.*?)\s*;?\s*$",
+    r"USING\s+SNAPSHOT"
+    # optional layout for CTAS (round 13 — the Trino `WITH
+    # (partitioning = ARRAY[...])` CTAS translates here): transforms
+    # carry one paren level (days(ts), bucket(4, k))
+    r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+    r"\s+AS\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_part_entries(part: str | None) -> list[str]:
+    """Depth-0 comma split of a PARTITIONED BY spec (bucket(4, k)
+    keeps its own comma); shared by the column-list and CTAS paths."""
+    if not part:
+        return []
+    pmasked = _masked(part)
+    pdepths = _depths(pmasked)
+    entries, start = [], 0
+    for i, ch in enumerate(pmasked):
+        if ch == "," and pdepths[i] == 0:
+            entries.append(part[start:i].strip())
+            start = i + 1
+    entries.append(part[start:].strip())
+    return [x for x in entries if x]
 # column-list CREATE TABLE (no AS): an EMPTY snapshot table with a
 # declared schema, optional partition layout, and column DEFAULTs
 _CREATE_COLS_RE = re.compile(
@@ -1414,18 +1435,7 @@ def dispatch_statement(
         etypes = {f.name: f.dataType for f in empty.schema.fields}
         for cname, lit in defaults.items():
             validate_default(spark, lit, etypes[cname])
-        entries = []
-        if part:
-            # depth-0 comma split: bucket(4, k) keeps its own comma
-            pmasked = _masked(part)
-            pdepths = _depths(pmasked)
-            start = 0
-            for i, ch in enumerate(pmasked):
-                if ch == "," and pdepths[i] == 0:
-                    entries.append(part[start:i].strip())
-                    start = i + 1
-            entries.append(part[start:].strip())
-            entries = [x for x in entries if x]
+        entries = _split_part_entries(part)
         t = engine.register_snapshot_table(
             name, engine.snapshot_table_path(name)
         )
@@ -1454,7 +1464,8 @@ def dispatch_statement(
 
     m = _CREATE_RE.match(text)
     if m and engine is not None:
-        or_replace, if_not_exists, name, query = m.groups()
+        or_replace, if_not_exists, name, part_spec, query = m.groups()
+        ctas_entries = _split_part_entries(part_spec)
         if getattr(engine, "view_exists", lambda _n: False)(name):
             raise ValueError(
                 f"a view named '{name}' exists; a table cannot shadow it"
@@ -1483,13 +1494,18 @@ def dispatch_statement(
             )
 
             df = sql_with_time_travel(spark, query, tables)
-            pb = tables[name].current_partition_by()
+            # an explicit PARTITIONED BY on the replacement wins over
+            # the carried-over layout (Trino CTAS semantics)
+            pb = ctas_entries or tables[name].current_partition_by()
             entries = [parse_partition_entry(c) for c in pb]
-            if not all(
+            if not ctas_entries and not all(
                 (tr["source"] if tr else p) in df.columns
                 for p, tr in entries
             ):
-                pb = []  # layout's source column gone: plain replace
+                # CARRIED-OVER layout whose source column is gone:
+                # plain replace. An EXPLICIT spec never degrades
+                # silently — commit's eager validation raises instead.
+                pb = []
             identity = {p for p, tr in entries if tr is None} if pb else set()
             version = tables[name].commit(
                 df, mode="overwrite", tag="replace_table",
@@ -1502,7 +1518,29 @@ def dispatch_statement(
         df = sql_with_time_travel(spark, query, tables)
         t = engine.register_snapshot_table(name, engine.snapshot_table_path(name))
         try:
-            version = t.commit(df, stats_for=_prunable_columns(df) or None)
+            if ctas_entries:
+                from oss_data_lake_spark.sources.snapshots import (
+                    parse_partition_entry,
+                )
+
+                identity = {
+                    p
+                    for p, tr in (
+                        parse_partition_entry(c) for c in ctas_entries
+                    )
+                    if tr is None
+                }
+                version = t.commit(
+                    df,
+                    partition_by=ctas_entries,
+                    stats_for=sorted(
+                        set(_prunable_columns(df)) - identity
+                    ) or None,
+                )
+            else:
+                version = t.commit(
+                    df, stats_for=_prunable_columns(df) or None
+                )
         except Exception:
             # same guard as column-list CREATE: a failed v1 must not
             # leave a registered zero-snapshot name behind — and

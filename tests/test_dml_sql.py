@@ -1026,3 +1026,46 @@ def test_alter_table_execute_trino_procedures(spark, tmp_path):
         e.sql("ALTER TABLE mx EXECUTE expire_snapshots("
               "retention_threshold => 'weekly')")
     e.drop_snapshot_table("mx", delete_data=True)
+
+
+def test_trino_ctas_with_partitioning(spark, tmp_path):
+    """Trino CTAS (round 13): `CREATE TABLE name WITH (partitioning =
+    ARRAY['day(ts)']) AS SELECT ...` — how dashboard rollups are saved
+    as Iceberg tables. Fires only on Trino markers (WITH props or a
+    dotted name); single-part plain CTAS keeps Spark semantics; the
+    layout lands as real hidden partitioning; OR REPLACE with an
+    explicit spec overrides the carried-over layout; unsupported
+    properties and non-parquet formats refuse."""
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE iceberg.m.rollup WITH (partitioning = "
+        "ARRAY['day(ts)'], format = 'PARQUET') AS "
+        "SELECT x AS k, TIMESTAMP '2020-01-02 03:00:00' AS ts "
+        "FROM VALUES (1), (2) t(x)"
+    )
+    t = e._snapshot_tables["iceberg.m.rollup"]
+    assert t.current_partition_by() == ["days(ts)"]
+    got = e.sql(
+        "SELECT k FROM iceberg.m.rollup ORDER BY k"
+    ).collect()
+    assert [r.k for r in got] == [1, 2]
+    # dotted name alone is a Trino marker (Spark cannot host it)
+    e.sql("CREATE TABLE iceberg.m.plain AS SELECT 7 AS k")
+    assert "iceberg.m.plain" in e._snapshot_tables
+    # explicit layout on the snapshot CTAS grammar + replace override
+    e.sql("CREATE TABLE mgd2 USING snapshot PARTITIONED BY (k) "
+          "AS SELECT 1 AS k, 'a' AS v")
+    assert e._snapshot_tables["mgd2"].current_partition_by() == ["k"]
+    e.sql("CREATE OR REPLACE TABLE mgd2 USING snapshot "
+          "PARTITIONED BY (v) AS SELECT 2 AS k, 'b' AS v")
+    assert e._snapshot_tables["mgd2"].current_partition_by() == ["v"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported property"):
+        e.sql("CREATE TABLE iceberg.m.x WITH (location = '/x') "
+              "AS SELECT 1 AS k")
+    with _pytest.raises(Exception, match="PARQUET"):
+        e.sql("CREATE TABLE iceberg.m.y WITH (format = 'ORC') "
+              "AS SELECT 1 AS k")
+    for n in ("iceberg.m.rollup", "iceberg.m.plain", "mgd2"):
+        e.drop_snapshot_table(n, delete_data=True)
