@@ -192,6 +192,15 @@ class Engine:
         r"^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # Trino 467's one-shot prepared statement (EXECUTE IMMEDIATE
+    # '<stmt>' [USING ...]): the statement text is a string literal —
+    # embedded quotes arrive DOUBLED per the SQL literal grammar —
+    # unwrapped and routed through sql() with the same `?` parameter
+    # substitution as named EXECUTE. Matched BEFORE _EXECUTE_RE so
+    # IMMEDIATE is never read as a statement name.
+    _EXEC_IMMEDIATE_RE = re.compile(
+        r"^\s*EXECUTE\s+IMMEDIATE\s+", re.IGNORECASE
+    )
     _DEALLOCATE_RE = re.compile(
         r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
@@ -230,6 +239,49 @@ class Engine:
         return [a for a in out if a]
 
     def _handle_prepared_statement(self, text: str) -> DataFrame | None:
+        m = self._EXEC_IMMEDIATE_RE.match(text)
+        if m:
+            from oss_data_lake_spark.sources.snapshots import (
+                _literal_spans,
+            )
+
+            # the statement literal starts exactly at the match end —
+            # located by span so a body containing quotes (or the text
+            # "EXECUTE IMMEDIATE" itself) can never confuse the scan
+            span = next(
+                (s for s in _literal_spans(text) if s[0] == m.end()),
+                None,
+            )
+            if span is None or text[m.end()] != "'":
+                raise ValueError(
+                    "EXECUTE IMMEDIATE takes a string literal: "
+                    "EXECUTE IMMEDIATE 'SELECT ...' [USING ...]"
+                )
+            body = text[span[0] + 1: span[1] - 1].replace("''", "'")
+            tail = text[span[1]:].strip().rstrip(";").strip()
+            args: list[str] = []
+            if tail:
+                um = re.match(
+                    r"USING\s+(.+)$", tail, re.IGNORECASE | re.DOTALL
+                )
+                if um is None:
+                    raise ValueError(
+                        f"EXECUTE IMMEDIATE: unexpected trailing text "
+                        f"{tail!r} — only a USING parameter list may "
+                        f"follow the statement literal"
+                    )
+                args = self._split_using_args(um.group(1))
+            positions = self._param_positions(body)
+            if len(args) != len(positions):
+                raise ValueError(
+                    f"EXECUTE IMMEDIATE: statement has "
+                    f"{len(positions)} parameter(s), USING supplies "
+                    f"{len(args)}"
+                )
+            out = body
+            for pos, arg in zip(reversed(positions), reversed(args)):
+                out = out[:pos] + arg + out[pos + 1:]
+            return self.sql(out)
         m = self._PREPARE_RE.match(text)
         if m:
             name, body = m.group(1), m.group(2)
@@ -2033,6 +2085,22 @@ class Engine:
             masked, m.start(2)
         )
         operand = text[m.start(1): km.start()].strip()
+        # a bare structural keyword is never the operand — it is the
+        # TAIL of an enclosing construct the operand regex cannot see
+        # (`CASE ... END AT TIME ZONE 'z'` binds END); splicing it
+        # would bury convert_timezone() inside the CASE body and fail
+        # with a misleading parse error downstream
+        if operand.upper() in (
+            "END", "THEN", "ELSE", "WHEN", "CASE", "NULL", "ASC",
+            "DESC", "AND", "OR", "NOT", "OVER", "ALL", "DISTINCT",
+            "BETWEEN", "INTERVAL", "ROW", "ROWS",
+        ):
+            raise ValueError(
+                f"AT TIME ZONE: the operand binds only {operand!r}, a "
+                f"bare SQL keyword (the tail of an enclosing "
+                f"expression) — parenthesize the full operand, e.g. "
+                f"(CASE ... END) AT TIME ZONE 'zone'"
+            )
         j = m.start(1) - 1
         while j >= 0 and masked[j].isspace():
             j -= 1
@@ -2410,7 +2478,13 @@ class Engine:
         the two paths must never diverge (a body using TABLESAMPLE or a
         bare CURRENT_SCHEMA previously planned only at the top level).
         """
+        self._refuse_inline_sql_routine(text)
         text = self._translate_tablesample(text)
+        # UNNEST runs BEFORE the function/operator passes: its rewrite
+        # splices the argument expression verbatim into a LATERAL
+        # subquery, and any Trino spellings inside that expression are
+        # then translated by the later passes over the whole text
+        text = self._translate_unnest(text)
         text = self._translate_quantified(text)
         text = self._translate_sql_json(text)
         text = self._translate_window_exclude(text)
@@ -2419,6 +2493,209 @@ class Engine:
         text = self._translate_trino_functions(text)
         text = self._translate_at_time_zone(text)
         return text
+
+    # -- Trino FROM-clause UNNEST (Trino docs "7.20 SELECT — UNNEST";
+    # the reference's events.props JSON shapes are what BI users unnest,
+    # reference RUNBOOK.md:120-123). Spark's parser has no UNNEST; the
+    # exact equivalent is a LATERAL subquery over the explode /
+    # posexplode / inline table functions (correlation in table-function
+    # arguments is native Spark SQL since 3.4):
+    #
+    #   CROSS JOIN UNNEST(a) AS t(v)
+    #     -> CROSS JOIN LATERAL (SELECT * FROM explode(a)) AS t(v)
+    #   CROSS JOIN UNNEST(a) WITH ORDINALITY AS t(v, i)
+    #     -> ... (SELECT col, CAST(pos + 1 AS BIGINT) FROM
+    #             posexplode(a)) AS t(v, i)     -- ordinality is 1-based
+    #                                           -- BIGINT, LAST (Trino)
+    #   CROSS JOIN UNNEST(m) AS t(k, v)          -- MAP expansion
+    #     -> ... (SELECT * FROM explode(m)) AS t(k, v)
+    #   CROSS JOIN UNNEST(rs) AS t(f1, f2, f3)   -- array<row> expansion
+    #     -> ... (SELECT * FROM inline(rs)) AS t(f1, f2, f3)
+    #   LEFT JOIN UNNEST(a) AS t(v) ON TRUE      -- keep empty/NULL rows
+    #     -> LEFT OUTER JOIN LATERAL (...) AS t(v) ON true
+    #   FROM x, UNNEST(a) AS t(v)                -- comma join form
+    #     -> FROM x, LATERAL (...) AS t(v)
+    #
+    # Trino types the expansion from the ARGUMENT type; a text-level
+    # rewrite cannot, so the column-alias COUNT picks the table
+    # function: 1 column = array, 2 columns (no ordinality) = map,
+    # >= 3 columns (no ordinality) = array-of-rows via inline. An
+    # array-of-rows unnested through the 2-column map shape fails
+    # Spark's analysis with ASSIGNMENT_ARITY_MISMATCH (count mismatch),
+    # never a silently wrong result. Forms with no exact Spark
+    # equivalent refuse loudly: multi-argument (zipping) UNNEST, a
+    # missing alias column list, ordinality over array-of-rows, and
+    # LEFT JOIN conditions other than ON TRUE.
+    _UNNEST_RE = re.compile(
+        r"(\bCROSS\s+JOIN|\bLEFT\s+(?:OUTER\s+)?JOIN|,)\s*"
+        r"UNNEST\s*\(",
+        re.IGNORECASE,
+    )
+    _UNNEST_TAIL_RE = re.compile(
+        r"\s*(WITH\s+ORDINALITY\b)?\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(",
+        re.IGNORECASE,
+    )
+    _UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE\b", re.IGNORECASE)
+
+    def _translate_unnest(self, text: str, _from: int = 0) -> str:
+        if not re.search(r"\bUNNEST\b", text, re.IGNORECASE):
+            return text
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._UNNEST_RE.search(masked, _from)
+        if m is None:
+            # any UNNEST( left outside the handled join forms would hit
+            # Spark's parser with an unhelpful error — refuse with the
+            # supported grammar instead (a masked scan: UNNEST inside a
+            # string literal is data, not grammar)
+            if re.search(r"\bUNNEST\s*\(", masked, re.IGNORECASE):
+                raise ValueError(
+                    "UNNEST is supported as CROSS JOIN UNNEST(expr) "
+                    "[WITH ORDINALITY] AS t(col, ...), the comma-join "
+                    "form, or LEFT JOIN UNNEST(...) AS t(...) ON TRUE "
+                    "— other placements have no Spark equivalent"
+                )
+            return text
+        join_kw = m.group(1)
+        is_left = join_kw.upper().lstrip().startswith("LEFT")
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave the text for the parser to flag
+            return text
+        args_raw = text[m.end(): i - 1]
+        args_masked = masked[m.end(): i - 1]
+        exprs, start, d = [], 0, 0
+        for j, ch in enumerate(args_masked):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                exprs.append(args_raw[start:j].strip())
+                start = j + 1
+        exprs.append(args_raw[start:].strip())
+        if len(exprs) > 1:
+            raise ValueError(
+                f"UNNEST with {len(exprs)} arguments zips the arrays "
+                f"positionally (Trino) — Spark has no FROM-clause "
+                f"equivalent. Unnest one array per clause, or zip "
+                f"Spark-side first: CROSS JOIN UNNEST(arrays_zip(a, b)) "
+                f"AS t(fa, fb) expands the zipped struct fields"
+            )
+        expr = exprs[0]
+        if not expr:
+            raise ValueError("UNNEST: empty argument list")
+        tm = self._UNNEST_TAIL_RE.match(masked, i)
+        if tm is None:
+            raise ValueError(
+                "UNNEST requires an alias with an explicit column "
+                "list — UNNEST(expr) [WITH ORDINALITY] AS t(col, ...) "
+                "(the expansion's column names come from the alias; "
+                "Spark's explode defaults are not Trino's)"
+            )
+        ordinality = tm.group(1) is not None
+        alias = tm.group(2)
+        depth, j = 1, tm.end()
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return text
+        cols_text = masked[tm.end(): j - 1]
+        cols = [c.strip() for c in cols_text.split(",")]
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+            raise ValueError(
+                f"UNNEST AS {alias}(...): column aliases must be "
+                f"simple identifiers, got {cols_text.strip()!r}"
+            )
+        end = j
+        if is_left:
+            om = self._UNNEST_ON_TRUE_RE.match(masked, end)
+            if om is None:
+                raise ValueError(
+                    "LEFT JOIN UNNEST supports only the ON TRUE join "
+                    "condition (Trino's preserve-empty expansion); a "
+                    "filtering condition belongs in WHERE"
+                )
+            end = om.end()
+        n = len(cols)
+        ord_last = "CAST(pos + 1 AS BIGINT)"  # Trino: 1-based BIGINT
+        if not ordinality and n <= 2:
+            # n=1: array element; n=2: map (key, value). An
+            # array-of-rows through this shape fails analysis with an
+            # explicit arity mismatch — see the block comment above.
+            inner = f"SELECT * FROM explode({expr})"
+        elif not ordinality:
+            inner = f"SELECT * FROM inline({expr})"
+        elif ordinality and n == 2:
+            inner = f"SELECT col, {ord_last} FROM posexplode({expr})"
+        elif ordinality and n == 3:
+            inner = (
+                f"SELECT key, value, {ord_last} FROM posexplode({expr})"
+            )
+        else:
+            raise ValueError(
+                f"UNNEST WITH ORDINALITY AS {alias}({cols_text.strip()})"
+                f": expected 2 aliases (array element, ordinality) or 3 "
+                f"(map key, value, ordinality) — array-of-rows with "
+                f"ordinality has no Spark table function; select "
+                f"struct fields from a 2-alias form instead"
+            )
+        lateral = f"LATERAL ({inner}) AS {alias}({', '.join(cols)})"
+        if join_kw == ",":
+            repl = f", {lateral}"
+        elif is_left:
+            repl = f"LEFT OUTER JOIN {lateral} ON true"
+        else:
+            repl = f"CROSS JOIN {lateral}"
+        # restart at the splice point: the replacement contains no
+        # UNNEST token, so the rescan can only advance
+        return self._translate_unnest(
+            text[: m.start()] + repl + text[end:], m.start()
+        )
+
+    # -- Trino inline SQL routines (`WITH FUNCTION name(...) RETURNS
+    # ... SELECT ...`, Trino 458+): a DOCUMENTED NON-GOAL, same class
+    # as general MATCH_RECOGNIZE patterns — Spark has no statement-
+    # scoped SQL function and a text-level lambda inliner would be a
+    # second expression engine. The guard distinguishes the routine
+    # form from a CTE legitimately NAMED "function" (`WITH function AS
+    # (...)` / `WITH function(a, b) AS (...)`) by the RETURNS keyword
+    # after the parameter list.
+    _WITH_FUNCTION_RE = re.compile(
+        r"^\s*WITH\s+FUNCTION\s+[A-Za-z_][\w.]*\s*\(", re.IGNORECASE
+    )
+
+    def _refuse_inline_sql_routine(self, text: str) -> None:
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        masked = _masked(text)
+        m = self._WITH_FUNCTION_RE.match(masked)
+        if m is None:
+            return
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if re.match(r"\s*RETURNS\b", masked[i:], re.IGNORECASE):
+            raise ValueError(
+                "inline SQL routines (WITH FUNCTION ... RETURNS ...) "
+                "are not supported — define the expression inline or "
+                "register a view; this is a documented non-goal "
+                "(COVERAGE.md)"
+            )
 
     def _translate_tablesample(self, text: str) -> str:
         from oss_data_lake_spark.sources.snapshots import _masked

@@ -585,6 +585,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "s1": _cw("min_day_ts", "min_fmt")},
              {"k1": "pri", "v1": "min_epoch",
               "s1": _cw_sql("min_day_ts", "min_fmt")}),
+            # b61 (round 14): the Trino FROM-clause UNNEST SQL text —
+            # CROSS JOIN UNNEST WITH ORDINALITY (posexplode rewrite)
+            # and LEFT JOIN UNNEST ON TRUE (preserve-empty) — issued
+            # verbatim through Engine.sql; every expanded measure
+            # rides the hash
+            ("b61a", "b61_unnest_lateral",
+             {"k1": ("label"), "v1": ("n_pos"), "v2": ("sum_ord"),
+              "v3": ("n_neg"), "v4": ("ord_neg8")},
+             {"k1": "label", "v1": "n_pos", "v2": "sum_ord",
+              "v3": "n_neg", "v4": "ord_neg8"}),
+            ("b61b", "b61_unnest_lateral",
+             {"k1": ("label"), "v1": ("n_rows"), "v2": ("n_tok"),
+              "v3": ("sum_tok_len")},
+             {"k1": "label", "v1": "n_rows", "v2": "n_tok",
+              "v3": "sum_tok_len"}),
         ],
         "b42_semi_anti_joins": [
             ("b04", "b04_semi_join_big_spenders",

@@ -943,8 +943,118 @@ def array_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# b61 (round 14): the Trino FROM-clause UNNEST SQL TEXT — the last
+# common hand-written Trino spelling with no Spark parse (reference
+# surface: arbitrary BI SQL over array/JSON shapes, Trino docs "SELECT
+# — UNNEST") — issued VERBATIM through Engine.sql and rewritten by
+# `Engine._translate_unnest` onto LATERAL explode/posexplode
+# subqueries. Three grammar forms ride the one query: CROSS JOIN
+# UNNEST ... WITH ORDINALITY (posexplode, 1-based BIGINT ordinality
+# LAST), plain-array LEFT JOIN UNNEST ... ON TRUE (preserve-empty:
+# n_rows counts the NULL-src documents, n_tok does not), and a
+# translated-function argument (slice — the same spelling in Trino and
+# Spark). Every measure is an integer; the float arm is a sign test
+# (bit-exact on parquet floats). 100-TB shape: the expansion is
+# bounded (16 positions/row, 2 tokens/doc), each side aggregates
+# BEFORE the tiny label-grain join — no row explosion crosses a join.
+_B61_TRINO_SQL = """
+WITH ord AS (
+  SELECT e.label AS label,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(t.i) AS BIGINT) AS sum_ord,
+         CAST(sum(CASE WHEN t.x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+         CAST(sum(CASE WHEN t.x < 0 AND t.i <= 8 THEN t.i ELSE 0 END)
+             AS BIGINT) AS ord_neg8
+  FROM {emb} e
+  CROSS JOIN UNNEST(slice(e.v, 1, 16)) WITH ORDINALITY AS t(x, i)
+  GROUP BY e.label
+),
+toks AS (
+  SELECT d.label AS label,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(w.tok) AS BIGINT) AS n_tok,
+         CAST(sum(length(w.tok)) AS BIGINT) AS sum_tok_len
+  FROM {docsrc} d
+  LEFT JOIN UNNEST(split(d.src, '_')) AS w(tok) ON TRUE
+  GROUP BY d.label
+)
+SELECT ord.label AS label, n_pos, sum_ord, n_neg, ord_neg8,
+       n_rows, n_tok, sum_tok_len
+FROM ord JOIN toks ON ord.label = toks.label
+"""
+
+# DuckDB's native expansion idioms oracle the identical semantics:
+# SELECT-clause unnest + generate_subscripts zip positionally (the
+# WITH ORDINALITY twin), and LEFT JOIN LATERAL unnest preserves the
+# NULL-src rows exactly like Trino's LEFT JOIN UNNEST ON TRUE
+_B61_DUCK_SQL = """
+WITH emb AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_slice(embedding, 1, 16) AS v
+  FROM {embeddings}
+),
+ordx AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM emb
+),
+ord AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(i) AS BIGINT) AS sum_ord,
+         CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+         CAST(sum(CASE WHEN x < 0 AND i <= 8 THEN i ELSE 0 END)
+             AS BIGINT) AS ord_neg8
+  FROM ordx GROUP BY label
+),
+docsrc AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS label,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE lang || '_' || source END AS src
+  FROM {documents}
+),
+toks AS (
+  SELECT d.label AS label,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(w.tok) AS BIGINT) AS n_tok,
+         CAST(sum(length(w.tok)) AS BIGINT) AS sum_tok_len
+  FROM docsrc d
+  LEFT JOIN LATERAL
+    (SELECT unnest(string_split(d.src, '_')) AS tok) AS w ON TRUE
+  GROUP BY d.label
+)
+SELECT ord.label AS label, n_pos, sum_ord, n_neg, ord_neg8,
+       n_rows, n_tok, sum_tok_len
+FROM ord JOIN toks ON ord.label = toks.label
+"""
+
+
+def unnest_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b61: Trino CROSS JOIN / LEFT JOIN UNNEST SQL text through
+    Engine.sql. Plan shape: two independent scan→explode→partial-agg
+    legs meeting in one tiny (label-grain) join — the LATERAL
+    generators run inside whole-stage codegen and each leg's exchange
+    carries already-aggregated rows, never exploded ones."""
+    from oss_data_lake_spark.engine import Engine
+
+    load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").alias("v"),
+    ).createOrReplaceTempView("b61_emb")
+    load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).cast("long").alias("label"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("_", "lang", "source"))
+        .alias("src"),
+    ).createOrReplaceTempView("b61_docsrc")
+    return Engine(spark=spark).sql(
+        _B61_TRINO_SQL.format(emb="b61_emb", docsrc="b61_docsrc")
+    )
+
+
 QUERIES = {
     "b56_quantified_comparisons": quantified_comparisons,
+    "b61_unnest_lateral": unnest_lateral,
     "b57_window_frame_exclude": window_frame_exclude,
     "b58_sql_json_funcs": sql_json_funcs,
     "b59_trino_dialect_funcs": trino_dialect_funcs,
@@ -997,6 +1107,11 @@ ORACLES = {
     # complete intervals; AT TIME ZONE double application)
     "b59_trino_dialect_funcs": _B59_DUCK_SQL.format(events="events"),
     "b60_trino_datepart_funcs": _B60_DUCK_SQL.format(orders="orders"),
+    # DuckDB's native unnest/generate_subscripts/LATERAL idioms oracle
+    # the UNNEST translator's LATERAL explode rewrites
+    "b61_unnest_lateral": _B61_DUCK_SQL.format(
+        embeddings="embeddings", documents="documents"
+    ),
     # DuckDB evaluates the NATIVE SQL:2011 EXCLUDE spellings — parity
     # verifies the Spark-side subtraction identities
     "b57_window_frame_exclude": _B57_DUCK_SQL.format(
