@@ -1478,8 +1478,32 @@ class Engine:
         if am is None:
             return text  # not a CTAS (column-list form handles the rest)
         name = m.group(2)
-        if props is None and "." not in name:
-            return text  # plain Spark CTAS keeps Spark semantics
+        if props is None:
+            # Trino-marker test for a PLAIN (no WITH-properties) CTAS
+            # (round-13 ADVICE — documented here): a single-part name
+            # is always Spark's CTAS; a 3-part name is always engine-
+            # level (Spark cannot host catalog.schema.table); the
+            # ambiguous 2-part form (`db.t AS SELECT` is ALSO valid
+            # Spark database-qualified CTAS) reroutes ONLY when its
+            # prefix is a registered engine schema (CREATE SCHEMA
+            # here) or engine tables already live under it — an
+            # unclaimed database prefix keeps Spark semantics.
+            dots = name.count(".")
+            if dots == 0:
+                return text
+            if dots == 1:
+                prefix = name.rsplit(".", 1)[0].lower()
+                ns = {s.lower() for s in self._ns_schemas}
+                ns |= {
+                    s.lower().rsplit(".", 1)[-1]
+                    for s in self._ns_schemas
+                }
+                claimed = prefix in ns or any(
+                    "." in t and t.lower().rsplit(".", 1)[0] == prefix
+                    for t in self._snapshot_tables
+                )
+                if not claimed:
+                    return text
         part = ""
         if props:
             known = {"partitioning", "format"}

@@ -288,8 +288,23 @@ def _parse_duration_ms(v: str, where: str) -> int:
 def _parse_exec_args(argtext: str | None, where: str) -> dict[str, str]:
     if not argtext or not argtext.strip():
         return {}
+    from oss_data_lake_spark.sources.snapshots import _masked
+
+    # split at UNMASKED depth-0 commas only: a quoted value containing
+    # a comma is one argument, not a mis-split pair (round-13 ADVICE)
+    masked = _masked(argtext)
+    parts, start, depth = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(argtext[start:i])
+            start = i + 1
+    parts.append(argtext[start:])
     out: dict[str, str] = {}
-    for part in argtext.split(","):
+    for part in parts:
         am = _EXEC_ARG_RE.match(part)
         if am is None:
             raise ValueError(
@@ -298,6 +313,39 @@ def _parse_exec_args(argtext: str | None, where: str) -> dict[str, str]:
             )
         out[am.group(1).lower()] = am.group(2).replace("''", "'")
     return out
+
+
+# Trino-Iceberg's accidental-history-destruction guard: EXECUTE
+# expire_snapshots / remove_orphan_files refuse retention thresholds
+# below a configured minimum (iceberg.expire-snapshots.min-retention /
+# iceberg.remove-orphan-files.min-retention, both 7d by default). The
+# session-property override mirrors Trino's
+# `SET SESSION <catalog>.expire_snapshots_min_retention = '0s'`.
+_MIN_RETENTION_DEFAULT = "7d"
+
+
+def _min_retention(engine, prop_tail: str) -> tuple[int, str]:
+    props = getattr(engine, "_session_props", None) or {}
+    for k, v in props.items():
+        if k.rsplit(".", 1)[-1].lower() == prop_tail:
+            return _parse_duration_ms(v, f"SET SESSION {k}"), v
+    return (
+        _parse_duration_ms(_MIN_RETENTION_DEFAULT, "min-retention"),
+        _MIN_RETENTION_DEFAULT,
+    )
+
+
+def _check_min_retention(engine, proc: str, prop_tail: str,
+                         ms: int, threshold_text: str) -> None:
+    floor_ms, floor_text = _min_retention(engine, prop_tail)
+    if ms < floor_ms:
+        raise ValueError(
+            f"EXECUTE {proc}: retention_threshold "
+            f"{threshold_text!r} is below the minimum retention "
+            f"{floor_text!r} (Trino's iceberg {proc} min-retention "
+            f"guard against accidental history destruction) — raise "
+            f"the threshold or SET SESSION {prop_tail} = '<n><unit>'"
+        )
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -2522,6 +2570,11 @@ def dispatch_statement(
             ms = _parse_duration_ms(
                 args["retention_threshold"], "EXECUTE expire_snapshots"
             )
+            _check_min_retention(
+                engine, "expire_snapshots",
+                "expire_snapshots_min_retention", ms,
+                args["retention_threshold"],
+            )
             expired = t.expire_snapshots(keep_last=1, retain_ms=ms)
             return spark.createDataFrame(
                 [(v,) for v in expired] or [], "expired_version long"
@@ -2541,6 +2594,12 @@ def dispatch_statement(
                 if "retention_threshold" in args
                 else None
             )
+            if ms is not None:
+                _check_min_retention(
+                    engine, "remove_orphan_files",
+                    "remove_orphan_files_min_retention", ms,
+                    args["retention_threshold"],
+                )
             removed = t.vacuum(dry_run=False, retain_ms=ms)
             return spark.createDataFrame(
                 [(d,) for d in removed] or [], "removed_dir string"

@@ -244,14 +244,26 @@ def build_relation(engine, relation: str, catalog: str | None) -> "DataFrame":
         ]
     else:  # columns
         rows = []
+        import warnings
+
+        from pyspark.errors import AnalysisException
+
         for c, s, n, _ty, cols_fn, _vd in entries:
             # per-entry error surfacing (Trino's behavior): ONE view
             # broken by a dropped base table contributes no rows but
             # must not fail the whole relation — BI introspection reads
-            # information_schema.columns on every connect
+            # information_schema.columns on every connect. Only the
+            # EXPECTED failure classes are skipped (view re-planning /
+            # analysis errors), and each skip is warned so a missing
+            # table's absence stays diagnosable; any other error class
+            # is a real engine bug and propagates (round-13 ADVICE).
             try:
                 cols = cols_fn()
-            except Exception:
+            except (AnalysisException, ValueError, KeyError) as ex:
+                warnings.warn(
+                    f"information_schema.columns: skipped {c}.{s}.{n}:"
+                    f" {str(ex).splitlines()[0][:200]}"
+                )
                 continue
             for pos, (cn, dt, nullable, default) in enumerate(
                 cols, start=1

@@ -983,6 +983,16 @@ def test_explain_analyze_executes_and_shows_final_plan(spark, tmp_path):
     assert row["rows"] == 1
 
 
+def test_parse_exec_args_comma_inside_quoted_value():
+    """Round-14 ADVICE: the EXECUTE argument list splits at unmasked
+    depth-0 commas only — a quoted value containing a comma is ONE
+    argument, not a mis-split 'must be name => value pairs' error."""
+    from oss_data_lake_spark.sources.dml_sql import _parse_exec_args
+
+    got = _parse_exec_args("a => 'x,y', b => '1', c => 'it''s,ok'", "T")
+    assert got == {"a": "x,y", "b": "1", "c": "it's,ok"}
+
+
 def test_alter_table_execute_trino_procedures(spark, tmp_path):
     """Trino-Iceberg's maintenance spelling (round 13): `ALTER TABLE t
     EXECUTE optimize/expire_snapshots/remove_orphan_files(name =>
@@ -1002,6 +1012,18 @@ def test_alter_table_execute_trino_procedures(spark, tmp_path):
     hist = e.sql("DESCRIBE HISTORY mx").collect()
     assert hist[-1]["operation"] == "compact"
     assert e.sql("SELECT count(*) AS n FROM mx").collect()[0]["n"] == 3
+    import pytest as _pytest
+
+    # round-14 ADVICE: thresholds below the 7d Trino min-retention
+    # floor refuse unless the session property lowers the floor
+    with _pytest.raises(Exception, match="minimum retention"):
+        e.sql("ALTER TABLE mx EXECUTE expire_snapshots("
+              "retention_threshold => '0s')")
+    with _pytest.raises(Exception, match="minimum retention"):
+        e.sql("ALTER TABLE mx EXECUTE remove_orphan_files("
+              "retention_threshold => '1h')")
+    e.sql("SET SESSION expire_snapshots_min_retention = '0s'")
+    e.sql("SET SESSION iceberg.remove_orphan_files_min_retention = '0s'")
     expired = {
         r["expired_version"]
         for r in e.sql(
@@ -1015,6 +1037,11 @@ def test_alter_table_execute_trino_procedures(spark, tmp_path):
         "retention_threshold => '0s')"
     ).collect()
     assert isinstance(removed, list)
+    # a 7d threshold clears the default floor without any override
+    assert e.sql(
+        "ALTER TABLE mx EXECUTE remove_orphan_files("
+        "retention_threshold => '7d')"
+    ).collect() == []
     assert e.sql("SELECT count(*) AS n FROM mx").collect()[0]["n"] == 3
     import pytest as _pytest
 
@@ -1049,9 +1076,21 @@ def test_trino_ctas_with_partitioning(spark, tmp_path):
         "SELECT k FROM iceberg.m.rollup ORDER BY k"
     ).collect()
     assert [r.k for r in got] == [1, 2]
-    # dotted name alone is a Trino marker (Spark cannot host it)
+    # a 3-part name alone is a Trino marker (Spark cannot host it)
     e.sql("CREATE TABLE iceberg.m.plain AS SELECT 7 AS k")
     assert "iceberg.m.plain" in e._snapshot_tables
+    # 2-part plain CTAS (round-14 ADVICE): reroutes ONLY when the
+    # prefix is a registered engine schema (either spelling of a
+    # CREATE SCHEMA cat.schema here); an unclaimed database prefix
+    # keeps Spark's database-qualified CTAS semantics
+    e.sql("CREATE SCHEMA cats.lakeq")
+    e.sql("CREATE TABLE lakeq.t2 AS SELECT 8 AS k")
+    assert "lakeq.t2" in e._snapshot_tables
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # Spark path: no such database
+        e.sql("CREATE TABLE nosuchdb77.t AS SELECT 1 AS k")
+    assert "nosuchdb77.t" not in e._snapshot_tables
     # explicit layout on the snapshot CTAS grammar + replace override
     e.sql("CREATE TABLE mgd2 USING snapshot PARTITIONED BY (k) "
           "AS SELECT 1 AS k, 'a' AS v")
@@ -1067,5 +1106,5 @@ def test_trino_ctas_with_partitioning(spark, tmp_path):
     with _pytest.raises(Exception, match="PARQUET"):
         e.sql("CREATE TABLE iceberg.m.y WITH (format = 'ORC') "
               "AS SELECT 1 AS k")
-    for n in ("iceberg.m.rollup", "iceberg.m.plain", "mgd2"):
+    for n in ("iceberg.m.rollup", "iceberg.m.plain", "lakeq.t2", "mgd2"):
         e.drop_snapshot_table(n, delete_data=True)
