@@ -473,3 +473,30 @@ def test_e92_pipeline_composes_without_corpus_squared_joins(spark, sf_dir):
     txt = explain_str(corpus_pipeline_report(spark, sf_dir), "simple")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_b61_unnest_explodes_inside_codegen_aggregates_before_join(
+    spark, sf_dir
+):
+    """b61 (UNNEST translator): the LATERAL rewrite must plan as native
+    Generate (explode/posexplode) nodes inside whole-stage codegen — no
+    Python, no nested-loop/cartesian join carrying exploded rows — and
+    both legs aggregate BEFORE the tiny label-grain join, so every
+    exchange moves already-aggregated rows, never the expansion."""
+    from oss_data_lake_spark.operators.relational_more import (
+        unnest_lateral,
+    )
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(unnest_lateral(spark, sf_dir), "simple")
+    assert "Generate" in txt  # explode/posexplode planned natively
+    assert "Python" not in txt and "BatchEval" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # the expansion is pre-aggregated: every Generate sits BELOW the
+    # first aggregate, so no join input is an exploded row stream
+    first_join = txt.find("Join")
+    assert first_join != -1
+    assert txt.rfind("Generate") > first_join  # deeper in the tree =
+    # later in the printed plan: both Generates print under the join's
+    # aggregated children
