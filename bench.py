@@ -132,6 +132,9 @@ HEADLINE = [
     "b59_trino_dialect_funcs",
     "b60_trino_datepart_funcs",
     "e92_corpus_pipeline",
+    # round 14: the UNNEST translator's driver query (b61) — the
+    # LATERAL explode rewrite is a new plan family in the headline set
+    "b61_unnest_lateral",
 ]
 
 
