@@ -131,6 +131,22 @@ def test_array_of_rows_inline(eng, duck):
     assert got == want and len(got) == 3
 
 
+def test_alias_without_as_keyword(eng):
+    got = _rows(eng.sql(
+        "SELECT id, u.v FROM unnest_t CROSS JOIN UNNEST(arr) u(v) "
+        "WHERE id = 2"
+    ))
+    assert got == [(2, "d")]
+
+
+def test_lowercase_spellings(eng):
+    got = _rows(eng.sql(
+        "select id, u.v, u.i from unnest_t "
+        "cross join unnest(arr) with ordinality as u(v, i) where id = 2"
+    ))
+    assert got == [(2, "d", 1)]
+
+
 def test_comma_join_form(eng):
     got = _rows(eng.sql(
         "SELECT id, u.v FROM unnest_t, UNNEST(arr) AS u(v) WHERE id = 1"
