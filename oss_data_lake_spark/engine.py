@@ -997,6 +997,10 @@ class Engine:
          "SQL:2016; translated to get_json_object"),
         ("json_exists", "trino dialect",
          "SQL:2016; translated to get_json_object IS NOT NULL"),
+        ("try", "trino dialect",
+         "TRY over a single +, -, *, / operation, CAST, or element_at "
+         "translated to the matching try_* builtin; other bodies "
+         "refuse"),
         ("current_catalog", "sql clause (translated)",
          "bare niladic; substituted from engine session state"),
         ("current_schema", "sql clause (translated)",
@@ -1881,7 +1885,7 @@ class Engine:
         r"\b(APPROX_DISTINCT|DATE_DIFF|DATE_ADD|STRPOS|FORMAT_DATETIME"
         r"|DATE_PARSE|DAY_OF_WEEK|DOW|DAY_OF_YEAR|DOY|DAY_OF_MONTH"
         r"|WEEK_OF_YEAR|WEEK|YEAR_OF_WEEK|YOW|TO_UNIXTIME|ARBITRARY"
-        r"|FORMAT)"
+        r"|FORMAT|TRY)"
         r"\s*\(",
         re.IGNORECASE,
     )
@@ -1936,11 +1940,87 @@ class Engine:
 
     _STR_LIT_RE = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
 
+    # -- Trino's TRY(expr) (NULL instead of error; Trino 467 functions
+    # doc "Conditional expressions"). Spark has no generic TRY — it has
+    # the specific try_* builtins — so the translator accepts exactly
+    # the bodies those cover and REFUSES the rest (the refusal lists
+    # the supported forms; a blanket expr-swallow would silently change
+    # which sub-expression is guarded):
+    #   TRY(a / b)              -> try_divide(a, b)
+    #   TRY(a + b)              -> try_add(a, b)
+    #   TRY(a - b)              -> try_subtract(a, b)
+    #   TRY(a * b)              -> try_multiply(a, b)
+    #   TRY(CAST(x AS t))       -> try_cast(x AS t)
+    #   TRY(element_at(m, k))   -> try_element_at(m, k)
+    # The binary forms require exactly ONE depth-0 operator (unary
+    # signs excluded) — `TRY(a + b * c)` refuses with the parenthesize
+    # fix because try_add(a, b * c) would guard only the addition.
+    def _translate_try(self, argtext: str, args: list[str]) -> str:
+        if len(args) != 1 or not args[0].strip():
+            raise ValueError("TRY takes exactly one expression")
+        from oss_data_lake_spark.sources.snapshots import _masked
+
+        inner = args[0].strip()
+        masked = _masked(inner)
+        for head, target in (("CAST", "try_cast"),
+                             ("ELEMENT_AT", "try_element_at")):
+            hm = re.match(rf"^{head}\s*\(", masked, re.IGNORECASE)
+            if hm:
+                depth, j = 1, hm.end()
+                while j < len(masked) and depth:
+                    if masked[j] == "(":
+                        depth += 1
+                    elif masked[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth == 0 and not masked[j:].strip():
+                    # the whole body IS the call — rewrap as try_*
+                    return f"{target}({inner[hm.end(): j - 1]})"
+        ops = []
+        prev_sig = ""  # last non-space char seen (for unary detection)
+        depth = 0
+        for k, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "+-*/":
+                # a sign directly after nothing, an operator, a comma,
+                # or an open paren is unary, not a binary operator
+                if ch in "+-" and (prev_sig == "" or prev_sig in "+-*/(,"):
+                    pass
+                else:
+                    ops.append((k, ch))
+            if not ch.isspace():
+                prev_sig = ch
+        if len(ops) == 1:
+            k, ch = ops[0]
+            lhs, rhs = inner[:k].strip(), inner[k + 1:].strip()
+            if lhs and rhs:
+                target = {"/": "try_divide", "+": "try_add",
+                          "-": "try_subtract", "*": "try_multiply"}[ch]
+                return f"{target}({lhs}, {rhs})"
+        if len(ops) > 1:
+            raise ValueError(
+                "TRY over a multi-operator expression is ambiguous "
+                "(try_* guards ONE operation) — parenthesize the "
+                "operation to guard, e.g. TRY(a / b) * c or "
+                "a + TRY(b / c)"
+            )
+        shown = inner if len(inner) <= 60 else inner[:60] + "..."
+        raise ValueError(
+            f"TRY({shown}): unsupported body — Spark covers TRY over "
+            f"a single +, -, *, / operation, CAST, or element_at "
+            f"(try_add/try_subtract/try_multiply/try_divide/try_cast/"
+            f"try_element_at); other bodies have no exact Spark "
+            f"equivalent"
+        )
+
     def _translate_trino_functions(self, text: str, _from: int = 0) -> str:
         if not re.search(
             r"approx_distinct|date_diff|date_add|strpos|format"
             r"|date_parse|day_of_|\bdow\b|\bdoy\b|week|\byow\b"
-            r"|to_unixtime|arbitrary",
+            r"|to_unixtime|arbitrary|\btry\s*\(",
             text, re.IGNORECASE,
         ):
             return text
@@ -2002,6 +2082,8 @@ class Engine:
             # Trino raises; the value semantics on parseable input are
             # identical (DuckDB strptime oracles the original %-text)
             repl = f"to_timestamp({args[0]}, '{spark_fmt}')"
+        elif fname == "TRY":
+            repl = self._translate_try(argtext, args)
         elif fname == "APPROX_DISTINCT":
             repl = f"approx_count_distinct({argtext})"
         elif fname == "DATE_DIFF":

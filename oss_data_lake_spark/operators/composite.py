@@ -600,6 +600,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
               "v3": ("sum_tok_len")},
              {"k1": "label", "v1": "n_rows", "v2": "n_tok",
               "v3": "sum_tok_len"}),
+            # b62 (round 14): TRY(CAST(...)) / TRY(a / b) → try_cast /
+            # try_divide — NULL-ness and parse results ride the hash
+            ("b62", "b62_try_dialect_funcs",
+             {"k1": ("st"), "v1": ("n"), "v2": ("sum_pri"),
+              "v3": ("n_div_null"), "v4": ("n_bad_cast")},
+             {"k1": "st", "v1": "n", "v2": "sum_pri",
+              "v3": "n_div_null", "v4": "n_bad_cast"}),
         ],
         "b42_semi_anti_joins": [
             ("b04", "b04_semi_join_big_spenders",

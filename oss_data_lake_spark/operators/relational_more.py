@@ -1029,6 +1029,59 @@ FROM ord JOIN toks ON ord.label = toks.label
 """
 
 
+# b62 (round 14): Trino's TRY(expr) in the spellings BI SQL uses it —
+# TRY(CAST(...)) over parseable and unparseable text, and the NULL-on-
+# zero-divisor guard — issued VERBATIM through Engine.sql and mapped by
+# `Engine._translate_try` onto Spark's try_cast / try_divide. Only
+# engine-agreeing measures ride the hash: NULL-ness of guarded
+# divisions (divisor-zero rows — identical in any engine) and try_cast
+# results (both engines NULL unparseable text). Documented delta kept
+# OUT of the query: Spark's try_divide returns NULL for a 0.0 DOUBLE
+# divisor where Trino's IEEE division gives Infinity without erroring
+# (TRY never fires there) — the integer-division NULL-on-zero case,
+# the one BI SQL guards, agrees.
+_B62_TRINO_SQL = """
+SELECT o_orderstatus AS st,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(COALESCE(TRY(CAST(substring(o_orderpriority, 1, 1)
+       AS INTEGER)), -1)) AS BIGINT) AS sum_pri,
+  CAST(sum(CASE WHEN TRY(o_totalprice /
+       CAST(o_orderkey % 3 AS DOUBLE)) IS NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+  CAST(sum(CASE WHEN TRY(CAST(o_orderpriority AS INTEGER)) IS NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast
+FROM {orders}
+GROUP BY o_orderstatus
+"""
+
+_B62_DUCK_SQL = """
+SELECT o_orderstatus AS st,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(COALESCE(try_cast(substring(o_orderpriority, 1, 1)
+       AS INTEGER), -1)) AS BIGINT) AS sum_pri,
+  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_div_null,
+  CAST(sum(CASE WHEN try_cast(o_orderpriority AS INTEGER) IS NULL
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast
+FROM {orders}
+GROUP BY o_orderstatus
+"""
+
+
+def try_dialect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b62: TRY(CAST(...)) / TRY(a / b) through Engine.sql — one pruned
+    scan, one hash aggregate, the try_* builtins JVM-side (same plan
+    family as b59/b60)."""
+    from oss_data_lake_spark.engine import Engine
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "b62_orders"
+    )
+    return Engine(spark=spark).sql(
+        _B62_TRINO_SQL.format(orders="b62_orders")
+    )
+
+
 def unnest_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b61: Trino CROSS JOIN / LEFT JOIN UNNEST SQL text through
     Engine.sql. Plan shape: two independent scan→explode→partial-agg
@@ -1055,6 +1108,7 @@ def unnest_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "b56_quantified_comparisons": quantified_comparisons,
     "b61_unnest_lateral": unnest_lateral,
+    "b62_try_dialect_funcs": try_dialect_funcs,
     "b57_window_frame_exclude": window_frame_exclude,
     "b58_sql_json_funcs": sql_json_funcs,
     "b59_trino_dialect_funcs": trino_dialect_funcs,
@@ -1112,6 +1166,8 @@ ORACLES = {
     "b61_unnest_lateral": _B61_DUCK_SQL.format(
         embeddings="embeddings", documents="documents"
     ),
+    # DuckDB try_cast + divisor-zero CASE twins oracle the TRY mapping
+    "b62_try_dialect_funcs": _B62_DUCK_SQL.format(orders="orders"),
     # DuckDB evaluates the NATIVE SQL:2011 EXCLUDE spellings — parity
     # verifies the Spark-side subtraction identities
     "b57_window_frame_exclude": _B57_DUCK_SQL.format(

@@ -431,6 +431,7 @@ class TestShowFunctions:
                           "'%Y-%m-%d %H:%i:%s') AS v",
             "arbitrary": "SELECT arbitrary(x) AS v FROM VALUES (1) t(x)",
             "format": "SELECT format('%d-%s', 7, 'x') AS v",
+            "try": "SELECT try(4 / 2) AS v",
         }
         advertised = {
             f for f, t, _ in Engine._DIALECT_FUNCTIONS
@@ -632,3 +633,79 @@ class TestSharedSpellingsPassThrough:
             "'2020-06-18 13:14:15') AS DATE)"
         ).fetchone()[0]
         assert got == want
+
+
+class TestTryTranslation:
+    """Round 14: Trino's TRY(expr) over the exact bodies Spark's try_*
+    builtins cover — NULL instead of error, differentially against
+    DuckDB's try_cast / CASE twins; everything else refuses with the
+    supported-form list."""
+
+    def test_try_divide_null_on_zero(self, eng, duck):
+        got = eng.sql(
+            "SELECT x, TRY(10 / x) AS q FROM VALUES (0), (2), (5) t(x)"
+        ).collect()
+        want = dict(duck.execute(
+            "SELECT x, CASE WHEN x = 0 THEN NULL ELSE 10 / x END "
+            "FROM (VALUES (0), (2), (5)) t(x)"
+        ).fetchall())
+        assert {r.x: r.q for r in got} == want
+
+    def test_try_cast_forms(self, eng, duck):
+        got = eng.sql(
+            "SELECT TRY(CAST('12' AS INTEGER)) AS ok, "
+            "TRY(CAST('nope' AS INTEGER)) AS bad"
+        ).collect()[0]
+        want = duck.execute(
+            "SELECT try_cast('12' AS INTEGER), "
+            "try_cast('nope' AS INTEGER)"
+        ).fetchone()
+        assert (got.ok, got.bad) == want == (12, None)
+
+    def test_try_add_subtract_multiply(self, eng):
+        row = eng.sql(
+            "SELECT TRY(9223372036854775807 + 1) AS o, "
+            "TRY(3 - 1) AS s, TRY(6 * 7) AS m"
+        ).collect()[0]
+        assert (row.o, row.s, row.m) == (None, 2, 42)
+
+    def test_try_element_at(self, eng):
+        row = eng.sql(
+            "SELECT TRY(element_at(map('a', 1), 'b')) AS missing, "
+            "TRY(element_at(map('a', 1), 'a')) AS hit"
+        ).collect()[0]
+        assert (row.missing, row.hit) == (None, 1)
+
+    def test_try_unary_sign_is_not_an_operator(self, eng):
+        row = eng.sql("SELECT TRY(-4 / 2) AS q").collect()[0]
+        assert row.q == -2
+
+    def test_try_composes_with_dialect_args(self, eng):
+        # the guarded operands themselves go through the later passes
+        row = eng.sql(
+            "SELECT TRY(strpos('abc', 'c') / 3) AS q"
+        ).collect()[0]
+        assert row.q == 1
+
+    def test_try_inside_literal_is_data(self, eng):
+        row = eng.sql("SELECT 'TRY(1/0)' AS s").collect()[0]
+        assert row.s == "TRY(1/0)"
+
+    @pytest.mark.parametrize(
+        "sql, needle",
+        [
+            ("SELECT TRY(1 + 2 * 3) AS v", "parenthesize"),
+            ("SELECT TRY(lower('A')) AS v", "unsupported body"),
+            ("SELECT TRY(x) AS v FROM VALUES (1) t(x)",
+             "unsupported body"),
+            ("SELECT TRY(1, 2) AS v", "exactly one"),
+        ],
+    )
+    def test_try_refusals(self, eng, sql, needle):
+        with pytest.raises(ValueError, match=needle):
+            eng.sql(sql)
+
+    def test_guarded_single_op_with_parenthesized_compound(self, eng):
+        # the parenthesize fix from the refusal actually works
+        row = eng.sql("SELECT TRY((1 + 2) * 3) AS v").collect()[0]
+        assert row.v == 9
