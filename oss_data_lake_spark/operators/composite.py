@@ -369,6 +369,15 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str], set[str]]:
              {"k1": "source", "v1": "total_tokens", "v2": "rare_tokens",
               "v3": "hapax_tokens", "v4": "flagged_docs",
               "s1": _cw_sql("n_docs", "max_doc_rare")}),
+            # e93 (round 14): CCNet-style line-frequency dedup — the
+            # per-source kept/dropped ledger, all exact integers
+            ("e93", "e93_line_dedup_report",
+             {"k1": ("source"), "v1": ("n_lines"), "v2": ("n_kept"),
+              "v3": ("n_dropped"), "v4": ("sum_chars_kept"),
+              "s1": _cw("n_docs")},
+             {"k1": "source", "v1": "n_lines", "v2": "n_kept",
+              "v3": "n_dropped", "v4": "sum_chars_kept",
+              "s1": _cw_sql("n_docs")}),
         ],
         # ---- time-travel composite ----------------------------------
         # m02 (API time travel) and m03 (SQL-text time travel) verify the

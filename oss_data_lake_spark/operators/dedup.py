@@ -706,8 +706,104 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# e93 (round 14): CCNet-style LINE-frequency dedup (Wenzek 2020 §4.1 —
+# drop lines repeated across many documents: boilerplate, navigation,
+# license headers; RefinedWeb and CCNet both run this UPSTREAM of
+# document-level dedup). The fixture's documents are single-line, so
+# "lines" are derived as fixed 10-word windows (the same derivation on
+# both engines — the OPERATOR under test is the frequency rule, not the
+# splitter; on real corpora the splitter is split(text, '\n')). A line
+# present in >= LINE_DF_THRESHOLD distinct documents is boilerplate and
+# dropped; the report is an integer per-source ledger.
+#
+# 100-TB shape: one hash-partitioned aggregate keyed on the line (the
+# distinct-doc count), one equi-join of lines back to their frequency,
+# one per-source aggregate — no pairwise joins anywhere; the join key
+# at production scale would be xxhash64(line) with a collision
+# re-check, kept as the raw line here so the DuckDB oracle is
+# hash-free exact.
+LINE_WINDOW = 10
+LINE_DF_THRESHOLD = 2
+
+
+def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = docs.withColumn("__ws", F.split("text", " "))
+    last = F.greatest(
+        (F.ceil(F.size("__ws") / LINE_WINDOW)).cast("int") - 1, F.lit(0)
+    )
+    lines = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), last),
+                lambda i: F.array_join(
+                    F.slice("__ws", i * LINE_WINDOW + 1, LINE_WINDOW),
+                    " ",
+                ),
+            )
+        ).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    marked = lines.join(freq, "line")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("nd") < LINE_DF_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("nd") >= LINE_DF_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("nd") < LINE_DF_THRESHOLD, F.length("line")
+                ).otherwise(0)
+            ).cast("long").alias("sum_chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_E93_DUCK_SQL = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM {documents}
+),
+lines AS (
+  SELECT doc_id, source,
+         array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS line
+  FROM w, UNNEST(generate_series(
+       0, greatest(CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1, 0)
+  )) AS t(i)
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+)
+SELECT l.source AS source,
+  CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN f.nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dropped,
+  CAST(sum(CASE WHEN f.nd < 2 THEN length(l.line) ELSE 0 END)
+      AS BIGINT) AS sum_chars_kept
+FROM lines l JOIN freq f ON l.line = f.line
+GROUP BY l.source
+ORDER BY l.source
+"""
+
+
 QUERIES = {
     "e10_exact_dedup_stats": exact_dedup_stats,
+    "e93_line_dedup_report": line_dedup_report,
     "e11_minhash_lsh_pairs": minhash_lsh_query,
     "e12_ngram_jaccard_pairs": ngram_jaccard_query,
     "e13_simhash_pairs": simhash_query,
@@ -805,6 +901,8 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 ORACLES = {
+    # DuckDB replays the identical window derivation + frequency rule
+    "e93_line_dedup_report": _E93_DUCK_SQL.format(documents="documents"),
     "e15_exact_substring_pairs": f"""
         WITH pos AS (
             SELECT doc_id, text,

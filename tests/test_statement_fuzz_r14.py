@@ -23,6 +23,8 @@ TRICKY = [
     "EXECUTE IMMEDIATE 'SELECT 1'",
     "EXECUTE IMMEDIATE",
     "WITH FUNCTION f(x INT) RETURNS INT",
+    "TRY(1 / 0)",
+    "TRY(CAST(x AS INT)",           # unbalanced — must stay data
     "O''Brien UNNEST",
     "'; DROP TABLE t; --",
     "",
