@@ -500,3 +500,18 @@ def test_b61_unnest_explodes_inside_codegen_aggregates_before_join(
     assert txt.rfind("Generate") > first_join  # deeper in the tree =
     # later in the printed plan: both Generates print under the join's
     # aggregated children
+
+
+def test_e93_line_dedup_no_pairwise_joins(spark, sf_dir):
+    """e93 (line-frequency dedup): the frequency rule must plan as a
+    line-keyed aggregate + ONE equi-join back — no cartesian/nested-
+    loop join, no Python; the window derivation is pure Catalyst
+    (transform/sequence/slice inside codegen)."""
+    from oss_data_lake_spark.operators.dedup import line_dedup_report
+    from oss_data_lake_spark.plans.audit import explain_str
+
+    txt = explain_str(line_dedup_report(spark, sf_dir), "simple")
+    assert "Python" not in txt and "BatchEval" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Generate" in txt  # the explode is a native Generate
