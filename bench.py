@@ -133,8 +133,11 @@ HEADLINE = [
     "b60_trino_datepart_funcs",
     "e92_corpus_pipeline",
     # round 14: the UNNEST translator's driver query (b61) — the
-    # LATERAL explode rewrite is a new plan family in the headline set
+    # LATERAL explode rewrite is a new plan family in the headline set —
+    # plus the TRY dialect aggregate (b62) and CCNet line dedup (e93)
     "b61_unnest_lateral",
+    "b62_try_dialect_funcs",
+    "e93_line_dedup_report",
 ]
 
 
