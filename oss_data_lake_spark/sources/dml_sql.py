@@ -992,6 +992,17 @@ _UNSET_PROPS_RE = re.compile(
     r"\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Trino's COMMENT statement (catalog curation; Trino docs "COMMENT"):
+# COMMENT ON TABLE t IS 'text' / COMMENT ON COLUMN t.c IS 'text';
+# IS NULL clears. Stored as metadata-only property commits ('comment' /
+# 'comment.column.<c>'), surfaced by SHOW COLUMNS' Comment field and
+# SHOW TBLPROPERTIES. Names outside the snapshot registry fall through
+# to Spark's own COMMENT ON support.
+_COMMENT_ON_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(TABLE|COLUMN|VIEW)\s+([A-Za-z_][\w.]*)\s+IS\s+"
+    r"('(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # a subquery inside a DML condition (IN (SELECT ...), EXISTS (...),
 # scalar comparison) — routes through the temp-view SQL path, since a
 # Spark Column expression cannot hold a subquery
@@ -1772,6 +1783,47 @@ def dispatch_statement(
         )
         return spark.createDataFrame([(version,)], "version long")
 
+    m = _COMMENT_ON_RE.match(text)
+    if m:
+        kind, name, raw = m.group(1).upper(), m.group(2), m.group(3)
+        if kind == "VIEW":
+            raise ValueError(
+                "COMMENT ON VIEW is not supported — the view catalog "
+                "stores only the definition; comment the base table or "
+                "re-create the view with a documenting name"
+            )
+        value = (
+            None if raw.upper() == "NULL"
+            else raw[1:-1].replace("''", "'")
+        )
+        if kind == "COLUMN":
+            if "." not in name:
+                raise ValueError(
+                    "COMMENT ON COLUMN takes table.column"
+                )
+            tname, col = name.rsplit(".", 1)
+            _adopt_on_disk(engine, tables, tname)
+            if tname not in tables:
+                return None  # Spark's own COMMENT ON handles its tables
+            t = tables[tname]
+            schema = t.schema() or t.read().schema
+            if col not in {f.name for f in schema.fields}:
+                raise ValueError(
+                    f"COMMENT ON COLUMN: no column {col!r} in {tname!r}"
+                )
+            key = f"comment.column.{col}"
+        else:
+            _adopt_on_disk(engine, tables, name)
+            if name not in tables:
+                return None
+            t = tables[name]
+            key = "comment"
+        if value is None:
+            version = t.unset_properties([key])
+        else:
+            version = t.set_properties({key: value})
+        return spark.createDataFrame([(version,)], "version long")
+
     m = _ADD_COLUMNS_RE.match(text)
     if m:
         name = m.group(1)
@@ -1862,8 +1914,10 @@ def dispatch_statement(
         # the snapshot registry fall through (return None) to the Spark
         # session catalog's own SHOW COLUMNS.
         t = tables[m.group(1)]
+        props = t.properties()
         rows = [
-            (c, _trino_type_name(dt), "", "")
+            (c, _trino_type_name(dt), "",
+             props.get(f"comment.column.{c}", ""))
             for c, dt in t.read().dtypes
         ]
         return spark.createDataFrame(

@@ -1108,3 +1108,39 @@ def test_trino_ctas_with_partitioning(spark, tmp_path):
               "AS SELECT 1 AS k")
     for n in ("iceberg.m.rollup", "iceberg.m.plain", "lakeq.t2", "mgd2"):
         e.drop_snapshot_table(n, delete_data=True)
+
+
+def test_comment_on_table_and_column(spark, tmp_path):
+    """Trino's COMMENT statement (round 14): table and column comments
+    land as metadata-only property commits, surface through SHOW
+    COLUMNS / SHOW TBLPROPERTIES, clear with IS NULL, and refuse
+    precisely for unknown columns and views."""
+    import pytest as _pytest
+
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE cmt (k BIGINT, v DOUBLE) USING snapshot")
+    e.sql("INSERT INTO cmt VALUES (1, 1.5)")
+    e.sql("COMMENT ON TABLE cmt IS 'it''s the fact table'")
+    e.sql("COMMENT ON COLUMN cmt.k IS 'surrogate key'")
+    props = {
+        r.key: r.value
+        for r in e.sql("SHOW TBLPROPERTIES cmt").collect()
+    }
+    assert props["comment"] == "it's the fact table"
+    assert props["comment.column.k"] == "surrogate key"
+    cols = {r.Column: r.Comment
+            for r in e.sql("SHOW COLUMNS FROM cmt").collect()}
+    assert cols == {"k": "surrogate key", "v": ""}
+    # IS NULL clears; history shows metadata-only commits
+    e.sql("COMMENT ON COLUMN cmt.k IS NULL")
+    cols = {r.Column: r.Comment
+            for r in e.sql("SHOW COLUMNS FROM cmt").collect()}
+    assert cols["k"] == ""
+    assert e.sql("SELECT count(*) AS n FROM cmt").collect()[0].n == 1
+    with _pytest.raises(Exception, match="no column"):
+        e.sql("COMMENT ON COLUMN cmt.nope IS 'x'")
+    with _pytest.raises(Exception, match="VIEW"):
+        e.sql("COMMENT ON VIEW cmt IS 'x'")
+    with _pytest.raises(Exception, match="table.column"):
+        e.sql("COMMENT ON COLUMN cmt IS 'x'")
+    e.drop_snapshot_table("cmt", delete_data=True)
