@@ -1001,6 +1001,18 @@ class Engine:
          "TRY over a single +, -, *, / operation, CAST, or element_at "
          "translated to the matching try_* builtin; other bodies "
          "refuse"),
+        ("any_match", "trino dialect",
+         "translated to exists(arr, lambda) — shared 3VL contract"),
+        ("all_match", "trino dialect",
+         "translated to forall(arr, lambda) — shared 3VL contract"),
+        ("none_match", "trino dialect",
+         "translated to (NOT exists(arr, lambda))"),
+        ("json_parse", "trino dialect",
+         "passthrough (the engine's SQL/JSON functions read JSON "
+         "text); malformed input yields NULL downstream, not an error"),
+        ("json_format", "trino dialect",
+         "passthrough (no canonical re-rendering; returns the JSON "
+         "text verbatim)"),
         ("current_catalog", "sql clause (translated)",
          "bare niladic; substituted from engine session state"),
         ("current_schema", "sql clause (translated)",
@@ -1864,6 +1876,26 @@ class Engine:
         "TO_UNIXTIME": "(CAST(unix_micros({a}) AS DOUBLE) / 1000000.0)",
         "ARBITRARY": "any_value({a})",
         "FORMAT": "format_string({a})",
+        # round 14 — the lambda-predicate trio (Trino "Array
+        # functions"): Spark spells them exists/forall, and BOTH
+        # engines share the 3VL contract (NULL when no definite match
+        # and some lambda result is NULL), so the rewrite is exact.
+        # none_match parenthesizes so the NOT can never rebind in a
+        # surrounding comparison.
+        "ANY_MATCH": "exists({a})",
+        "ALL_MATCH": "forall({a})",
+        "NONE_MATCH": "(NOT exists({a}))",
+        # json_parse/json_format pass through as the VARCHAR they wrap:
+        # the engine's SQL/JSON machinery (json_value/json_query/
+        # json_extract twins) operates on JSON TEXT directly, so
+        # json_extract(json_parse(col), ...) composes exactly.
+        # DOCUMENTED deviations (the b58 lax-mode class): no parse-time
+        # validation (Trino's json_parse RAISES on malformed input;
+        # here malformed text flows on and the extraction yields NULL)
+        # and no canonicalization (json_format(json_parse(x)) returns x
+        # verbatim, not Trino's compact re-rendering).
+        "JSON_PARSE": "({a})",
+        "JSON_FORMAT": "({a})",
     }
     # date_parse('s', '%-fmt') — Trino/MySQL %-directives shared (same
     # field meaning) with Spark's to_timestamp pattern letters. Any
@@ -1885,7 +1917,8 @@ class Engine:
         r"\b(APPROX_DISTINCT|DATE_DIFF|DATE_ADD|STRPOS|FORMAT_DATETIME"
         r"|DATE_PARSE|DAY_OF_WEEK|DOW|DAY_OF_YEAR|DOY|DAY_OF_MONTH"
         r"|WEEK_OF_YEAR|WEEK|YEAR_OF_WEEK|YOW|TO_UNIXTIME|ARBITRARY"
-        r"|FORMAT|TRY)"
+        r"|FORMAT|TRY|ANY_MATCH|ALL_MATCH|NONE_MATCH"
+        r"|JSON_PARSE|JSON_FORMAT)"
         r"\s*\(",
         re.IGNORECASE,
     )
@@ -2020,7 +2053,8 @@ class Engine:
         if not re.search(
             r"approx_distinct|date_diff|date_add|strpos|format"
             r"|date_parse|day_of_|\bdow\b|\bdoy\b|week|\byow\b"
-            r"|to_unixtime|arbitrary|\btry\s*\(",
+            r"|to_unixtime|arbitrary|\btry\s*\(|_match\s*\("
+            r"|json_parse|json_format",
             text, re.IGNORECASE,
         ):
             return text

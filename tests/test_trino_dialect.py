@@ -432,6 +432,14 @@ class TestShowFunctions:
             "arbitrary": "SELECT arbitrary(x) AS v FROM VALUES (1) t(x)",
             "format": "SELECT format('%d-%s', 7, 'x') AS v",
             "try": "SELECT try(4 / 2) AS v",
+            "any_match": "SELECT any_match(array(1, 2), x -> x > 1) "
+                         "AS v",
+            "all_match": "SELECT all_match(array(1, 2), x -> x > 0) "
+                         "AS v",
+            "none_match": "SELECT none_match(array(1, 2), x -> x > 9) "
+                          "AS v",
+            "json_parse": "SELECT json_parse('{\"a\":1}') AS v",
+            "json_format": "SELECT json_format('{\"a\":1}') AS v",
         }
         advertised = {
             f for f, t, _ in Engine._DIALECT_FUNCTIONS
@@ -709,3 +717,72 @@ class TestTryTranslation:
         # the parenthesize fix from the refusal actually works
         row = eng.sql("SELECT TRY((1 + 2) * 3) AS v").collect()[0]
         assert row.v == 9
+
+
+class TestLambdaMatchAndJsonPassthrough:
+    """Round 14: the lambda-predicate trio (any_match/all_match/
+    none_match → exists/forall) with the SHARED 3VL contract, and the
+    json_parse/json_format passthroughs with their documented
+    deviations."""
+
+    def test_basic_truth_table(self, eng):
+        row = eng.sql(
+            "SELECT any_match(array(1, 5), x -> x > 4) AS a, "
+            "any_match(array(1, 2), x -> x > 4) AS b, "
+            "all_match(array(1, 5), x -> x > 0) AS c, "
+            "all_match(array(1, 5), x -> x > 2) AS d, "
+            "none_match(array(1, 2), x -> x > 4) AS e, "
+            "none_match(array(1, 5), x -> x > 4) AS f"
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e, row.f) == (
+            True, False, True, False, True, False
+        )
+
+    def test_three_valued_logic(self, eng):
+        # Trino: NULL when no definite answer and a lambda result is
+        # NULL — exists/forall share the rule exactly
+        row = eng.sql(
+            "SELECT any_match(array(1, NULL), x -> x > 4) AS a, "
+            "any_match(array(5, NULL), x -> x > 4) AS b, "
+            "all_match(array(5, NULL), x -> x > 4) AS c, "
+            "none_match(array(1, NULL), x -> x > 4) AS d"
+        ).collect()[0]
+        assert row.a is None         # false-or-unknown -> unknown
+        assert row.b is True         # one definite true wins
+        assert row.c is None         # true-or-unknown -> unknown
+        assert row.d is None         # NOT(unknown) -> unknown
+
+    def test_none_match_parenthesization(self, eng):
+        # the (NOT ...) wrapper must not rebind in a comparison
+        row = eng.sql(
+            "SELECT (none_match(array(1), x -> x > 4) = true) AS v"
+        ).collect()[0]
+        assert row.v is True
+
+    def test_empty_array(self, eng):
+        row = eng.sql(
+            "SELECT any_match(cast(array() as array<int>), x -> x > 0)"
+            " AS a, "
+            "all_match(cast(array() as array<int>), x -> x > 0) AS b"
+        ).collect()[0]
+        assert (row.a, row.b) == (False, True)  # vacuous truth (both)
+
+    def test_json_parse_composes_with_sql_json(self, eng):
+        row = eng.sql(
+            "SELECT json_value(json_parse('{\"a\": 7}'), '$.a') AS v"
+        ).collect()[0]
+        assert row.v == "7"
+
+    def test_json_format_passthrough_documented_delta(self, eng):
+        # verbatim text, NOT canonical re-rendering (documented)
+        row = eng.sql(
+            "SELECT json_format(json_parse('{ \"a\" : 1 }')) AS v"
+        ).collect()[0]
+        assert row.v == '{ "a" : 1 }'
+
+    def test_match_names_inside_literals_are_data(self, eng):
+        row = eng.sql(
+            "SELECT 'any_match(x, y)' AS s, "
+            "'json_parse(z)' AS t"
+        ).collect()[0]
+        assert (row.s, row.t) == ("any_match(x, y)", "json_parse(z)")
