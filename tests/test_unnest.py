@@ -374,3 +374,40 @@ def test_parenthesized_case_at_time_zone_plans(eng, spark):
         "FROM unnest_t WHERE id = 1"
     ).collect()[0]
     assert str(row.d) == "2019-12-31"
+
+
+# ----------------------------------------------- property differential
+
+
+def test_unnest_property_differential_vs_duckdb(eng, duck):
+    """Seeded pseudo-random small arrays through CROSS JOIN UNNEST
+    WITH ORDINALITY vs DuckDB's unnest/generate_subscripts — 40 shapes
+    covering empty, singleton, duplicate elements, and NULL elements."""
+    state = 99991
+    for case in range(40):
+        state = (state * 1103515245 + 12345) % (2**31)
+        n = state % 5  # 0..4 elements
+        elems = []
+        for j in range(n):
+            state = (state * 1103515245 + 12345) % (2**31)
+            v = state % 7
+            elems.append("NULL" if v == 6 else str(v % 4))
+        arr_sql = ", ".join(elems)
+        spark_q = (
+            f"SELECT u.v, u.i FROM (SELECT "
+            f"cast(array({arr_sql}) as array<int>) AS a) "
+            f"CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(v, i)"
+        )
+        duck_q = (
+            f"SELECT unnest(a) AS v, generate_subscripts(a, 1) AS i "
+            f"FROM (SELECT [{arr_sql}]::INT[] AS a)"
+        )
+        got = sorted(
+            ((r.v, r.i) for r in eng.sql(spark_q).collect()),
+            key=lambda t: (t[1],),
+        )
+        want = sorted(
+            ((v, i) for v, i in duck.execute(duck_q).fetchall()),
+            key=lambda t: (t[1],),
+        )
+        assert got == want, (case, arr_sql, got, want)
