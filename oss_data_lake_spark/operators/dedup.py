@@ -38,9 +38,6 @@ engines, not an oracle gap.
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,10 +243,13 @@ def minhash_signatures(
     base = doc_shingles(docs, df_cap_frac).withColumn(
         "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     )
+    # one F.expr per aggregate (parsed JVM-side) instead of a 6-node
+    # Column tree per permutation: the 64-column build was ~3,500 py4j
+    # round-trips of pure driver-side construction cost per query
+    # (measured 2-20 s under this host's bursty socket latency, r14);
+    # the parsed expressions resolve to the identical plan
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"h{i}"
-        )
+        F.expr(f"min(pmod({a}L * h + {b}L, {_MERSENNE}L)) AS h{i}")
         for i, (a, b) in enumerate(_perm_params(n_hashes))
     ]
     return base.groupBy("doc_id").agg(*aggs)
@@ -263,17 +263,19 @@ def band_table(
     docs' bands against the stored index instead of re-signing the corpus
     (`operators/incremental.py`)."""
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    # single parsed expression (same plan as the F.struct/F.hash Column
+    # build, minus ~1,500 py4j round-trips of construction — see
+    # minhash_signatures)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', hash({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
     )
+    bands = F.expr(f"array({structs})")
     return sig.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -346,19 +348,21 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
         .cast("long"),
     )
+    # parsed expressions (identical plan, ~30× fewer py4j round-trips of
+    # construction — the minhash_signatures rationale)
     bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{j}"
+        )
         for j in range(bits)
     ]
     per_doc = sh.groupBy("doc_id").agg(*bit_aggs)
-    fp = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(bits)
-        ],
+        )
     )
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
 
@@ -515,13 +519,19 @@ def connected_components_with_rounds(
     the full iterative computation (bounded by O(log n) rounds), so
     explain-only tooling (scripts/capture_plans.py, plan tests) must not
     instantiate e14; they deliberately don't."""
+    # LAZY localCheckpoints throughout (r14): the first action that reads
+    # the frame — always the same-round ``is_star_forest`` aggregate —
+    # materializes and truncates it, so every round costs ONE Spark job
+    # instead of two (eager-checkpoint job + check job). Identical
+    # results and identical per-round lineage truncation; only the
+    # materialization rides the check's action instead of its own.
     e0 = (
         edges.select(
             F.greatest("doc_a", "doc_b").alias("src"),
             F.least("doc_a", "doc_b").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # every vertex seen in any edge gets a label, incl. self-loop-only ones
     verts = (
@@ -529,7 +539,7 @@ def connected_components_with_rounds(
         .unionByName(e0.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
-    e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
 
     def is_star_forest(d: DataFrame) -> bool:
         """Fixpoint test: under src>dst, the alternation is stationary iff
@@ -561,7 +571,7 @@ def connected_components_with_rounds(
     converged, rounds = is_star_forest(e), 0
     while not converged and rounds < max_iters:
         rounds += 1
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         converged = is_star_forest(e)
     if not converged:
         # An unconverged edge set is not yet a star forest — emitting it

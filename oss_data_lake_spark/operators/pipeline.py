@@ -812,6 +812,8 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one hash aggregate, MinHash verifies candidates only, SemDeDup
     sweeps cluster blocks. Nothing here adds a corpus × corpus join."""
     from oss_data_lake_spark.operators.dedup import (
+        doc_shingle_sets,
+        doc_shingle_sets_capped,
         minhash_dedup_pairs,
         normalize_text,
     )
@@ -829,7 +831,10 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d1 = docs.join(keep1, "doc_id", "left_semi").localCheckpoint()
+    # lazy checkpoint (r14): the first consumer — the stage-2 shingle
+    # cache materialization — runs the semi-join once and persists d1;
+    # an eager checkpoint here was a whole extra job for the same work
+    d1 = docs.join(keep1, "doc_id", "left_semi").localCheckpoint(eager=False)
     # stage 2 — MinHash near-dups among survivors: drop every doc that
     # is the HIGHER id of a verified pair (pairs are emitted a < b)
     pairs = minhash_dedup_pairs(
@@ -837,6 +842,15 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop2 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     d2 = d1.join(drop2, "doc_id", "left_anti").localCheckpoint()
+    # d2 is materialized, so stage 2's cached shingle tables have served
+    # every reader they will ever have: their plans hang off THIS call's
+    # unique d1 checkpoint, so the CacheManager entries can never be
+    # reused by a later query — without this unpersist every e92 run
+    # leaked two cached tables for the session's lifetime (r14: the
+    # bench's median-of-3 accumulated 6 stale entries per round, visibly
+    # degrading the in-session runs that followed)
+    doc_shingle_sets_capped(d1, DF_CAP_FRAC).unpersist()
+    doc_shingle_sets(d1).unpersist()
     # stage 3 — SemDeDup over the survivors' embeddings (vec_id is the
     # fixture's doc_id; the semi-join prunes the sweep's input)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -850,7 +864,10 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.filter(F.col("max_sim_lower") >= SEMDEDUP_THRESHOLD)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    d3 = d2.join(drop3, "doc_id", "left_anti").localCheckpoint()
+    # lazy: the final ledger job is d3's first (and only) reader — the
+    # SemDeDup sweep rides that job once and is persisted for the second
+    # ledger branch (split accounting) within the same query
+    d3 = d2.join(drop3, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     def ledger(df: DataFrame, stage) -> DataFrame:
         return df.select(
