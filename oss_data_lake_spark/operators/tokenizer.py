@@ -244,7 +244,12 @@ def _train(
             return merges, wt
         del _TRAIN_CACHE[key]  # stale session: evict, retrain
     builder = _word_types_bytelevel if bytelevel else _word_types
-    wt = builder(spark, sf_dir).localCheckpoint()
+    # lazy checkpoints throughout the trainer (r14): the next driver
+    # action — the alphabet collect below, then each round's TOP-M pair
+    # collect — materializes the word-type table in the same job an
+    # eager checkpoint would have spent separately, halving the per-round
+    # job count; trajectory is unchanged (same folds, same collects)
+    wt = builder(spark, sf_dir).localCheckpoint(eager=False)
     # the collision superset (batch condition 2): initial alphabet —
     # ONE bounded collect (distinct symbols, not words) — grown with
     # every merged spelling; stale entries only make batching MORE
@@ -276,7 +281,7 @@ def _train(
             # one pair-count job for the whole batch
             wt = _apply_merge(wt, b["l"], b["r"])
             known.add(b["l"] + b["r"])
-        wt = wt.localCheckpoint()
+        wt = wt.localCheckpoint(eager=False)
     _TRAIN_CACHE[key] = (weakref.ref(spark), merges, wt)
     return merges, wt
 
