@@ -106,7 +106,7 @@ def shingle_array(tokens_col: str, n: int = SHINGLE_N) -> F.Column:
     )
 
 
-def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+def doc_shingle_sets(docs: DataFrame, cache: bool = True) -> DataFrame:
     """(doc_id, shset) — ONE array row per document, CACHED.
 
     The dedup pipelines reference the shingle table many times (signatures,
@@ -122,7 +122,10 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
     MEMORY_AND_DISK, so an oversized corpus spills instead of failing;
     eviction just falls back to recompute."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    return toks.select("doc_id", shingle_array("toks").alias("shset")).cache()
+    out = toks.select("doc_id", shingle_array("toks").alias("shset"))
+    # ``cache=False`` for single-reader call sites (r14): a CacheManager
+    # entry that is read once and keyed on a per-call plan is pure leak
+    return out.cache() if cache else out
 
 
 def doc_shingle_sets_capped(

@@ -70,12 +70,26 @@ class IncrementalCorpus:
 
         n_arrived = new_docs.count()
         quality = _with_quality(new_docs).filter(F.col("quality_ok"))
-        passing = new_docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+        # lazy checkpoints on the frames every later step re-reads (r14):
+        # without them the batch accounting's count() actions and the two
+        # commits re-ran the quality gate and the whole LSH candidate
+        # pipeline up to three times each per ingest — at corpus scale
+        # that is three extra passes over the batch per micro-batch.
+        # The first action (n_passing) materializes `passing`; the
+        # survivor count materializes the dup id sets. Same numbers,
+        # same commits, each pipeline computed once.
+        passing = new_docs.join(
+            quality.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
         n_passing = passing.count()
 
         new_bands = band_table(minhash_signatures(passing))
-        cross_dups = self._cross_duplicate_ids(passing, new_bands, threshold)
-        intra_dups = self._intra_duplicate_ids(passing, new_bands, threshold)
+        cross_dups = self._cross_duplicate_ids(
+            passing, new_bands, threshold
+        ).localCheckpoint(eager=False)
+        intra_dups = self._intra_duplicate_ids(
+            passing, new_bands, threshold
+        ).localCheckpoint(eager=False)
         drop_ids = cross_dups.union(intra_dups).distinct()
 
         survivors = passing.join(drop_ids, "doc_id", "left_anti")
@@ -90,6 +104,9 @@ class IncrementalCorpus:
             version = self.docs.current_version() or 0
 
         n_cross = cross_dups.count()
+        # the batch shingle cache's plan hangs off this call's `passing`
+        # checkpoint — unreusable after this point, so release it (r14)
+        doc_shingle_sets(passing).unpersist()
         return {
             "n_arrived": n_arrived,
             "n_quality_failed": n_arrived - n_passing,
@@ -133,7 +150,10 @@ class IncrementalCorpus:
             "doc_id",
             "left_semi",
         )
-        old_sh = doc_shingle_sets(corpus_cand).select(
+        # cache=False: the corpus-candidate shingles are read exactly once
+        # (the verify join below) and the plan is unique per batch — a
+        # cache entry here leaked one table per ingest (r14)
+        old_sh = doc_shingle_sets(corpus_cand, cache=False).select(
             F.col("doc_id").alias("old_id"), F.col("shset").alias("so")
         )
         new_sh = doc_shingle_sets(passing).select(

@@ -80,16 +80,26 @@ def brute_force_topk(
     double fold here equals DuckDB's ``list_inner_product`` accumulation
     order, and the 9-dp round absorbs any last-ulp libm divergence — this is
     what upgrades e21 from a rows-only check to a full DuckDB oracle."""
+    # norms once per VECTOR, below the join (r14): the previous form
+    # folded _norm_fast per PAIR, re-walking each 64-dim array ~n_queries
+    # (candidate side) / ~n_candidates (query side) times. The per-row
+    # sqrt(fold) is the identical double, and the Projects sit under the
+    # join so CollapseProject cannot inline them back into the pair
+    # stream — same cosines bit for bit, one third the per-pair work.
     q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm_fast(F.col("embedding")).alias("__qn"),
     )
     c = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm_fast(F.col("embedding")).alias("__cn"),
     )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
     cosine = F.round(
         _dot_fast(F.col("q_emb"), F.col("c_emb"))
-        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        / (F.col("__qn") * F.col("__cn")),
         9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -1056,24 +1066,29 @@ def binary_quantized_topk(
         _pack_bits("embedding", 1).alias("lo"),
         _pack_bits("embedding", 33).alias("hi"),
     )
+    # per-vector norms below the join (r14, the brute_force_topk fix):
+    # identical doubles, computed once per vector instead of once per
+    # surviving pair
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),
+        _norm_fast(F.col("embedding")).alias("__qn"),
     )
     c = sig.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("lo").alias("clo"),
         F.col("hi").alias("chi"),
+        _norm_fast(F.col("embedding")).alias("__cn"),
     )
     hamming = F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo"))) + F.bit_count(
         F.col("qhi").bitwiseXOR(F.col("chi"))
     )
     cosine = F.round(
         _dot_fast(F.col("q_emb"), F.col("c_emb"))
-        / (_norm_fast(F.col("q_emb")) * _norm_fast(F.col("c_emb"))),
+        / (F.col("__qn") * F.col("__cn")),
         9,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

@@ -152,13 +152,25 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB it stays an embarrassingly parallel scan instead of an
     explode + per-doc-word shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n = F.size(toks).cast("double")
-    scored = docs.select(
+    # factor the token/line arrays into their own projection (r14): the
+    # previous single-projection form re-evaluated split(text, ' ')
+    # inside every rule — and inside the top-unigram lambda, once PER
+    # DISTINCT TOKEN (the interpreted HOF evaluates its argument tree
+    # per element). A multiply-referenced non-cheap alias is exactly
+    # what CollapseProject refuses to inline back, so the arrays are
+    # now computed once per row; every rule's arithmetic is unchanged.
+    base = docs.select(
         "source",
-        F.size(toks).alias("n_tokens"),
+        "text",
+        _tokens().alias("__toks"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+    )
+    n = F.size("__toks").cast("double")
+    scored = base.select(
+        "source",
+        F.size("__toks").alias("n_tokens"),
         (
-            F.expr("aggregate(split(text, ' '), 0L, (a, t) -> a + length(t))").cast(
+            F.expr("aggregate(__toks, 0L, (a, t) -> a + length(t))").cast(
                 "double"
             )
             / n
@@ -167,26 +179,26 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sym_ratio"
         ),
         (
-            F.expr("size(filter(split(text, ' '), t -> t rlike '[a-zA-Z]'))").cast(
+            F.expr("size(filter(__toks, t -> t rlike '[a-zA-Z]'))").cast(
                 "double"
             )
             / n
         ).alias("alpha_ratio"),
         F.expr(
-            "size(array_intersect(array_distinct(split(text, ' ')), "
+            "size(array_intersect(array_distinct(__toks), "
             f"array({', '.join(repr(s) for s in STOPWORDS)})))"
         ).alias("n_stop_distinct"),
         (
             F.expr(
-                "array_max(transform(array_distinct(split(text, ' ')), "
-                "d -> size(filter(split(text, ' '), t -> t = d))))"
+                "array_max(transform(array_distinct(__toks), "
+                "d -> size(filter(__toks, t -> t = d))))"
             ).cast("double")
             / n
         ).alias("top_uni_ratio"),
         (
             F.lit(1.0)
-            - F.size(F.array_distinct(F.split(F.col("text"), "\n"))).cast("double")
-            / F.size(F.split(F.col("text"), "\n")).cast("double")
+            - F.size(F.array_distinct("__lines")).cast("double")
+            / F.size("__lines").cast("double")
         ).alias("dup_line_ratio"),
     )
     fails = {
