@@ -38,14 +38,16 @@ MAX_STOP_RATIO = 0.10
 
 
 def _with_quality(docs: DataFrame) -> DataFrame:
-    toks = F.split("text", " ")
+    # one split per row shared by both rules (r14, the e44 factoring)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    n_stop = F.expr(f"size(filter(__toks, t -> t IN ({stop_list})))")
     return docs.select(
+        "doc_id", "source", F.split("text", " ").alias("__toks")
+    ).select(
         "doc_id",
         "source",
-        F.size(toks).alias("n_tokens"),
-        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stop_ratio"),
+        F.size("__toks").alias("n_tokens"),
+        (n_stop.cast("double") / F.size("__toks").cast("double")).alias("stop_ratio"),
     ).withColumn(
         "quality_ok",
         F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)

@@ -52,15 +52,19 @@ def _tokens(col: str = "text") -> F.Column:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 quality scoring: char/token/unique-token counts + stopword ratio."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # token array factored into its own projection (r14, the e44 fix):
+    # one split per row instead of three, identical values
+    base = docs.select(
+        "doc_id", F.length("text").alias("__len"), _tokens().alias("__toks")
+    )
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    n_stop = F.expr(f"size(filter(__toks, t -> t IN ({stop_list})))")
     return (
-        docs.select(
+        base.select(
             "doc_id",
-            F.length("text").cast("long").alias("n_chars_txt"),
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+            F.col("__len").cast("long").alias("n_chars_txt"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("__toks")).cast("long").alias("n_uniq_tokens"),
             n_stop.cast("long").alias("n_stop"),
         )
         .withColumn(
@@ -76,12 +80,13 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with a fixed tie-break order, reported as a confusion matrix
     against the fixture's ``lang`` label."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs
+    # one split per row shared by all four language scorers (r14)
+    scored = docs.select("lang", _tokens().alias("__toks"))
     for lang, markers in LANG_MARKERS.items():
         marker_list = ", ".join(f"'{m}'" for m in markers)
         scored = scored.withColumn(
             f"s_{lang}",
-            F.expr(f"size(filter(split(text, ' '), t -> t IN ({marker_list})))"),
+            F.expr(f"size(filter(__toks, t -> t IN ({marker_list})))"),
         )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
