@@ -30,23 +30,43 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 DEFAULT_OLD_REF = "44b14e3"  # round-9 final
 
 
-def _run_pass(checkout: pathlib.Path) -> dict[str, float]:
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — this sandbox is a KVM
+    guest with time-varying neighbor steal (r14: 0.9% idle vs 5.9%+ under
+    load), which is exactly the non-canceling contamination an ABBA
+    interleave cannot cancel when the neighbor's activity has structure
+    on the per-pass timescale. Recording per-pass steal makes a
+    contaminated artifact diagnosable from the artifact alone."""
+    with open("/proc/stat") as fh:
+        vals = list(map(int, fh.readline().split()[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _run_pass(checkout: pathlib.Path) -> tuple[dict[str, float], float]:
     env = {**os.environ, "SPARK_GRAFT_BENCH_RUNS": "1"}
+    s0, t0 = _cpu_ticks()
     out = subprocess.run(
         [sys.executable, str(checkout / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(checkout),
         timeout=1800,
     )
+    s1, t1 = _cpu_ticks()
+    steal_pct = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
     line = [
         ln for ln in out.stdout.strip().splitlines()
         if ln.startswith("{")
     ][-1]
-    return json.loads(line)["queries"]
+    return json.loads(line)["queries"], steal_pct
 
 
 def main() -> None:
     old_ref = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OLD_REF
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # optional cooldown between passes (r14): back-to-back passes keep the
+    # box under sustained 32-core load for ~an hour; a pause lets hypervisor
+    # neighbor bursts decorrelate from pass boundaries
+    cooldown_s = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     old_dir = pathlib.Path(tempfile.mkdtemp(prefix="bench_old_")) / "wt"
     subprocess.run(
         ["git", "worktree", "add", "--detach", str(old_dir), old_ref],
@@ -55,6 +75,8 @@ def main() -> None:
     try:
         head_runs: list[dict] = []
         old_runs: list[dict] = []
+        head_steal: list[float] = []
+        old_steal: list[float] = []
         for i in range(passes):
             # ABBA interleave (round 11): strict HEAD-first alternation
             # gave OLD the warmer slot every pair (positions 2,4,6 ride
@@ -65,13 +87,21 @@ def main() -> None:
             # Alternating the STARTING side each pair cancels the
             # position bias in the per-side medians.
             first, second = (
-                (("HEAD", ROOT, head_runs), (old_ref, old_dir, old_runs))
+                (("HEAD", ROOT, head_runs, head_steal),
+                 (old_ref, old_dir, old_runs, old_steal))
                 if i % 2 == 0
-                else ((old_ref, old_dir, old_runs), ("HEAD", ROOT, head_runs))
+                else ((old_ref, old_dir, old_runs, old_steal),
+                      ("HEAD", ROOT, head_runs, head_steal))
             )
-            for label, checkout, sink in (first, second):
+            for label, checkout, sink, steal_sink in (first, second):
                 print(f"pass {i + 1}/{passes}: {label}", file=sys.stderr)
-                sink.append(_run_pass(checkout))
+                if cooldown_s and (sink or steal_sink or i):
+                    import time as _time
+
+                    _time.sleep(cooldown_s)
+                q, steal = _run_pass(checkout)
+                sink.append(q)
+                steal_sink.append(steal)
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", str(old_dir)],
@@ -93,6 +123,14 @@ def main() -> None:
                     "median per query per side, shared queries only",
         "old_ref": old_ref,
         "passes_per_side": passes,
+        "cooldown_s": cooldown_s,
+        # raw per-pass walls + hypervisor steal%% per pass (r14): lets a
+        # reader separate host contamination (per-pass uniform inflation,
+        # high steal) from real per-query movement without re-running
+        "head_passes": head_runs,
+        "old_passes": old_runs,
+        "head_steal_pct": head_steal,
+        "old_steal_pct": old_steal,
         "head_median": head_med,
         "old_median": old_med,
         "ratio": {
