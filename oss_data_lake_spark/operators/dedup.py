@@ -121,15 +121,26 @@ def doc_shingle_sets(docs: DataFrame, cache: bool = True) -> DataFrame:
     once per corpus snapshot, query it many times. Default storage is
     MEMORY_AND_DISK, so an oversized corpus spills instead of failing;
     eviction just falls back to recompute."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    out = toks.select("doc_id", shingle_array("toks").alias("shset"))
+    # one parsed statement (r15 construction-cost fix, see
+    # minhash_signatures): split → shingle transform → array_distinct,
+    # byte-identical semantics to the former shingle_array Column build
+    n = SHINGLE_N
+    out = docs.sparkSession.sql(
+        f"SELECT doc_id, array_distinct("
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(0, size(toks) - {n}),"
+        f" i -> array_join(slice(toks, i + 1, {n}), ' ')) "
+        f"ELSE array() END) AS shset"
+        f" FROM (SELECT doc_id, split(text, ' ') AS toks FROM {{docs}})",
+        docs=docs,
+    )
     # ``cache=False`` for single-reader call sites (r14): a CacheManager
     # entry that is read once and keyed on a per-call plan is pure leak
     return out.cache() if cache else out
 
 
 def doc_shingle_sets_capped(
-    docs: DataFrame, frac: float = DF_CAP_FRAC
+    docs: DataFrame, frac: float = DF_CAP_FRAC, cache: bool = True
 ) -> DataFrame:
     """(doc_id, shset) with >frac-document-frequency shingles removed.
 
@@ -140,21 +151,26 @@ def doc_shingle_sets_capped(
     scan, no shuffle of the documents themselves. Cached for the same
     plan-equality sharing as the uncapped table (signatures + both verify
     sides read one materialization)."""
+    # one parsed statement (r15 construction-cost fix): identical df
+    # aggregate, ceil threshold, broadcast hints, and array_except as
+    # the former Column build. ``cache=False`` exists for unpersist-only
+    # call sites (r14 ADVICE): re-invoking ``.cache()`` right before an
+    # unpersist transiently re-registered the CacheManager entry.
     shs = doc_shingle_sets(docs)
-    sh = shs.select(F.explode("shset").alias("shingle"))
-    n_docs = shs.select(F.count(F.lit(1)).alias("n_docs"))
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > F.ceil(F.lit(frac) * F.col("n_docs")))
-        .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
+    out = shs.sparkSession.sql(
+        f"SELECT /*+ BROADCAST(h) */ doc_id,"
+        f" array_except(shset, hot) AS shset"
+        f" FROM {{shs}} CROSS JOIN ("
+        f"  SELECT /*+ BROADCAST(tot) */"
+        f"   sort_array(collect_list(shingle)) AS hot"
+        f"  FROM (SELECT shingle, count(1) AS df FROM"
+        f"        (SELECT explode(shset) AS shingle FROM {{shs}})"
+        f"        GROUP BY shingle) st"
+        f"  CROSS JOIN (SELECT count(1) AS n_docs FROM {{shs}}) tot"
+        f"  WHERE df > ceil({frac!r}D * n_docs)) h",
+        shs=shs,
     )
-    return (
-        shs.crossJoin(F.broadcast(hot))
-        .select("doc_id", F.array_except("shset", "hot").alias("shset"))
-        .cache()
-    )
+    return out.cache() if cache else out
 
 
 def _shingle_sets(docs: DataFrame, df_cap_frac: float | None) -> DataFrame:
@@ -243,19 +259,25 @@ def minhash_signatures(
     SLOWER here: the corpus arrives in O(1) input partitions locally, so
     one Python worker serializes the whole hash table while the JVM agg
     parallelizes over shuffle partitions and keeps codegen.)"""
-    base = doc_shingles(docs, df_cap_frac).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    )
-    # one F.expr per aggregate (parsed JVM-side) instead of a 6-node
-    # Column tree per permutation: the 64-column build was ~3,500 py4j
-    # round-trips of pure driver-side construction cost per query
-    # (measured 2-20 s under this host's bursty socket latency, r14);
-    # the parsed expressions resolve to the identical plan
-    aggs = [
-        F.expr(f"min(pmod({a}L * h + {b}L, {_MERSENNE}L)) AS h{i}")
+    # ONE spark.sql statement for the whole aggregate (r15): the r14
+    # form still paid 64 F.expr constructions + agg packing (~576 py4j
+    # round-trips, 0.3-2.6 ms each on this host); composing the explode →
+    # permute → 64-min aggregate as a single parsed statement is ~5
+    # round-trips for the identical resolved plan (verified: same rows,
+    # same schema, and the {shs} reference IS the cached DataFrame's
+    # plan, so CacheManager plan-equality sharing is unchanged).
+    shs = _shingle_sets(docs, df_cap_frac)
+    aggs = ", ".join(
+        f"min(pmod({a}L * h + {b}L, {_MERSENNE}L)) AS h{i}"
         for i, (a, b) in enumerate(_perm_params(n_hashes))
-    ]
-    return base.groupBy("doc_id").agg(*aggs)
+    )
+    return shs.sparkSession.sql(
+        f"SELECT doc_id, {aggs} FROM (SELECT doc_id,"
+        f" pmod(xxhash64(shingle), {_MERSENNE}L) AS h FROM"
+        f" (SELECT doc_id, explode(shset) AS shingle FROM {{shs}}))"
+        f" GROUP BY doc_id",
+        shs=shs,
+    )
 
 
 def band_table(
@@ -266,9 +288,8 @@ def band_table(
     docs' bands against the stored index instead of re-signing the corpus
     (`operators/incremental.py`)."""
     rows_per_band = n_hashes // n_bands
-    # single parsed expression (same plan as the F.struct/F.hash Column
-    # build, minus ~1,500 py4j round-trips of construction — see
-    # minhash_signatures)
+    # single parsed statement (same resolved plan as the Column build;
+    # see minhash_signatures for the r15 construction-cost rationale)
     structs = ", ".join(
         "named_struct('band', {b}, 'bucket', hash({cols}))".format(
             b=b,
@@ -278,9 +299,10 @@ def band_table(
         )
         for b in range(n_bands)
     )
-    bands = F.expr(f"array({structs})")
-    return sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return sig.sparkSession.sql(
+        f"SELECT doc_id, bb.band AS band, bb.bucket AS bucket FROM"
+        f" (SELECT doc_id, explode(array({structs})) AS bb FROM {{sig}})",
+        sig=sig,
     )
 
 
@@ -289,19 +311,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, bucket)."""
     banded = band_table(sig, n_hashes, n_bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return banded.sparkSession.sql(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM {banded} a JOIN {banded} b"
+        " ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.doc_id < b.doc_id",
+        banded=banded,
     )
 
 
@@ -319,20 +334,24 @@ def minhash_dedup_pairs(
     shuffle). Candidate pairs stay narrow (two ids) until this last step."""
     shs = _shingle_sets(docs, df_cap_frac)
     cands = lsh_candidate_pairs(minhash_signatures(docs, df_cap_frac=df_cap_frac))
-    a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
-    b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
-    n_inter = F.size(F.array_intersect("sa", "sb"))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_inter", n_inter)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sa") + F.size("sb") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    # one parsed statement (r15 construction-cost fix, see
+    # minhash_signatures): identical join order, identical int-size
+    # arithmetic and double division as the former Column build; the
+    # {shs} references resolve to the cached shingle table's plan
+    return shs.sparkSession.sql(
+        f"SELECT doc_a, doc_b, jaccard FROM ("
+        f" SELECT doc_a, doc_b,"
+        f"        CAST(n_inter AS DOUBLE)"
+        f"          / CAST(size(sa) + size(sb) - n_inter AS DOUBLE)"
+        f"          AS jaccard"
+        f" FROM (SELECT c.doc_a, c.doc_b, a.shset AS sa, b.shset AS sb,"
+        f"              size(array_intersect(a.shset, b.shset)) AS n_inter"
+        f"       FROM {{cands}} c"
+        f"       JOIN {{shs}} a ON c.doc_a = a.doc_id"
+        f"       JOIN {{shs}} b ON c.doc_b = b.doc_id)"
+        f") WHERE jaccard >= {threshold!r}D",
+        cands=cands,
+        shs=shs,
     )
 
 
@@ -346,28 +365,28 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     (``text.py``). md5 is cryptographic overkill for sketching, but the cost
     is one hash per (doc, shingle) on an already-exploded stream and it buys
     cross-engine verifiability."""
-    sh = doc_shingles(docs).withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-    )
-    # parsed expressions (identical plan, ~30× fewer py4j round-trips of
-    # construction — the minhash_signatures rationale)
-    bit_aggs = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
-            f" THEN 1 ELSE -1 END) AS b{j}"
-        )
+    # one parsed statement (r15 construction-cost fix, see
+    # minhash_signatures): identical md5-derived bits, sign sums, and
+    # fingerprint reconstruction as the former per-bit F.expr build
+    shs = doc_shingle_sets(docs)
+    bit_aggs = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{j}"
         for j in range(bits)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*bit_aggs)
-    fp = F.expr(
-        " + ".join(
-            f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(bits)
-        )
     )
-    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return shs.sparkSession.sql(
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM ("
+        f" SELECT doc_id, {bit_aggs} FROM ("
+        f"  SELECT doc_id, CAST(conv(substring(md5("
+        f"CAST(shingle AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS h"
+        f"  FROM (SELECT doc_id, explode(shset) AS shingle FROM {{shs}}))"
+        f" GROUP BY doc_id)",
+        shs=shs,
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:

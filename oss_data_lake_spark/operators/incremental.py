@@ -105,8 +105,10 @@ class IncrementalCorpus:
 
         n_cross = cross_dups.count()
         # the batch shingle cache's plan hangs off this call's `passing`
-        # checkpoint — unreusable after this point, so release it (r14)
-        doc_shingle_sets(passing).unpersist()
+        # checkpoint — unreusable after this point, so release it (r14;
+        # cache=False per r14 ADVICE: same analyzed plan, no transient
+        # re-registration right before the unpersist)
+        doc_shingle_sets(passing, cache=False).unpersist()
         return {
             "n_arrived": n_arrived,
             "n_quality_failed": n_arrived - n_passing,

@@ -851,8 +851,11 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaked two cached tables for the session's lifetime (r14: the
     # bench's median-of-3 accumulated 6 stale entries per round, visibly
     # degrading the in-session runs that followed)
-    doc_shingle_sets_capped(d1, DF_CAP_FRAC).unpersist()
-    doc_shingle_sets(d1).unpersist()
+    # cache=False (r14 ADVICE): build the SAME analyzed plan without
+    # re-invoking .cache(), so the unpersist hits the CacheManager entry
+    # without transiently re-registering it
+    doc_shingle_sets_capped(d1, DF_CAP_FRAC, cache=False).unpersist()
+    doc_shingle_sets(d1, cache=False).unpersist()
     # stage 3 — SemDeDup over the survivors' embeddings (vec_id is the
     # fixture's doc_id; the semi-join prunes the sweep's input)
     emb = load_table(spark, sf_dir, "embeddings").select(
