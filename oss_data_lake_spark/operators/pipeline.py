@@ -842,7 +842,10 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(
         d1, JACCARD_THRESHOLD, df_cap_frac=DF_CAP_FRAC
     )
-    drop2 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # no .distinct() on the drop set (r15): LEFT ANTI dedups its right
+    # side inherently, so the extra exchange bought nothing — identical
+    # survivors, one less shuffle in the d2 materialization
+    drop2 = pairs.select(F.col("doc_b").alias("doc_id"))
     d2 = d1.join(drop2, "doc_id", "left_anti").localCheckpoint()
     # d2 is materialized, so stage 2's cached shingle tables have served
     # every reader they will ever have: their plans hang off THIS call's
@@ -874,14 +877,16 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ledger branch (split accounting) within the same query
     d3 = d2.join(drop3, "doc_id", "left_anti").localCheckpoint(eager=False)
 
+    # r15: the ledger branches are TAGGED projections unioned into ONE
+    # aggregate instead of five per-branch groupBys glued by union — the
+    # stage keys are disjoint across branches (distinct literals + the
+    # 'split:'-prefixed family), so grouping the union is row-identical
+    # while collapsing five exchanges into one.
     def ledger(df: DataFrame, stage) -> DataFrame:
         return df.select(
             (stage if isinstance(stage, Column) else F.lit(stage))
             .alias("stage"),
             F.size(F.split("text", " ")).cast("long").alias("__t"),
-        ).groupBy("stage").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__t").cast("long").alias("n_tokens"),
         )
 
     bucket = (
@@ -905,6 +910,11 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ledger(d2, "3_minhash"))
         .unionByName(ledger(d3, "4_semdedup"))
         .unionByName(ledger(d3, split_stage))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
         .orderBy("stage")
     )
 

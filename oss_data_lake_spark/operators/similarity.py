@@ -213,11 +213,16 @@ def _ivf_model(emb: DataFrame) -> tuple[list[int], list[list[float]]]:
     (``vec_id % stride == 0``), id-ordered. A bounded FITTED-MODEL collect
     (n/stride rows — 2^16 centroids × 64 dims ≈ 16 MB at 100 TB), not a
     data collect."""
-    rows = (
+    # r15: sort DRIVER-side instead of .orderBy() — a global orderBy
+    # before a bounded collect paid a range-partitioning sample pass plus
+    # a full shuffle (3-4 Spark jobs under AQE) to order rows the driver
+    # is about to hold in memory anyway; sorted(collect) is the identical
+    # deterministic model (vec_id is unique) at one scan job.
+    rows = sorted(
         emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
     return (
         [int(r["vec_id"]) for r in rows],
@@ -727,13 +732,17 @@ def _semdedup_members(
             .select("cluster")
         )
         wsub = Window.partitionBy("cluster").orderBy("vec_id")
-        sub_rows = (
+        # driver-side sort (r15): same bounded fitted-model collect minus
+        # the global orderBy's sample + range-shuffle jobs (_ivf_model
+        # rationale; (cluster, vec_id) is a unique key so the order is
+        # identical)
+        sub_rows = sorted(
             assigned.join(F.broadcast(big), "cluster")
             .withColumn("__r", F.row_number().over(wsub) - 1)
             .filter(F.col("__r") % half == 0)
             .select("cluster", "vec_id", "embedding")
-            .orderBy("cluster", "vec_id")
-            .collect()
+            .collect(),
+            key=lambda r: (r["cluster"], r["vec_id"]),
         )
         for r in sub_rows:
             ids_mat = sub_model.setdefault(int(r["cluster"]), ([], []))
