@@ -638,7 +638,12 @@ def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "o_orderkey long, o_orderstatus string, o_orderdate string,"
             " o_totalprice double",
-        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")),
+        )
+        # r15: a local 2-row relation parallelizes to defaultParallelism
+        # partitions — the append write was 32 near-empty tasks for two
+        # rows; one partition = one task, same committed rows
+        .coalesce(1)
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate")),
         mode="append",
     )
     feed = t.read_change_feed(1)

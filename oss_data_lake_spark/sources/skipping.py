@@ -165,6 +165,11 @@ def encode_bound(v: Any, spark_type: str | None = None) -> tuple[str, Any] | Non
 BLOOM_M = 8192  # bits (1 KiB per file-column)
 BLOOM_K = 4
 
+# Commits at or below this many files harvest footer stats on the driver
+# (a few ms of metadata I/O) instead of paying a parallelize+collect job;
+# larger commits keep the distributed harvest (r15, see collect_file_stats).
+_DRIVER_FOOTER_MAX = 32
+
 
 def _bloom_canon(kind: str, v: Any) -> str:
     if kind == "num":
@@ -347,13 +352,23 @@ def collect_file_stats(
     ]
     if not files:
         return {}
-    sc = spark.sparkContext
-    n_slices = min(len(files), max(sc.defaultParallelism, 1))
-    rows = (
-        sc.parallelize(files, n_slices)
-        .mapPartitions(_make_footer_reader(columns, bloom_for))
-        .collect()
-    )
+    if len(files) <= _DRIVER_FOOTER_MAX and not bloom_for:
+        # r15 (guide §5 driver-work balance, inverted): for a handful of
+        # files a footer read is ~1 ms of local metadata I/O, while the
+        # parallelize+collect below is a whole Spark job (~0.1-0.3 s of
+        # scheduling) — so small commits harvest on the driver with the
+        # SAME reader function. The distributed path stays for large
+        # commits (thousands of files at 100 TB) and for blooms, which
+        # read column data, not just footers.
+        rows = list(_make_footer_reader(columns, bloom_for)(files))
+    else:
+        sc = spark.sparkContext
+        n_slices = min(len(files), max(sc.defaultParallelism, 1))
+        rows = (
+            sc.parallelize(files, n_slices)
+            .mapPartitions(_make_footer_reader(columns, bloom_for))
+            .collect()
+        )
     # EVERY discovered file gets an entry, even when no column produced a
     # usable stat row (row-group statistics absent/undecodable for all
     # requested columns): the stats dict is the scan planner's FILE

@@ -2691,7 +2691,23 @@ class SnapshotTable:
                 df = self._align(raw, target)
             else:
                 df = self.spark.read.schema(target).json(paths)
-        rows = df.count()  # parquet: footer count — no data scan
+        # rows_loaded rides the COMMIT's own write job via observe()
+        # (r15, guide §2.4 — the round-3 ingest precedent): the former
+        # standalone df.count() was a whole extra Spark job per COPY
+        # INTO just for the accounting scalar. GATED to the plain-append
+        # shape: a CHECK constraint's limit(1) probe would publish a
+        # partial count as the observation's first action, and a declared
+        # sort order's range-sampling pass re-executes the scan subtree
+        # (accumulator double-count) — those (rare) shapes keep the
+        # standalone footer count.
+        obs = None
+        if not self.constraints() and not self.current_sort_order():
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        else:
+            rows = df.count()  # parquet: footer count — no data scan
         merged = sorted(seen | set(new))
         if len(merged) > self._COPY_LEDGER_SPILL:
             # spill: the manifest carries an O(1) sidecar reference; a
@@ -2727,7 +2743,11 @@ class SnapshotTable:
         return {
             "version": version,
             "files_loaded": len(new),
-            "rows_loaded": rows,
+            # the commit's write materialized df, so the observation is
+            # complete by now; int() for a plain JSON-able scalar
+            "rows_loaded": (
+                int(obs.get["rows"]) if obs is not None else rows
+            ),
         }
 
     # ------------------------------------------------------------- reads
@@ -4297,6 +4317,26 @@ class SnapshotTable:
             "left_anti",
         ).drop("__dv_file", "__dv_pos")
 
+    @staticmethod
+    def _recordable_dv_candidates(
+        selection: dict, cap: int = 256
+    ) -> dict | None:
+        """The pruned candidate selection of a MoR DML, if it is worth
+        recording in the manifest for the change feed (r15, see
+        ``_dv_matched_rows``): every dir pruned to an explicit file list
+        and the total bounded — unpruned or huge selections return None
+        and the feed keeps its collect fallback."""
+        total = 0
+        out: dict[str, list[str]] = {}
+        for d, fl in selection.items():
+            if fl is None:
+                return None
+            total += len(fl)
+            if total > cap:
+                return None
+            out[d] = list(fl)
+        return out
+
     def delete_where_mor(
         self,
         condition: "str | F.Column",
@@ -4358,6 +4398,7 @@ class SnapshotTable:
             tombstones.write.mode("errorifexists").parquet(
                 os.path.join(self.path, new_dir)
             )
+            dv_cands = self._recordable_dv_candidates(selection)
 
             def build(parent: int | None, read_manifest) -> dict:
                 if parent != v:
@@ -4365,6 +4406,10 @@ class SnapshotTable:
                         f"planned against v{v}, head is v{parent}"
                     )
                 m = dict(read_manifest(v))
+                if dv_cands is not None:
+                    m["dv_candidates"] = {
+                        **m.get("dv_candidates", {}), new_dir: dv_cands,
+                    }
                 m["delete_dirs"] = m.get("delete_dirs", []) + [new_dir]
                 m["version"] = v + 1
                 m["parent"] = v
@@ -4471,6 +4516,7 @@ class SnapshotTable:
             new_data = f"data/u{v + 1}-{uuid.uuid4().hex[:8]}"
             self._write_data_dir(updated, new_data)
             own_stats = self._harvest_stats(new_data, stats_for, None)
+            dv_cands = self._recordable_dv_candidates(selection)
 
             def build(parent: int | None, read_manifest) -> dict:
                 if parent != v:
@@ -4478,6 +4524,10 @@ class SnapshotTable:
                         f"planned against v{v}, head is v{parent}"
                     )
                 m = dict(read_manifest(v))
+                if dv_cands is not None:
+                    m["dv_candidates"] = {
+                        **m.get("dv_candidates", {}), new_dv: dv_cands,
+                    }
                 m["delete_dirs"] = m.get("delete_dirs", []) + [new_dv]
                 m["data_dirs"] = m["data_dirs"] + [new_data]
                 m["partition_specs"] = {
@@ -5368,23 +5418,45 @@ class SnapshotTable:
         clip_to: dict | None = None,
     ) -> DataFrame:
         """Rows of ``manifest``'s VISIBLE files matched by the given
-        delete vectors: the scan opens only the files the vectors name
-        (a bounded metadata-scale collect of distinct file paths), then
-        semi-joins on (file, pos). Restricting to the manifest's visible
-        set keeps removed-file rows out (they are counted by the
-        file-level diff)."""
+        delete vectors: the scan opens only the files the vectors name,
+        then semi-joins on (file, pos). Restricting to the manifest's
+        visible set keeps removed-file rows out (they are counted by the
+        file-level diff).
+
+        File discovery (r15): the MoR DML paths record each vector dir's
+        pruned candidate selection IN the manifest (``dv_candidates``) —
+        a guaranteed superset of the files the vectors name, because the
+        tombstones were computed from exactly that scan — so the common
+        case is pure metadata: no Spark job to list the vectors' files.
+        Vectors without a recorded selection (unpruned DML, pre-r15
+        manifests, very large candidate sets) fall back to the bounded
+        distinct-file collect. A superset only widens the semi-join's
+        probe side; the (file, pos) join keeps row membership exact."""
         dv = self._read_delete_vectors(dv_dirs)
-        files = [r["file"] for r in dv.select("file").distinct().collect()]
+        rec = manifest.get("dv_candidates") or {}
+        cand_sels = [rec.get(d) for d in dv_dirs]
         sel: dict[str, list[str] | None] = {
             d: [] for d in manifest["data_dirs"]
         }
-        for rel in files:
-            for d in manifest["data_dirs"]:
-                if rel.startswith(d + "/"):
-                    lst = sel[d]
-                    if lst is not None:
-                        lst.append(rel[len(d) + 1:])
-                    break
+        if dv_dirs and all(s is not None for s in cand_sels):
+            for s in cand_sels:
+                for dd, fl in s.items():
+                    cur = sel.get(dd)
+                    if cur is None or dd not in sel:
+                        continue  # dir gone from visibility / whole-dir
+                    have = set(cur)
+                    cur.extend(f for f in fl if f not in have)
+        else:
+            files = [
+                r["file"] for r in dv.select("file").distinct().collect()
+            ]
+            for rel in files:
+                for d in manifest["data_dirs"]:
+                    if rel.startswith(d + "/"):
+                        lst = sel[d]
+                        if lst is not None:
+                            lst.append(rel[len(d) + 1:])
+                        break
         if clip_to is not None:
             sel = self._clip_selection_to(sel, manifest, clip_to)
         scan = self._scan_parts(manifest, target, selection=sel, with_meta=True)
