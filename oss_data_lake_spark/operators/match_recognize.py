@@ -105,6 +105,41 @@ def _rewrite_prev(expr: str) -> tuple[str, set[tuple[str, int]]]:
     return _PREV_RE.sub(sub, expr), needs
 
 
+_PREV_TOKEN_RE = re.compile(r"__mr_prev_(\w+)_(\d+)\b")
+_SQUOTE_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _shift_one_row(txt: str, columns: list[str]) -> str:
+    """The define text evaluated AS OF THE PREVIOUS ROW: every lag token
+    ``__mr_prev_c_n`` becomes ``__mr_prev_c_{n+1}`` and every bare
+    current-row column reference becomes ``__mr_prev_c_1`` (single-quoted
+    SQL string literals are left untouched). Because ``lag(c, n)`` at row
+    i equals ``lag(c, n-1)`` at row i-1 within a partition — and every
+    shifted lag is NULL at a partition's first row, exactly where
+    ``lag(label)`` is NULL — the shifted text computes the previous row's
+    label without a second full-table window pass (r15, guide §2.4)."""
+    cols = sorted(set(columns), key=len, reverse=True)
+
+    def shift_segment(seg: str) -> str:
+        seg = _PREV_TOKEN_RE.sub(
+            lambda m: f"__mr_prev_{m.group(1)}_{int(m.group(2)) + 1}", seg
+        )
+        for c in cols:
+            # \b can't fire inside __mr_prev_* tokens (underscores are
+            # word characters), so only bare references rewrite
+            seg = re.sub(rf"\b{re.escape(c)}\b", f"__mr_prev_{c}_1", seg)
+        return seg
+
+    out: list[str] = []
+    last = 0
+    for m in _SQUOTE_RE.finditer(txt):
+        out.append(shift_segment(txt[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(shift_segment(txt[last:]))
+    return "".join(out)
+
+
 _MEASURE_RES = [
     ("match_number", re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.I)),
     ("classifier", re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.I)),
@@ -235,10 +270,21 @@ def match_recognize(
     # --- 1. row layer: PREV lags, label, global position -----------------
     lag_needs: set[tuple[str, int]] = set()
     label_cases: list[tuple[str, str]] = []
+    shifted_cases: list[tuple[str, str]] = []
     for v in core:
         txt, needs = _rewrite_prev(defmap[v.name])
         lag_needs |= needs
         label_cases.append((v.name, txt))
+        # the previous row's label re-derives from one-row-shifted lags
+        # (r15): its lag columns ride the SAME window node as the define
+        # lags, killing the separate full-table lag(__lbl) window pass
+        # the run derivation used to pay (see _shift_one_row)
+        stxt = _shift_one_row(txt, list(df.columns))
+        shifted_cases.append((v.name, stxt))
+        lag_needs |= {
+            (m.group(1), int(m.group(2)))
+            for m in _PREV_TOKEN_RE.finditer(stxt)
+        }
     rows = df
     for col, n in sorted(lag_needs):
         rows = rows.withColumn(f"__mr_prev_{col}_{n}", F.lag(col, n).over(w))
@@ -273,12 +319,22 @@ def match_recognize(
                 ),
             )),
         ).otherwise(lbl)
+    # the previous row's label, from the shifted lags — NO guard branch:
+    # a row that would trip the exclusivity guard trips it in its OWN
+    # unshifted __lbl, so the shifted copy cannot add or mask a failure
+    plbl: Column = F.lit(None).cast("string")
+    for name, stxt in reversed(shifted_cases):
+        plbl = F.when(F.expr(stxt), F.lit(name)).otherwise(plbl)
     rows = rows.withColumn("__lbl", lbl).withColumn(
-        "__pos", F.row_number().over(w)
-    )
+        "__plbl", plbl
+    ).withColumn("__pos", F.row_number().over(w))
 
     # --- 2. runs: maximal same-label stretches ---------------------------
-    chg = (~F.col("__lbl").eqNullSafe(F.lag("__lbl").over(w))).cast("long")
+    # run-boundary indicator from (__lbl, __plbl) — both plain
+    # projections over the single lag window node, so the whole run
+    # derivation costs TWO full-table window passes (lags+row_number,
+    # running sum) instead of the former three (r15)
+    chg = (~F.col("__lbl").eqNullSafe(F.col("__plbl"))).cast("long")
     rows = rows.withColumn("__run", F.sum(chg).over(w))
     rw = Window.partitionBy(*parts, "__run").orderBy(ord_c)
     rows = rows.withColumn("__rir", F.row_number().over(rw)).withColumn(
@@ -354,14 +410,19 @@ def match_recognize(
             "chain", F.sum((~F.col("dep")).cast("long")).over(cw)
         )
         chw = Window.partitionBy(*parts, "chain").orderBy("pos_first")
-        cand = cand.withColumn("p", F.row_number().over(chw) - 1)
         # chain head (p=0, non-dep): len>=2 always matches; len 1 with a
         # free preferred start matches; len 1 at a partition head is dead
         head_matched = (F.col("rlen") >= 2) | (
             (F.col("rlen") == 1) & s_pref_exists
         )
-        cand = cand.withColumn(
-            "head_m", F.first(head_matched).over(chw)
+        # p and head_m in ONE select (r15): both window functions share
+        # chw and neither depends on the other's output, so Spark plans
+        # a single Window node instead of the two stacked passes the
+        # withColumn chain produced
+        cand = cand.select(
+            "*",
+            (F.row_number().over(chw) - 1).alias("p"),
+            F.first(head_matched).over(chw).alias("head_m"),
         ).withColumn(
             "matched",
             F.when(F.col("p") == 0, head_matched).otherwise(
