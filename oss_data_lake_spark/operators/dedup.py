@@ -38,7 +38,7 @@ engines, not an oracle gap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oss_data_lake_spark.sources.loaders import load_table
@@ -473,42 +473,76 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star_flagged(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14): every vertex u connects each STRICTLY
-    LARGER neighbor v to m = min(Γ(u) ∪ {u}). One symmetrize-union, one
-    min-aggregate on vertex, one join — all shuffles keyed on vertex id.
-    Output edges satisfy src > dst (m ≤ u < v), so no self-loops."""
+    MapReduce and Beyond", SoCC'14) as a SINGLE window pass over the
+    symmetrized edges (r15, guide §2.4): per vertex u the window computes
+    m = min(Γ(u)), so every strictly larger neighbor v gets edge (v,
+    least(m, u)) without the round-14 shape's separate min-aggregate +
+    join — which exchanged the same symmetrized table twice per round
+    (once partial-aggregated for the groupBy, once raw for the join).
+
+    The same window aggregates also yield the star-forest FIXPOINT test
+    for the INPUT edge set e, so the per-round convergence check stops
+    paying its own vertex-keyed union+groupBy exchange: under the
+    src > dst invariant on deduped e, e is a star forest iff every vertex
+    u has at most one smaller neighbor and never both a smaller and a
+    larger one (a smaller neighbor makes u a child; two parents or a
+    child-with-children breaks the forest — exactly the old
+    ``is_star_forest`` per-vertex predicate, n_src(u) ≤ 1 and not
+    (n_src(u) ≥ 1 and degree(u) > n_src(u)), restated over Γ(u)).
+
+    Returns all symmetrized rows as (src, dst, mn, bad): the large-star
+    output is ``filter(dst > mn... src)``-derived by the caller, ``bad``
+    is the per-vertex violation flag. Output edges derived from this
+    satisfy src > dst (m ≤ u < v), so no self-loops. Requires e deduped
+    (both the flag's count and the caller's small-star rely on it; every
+    round's edge set is distinct() by construction)."""
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    # no distinct here: duplicates don't disturb small-star's min-aggs and
-    # its trailing distinct removes them — saves one shuffle per round
+    w = Window.partitionBy("src")
+    n_smaller = F.sum(
+        F.when(F.col("dst") < F.col("src"), 1).otherwise(0)
+    ).over(w)
+    return sym.select(
+        "src",
+        "dst",
+        F.min("dst").over(w).alias("mn"),
+        (
+            (n_smaller > 1)
+            | ((n_smaller >= 1) & (F.max("dst").over(w) > F.col("src")))
+        ).alias("bad"),
+    )
+
+
+def _small_star(ls: DataFrame) -> DataFrame:
+    """One small-star round over the large-star window frame (src > dst
+    rows carry their group min already): every vertex u re-wires ITS
+    SMALLER neighborhood into a star around m = min of that neighborhood
+    — edge (v, m) for each neighbor v ≠ m, plus (u, m). One window pass
+    (r15: the group min rides ``Window.partitionBy``, replacing the
+    min-aggregate + join that exchanged the edge table twice), then one
+    distinct. Each input row emits EXACTLY ONE edge — rows at the group
+    min re-wire the center (u, m), the rest re-wire themselves (v, m);
+    at least one row per group sits at the min, and duplicates across
+    groups fall to the trailing distinct exactly as the join shape's
+    union did. Output keeps src > dst."""
+    f = ls.filter(F.col("dst") > F.col("src")).select(
+        F.col("dst").alias("src"),
+        F.least(F.col("mn"), F.col("src")).alias("dst"),
+    )
+    mn = F.min("dst").over(Window.partitionBy("src"))
     return (
-        sym.join(mins, "src")
-        .filter(F.col("dst") > F.col("src"))
+        f.select(F.col("src"), F.col("dst"), mn.alias("mn"))
         .select(
-            F.col("dst").alias("src"),
-            F.least(F.col("mn"), F.col("src")).alias("dst"),
+            F.when(F.col("dst") == F.col("mn"), F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("src"),
+            F.col("mn").alias("dst"),
         )
+        .distinct()
     )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    """One small-star round: input edges point large→small (the large-star
-    output invariant); every vertex u re-wires ITS SMALLER neighborhood
-    into a star around m = min of that neighborhood — edge (v, m) for each
-    neighbor v ≠ m, plus (u, m). One min-aggregate + one join, keyed on
-    vertex id. Output keeps src > dst."""
-    mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
-    moved = (
-        e.join(mins, "src")
-        .filter(F.col("dst") != F.col("mn"))
-        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-    )
-    rooted = mins.select("src", F.col("mn").alias("dst"))
-    return moved.unionByName(rooted).distinct()
 
 
 def connected_components_with_rounds(
@@ -530,23 +564,30 @@ def connected_components_with_rounds(
     exactly the (doc_id, cluster_id) output, no label join needed.
 
     Convergence detection is STRUCTURAL and exact, one bounded driver
-    scalar per round: the alternation's fixpoints are precisely the star
-    forests under the src>dst invariant — every ``src`` unique (one
-    parent) and no vertex both ``src`` and ``dst`` (no chains) — which one
-    vertex-keyed aggregate over the checkpointed edge set tests directly.
-    Unlike compare-to-previous-round, this detects convergence in the SAME
-    round the star forest forms (no confirm round). ``localCheckpoint``
+    scalar per round, and since r15 it rides the NEXT round's large-star
+    window shuffle instead of paying its own vertex-keyed aggregate: the
+    alternation's fixpoints are precisely the star forests under the
+    src>dst invariant — every ``src`` unique (one parent) and no vertex
+    both ``src`` and ``dst`` (no chains) — which the per-vertex window
+    aggregates of ``_large_star_flagged`` test directly (docstring there
+    has the restatement over neighborhoods). Unlike
+    compare-to-previous-round, this detects convergence in the SAME round
+    the star forest forms (no confirm round). ``localCheckpoint``
     truncates lineage each round (at cluster scale, checkpoint to the lake
     instead). NOTE: construction is EAGER — building this DataFrame runs
     the full iterative computation (bounded by O(log n) rounds), so
     explain-only tooling (scripts/capture_plans.py, plan tests) must not
     instantiate e14; they deliberately don't."""
     # LAZY localCheckpoints throughout (r14): the first action that reads
-    # the frame — always the same-round ``is_star_forest`` aggregate —
-    # materializes and truncates it, so every round costs ONE Spark job
-    # instead of two (eager-checkpoint job + check job). Identical
-    # results and identical per-round lineage truncation; only the
-    # materialization rides the check's action instead of its own.
+    # the frame — the convergence-test aggregate over the same round's
+    # large-star window frame — materializes and truncates it, so every
+    # round costs ONE Spark job. r15 (guide §2.4): each round is now
+    # three exchanges total — small-star window, distinct, large-star
+    # window — where the round-14 shape paid ~six (each star step
+    # exchanged its edge table twice for a min-aggregate + join, and the
+    # fixpoint test re-shuffled the round's output by vertex a third
+    # time). The test aggregate itself reads the checkpointed window
+    # frame with no further exchange.
     e0 = (
         edges.select(
             F.greatest("doc_a", "doc_b").alias("src"),
@@ -563,38 +604,21 @@ def connected_components_with_rounds(
     )
     e = e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
 
-    def is_star_forest(d: DataFrame) -> bool:
-        """Fixpoint test: under src>dst, the alternation is stationary iff
-        every src has exactly one parent edge and no vertex is both a src
-        and a dst (proof sketch in module history: such a graph is a
-        forest of stars each rooted at its own minimum, and both star
-        operations map it to itself; any violation makes small-star or
-        large-star emit a different edge). One aggregate keyed on vertex;
-        ``limit(1)`` short-circuits on the first violation."""
-        bad = (
-            d.select(F.col("src").alias("x"), F.lit(1).alias("is_src"))
-            .unionByName(
-                d.select(F.col("dst").alias("x"), F.lit(0).alias("is_src"))
-            )
-            .groupBy("x")
-            .agg(
-                F.sum("is_src").alias("n_src"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .filter(
-                (F.col("n_src") > 1)
-                | ((F.col("n_src") > 0) & (F.col("n") > F.col("n_src")))
-            )
-            .limit(1)
-            .count()
-        )
-        return bad == 0
+    def ls_and_test(d: DataFrame) -> tuple[DataFrame, bool]:
+        """Materialize one large-star window frame over d and read the
+        star-forest verdict for d off its flags — one action, zero
+        test-only exchanges. max('bad') is NULL on an empty edge set
+        (vacuously a star forest)."""
+        ls = _large_star_flagged(d).localCheckpoint(eager=False)
+        bad = ls.agg(F.max("bad")).first()[0]
+        return ls, not bad
 
-    converged, rounds = is_star_forest(e), 0
+    ls, converged = ls_and_test(e)
+    rounds = 0
     while not converged and rounds < max_iters:
         rounds += 1
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        converged = is_star_forest(e)
+        e = _small_star(ls).localCheckpoint(eager=False)
+        ls, converged = ls_and_test(e)
     if not converged:
         # An unconverged edge set is not yet a star forest — emitting it
         # would split components. The cap exists as a runaway guard only:
