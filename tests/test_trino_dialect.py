@@ -719,6 +719,73 @@ class TestTryTranslation:
         assert row.v == 9
 
 
+class TestTryCastIntGuardEquivalence:
+    """Round 15: TRY(CAST(s AS <integral>)) is rewritten to a regex
+    pre-reject (no per-row exception on unparseable rows) guarded by a
+    foldable typeof() dispatch. These pins prove the rewrite is
+    value-identical to plain try_cast — the SUPERSET property: whatever
+    the regex rejects, try_cast maps to NULL — on a compact version of
+    the discovery matrix (the full 3,712-string matrix + ~108k fuzz
+    strings ran 0 mismatches for all four integral widths)."""
+
+    # trimAll surface (\x00-\x20, \x7f both ends), signs, leading
+    # zeros, overflow per width, decimals/exponents/unicode rejects
+    MATRIX = [
+        "5", "-5", "+5", "  5  ", "\t5\n", "\r\n5", "05", "0005",
+        "\x005", "5\x00", "\x01 5", "\x1f5", "5\x1f", "\x7f5", "5\x7f",
+        "\x085", "\x0b5\x0c", " +5 ", " -5 ", "", " ", "+", "-", "+-5",
+        "--5", "5 5", "+ 5", "1.0", "1.5", ".5", "1.", "1e2", "0x1f",
+        "1_000", "1,000", "٣", "５", "　5", "5　", " 5", "127",
+        "128", "-128", "-129", "32767", "32768", "-32768", "-32769",
+        "2147483647", "2147483648", "-2147483648", "-2147483649",
+        "9223372036854775807", "9223372036854775808",
+        "-9223372036854775808", "-9223372036854775809", "nope",
+    ]
+
+    def test_matrix_matches_plain_try_cast(self, eng, spark):
+        vals = ", ".join(
+            "('" + s.replace("\\", "\\\\").replace("'", "''") + "')"
+            for s in self.MATRIX
+        )
+        for ty in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            got = [
+                r.v
+                for r in eng.sql(
+                    f"SELECT TRY(CAST(s AS {ty})) AS v "
+                    f"FROM VALUES {vals} t(s)"
+                ).collect()
+            ]
+            want = [
+                r.v
+                for r in spark.sql(
+                    f"SELECT try_cast(s AS {ty}) AS v "
+                    f"FROM VALUES {vals} t(s)"
+                ).collect()
+            ]
+            assert got == want, ty
+
+    def test_non_string_input_keeps_try_cast_semantics(self, eng):
+        # typeof() dispatch: a DOUBLE input must NOT be routed through
+        # the string regex (5.25 would regex-fail but casts to 5)
+        row = eng.sql(
+            "SELECT TRY(CAST(d AS INTEGER)) AS v "
+            "FROM VALUES (5.25D), (CAST(NULL AS DOUBLE)) t(d)"
+        ).collect()
+        assert sorted((r.v for r in row), key=lambda x: (x is None, x)) \
+            == [5, None]
+
+    def test_non_integral_targets_stay_plain(self, eng):
+        # DOUBLE/DECIMAL accept grammars the matrix does not cover —
+        # they must keep the unguarded try_cast
+        row = eng.sql(
+            "SELECT TRY(CAST('1.5e2' AS DOUBLE)) AS d, "
+            "TRY(CAST('12.34' AS DECIMAL(6,2))) AS de, "
+            "TRY(CAST('2020-01-02' AS DATE)) AS dt"
+        ).collect()[0]
+        assert (row.d, float(row.de)) == (150.0, 12.34)
+        assert str(row.dt) == "2020-01-02"
+
+
 class TestLambdaMatchAndJsonPassthrough:
     """Round 14: the lambda-predicate trio (any_match/all_match/
     none_match → exists/forall) with the SHARED 3VL contract, and the
