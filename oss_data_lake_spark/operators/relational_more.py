@@ -703,10 +703,10 @@ _B50_SQL = """
 WITH RECURSIVE tree(user_id, depth) AS (
     SELECT CAST(0 AS BIGINT) AS user_id, CAST(0 AS BIGINT) AS depth
     UNION ALL
-    SELECT u.user_id, t.depth + CAST(1 AS BIGINT)
+    SELECT u.user_id, c.depth + CAST(1 AS BIGINT)
     FROM {users} u
-    JOIN tree t
-      ON u.user_id = 2 * t.user_id + 1 OR u.user_id = 2 * t.user_id + 2
+    JOIN (SELECT {children} AS child, depth FROM tree) c
+      ON u.user_id = c.child
 )
 SELECT t.depth,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
@@ -735,7 +735,16 @@ def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT — so each recursion step is a dimension-sized join and
     the 100-TB fact joins ONCE against the final closure
     (broadcastable — closure is dimension-sized), never inside the
-    loop. Measured 2x at sf0.1 vs the DISTINCT-in-loop formulation."""
+    loop. Measured 2x at sf0.1 vs the DISTINCT-in-loop formulation.
+
+    r15 (guide §3): the recursive step's join condition was
+    ``u = 2t+1 OR u = 2t+2`` — no equi keys, so every iteration planned
+    a nested-loop join (frontier × dimension comparisons). Exploding
+    each frontier row into its two child ids makes the step a hash
+    EQUI-join (per-step cost dimension + frontier): identical closure
+    rows (a (u, t) pair can satisfy at most one disjunct), identical
+    iteration count, oracle green; wall flat at sf0.1's 1,500-user
+    dimension — the fix is the join's scale shape, not a local win."""
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("b50_events")
     # materialize the dimension before the loop as an eager
@@ -752,6 +761,7 @@ def recursive_user_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         _B50_SQL.format(
             users="b50_users",
             events="b50_events",
+            children="explode(array(2 * user_id + 1, 2 * user_id + 2))",
             sum_value=sql_dsum("value"),
         )
     )
@@ -1213,12 +1223,15 @@ ORACLES = {
         FROM agg a LEFT JOIN ords o ON a.label = o.label
         ORDER BY a.label
     """,
-    # DuckDB evaluates the IDENTICAL recursive text natively — the
-    # cross-engine recursion (anchor, loop join, closure aggregation)
-    # is the correctness claim
+    # DuckDB evaluates the SAME recursive algorithm natively — anchor,
+    # child-id explosion + equi-join loop step, closure aggregation —
+    # with only the explosion spelled in each dialect (explode(array())
+    # vs unnest([]); r15, the equi-join step fix documented on the
+    # query). The cross-engine recursion is the correctness claim.
     "b50_recursive_user_tree": _B50_SQL.format(
         users="(SELECT DISTINCT user_id FROM events)",
         events="events",
+        children="unnest([2 * user_id + 1, 2 * user_id + 2])",
         sum_value=sql_dsum("value"),
     ),
     # DuckDB evaluates the IDENTICAL lateral text natively
