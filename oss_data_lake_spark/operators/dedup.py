@@ -121,18 +121,23 @@ def doc_shingle_sets(docs: DataFrame, cache: bool = True) -> DataFrame:
     once per corpus snapshot, query it many times. Default storage is
     MEMORY_AND_DISK, so an oversized corpus spills instead of failing;
     eviction just falls back to recompute."""
-    # one parsed statement (r15 construction-cost fix, see
-    # minhash_signatures): split → shingle transform → array_distinct,
-    # byte-identical semantics to the former shingle_array Column build
+    # selectExpr chain (r15): two py4j calls for the whole build, NO
+    # parameterized spark.sql — PySpark's {df} formatter registers a
+    # temp view and DROPS it after parsing, and dropTempView CASCADE-
+    # uncaches every cache entry whose plan contains the view's child,
+    # so each later sql({shs}) stage silently evicted THIS table's cache
+    # entry (the r15 inherited regression: tests/test_plans.py
+    # test_dedup_queries_share_cached_shingle_table). selectExpr chains
+    # plans directly with no view lifecycle; identical resolved
+    # expressions to the former statement.
     n = SHINGLE_N
-    out = docs.sparkSession.sql(
-        f"SELECT doc_id, array_distinct("
+    out = docs.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
+        "doc_id",
+        f"array_distinct("
         f"CASE WHEN size(toks) >= {n} THEN"
         f" transform(sequence(0, size(toks) - {n}),"
         f" i -> array_join(slice(toks, i + 1, {n}), ' ')) "
-        f"ELSE array() END) AS shset"
-        f" FROM (SELECT doc_id, split(text, ' ') AS toks FROM {{docs}})",
-        docs=docs,
+        f"ELSE array() END) AS shset",
     )
     # ``cache=False`` for single-reader call sites (r14): a CacheManager
     # entry that is read once and keyed on a per-call plan is pure leak
@@ -151,24 +156,26 @@ def doc_shingle_sets_capped(
     scan, no shuffle of the documents themselves. Cached for the same
     plan-equality sharing as the uncapped table (signatures + both verify
     sides read one materialization)."""
-    # one parsed statement (r15 construction-cost fix): identical df
-    # aggregate, ceil threshold, broadcast hints, and array_except as
-    # the former Column build. ``cache=False`` exists for unpersist-only
-    # call sites (r14 ADVICE): re-invoking ``.cache()`` right before an
-    # unpersist transiently re-registered the CacheManager entry.
+    # DataFrame-composed (r15): same df aggregate, ceil threshold,
+    # broadcast hints, and array_except as the former statement, but no
+    # parameterized spark.sql — its temp-view drop cascade-uncached the
+    # shingle cache (see doc_shingle_sets). ``cache=False`` exists for
+    # unpersist-only call sites (r14 ADVICE): re-invoking ``.cache()``
+    # right before an unpersist transiently re-registered the entry.
     shs = doc_shingle_sets(docs)
-    out = shs.sparkSession.sql(
-        f"SELECT /*+ BROADCAST(h) */ doc_id,"
-        f" array_except(shset, hot) AS shset"
-        f" FROM {{shs}} CROSS JOIN ("
-        f"  SELECT /*+ BROADCAST(tot) */"
-        f"   sort_array(collect_list(shingle)) AS hot"
-        f"  FROM (SELECT shingle, count(1) AS df FROM"
-        f"        (SELECT explode(shset) AS shingle FROM {{shs}})"
-        f"        GROUP BY shingle) st"
-        f"  CROSS JOIN (SELECT count(1) AS n_docs FROM {{shs}}) tot"
-        f"  WHERE df > ceil({frac!r}D * n_docs)) h",
-        shs=shs,
+    st = (
+        shs.selectExpr("explode(shset) AS shingle")
+        .groupBy("shingle")
+        .agg(F.expr("count(1) AS df"))
+    )
+    tot = shs.selectExpr("count(1) AS n_docs")
+    hot = (
+        st.crossJoin(F.broadcast(tot))
+        .where(F.expr(f"df > ceil({frac!r}D * n_docs)"))
+        .selectExpr("sort_array(collect_list(shingle)) AS hot")
+    )
+    out = shs.crossJoin(F.broadcast(hot)).selectExpr(
+        "doc_id", "array_except(shset, hot) AS shset"
     )
     return out.cache() if cache else out
 
@@ -259,24 +266,29 @@ def minhash_signatures(
     SLOWER here: the corpus arrives in O(1) input partitions locally, so
     one Python worker serializes the whole hash table while the JVM agg
     parallelizes over shuffle partitions and keeps codegen.)"""
-    # ONE spark.sql statement for the whole aggregate (r15): the r14
-    # form still paid 64 F.expr constructions + agg packing (~576 py4j
-    # round-trips, 0.3-2.6 ms each on this host); composing the explode →
-    # permute → 64-min aggregate as a single parsed statement is ~5
-    # round-trips for the identical resolved plan (verified: same rows,
-    # same schema, and the {shs} reference IS the cached DataFrame's
-    # plan, so CacheManager plan-equality sharing is unchanged).
+    # ONE packed aggregate expression (r15): the 64 per-permutation mins
+    # ride a single array(min(...), ...) aggregate built from ONE parsed
+    # expr string, unpacked by one 65-string selectExpr — ~6 py4j
+    # round-trips for the whole helper. NOT a parameterized spark.sql
+    # statement: its temp-view drop cascade-uncached the shingle cache
+    # entry this very helper is meant to share (see doc_shingle_sets).
+    # Identical h0..h63 values; the array indirection is a projection
+    # on top of the same 64-min hash aggregate.
     shs = _shingle_sets(docs, df_cap_frac)
-    aggs = ", ".join(
-        f"min(pmod({a}L * h + {b}L, {_MERSENNE}L)) AS h{i}"
-        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    mins = ", ".join(
+        f"min(pmod({a}L * h + {b}L, {_MERSENNE}L))"
+        for (a, b) in _perm_params(n_hashes)
     )
-    return shs.sparkSession.sql(
-        f"SELECT doc_id, {aggs} FROM (SELECT doc_id,"
-        f" pmod(xxhash64(shingle), {_MERSENNE}L) AS h FROM"
-        f" (SELECT doc_id, explode(shset) AS shingle FROM {{shs}}))"
-        f" GROUP BY doc_id",
-        shs=shs,
+    return (
+        shs.selectExpr("doc_id", "explode(shset) AS shingle")
+        .selectExpr(
+            "doc_id", f"pmod(xxhash64(shingle), {_MERSENNE}L) AS h"
+        )
+        .groupBy("doc_id")
+        .agg(F.expr(f"array({mins}) AS hs"))
+        .selectExpr(
+            "doc_id", *[f"hs[{i}] AS h{i}" for i in range(n_hashes)]
+        )
     )
 
 
@@ -288,8 +300,9 @@ def band_table(
     docs' bands against the stored index instead of re-signing the corpus
     (`operators/incremental.py`)."""
     rows_per_band = n_hashes // n_bands
-    # single parsed statement (same resolved plan as the Column build;
-    # see minhash_signatures for the r15 construction-cost rationale)
+    # selectExpr chain (r15): same band structs as the former statement,
+    # no parameterized spark.sql (temp-view drop cascade-uncached the
+    # shingle cache; see doc_shingle_sets) — 2 py4j round-trips
     structs = ", ".join(
         "named_struct('band', {b}, 'bucket', hash({cols}))".format(
             b=b,
@@ -299,24 +312,32 @@ def band_table(
         )
         for b in range(n_bands)
     )
-    return sig.sparkSession.sql(
-        f"SELECT doc_id, bb.band AS band, bb.bucket AS bucket FROM"
-        f" (SELECT doc_id, explode(array({structs})) AS bb FROM {{sig}})",
-        sig=sig,
-    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Band the signature, hash each band, self-join on (band, bucket)."""
+    """Band the signature, hash each band, self-join on (band, bucket).
+
+    The self-join's two sides re-plan the same band subtree statically,
+    but AQE stage reuse dedups the identical exchanges at runtime (r15
+    ABBA: a grouped collect_list pair expansion measured flat with MORE
+    stages — refused; see OPTIMIZATION_r15.md)."""
     banded = band_table(sig, n_hashes, n_bands)
-    return banded.sparkSession.sql(
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        " FROM {banded} a JOIN {banded} b"
-        " ON a.band = b.band AND a.bucket = b.bucket"
-        " AND a.doc_id < b.doc_id",
-        banded=banded,
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                "a.band = b.band AND a.bucket = b.bucket"
+                " AND a.doc_id < b.doc_id"
+            ),
+        )
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+        .distinct()
     )
 
 
@@ -334,24 +355,29 @@ def minhash_dedup_pairs(
     shuffle). Candidate pairs stay narrow (two ids) until this last step."""
     shs = _shingle_sets(docs, df_cap_frac)
     cands = lsh_candidate_pairs(minhash_signatures(docs, df_cap_frac=df_cap_frac))
-    # one parsed statement (r15 construction-cost fix, see
-    # minhash_signatures): identical join order, identical int-size
-    # arithmetic and double division as the former Column build; the
-    # {shs} references resolve to the cached shingle table's plan
-    return shs.sparkSession.sql(
-        f"SELECT doc_a, doc_b, jaccard FROM ("
-        f" SELECT doc_a, doc_b,"
-        f"        CAST(n_inter AS DOUBLE)"
-        f"          / CAST(size(sa) + size(sb) - n_inter AS DOUBLE)"
-        f"          AS jaccard"
-        f" FROM (SELECT c.doc_a, c.doc_b, a.shset AS sa, b.shset AS sb,"
-        f"              size(array_intersect(a.shset, b.shset)) AS n_inter"
-        f"       FROM {{cands}} c"
-        f"       JOIN {{shs}} a ON c.doc_a = a.doc_id"
-        f"       JOIN {{shs}} b ON c.doc_b = b.doc_id)"
-        f") WHERE jaccard >= {threshold!r}D",
-        cands=cands,
-        shs=shs,
+    # DataFrame-composed (r15): identical join order, int-size
+    # arithmetic and double division as the former statement; both
+    # verify sides read the cached shingle table — which parameterized
+    # spark.sql was silently EVICTING via its temp-view drop cascade
+    # (see doc_shingle_sets), re-splitting the corpus per reference
+    return (
+        cands.alias("c")
+        .join(shs.alias("a"), F.expr("c.doc_a = a.doc_id"))
+        .join(shs.alias("b"), F.expr("c.doc_b = b.doc_id"))
+        .selectExpr(
+            "c.doc_a AS doc_a",
+            "c.doc_b AS doc_b",
+            "a.shset AS sa",
+            "b.shset AS sb",
+            "size(array_intersect(a.shset, b.shset)) AS n_inter",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(n_inter AS DOUBLE)"
+            " / CAST(size(sa) + size(sb) - n_inter AS DOUBLE) AS jaccard",
+        )
+        .where(F.expr(f"jaccard >= {threshold!r}D"))
     )
 
 
@@ -365,27 +391,30 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     (``text.py``). md5 is cryptographic overkill for sketching, but the cost
     is one hash per (doc, shingle) on an already-exploded stream and it buys
     cross-engine verifiability."""
-    # one parsed statement (r15 construction-cost fix, see
-    # minhash_signatures): identical md5-derived bits, sign sums, and
-    # fingerprint reconstruction as the former per-bit F.expr build
+    # packed-array aggregate via selectExpr (r15): identical md5-derived
+    # bits, sign sums, and fingerprint reconstruction; no parameterized
+    # spark.sql (its temp-view drop cascade-uncached the shingle cache
+    # this helper shares — see doc_shingle_sets). ~6 py4j round-trips.
     shs = doc_shingle_sets(docs)
     bit_aggs = ", ".join(
         f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
-        f" THEN 1 ELSE -1 END) AS b{j}"
+        f" THEN 1 ELSE -1 END)"
         for j in range(bits)
     )
     fp = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN bs[{j}] > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return shs.sparkSession.sql(
-        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM ("
-        f" SELECT doc_id, {bit_aggs} FROM ("
-        f"  SELECT doc_id, CAST(conv(substring(md5("
-        f"CAST(shingle AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS h"
-        f"  FROM (SELECT doc_id, explode(shset) AS shingle FROM {{shs}}))"
-        f" GROUP BY doc_id)",
-        shs=shs,
+    return (
+        shs.selectExpr("doc_id", "explode(shset) AS shingle")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(CAST(shingle AS BINARY)), 1, 8),"
+            " 16, 10) AS BIGINT) AS h",
+        )
+        .groupBy("doc_id")
+        .agg(F.expr(f"array({bit_aggs}) AS bs"))
+        .selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS simhash")
     )
 
 
