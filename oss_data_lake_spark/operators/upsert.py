@@ -630,20 +630,22 @@ def change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_column="o_orderdate",
         prune_upper=M07_UPDATE_BEFORE,
     )
+    # r15: a JVM-native VALUES LocalRelation — ONE write task, ZERO
+    # Python workers. createDataFrame pickles the rows into a 32-slice
+    # Python RDD (32 near-empty write tasks), and the first r15 fix —
+    # .coalesce(1) on that RDD — was a 4 s REGRESSION: the single write
+    # task then evaluated all 32 parent slices SEQUENTIALLY, each paying
+    # a JVM-to-Python-worker round (~130 ms apiece, ABBA-measured
+    # 0.6 -> 4.6 s per append). Same committed rows and types.
     t.commit(
-        spark.createDataFrame(
-            [
-                (90000001, "X", "2030-01-01 00:00:00", 111.0),
-                (90000002, "X", "2030-01-02 00:00:00", 222.0),
-            ],
-            "o_orderkey long, o_orderstatus string, o_orderdate string,"
-            " o_totalprice double",
-        )
-        # r15: a local 2-row relation parallelizes to defaultParallelism
-        # partitions — the append write was 32 near-empty tasks for two
-        # rows; one partition = one task, same committed rows
-        .coalesce(1)
-        .withColumn("o_orderdate", F.to_timestamp("o_orderdate")),
+        spark.sql(
+            "SELECT o_orderkey, o_orderstatus,"
+            " to_timestamp(o_orderdate) AS o_orderdate, o_totalprice"
+            " FROM VALUES"
+            " (CAST(90000001 AS BIGINT), 'X', '2030-01-01 00:00:00', 111.0D),"
+            " (CAST(90000002 AS BIGINT), 'X', '2030-01-02 00:00:00', 222.0D)"
+            " AS t(o_orderkey, o_orderstatus, o_orderdate, o_totalprice)"
+        ),
         mode="append",
     )
     feed = t.read_change_feed(1)
