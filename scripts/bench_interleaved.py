@@ -77,6 +77,10 @@ def main() -> None:
         old_runs: list[dict] = []
         head_steal: list[float] = []
         old_steal: list[float] = []
+        first_run = True  # r14 ADVICE: sleep before every run but the
+        # very first — inferring "first" from the per-side sinks skipped
+        # the cooldown before pass 0's SECOND run, making the inter-run
+        # decorrelation asymmetric in the first pair
         for i in range(passes):
             # ABBA interleave (round 11): strict HEAD-first alternation
             # gave OLD the warmer slot every pair (positions 2,4,6 ride
@@ -95,10 +99,11 @@ def main() -> None:
             )
             for label, checkout, sink, steal_sink in (first, second):
                 print(f"pass {i + 1}/{passes}: {label}", file=sys.stderr)
-                if cooldown_s and (sink or steal_sink or i):
+                if cooldown_s and not first_run:
                     import time as _time
 
                     _time.sleep(cooldown_s)
+                first_run = False
                 q, steal = _run_pass(checkout)
                 sink.append(q)
                 steal_sink.append(steal)
