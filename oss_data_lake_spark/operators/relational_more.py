@@ -334,6 +334,17 @@ FROM j ORDER BY event_id
 # unit semantics are pinned separately in tests/test_trino_dialect.py.
 # approx_distinct stays OUT of the hash (sketches differ across
 # engines); its accuracy bound is pinned in the same test file.
+#
+# min_fmt is spelled format_datetime(min(ts), ...) rather than
+# min(format_datetime(ts, ...)) (r15, guide §1.2): the two are
+# value-identical because 'yyyy-MM-dd HH' is zero-padded in every
+# component, so its lexicographic order IS chronological order and the
+# min commutes with the (monotone) formatting. The min(string) spelling
+# forced the WHOLE aggregate into SortAggregate (a string-buffered
+# declarative min has no mutable fixed-width buffer), paying three
+# full-table sorts; with only long/date/timestamp buffers the plan is
+# a HashAggregate end to end — ABBA 1.142 -> 0.570 s at sf0.1, rows
+# identical, DuckDB oracle text untouched.
 _B59_TRINO_SQL = """
 SELECT event_type AS etype,
   CAST(count(*) AS BIGINT) AS n,
@@ -346,7 +357,7 @@ SELECT event_type AS etype,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
   CAST(sum(date_diff('minute', ts, date_add('hour', 2, ts)))
        AS BIGINT) AS sum_min120,
-  min(format_datetime(ts, 'yyyy-MM-dd HH')) AS min_fmt,
+  format_datetime(min(ts), 'yyyy-MM-dd HH') AS min_fmt,
   min(CAST(ts AT TIME ZONE 'America/New_York' AS DATE)) AS min_ny_date,
   CAST(count(DISTINCT CAST(ts AT TIME ZONE 'Asia/Kolkata' AS DATE))
        AS BIGINT) AS n_kolkata_days,
